@@ -1,0 +1,106 @@
+"""Linear-interpolation gap-fill of missing buckets — pure window algebra.
+
+The reference delegates per-profile interpolation to ``imputeTS::na.interpolation``
+(``/root/reference/R/rtsa_gapfill.R:185-204``); its linear method is
+``stats::approx`` over the observed points. Re-expressed relationally:
+
+1. build each source's dense bucket *spine* (min..max observed bucket, one
+   calendar step apart) — so every missing bucket is interior, which makes
+   R's boundary rule moot by construction;
+2. outer-join the tier rollup onto the spine;
+3. for missing buckets, time-weighted blend of the nearest observed
+   neighbors via two ignore-nulls window frames:
+   ``last(value) over (unbounded preceding..-1)`` and
+   ``first(value) over (1..unbounded following)``.
+
+No UDF, no kernel: the whole fill is Catalyst window exchange + codegen'd
+projection. The shuffle key is ``source`` (window partition) — at 10^12 rows
+this runs on tier-sized data (buckets, not sequences), and the per-source
+partition is bounded by the bucket count of the retention window.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+from rtsa_spark.operators.rollup import BUCKET_OF, ROLLUP_COLS
+
+#: calendar step per tier, as an INTERVAL literal for F.sequence
+STEP_OF = {
+    "raw": "interval 1 minute",
+    "hourly": "interval 1 hour",
+    "daily": "interval 1 day",
+    "monthly": "interval 1 month",
+}
+
+_INT_CASTS = {"n_seq": "bigint", "n_tok_sum": "bigint", "n_tok_min": "int", "n_tok_max": "int"}
+
+
+def bucket_spine(
+    df: DataFrame,
+    tier: str,
+    key_col: str = "source",
+    bucket_col: str = "bucket_start",
+) -> DataFrame:
+    """Dense per-key bucket spine from each key's min..max observed bucket.
+
+    ``sequence(min, max, step)`` is evaluated per key row (tiny groupBy) and
+    exploded — the spine never touches the fact table.
+    """
+    step = F.expr(STEP_OF[tier])
+    return (
+        df.groupBy(key_col)
+        .agg(F.min(bucket_col).alias("_lo"), F.max(bucket_col).alias("_hi"))
+        .select(
+            key_col,
+            F.explode(F.sequence(F.col("_lo"), F.col("_hi"), step)).alias(bucket_col),
+        )
+    )
+
+
+def gapfill_linear(
+    df: DataFrame,
+    tier: str,
+    value_cols: list[str] | None = None,
+    key_col: str = "source",
+    bucket_col: str = "bucket_start",
+) -> DataFrame:
+    """Fill missing (key, bucket) rows by linear interpolation over time.
+
+    Returns the dense series: observed rows unchanged (``gapfilled=false``),
+    interpolated rows flagged ``gapfilled=true``. Integer-typed rollup columns
+    are rounded back to their types after the double-space interpolation.
+    """
+    if value_cols is None:
+        value_cols = ["n_seq", "n_tok_sum", "n_tok_min", "n_tok_max", "n_tok_mean"]
+    spine = bucket_spine(df, tier, key_col, bucket_col)
+    joined = spine.join(df, [key_col, bucket_col], "left").withColumn(
+        "_obs", F.col(value_cols[0]).isNotNull()
+    )
+
+    order = Window.partitionBy(key_col).orderBy(bucket_col)
+    before = order.rowsBetween(Window.unboundedPreceding, -1)
+    after = order.rowsBetween(1, Window.unboundedFollowing)
+    t = F.col(bucket_col).cast("double")
+    obs_t = F.when(F.col("_obs"), t)
+    prev_t = F.last(obs_t, ignorenulls=True).over(before)
+    next_t = F.first(obs_t, ignorenulls=True).over(after)
+    # interior by construction -> both neighbors exist for every missing row
+    w = (t - prev_t) / (next_t - prev_t)
+
+    out = joined.withColumn("_w", w)
+    for c in value_cols:
+        prev_v = F.last(F.when(F.col("_obs"), F.col(c)), ignorenulls=True).over(before)
+        next_v = F.first(F.when(F.col("_obs"), F.col(c)), ignorenulls=True).over(after)
+        filled = prev_v + F.col("_w") * (next_v - prev_v)
+        if c in _INT_CASTS:
+            filled = F.round(filled).cast(_INT_CASTS[c])
+        out = out.withColumn(c, F.when(F.col("_obs"), F.col(c)).otherwise(filled))
+    out = out.withColumn(
+        "gapfilled", F.when(F.col("_obs"), F.coalesce(F.col("gapfilled"), F.lit(False))).otherwise(F.lit(True))
+    )
+    keep = [c for c in ROLLUP_COLS if c in out.columns] or [
+        key_col, bucket_col, *value_cols, "gapfilled",
+    ]
+    return out.select(*keep)

@@ -1,0 +1,99 @@
+"""Eligibility masks — the reference's ``rastermask`` subsystem as semi-joins.
+
+rtsa filters *cells* through a {0,1} raster mask before every analytic
+(explicit mask P1 ``/root/reference/R/rtsa_gapfill.R:98-122``; computed masks
+P2/P3/P5, consecutive-gap refinement P4). Key-based tables make the whole
+positional ``na_index_mask`` bookkeeping vanish: a mask here is just a small
+DataFrame of eligible ``source`` keys, broadcast into a left-semi join.
+
+All mask computations are cheap pre-aggregates that run BEFORE the expensive
+per-source kernels — the reference's two-phase refinement (SURVEY.md §4),
+which Catalyst won't invent on its own, kept as an explicit stage.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+from rtsa_spark.operators.gapfill import bucket_spine
+
+
+def mask_min_observations(
+    tier_df: DataFrame, min_obs: int, key_col: str = "source"
+) -> DataFrame:
+    """Keys with >= min_obs observed (non-gapfilled) buckets.
+
+    min_obs=2 is gap-fill's default gate (P3, ``R/rtsa_gapfill.R:130-133``);
+    min_obs=5 is the Mann-Kendall minimum (P5, ``R/rtsa.mk.R:243-246`` —
+    implementing the documented intent, not the scalar-drop bug at ``:276``,
+    SURVEY.md §8 Q4).
+    """
+    observed = tier_df.where(~F.col("gapfilled")) if "gapfilled" in tier_df.columns else tier_df
+    return (
+        observed.groupBy(key_col)
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .where(F.col("_n") >= min_obs)
+        .select(key_col)
+    )
+
+
+def mask_complete_profile(
+    tier_df: DataFrame, tier: str, key_col: str = "source", bucket_col: str = "bucket_start"
+) -> DataFrame:
+    """Keys whose bucket series has NO missing bucket over its own span —
+    the ``rastermask="compute"`` complete-profile mask (P2,
+    ``R/rtsa.eof.R:129-132``): observed buckets == spine length.
+    """
+    observed = tier_df.where(~F.col("gapfilled")) if "gapfilled" in tier_df.columns else tier_df
+    got = observed.groupBy(key_col).agg(F.count(F.lit(1)).alias("_got"))
+    want = (
+        bucket_spine(observed, tier, key_col, bucket_col)
+        .groupBy(key_col)
+        .agg(F.count(F.lit(1)).alias("_want"))
+    )
+    return (
+        got.join(want, key_col)
+        .where(F.col("_got") == F.col("_want"))
+        .select(key_col)
+    )
+
+
+def mask_max_consecutive_gap(
+    tier_df: DataFrame,
+    tier: str,
+    n_p: int,
+    key_col: str = "source",
+    bucket_col: str = "bucket_start",
+) -> DataFrame:
+    """Keys whose max windowed missing-bucket count stays BELOW n_p —
+    STL's consecutive-gap cap (P4, ``R/rtsa.stl.R:289-344``): a sliding
+    row-frame of half-width floor(n_p/2) counts gaps around each bucket;
+    a key is dropped when any window holds >= n_p gaps.
+    """
+    observed = tier_df.where(~F.col("gapfilled")) if "gapfilled" in tier_df.columns else tier_df
+    spine = bucket_spine(observed, tier, key_col, bucket_col)
+    dense = spine.join(
+        observed.select(key_col, bucket_col, F.lit(1).alias("_one")),
+        [key_col, bucket_col],
+        "left",
+    ).withColumn("_miss", F.when(F.col("_one").isNull(), 1).otherwise(0))
+    lag = n_p // 2
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(bucket_col)
+        .rowsBetween(-lag, lag)
+    )
+    return (
+        dense.withColumn("_wmiss", F.sum("_miss").over(w))
+        .groupBy(key_col)
+        .agg(F.max("_wmiss").alias("_maxmiss"))
+        .where(F.col("_maxmiss") < n_p)
+        .select(key_col)
+    )
+
+
+def apply_mask(df: DataFrame, mask: DataFrame, key_col: str = "source") -> DataFrame:
+    """Left-semi join against the (small, broadcast) eligible-key set — the
+    relational form of ``matrice <- rasterts[na_index_mask]`` (P6/J1)."""
+    return df.join(F.broadcast(mask), key_col, "left_semi")

@@ -1,0 +1,162 @@
+"""Continuous-aggregate retention ladder: raw -> hourly -> daily -> monthly.
+
+The reference's tier ladder is its closed periodicity enum
+(``/root/reference/R/rtsa.stl.R:128-135`` — yearly..seconds with fixed deltat);
+each tier here is a calendar-aligned re-aggregation of the previous tier's
+*algebraic partials* (count/sum/min/max merge; mean is finalized per tier as
+sum/count), so daily never rescans raw data — the cascade reads each tier's
+output exactly once. This is the property that makes the ladder viable at
+10^12 rows: the raw tier is the only full-input shuffle; every later tier
+shuffles tier-sized (orders of magnitude smaller) data.
+
+Scale notes:
+- groupBy(source, bucket) partial-aggregates map-side (hash agg), so the
+  dominant-source skew of the input mostly collapses before the shuffle;
+  residual skew is defused by AQE + the salted two-level path in plans/skew.py
+  (used by the token-histogram branch, whose exploded triples are the one
+  genuinely heavy shuffle).
+- Buckets come from date_trunc, a codegen'd JVM expression: the whole raw
+  tier is one WholeStageCodegen scan+partial-agg over the parquet scan with
+  only (doc_id-pruned) needed columns read.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+TIER_ORDER = ["raw", "hourly", "daily", "monthly"]
+BUCKET_OF = {"raw": "minute", "hourly": "hour", "daily": "day", "monthly": "month"}
+
+#: Columns every tier carries (FIXTURES.md F2).
+ROLLUP_COLS = [
+    "source",
+    "bucket_start",
+    "n_seq",
+    "n_tok_sum",
+    "n_tok_min",
+    "n_tok_max",
+    "n_tok_mean",
+    "gapfilled",
+]
+
+
+def _finalize(df: DataFrame) -> DataFrame:
+    return df.withColumn(
+        "n_tok_mean", (F.col("n_tok_sum") / F.col("n_seq")).cast("double")
+    )
+
+
+def rollup_raw(df: DataFrame, ts_col: str = "ts", value_col: str = "n_tok") -> DataFrame:
+    """Raw tier: minute-aligned per-source aggregates of the sequence table.
+
+    One shuffle on (source, bucket_start); Catalyst prunes the scan to
+    (source, ts, n_tok) — tokens are never read unless the histogram branch
+    asks for them.
+    """
+    bucket = F.date_trunc(BUCKET_OF["raw"], F.col(ts_col)).alias("bucket_start")
+    v = F.col(value_col)
+    out = (
+        df.groupBy("source", bucket)
+        .agg(
+            F.count(F.lit(1)).alias("n_seq"),
+            F.sum(v).cast("bigint").alias("n_tok_sum"),
+            F.min(v).cast("int").alias("n_tok_min"),
+            F.max(v).cast("int").alias("n_tok_max"),
+        )
+        .withColumn("gapfilled", F.lit(False))
+    )
+    return _finalize(out).select(ROLLUP_COLS)
+
+
+def rollup_next(tier_df: DataFrame, to_tier: str) -> DataFrame:
+    """Re-aggregate one tier's partials into the next (algebraic merge).
+
+    count->sum, sum->sum, min->min, max->max; mean re-finalized. Gap-filled
+    rows are *excluded* from upward cascade so interpolation never pollutes a
+    coarser tier's true totals (coarser tiers run their own gap-fill).
+    """
+    if to_tier not in BUCKET_OF or to_tier == "raw":
+        raise ValueError(f"bad target tier: {to_tier}")
+    bucket = F.date_trunc(BUCKET_OF[to_tier], F.col("bucket_start")).alias("bucket_start")
+    out = (
+        tier_df.where(~F.col("gapfilled"))
+        .groupBy("source", bucket)
+        .agg(
+            F.sum("n_seq").alias("n_seq"),
+            F.sum("n_tok_sum").alias("n_tok_sum"),
+            F.min("n_tok_min").alias("n_tok_min"),
+            F.max("n_tok_max").alias("n_tok_max"),
+        )
+        .withColumn("gapfilled", F.lit(False))
+    )
+    return _finalize(out).select(ROLLUP_COLS)
+
+
+def rollup_ladder(df: DataFrame, tiers: list[str] | None = None) -> dict[str, DataFrame]:
+    """Full cascade. Returns {tier: DataFrame}; caller persists each tier
+    (pipeline.py writes tier k before deriving k+1, so the cascade reads
+    parquet, not a recomputed lineage)."""
+    tiers = tiers or TIER_ORDER
+    out: dict[str, DataFrame] = {}
+    prev: DataFrame | None = None
+    for t in tiers:
+        prev = rollup_raw(df) if t == "raw" else rollup_next(prev, t)
+        out[t] = prev
+    return out
+
+
+def token_histogram(
+    df: DataFrame,
+    tier: str = "raw",
+    ts_col: str = "ts",
+    top_k: int | None = None,
+) -> DataFrame:
+    """Per (source, bucket) token histogram ``tok_hist map<int,bigint>``.
+
+    The explode produces one (source, bucket, token) triple per token — the
+    heaviest shuffle in the engine, but partial-aggregated map-side so the
+    wire volume is bounded by distinct triples, not total tokens. ``top_k``
+    turns the exact histogram into a deterministic top-k sketch (count desc,
+    token asc tiebreak) to bound per-bucket map size at full vocab.
+    """
+    bucket = F.date_trunc(BUCKET_OF[tier], F.col(ts_col)).alias("bucket_start")
+    counts = (
+        df.select("source", bucket, F.explode("tokens").alias("token"))
+        .groupBy("source", "bucket_start", "token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    if top_k is not None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("source", "bucket_start").orderBy(
+            F.desc("cnt"), F.asc("token")
+        )
+        counts = counts.withColumn("_rk", F.row_number().over(w)).where(
+            F.col("_rk") <= top_k
+        ).drop("_rk")
+    return counts.groupBy("source", "bucket_start").agg(
+        F.map_from_entries(
+            F.array_sort(F.collect_list(F.struct("token", "cnt")))
+        ).alias("tok_hist")
+    )
+
+
+def merge_token_histograms(hist_df: DataFrame, to_tier: str) -> DataFrame:
+    """Cascade histogram maps to a coarser tier: explode -> sum -> re-map.
+
+    Map-sum is distributive, so tier k+1 merges tier k's maps without touching
+    raw tokens (the sketch-merge property SURVEY.md §2.4 requires).
+    """
+    bucket = F.date_trunc(BUCKET_OF[to_tier], F.col("bucket_start")).alias("bucket_start")
+    return (
+        hist_df.select("source", bucket, F.explode("tok_hist").alias("token", "cnt"))
+        .groupBy("source", "bucket_start", "token")
+        .agg(F.sum("cnt").alias("cnt"))
+        .groupBy("source", "bucket_start")
+        .agg(
+            F.map_from_entries(
+                F.array_sort(F.collect_list(F.struct("token", "cnt")))
+            ).alias("tok_hist")
+        )
+    )

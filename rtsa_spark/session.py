@@ -1,0 +1,57 @@
+"""SparkSession factory with scale-aware defaults.
+
+Local-mode testing uses ``local[N]``; the confs below are chosen so the same
+code runs unmodified on a multi-executor cluster via ``spark-submit
+--py-files rtsa_spark.zip`` — nothing here assumes a single JVM.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "rtsa_spark",
+    cores: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession tuned for the rollup workload.
+
+    ``cores=None`` respects an externally provided master (spark-submit);
+    in a bare process it falls back to ``local[$SPARK_GRAFT_CPUS or *]``.
+    Shuffle partitions default to ~cores locally — on a real cluster pass
+    ``shuffle_partitions`` sized to total executor cores * 2-3.
+    """
+    builder = SparkSession.builder.appName(app_name)
+    if "SPARK_MASTER" not in os.environ and not os.environ.get("SPARK_SUBMIT"):
+        n = cores or int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or "*"
+        builder = builder.master(f"local[{n}]")
+    if shuffle_partitions is None:
+        env_cores = cores or int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or os.cpu_count() or 8
+        shuffle_partitions = int(env_cores)
+    conf = {
+        "spark.sql.shuffle.partitions": str(shuffle_partitions),
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        # AQE skew-join split: free skew handling for the join surface;
+        # groupBy skew is handled explicitly by plans/skew.py salting.
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.session.timeZone": "UTC",
+        "spark.sql.execution.arrow.pyspark.enabled": "true",
+        # Cap Arrow batch size so pandas kernels stay memory-bounded even when
+        # one (source, salt) group is large.
+        "spark.sql.execution.arrow.maxRecordsPerBatch": "65536",
+        "spark.sql.parquet.compression.codec": "zstd",
+        "spark.ui.enabled": "false",
+        "spark.driver.memory": os.environ.get("RTSA_DRIVER_MEMORY", "8g"),
+    }
+    if extra_conf:
+        conf.update(extra_conf)
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,92 @@
+from __future__ import annotations
+
+import pandas as pd
+import pyspark.sql.functions as F
+
+from rtsa_spark.operators.rollup import (
+    merge_token_histograms,
+    rollup_ladder,
+    rollup_next,
+    rollup_raw,
+    token_histogram,
+)
+from rtsa_spark.synth import synth_sequences
+from tests.oracle import rollup_oracle, token_hist_oracle
+
+
+def _norm(pdf: pd.DataFrame) -> pd.DataFrame:
+    return pdf.sort_values(["source", "bucket_start"]).reset_index(drop=True)
+
+
+def test_synth_deterministic(spark):
+    a = synth_sequences(spark, 500, n_sources=4, seed=1, partitions=4)
+    b = synth_sequences(spark, 500, n_sources=4, seed=1, partitions=16)
+    ha = a.select(F.bit_xor(F.xxhash64(*a.columns)).alias("h")).first()["h"]
+    hb = b.select(F.bit_xor(F.xxhash64(*b.columns)).alias("h")).first()["h"]
+    assert ha == hb  # partitioning-independent content
+
+
+def test_raw_tier_matches_pandas_oracle(spark, tiny_sequences):
+    got = _norm(rollup_raw(tiny_sequences).drop("gapfilled").toPandas())
+    src = tiny_sequences.select("source", "ts", "n_tok").toPandas()
+    want = _norm(rollup_oracle(src, "raw"))
+    pd.testing.assert_frame_equal(
+        got[want.columns], want, check_dtype=False, rtol=1e-12
+    )
+
+
+def test_cascade_equals_direct(spark, tiny_sequences):
+    """Algebraic-merge property: tier k+1 from tier k partials == tier k+1
+    straight from raw sequences (the exact-tier-match requirement)."""
+    tiers = rollup_ladder(tiny_sequences)
+    src = tiny_sequences.select("source", "ts", "n_tok").toPandas()
+    for tier in ["hourly", "daily", "monthly"]:
+        got = _norm(tiers[tier].drop("gapfilled").toPandas())
+        want = _norm(rollup_oracle(src, tier))
+        pd.testing.assert_frame_equal(
+            got[want.columns], want, check_dtype=False, rtol=1e-12
+        )
+
+
+def test_cascade_excludes_gapfilled_rows(spark, tiny_sequences):
+    hr = rollup_next(rollup_raw(tiny_sequences), "hourly")
+    fake = hr.withColumn("gapfilled", F.lit(True))
+    assert rollup_next(fake, "daily").count() == 0
+
+
+def test_token_histogram_matches_oracle(spark, tiny_sequences):
+    small = tiny_sequences.limit(300).cache()
+    got = {
+        (r["source"], r["bucket_start"]): dict(r["tok_hist"])
+        for r in token_histogram(small, "daily").collect()
+    }
+    want = token_hist_oracle(small.toPandas(), "daily")
+    assert got == want
+
+
+def test_token_histogram_merge_associative(spark, tiny_sequences):
+    small = tiny_sequences.limit(300).cache()
+    via_hourly = merge_token_histograms(token_histogram(small, "hourly"), "daily")
+    direct = token_histogram(small, "daily")
+    a = {(r["source"], r["bucket_start"]): dict(r["tok_hist"]) for r in via_hourly.collect()}
+    b = {(r["source"], r["bucket_start"]): dict(r["tok_hist"]) for r in direct.collect()}
+    assert a == b
+
+
+def test_token_array_equality_invariant(spark, tiny_sequences):
+    """BASELINE.json input_hint: byte-for-byte token-array equality — rows
+    surviving any mask/filter stage carry identical token arrays vs source."""
+    from rtsa_spark.operators.masks import apply_mask, mask_min_observations
+
+    hr = rollup_next(rollup_raw(tiny_sequences), "hourly")
+    mask = mask_min_observations(hr, 2)
+    surviving = apply_mask(tiny_sequences, mask)
+    joined = surviving.alias("a").join(
+        tiny_sequences.alias("b"), on="doc_id", how="inner"
+    )
+    n_bad = joined.where(
+        F.sha2(F.concat_ws(",", F.col("a.tokens")), 256)
+        != F.sha2(F.concat_ws(",", F.col("b.tokens")), 256)
+    ).count()
+    assert n_bad == 0
+    assert surviving.count() > 0
