@@ -1,0 +1,107 @@
+"""Encoded-block table: Gorilla/delta-of-delta compression of per-source
+bucket streams — the north rule's hot inner loop as a grouped Arrow kernel.
+
+Layout: one block row per (source, day) holding the DoD-compressed bucket
+timestamps and the Gorilla-compressed values of one rollup column, plus
+``n_points`` and a CRC of the raw stream. Grouping by (source, day) rather
+than (source) is the skew defuser: the dominant source's stream splits into
+per-day Arrow batches, bounding kernel memory and letting 1000 executors
+work one source in parallel. Blocks are self-contained, so the encoded
+table is partition-prunable by day on read.
+
+The kernel is ``applyInPandas`` — Arrow batches in, zero per-row Python:
+sort + int64 view + the vectorized bit-packers in functions/gorilla.py.
+
+Reference lineage: this plays the role of rtsa's dense in-memory value
+matrix (``/root/reference/R/rtsa_methods.R:79-97``) as a *compressed,
+distributed* representation instead of an uncompressed driver-side one.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from rtsa_spark.functions.gorilla import (
+    block_crc,
+    dod_decode,
+    dod_encode,
+    gorilla_decode,
+    gorilla_encode,
+)
+
+BLOCK_SCHEMA = (
+    "source string, block_day timestamp, bucket_lo timestamp, bucket_hi timestamp,"
+    " n_points int, ts_dod binary, val_gorilla binary, crc bigint"
+)
+
+POINT_SCHEMA = "source string, bucket_start timestamp, value double"
+
+
+def encode_tier(
+    df: DataFrame,
+    value_col: str = "n_tok_mean",
+    key_col: str = "source",
+    bucket_col: str = "bucket_start",
+    block: str = "day",
+) -> DataFrame:
+    """Compress one rollup column into per-(source, block) encoded rows."""
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(bucket_col)
+        ts = pdf[bucket_col].to_numpy("datetime64[ns]").view("int64")
+        vals = pdf[value_col].to_numpy("float64")
+        return pd.DataFrame(
+            {
+                "source": [pdf[key_col].iloc[0]],
+                "block_day": [pdf["_block"].iloc[0]],
+                "bucket_lo": [pdf[bucket_col].iloc[0]],
+                "bucket_hi": [pdf[bucket_col].iloc[-1]],
+                "n_points": [len(ts)],
+                "ts_dod": [dod_encode(ts)],
+                "val_gorilla": [gorilla_encode(vals)],
+                "crc": [block_crc(ts, vals)],
+            }
+        )
+
+    with_block = df.withColumn("_block", F.date_trunc(block, F.col(bucket_col)))
+    return with_block.groupBy(key_col, "_block").applyInPandas(kernel, BLOCK_SCHEMA)
+
+
+def decode_blocks(blocks: DataFrame) -> DataFrame:
+    """Explode encoded blocks back into (source, bucket_start, value) points.
+
+    ``mapInPandas`` — streams Arrow batches, never materializes a partition.
+    CRC is re-verified on every block; a corrupt block raises rather than
+    silently yielding wrong points.
+    """
+
+    def it(batches):
+        for pdf in batches:
+            out_src, out_ts, out_val = [], [], []
+            for row in pdf.itertuples(index=False):
+                ts = dod_decode(row.ts_dod, row.n_points)
+                vals = gorilla_decode(row.val_gorilla, row.n_points)
+                if block_crc(ts, vals) != row.crc:
+                    raise ValueError(
+                        f"CRC mismatch decoding block source={row.source}"
+                        f" day={row.block_day}"
+                    )
+                out_src.extend([row.source] * row.n_points)
+                out_ts.append(ts)
+                out_val.append(vals)
+            if out_src:
+                import numpy as np
+
+                yield pd.DataFrame(
+                    {
+                        "source": out_src,
+                        "bucket_start": pd.to_datetime(
+                            np.concatenate(out_ts).view("datetime64[ns]")
+                        ),
+                        "value": np.concatenate(out_val),
+                    }
+                )
+
+    return blocks.mapInPandas(it, POINT_SCHEMA)

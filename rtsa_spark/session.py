@@ -25,6 +25,15 @@ def get_spark(
     Shuffle partitions default to ~cores locally — on a real cluster pass
     ``shuffle_partitions`` sized to total executor cores * 2-3.
     """
+    # Make the package importable in executor python workers regardless of
+    # the caller's cwd. Local mode: workers inherit PYTHONPATH. Cluster mode:
+    # ship a zip via ``spark-submit --py-files rtsa_spark.zip`` instead.
+    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    existing = os.environ.get("PYTHONPATH", "")
+    if pkg_root not in existing.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            pkg_root + (os.pathsep + existing if existing else "")
+        )
     builder = SparkSession.builder.appName(app_name)
     if "SPARK_MASTER" not in os.environ and not os.environ.get("SPARK_SUBMIT"):
         n = cores or int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or "*"
