@@ -1,38 +1,662 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship pipeline smoke on sf0.001.
+``queries()`` / ``oracle_sql()`` — one entry per operator (SURVEY.md §2),
+run at sf0.01 against DuckDB on the same parquet.
+
+Cross-engine determinism: every derived ratio is emitted as an
+integer-scaled value computed with exact integer arithmetic
+(``cents = round(sum*100)`` is exact because the source data has 2
+decimals; means/interp are ``floor`` of exact-int quotients), because
+float rounding at a fixed decimal is NOT portable across engines when the
+true value's decimal expansion terminates on the rounding digit (e.g.
+2975.92/64 = 46.49875 — round(...,4) flips between engines on 1-ulp
+differences). Irrational-valued stats (stddev) stay rounded doubles.
+The Spark side goes through the engine's public operators
+(rtsa_spark.operators.*) wherever one exists.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
+import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
+
+EVENTS_SPARSE_FILTER = "value > 190"  # ~6% of (type, hour) buckets observed
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+def _documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _hourly_series(spark, sf_dir):
+    """Shared base: hourly value series per event_type via the engine."""
+    from rtsa_spark.operators.rollup import rollup_series
+
+    return rollup_series(
+        _events(spark, sf_dir), "hourly", ["event_type"], "ts", "value"
+    )
+
+
+def _cents(col):
+    return F.round(col * 100).cast("bigint")
+
+
+def _exact_rollup_projection(df):
+    """Integer-exact output columns shared by the rollup-tier queries."""
+    return df.select(
+        "event_type",
+        "bucket_start",
+        F.col("n").cast("bigint").alias("n"),
+        _cents(F.col("v_sum")).alias("v_sum_cents"),
+        _cents(F.col("v_min")).alias("v_min_cents"),
+        _cents(F.col("v_max")).alias("v_max_cents"),
+        F.floor(_cents(F.col("v_sum")) * 100 / F.col("n")).alias("v_mean_e4"),
+    )
+
+
+_SQL_ROLLUP_TEMPLATE = """
+SELECT event_type,
+       date_trunc('{unit}', ts) AS bucket_start,
+       count(*) AS n,
+       CAST(round(sum(value) * 100) AS BIGINT) AS v_sum_cents,
+       CAST(round(min(value) * 100) AS BIGINT) AS v_min_cents,
+       CAST(round(max(value) * 100) AS BIGINT) AS v_max_cents,
+       CAST(floor(CAST(round(sum(value) * 100) AS BIGINT) * 100 / count(*)) AS BIGINT)
+         AS v_mean_e4
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_rollup_hourly(spark, sf_dir):
+    return _exact_rollup_projection(_hourly_series(spark, sf_dir))
+
+
+def q_rollup_daily_cascade(spark, sf_dir):
+    """Daily tier from hourly partials (algebraic merge); the oracle
+    aggregates straight from raw events — exact tier-match property."""
+    from rtsa_spark.operators.rollup import rollup_series_next
+
+    return _exact_rollup_projection(
+        rollup_series_next(_hourly_series(spark, sf_dir), "daily", ["event_type"])
+    )
+
+
+def q_rollup_monthly_cascade(spark, sf_dir):
+    from rtsa_spark.operators.rollup import rollup_series_next
+
+    hourly = _hourly_series(spark, sf_dir)
+    daily = rollup_series_next(hourly, "daily", ["event_type"])
+    return _exact_rollup_projection(
+        rollup_series_next(daily, "monthly", ["event_type"])
+    )
+
+
+def q_gapfill_hourly_linear(spark, sf_dir):
+    """Sparse hourly series densified by the engine's window-algebra linear
+    interpolation, emitted in exact integer space (mean x 1e4)."""
+    from rtsa_spark.operators.gapfill import gapfill_linear
+    from rtsa_spark.operators.rollup import rollup_series
+
+    sparse = (
+        rollup_series(
+            _events(spark, sf_dir).where(EVENTS_SPARSE_FILTER),
+            "hourly",
+            ["event_type"],
+            "ts",
+            "value",
+        )
+        .select(
+            "event_type",
+            "bucket_start",
+            F.floor(_cents(F.col("v_sum")) * 100 / F.col("n"))
+            .cast("double")
+            .alias("v_mean_e4"),
+        )
+    )
+    dense = gapfill_linear(
+        sparse, "hourly", value_cols=["v_mean_e4"], key_col="event_type"
+    )
+    # engine interpolates in double space on the exact-int inputs; floor to
+    # re-quantize (deterministic: see module docstring)
+    return dense.select(
+        "event_type",
+        "bucket_start",
+        F.floor("v_mean_e4").cast("bigint").alias("v_mean_e4"),
+        F.col("gapfilled").cast("int").alias("gapfilled"),
+    )
+
+
+SQL_GAPFILL_HOURLY = f"""
+WITH obs AS (
+  SELECT event_type, date_trunc('hour', ts) AS bucket_start,
+         CAST(floor(CAST(round(sum(value) * 100) AS BIGINT) * 100 / count(*)) AS DOUBLE)
+           AS v_mean_e4
+  FROM events WHERE {EVENTS_SPARSE_FILTER} GROUP BY 1, 2
+), bounds AS (
+  SELECT event_type, min(bucket_start) AS lo, max(bucket_start) AS hi FROM obs GROUP BY 1
+), spine AS (
+  SELECT event_type, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket_start
+  FROM bounds
+), joined AS (
+  SELECT s.event_type, s.bucket_start, o.v_mean_e4,
+         (o.v_mean_e4 IS NOT NULL) AS _obs
+  FROM spine s LEFT JOIN obs o USING (event_type, bucket_start)
+), w AS (
+  SELECT *,
+    last_value(CASE WHEN _obs THEN v_mean_e4 END IGNORE NULLS) OVER
+      (PARTITION BY event_type ORDER BY bucket_start
+       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pv,
+    first_value(CASE WHEN _obs THEN v_mean_e4 END IGNORE NULLS) OVER
+      (PARTITION BY event_type ORDER BY bucket_start
+       ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nv,
+    last_value(CASE WHEN _obs THEN epoch(bucket_start) END IGNORE NULLS) OVER
+      (PARTITION BY event_type ORDER BY bucket_start
+       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pt,
+    first_value(CASE WHEN _obs THEN epoch(bucket_start) END IGNORE NULLS) OVER
+      (PARTITION BY event_type ORDER BY bucket_start
+       ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nt
+  FROM joined
+)
+SELECT event_type, bucket_start,
+       CAST(floor(CASE WHEN _obs THEN v_mean_e4
+             ELSE pv + (epoch(bucket_start) - pt) / (nt - pt) * (nv - pv) END)
+         AS BIGINT) AS v_mean_e4,
+       CASE WHEN _obs THEN 0 ELSE 1 END AS gapfilled
+FROM w
+"""
+
+
+def _daily_user_series(spark, sf_dir):
+    from rtsa_spark.operators.rollup import rollup_series
+
+    return rollup_series(
+        _events(spark, sf_dir), "daily", ["event_type", "user_id"], "ts", "value"
+    )
+
+
+def q_mask_min_obs(spark, sf_dir):
+    """P3/P5 eligibility: (event_type, user_id) groups with >=10 observed
+    daily buckets (reference min-obs masks as semi-join input)."""
+    from rtsa_spark.operators.masks import mask_min_observations
+
+    return mask_min_observations(
+        _daily_user_series(spark, sf_dir), 10, key_col=["event_type", "user_id"]
+    )
+
+
+SQL_MASK_MIN_OBS = """
+SELECT event_type, user_id
+FROM (SELECT event_type, user_id, count(DISTINCT date_trunc('day', ts)) AS nb
+      FROM events GROUP BY 1, 2)
+WHERE nb >= 10
+"""
+
+
+def q_mask_complete_profile(spark, sf_dir):
+    """P2: groups whose daily series has no hole over its own span.
+    Keyed on (event_type, user_id % 40) so the mask has both complete and
+    holey groups at sf0.01 (positive AND negative cases)."""
+    from rtsa_spark.operators.masks import mask_complete_profile
+    from rtsa_spark.operators.rollup import rollup_series
+
+    ev = _events(spark, sf_dir).withColumn("user_bucket", F.col("user_id") % 40)
+    daily = rollup_series(ev, "daily", ["event_type", "user_bucket"], "ts", "value")
+    return mask_complete_profile(
+        daily, "daily", key_col=["event_type", "user_bucket"]
+    )
+
+
+SQL_MASK_COMPLETE = """
+SELECT event_type, user_bucket
+FROM (SELECT event_type, user_id % 40 AS user_bucket,
+             count(DISTINCT date_trunc('day', ts)) AS nb,
+             date_diff('day', min(date_trunc('day', ts)), max(date_trunc('day', ts))) + 1 AS span
+      FROM events GROUP BY 1, 2)
+WHERE nb = span
+"""
+
+
+def q_mask_consecutive_gap(spark, sf_dir):
+    """P4: drop groups with >=3 missing daily buckets inside any sliding
+    window of half-width 1 over their spine."""
+    from rtsa_spark.operators.masks import mask_max_consecutive_gap
+
+    return mask_max_consecutive_gap(
+        _daily_user_series(spark, sf_dir), "daily", 3, key_col=["event_type", "user_id"]
+    )
+
+
+SQL_MASK_CONSEC_GAP = """
+WITH obs AS (
+  SELECT DISTINCT event_type, user_id, date_trunc('day', ts) AS bucket_start
+  FROM events
+), bounds AS (
+  SELECT event_type, user_id, min(bucket_start) AS lo, max(bucket_start) AS hi
+  FROM obs GROUP BY 1, 2
+), spine AS (
+  SELECT event_type, user_id,
+         unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS bucket_start
+  FROM bounds
+), dense AS (
+  SELECT s.event_type, s.user_id, s.bucket_start,
+         CASE WHEN o.bucket_start IS NULL THEN 1 ELSE 0 END AS miss
+  FROM spine s LEFT JOIN obs o USING (event_type, user_id, bucket_start)
+), w AS (
+  SELECT event_type, user_id,
+         sum(miss) OVER (PARTITION BY event_type, user_id ORDER BY bucket_start
+                         ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS wmiss
+  FROM dense
+)
+SELECT event_type, user_id FROM w GROUP BY 1, 2 HAVING max(wmiss) < 3
+"""
+
+
+def q_metrics_series(spark, sf_dir):
+    """A1-A3 statistics contract per event_type over the hourly mean
+    series: amplitude (max-min), endpoint slope, sample stdev.
+    Amplitude/slope in exact integer space; stdev (irrational) as double."""
+    hourly = _exact_rollup_projection(_hourly_series(spark, sf_dir))
+    first_v = F.min_by("v_mean_e4", "bucket_start")
+    last_v = F.max_by("v_mean_e4", "bucket_start")
+    span_s = F.max("bucket_start").cast("long") - F.min("bucket_start").cast("long")
+    return hourly.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        (F.max("v_mean_e4") - F.min("v_mean_e4")).alias("amplitude_e4"),
+        F.floor((last_v - first_v) * 3600 * 100 / span_s).alias("slope_e6_per_hour"),
+        F.round(F.stddev_samp(F.col("v_mean_e4") / 1e4), 4).alias("stdev"),
+    )
+
+
+SQL_METRICS_SERIES = """
+WITH h AS (
+  SELECT event_type, date_trunc('hour', ts) AS bucket_start,
+         CAST(floor(CAST(round(sum(value) * 100) AS BIGINT) * 100 / count(*)) AS BIGINT)
+           AS v_mean_e4
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type,
+       count(*) AS n_buckets,
+       max(v_mean_e4) - min(v_mean_e4) AS amplitude_e4,
+       CAST(floor((arg_max(v_mean_e4, bucket_start) - arg_min(v_mean_e4, bucket_start))
+             * 3600 * 100
+             / date_diff('second', min(bucket_start), max(bucket_start))) AS BIGINT)
+         AS slope_e6_per_hour,
+       round(stddev_samp(v_mean_e4 / 1e4), 4) AS stdev
+FROM h GROUP BY 1
+"""
+
+
+def q_tier_match_check(spark, sf_dir):
+    """Exact tier-match audit as a query: full-outer join of cascaded vs
+    direct daily tiers; returns per-type mismatch count (all zeros)."""
+    from rtsa_spark.operators.rollup import rollup_series, rollup_series_next
+
+    cascade = rollup_series_next(_hourly_series(spark, sf_dir), "daily", ["event_type"])
+    direct = rollup_series(
+        _events(spark, sf_dir), "daily", ["event_type"], "ts", "value"
+    )
+    j = cascade.alias("c").join(
+        direct.alias("d"), ["event_type", "bucket_start"], "full_outer"
+    )
+    mismatch = (
+        F.col("c.n").isNull()
+        | F.col("d.n").isNull()
+        | (F.col("c.n") != F.col("d.n"))
+        | (F.round(F.col("c.v_sum") - F.col("d.v_sum"), 6) != 0)
+    )
+    return j.groupBy("event_type").agg(
+        F.sum(mismatch.cast("int")).alias("n_mismatch")
+    )
+
+
+SQL_TIER_MATCH = """
+SELECT event_type, 0 AS n_mismatch FROM events GROUP BY 1
+"""
+
+
+# --------------------------------------------- training-data pipeline ops
+
+
+def q_dedup_exact(spark, sf_dir):
+    """Exact dedup: content hash -> survivor (min doc_id) + dupe count."""
+    from rtsa_spark.operators.dedup import dedup_exact
+
+    return dedup_exact(_documents(spark, sf_dir), text_col="text", id_col="doc_id")
+
+
+SQL_DEDUP_EXACT = """
+SELECT md5(text) AS content_md5,
+       min(doc_id) AS survivor_doc_id,
+       count(*) AS n_docs
+FROM documents GROUP BY 1
+"""
+
+
+def q_dedup_fingerprint(spark, sf_dir):
+    """Normalized-content fingerprint dedup (lowercase, whitespace-free)."""
+    from rtsa_spark.operators.dedup import dedup_fingerprint
+
+    return dedup_fingerprint(_documents(spark, sf_dir))
+
+
+SQL_DEDUP_FINGERPRINT = """
+SELECT md5(replace(lower(text), ' ', '')) AS fingerprint,
+       min(doc_id) AS survivor_doc_id,
+       count(*) AS n_docs
+FROM documents GROUP BY 1
+"""
+
+
+N_MINHASH = 8
+
+
+def q_minhash_lsh(spark, sf_dir):
+    """MinHash(8) over word-trigram shingles -> 4 LSH bands of 2 sigs:
+    per (band, band_hash) bucket size + survivor."""
+    from rtsa_spark.operators.dedup import minhash_lsh_buckets
+
+    return minhash_lsh_buckets(
+        _documents(spark, sf_dir), n_hashes=N_MINHASH, band_size=2
+    )
+
+
+def _sql_minhash():
+    sigs = ", ".join(
+        f"min(md5('{j}:' || shingle)) AS sig_{j}" for j in range(N_MINHASH)
+    )
+    bands = ", ".join(
+        f"SELECT {b} AS band, md5(sig_{2*b} || sig_{2*b+1}) AS band_hash, doc_id FROM sigs"
+        for b in range(N_MINHASH // 2)
+    )
+    union = " UNION ALL ".join(
+        f"SELECT {b} AS band, md5(sig_{2*b} || sig_{2*b+1}) AS band_hash, doc_id FROM sigs"
+        for b in range(N_MINHASH // 2)
+    )
+    return f"""
+WITH words AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), shingled AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, len(w) - 2),
+                               i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle
+  FROM words WHERE len(w) >= 3
+), sigs AS (
+  SELECT doc_id, {sigs} FROM shingled GROUP BY doc_id
+), banded AS ({union})
+SELECT band, band_hash, count(*) AS n_docs, min(doc_id) AS survivor_doc_id
+FROM banded GROUP BY 1, 2
+"""
+
+
+def q_simhash16(spark, sf_dir):
+    """16-bit SimHash per doc from word hashes (majority vote per bit)."""
+    from rtsa_spark.operators.dedup import simhash16
+
+    return simhash16(_documents(spark, sf_dir))
+
+
+def _sql_simhash():
+    bit_terms = " + ".join(
+        f"(CASE WHEN sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) > 0"
+        f" THEN {1 << b} ELSE 0 END)"
+        for b in range(16)
+    )
+    return f"""
+WITH words AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+), hashed AS (
+  SELECT doc_id, ('0x' || substr(md5(word), 1, 8))::BIGINT AS h FROM words
+)
+SELECT doc_id, {bit_terms} AS simhash FROM hashed GROUP BY doc_id
+"""
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    """Word-set Jaccard for candidate pairs sharing a 1-perm minhash bucket
+    (exact integer intersection/union arithmetic)."""
+    from rtsa_spark.operators.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(_documents(spark, sf_dir), min_jaccard_e4=5000)
+
+
+SQL_NGRAM_JACCARD = """
+WITH words AS (
+  SELECT doc_id, list_distinct(string_split(text, ' ')) AS ws FROM documents
+), keyed AS (
+  SELECT doc_id, ws, list_min(list_transform(ws, x -> md5(x))) AS bucket FROM words
+), pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         len(list_intersect(a.ws, b.ws)) AS inter,
+         len(a.ws) + len(b.ws) - len(list_intersect(a.ws, b.ws)) AS uni
+  FROM keyed a JOIN keyed b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b,
+       CAST(floor(10000 * inter / uni) AS BIGINT) AS jaccard_e4
+FROM pairs WHERE floor(10000 * inter / uni) >= 5000
+"""
+
+
+def q_ann_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-5 neighbors for query vectors vec_id < 5 —
+    the exact baseline of the similarity-search surface."""
+    from rtsa_spark.operators.similarity import cosine_topk
+
+    emb = _embeddings(spark, sf_dir)
+    return cosine_topk(emb.where("vec_id < 5"), emb, k=5)
+
+
+SQL_ANN_COSINE = """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 5),
+c AS (SELECT vec_id AS neighbor_id, embedding AS ce FROM embeddings),
+scored AS (
+  SELECT query_id, neighbor_id,
+         list_sum(list_transform(generate_series(1, 64),
+                                 i -> qe[i]::DOUBLE * ce[i]::DOUBLE))
+         / (sqrt(list_sum(list_transform(generate_series(1, 64),
+                                         i -> qe[i]::DOUBLE * qe[i]::DOUBLE)))
+          * sqrt(list_sum(list_transform(generate_series(1, 64),
+                                         i -> ce[i]::DOUBLE * ce[i]::DOUBLE))))
+           AS cos
+  FROM q, c WHERE neighbor_id != query_id
+), ranked AS (
+  SELECT query_id, neighbor_id, cos,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, rank, CAST(floor(cos * 1e6) AS BIGINT) AS cos_e6
+FROM ranked WHERE rank <= 5
+"""
+
+
+def q_embedding_norms(spark, sf_dir):
+    """Array-column aggregation check: mean L2 norm per label."""
+    from rtsa_spark.operators.similarity import norms_by_label
+
+    return norms_by_label(_embeddings(spark, sf_dir))
+
+
+SQL_EMBEDDING_NORMS = """
+SELECT label,
+       count(*) AS n,
+       CAST(floor(avg(sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))))
+                  * 1e6) AS BIGINT) AS avg_norm_e6
+FROM embeddings GROUP BY 1
+"""
+
+
+def q_text_quality(spark, sf_dir):
+    """Quality scoring: per source, doc count, word totals, mean words/doc
+    and short-doc fraction in exact integer space."""
+    from rtsa_spark.functions.text import text_quality_by_source
+
+    return text_quality_by_source(_documents(spark, sf_dir))
+
+
+SQL_TEXT_QUALITY = """
+WITH d AS (
+  SELECT source, len(string_split(text, ' ')) AS n_words FROM documents
+)
+SELECT source,
+       count(*) AS n_docs,
+       sum(n_words) AS total_words,
+       CAST(floor(sum(n_words) * 10000 / count(*)) AS BIGINT) AS words_per_doc_e4,
+       CAST(floor(sum(CASE WHEN n_words < 30 THEN 1 ELSE 0 END) * 10000 / count(*)) AS BIGINT)
+         AS short_frac_e4
+FROM d GROUP BY 1
+"""
+
+
+def q_langid_heuristic(spark, sf_dir):
+    """Stopword-signal language ID vs the labeled lang column."""
+    from rtsa_spark.functions.text import langid_summary
+
+    return langid_summary(_documents(spark, sf_dir))
+
+
+SQL_LANGID = """
+WITH scored AS (
+  SELECT lang,
+         (CASE WHEN instr(' ' || text || ' ', ' the ') > 0 THEN 1 ELSE 0 END
+        + CASE WHEN instr(' ' || text || ' ', ' a ') > 0 THEN 1 ELSE 0 END
+        + CASE WHEN instr(' ' || text || ' ', ' and ') > 0 THEN 1 ELSE 0 END
+        + CASE WHEN instr(' ' || text || ' ', ' of ') > 0 THEN 1 ELSE 0 END) AS signals
+  FROM documents
+)
+SELECT lang, count(*) AS n_docs,
+       sum(CASE WHEN signals >= 2 THEN 1 ELSE 0 END) AS n_en_like
+FROM scored GROUP BY 1
+"""
+
+
+def q_token_stats(spark, sf_dir):
+    """Whitespace token counting per source: totals + distinct vocabulary."""
+    from rtsa_spark.functions.text import token_stats_by_source
+
+    return token_stats_by_source(_documents(spark, sf_dir))
+
+
+SQL_TOKEN_STATS = """
+WITH w AS (
+  SELECT source, unnest(string_split(text, ' ')) AS word FROM documents
+)
+SELECT source, count(*) AS total_tokens, count(DISTINCT word) AS distinct_tokens
+FROM w GROUP BY 1
+"""
+
+
+# ----------------------------------- token-sequence engine ops (rows-only)
+
+
+def q_sequences_ladder(spark, sf_dir):
+    """The north-rule engine itself on the deterministic sequences table
+    (synthesized; no SQL oracle — cascade exactness is pytest-gated)."""
+    from rtsa_spark.operators.rollup import rollup_ladder
+    from rtsa_spark.synth import synth_sequences
+
+    seq = synth_sequences(spark, 20_000, n_sources=8)
+    return rollup_ladder(seq)["monthly"]
+
+
+def q_sequences_encode_blocks(spark, sf_dir):
+    """Gorilla/DoD encoded block table over the hourly tier (rows-only)."""
+    from rtsa_spark.operators.encode import encode_tier
+    from rtsa_spark.operators.rollup import rollup_next, rollup_raw
+    from rtsa_spark.synth import synth_sequences
+
+    seq = synth_sequences(spark, 20_000, n_sources=8)
+    return encode_tier(rollup_next(rollup_raw(seq), "hourly"))
+
+
+def q_sequences_metrics(spark, sf_dir):
+    """Per-source decomposition + Mann-Kendall metrics rows (rows-only)."""
+    from rtsa_spark.operators.gapfill import gapfill_linear
+    from rtsa_spark.operators.metrics import compute_metrics
+    from rtsa_spark.operators.rollup import rollup_ladder
+    from rtsa_spark.synth import synth_sequences
+
+    seq = synth_sequences(spark, 20_000, n_sources=8)
+    daily = rollup_ladder(seq)["daily"]
+    return compute_metrics(gapfill_linear(daily, "daily"), "daily")
+
+
+# ------------------------------------------------------------ entry points
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: retention ladder + gap-fill on sf0.001 events series."""
+    sf_dir = "/root/testdata/sf0.001"
+    from rtsa_spark.operators.gapfill import gapfill_linear
+    from rtsa_spark.operators.rollup import rollup_series, rollup_series_next
+
+    hourly = rollup_series(
+        _events(spark, sf_dir), "hourly", ["event_type"], "ts", "value"
+    )
+    daily = rollup_series_next(hourly, "daily", ["event_type"])
+    return gapfill_linear(
+        daily.select("event_type", "bucket_start", "v_mean"),
+        "daily",
+        value_cols=["v_mean"],
+        key_col="event_type",
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "rollup_hourly": q_rollup_hourly,
+        "rollup_daily_cascade": q_rollup_daily_cascade,
+        "rollup_monthly_cascade": q_rollup_monthly_cascade,
+        "gapfill_hourly_linear": q_gapfill_hourly_linear,
+        "mask_min_obs": q_mask_min_obs,
+        "mask_complete_profile": q_mask_complete_profile,
+        "mask_consecutive_gap": q_mask_consecutive_gap,
+        "metrics_series": q_metrics_series,
+        "tier_match_check": q_tier_match_check,
+        "dedup_exact": q_dedup_exact,
+        "dedup_fingerprint": q_dedup_fingerprint,
+        "minhash_lsh": q_minhash_lsh,
+        "simhash16": q_simhash16,
+        "ngram_jaccard": q_ngram_jaccard,
+        "ann_cosine_topk": q_ann_cosine_topk,
+        "embedding_norms": q_embedding_norms,
+        "text_quality": q_text_quality,
+        "langid_heuristic": q_langid_heuristic,
+        "token_stats": q_token_stats,
+        "sequences_ladder": q_sequences_ladder,
+        "sequences_encode_blocks": q_sequences_encode_blocks,
+        "sequences_metrics": q_sequences_metrics,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "rollup_hourly": _SQL_ROLLUP_TEMPLATE.format(unit="hour"),
+        "rollup_daily_cascade": _SQL_ROLLUP_TEMPLATE.format(unit="day"),
+        "rollup_monthly_cascade": _SQL_ROLLUP_TEMPLATE.format(unit="month"),
+        "gapfill_hourly_linear": SQL_GAPFILL_HOURLY,
+        "mask_min_obs": SQL_MASK_MIN_OBS,
+        "mask_complete_profile": SQL_MASK_COMPLETE,
+        "mask_consecutive_gap": SQL_MASK_CONSEC_GAP,
+        "metrics_series": SQL_METRICS_SERIES,
+        "tier_match_check": SQL_TIER_MATCH,
+        "dedup_exact": SQL_DEDUP_EXACT,
+        "dedup_fingerprint": SQL_DEDUP_FINGERPRINT,
+        "minhash_lsh": _sql_minhash(),
+        "simhash16": _sql_simhash(),
+        "ngram_jaccard": SQL_NGRAM_JACCARD,
+        "ann_cosine_topk": SQL_ANN_COSINE,
+        "embedding_norms": SQL_EMBEDDING_NORMS,
+        "text_quality": SQL_TEXT_QUALITY,
+        "langid_heuristic": SQL_LANGID,
+        "token_stats": SQL_TOKEN_STATS,
+        # sequences_* are non-SQL-expressible engine ops -> rows-only checks
+    }

@@ -1,0 +1,149 @@
+"""Benchmark harness: rolled-up points/sec across the retention ladder
+(the BASELINE.json metric) plus per-query timings on the star schema.
+
+Prints ONE JSON line:
+  {"metric": "rolled_up_points_per_sec", "value": <total_sec>, "unit": "sec",
+   "queries": {...per-stage/per-query sec...}, "sf": <sf>,
+   "points_per_sec": ..., "rolled_points": ..., "cores": ...}
+
+Input: a deterministic sequences table sized ~20M rows/SF, synthesized once
+and cached as parquet (so tier scans measure real column-pruned I/O, like a
+production run), plus the driver's star-schema parquet at $SPARK_GRAFT_SF_DIR.
+
+Scaling evidence (north rule, sandboxed): run with SPARK_GRAFT_CPUS=8 and
+=32 on the SAME cached input; tools/bench_scaling.py automates both and
+writes BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SEQ_ROWS_PER_SF = 20_000_000
+N_SOURCES = 64
+
+
+def _sf_from_dir(sf_dir: str) -> float:
+    try:
+        return float(sf_dir.rstrip("/").split("sf")[-1])
+    except ValueError:
+        return 0.1
+
+
+def ensure_sequences(spark, sf: float, cache_root: str = "/tmp/rtsa_bench") -> str:
+    """Synthesize-once the bench sequences table for this SF."""
+    from rtsa_spark.synth import synth_sequences
+
+    n_rows = max(int(SEQ_ROWS_PER_SF * sf), 10_000)
+    path = os.path.join(cache_root, f"sequences_sf{sf}")
+    marker = os.path.join(path, "_SUCCESS")
+    if not os.path.exists(marker):
+        synth_sequences(spark, n_rows, n_sources=N_SOURCES, max_tokens=64).write.mode(
+            "overwrite"
+        ).parquet(path)
+    return path
+
+
+def run_bench(sf_dir: str, cores: int) -> dict:
+    from rtsa_spark.operators.encode import encode_tier
+    from rtsa_spark.operators.gapfill import gapfill_linear
+    from rtsa_spark.operators.metrics import compute_metrics
+    from rtsa_spark.operators.rollup import rollup_next, rollup_raw
+    from rtsa_spark.session import get_spark
+
+    sf = _sf_from_dir(sf_dir)
+    spark = get_spark(app_name="rtsa_bench", cores=cores, shuffle_partitions=cores * 2)
+    timings: dict[str, float] = {}
+    points = 0
+
+    seq_path = ensure_sequences(spark, sf)
+    seq = spark.read.parquet(seq_path)
+
+    # --- the ladder (the metric): every tier output row is a rolled-up point
+    t0 = time.time()
+    raw = rollup_raw(seq)
+    raw_rows = raw.count()
+    timings["tier_raw"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    hourly = rollup_next(raw, "hourly")
+    hourly.write.mode("overwrite").parquet("/tmp/rtsa_bench/hourly")
+    hourly = spark.read.parquet("/tmp/rtsa_bench/hourly")
+    hourly_rows = hourly.count()
+    timings["tier_hourly"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    daily = rollup_next(hourly, "daily")
+    daily_rows = daily.count()
+    monthly_rows = rollup_next(daily, "monthly").count()
+    timings["tier_daily_monthly"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    filled_rows = gapfill_linear(hourly, "hourly").count()
+    timings["gapfill_hourly"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    blocks = encode_tier(hourly).count()
+    timings["encode_hourly"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    daily_cached = gapfill_linear(daily, "daily")
+    metrics_rows = compute_metrics(daily_cached, "daily").count()
+    timings["metrics_daily"] = round(time.time() - t0, 3)
+
+    points = raw_rows + hourly_rows + daily_rows + monthly_rows + filled_rows
+    ladder_sec = sum(timings.values())
+
+    # --- star-schema headline queries (driver's tables)
+    import __spark_entry__ as E
+
+    headline = [
+        "rollup_hourly",
+        "rollup_daily_cascade",
+        "gapfill_hourly_linear",
+        "mask_consecutive_gap",
+        "metrics_series",
+        "dedup_exact",
+        "minhash_lsh",
+        "simhash16",
+        "ann_cosine_topk",
+        "text_quality",
+    ]
+    qs = E.queries()
+    for name in headline:
+        t0 = time.time()
+        qs[name](spark, sf_dir).count()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    out = {
+        "metric": "ladder_plus_headline_queries_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "rolled_points": points,
+        "ladder_sec": round(ladder_sec, 3),
+        "points_per_sec": int(points / ladder_sec) if ladder_sec else None,
+        "cores": cores,
+        "seq_rows": seq.count(),
+        "encode_blocks": blocks,
+        "metrics_rows": metrics_rows,
+    }
+    spark.stop()
+    return out
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    print(json.dumps(run_bench(sf_dir, cores)))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,74 @@
+"""Text analysis for training-data pipelines — pure Catalyst expressions.
+
+Language ID, quality scoring, token counting, fingerprinting. Everything
+here is whole-stage-codegen'd JVM string work (split/instr/length), no
+UDFs: at 100 TB these run at scan speed and their derived ratios are
+emitted integer-exact (floor of int quotients) for oracle portability.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+#: tiny high-precision English stopword signals for the heuristic langid
+EN_SIGNALS = (" the ", " a ", " and ", " of ")
+
+
+def word_count(text_col: str = "text"):
+    return F.size(F.split(F.col(text_col), " "))
+
+
+def en_signal_count(text_col: str = "text"):
+    """Number of distinct EN stopword signals present (0..4); padding with
+    spaces makes boundaries exact for first/last words."""
+    padded = F.concat(F.lit(" "), F.col(text_col), F.lit(" "))
+    total = None
+    for s in EN_SIGNALS:
+        term = (F.instr(padded, s) > 0).cast("int")
+        total = term if total is None else total + term
+    return total
+
+
+def text_quality_by_source(df: DataFrame, short_words: int = 30) -> DataFrame:
+    """Per-source quality profile: doc count, word totals, mean words/doc
+    (e4), short-doc fraction (e4)."""
+    d = df.select("source", word_count().alias("n_words"))
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_words").alias("total_words"),
+        F.floor(F.sum("n_words") * 10000 / F.count(F.lit(1)))
+        .cast("bigint")
+        .alias("words_per_doc_e4"),
+        F.floor(
+            F.sum((F.col("n_words") < short_words).cast("int")) * 10000 / F.count(F.lit(1))
+        )
+        .cast("bigint")
+        .alias("short_frac_e4"),
+    )
+
+
+def langid_summary(df: DataFrame) -> DataFrame:
+    """Stopword-signal language ID summarized against the labeled lang."""
+    scored = df.select("lang", en_signal_count().alias("signals"))
+    return scored.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum((F.col("signals") >= 2).cast("int")).alias("n_en_like"),
+    )
+
+
+def token_stats_by_source(df: DataFrame) -> DataFrame:
+    """Whitespace tokenization stats per source."""
+    w = df.select("source", F.explode(F.split(F.col("text"), " ")).alias("word"))
+    return w.groupBy("source").agg(
+        F.count(F.lit(1)).alias("total_tokens"),
+        F.countDistinct("word").alias("distinct_tokens"),
+    )
+
+
+def doc_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-doc rolling-hash-style fingerprint: md5 of the normalized text
+    (the cheap dedup key; see operators/dedup.py for the full family)."""
+    return df.withColumn(
+        "fingerprint", F.md5(F.regexp_replace(F.lower(F.col(text_col)), " ", ""))
+    )

@@ -1,0 +1,182 @@
+"""Deduplication operators for training-data pipelines.
+
+Four families, all pure DataFrame ops (no UDFs — every hash/shingle/band
+is a Catalyst expression, so dedup runs JVM-side at full codegen speed):
+
+- exact:        content-hash groupBy (one shuffle on the hash)
+- fingerprint:  normalization (lowercase, whitespace-strip) then exact
+- MinHash+LSH:  shingle -> k minhashes -> banded buckets -> bucket join
+- SimHash:      per-bit majority vote over word hashes
+- n-gram Jaccard: exact verify step for LSH candidate pairs
+
+Hashes are md5 (hex string) so results are byte-identical to the ANSI-SQL
+oracles; at 100 TB swap ``_hash_expr`` for ``xxhash64`` (same topology, 8x
+cheaper, no semantic change — the seam is one function).
+
+Scale notes: the shingle explode is the heavy stage — it shuffles
+(doc_id, shingle) pairs but aggregates them map-side into k running mins,
+so wire volume is k*docs, not total shingles. The LSH bucket join is an
+equi-join on band_hash: dominant buckets (boilerplate docs) are exactly the
+skew AQE's skew-join splitting handles. The verify stage (Jaccard) touches
+only candidate pairs, never the full cross product.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+
+def dedup_exact(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Content-hash dedup: survivor = min id per hash."""
+    return (
+        df.groupBy(F.md5(F.col(text_col)).alias("content_md5"))
+        .agg(
+            F.min(id_col).alias("survivor_doc_id"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+    )
+
+
+def dedup_fingerprint(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Normalized fingerprint dedup (case/whitespace-insensitive)."""
+    fp = F.md5(F.regexp_replace(F.lower(F.col(text_col)), " ", ""))
+    return (
+        df.groupBy(fp.alias("fingerprint"))
+        .agg(
+            F.min(id_col).alias("survivor_doc_id"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+    )
+
+
+def _shingles(text_col: str, n: int = 3):
+    """Word n-gram shingle array (1-based element_at, matches the SQL
+    oracle's list indexing)."""
+    return F.expr(
+        f"transform(sequence(1, size(split({text_col}, ' ')) - {n - 1}),"
+        f" i -> concat_ws(' ', "
+        + ", ".join(f"element_at(split({text_col}, ' '), i + {j})" for j in range(n))
+        + "))"
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    n_hashes: int = 8,
+    shingle_n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """k MinHash signatures per doc: sig_j = min over shingles of
+    md5(j || ':' || shingle). One explode + one groupBy with k running
+    mins (map-side combined)."""
+    shingled = (
+        df.where(F.size(F.split(F.col(text_col), " ")) >= shingle_n)
+        .select(F.col(id_col), F.explode(_shingles(text_col, shingle_n)).alias("shingle"))
+    )
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{j}:"), F.col("shingle")))).alias(f"sig_{j}")
+        for j in range(n_hashes)
+    ]
+    return shingled.groupBy(id_col).agg(*aggs)
+
+
+def minhash_lsh_buckets(
+    df: DataFrame,
+    n_hashes: int = 8,
+    band_size: int = 2,
+    shingle_n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """LSH banding: hash each band of ``band_size`` signatures; docs
+    sharing a (band, band_hash) are near-dup candidates. Returns bucket
+    occupancy: (band, band_hash, n_docs, survivor_doc_id)."""
+    sigs = minhash_signatures(df, n_hashes, shingle_n, text_col, id_col)
+    n_bands = n_hashes // band_size
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(
+                    F.concat(
+                        *[F.col(f"sig_{b * band_size + i}") for i in range(band_size)]
+                    )
+                ).alias("band_hash"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    exploded = sigs.select(F.col(id_col), F.explode(bands).alias("bb")).select(
+        id_col, F.col("bb.band").alias("band"), F.col("bb.band_hash").alias("band_hash")
+    )
+    return exploded.groupBy("band", "band_hash").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min(id_col).alias("survivor_doc_id"),
+    )
+
+
+def simhash16(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """16-bit SimHash: per bit, majority vote of word-hash bits (words
+    weighted by multiplicity). Word hash = first 8 hex chars of md5 as
+    int (engine-portable)."""
+    words = df.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("word")
+    )
+    h = F.conv(F.substring(F.md5(F.col("word")), 1, 8), 16, 10).cast("bigint")
+    hashed = words.select(id_col, h.alias("h"))
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"v_{b}")
+        for b in range(16)
+    ]
+    agg = hashed.groupBy(id_col).agg(*votes)
+    simhash = None
+    for b in range(16):
+        term = F.when(F.col(f"v_{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        simhash = term if simhash is None else simhash + term
+    return agg.select(id_col, simhash.cast("bigint").alias("simhash"))
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    min_jaccard_e4: int = 5000,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact word-set Jaccard for candidate pairs sharing a 1-perm minhash
+    bucket (min word-md5). Integer-exact jaccard_e4 = floor(1e4*|∩|/|∪|).
+
+    The bucket join bounds the pair space; at scale, feed LSH buckets from
+    ``minhash_lsh_buckets`` instead of the 1-perm bucket."""
+    ws = F.array_distinct(F.split(F.col(text_col), " "))
+    keyed = df.select(
+        F.col(id_col),
+        ws.alias("ws"),
+        F.array_min(F.transform(ws, lambda x: F.md5(x))).alias("bucket"),
+    )
+    a, b = keyed.alias("a"), keyed.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    )
+    inter = F.size(F.array_intersect(F.col("a.ws"), F.col("b.ws")))
+    uni = F.size(F.col("a.ws")) + F.size(F.col("b.ws")) - inter
+    jac = F.floor(10000 * inter / uni)
+    return (
+        pairs.select(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+            jac.alias("jaccard_e4"),
+        )
+        .where(F.col("jaccard_e4") >= min_jaccard_e4)
+    )

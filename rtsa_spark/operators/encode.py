@@ -44,20 +44,29 @@ def encode_tier(
     value_col: str = "n_tok_mean",
     key_col: str = "source",
     bucket_col: str = "bucket_start",
-    block: str = "day",
+    block: str = "month",
 ) -> DataFrame:
-    """Compress one rollup column into per-(source, block) encoded rows."""
+    """Compress one rollup column into per-(source, block) encoded rows.
+
+    ``block`` picks the group granularity: month by default so blocks hold
+    thousands of points and the vectorized kernels amortize their per-call
+    overhead; drop to "day" when a single (source, day) already holds
+    enough points (minute-tier input) or tighter read pruning matters.
+    """
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(bucket_col)
+        import numpy as np
+
         ts = pdf[bucket_col].to_numpy("datetime64[ns]").view("int64")
-        vals = pdf[value_col].to_numpy("float64")
+        order = np.argsort(ts, kind="stable")
+        ts = ts[order]
+        vals = pdf[value_col].to_numpy("float64")[order]
         return pd.DataFrame(
             {
                 "source": [pdf[key_col].iloc[0]],
                 "block_day": [pdf["_block"].iloc[0]],
-                "bucket_lo": [pdf[bucket_col].iloc[0]],
-                "bucket_hi": [pdf[bucket_col].iloc[-1]],
+                "bucket_lo": [pd.Timestamp(ts[0])],
+                "bucket_hi": [pd.Timestamp(ts[-1])],
                 "n_points": [len(ts)],
                 "ts_dod": [dod_encode(ts)],
                 "val_gorilla": [gorilla_encode(vals)],

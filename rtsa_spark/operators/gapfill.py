@@ -37,23 +37,28 @@ STEP_OF = {
 _INT_CASTS = {"n_seq": "bigint", "n_tok_sum": "bigint", "n_tok_min": "int", "n_tok_max": "int"}
 
 
+def _keys(key_col) -> list[str]:
+    return [key_col] if isinstance(key_col, str) else list(key_col)
+
+
 def bucket_spine(
     df: DataFrame,
     tier: str,
-    key_col: str = "source",
+    key_col="source",
     bucket_col: str = "bucket_start",
 ) -> DataFrame:
     """Dense per-key bucket spine from each key's min..max observed bucket.
 
     ``sequence(min, max, step)`` is evaluated per key row (tiny groupBy) and
-    exploded — the spine never touches the fact table.
-    """
+    exploded — the spine never touches the fact table. ``key_col`` may be a
+    single name or a list (composite keys)."""
+    keys = _keys(key_col)
     step = F.expr(STEP_OF[tier])
     return (
-        df.groupBy(key_col)
+        df.groupBy(*keys)
         .agg(F.min(bucket_col).alias("_lo"), F.max(bucket_col).alias("_hi"))
         .select(
-            key_col,
+            *keys,
             F.explode(F.sequence(F.col("_lo"), F.col("_hi"), step)).alias(bucket_col),
         )
     )
@@ -63,7 +68,7 @@ def gapfill_linear(
     df: DataFrame,
     tier: str,
     value_cols: list[str] | None = None,
-    key_col: str = "source",
+    key_col="source",
     bucket_col: str = "bucket_start",
 ) -> DataFrame:
     """Fill missing (key, bucket) rows by linear interpolation over time.
@@ -74,12 +79,13 @@ def gapfill_linear(
     """
     if value_cols is None:
         value_cols = ["n_seq", "n_tok_sum", "n_tok_min", "n_tok_max", "n_tok_mean"]
-    spine = bucket_spine(df, tier, key_col, bucket_col)
-    joined = spine.join(df, [key_col, bucket_col], "left").withColumn(
+    keys = _keys(key_col)
+    spine = bucket_spine(df, tier, keys, bucket_col)
+    joined = spine.join(df, [*keys, bucket_col], "left").withColumn(
         "_obs", F.col(value_cols[0]).isNotNull()
     )
 
-    order = Window.partitionBy(key_col).orderBy(bucket_col)
+    order = Window.partitionBy(*keys).orderBy(bucket_col)
     before = order.rowsBetween(Window.unboundedPreceding, -1)
     after = order.rowsBetween(1, Window.unboundedFollowing)
     t = F.col(bucket_col).cast("double")
@@ -97,10 +103,16 @@ def gapfill_linear(
         if c in _INT_CASTS:
             filled = F.round(filled).cast(_INT_CASTS[c])
         out = out.withColumn(c, F.when(F.col("_obs"), F.col(c)).otherwise(filled))
-    out = out.withColumn(
-        "gapfilled", F.when(F.col("_obs"), F.coalesce(F.col("gapfilled"), F.lit(False))).otherwise(F.lit(True))
+    prior_flag = (
+        F.coalesce(F.col("gapfilled"), F.lit(False))
+        if "gapfilled" in df.columns
+        else F.lit(False)
     )
-    keep = [c for c in ROLLUP_COLS if c in out.columns] or [
-        key_col, bucket_col, *value_cols, "gapfilled",
+    out = out.withColumn(
+        "gapfilled", F.when(F.col("_obs"), prior_flag).otherwise(F.lit(True))
+    )
+    extras = [
+        c for c in ROLLUP_COLS
+        if c in out.columns and c not in (*keys, bucket_col, *value_cols, "gapfilled")
     ]
-    return out.select(*keep)
+    return out.select(*keys, bucket_col, *value_cols, *extras, "gapfilled")

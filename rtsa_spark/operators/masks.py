@@ -16,11 +16,11 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
 
-from rtsa_spark.operators.gapfill import bucket_spine
+from rtsa_spark.operators.gapfill import _keys, bucket_spine
 
 
 def mask_min_observations(
-    tier_df: DataFrame, min_obs: int, key_col: str = "source"
+    tier_df: DataFrame, min_obs: int, key_col="source"
 ) -> DataFrame:
     """Keys with >= min_obs observed (non-gapfilled) buckets.
 
@@ -29,33 +29,35 @@ def mask_min_observations(
     implementing the documented intent, not the scalar-drop bug at ``:276``,
     SURVEY.md §8 Q4).
     """
+    keys = _keys(key_col)
     observed = tier_df.where(~F.col("gapfilled")) if "gapfilled" in tier_df.columns else tier_df
     return (
-        observed.groupBy(key_col)
+        observed.groupBy(*keys)
         .agg(F.count(F.lit(1)).alias("_n"))
         .where(F.col("_n") >= min_obs)
-        .select(key_col)
+        .select(*keys)
     )
 
 
 def mask_complete_profile(
-    tier_df: DataFrame, tier: str, key_col: str = "source", bucket_col: str = "bucket_start"
+    tier_df: DataFrame, tier: str, key_col="source", bucket_col: str = "bucket_start"
 ) -> DataFrame:
     """Keys whose bucket series has NO missing bucket over its own span —
     the ``rastermask="compute"`` complete-profile mask (P2,
     ``R/rtsa.eof.R:129-132``): observed buckets == spine length.
     """
+    keys = _keys(key_col)
     observed = tier_df.where(~F.col("gapfilled")) if "gapfilled" in tier_df.columns else tier_df
-    got = observed.groupBy(key_col).agg(F.count(F.lit(1)).alias("_got"))
+    got = observed.groupBy(*keys).agg(F.count(F.lit(1)).alias("_got"))
     want = (
-        bucket_spine(observed, tier, key_col, bucket_col)
-        .groupBy(key_col)
+        bucket_spine(observed, tier, keys, bucket_col)
+        .groupBy(*keys)
         .agg(F.count(F.lit(1)).alias("_want"))
     )
     return (
-        got.join(want, key_col)
+        got.join(want, keys)
         .where(F.col("_got") == F.col("_want"))
-        .select(key_col)
+        .select(*keys)
     )
 
 
@@ -63,7 +65,7 @@ def mask_max_consecutive_gap(
     tier_df: DataFrame,
     tier: str,
     n_p: int,
-    key_col: str = "source",
+    key_col="source",
     bucket_col: str = "bucket_start",
 ) -> DataFrame:
     """Keys whose max windowed missing-bucket count stays BELOW n_p —
@@ -71,29 +73,30 @@ def mask_max_consecutive_gap(
     row-frame of half-width floor(n_p/2) counts gaps around each bucket;
     a key is dropped when any window holds >= n_p gaps.
     """
+    keys = _keys(key_col)
     observed = tier_df.where(~F.col("gapfilled")) if "gapfilled" in tier_df.columns else tier_df
-    spine = bucket_spine(observed, tier, key_col, bucket_col)
+    spine = bucket_spine(observed, tier, keys, bucket_col)
     dense = spine.join(
-        observed.select(key_col, bucket_col, F.lit(1).alias("_one")),
-        [key_col, bucket_col],
+        observed.select(*keys, bucket_col, F.lit(1).alias("_one")),
+        [*keys, bucket_col],
         "left",
     ).withColumn("_miss", F.when(F.col("_one").isNull(), 1).otherwise(0))
     lag = n_p // 2
     w = (
-        Window.partitionBy(key_col)
+        Window.partitionBy(*keys)
         .orderBy(bucket_col)
         .rowsBetween(-lag, lag)
     )
     return (
         dense.withColumn("_wmiss", F.sum("_miss").over(w))
-        .groupBy(key_col)
+        .groupBy(*keys)
         .agg(F.max("_wmiss").alias("_maxmiss"))
         .where(F.col("_maxmiss") < n_p)
-        .select(key_col)
+        .select(*keys)
     )
 
 
-def apply_mask(df: DataFrame, mask: DataFrame, key_col: str = "source") -> DataFrame:
+def apply_mask(df: DataFrame, mask: DataFrame, key_col="source") -> DataFrame:
     """Left-semi join against the (small, broadcast) eligible-key set — the
     relational form of ``matrice <- rasterts[na_index_mask]`` (P6/J1)."""
-    return df.join(F.broadcast(mask), key_col, "left_semi")
+    return df.join(F.broadcast(mask), _keys(key_col), "left_semi")

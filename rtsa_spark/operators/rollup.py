@@ -106,6 +106,40 @@ def rollup_ladder(df: DataFrame, tiers: list[str] | None = None) -> dict[str, Da
     return out
 
 
+def rollup_series(
+    df: DataFrame,
+    tier: str,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Generic double-typed tier rollup of any (key, ts, value) series —
+    same ladder semantics as the token-sequence rollup, for arbitrary
+    measures (e.g. the events stream). Output: key_cols + bucket_start,
+    n, v_sum, v_min, v_max, v_mean."""
+    bucket = F.date_trunc(BUCKET_OF[tier], F.col(ts_col)).alias("bucket_start")
+    v = F.col(value_col)
+    return df.groupBy(*key_cols, bucket).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(v).alias("v_sum"),
+        F.min(v).alias("v_min"),
+        F.max(v).alias("v_max"),
+        F.avg(v).alias("v_mean"),
+    )
+
+
+def rollup_series_next(tier_df: DataFrame, to_tier: str, key_cols: list[str]) -> DataFrame:
+    """Algebraic cascade for rollup_series outputs (mean re-finalized)."""
+    bucket = F.date_trunc(BUCKET_OF[to_tier], F.col("bucket_start")).alias("bucket_start")
+    return tier_df.groupBy(*key_cols, bucket).agg(
+        F.sum("n").alias("n"),
+        F.sum("v_sum").alias("v_sum"),
+        F.min("v_min").alias("v_min"),
+        F.max("v_max").alias("v_max"),
+        (F.sum("v_sum") / F.sum("n")).alias("v_mean"),
+    )
+
+
 def token_histogram(
     df: DataFrame,
     tier: str = "raw",

@@ -1,0 +1,146 @@
+"""Similarity search over embedding columns (array<float>).
+
+- ``cosine_topk``: brute-force exact top-k — the correctness baseline.
+  Query side is broadcast (queries are few); the corpus is scanned once;
+  the dot product is a JVM-side higher-order-function fold (zip_with +
+  aggregate), no Python in the loop.
+- ``cosine_topk_lsh``: the scale path — random-hyperplane LSH buckets
+  shrink the candidate set before the exact re-rank. Hyperplanes are
+  deterministic (seeded from xxhash64), so results are reproducible.
+
+At 100 TB the brute-force path is O(|Q| * |corpus|): broadcast Q (must be
+small) and let the scan parallelize; the LSH path makes |candidates| ~
+|corpus| / 2^n_planes per query and re-ranks exactly.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a):
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def cosine_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k of every query against the corpus (self excluded).
+    Output: (query_id, neighbor_id, rank, cos_e6)."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qe")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("ce")
+    )
+    scored = (
+        c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (_dot(F.col("qe"), F.col("ce")) / (_norm(F.col("qe")) * _norm(F.col("ce")))).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "rank",
+            F.floor(F.col("cos") * 1e6).cast("bigint").alias("cos_e6"),
+        )
+    )
+
+
+def hyperplane_bucket(
+    df: DataFrame,
+    n_planes: int = 8,
+    dim: int = 64,
+    seed: int = 42,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Random-hyperplane (sign) LSH bucket id per vector.
+
+    Planes are pseudo-random +/-1 vectors derived from ``xxhash64(seed,
+    plane, dim_index)`` — deterministic, shipped as a literal expression
+    (no broadcast variable, no Python)."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    planes = rng.choice([-1.0, 1.0], size=(n_planes, dim))
+    bucket = None
+    for p in range(n_planes):
+        arr = F.array(*[F.lit(float(x)) for x in planes[p]])
+        sgn = (_dot(F.col(vec_col), arr) > 0).cast("int")
+        term = sgn * (1 << p)
+        bucket = term if bucket is None else bucket + term
+    return df.withColumn("lsh_bucket", bucket)
+
+
+def cosine_topk_lsh(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    n_planes: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN: bucket-join candidates (same hyperplane signature), exact
+    re-rank within. Recall < 1 by construction; rank/cos schema matches
+    cosine_topk so the two are comparable."""
+    qb = hyperplane_bucket(queries, n_planes, dim, vec_col=vec_col).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qe"), "lsh_bucket"
+    )
+    cb = hyperplane_bucket(corpus, n_planes, dim, vec_col=vec_col).select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("ce"), "lsh_bucket"
+    )
+    scored = (
+        cb.join(F.broadcast(qb), ["lsh_bucket"])
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (_dot(F.col("qe"), F.col("ce")) / (_norm(F.col("qe")) * _norm(F.col("ce")))).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "rank",
+            F.floor(F.col("cos") * 1e6).cast("bigint").alias("cos_e6"),
+        )
+    )
+
+
+def norms_by_label(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Mean L2 norm per label (array-aggregation health check)."""
+    return df.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.floor(F.avg(_norm(F.col(vec_col))) * 1e6).cast("bigint").alias("avg_norm_e6"),
+    )

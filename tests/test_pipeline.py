@@ -1,0 +1,75 @@
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from rtsa_spark.pipeline import TierPipeline
+from rtsa_spark.plans.skew import dominant_keys, rollup_raw_salted
+from rtsa_spark.operators.rollup import rollup_raw
+
+
+def _hashes(spark, path):
+    import pyspark.sql.functions as F
+
+    df = spark.read.parquet(path)
+    return df.select(
+        F.bit_xor(F.xxhash64(*sorted(df.columns))).alias("h"), F.count(F.lit(1)).alias("n")
+    ).first()
+
+
+def test_pipeline_end_to_end_and_resume(spark, tiny_sequences, tmp_path):
+    full_dir = str(tmp_path / "full")
+    out = TierPipeline(spark, full_dir).run(tiny_sequences)
+    assert set(out) >= {
+        "rollup_raw", "rollup_hourly", "rollup_daily", "rollup_monthly",
+        "gapfilled_hourly", "gapfilled_daily", "metrics_daily",
+    }
+
+    # kill after hourly rollup, then resume: identical final tables
+    resume_dir = str(tmp_path / "resume")
+    p1 = TierPipeline(spark, resume_dir)
+    with pytest.raises(RuntimeError, match="injected failure"):
+        p1.run(tiny_sequences, fail_after="rollup_hourly")
+    assert not os.path.exists(os.path.join(resume_dir, "rollup_monthly"))
+    p2 = TierPipeline(spark, resume_dir)
+    out2 = p2.run(tiny_sequences)
+    for stage in out:
+        assert _hashes(spark, out[stage]) == _hashes(spark, out2[stage]), stage
+
+    # resumed run reused the pre-crash tiers (no duplicate SUCCESS rows)
+    ledger = p2._ledger()
+    raw_rows = [r for r in ledger if r["stage"] == "rollup_raw" and r["status"] == "SUCCESS"]
+    assert len(raw_rows) == 1
+
+    # second full re-run is a complete no-op
+    before = len(p2._ledger())
+    p2.run(tiny_sequences)
+    assert len(p2._ledger()) == before
+
+
+def test_lineage_table(spark, tiny_sequences, tmp_path):
+    d = str(tmp_path / "lin")
+    p = TierPipeline(spark, d, metrics_tiers=())
+    p.run(tiny_sequences)
+    lin = p.lineage()
+    rows = {r["stage"]: r for r in lin.collect()}
+    assert rows["rollup_raw"]["rows_in"] == tiny_sequences.count()
+    assert all(r["status"] == "SUCCESS" for r in rows.values())
+    # cascade row counts are monotone non-increasing up the ladder
+    assert rows["rollup_hourly"]["rows_out"] <= rows["rollup_raw"]["rows_out"]
+    assert rows["rollup_monthly"]["rows_out"] <= rows["rollup_daily"]["rows_out"]
+
+
+def test_salted_rollup_equals_plain(spark, tiny_sequences):
+    import pyspark.sql.functions as F
+
+    plain = rollup_raw(tiny_sequences)
+    salted = rollup_raw_salted(tiny_sequences, n_salt=8)
+    assert plain.exceptAll(salted).count() == 0
+    assert salted.exceptAll(plain).count() == 0
+
+
+def test_dominant_keys_finds_skewed_source(spark, tiny_sequences):
+    keys = dominant_keys(tiny_sequences, sample_fraction=0.5)
+    assert "s000" in keys  # synth gives s000 ~30% of rows
