@@ -320,7 +320,7 @@ def q_tier_match_check(spark, sf_dir):
 
 
 SQL_TIER_MATCH = """
-SELECT event_type, 0 AS n_mismatch FROM events GROUP BY 1
+SELECT event_type, CAST(0 AS BIGINT) AS n_mismatch FROM events GROUP BY 1
 """
 
 
@@ -473,7 +473,7 @@ scored AS (
          row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
   FROM scored
 )
-SELECT query_id, neighbor_id, rank, CAST(floor(cos * 1e6) AS BIGINT) AS cos_e6
+SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank, CAST(floor(cos * 1e6) AS BIGINT) AS cos_e6
 FROM ranked WHERE rank <= 5
 """
 
@@ -508,7 +508,7 @@ WITH d AS (
 )
 SELECT source,
        count(*) AS n_docs,
-       sum(n_words) AS total_words,
+       CAST(sum(n_words) AS BIGINT) AS total_words,
        CAST(floor(sum(n_words) * 10000 / count(*)) AS BIGINT) AS words_per_doc_e4,
        CAST(floor(sum(CASE WHEN n_words < 30 THEN 1 ELSE 0 END) * 10000 / count(*)) AS BIGINT)
          AS short_frac_e4
@@ -533,7 +533,7 @@ WITH scored AS (
   FROM documents
 )
 SELECT lang, count(*) AS n_docs,
-       sum(CASE WHEN signals >= 2 THEN 1 ELSE 0 END) AS n_en_like
+       CAST(sum(CASE WHEN signals >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_en_like
 FROM scored GROUP BY 1
 """
 

@@ -36,14 +36,20 @@ def _sf_from_dir(sf_dir: str) -> float:
 
 
 def ensure_sequences(spark, sf: float, cache_root: str = "/tmp/rtsa_bench") -> str:
-    """Synthesize-once the bench sequences table for this SF."""
+    """Synthesize-once the bench sequences table for this SF.
+
+    SPARK_GRAFT_BENCH_ROWS overrides the row count (the scaling harness
+    uses a larger, compute-dominant input so thread scaling measures the
+    engine rather than fixed job overheads)."""
     from rtsa_spark.synth import synth_sequences
 
-    n_rows = max(int(SEQ_ROWS_PER_SF * sf), 10_000)
-    path = os.path.join(cache_root, f"sequences_sf{sf}")
+    n_rows = int(
+        os.environ.get("SPARK_GRAFT_BENCH_ROWS", 0)
+    ) or max(int(SEQ_ROWS_PER_SF * sf), 10_000)
+    path = os.path.join(cache_root, f"sequences_{n_rows}")
     marker = os.path.join(path, "_SUCCESS")
     if not os.path.exists(marker):
-        synth_sequences(spark, n_rows, n_sources=N_SOURCES, max_tokens=64).write.mode(
+        synth_sequences(spark, n_rows, n_sources=N_SOURCES, max_tokens=16).write.mode(
             "overwrite"
         ).parquet(path)
     return path
@@ -72,8 +78,9 @@ def run_bench(sf_dir: str, cores: int) -> dict:
 
     t0 = time.time()
     hourly = rollup_next(raw, "hourly")
-    hourly.write.mode("overwrite").parquet("/tmp/rtsa_bench/hourly")
-    hourly = spark.read.parquet("/tmp/rtsa_bench/hourly")
+    hpath = f"/tmp/rtsa_bench/hourly_{cores}"
+    hourly.write.mode("overwrite").parquet(hpath)
+    hourly = spark.read.parquet(hpath)
     hourly_rows = hourly.count()
     timings["tier_hourly"] = round(time.time() - t0, 3)
 
@@ -102,6 +109,9 @@ def run_bench(sf_dir: str, cores: int) -> dict:
     # --- star-schema headline queries (driver's tables)
     import __spark_entry__ as E
 
+    if os.environ.get("SPARK_GRAFT_SKIP_HEADLINE"):
+        E = None
+
     headline = [
         "rollup_hourly",
         "rollup_daily_cascade",
@@ -114,11 +124,12 @@ def run_bench(sf_dir: str, cores: int) -> dict:
         "ann_cosine_topk",
         "text_quality",
     ]
-    qs = E.queries()
-    for name in headline:
-        t0 = time.time()
-        qs[name](spark, sf_dir).count()
-        timings[name] = round(time.time() - t0, 3)
+    if E is not None:
+        qs = E.queries()
+        for name in headline:
+            t0 = time.time()
+            qs[name](spark, sf_dir).count()
+            timings[name] = round(time.time() - t0, 3)
 
     total = round(sum(timings.values()), 3)
     out = {

@@ -1,0 +1,127 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Images/audio/video ride as ``binary`` columns next to a metadata struct;
+decode/resize/frame-sample are Arrow-batched ``mapInPandas`` stages. The
+decode step itself is STUBBED (no imaging/audio libraries in this
+container — it raises NotImplementedError unless ``fake=True`` substitutes
+a deterministic synthetic decoder), but everything Spark-side is real and
+tested: schema, partition sizing, UDF signatures, batch shapes, and the
+metadata fast paths that never touch the payload.
+
+Scale design: payload columns are huge, so (a) metadata-only operations
+must never deserialize payloads — they are separate columns and Parquet
+column pruning skips the bytes entirely; (b) the decode stage bounds Arrow
+batch memory via spark.sql.execution.arrow.maxRecordsPerBatch (session.py)
+— batch_bytes ~ records * avg_payload; (c) decoded features are small
+fixed-width vectors, so the expensive stage shrinks data, never grows it.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+MEDIA_SCHEMA = (
+    "media_id string, kind string, payload binary,"
+    " width int, height int, n_frames int, sample_rate int, codec string"
+)
+
+FEATURE_SCHEMA = "media_id string, kind string, n_bytes long, feature array<float>"
+
+FEATURE_DIM = 16
+
+
+def synth_media(spark, n_rows: int, seed: int = 42, payload_bytes: int = 256) -> DataFrame:
+    """Deterministic fake media table (binary payload from xxhash64 bytes)."""
+    df = spark.range(n_rows)
+    mid = F.format_string("m%08d", F.col("id"))
+    kind = F.element_at(
+        F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+        (F.pmod(F.xxhash64(mid, F.lit(seed)), F.lit(3)) + 1).cast("int"),
+    )
+    # payload: concatenated hex of per-chunk hashes (16 hex chars = 8 bytes
+    # each), cast to binary
+    chunks = F.transform(
+        F.sequence(F.lit(0), F.lit(payload_bytes // 8 - 1)),
+        lambda i: F.lpad(F.hex(F.xxhash64(mid, i, F.lit(seed + 1))), 16, "0"),
+    )
+    payload = F.to_binary(F.array_join(chunks, ""), F.lit("hex"))
+    return df.select(
+        mid.alias("media_id"),
+        kind.alias("kind"),
+        payload.alias("payload"),
+        (64 + F.pmod(F.xxhash64(mid, F.lit(seed + 2)), F.lit(448))).cast("int").alias("width"),
+        (64 + F.pmod(F.xxhash64(mid, F.lit(seed + 3)), F.lit(448))).cast("int").alias("height"),
+        (1 + F.pmod(F.xxhash64(mid, F.lit(seed + 4)), F.lit(300))).cast("int").alias("n_frames"),
+        F.lit(16000).alias("sample_rate"),
+        F.lit("synthetic").alias("codec"),
+    )
+
+
+def _decode_stub(payload: bytes, kind: str) -> "object":
+    raise NotImplementedError(
+        "media decoding requires imaging/audio libraries not present in this"
+        " container; run with fake=True for the deterministic synthetic decoder"
+    )
+
+
+def _fake_decode_features(payloads: "pd.Series") -> "object":
+    """Deterministic 'decoder': fixed-width feature from payload bytes.
+    Vectorized: one numpy pass over the concatenated batch."""
+    import numpy as np
+
+    feats = []
+    for b in payloads:
+        arr = np.frombuffer(b, dtype=np.uint8)
+        k = FEATURE_DIM
+        pad = (-len(arr)) % k
+        if pad:
+            arr = np.pad(arr, (0, pad))
+        feats.append((arr.reshape(-1, k).mean(axis=0) / 255.0).astype("float32"))
+    return feats
+
+
+def extract_features(media: DataFrame, fake: bool = False) -> DataFrame:
+    """Decode + feature-extract stage over Arrow batches.
+
+    Real pipelines swap ``_fake_decode_features`` for an image/audio decoder
+    with the same signature; the Spark plumbing (batching, schema, pruning)
+    is identical.
+    """
+
+    def it(batches):
+        for pdf in batches:
+            if not fake:
+                _decode_stub(None, None)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "n_bytes": pdf["payload"].map(len).astype("int64"),
+                    "feature": _fake_decode_features(pdf["payload"]),
+                }
+            )
+
+    return media.mapInPandas(it, FEATURE_SCHEMA)
+
+
+def media_stats(media: DataFrame) -> DataFrame:
+    """Metadata-only aggregate — must never read the payload column
+    (Parquet column pruning; assert via .explain / tests)."""
+    return media.groupBy("kind").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("width").alias("avg_width"),
+        F.avg("n_frames").alias("avg_frames"),
+    )
+
+
+def frame_sample_plan(media: DataFrame, every_n: int = 30) -> DataFrame:
+    """Frame-sampling manifest (video): one output row per sampled frame
+    index — pure Catalyst (sequence + explode), payload untouched."""
+    return media.where(F.col("kind") == "video").select(
+        "media_id",
+        F.explode(
+            F.sequence(F.lit(0), F.col("n_frames") - 1, F.lit(every_n))
+        ).alias("frame_idx"),
+    )

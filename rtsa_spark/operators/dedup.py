@@ -143,7 +143,7 @@ def simhash16(
     for b in range(16):
         term = F.when(F.col(f"v_{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
         simhash = term if simhash is None else simhash + term
-    return agg.select(id_col, simhash.cast("bigint").alias("simhash"))
+    return agg.select(id_col, simhash.cast("int").alias("simhash"))
 
 
 def ngram_jaccard_pairs(

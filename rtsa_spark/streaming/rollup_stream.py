@@ -1,0 +1,95 @@
+"""Streaming raw-tier rollup: the same continuous aggregates, incremental.
+
+The reference is pure batch (SURVEY.md §2.9); the north rule's resumability
+is snapshot-batch. This module is the optional streaming skin: the SAME
+rollup schema produced incrementally from a file-source stream with
+event-time windows + watermark for late data, so a deployment can keep the
+raw tier hot-updating while the batch ladder (pipeline.py) owns the
+coarser tiers.
+
+Design:
+- event-time window = the raw tier's minute bucket (window(ts, '1 minute')
+  == date_trunc('minute', ts) for aligned windows), so a streamed raw tier
+  and a batch raw tier are row-compatible;
+- watermark bounds state: buckets older than the watermark are finalized
+  and evicted — late rows beyond it are dropped (counted by Spark metrics);
+- append output mode -> each bucket is emitted exactly once when finalized,
+  which is what the cascade (rollup_next) wants as input;
+- checkpointLocation gives exactly-once file-sink semantics; the batch
+  pipeline's lineage ledger plays that role for the coarser tiers.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from rtsa_spark.operators.rollup import ROLLUP_COLS
+
+SEQUENCES_SCHEMA = (
+    "doc_id string, tokens array<int>, n_tok int, source string, ts timestamp"
+)
+
+
+def read_sequences_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int | None = 32
+) -> DataFrame:
+    """File-source stream over a sequences parquet directory.
+
+    NOTE on ordering: the file source lists files in no event-time order;
+    rows arriving more than ``watermark`` behind the stream's max event
+    time are DROPPED by design. Feed time-ordered files (the normal shape
+    for an append-only ingest) or widen the watermark for replays; set
+    ``max_files_per_trigger=None`` to take the whole backlog as one batch
+    (no intra-backlog drops)."""
+    reader = spark.readStream.schema(SEQUENCES_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(path)
+
+
+def streaming_rollup_raw(
+    stream: DataFrame,
+    watermark: str = "10 minutes",
+    ts_col: str = "ts",
+    value_col: str = "n_tok",
+) -> DataFrame:
+    """Incremental raw tier: per (source, minute window) aggregates with a
+    late-data watermark. Output schema == batch rollup_raw."""
+    v = F.col(value_col)
+    agg = (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy("source", F.window(ts_col, "1 minute"))
+        .agg(
+            F.count(F.lit(1)).alias("n_seq"),
+            F.sum(v).cast("bigint").alias("n_tok_sum"),
+            F.min(v).cast("int").alias("n_tok_min"),
+            F.max(v).cast("int").alias("n_tok_max"),
+        )
+    )
+    return (
+        agg.withColumn("bucket_start", F.col("window.start"))
+        .withColumn("n_tok_mean", (F.col("n_tok_sum") / F.col("n_seq")).cast("double"))
+        .withColumn("gapfilled", F.lit(False))
+        .select(ROLLUP_COLS)
+    )
+
+
+def run_stream_to_parquet(
+    rollup_stream: DataFrame,
+    out_path: str,
+    checkpoint_path: str,
+    available_now: bool = True,
+):
+    """Drive the stream to a parquet sink. ``available_now=True`` processes
+    the current backlog then stops — the batch-replay mode used in tests
+    and backfills; set False for a continuous deployment."""
+    writer = (
+        rollup_stream.writeStream.format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -1,0 +1,72 @@
+from __future__ import annotations
+
+import datetime as dt
+
+import numpy as np
+import pytest
+
+
+def _tier_from_matrix(spark, mat, sources):
+    rows = []
+    for i in range(mat.shape[0]):
+        b = dt.datetime(2024, 1, 1) + dt.timedelta(days=i)
+        for j, s in enumerate(sources):
+            rows.append((s, b, float(mat[i, j])))
+    return spark.createDataFrame(
+        rows, "source string, bucket_start timestamp, n_tok_mean double"
+    )
+
+
+def test_eof_recovers_dominant_mode(spark):
+    from rtsa_spark.operators.eof import eof
+
+    rng = np.random.default_rng(4)
+    n_t, n_s = 100, 6
+    pattern = np.array([1.0, 0.8, 0.6, -0.4, -0.7, -1.0])
+    signal = np.sin(np.linspace(0, 8 * np.pi, n_t))
+    mat = np.outer(signal, pattern) + rng.normal(0, 0.05, (n_t, n_s))
+    sources = [f"s{j}" for j in range(n_s)]
+
+    out = eof(spark, _tier_from_matrix(spark, mat, sources), n_modes=2)
+    assert out["explained_pct"][0] > 80
+    m1 = {
+        r["source"]: r["loading"]
+        for r in out["modes"].where("mode = 1").collect()
+    }
+    loadings = np.array([m1[s] for s in sources])
+    cos = abs(loadings @ pattern) / (
+        np.linalg.norm(loadings) * np.linalg.norm(pattern)
+    )
+    assert cos > 0.99  # mode 1 == injected spatial pattern (up to sign)
+    # EC series carries the temporal signal
+    ecs = out["ecs"].where("mode = 1").orderBy("bucket_start").collect()
+    ec = np.array([r["ec"] for r in ecs])
+    corr = abs(np.corrcoef(ec, signal)[0, 1])
+    assert corr > 0.99
+    # additivity of variance
+    assert out["tot_var"] == pytest.approx(
+        float(np.var(mat - mat.mean(0), ddof=1, axis=0).sum()), rel=1e-6
+    )
+
+
+def test_eof_rejects_gappy_input(spark):
+    from rtsa_spark.operators.eof import eof
+
+    rng = np.random.default_rng(1)
+    mat = rng.normal(size=(10, 3))
+    df = _tier_from_matrix(spark, mat, ["a", "b", "c"])
+    gappy = df.where("NOT (source = 'b' AND bucket_start = timestamp '2024-01-03')")
+    with pytest.raises(ValueError, match="complete profiles"):
+        eof(spark, gappy)
+
+
+def test_scale_eof_clips_to_unit(spark):
+    from rtsa_spark.operators.eof import eof, scale_eof_modes
+
+    rng = np.random.default_rng(2)
+    mat = rng.normal(size=(60, 8))
+    out = eof(spark, _tier_from_matrix(spark, mat, [f"s{j}" for j in range(8)]), n_modes=2)
+    scaled = scale_eof_modes(out["modes"], cut_pct=5.0).collect()
+    vals = [r["loading_scaled"] for r in scaled]
+    assert max(vals) <= 1.0 + 1e-9 and min(vals) >= -1.0 - 1e-9
+    assert any(v == 1.0 for v in vals) and any(v == -1.0 for v in vals)

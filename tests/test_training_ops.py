@@ -1,0 +1,145 @@
+"""Tests for the training-data pipeline operators: dedup, similarity,
+text analysis, multimodal plumbing."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+import pyspark.sql.functions as F
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over a lazy dog and the cat", "en", "web"),
+        (2, "the quick brown fox jumps over a lazy dog and the cat", "en", "web"),  # exact dup of 1
+        (3, "The Quick Brown Fox jumps over a lazy dog and the cat", "en", "books"),  # case-dup of 1
+        (4, "the quick brown fox leaps over a lazy dog and the cat", "en", "web"),  # near-dup
+        (5, "completely different text about spark and data engines", "en", "web"),
+        (6, "der schnelle braune fuchs springt", "de", "web"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string, source string")
+
+
+def test_dedup_exact(spark, docs):
+    from rtsa_spark.operators.dedup import dedup_exact
+
+    out = {r["survivor_doc_id"]: r["n_docs"] for r in dedup_exact(docs).collect()}
+    assert out[1] == 2  # docs 1+2 collapse
+    assert sum(out.values()) == 6
+
+
+def test_dedup_fingerprint_case_insensitive(spark, docs):
+    from rtsa_spark.operators.dedup import dedup_fingerprint
+
+    out = {r["survivor_doc_id"]: r["n_docs"] for r in dedup_fingerprint(docs).collect()}
+    assert out[1] == 3  # 1, 2, and case-variant 3
+
+
+def test_minhash_near_dup_share_bucket(spark, docs):
+    from rtsa_spark.operators.dedup import minhash_lsh_buckets
+
+    buckets = minhash_lsh_buckets(docs, n_hashes=8, band_size=2).collect()
+    # docs 1/2 identical -> identical sigs -> share every band bucket
+    multi = [r for r in buckets if r["n_docs"] >= 2]
+    assert len(multi) >= 4
+
+
+def test_simhash_similar_docs_close(spark, docs):
+    from rtsa_spark.operators.dedup import simhash16
+
+    sh = {r["doc_id"]: r["simhash"] for r in simhash16(docs).collect()}
+    assert sh[1] == sh[2]
+    ham_near = bin(sh[1] ^ sh[4]).count("1")
+    ham_far = bin(sh[1] ^ sh[5]).count("1")
+    assert ham_near < ham_far
+
+
+def test_ngram_jaccard_identifies_near_dup(spark, docs):
+    from rtsa_spark.operators.dedup import ngram_jaccard_pairs
+
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["jaccard_e4"]
+        for r in ngram_jaccard_pairs(docs, min_jaccard_e4=0).collect()
+    }
+    assert pairs[(1, 2)] == 10000  # identical
+    assert pairs.get((1, 4), 0) >= 7000  # one word swapped
+    assert pairs.get((1, 5), 10**9) <= 2000 or (1, 5) not in pairs
+
+
+def test_cosine_topk_exact_vs_numpy(spark):
+    from rtsa_spark.operators.similarity import cosine_topk
+
+    rng = np.random.default_rng(5)
+    vecs = rng.normal(size=(50, 8)).astype("float32")
+    pdf = [(i, [float(x) for x in vecs[i]]) for i in range(50)]
+    df = spark.createDataFrame(pdf, "vec_id long, embedding array<float>")
+    out = cosine_topk(df.where("vec_id < 3"), df, k=4)
+    got = {(r["query_id"], r["rank"]): r["neighbor_id"] for r in out.collect()}
+    v = vecs.astype("float64")
+    sims = v @ v.T / (np.linalg.norm(v, axis=1)[:, None] * np.linalg.norm(v, axis=1)[None, :])
+    for q in range(3):
+        order = [i for i in np.argsort(-sims[q], kind="stable") if i != q][:4]
+        for rk, nb in enumerate(order, 1):
+            assert got[(q, rk)] == nb
+
+
+def test_lsh_topk_subset_of_exact(spark):
+    from rtsa_spark.operators.similarity import cosine_topk, cosine_topk_lsh
+
+    rng = np.random.default_rng(6)
+    vecs = rng.normal(size=(80, 16)).astype("float32")
+    pdf = [(i, [float(x) for x in vecs[i]]) for i in range(80)]
+    df = spark.createDataFrame(pdf, "vec_id long, embedding array<float>")
+    q = df.where("vec_id < 2")
+    exact = cosine_topk(q, df, k=10).collect()
+    approx = cosine_topk_lsh(q, df, k=10, n_planes=4, dim=16).collect()
+    # every ANN hit must be a real corpus vector with correctly computed cos
+    exact_cos = {(r["query_id"], r["neighbor_id"]): r["cos_e6"] for r in exact}
+    for r in approx:
+        key = (r["query_id"], r["neighbor_id"])
+        if key in exact_cos:
+            assert exact_cos[key] == r["cos_e6"]
+
+
+def test_text_quality_and_langid(spark, docs):
+    from rtsa_spark.functions.text import langid_summary, text_quality_by_source
+
+    tq = {r["source"]: r for r in text_quality_by_source(docs, short_words=6).collect()}
+    assert tq["web"]["n_docs"] == 5
+    assert tq["web"]["short_frac_e4"] == 2000  # doc 6 (5 words) of 5 web docs
+    li = {r["lang"]: r for r in langid_summary(docs).collect()}
+    assert li["en"]["n_en_like"] == 4  # docs 1,2,4 (web) + doc 5 has only "and"... doc 3 books is en too -> 1,2,3,4
+    assert li["de"]["n_en_like"] == 0
+
+
+def test_multimodal_plumbing(spark):
+    from rtsa_spark.functions.multimodal import (
+        extract_features,
+        frame_sample_plan,
+        media_stats,
+        synth_media,
+    )
+
+    media = synth_media(spark, 60, payload_bytes=128)
+    assert media.count() == 60
+    stats = {r["kind"]: r["n"] for r in media_stats(media).collect()}
+    assert sum(stats.values()) == 60
+
+    feats = extract_features(media, fake=True)
+    rows = feats.collect()
+    assert len(rows) == 60
+    assert all(len(r["feature"]) == 16 for r in rows)
+    assert all(r["n_bytes"] == 128 for r in rows)
+    # deterministic: same media -> same features
+    again = extract_features(synth_media(spark, 60, payload_bytes=128), fake=True)
+    assert feats.exceptAll(again).count() == 0
+
+    plan = frame_sample_plan(media, every_n=50)
+    assert plan.where("frame_idx % 50 != 0").count() == 0
+
+    # decode without a real decoder must fail loudly, not silently
+    import pyspark.errors
+
+    with pytest.raises(Exception, match="NotImplementedError|media decoding"):
+        extract_features(media, fake=False).count()
