@@ -577,6 +577,67 @@ def q_sequences_encode_blocks(spark, sf_dir):
     return encode_tier(rollup_next(rollup_raw(seq), "hourly"))
 
 
+def q_sequences_gapfill_spline(spark, sf_dir):
+    """Spline gap-fill (reference W4 'spline') over a knocked-out hourly
+    tier — grouped Arrow kernel, rows-only check."""
+    from rtsa_spark.operators.gapfill import gapfill_interpolate
+    from rtsa_spark.operators.rollup import rollup_next, rollup_raw
+    from rtsa_spark.synth import knock_out_buckets, synth_sequences
+
+    seq = knock_out_buckets(
+        synth_sequences(spark, 20_000, n_sources=8), ["s001", "s002"], bucket="hour"
+    )
+    hr = rollup_next(rollup_raw(seq), "hourly").select(
+        "source", "bucket_start", "n_tok_mean"
+    )
+    return gapfill_interpolate(hr, "hourly", method="spline", value_cols=["n_tok_mean"])
+
+
+def q_sequences_dineof(spark, sf_dir):
+    """DINEOF-style SVD gap-fill (reference M1) on the daily tier."""
+    from rtsa_spark.operators.dineof import dineof_gapfill
+    from rtsa_spark.operators.rollup import rollup_ladder
+    from rtsa_spark.synth import knock_out_buckets, synth_sequences
+
+    seq = knock_out_buckets(
+        synth_sequences(spark, 20_000, n_sources=8), ["s002", "s003"], bucket="day"
+    )
+    daily = rollup_ladder(seq)["daily"]
+    return dineof_gapfill(spark, daily, n_max=4)
+
+
+def q_sequences_eof(spark, sf_dir):
+    """EOF/PCA mode loadings (reference M2) over the gap-filled daily tier."""
+    from rtsa_spark.operators.eof import eof
+    from rtsa_spark.operators.gapfill import gapfill_linear
+    from rtsa_spark.operators.rollup import rollup_ladder
+    from rtsa_spark.synth import synth_sequences
+
+    seq = synth_sequences(spark, 20_000, n_sources=8)
+    daily = gapfill_linear(rollup_ladder(seq)["daily"], "daily")
+    return eof(spark, daily, n_modes=2)["modes"]
+
+
+def q_sequences_eot(spark, sf_dir):
+    """EOT base-point regression stats (reference M4)."""
+    from rtsa_spark.operators.eot import eot
+    from rtsa_spark.operators.gapfill import gapfill_linear
+    from rtsa_spark.operators.rollup import rollup_ladder
+    from rtsa_spark.synth import synth_sequences
+
+    seq = synth_sequences(spark, 20_000, n_sources=8)
+    daily = gapfill_linear(rollup_ladder(seq)["daily"], "daily")
+    return eot(spark, daily, n_modes=2)["modes"]
+
+
+def q_media_features(spark, sf_dir):
+    """Multimodal plumbing: deterministic media table -> Arrow-batched
+    feature extraction (decode faked; plumbing real)."""
+    from rtsa_spark.functions.multimodal import extract_features, synth_media
+
+    return extract_features(synth_media(spark, 500), fake=True)
+
+
 def q_sequences_metrics(spark, sf_dir):
     """Per-source decomposition + Mann-Kendall metrics rows (rows-only)."""
     from rtsa_spark.operators.gapfill import gapfill_linear
@@ -634,6 +695,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sequences_ladder": q_sequences_ladder,
         "sequences_encode_blocks": q_sequences_encode_blocks,
         "sequences_metrics": q_sequences_metrics,
+        "sequences_gapfill_spline": q_sequences_gapfill_spline,
+        "sequences_dineof": q_sequences_dineof,
+        "sequences_eof": q_sequences_eof,
+        "sequences_eot": q_sequences_eot,
+        "media_features": q_media_features,
     }
 
 

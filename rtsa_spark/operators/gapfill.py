@@ -116,3 +116,65 @@ def gapfill_linear(
         if c in out.columns and c not in (*keys, bucket_col, *value_cols, "gapfilled")
     ]
     return out.select(*keys, bucket_col, *value_cols, *extras, "gapfilled")
+
+
+#: pandas frequency per tier, for the kernel-based interpolators
+_PD_FREQ = {"raw": "min", "hourly": "h", "daily": "D", "monthly": "MS"}
+
+
+def gapfill_interpolate(
+    df: DataFrame,
+    tier: str,
+    method: str = "spline",
+    value_cols: list[str] | None = None,
+    key_col="source",
+    bucket_col: str = "bucket_start",
+) -> DataFrame:
+    """Spline / monotone-cubic gap-fill — the reference's 'spline' and
+    'stine' methods (W4, ``R/rtsa_gapfill.R:185-204``) as a grouped Arrow
+    kernel over numpy interpolators (functions/interp.py). Same dense
+    output contract as gapfill_linear; 'linear' routes to the pure
+    window-algebra path (no kernel at all)."""
+    if method == "linear":
+        return gapfill_linear(df, tier, value_cols, key_col, bucket_col)
+    if method not in ("spline", "stine", "pchip"):
+        raise ValueError(f"unknown gap-fill method: {method}")
+    if value_cols is None:
+        value_cols = [c for c in ("n_tok_mean",) if c in df.columns] or ["v_mean"]
+    keys = _keys(key_col)
+    freq = _PD_FREQ[tier]
+
+    from rtsa_spark.functions.interp import monotone_cubic, natural_cubic_spline
+
+    interp = natural_cubic_spline if method == "spline" else monotone_cubic
+
+    import pandas as pd
+
+    out_schema = ", ".join(
+        [f"{k} string" for k in keys]
+        + [f"{bucket_col} timestamp"]
+        + [f"{c} double" for c in value_cols]
+        + ["gapfilled boolean"]
+    )
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        pdf = pdf.sort_values(bucket_col)
+        spine = pd.date_range(pdf[bucket_col].iloc[0], pdf[bucket_col].iloc[-1], freq=freq)
+        xs = spine.asi8.astype("float64")
+        x_obs = pdf[bucket_col].to_numpy("datetime64[ns]").view("int64").astype("float64")
+        pos = np.searchsorted(xs, x_obs)  # observed knots' spine positions
+        is_obs = np.zeros(len(xs), dtype=bool)
+        is_obs[pos] = True
+        data = {k: pdf[k].iloc[0] for k in keys}
+        data[bucket_col] = spine
+        for c in value_cols:
+            y_obs = pdf[c].to_numpy("float64")
+            y = interp(x_obs, y_obs, xs)
+            y[pos] = y_obs  # observed buckets pass through bit-exactly
+            data[c] = y
+        data["gapfilled"] = ~is_obs
+        return pd.DataFrame(data)
+
+    return df.groupBy(*keys).applyInPandas(kernel, out_schema)

@@ -1,0 +1,91 @@
+from __future__ import annotations
+
+import datetime as dt
+
+import numpy as np
+import pytest
+
+
+def _tier(spark, mat, sources):
+    rows = []
+    for i in range(mat.shape[0]):
+        b = dt.datetime(2024, 1, 1) + dt.timedelta(days=i)
+        for j, s in enumerate(sources):
+            v = mat[i, j]
+            if not np.isnan(v):
+                rows.append((s, b, float(v)))
+    return spark.createDataFrame(
+        rows, "source string, bucket_start timestamp, n_tok_mean double"
+    )
+
+
+def test_dineof_reconstructs_low_rank_field(spark):
+    """rank-2 field + noise, 20% knockout -> reconstruction error far below
+    the field's own scale (the mask-corrupt-reconstruct-compare design from
+    the reference's gap-fill example, R/rtsa_gapfill.R:56-62)."""
+    from rtsa_spark.operators.dineof import dineof_gapfill
+
+    rng = np.random.default_rng(11)
+    n_t, n_s = 80, 10
+    truth = (
+        np.outer(np.sin(np.linspace(0, 6 * np.pi, n_t)), rng.normal(size=n_s))
+        + np.outer(np.linspace(0, 1, n_t), rng.normal(size=n_s))
+        + 50.0
+    )
+    noisy = truth + rng.normal(0, 0.05, truth.shape)
+    holes = rng.random(truth.shape) < 0.2
+    observed = noisy.copy()
+    observed[holes] = np.nan
+
+    out = dineof_gapfill(spark, _tier(spark, observed, [f"s{j}" for j in range(n_s)]))
+    got = {
+        (r["source"], r["bucket_start"]): (r["n_tok_mean"], r["gapfilled"])
+        for r in out.collect()
+    }
+    errs, n_filled = [], 0
+    for i in range(n_t):
+        b = dt.datetime(2024, 1, 1) + dt.timedelta(days=i)
+        for j in range(n_s):
+            v, flag = got[(f"s{j}", b)]
+            if holes[i, j]:
+                n_filled += 1
+                assert flag
+                errs.append(abs(v - truth[i, j]))
+            else:
+                assert not flag
+                assert v == pytest.approx(noisy[i, j], abs=0)  # pass-through
+    assert n_filled == int(holes.sum())
+    field_sd = float(truth.std())
+    assert float(np.mean(errs)) < 0.15 * field_sd
+
+
+def test_eot_finds_planted_teleconnection(spark):
+    """Field = strong signal on half the sources driven by s0 -> mode-1 base
+    must be in the driven group and its r^2 against the group ~1."""
+    from rtsa_spark.operators.eot import eot
+
+    rng = np.random.default_rng(9)
+    n_t, n_s = 120, 8
+    driver = np.sin(np.linspace(0, 10 * np.pi, n_t)) * 5
+    mat = rng.normal(0, 0.3, (n_t, n_s))
+    weights = [1.0, 0.9, 0.8, 0.7, 0.0, 0.0, 0.0, 0.0]
+    for j, w in enumerate(weights):
+        mat[:, j] += w * driver
+    sources = [f"s{j}" for j in range(n_s)]
+
+    out = eot(spark, _tier(spark, mat, sources), n_modes=2)
+    mode1_base = out["base_points"][0][1]
+    assert mode1_base in {"s0", "s1", "s2", "s3"}
+    m1 = {r["source"]: r for r in out["modes"].where("mode = 1").collect()}
+    assert m1["s0"]["r2"] > 0.9
+    assert m1["s7"]["r2"] < 0.2
+    assert m1["s0"]["p"] < 1e-6
+    # signs/slopes follow the planted weights for the driven group
+    assert m1["s1"]["slope"] == pytest.approx(
+        weights[1] / weights[int(mode1_base[1:])], rel=0.15
+    )
+    assert out["explained_pct"][0] > 50
+    # mode-2 explains much less once mode 1 is regressed out
+    assert out["explained_pct"][1] < out["explained_pct"][0] / 3
+    # base series length == bucket count
+    assert out["base_series"].where("mode = 1").count() == n_t

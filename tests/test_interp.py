@@ -1,0 +1,70 @@
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from rtsa_spark.functions.interp import monotone_cubic, natural_cubic_spline
+
+
+def test_spline_passes_through_knots():
+    x = np.array([0.0, 1, 2.5, 4, 7])
+    y = np.array([1.0, 3, -2, 0.5, 4])
+    got = natural_cubic_spline(x, y, x)
+    np.testing.assert_allclose(got, y, atol=1e-9)
+
+
+def test_spline_reproduces_smooth_function():
+    x = np.linspace(0, 2 * np.pi, 20)
+    y = np.sin(x)
+    xf = np.linspace(0.2, 2 * np.pi - 0.2, 200)
+    got = natural_cubic_spline(x, y, xf)
+    assert np.abs(got - np.sin(xf)).max() < 0.01
+
+
+def test_spline_linear_for_two_points():
+    got = natural_cubic_spline(np.array([0.0, 10]), np.array([5.0, 15]), np.array([2.5]))
+    assert got[0] == pytest.approx(7.5)
+
+
+def test_monotone_cubic_no_overshoot():
+    # step-like data: PCHIP must stay within [0, 10] (a natural spline won't)
+    x = np.array([0.0, 1, 2, 3, 4, 5])
+    y = np.array([0.0, 0, 0, 10, 10, 10])
+    xf = np.linspace(0, 5, 500)
+    got = monotone_cubic(x, y, xf)
+    assert got.min() >= -1e-9 and got.max() <= 10 + 1e-9
+    spl = natural_cubic_spline(x, y, xf)
+    assert spl.min() < -0.1 or spl.max() > 10.1  # spline does overshoot here
+
+
+def test_monotone_cubic_knots_and_monotonicity():
+    x = np.array([0.0, 1, 3, 6])
+    y = np.array([1.0, 2, 8, 9])
+    xf = np.linspace(0, 6, 300)
+    got = monotone_cubic(x, y, xf)
+    np.testing.assert_allclose(monotone_cubic(x, y, x), y, atol=1e-9)
+    assert (np.diff(got) >= -1e-9).all()  # monotone data -> monotone interp
+
+
+def test_gapfill_interpolate_spark(spark, tiny_sequences):
+    from rtsa_spark.operators.gapfill import bucket_spine, gapfill_interpolate
+    from rtsa_spark.operators.rollup import rollup_next, rollup_raw
+    from rtsa_spark.synth import knock_out_buckets
+
+    gapped = knock_out_buckets(tiny_sequences, ["s001", "s002"], bucket="hour")
+    hr = rollup_next(rollup_raw(gapped), "hourly").select(
+        "source", "bucket_start", "n_tok_mean"
+    )
+    for method in ("spline", "stine"):
+        dense = gapfill_interpolate(hr, "hourly", method=method, value_cols=["n_tok_mean"])
+        assert dense.count() == bucket_spine(hr, "hourly").count()
+        # observed rows pass through exactly
+        j = dense.where("NOT gapfilled").alias("d").join(
+            hr.alias("h"), ["source", "bucket_start"]
+        )
+        assert j.where("d.n_tok_mean != h.n_tok_mean").count() == 0
+        assert dense.where("gapfilled").count() > 0
+        assert dense.where("n_tok_mean IS NULL").count() == 0
+
+    with pytest.raises(ValueError, match="unknown gap-fill method"):
+        gapfill_interpolate(hr, "hourly", method="cubic-nope")
