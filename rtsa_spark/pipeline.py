@@ -160,3 +160,63 @@ class TierPipeline:
     def lineage(self) -> DataFrame:
         """Ledger as a DataFrame (the `lineage` table of SURVEY.md §7.0)."""
         return self.spark.read.json(self._ledger_path)
+
+    # ------------------------------------------ late-data partition refresh
+    def refresh_months(self, sequences: DataFrame, months: list[str]) -> dict[str, int]:
+        """Idempotent partition-scoped refresh for late/replayed data.
+
+        ``months``: 'YYYY-MM' strings whose source rows changed. Each tier's
+        rows belonging to those calendar months are recomputed from the
+        (already-corrected) ``sequences`` table and swapped in, leaving all
+        other rows byte-identical — the parquet emulation of Iceberg's
+        ``overwrite-by-partition`` / ``MERGE INTO`` (north rule: "late/
+        replayed data = re-run of affected partitions"). Re-running the
+        same refresh is a no-op by construction (the recomputation is
+        deterministic in its inputs).
+
+        Returns {stage: rows_replaced}.
+        """
+        import pyspark.sql.functions as F
+
+        from rtsa_spark.operators.rollup import rollup_next, rollup_raw
+
+        replaced: dict[str, int] = {}
+        affected_seq = sequences.where(
+            F.date_format(F.col("ts"), "yyyy-MM").isin(months)
+        )
+        prev_recomputed: DataFrame | None = None
+        for tier in self.tiers:
+            stage = f"rollup_{tier}"
+            path = self._stage_path(stage)
+            existing = self.spark.read.parquet(path)
+            recomputed = (
+                rollup_raw(affected_seq)
+                if tier == "raw"
+                else rollup_next(prev_recomputed, tier)
+            )
+            in_months = F.date_format(F.col("bucket_start"), "yyyy-MM").isin(months)
+            kept = existing.where(~in_months)
+            merged = kept.unionByName(recomputed)
+            t0 = time.time()
+            tmp = path + f"._refresh_{self.run_id}"
+            merged.write.mode("overwrite").parquet(tmp)
+            n_new = recomputed.count()
+            shutil.rmtree(path)
+            os.rename(tmp, path)
+            self._append_ledger(
+                {
+                    "run_id": self.run_id,
+                    "stage": stage,
+                    "rows_in": n_new,
+                    "rows_out": self.spark.read.parquet(path).count(),
+                    "n_files": sum(1 for f in os.listdir(path) if f.endswith(".parquet")),
+                    "started_at": t0,
+                    "finished_at": time.time(),
+                    "status": "REFRESH",
+                    "fingerprint": n_new,
+                    "months": months,
+                }
+            )
+            replaced[stage] = n_new
+            prev_recomputed = self.spark.read.parquet(path).where(in_months)
+        return replaced
