@@ -324,6 +324,89 @@ SELECT event_type, CAST(0 AS BIGINT) AS n_mismatch FROM events GROUP BY 1
 """
 
 
+def q_rollup_hourly_salted(spark, sf_dir):
+    """Skew path: two-level salted aggregation (plans/skew.py) must produce
+    EXACTLY the plain hourly rollup — oracle is the same SQL as
+    rollup_hourly, so any salt/merge bug breaks the value hash."""
+    from rtsa_spark.operators.rollup import BUCKET_OF
+    from rtsa_spark.plans.skew import add_salt
+
+    ev = add_salt(_events(spark, sf_dir), n_salt=8, from_col="event_id")
+    bucket = F.date_trunc(BUCKET_OF["hourly"], F.col("ts")).alias("bucket_start")
+    partial = ev.groupBy("event_type", bucket, "salt").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("value").alias("v_sum"),
+        F.min("value").alias("v_min"),
+        F.max("value").alias("v_max"),
+    )
+    merged = partial.groupBy("event_type", "bucket_start").agg(
+        F.sum("n").alias("n"),
+        F.sum("v_sum").alias("v_sum"),
+        F.min("v_min").alias("v_min"),
+        F.max("v_max").alias("v_max"),
+    )
+    return _exact_rollup_projection(merged)
+
+
+def q_word_topk(spark, sf_dir):
+    """Top-10 words per source (deterministic tie-break) — the exact
+    counterpart of the token-histogram top-k sketch on a text column."""
+    from pyspark.sql import Window
+
+    w = _documents(spark, sf_dir).select(
+        "source", F.explode(F.split("text", " ")).alias("word")
+    )
+    counts = w.groupBy("source", "word").agg(F.count(F.lit(1)).alias("cnt"))
+    rk = Window.partitionBy("source").orderBy(F.desc("cnt"), F.asc("word"))
+    return (
+        counts.withColumn("rank", F.row_number().over(rk))
+        .where(F.col("rank") <= 10)
+        .select("source", "word", "cnt", "rank")
+    )
+
+
+SQL_WORD_TOPK = """
+WITH w AS (
+  SELECT source, unnest(string_split(text, ' ')) AS word FROM documents
+), c AS (
+  SELECT source, word, count(*) AS cnt FROM w GROUP BY 1, 2
+), r AS (
+  SELECT source, word, cnt,
+         CAST(row_number() OVER (PARTITION BY source ORDER BY cnt DESC, word)
+              AS INTEGER) AS rank
+  FROM c
+)
+SELECT source, word, cnt, rank FROM r WHERE rank <= 10
+"""
+
+
+def q_encode_roundtrip_audit(spark, sf_dir):
+    """Self-validating Gorilla/DoD audit: encode the hourly tier, decode it,
+    and report per-source point counts + mismatches (must be 0). Rows-only
+    by nature, but the result row IS the assertion."""
+    from rtsa_spark.operators.encode import decode_blocks, encode_tier
+    from rtsa_spark.operators.rollup import rollup_next, rollup_raw
+    from rtsa_spark.synth import synth_sequences
+
+    seq = synth_sequences(spark, 20_000, n_sources=8)
+    hourly = rollup_next(rollup_raw(seq), "hourly")
+    pts = decode_blocks(encode_tier(hourly, value_col="n_tok_mean"))
+    orig = hourly.select(
+        "source", "bucket_start", F.col("n_tok_mean").alias("value")
+    )
+    j = pts.alias("d").join(orig.alias("o"), ["source", "bucket_start"], "full_outer")
+    return j.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.sum(
+            (
+                F.col("d.value").isNull()
+                | F.col("o.value").isNull()
+                | (F.col("d.value") != F.col("o.value"))
+            ).cast("int")
+        ).alias("n_mismatch"),
+    )
+
+
 # --------------------------------------------- training-data pipeline ops
 
 
@@ -676,6 +759,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_hourly": q_rollup_hourly,
         "rollup_daily_cascade": q_rollup_daily_cascade,
         "rollup_monthly_cascade": q_rollup_monthly_cascade,
+        "rollup_hourly_salted": q_rollup_hourly_salted,
+        "word_topk": q_word_topk,
+        "encode_roundtrip_audit": q_encode_roundtrip_audit,
         "gapfill_hourly_linear": q_gapfill_hourly_linear,
         "mask_min_obs": q_mask_min_obs,
         "mask_complete_profile": q_mask_complete_profile,
@@ -708,6 +794,8 @@ def oracle_sql() -> dict[str, str]:
         "rollup_hourly": _SQL_ROLLUP_TEMPLATE.format(unit="hour"),
         "rollup_daily_cascade": _SQL_ROLLUP_TEMPLATE.format(unit="day"),
         "rollup_monthly_cascade": _SQL_ROLLUP_TEMPLATE.format(unit="month"),
+        "rollup_hourly_salted": _SQL_ROLLUP_TEMPLATE.format(unit="hour"),
+        "word_topk": SQL_WORD_TOPK,
         "gapfill_hourly_linear": SQL_GAPFILL_HOURLY,
         "mask_min_obs": SQL_MASK_MIN_OBS,
         "mask_complete_profile": SQL_MASK_COMPLETE,
