@@ -111,7 +111,7 @@ def run_bench(sf_dir: str, cores: int) -> dict:
     # encode + metrics: separately timed; NOT part of ladder_sec (the
     # north metric counts tier rollup points; these are the side products)
     t0 = time.time()
-    blocks = encode_tier(hourly).count()
+    blocks = encode_tier(hourly, partitions=min(cores, 16)).count()
     timings["encode_hourly"] = round(time.time() - t0, 3)
 
     t0 = time.time()

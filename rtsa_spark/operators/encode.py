@@ -45,6 +45,7 @@ def encode_tier(
     key_col: str = "source",
     bucket_col: str = "bucket_start",
     block: str = "month",
+    partitions: int | None = None,
 ) -> DataFrame:
     """Compress one rollup column into per-(source, block) encoded rows.
 
@@ -75,6 +76,12 @@ def encode_tier(
         )
 
     with_block = df.withColumn("_block", F.date_trunc(block, F.col(bucket_col)))
+    if partitions:
+        # pre-partition on the exact group keys: the groupBy reuses this
+        # exchange (no second shuffle) and the kernel fans out over
+        # ``partitions`` python workers instead of spark.sql.shuffle.partitions
+        # — worker startup is the dominant cost when blocks are small
+        with_block = with_block.repartition(partitions, F.col(key_col), F.col("_block"))
     return with_block.groupBy(key_col, "_block").applyInPandas(kernel, BLOCK_SCHEMA)
 
 
