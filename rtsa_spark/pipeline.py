@@ -47,6 +47,8 @@ class TierPipeline:
         tiers: list[str] | None = None,
         gapfill_tiers: tuple[str, ...] = ("hourly", "daily"),
         metrics_tiers: tuple[str, ...] = ("daily",),
+        hist_tiers: tuple[str, ...] = (),
+        hist_top_k: int | None = 128,
         run_id: str | None = None,
     ):
         self.spark = spark
@@ -54,6 +56,8 @@ class TierPipeline:
         self.tiers = tiers or list(TIER_ORDER)
         self.gapfill_tiers = gapfill_tiers
         self.metrics_tiers = metrics_tiers
+        self.hist_tiers = hist_tiers
+        self.hist_top_k = hist_top_k
         self.run_id = run_id or uuid.uuid4().hex[:12]
         os.makedirs(self.base, exist_ok=True)
 
@@ -142,6 +146,33 @@ class TierPipeline:
                 out[gstage] = gpath
                 if fail_after == gstage:
                     raise RuntimeError(f"injected failure after {gstage}")
+
+            if tier in self.hist_tiers:
+                from rtsa_spark.operators.rollup import (
+                    merge_token_histograms,
+                    token_histogram,
+                )
+
+                hstage = f"hist_{tier}"
+                hpath = self._stage_path(hstage)
+                if not (self._completed(hstage, prev_rows) and os.path.exists(hpath)):
+                    # first hist tier computes from raw sequences; coarser
+                    # hist tiers cascade by map-sum merge of the previous one
+                    finer = next(
+                        (f"hist_{t}" for t in reversed(self.tiers[: self.tiers.index(tier)])
+                         if t in self.hist_tiers),
+                        None,
+                    )
+                    if finer and os.path.exists(self._stage_path(finer)):
+                        hist = merge_token_histograms(
+                            self.spark.read.parquet(self._stage_path(finer)), tier
+                        )
+                    else:
+                        hist = token_histogram(
+                            sequences, tier, top_k=self.hist_top_k
+                        )
+                    self._write_stage(hstage, hist, prev_rows)
+                out[hstage] = hpath
 
             if tier in self.metrics_tiers:
                 mstage = f"metrics_{tier}"
