@@ -714,11 +714,35 @@ def q_sequences_eot(spark, sf_dir):
 
 
 def q_media_features(spark, sf_dir):
-    """Multimodal plumbing: deterministic media table -> Arrow-batched
-    feature extraction (decode faked; plumbing real)."""
-    from rtsa_spark.functions.multimodal import extract_features, synth_media
+    """Multimodal plumbing over a REAL parquet table: documents.text as an
+    opaque binary payload -> Arrow-batched decode (faked; plumbing real)
+    -> integer-exact scalar digests the DuckDB oracle reproduces from the
+    same bytes. (The array<float> feature path stays internal — tied to
+    these digests in tests/test_training_ops.py.)"""
+    from rtsa_spark.functions.multimodal import extract_feature_digests
 
-    return extract_features(synth_media(spark, 500), fake=True)
+    media = (
+        _documents(spark, sf_dir)
+        .where(F.length("text") > 0)
+        .select(F.col("doc_id"), F.encode(F.col("text"), "utf-8").alias("payload"))
+    )
+    return extract_feature_digests(media, id_col="doc_id", fake=True)
+
+
+SQL_MEDIA_FEATURES = """
+WITH d AS (
+  SELECT doc_id, encode(text) AS payload FROM documents WHERE length(text) > 0
+), b AS (
+  SELECT doc_id,
+         octet_length(payload) AS n_bytes,
+         list_sum(list_transform(generate_series(1, octet_length(payload)),
+                  i -> ('0x' || substr(hex(payload), 2*i-1, 2))::BIGINT)) AS byte_sum
+  FROM d
+)
+SELECT doc_id AS media_id, n_bytes, byte_sum,
+       (1000000 * byte_sum) // (255 * ((n_bytes + 15) // 16)) AS feat_digest_e6
+FROM b
+"""
 
 
 def q_sequences_metrics(spark, sf_dir):
@@ -812,5 +836,7 @@ def oracle_sql() -> dict[str, str]:
         "text_quality": SQL_TEXT_QUALITY,
         "langid_heuristic": SQL_LANGID,
         "token_stats": SQL_TOKEN_STATS,
-        # sequences_* are non-SQL-expressible engine ops -> rows-only checks
+        "media_features": SQL_MEDIA_FEATURES,
+        # remaining sequences_* (spline/dineof/eof/eot) are genuinely
+        # non-SQL-expressible (iterative solvers) -> rows-only checks
     }

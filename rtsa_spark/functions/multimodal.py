@@ -106,6 +106,63 @@ def extract_features(media: DataFrame, fake: bool = False) -> DataFrame:
     return media.mapInPandas(it, FEATURE_SCHEMA)
 
 
+def extract_feature_digests(
+    media: DataFrame, id_col: str = "media_id", fake: bool = False
+) -> DataFrame:
+    """Decode stage projected to integer-exact scalars (oracle-friendly).
+
+    Same Arrow-batched plumbing as :func:`extract_features`, but the output
+    is canonicalizable/hashable: ``n_bytes``, ``byte_sum`` (exact int sum of
+    payload bytes) and ``feat_digest_e6`` — the integer-exact digest of the
+    fake decoder's feature vector. Because the decoder's features are
+    column-means of the zero-padded byte matrix divided by 255,
+    ``sum(feature) = byte_sum / (255 * ceil(n_bytes/16))`` exactly, so
+    ``feat_digest_e6 = (1e6 * byte_sum) // (255 * ceil(n_bytes/16))``
+    computed in pure integer arithmetic — reproducible bit-for-bit by any
+    ANSI-SQL engine. pytest ties the digest to the float feature path.
+
+    Vectorized: one ``frombuffer`` over the concatenated batch payloads +
+    ``np.add.reduceat`` per-row sums — zero per-row Python.
+    """
+    id_type = dict(media.dtypes)[id_col]
+    schema = (
+        f"media_id {id_type}, n_bytes bigint, byte_sum bigint, feat_digest_e6 bigint"
+    )
+
+    def it(batches):
+        import numpy as np
+
+        for pdf in batches:
+            if not fake:
+                _decode_stub(None, None)
+            if len(pdf) == 0:
+                continue
+            lens = pdf["payload"].map(len).to_numpy("int64")
+            blob = np.frombuffer(b"".join(pdf["payload"]), dtype=np.uint8)
+            if blob.size:
+                offsets = np.concatenate(([0], np.cumsum(lens)[:-1]))
+                byte_sum = np.add.reduceat(
+                    blob.astype(np.int64), np.clip(offsets, 0, blob.size - 1)
+                )
+                byte_sum[lens == 0] = 0  # reduceat yields a stray element there
+            else:
+                byte_sum = np.zeros(len(pdf), dtype=np.int64)
+            rows = (lens + FEATURE_DIM - 1) // FEATURE_DIM
+            digest = np.where(
+                rows > 0, (1_000_000 * byte_sum) // (255 * np.maximum(rows, 1)), 0
+            )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf[id_col].to_numpy(),
+                    "n_bytes": lens,
+                    "byte_sum": byte_sum,
+                    "feat_digest_e6": digest,
+                }
+            )
+
+    return media.mapInPandas(it, schema)
+
+
 def media_stats(media: DataFrame) -> DataFrame:
     """Metadata-only aggregate — must never read the payload column
     (Parquet column pruning; assert via .explain / tests)."""

@@ -1,13 +1,16 @@
 """Encoded-block table: Gorilla/delta-of-delta compression of per-source
 bucket streams — the north rule's hot inner loop as a grouped Arrow kernel.
 
-Layout: one block row per (source, day) holding the DoD-compressed bucket
+Layout: one block row per (source, block) holding the DoD-compressed bucket
 timestamps and the Gorilla-compressed values of one rollup column, plus
-``n_points`` and a CRC of the raw stream. Grouping by (source, day) rather
-than (source) is the skew defuser: the dominant source's stream splits into
-per-day Arrow batches, bounding kernel memory and letting 1000 executors
-work one source in parallel. Blocks are self-contained, so the encoded
-table is partition-prunable by day on read.
+``n_points`` and a CRC of the raw stream. The block granularity defaults to
+calendar MONTH (thousands of points per block amortize the kernel's
+per-call overhead); pass ``block="day"`` for tighter read pruning or
+minute-tier input. Grouping by (source, block) rather than (source) is the
+skew defuser: the dominant source's stream splits into per-block Arrow
+batches, bounding kernel memory and letting 1000 executors work one source
+in parallel. Blocks are self-contained, so the encoded table is
+partition-prunable by block on read.
 
 The kernel is ``applyInPandas`` — Arrow batches in, zero per-row Python:
 sort + int64 view + the vectorized bit-packers in functions/gorilla.py.
@@ -94,25 +97,32 @@ def decode_blocks(blocks: DataFrame) -> DataFrame:
     """
 
     def it(batches):
+        import numpy as np
+
         for pdf in batches:
-            out_src, out_ts, out_val = [], [], []
-            for row in pdf.itertuples(index=False):
-                ts = dod_decode(row.ts_dod, row.n_points)
-                vals = gorilla_decode(row.val_gorilla, row.n_points)
-                if block_crc(ts, vals) != row.crc:
+            out_ts, out_val = [], []
+            # per-BLOCK loop (inherent: one bitstream per block); everything
+            # per-POINT is numpy — sources repeat via np.repeat, timestamps
+            # and values concat once (no Python object per decoded point)
+            for ts_dod, val_g, n_pts, crc, src, day in zip(
+                pdf["ts_dod"], pdf["val_gorilla"], pdf["n_points"],
+                pdf["crc"], pdf["source"], pdf["block_day"],
+            ):
+                ts = dod_decode(ts_dod, n_pts)
+                vals = gorilla_decode(val_g, n_pts)
+                if block_crc(ts, vals) != crc:
                     raise ValueError(
-                        f"CRC mismatch decoding block source={row.source}"
-                        f" day={row.block_day}"
+                        f"CRC mismatch decoding block source={src} day={day}"
                     )
-                out_src.extend([row.source] * row.n_points)
                 out_ts.append(ts)
                 out_val.append(vals)
-            if out_src:
-                import numpy as np
-
+            if out_ts:
                 yield pd.DataFrame(
                     {
-                        "source": out_src,
+                        "source": np.repeat(
+                            pdf["source"].to_numpy(),
+                            pdf["n_points"].to_numpy("int64"),
+                        ),
                         "bucket_start": pd.to_datetime(
                             np.concatenate(out_ts).view("datetime64[ns]")
                         ),

@@ -138,6 +138,21 @@ def test_multimodal_plumbing(spark):
     plan = frame_sample_plan(media, every_n=50)
     assert plan.where("frame_idx % 50 != 0").count() == 0
 
+    # the integer-exact digest path agrees with the float feature path:
+    # feat_digest_e6 == floor(1e6 * sum(feature)) for every payload
+    from rtsa_spark.functions.multimodal import extract_feature_digests
+
+    digests = {
+        r["media_id"]: r for r in extract_feature_digests(media, fake=True).collect()
+    }
+    import math
+
+    for r in rows:
+        d = digests[r["media_id"]]
+        assert d["n_bytes"] == r["n_bytes"]
+        float_digest = math.floor(1e6 * sum(float(x) for x in r["feature"]))
+        assert abs(d["feat_digest_e6"] - float_digest) <= 1  # float32 ulp slack
+
     # decode without a real decoder must fail loudly, not silently
     import pyspark.errors
 
