@@ -38,6 +38,47 @@ def _embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
 
+# --------------------------- derived sequences (north-rule input table)
+#
+# The north-rule input table (doc_id, n_tok, source, ts) is DERIVED from the
+# driver's documents.parquet with md5-based timestamps, so DuckDB can rebuild
+# the identical table and hard-oracle the ladder / encode / metrics paths
+# (r1 ran these on a Spark-only synthesized table -> rows-only checks).
+
+SEQ_EPOCH_S = 1704067200  # 2024-01-01 00:00:00 UTC
+SEQ_HORIZON_S = 120 * 24 * 3600  # 120 days -> ~4 monthly buckets
+
+
+def _derived_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sequences(doc_id, source, n_tok, ts) from documents: n_tok = word
+    count, ts = epoch + (first 48 bits of md5(doc_id) mod horizon) seconds.
+    Every step is reproducible in ANSI SQL (see SQL_SEQ_CTE)."""
+    d = _documents(spark, sf_dir)
+    h = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 12), 16, 10).cast(
+        "bigint"
+    )
+    return d.select(
+        "doc_id",
+        "source",
+        F.size(F.split(F.col("text"), " ")).alias("n_tok"),
+        F.timestamp_seconds(
+            F.lit(SEQ_EPOCH_S) + F.pmod(h, F.lit(SEQ_HORIZON_S))
+        ).alias("ts"),
+    )
+
+
+SQL_SEQ_CTE = f"""
+seq AS (
+  SELECT doc_id, source,
+         len(string_split(text, ' ')) AS n_tok,
+         TIMESTAMP '2024-01-01 00:00:00'
+           + (('0x' || substr(md5(doc_id::VARCHAR), 1, 12))::BIGINT
+              % {SEQ_HORIZON_S}) * INTERVAL 1 SECOND AS ts
+  FROM documents
+)
+"""
+
+
 def _hourly_series(spark, sf_dir):
     """Shared base: hourly value series per event_type via the engine."""
     from rtsa_spark.operators.rollup import rollup_series
@@ -381,15 +422,15 @@ SELECT source, word, cnt, rank FROM r WHERE rank <= 10
 
 
 def q_encode_roundtrip_audit(spark, sf_dir):
-    """Self-validating Gorilla/DoD audit: encode the hourly tier, decode it,
-    and report per-source point counts + mismatches (must be 0). Rows-only
-    by nature, but the result row IS the assertion."""
+    """Gorilla/DoD audit with a real oracle: encode the derived hourly tier,
+    decode it, full-outer-join against the original. The oracle recomputes
+    the expected per-source point count from the derived sequences (so a
+    decode that drops/duplicates/moves any point breaks ``n_points``), and
+    ``n_mismatch=0`` asserts bit-exact value round-trip."""
     from rtsa_spark.operators.encode import decode_blocks, encode_tier
     from rtsa_spark.operators.rollup import rollup_next, rollup_raw
-    from rtsa_spark.synth import synth_sequences
 
-    seq = synth_sequences(spark, 20_000, n_sources=8)
-    hourly = rollup_next(rollup_raw(seq), "hourly")
+    hourly = rollup_next(rollup_raw(_derived_sequences(spark, sf_dir)), "hourly")
     pts = decode_blocks(encode_tier(hourly, value_col="n_tok_mean"))
     orig = hourly.select(
         "source", "bucket_start", F.col("n_tok_mean").alias("value")
@@ -405,6 +446,15 @@ def q_encode_roundtrip_audit(spark, sf_dir):
             ).cast("int")
         ).alias("n_mismatch"),
     )
+
+
+SQL_ENCODE_AUDIT = f"""
+WITH {SQL_SEQ_CTE}
+SELECT source,
+       CAST(count(DISTINCT date_trunc('hour', ts)) AS BIGINT) AS n_points,
+       CAST(0 AS BIGINT) AS n_mismatch
+FROM seq GROUP BY 1
+"""
 
 
 # --------------------------------------------- training-data pipeline ops
@@ -529,6 +579,54 @@ FROM pairs WHERE floor(10000 * inter / uni) >= 5000
 """
 
 
+def q_ngram_jaccard_lsh(spark, sf_dir):
+    """Scale-default near-dup verify: exact Jaccard over MinHash-LSH
+    candidate pairs (bounded bucket join, deduped across bands)."""
+    from rtsa_spark.operators.dedup import ngram_jaccard_lsh
+
+    return ngram_jaccard_lsh(
+        _documents(spark, sf_dir), min_jaccard_e4=5000, n_hashes=N_MINHASH, band_size=2
+    )
+
+
+def _sql_ngram_jaccard_lsh():
+    sigs = ", ".join(
+        f"min(md5('{j}:' || shingle)) AS sig_{j}" for j in range(N_MINHASH)
+    )
+    union = " UNION ALL ".join(
+        f"SELECT {b} AS band, md5(sig_{2*b} || sig_{2*b+1}) AS band_hash, doc_id FROM sigs"
+        for b in range(N_MINHASH // 2)
+    )
+    return f"""
+WITH words AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), shingled AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, len(w) - 2),
+                               i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle
+  FROM words WHERE len(w) >= 3
+), sigs AS (
+  SELECT doc_id, {sigs} FROM shingled GROUP BY doc_id
+), banded AS ({union}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+), ws AS (
+  SELECT doc_id, list_distinct(string_split(text, ' ')) AS ws FROM documents
+)
+SELECT doc_a, doc_b,
+       CAST(floor(10000 * len(list_intersect(wa.ws, wb.ws))
+            / (len(wa.ws) + len(wb.ws) - len(list_intersect(wa.ws, wb.ws))))
+         AS BIGINT) AS jaccard_e4
+FROM cand
+JOIN ws wa ON wa.doc_id = cand.doc_a
+JOIN ws wb ON wb.doc_id = cand.doc_b
+WHERE floor(10000 * len(list_intersect(wa.ws, wb.ws))
+      / (len(wa.ws) + len(wb.ws) - len(list_intersect(wa.ws, wb.ws)))) >= 5000
+"""
+
+
 def q_ann_cosine_topk(spark, sf_dir):
     """Brute-force cosine top-5 neighbors for query vectors vec_id < 5 —
     the exact baseline of the similarity-search surface."""
@@ -557,6 +655,82 @@ scored AS (
   FROM scored
 )
 SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank, CAST(floor(cos * 1e6) AS BIGINT) AS cos_e6
+FROM ranked WHERE rank <= 5
+"""
+
+
+ANN_LSH_PLANES = 4
+ANN_LSH_TABLES = 8
+
+
+def q_ann_cosine_lsh(spark, sf_dir):
+    """ANN scale path: multiprobe hyperplane-LSH candidates + exact cosine
+    re-rank; identical schema to ann_cosine_topk. Recall vs the exact
+    baseline is measured/gated in tests/test_training_ops.py (0.64 at this
+    operating point on the sf0.01 random vectors — the worst case for LSH;
+    clustered embeddings recall much higher per candidate, also gated).
+    The oracle replays the same deterministic planes in SQL."""
+    from rtsa_spark.operators.similarity import cosine_topk_lsh
+
+    emb = _embeddings(spark, sf_dir)
+    return cosine_topk_lsh(
+        emb.where("vec_id < 5"), emb, k=5,
+        n_planes=ANN_LSH_PLANES, n_tables=ANN_LSH_TABLES, dim=64, seed=42,
+    )
+
+
+def _sql_ann_lsh():
+    from rtsa_spark.operators.similarity import lsh_planes
+
+    planes = lsh_planes(ANN_LSH_PLANES, 64, 42, ANN_LSH_TABLES)
+    pl_cols = ", ".join(
+        "[" + ",".join(str(int(v)) for v in planes[j]) + "] AS p{}".format(j)
+        for j in range(len(planes))
+    )
+
+    def bucket_expr(t):
+        return " + ".join(
+            f"(CASE WHEN list_sum(list_transform(generate_series(1, 64),"
+            f" i -> embedding[i]::DOUBLE * p{t * ANN_LSH_PLANES + p}[i])) > 0"
+            f" THEN {1 << p} ELSE 0 END)"
+            for p in range(ANN_LSH_PLANES)
+        )
+
+    bucket_case = (
+        "CASE t.tbl "
+        + " ".join(f"WHEN {t} THEN ({bucket_expr(t)})" for t in range(ANN_LSH_TABLES))
+        + " END"
+    )
+    tbls = ", ".join(str(t) for t in range(ANN_LSH_TABLES))
+    return f"""
+WITH pl AS (SELECT {pl_cols}),
+b AS (
+  SELECT vec_id, embedding, t.tbl, {bucket_case} AS bucket
+  FROM embeddings, pl, (SELECT unnest([{tbls}]) AS tbl) t
+),
+cand AS (
+  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+  FROM b q JOIN b c ON q.tbl = c.tbl AND q.bucket = c.bucket
+  WHERE q.vec_id < 5 AND c.vec_id != q.vec_id
+),
+scored AS (
+  SELECT query_id, neighbor_id,
+         list_sum(list_transform(generate_series(1, 64),
+                                 i -> qe.embedding[i]::DOUBLE * ce.embedding[i]::DOUBLE))
+         / (sqrt(list_sum(list_transform(generate_series(1, 64),
+                  i -> qe.embedding[i]::DOUBLE * qe.embedding[i]::DOUBLE)))
+          * sqrt(list_sum(list_transform(generate_series(1, 64),
+                  i -> ce.embedding[i]::DOUBLE * ce.embedding[i]::DOUBLE)))) AS cos
+  FROM cand
+  JOIN embeddings qe ON qe.vec_id = cand.query_id
+  JOIN embeddings ce ON ce.vec_id = cand.neighbor_id
+), ranked AS (
+  SELECT query_id, neighbor_id, cos,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank,
+       CAST(floor(cos * 1e6) AS BIGINT) AS cos_e6
 FROM ranked WHERE rank <= 5
 """
 
@@ -637,27 +811,64 @@ FROM w GROUP BY 1
 """
 
 
-# ----------------------------------- token-sequence engine ops (rows-only)
+def _exact_seq_tier(df):
+    """Integer-exact projection of a token-rollup tier row."""
+    return df.select(
+        "source",
+        "bucket_start",
+        F.col("n_seq").cast("bigint").alias("n_seq"),
+        F.col("n_tok_sum").cast("bigint").alias("n_tok_sum"),
+        F.col("n_tok_min").cast("bigint").alias("n_tok_min"),
+        F.col("n_tok_max").cast("bigint").alias("n_tok_max"),
+        F.floor(F.col("n_tok_sum") * 10000 / F.col("n_seq")).alias("n_tok_mean_e4"),
+    )
 
 
 def q_sequences_ladder(spark, sf_dir):
-    """The north-rule engine itself on the deterministic sequences table
-    (synthesized; no SQL oracle — cascade exactness is pytest-gated)."""
+    """The north-rule engine on the derived sequences table: raw(minute) ->
+    hourly -> daily cascade of algebraic partials; the oracle aggregates the
+    daily tier straight from the derived rows — exact tier-match, hard-hash."""
     from rtsa_spark.operators.rollup import rollup_ladder
-    from rtsa_spark.synth import synth_sequences
 
-    seq = synth_sequences(spark, 20_000, n_sources=8)
-    return rollup_ladder(seq)["monthly"]
+    tiers = rollup_ladder(_derived_sequences(spark, sf_dir))
+    return _exact_seq_tier(tiers["daily"])
+
+
+SQL_SEQ_LADDER = f"""
+WITH {SQL_SEQ_CTE}
+SELECT source, date_trunc('day', ts) AS bucket_start,
+       count(*) AS n_seq,
+       CAST(sum(n_tok) AS BIGINT) AS n_tok_sum,
+       CAST(min(n_tok) AS BIGINT) AS n_tok_min,
+       CAST(max(n_tok) AS BIGINT) AS n_tok_max,
+       CAST(floor(sum(n_tok) * 10000 / count(*)) AS BIGINT) AS n_tok_mean_e4
+FROM seq GROUP BY 1, 2
+"""
 
 
 def q_sequences_encode_blocks(spark, sf_dir):
-    """Gorilla/DoD encoded block table over the hourly tier (rows-only)."""
+    """Gorilla/DoD encoded block table over the derived hourly tier. The
+    bitstreams themselves aren't SQL-expressible, but the block manifest
+    (point counts + bucket bounds per (source, month) block) is — and the
+    full stream content is separately pinned by encode_roundtrip_audit."""
     from rtsa_spark.operators.encode import encode_tier
     from rtsa_spark.operators.rollup import rollup_next, rollup_raw
-    from rtsa_spark.synth import synth_sequences
 
-    seq = synth_sequences(spark, 20_000, n_sources=8)
-    return encode_tier(rollup_next(rollup_raw(seq), "hourly"))
+    hourly = rollup_next(rollup_raw(_derived_sequences(spark, sf_dir)), "hourly")
+    return encode_tier(hourly).select(
+        "source", "block_day", "n_points", "bucket_lo", "bucket_hi"
+    )
+
+
+SQL_SEQ_ENCODE_BLOCKS = f"""
+WITH {SQL_SEQ_CTE}, hourly AS (
+  SELECT DISTINCT source, date_trunc('hour', ts) AS bucket_start FROM seq
+)
+SELECT source, date_trunc('month', bucket_start) AS block_day,
+       CAST(count(*) AS INTEGER) AS n_points,
+       min(bucket_start) AS bucket_lo, max(bucket_start) AS bucket_hi
+FROM hourly GROUP BY 1, 2
+"""
 
 
 def q_sequences_gapfill_spline(spark, sf_dir):
@@ -746,15 +957,196 @@ FROM b
 
 
 def q_sequences_metrics(spark, sf_dir):
-    """Per-source decomposition + Mann-Kendall metrics rows (rows-only)."""
-    from rtsa_spark.operators.gapfill import gapfill_linear
-    from rtsa_spark.operators.metrics import compute_metrics
+    """Per-source decomposition + Mann-Kendall metrics over the derived
+    daily tier — the ORACLE-FACING deterministic kernel (exact-int
+    numerators, one final float op per statistic; see
+    operators/metrics.compute_metrics_deterministic). The float64
+    production kernel (compute_metrics) is pinned to these values in
+    tests/test_metrics.py. Reference contract: R/rtsa.stl.R:363-375,
+    R/rtsa.mk.R:296-312."""
+    from rtsa_spark.operators.metrics import compute_metrics_deterministic
     from rtsa_spark.operators.rollup import rollup_ladder
-    from rtsa_spark.synth import synth_sequences
 
-    seq = synth_sequences(spark, 20_000, n_sources=8)
-    daily = rollup_ladder(seq)["daily"]
-    return compute_metrics(gapfill_linear(daily, "daily"), "daily")
+    daily = rollup_ladder(_derived_sequences(spark, sf_dir))["daily"]
+    return compute_metrics_deterministic(
+        daily, "daily", value_col="n_tok_sum", period=7
+    )
+
+
+def _sql_floordiv(num: str, den: str) -> str:
+    """Python-semantics floor division for possibly-negative exact ints
+    (DuckDB's ``//`` truncates toward zero)."""
+    return (
+        f"(CASE WHEN ({num}) >= 0 THEN ({num}) // ({den})"
+        f" ELSE -((-({num}) + ({den}) - 1) // ({den})) END)"
+    )
+
+
+def _sql_metrics_deterministic() -> str:
+    """DuckDB replay of compute_metrics_deterministic over the derived
+    daily tier (period 7, odd): reflect-padded MA numerators, per-phase
+    detrended sums, deseasonalized endpoint windows with common denominator
+    D2 = 49*q*(q+1), and the MK pair statistics — all in exact integer
+    arithmetic, one float divide/floor per emitted statistic."""
+    # reflect index for position i+d over [0, n): numpy np.pad 'reflect'
+    refl = (
+        "(CASE WHEN i + d < 0 THEN -(i + d)"
+        " WHEN i + d >= n THEN 2 * (n - 1) - (i + d)"
+        " ELSE i + d END)"
+    )
+    slope_num = "1000000000::HUGEINT * (last_num - first_num)::HUGEINT"
+    slope_den = "(49::HUGEINT * qbig::HUGEINT * 7::HUGEINT * span_s::HUGEINT)"
+    deg_slope_num = "1000000000::HUGEINT * (xs[CAST(n AS INTEGER)] - xs[1])::HUGEINT"
+    return f"""
+WITH {SQL_SEQ_CTE}, tier AS (
+  SELECT source, date_trunc('day', ts) AS b, CAST(sum(n_tok) AS BIGINT) AS x
+  FROM seq GROUP BY 1, 2
+), ord AS (
+  SELECT source, b, x,
+         CAST(row_number() OVER (PARTITION BY source ORDER BY b) - 1 AS BIGINT) AS i
+  FROM tier
+), lists AS (
+  SELECT source,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(epoch(max(b)) - epoch(min(b)) AS BIGINT) AS span_s,
+         list(x ORDER BY b) AS xs,
+         CAST(sum(x) AS BIGINT) AS x_sum
+  FROM ord GROUP BY source
+), pairs AS (
+  SELECT a.source, CAST(sign(b2.x - a.x) AS BIGINT) AS sg
+  FROM ord a JOIN ord b2 ON a.source = b2.source AND a.i < b2.i
+), sstat AS (
+  SELECT source, CAST(coalesce(sum(sg), 0) AS BIGINT) AS s FROM pairs GROUP BY source
+), tg AS (
+  SELECT source, x, CAST(count(*) AS BIGINT) AS t FROM ord GROUP BY source, x
+), ties AS (
+  SELECT source,
+         CAST(sum(t*(t-1)*(2*t+5)) AS BIGINT) AS corr,
+         CAST(sum(t*(t-1)//2) AS BIGINT) AS n1
+  FROM tg GROUP BY source
+), dec AS (
+  SELECT source, n, xs,
+    list_transform(generate_series(0, CAST(n AS INTEGER) - 1), i ->
+      7 * xs[i + 1] - list_sum(list_transform(generate_series(-3, 3), d ->
+        xs[{refl} + 1]))) AS detr,
+    n // 7 AS q, n % 7 AS r
+  FROM lists WHERE n >= 14
+), ph AS (
+  SELECT source, n, xs, q, (q * (q + 1)) AS qbig,
+    list_transform(generate_series(0, 6), p ->
+      list_sum(list_transform(generate_series(0, CAST((n - 1 - p) // 7 AS INTEGER)),
+        k -> detr[p + 7 * k + 1]))) AS ph_sum,
+    list_transform(generate_series(0, 6), p ->
+      CASE WHEN p < r THEN q + 1 ELSE q END) AS c_ph
+  FROM dec
+), amp AS (
+  SELECT source, n, xs, qbig, ph_sum, c_ph,
+    list_max(list_transform(generate_series(1, 7), p ->
+      ph_sum[p]::DOUBLE / (7 * c_ph[p])::DOUBLE)) -
+    list_min(list_transform(generate_series(1, 7), p ->
+      ph_sum[p]::DOUBLE / (7 * c_ph[p])::DOUBLE)) AS amplitude,
+    list_sum(list_transform(generate_series(1, 7), p ->
+      ph_sum[p] * (qbig // c_ph[p]))) AS overall_num
+  FROM ph
+), des AS (
+  SELECT source, n, qbig, amplitude,
+    list_transform(generate_series(0, CAST(n AS INTEGER) - 1), i ->
+      49 * qbig * xs[i + 1]
+      - (ph_sum[(i % 7) + 1] * ((qbig * 7) // c_ph[(i % 7) + 1]) - overall_num)
+    ) AS dsn
+  FROM amp
+), trend AS (
+  SELECT source, amplitude, qbig,
+    list_sum(list_transform(generate_series(-3, 3), d ->
+      dsn[(CASE WHEN 0 + d < 0 THEN -(0 + d) ELSE 0 + d END) + 1])) AS first_num,
+    list_sum(list_transform(generate_series(-3, 3), d ->
+      dsn[(CASE WHEN n - 1 + d >= n THEN 2 * (n - 1) - (n - 1 + d)
+           ELSE n - 1 + d END) + 1])) AS last_num
+  FROM des
+)
+SELECT l.source,
+       l.n AS n_buckets,
+       l.x_sum,
+       (10000 * l.x_sum) // l.n AS value_mean_e4,
+       CASE WHEN l.n >= 14 THEN CAST(floor(10000.0 * t.amplitude) AS BIGINT)
+            ELSE 0 END AS seasonal_amplitude_e4,
+       CASE WHEN l.span_s <= 0 THEN NULL
+            WHEN l.n >= 14 THEN CAST({_sql_floordiv(slope_num, slope_den)} AS BIGINT)
+            ELSE CAST({_sql_floordiv(deg_slope_num, "l.span_s::HUGEINT")} AS BIGINT)
+       END AS trend_slope_e9,
+       CASE WHEN l.n >= 5 THEN s.s ELSE NULL END AS mk_s,
+       CASE WHEN l.n >= 5 THEN
+         l.n * (l.n - 1) * (2 * l.n + 5) - coalesce(ti.corr, 0)
+       ELSE NULL END AS mk_vars18,
+       CASE WHEN l.n >= 5 AND
+                 (l.n * (l.n - 1) // 2 - coalesce(ti.n1, 0)) > 0 THEN
+         CAST(floor(1000000.0 * (s.s::DOUBLE /
+           sqrt((l.n * (l.n - 1) / 2.0 - coalesce(ti.n1, 0)::DOUBLE)
+                * (l.n * (l.n - 1) / 2.0)))) AS BIGINT)
+       ELSE NULL END AS mk_tau_e6
+FROM lists l
+LEFT JOIN sstat s USING (source)
+LEFT JOIN ties ti USING (source)
+LEFT JOIN trend t ON l.source = t.source AND l.n >= 14
+"""
+
+
+def q_mk_stats(spark, sf_dir):
+    """Mann-Kendall S / varS / tau per event_type over the hourly series
+    (A6, ``R/rtsa.mk.R:296-312``) as exact integers: S and 18*varS are
+    integers by definition; tau is floor(1e6 * S/denom) where the one
+    sqrt+divide is IEEE-identical across engines on exact-int inputs."""
+    from rtsa_spark.operators.metrics import compute_metrics_deterministic
+
+    hourly = _hourly_series(spark, sf_dir).select(
+        "event_type", "bucket_start", _cents(F.col("v_sum")).alias("x")
+    )
+    out = compute_metrics_deterministic(
+        hourly, "hourly", value_col="x", period=24, key_col="event_type"
+    )
+    return out.select("event_type", "n_buckets", "mk_s", "mk_vars18", "mk_tau_e6")
+
+
+SQL_MK_STATS = """
+WITH h AS (
+  SELECT event_type, date_trunc('hour', ts) AS b,
+         CAST(round(sum(value) * 100) AS BIGINT) AS x
+  FROM events GROUP BY 1, 2
+), ord AS (
+  SELECT event_type, x,
+         CAST(row_number() OVER (PARTITION BY event_type ORDER BY b) - 1 AS BIGINT) AS i
+  FROM h
+), lists AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM ord GROUP BY 1
+), pairs AS (
+  SELECT a.event_type, CAST(sign(b2.x - a.x) AS BIGINT) AS sg
+  FROM ord a JOIN ord b2 ON a.event_type = b2.event_type AND a.i < b2.i
+), sstat AS (
+  SELECT event_type, CAST(coalesce(sum(sg), 0) AS BIGINT) AS s FROM pairs GROUP BY 1
+), tg AS (
+  SELECT event_type, x, CAST(count(*) AS BIGINT) AS t FROM ord GROUP BY 1, 2
+), ties AS (
+  SELECT event_type,
+         CAST(sum(t*(t-1)*(2*t+5)) AS BIGINT) AS corr,
+         CAST(sum(t*(t-1)//2) AS BIGINT) AS n1
+  FROM tg GROUP BY 1
+)
+SELECT l.event_type,
+       l.n AS n_buckets,
+       CASE WHEN l.n >= 5 THEN s.s ELSE NULL END AS mk_s,
+       CASE WHEN l.n >= 5 THEN
+         l.n * (l.n - 1) * (2 * l.n + 5) - coalesce(ti.corr, 0)
+       ELSE NULL END AS mk_vars18,
+       CASE WHEN l.n >= 5 AND
+                 (l.n * (l.n - 1) // 2 - coalesce(ti.n1, 0)) > 0 THEN
+         CAST(floor(1000000.0 * (s.s::DOUBLE /
+           sqrt((l.n * (l.n - 1) / 2.0 - coalesce(ti.n1, 0)::DOUBLE)
+                * (l.n * (l.n - 1) / 2.0)))) AS BIGINT)
+       ELSE NULL END AS mk_tau_e6
+FROM lists l
+LEFT JOIN sstat s USING (event_type)
+LEFT JOIN ties ti USING (event_type)
+"""
 
 
 # ------------------------------------------------------------ entry points
@@ -791,13 +1183,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mask_complete_profile": q_mask_complete_profile,
         "mask_consecutive_gap": q_mask_consecutive_gap,
         "metrics_series": q_metrics_series,
+        "mk_stats": q_mk_stats,
         "tier_match_check": q_tier_match_check,
         "dedup_exact": q_dedup_exact,
         "dedup_fingerprint": q_dedup_fingerprint,
         "minhash_lsh": q_minhash_lsh,
         "simhash16": q_simhash16,
         "ngram_jaccard": q_ngram_jaccard,
+        "ngram_jaccard_lsh": q_ngram_jaccard_lsh,
         "ann_cosine_topk": q_ann_cosine_topk,
+        "ann_cosine_lsh": q_ann_cosine_lsh,
         "embedding_norms": q_embedding_norms,
         "text_quality": q_text_quality,
         "langid_heuristic": q_langid_heuristic,
@@ -831,12 +1226,19 @@ def oracle_sql() -> dict[str, str]:
         "minhash_lsh": _sql_minhash(),
         "simhash16": _sql_simhash(),
         "ngram_jaccard": SQL_NGRAM_JACCARD,
+        "ngram_jaccard_lsh": _sql_ngram_jaccard_lsh(),
         "ann_cosine_topk": SQL_ANN_COSINE,
+        "ann_cosine_lsh": _sql_ann_lsh(),
         "embedding_norms": SQL_EMBEDDING_NORMS,
         "text_quality": SQL_TEXT_QUALITY,
         "langid_heuristic": SQL_LANGID,
         "token_stats": SQL_TOKEN_STATS,
         "media_features": SQL_MEDIA_FEATURES,
+        "mk_stats": SQL_MK_STATS,
+        "sequences_metrics": _sql_metrics_deterministic(),
+        "sequences_ladder": SQL_SEQ_LADDER,
+        "sequences_encode_blocks": SQL_SEQ_ENCODE_BLOCKS,
+        "encode_roundtrip_audit": SQL_ENCODE_AUDIT,
         # remaining sequences_* (spline/dineof/eof/eot) are genuinely
         # non-SQL-expressible (iterative solvers) -> rows-only checks
     }

@@ -28,6 +28,8 @@ averages are O(n) numpy with no iteration.
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 
 
@@ -72,6 +74,91 @@ def decompose(x: np.ndarray, period: int) -> dict[str, np.ndarray]:
     window = period if period % 2 == 1 else period + 1
     trend = _centered_ma(deseason, window)
     return {"seasonal": seasonal, "trend": trend, "remainder": x - seasonal - trend}
+
+
+def decompose_deterministic_stats(
+    x_int: np.ndarray, period: int, span_seconds: int
+) -> dict[str, object]:
+    """IEEE-deterministic decomposition statistics over an INTEGER series —
+    the oracle-facing variant of :func:`decompose` + :func:`component_stats`.
+
+    Every multi-term summation stays in exact int64 arithmetic (windowed MA
+    numerators, per-phase detrended sums, deseasonalized window sums with a
+    common denominator); floating point appears only in a fixed, final
+    sequence of correctly-rounded ops (one divide / subtract / floor per
+    statistic). Any engine replaying the same integer recipe (e.g. the
+    DuckDB list-based oracle in ``__spark_entry__``) produces bit-identical
+    doubles, so ``floor``-scaled outputs hash-match exactly.
+
+    Math matches :func:`decompose` (same reflect padding, same per-phase
+    means, same final moving average on the deseasonalized series); pytest
+    asserts the float64 production kernel agrees to ~1e-9. Returns
+    ``seasonal_amplitude_e4``, ``trend_slope_e9`` (None when span==0) — and
+    the building blocks for tests.
+    """
+    x = np.asarray(x_int, dtype=np.int64)
+    n = len(x)
+    if n == 0:
+        return {"seasonal_amplitude_e4": None, "trend_slope_e9": None}
+    if n < 2 * period or period < 2:
+        # degenerate contract of decompose(): zero seasonal, trend = x
+        amp_e4 = 0
+        slope_e9 = (
+            (1_000_000_000 * (int(x[-1]) - int(x[0]))) // span_seconds
+            if span_seconds > 0 and n >= 2
+            else None
+        )
+        return {"seasonal_amplitude_e4": amp_e4, "trend_slope_e9": slope_e9}
+
+    p = period
+    half = p // 2
+    xp = np.pad(x, (half, half), mode="reflect")
+    if p % 2 == 1:
+        den = p
+        # t0_num[i] = sum of the p-wide window (integer numerator, den = p)
+        kern = np.ones(p, dtype=np.int64)
+    else:
+        den = 2 * p
+        kern = np.full(p + 1, 2, dtype=np.int64)
+        kern[0] = kern[-1] = 1
+    t0_num = np.convolve(xp, kern, mode="valid")  # int64 convolution: exact
+    detr_num = den * x - t0_num
+
+    phases = np.arange(n) % p
+    q, r = divmod(n, p)
+    c_ph = np.where(np.arange(p) < r, q + 1, q).astype(np.int64)
+    ph_sum = np.zeros(p, dtype=np.int64)
+    np.add.at(ph_sum, phases, detr_num)
+
+    # amplitude: max-min of phase means (centering cancels); one float
+    # division per phase of exact ints -> bit-identical across engines
+    ph_mean = ph_sum.astype(np.float64) / (den * c_ph).astype(np.float64)
+    amp = float(ph_mean.max() - ph_mean.min())
+    amp_e4 = math.floor(10000.0 * amp)
+
+    # final trend endpoints on the deseasonalized series, common denominator
+    # D2 = den * Q * p with Q = q*(q+1) (c_ph | Q for both count values)
+    Q = q * (q + 1) if q > 0 else 1
+    D2 = den * Q * p
+    overall_num = int(np.sum(ph_sum * (Q // np.maximum(c_ph, 1))))  # = D2*overall/p... see below
+    s_num = ph_sum * ((Q * p) // np.maximum(c_ph, 1)) - overall_num
+    deseason_num = D2 * x - s_num[phases]
+    w = p if p % 2 == 1 else p + 1
+    wh = w // 2
+    dp = np.pad(deseason_num, (wh, wh), mode="reflect")
+    first_num = int(dp[:w].sum())
+    last_num = int(dp[-w:].sum())
+    if span_seconds > 0:
+        # exact integer floor division (Python bigints: D2*w*span can pass 2^63)
+        slope_e9 = (1_000_000_000 * (last_num - first_num)) // (D2 * w * span_seconds)
+    else:
+        slope_e9 = None
+    return {
+        "seasonal_amplitude_e4": int(amp_e4),
+        "trend_slope_e9": int(slope_e9) if slope_e9 is not None else None,
+        "_ph_mean": ph_mean,
+        "_D2": D2,
+    }
 
 
 def component_stats(

@@ -121,6 +121,92 @@ def minhash_lsh_buckets(
     )
 
 
+def minhash_lsh_pairs(
+    df: DataFrame,
+    n_hashes: int = 8,
+    band_size: int = 2,
+    shingle_n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Candidate near-dup pairs from LSH band buckets: docs sharing any
+    (band, band_hash) bucket, deduped across bands BEFORE any expensive
+    verify work. Returns (doc_a, doc_b), doc_a < doc_b.
+
+    This is the scale-correct candidate generator: the pair space is the
+    union of per-bucket cliques (bucket sizes bounded by signature
+    collisions), never a popularity-keyed near-cartesian join. Dominant
+    buckets (boilerplate) are plain equi-join skew -> AQE skew-join splits
+    them."""
+    sigs = minhash_signatures(df, n_hashes, shingle_n, text_col, id_col)
+    n_bands = n_hashes // band_size
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(
+                    F.concat(
+                        *[F.col(f"sig_{b * band_size + i}") for i in range(band_size)]
+                    )
+                ).alias("band_hash"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    exploded = sigs.select(F.col(id_col), F.explode(bands).alias("bb")).select(
+        id_col, F.col("bb.band").alias("band"), F.col("bb.band_hash").alias("band_hash")
+    )
+    a, b = exploded.alias("a"), exploded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+        )
+        .distinct()
+    )
+
+
+def ngram_jaccard_lsh(
+    df: DataFrame,
+    min_jaccard_e4: int = 5000,
+    n_hashes: int = 8,
+    band_size: int = 2,
+    shingle_n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact word-set Jaccard verify over MinHash-LSH candidate pairs —
+    the default near-dup pipeline at scale (candidates bounded by LSH
+    buckets; the exact verify touches only candidate pairs). Integer-exact
+    ``jaccard_e4 = floor(1e4*|∩|/|∪|)``.
+
+    Supersedes the 1-perm bucket in :func:`ngram_jaccard_pairs` (whose
+    common-word buckets go near-cartesian on boilerplate-heavy corpora);
+    that variant remains only as the legacy oracle query."""
+    pairs = minhash_lsh_pairs(df, n_hashes, band_size, shingle_n, text_col, id_col)
+    ws = df.select(
+        F.col(id_col),
+        F.array_distinct(F.split(F.col(text_col), " ")).alias("ws"),
+    )
+    j = (
+        pairs.join(ws.select(F.col(id_col).alias("doc_a"), F.col("ws").alias("ws_a")), "doc_a")
+        .join(ws.select(F.col(id_col).alias("doc_b"), F.col("ws").alias("ws_b")), "doc_b")
+    )
+    inter = F.size(F.array_intersect(F.col("ws_a"), F.col("ws_b")))
+    uni = F.size(F.col("ws_a")) + F.size(F.col("ws_b")) - inter
+    jac = F.floor(10000 * inter / uni)
+    return (
+        j.select("doc_a", "doc_b", jac.alias("jaccard_e4"))
+        .where(F.col("jaccard_e4") >= min_jaccard_e4)
+    )
+
+
 def simhash16(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

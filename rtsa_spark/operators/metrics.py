@@ -71,3 +71,85 @@ def compute_metrics(
         )
 
     return tier_df.groupBy(key_col).applyInPandas(kernel, METRICS_SCHEMA)
+
+
+def _deterministic_schema(key_col: str) -> str:
+    return (
+        f"{key_col} string, n_buckets bigint, x_sum bigint, value_mean_e4 bigint,"
+        " seasonal_amplitude_e4 bigint, trend_slope_e9 bigint,"
+        " mk_s bigint, mk_vars18 bigint, mk_tau_e6 bigint"
+    )
+
+
+def compute_metrics_deterministic(
+    tier_df: DataFrame,
+    tier: str,
+    value_col: str = "n_tok_sum",
+    period: int | None = None,
+    key_col: str = "source",
+    bucket_col: str = "bucket_start",
+) -> DataFrame:
+    """Oracle-facing metrics row per source over an INTEGER-valued tier
+    series: decomposition stats via exact-int numerators
+    (:func:`rtsa_spark.functions.decompose.decompose_deterministic_stats`)
+    and Mann-Kendall emitted as exact integers (S, 18*varS) plus the
+    IEEE-deterministic ``floor(1e6*tau)``. Every output column hash-matches
+    a DuckDB oracle replaying the same integer recipe; pytest ties these to
+    the float64 production kernel (:func:`compute_metrics`).
+
+    Same reference statistics contract as compute_metrics
+    (``/root/reference/R/rtsa.stl.R:363-375``, ``R/rtsa.mk.R:296-312``).
+    """
+    import math
+
+    import numpy as np
+
+    from rtsa_spark.functions.decompose import decompose_deterministic_stats
+    from rtsa_spark.functions.kendall import (
+        MK_MIN_OBS,
+        _s_and_ties,
+        _tau_denominator,
+        _var_s,
+    )
+
+    p = period if period is not None else DEFAULT_PERIOD.get(tier, 12)
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(bucket_col)
+        x = pdf[value_col].to_numpy("int64")
+        t = pdf[bucket_col].to_numpy("datetime64[ns]").view("int64") // 1_000_000_000
+        n = len(x)
+        span = int(t[-1] - t[0]) if n >= 2 else 0
+        dstats = decompose_deterministic_stats(x, p, span)
+        row = {
+            key_col: pdf[key_col].iloc[0],
+            "n_buckets": n,
+            "x_sum": int(x.sum()),
+            "value_mean_e4": (10000 * int(x.sum())) // n if n else None,
+            "seasonal_amplitude_e4": dstats["seasonal_amplitude_e4"],
+            "trend_slope_e9": dstats["trend_slope_e9"],
+            "mk_s": None,
+            "mk_vars18": None,
+            "mk_tau_e6": None,
+        }
+        if n >= MK_MIN_OBS:
+            s, ties = _s_and_ties(x.astype("float64"))
+            var_s = _var_s(n, ties)
+            denom = _tau_denominator(n, ties)
+            row["mk_s"] = int(s)
+            row["mk_vars18"] = int(round(var_s * 18))  # varS = int/18 -> exact
+            if denom > 0:
+                row["mk_tau_e6"] = math.floor(1_000_000.0 * (s / denom))
+        return pd.DataFrame([row]).astype(
+            {
+                c: "Int64"
+                for c in (
+                    "value_mean_e4", "seasonal_amplitude_e4", "trend_slope_e9",
+                    "mk_s", "mk_vars18", "mk_tau_e6",
+                )
+            }
+        )
+
+    return tier_df.groupBy(key_col).applyInPandas(
+        kernel, _deterministic_schema(key_col)
+    )

