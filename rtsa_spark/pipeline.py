@@ -3,21 +3,27 @@
 Runs the retention ladder stage by stage, persisting every tier before the
 next reads it, with a lineage ledger that makes re-runs idempotent:
 
-- each stage writes to ``<base>/<stage>`` (parquet, zstd) and appends a
-  lineage row ``{run_id, stage, rows_in, rows_out, n_files, started_at,
-  finished_at, status, fingerprint}`` to ``<base>/lineage.jsonl``;
+- each stage writes to ``<base>/<stage>`` (parquet, zstd), bucket-bearing
+  stages **partitioned by calendar month** (``p_month=YYYY-MM`` dirs), and
+  appends a lineage row ``{run_id, stage, rows_in, rows_out, n_files,
+  started_at, finished_at, status, fingerprint}`` to
+  ``<base>/lineage.jsonl``;
 - a stage is SKIPPED on re-run when a SUCCESS lineage row exists whose
-  input fingerprint (row count of the stage input) matches — kill the
-  driver between stages and rerun: completed tiers are not recomputed and
-  final tables are identical (tested in tests/test_pipeline.py);
-- writes go to a ``_tmp`` dir first and are atomically renamed, so a stage
-  killed mid-write never leaves a half-table behind the SUCCESS check.
+  input fingerprint matches. The fingerprint is a CONTENT hash
+  (``count:bit_xor(xxhash64(*cols))``, order-independent, one cheap
+  columnar scan) — a corrected input with the same row count no longer
+  silently skips recomputation. On Iceberg the seam is the snapshot id;
+- full-stage writes go to a ``_tmp`` dir first and are atomically renamed,
+  so a stage killed mid-write never leaves a half-table behind the SUCCESS
+  check. Partition-scoped refreshes use dynamic partition overwrite and
+  touch ONLY the affected ``p_month`` dirs.
 
 This is the parquet-backed emulation of Iceberg snapshot checkpoints
 (SURVEY.md §7 "Iceberg in sandbox"): the lineage row plays the snapshot
-commit, the atomic rename plays the manifest swap. On a real deployment the
-``storage`` seam swaps to ``df.writeTo(...).createOrReplace()`` on an
-Iceberg catalog with no driver changes.
+commit, the atomic rename / per-partition swap plays the manifest swap. On
+a real deployment the ``storage`` seam swaps to
+``df.writeTo(...).overwritePartitions()`` on an Iceberg catalog with no
+driver changes.
 
 The reference's analog is the per-function result-stack sink (S4 stacks,
 ``/root/reference/R/rtsa.stl.R:441-489``) — except rtsa recomputes
@@ -32,11 +38,36 @@ import shutil
 import time
 import uuid
 
+import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import MapType
 
 from rtsa_spark.operators.gapfill import gapfill_linear
 from rtsa_spark.operators.metrics import compute_metrics
 from rtsa_spark.operators.rollup import TIER_ORDER, rollup_next, rollup_raw
+
+P_MONTH = "p_month"
+
+
+def content_fingerprint(df: DataFrame) -> str:
+    """Order-independent content hash of a DataFrame: ``rows:xor-hash``.
+
+    ``bit_xor(xxhash64(*cols))`` is commutative, partitioning-independent,
+    and ANSI-safe; map-typed columns go through ``to_json`` (hashing maps
+    is undefined in Spark). One columnar scan — at 100 TB the production
+    seam replaces this with the Iceberg snapshot id, which is free.
+    """
+    cols = []
+    for f in df.schema.fields:
+        c = F.col(f.name)
+        if isinstance(f.dataType, MapType):
+            c = F.to_json(c)
+        cols.append(c)
+    hashed = df.select(F.xxhash64(*cols).alias("h"))
+    row = hashed.agg(
+        F.count(F.lit(1)).alias("n"), F.expr("bit_xor(h)").alias("x")
+    ).first()
+    return f"{row['n']}:{row['x'] if row['x'] is not None else 0}"
 
 
 class TierPipeline:
@@ -76,10 +107,10 @@ class TierPipeline:
         with open(self._ledger_path, "a") as f:
             f.write(json.dumps(row) + "\n")
 
-    def _completed(self, stage: str, fingerprint: int) -> bool:
+    def _completed(self, stage: str, fingerprint: str) -> bool:
         return any(
             r["stage"] == stage
-            and r["status"] == "SUCCESS"
+            and r["status"] in ("SUCCESS", "REFRESH")
             and r["fingerprint"] == fingerprint
             for r in self._ledger()
         )
@@ -88,17 +119,38 @@ class TierPipeline:
     def _stage_path(self, stage: str) -> str:
         return os.path.join(self.base, stage)
 
-    def _write_stage(self, stage: str, df: DataFrame, rows_in: int) -> str:
-        """Compute + atomically publish one stage, ledger-logged."""
+    def _read_stage(self, stage: str) -> DataFrame:
+        df = self.spark.read.parquet(self._stage_path(stage))
+        return df.drop(P_MONTH) if P_MONTH in df.columns else df
+
+    @staticmethod
+    def _with_month(df: DataFrame) -> DataFrame:
+        return df.withColumn(
+            P_MONTH, F.date_format(F.col("bucket_start"), "yyyy-MM")
+        )
+
+    def _write_stage(self, stage: str, df: DataFrame, fingerprint: str) -> str:
+        """Compute + atomically publish one stage, ledger-logged.
+        Bucket-bearing stages are written partitionBy(month) so late-data
+        refreshes can swap single partition dirs."""
         final = self._stage_path(stage)
         tmp = final + f"._tmp_{self.run_id}"
         t0 = time.time()
-        df.write.mode("overwrite").parquet(tmp)
+        writer = df.write.mode("overwrite")
+        if "bucket_start" in df.columns:
+            writer = self._with_month(df).write.mode("overwrite").partitionBy(P_MONTH)
+        writer.parquet(tmp)
         rows_out = self.spark.read.parquet(tmp).count()
         if os.path.exists(final):
             shutil.rmtree(final)
         os.rename(tmp, final)
-        n_files = sum(1 for f in os.listdir(final) if f.endswith(".parquet"))
+        n_files = sum(
+            1
+            for _root, _dirs, files in os.walk(final)
+            for f in files
+            if f.endswith(".parquet")
+        )
+        rows_in = int(fingerprint.split(":")[0]) if ":" in fingerprint else None
         self._append_ledger(
             {
                 "run_id": self.run_id,
@@ -109,7 +161,7 @@ class TierPipeline:
                 "started_at": t0,
                 "finished_at": time.time(),
                 "status": "SUCCESS",
-                "fingerprint": rows_in,
+                "fingerprint": fingerprint,
             }
         )
         return final
@@ -119,20 +171,21 @@ class TierPipeline:
         a crash after the named stage commits (resume testing)."""
         out: dict[str, str] = {}
         prev_df: DataFrame | None = None
-        prev_rows = sequences.count()
+        prev_fp = content_fingerprint(sequences)
+        seq_fp = prev_fp
         for tier in self.tiers:
             stage = f"rollup_{tier}"
             path = self._stage_path(stage)
-            if self._completed(stage, prev_rows) and os.path.exists(path):
-                tier_df = self.spark.read.parquet(path)
+            if self._completed(stage, prev_fp) and os.path.exists(path):
+                tier_df = self._read_stage(stage)
             else:
                 computed = (
                     rollup_raw(sequences)
                     if tier == "raw"
                     else rollup_next(prev_df, tier)
                 )
-                self._write_stage(stage, computed, prev_rows)
-                tier_df = self.spark.read.parquet(path)
+                self._write_stage(stage, computed, prev_fp)
+                tier_df = self._read_stage(stage)
             out[stage] = path
             if fail_after == stage:
                 raise RuntimeError(f"injected failure after {stage}")
@@ -140,9 +193,9 @@ class TierPipeline:
             if tier in self.gapfill_tiers:
                 gstage = f"gapfilled_{tier}"
                 gpath = self._stage_path(gstage)
-                tier_rows = tier_df.count()
-                if not (self._completed(gstage, tier_rows) and os.path.exists(gpath)):
-                    self._write_stage(gstage, gapfill_linear(tier_df, tier), tier_rows)
+                tier_fp = content_fingerprint(tier_df)
+                if not (self._completed(gstage, tier_fp) and os.path.exists(gpath)):
+                    self._write_stage(gstage, gapfill_linear(tier_df, tier), tier_fp)
                 out[gstage] = gpath
                 if fail_after == gstage:
                     raise RuntimeError(f"injected failure after {gstage}")
@@ -155,7 +208,7 @@ class TierPipeline:
 
                 hstage = f"hist_{tier}"
                 hpath = self._stage_path(hstage)
-                if not (self._completed(hstage, prev_rows) and os.path.exists(hpath)):
+                if not (self._completed(hstage, seq_fp) and os.path.exists(hpath)):
                     # first hist tier computes from raw sequences; coarser
                     # hist tiers cascade by map-sum merge of the previous one
                     finer = next(
@@ -164,28 +217,26 @@ class TierPipeline:
                         None,
                     )
                     if finer and os.path.exists(self._stage_path(finer)):
-                        hist = merge_token_histograms(
-                            self.spark.read.parquet(self._stage_path(finer)), tier
-                        )
+                        hist = merge_token_histograms(self._read_stage(finer), tier)
                     else:
                         hist = token_histogram(
                             sequences, tier, top_k=self.hist_top_k
                         )
-                    self._write_stage(hstage, hist, prev_rows)
+                    self._write_stage(hstage, hist, seq_fp)
                 out[hstage] = hpath
 
             if tier in self.metrics_tiers:
                 mstage = f"metrics_{tier}"
                 mpath = self._stage_path(mstage)
                 src = f"gapfilled_{tier}" if tier in self.gapfill_tiers else stage
-                mdf = self.spark.read.parquet(self._stage_path(src))
-                m_rows = mdf.count()
-                if not (self._completed(mstage, m_rows) and os.path.exists(mpath)):
-                    self._write_stage(mstage, compute_metrics(mdf, tier), m_rows)
+                mdf = self._read_stage(src)
+                m_fp = content_fingerprint(mdf)
+                if not (self._completed(mstage, m_fp) and os.path.exists(mpath)):
+                    self._write_stage(mstage, compute_metrics(mdf, tier), m_fp)
                 out[mstage] = mpath
 
             prev_df = tier_df
-            prev_rows = tier_df.count()
+            prev_fp = content_fingerprint(tier_df)
         return out
 
     def lineage(self) -> DataFrame:
@@ -196,58 +247,93 @@ class TierPipeline:
     def refresh_months(self, sequences: DataFrame, months: list[str]) -> dict[str, int]:
         """Idempotent partition-scoped refresh for late/replayed data.
 
-        ``months``: 'YYYY-MM' strings whose source rows changed. Each tier's
-        rows belonging to those calendar months are recomputed from the
-        (already-corrected) ``sequences`` table and swapped in, leaving all
-        other rows byte-identical — the parquet emulation of Iceberg's
-        ``overwrite-by-partition`` / ``MERGE INTO`` (north rule: "late/
-        replayed data = re-run of affected partitions"). Re-running the
-        same refresh is a no-op by construction (the recomputation is
-        deterministic in its inputs).
+        ``months``: 'YYYY-MM' strings whose source rows changed. For every
+        rollup/hist tier, ONLY the affected ``p_month`` partition dirs are
+        rewritten (Spark dynamic partition overwrite — the parquet emulation
+        of Iceberg ``overwritePartitions``); all other partition dirs are
+        left byte-identical on disk (asserted in tests/test_refresh.py).
+        Downstream gapfill/metrics stages are then recomputed from the
+        refreshed tiers (they are tier-sized, and their window/per-source
+        semantics span month boundaries, so partial recompute would be
+        incorrect) — this also closes the staleness hole where a refresh
+        left derived stages behind a matching fingerprint.
+
+        SUCCESS ledger rows with the post-refresh input fingerprints are
+        appended, so a subsequent ``run(corrected)`` skips every stage.
 
         Returns {stage: rows_replaced}.
         """
-        import pyspark.sql.functions as F
-
-        from rtsa_spark.operators.rollup import rollup_next, rollup_raw
-
         replaced: dict[str, int] = {}
         affected_seq = sequences.where(
             F.date_format(F.col("ts"), "yyyy-MM").isin(months)
         )
+        in_months = F.col(P_MONTH).isin(months)
         prev_recomputed: DataFrame | None = None
+        prev_fp = content_fingerprint(sequences)
         for tier in self.tiers:
             stage = f"rollup_{tier}"
             path = self._stage_path(stage)
-            existing = self.spark.read.parquet(path)
             recomputed = (
                 rollup_raw(affected_seq)
                 if tier == "raw"
                 else rollup_next(prev_recomputed, tier)
             )
-            in_months = F.date_format(F.col("bucket_start"), "yyyy-MM").isin(months)
-            kept = existing.where(~in_months)
-            merged = kept.unionByName(recomputed)
             t0 = time.time()
-            tmp = path + f"._refresh_{self.run_id}"
-            merged.write.mode("overwrite").parquet(tmp)
             n_new = recomputed.count()
-            shutil.rmtree(path)
-            os.rename(tmp, path)
+            (
+                self._with_month(recomputed)
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy(P_MONTH)
+                .parquet(path)
+            )
             self._append_ledger(
                 {
                     "run_id": self.run_id,
                     "stage": stage,
                     "rows_in": n_new,
                     "rows_out": self.spark.read.parquet(path).count(),
-                    "n_files": sum(1 for f in os.listdir(path) if f.endswith(".parquet")),
+                    "n_files": None,
                     "started_at": t0,
                     "finished_at": time.time(),
                     "status": "REFRESH",
-                    "fingerprint": n_new,
+                    "fingerprint": prev_fp,
                     "months": months,
                 }
             )
             replaced[stage] = n_new
-            prev_recomputed = self.spark.read.parquet(path).where(in_months)
+
+            if tier in self.hist_tiers:
+                from rtsa_spark.operators.rollup import token_histogram
+
+                hstage = f"hist_{tier}"
+                hist = token_histogram(affected_seq, tier, top_k=self.hist_top_k)
+                (
+                    self._with_month(hist)
+                    .write.mode("overwrite")
+                    .option("partitionOverwriteMode", "dynamic")
+                    .partitionBy(P_MONTH)
+                    .parquet(self._stage_path(hstage))
+                )
+                replaced[hstage] = -1  # partition-scoped; rows tracked above
+
+            tier_df = self._read_stage(stage)
+            if tier in self.gapfill_tiers:
+                gstage = f"gapfilled_{tier}"
+                tier_fp = content_fingerprint(tier_df)
+                self._write_stage(gstage, gapfill_linear(tier_df, tier), tier_fp)
+                replaced[gstage] = 0
+            if tier in self.metrics_tiers:
+                mstage = f"metrics_{tier}"
+                src = f"gapfilled_{tier}" if tier in self.gapfill_tiers else stage
+                mdf = self._read_stage(src)
+                self._write_stage(
+                    mstage, compute_metrics(mdf, tier), content_fingerprint(mdf)
+                )
+                replaced[mstage] = 0
+
+            prev_recomputed = (
+                self.spark.read.parquet(path).where(in_months).drop(P_MONTH)
+            )
+            prev_fp = content_fingerprint(tier_df)
         return replaced

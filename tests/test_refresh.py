@@ -59,3 +59,65 @@ def test_refresh_months_matches_full_recompute(spark, tiny_sequences, tmp_path):
     # lineage records the refresh
     statuses = {r["status"] for r in p._ledger()}
     assert "REFRESH" in statuses
+
+
+def _file_digests(root):
+    import hashlib
+    import os
+
+    out = {}
+    for dirpath, _dirs, files in os.walk(root):
+        for f in files:
+            if f.endswith(".parquet"):
+                p = os.path.join(dirpath, f)
+                out[os.path.relpath(p, root)] = hashlib.md5(
+                    open(p, "rb").read()
+                ).hexdigest()
+    return out
+
+
+def test_refresh_touches_only_affected_partitions(spark, tiny_sequences, tmp_path):
+    """Month-partitioned tiers: refreshing 2024-02 must leave every other
+    month's parquet files BYTE-IDENTICAL on disk (no full-table rewrite)."""
+    import pyspark.sql.functions as F
+
+    base = str(tmp_path / "tiers")
+    p = TierPipeline(spark, base, gapfill_tiers=(), metrics_tiers=())
+    p.run(tiny_sequences)
+
+    before = {
+        k: v
+        for k, v in _file_digests(f"{base}/rollup_daily").items()
+        if "p_month=2024-02" not in k
+    }
+    assert before, "expected month-partitioned layout"
+
+    feb = F.date_format(F.col("ts"), "yyyy-MM") == "2024-02"
+    corrected = tiny_sequences.withColumn(
+        "n_tok", F.when(feb, F.col("n_tok") * 2).otherwise(F.col("n_tok"))
+    )
+    p.refresh_months(corrected, ["2024-02"])
+
+    after = {
+        k: v
+        for k, v in _file_digests(f"{base}/rollup_daily").items()
+        if "p_month=2024-02" not in k
+    }
+    assert before == after  # untouched months byte-identical
+
+
+def test_content_fingerprint_detects_same_count_change(spark, tiny_sequences, tmp_path):
+    """A corrected input with IDENTICAL row count must invalidate the
+    stage-skip (row-count fingerprints missed this; content hash catches)."""
+    import pyspark.sql.functions as F
+
+    base = str(tmp_path / "fp")
+    p = TierPipeline(spark, base, gapfill_tiers=(), metrics_tiers=())
+    p.run(tiny_sequences)
+    monthly_before = _tier_hash(spark, f"{base}/rollup_monthly")
+
+    corrected = tiny_sequences.withColumn("n_tok", F.col("n_tok") + 1)
+    assert corrected.count() == tiny_sequences.count()
+    TierPipeline(spark, base, gapfill_tiers=(), metrics_tiers=()).run(corrected)
+    monthly_after = _tier_hash(spark, f"{base}/rollup_monthly")
+    assert monthly_before != monthly_after  # stage was recomputed
