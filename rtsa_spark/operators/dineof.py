@@ -15,21 +15,36 @@ over the bucket x source tier matrix:
   bit-identical (the reference then NaNs non-mask cells, Q5 in SURVEY §8;
   key-based masking makes that moot).
 
-Like eof.py, the dense solve happens driver-side on the pivoted tier
-matrix (buckets x sources — tier-bounded, not raw-data-bounded); the
-distributed path for very wide source sets is the same Gramian
-accumulation noted there. Linear gap-fill (operators/gapfill.py) remains
-the north-rule default; DINEOF is the analytic upgrade for strongly
-correlated sources.
+Execution shape: the dense matrix is ASSEMBLED DISTRIBUTEDLY (per-bucket
+packed vectors via operators/eof.bucket_vectors — one shuffle keyed by
+bucket, no pandas pivot, no long-format driver materialization) and then
+iterated on the driver: the iterative rewrite of missing cells is
+inherently a whole-matrix fixed point, the same shape sinkr runs. The
+matrix is tier-bounded (buckets x sources), not raw-data-bounded. The
+rank-k step uses the source x source Gramian + ``eigh`` (tall-skinny
+normal equations) instead of a full SVD per inner iteration. Linear
+gap-fill (operators/gapfill.py) remains the north-rule default; DINEOF is
+the analytic upgrade for strongly correlated sources.
 """
 
 from __future__ import annotations
 
 import numpy as np
-import pyspark.sql.functions as F
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 
-from rtsa_spark.operators.eof import _pivot_matrix
+from rtsa_spark.operators.eof import bucket_vectors, source_index
+from rtsa_spark.operators.eot import _collect_matrix
+
+
+def _rank_k_reconstruct(xw: np.ndarray, k: int) -> np.ndarray:
+    """Best rank-k approximation via the right singular subspace: eigh of
+    the (small) source x source Gramian, then project. O(n_t n_s^2),
+    avoids the full O(n_t n_s min(n_t,n_s)) SVD per inner iteration."""
+    c = xw.T @ xw
+    w, v = np.linalg.eigh(c)
+    vk = v[:, -k:]
+    return (xw @ vk) @ vk.T
 
 
 def _dineof_matrix(
@@ -58,8 +73,7 @@ def _dineof_matrix(
     best = (None, 0, np.inf)
     for k in range(1, min(n_max, min(xw.shape)) + 1):
         for _ in range(max_iter):
-            u, s, vt = np.linalg.svd(xw, full_matrices=False)
-            recon = (u[:, :k] * s[:k]) @ vt[:k]
+            recon = _rank_k_reconstruct(xw, k)
             prev = xw[work_missing]
             xw[work_missing] = recon[work_missing]
             delta = float(np.sqrt(np.mean((xw[work_missing] - prev) ** 2)))
@@ -92,26 +106,25 @@ def dineof_gapfill(
     """Fill missing (key, bucket) cells of a tier by iterative truncated-SVD
     reconstruction. Input: a tier rollup (sparse); output: dense rows
     (key, bucket, value, gapfilled) over the global bucket spine."""
-    import pandas as pd
-
-    rows = (
-        tier_df.select(key_col, bucket_col, F.col(value_col).alias("v"))
-        .toPandas()
-        .pivot(index=bucket_col, columns=key_col, values="v")
-        .sort_index()
+    sources = source_index(tier_df, key_col)
+    vecs = bucket_vectors(
+        tier_df, sources, value_col, key_col, bucket_col, allow_missing=True
     )
-    x = rows.to_numpy(dtype="float64")
+    x, buckets = _collect_matrix(vecs, bucket_col, len(sources))
     missing = np.isnan(x)
     if missing.all(axis=0).any():
         raise ValueError("DINEOF needs at least one observation per source")
-    filled, k, rmse = _dineof_matrix(x, missing, n_max=n_max, seed=seed)
-    out_rows = []
-    for i, b in enumerate(rows.index):
-        for j, s in enumerate(rows.columns):
-            out_rows.append(
-                (s, pd.Timestamp(b).to_pydatetime(), float(filled[i, j]), bool(missing[i, j]))
-            )
+    filled, _k, _rmse = _dineof_matrix(x, missing, n_max=n_max, seed=seed)
+    n_t, n_s = filled.shape
+    pdf = pd.DataFrame(
+        {
+            key_col: np.tile(np.array(sources, dtype=object), n_t),
+            bucket_col: np.repeat(pd.to_datetime(buckets), n_s),
+            value_col: filled.ravel(),
+            "gapfilled": missing.ravel(),
+        }
+    )
     return spark.createDataFrame(
-        out_rows,
+        pdf,
         f"{key_col} string, {bucket_col} timestamp, {value_col} double, gapfilled boolean",
     )

@@ -6,16 +6,18 @@ cell) + expansion-coefficient series (per time) + eigenvalues. Engine
 re-expression over the rollup tiers:
 
 - "cells" -> sources, "time" -> buckets: input is a tier rollup (long
-  format), pivoted to a bucket x source value matrix;
+  format);
 - centering/scaling per source mirrors sinkr's F1_center/F1_scale vectors
   (``R/rtsa.eof.R:295-306``);
-- SVD of the (tall, skinny) matrix: #sources is the small dimension
-  (thousands), #buckets the tall one, so a driver-side numpy SVD of the
-  source x source Gramian — accumulated DISTRIBUTEDLY via per-partition
-  outer products — handles any bucket count. This is the standard
-  tall-skinny normal-equations SVD (same shape MLlib's RowMatrix
-  computeSVD uses for n <= 65535 columns); numerically fine here because
-  modes of interest are well above sqrt(eps) of the spectrum.
+- the decomposition is the tall-skinny normal-equations SVD: the
+  **source x source Gramian** ``G = Z^T Z`` is accumulated DISTRIBUTEDLY
+  (per-bucket dense vectors -> per-partition ``Z.T @ Z`` partials ->
+  row-wise zip-sum merge), so no driver-side pivot of the tier ever
+  happens and bucket count is unbounded. Only the (n_sources x n_sources)
+  Gramian reaches the driver — the same shape MLlib's RowMatrix
+  computeSVD collects for n <= 65535 columns. ``eigh`` of G yields the
+  spatial modes; expansion coefficients stream back out distributedly as
+  ``Z @ V`` per bucket.
 
 Outputs mirror the EOFstack contract (``R/rtsa_classes.R:29-38``):
 ``modes`` (one row per source per mode: the spatial pattern), ``ecs``
@@ -29,28 +31,193 @@ gap-fill first, or pass a masked tier.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
+#: partitions the bucket-vector frame is coalesced to before the Gramian
+#: pass — bounds shuffle volume at partials x n_s^2 doubles.
+GRAMIAN_PARTIALS = 8
 
-def _pivot_matrix(
-    tier_df: DataFrame, value_col: str, key_col: str, bucket_col: str
-) -> tuple[np.ndarray, list, list]:
-    """Bucket x source dense matrix via a single sorted collect of the
-    (small) tier — tiers are bucket-bounded; for very wide cases swap in
-    the Gramian accumulation path (see module docstring)."""
-    rows = (
-        tier_df.select(key_col, bucket_col, F.col(value_col).alias("v"))
-        .toPandas()
-        .pivot(index=bucket_col, columns=key_col, values="v")
-        .sort_index()
+
+def source_index(tier_df: DataFrame, key_col: str = "source") -> list:
+    """Sorted distinct keys — the column order of the dense vectors. The
+    key set is the SMALL dimension (thousands); collecting it is the one
+    intentional driver-side list."""
+    return [
+        r[0] for r in tier_df.select(key_col).distinct().orderBy(key_col).collect()
+    ]
+
+
+def bucket_vectors(
+    tier_df: DataFrame,
+    sources: list,
+    value_col: str = "n_tok_mean",
+    key_col: str = "source",
+    bucket_col: str = "bucket_start",
+    allow_missing: bool = False,
+) -> DataFrame:
+    """One row per bucket: ``(bucket, vec array<double>, n_miss int)`` with
+    ``vec`` ordered by the ``sources`` index. Pure Catalyst: keys are first
+    swapped for dense integer indices (broadcast join against the tiny
+    source list — NOT an n_s-literal expression, which chokes codegen at
+    thousands of sources), then each bucket builds its vector with one
+    ``sequence + element_at(map)`` transform. The shuffle key is the
+    bucket, so dominant sources do not skew this exchange. Missing cells
+    are NULL (NaN when ``allow_missing``)."""
+    spark = tier_df.sparkSession
+    n_s = len(sources)
+    idx_df = spark.createDataFrame(
+        pd.DataFrame({key_col: sources, "_src_idx": np.arange(n_s, dtype="int32")})
     )
-    if rows.isna().any().any():
+    keyed = tier_df.join(F.broadcast(idx_df), key_col)
+    srt = F.array_sort(
+        F.collect_list(
+            F.struct(
+                F.col("_src_idx"), F.col(value_col).cast("double").alias("_v")
+            )
+        )
+    )
+    m = keyed.groupBy(bucket_col).agg(srt.alias("_s"))
+    return m.select(
+        F.col(bucket_col),
+        F.transform(F.col("_s"), lambda s: s["_src_idx"]).alias("idxs"),
+        F.transform(F.col("_s"), lambda s: s["_v"]).alias("vals"),
+        (F.lit(n_s) - F.size(F.col("_s"))).alias("n_miss"),
+    )
+
+
+def stack_vectors(pdf: pd.DataFrame, n_s: int) -> np.ndarray:
+    """Dense (rows, n_s) float64 matrix from the (idxs, vals) packed
+    columns — vectorized scatter, NaN where missing."""
+    nb = len(pdf)
+    z = np.full((nb, n_s), np.nan)
+    lens = pdf["idxs"].map(len).to_numpy("int64")
+    rows = np.repeat(np.arange(nb), lens)
+    cols = np.concatenate(pdf["idxs"].to_numpy()) if nb else np.array([], dtype=int)
+    vals = np.concatenate(pdf["vals"].to_numpy()) if nb else np.array([])
+    z[rows, cols.astype(np.int64)] = vals
+    return z
+
+
+#: rows of the Gramian per merge chunk — keeps the partial-merge group
+#: count (and Arrow array sizes) small regardless of n_s
+GRAMIAN_CHUNK = 128
+
+#: worker-global scratch for the Gramian kernels (grow-only; see CLAUDE.md
+#: on first-touch cost of fresh large allocations in this sandbox)
+_SCRATCH: dict = {}
+
+
+def _gramian_scratch(n_s: int) -> dict:
+    if _SCRATCH.get("n") != n_s:
+        _SCRATCH["g"] = np.zeros((n_s, n_s))
+        _SCRATCH["tmp"] = np.zeros((n_s, n_s))
+        _SCRATCH["n"] = n_s
+    return _SCRATCH
+
+
+def require_complete(vec_df: DataFrame) -> DataFrame:
+    """Reference P2 semantics (``R/rtsa.eof.R:129-132``): every bucket must
+    cover every source. Raises like the r1 pivot did."""
+    if vec_df.where(F.col("n_miss") > 0).limit(1).count() > 0:
         raise ValueError(
             "EOF requires complete profiles: gap-fill the tier or apply "
             "mask_complete_profile first (reference P2, R/rtsa.eof.R:129-132)"
         )
-    return rows.to_numpy(dtype="float64"), list(rows.index), list(rows.columns)
+    return vec_df
+
+
+#: when the whole Z matrix is at most this many doubles (~256 MB), collect
+#: it and run ONE driver-side BLAS product instead of paying n_partials
+#: Gramian-sized accumulators on the workers. The distributed partial path
+#: is only a win once the bucket count makes Z itself uncollectable.
+GRAMIAN_Z_DRIVER_LIMIT = 32 * 1024 * 1024
+
+
+def gramian(
+    vec_df: DataFrame,
+    n_s: int,
+    center: np.ndarray | None = None,
+    scale: np.ndarray | None = None,
+    force_distributed: bool = False,
+) -> tuple[np.ndarray, int]:
+    """``Z^T Z`` over the bucket vectors, with optional per-source
+    centering/scaling applied inside the kernel. Returns ``(G, n_buckets)``.
+
+    Adaptive plan: if ``n_buckets * n_s`` is small enough that Z itself is
+    trivially collectable (packed Arrow transfer), one driver-side dgemm
+    computes G — this dominates whenever buckets ≪ sources. Otherwise the
+    distributed path runs: coalesce -> one ``Z.T @ Z`` partial per
+    partition (mapInPandas, numpy BLAS) -> chunked zip-sum merge -> ~n_s^2
+    doubles collected once. Shuffle volume is ``GRAMIAN_PARTIALS * n_s^2``
+    doubles regardless of bucket count; nothing bucket-sized ever reaches
+    the driver on that path.
+    """
+    c = np.zeros(n_s) if center is None else np.asarray(center, dtype="float64")
+    s = np.ones(n_s) if scale is None else np.asarray(scale, dtype="float64")
+    s = np.where(s == 0, 1.0, s)
+
+    n_buckets = vec_df.count()
+    if not force_distributed and n_buckets * n_s <= GRAMIAN_Z_DRIVER_LIMIT:
+        pdf = vec_df.select("idxs", "vals").toPandas()
+        z = (stack_vectors(pdf, n_s) - c) / s
+        return z.T @ z, n_buckets
+
+    n_chunks = (n_s + GRAMIAN_CHUNK - 1) // GRAMIAN_CHUNK
+
+    def partials(batches):
+        # grow-only worker-global scratch (CLAUDE.md: this sandbox pays
+        # ~100x for first-touch of fresh large allocations; python workers
+        # are reused, so the buffers amortize across calls)
+        buf = _gramian_scratch(n_s)
+        g, tmp = buf["g"], buf["tmp"]
+        g.fill(0.0)
+        n = 0
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            z = (stack_vectors(pdf, n_s) - c) / s
+            np.dot(z.T, z, out=tmp)
+            g += tmp
+            n += len(pdf)
+        chunks = list(range(n_chunks))
+        yield pd.DataFrame(
+            {
+                "chunk_idx": chunks + [-1],
+                "part": [
+                    g[i * GRAMIAN_CHUNK : (i + 1) * GRAMIAN_CHUNK].ravel()
+                    for i in chunks
+                ]
+                + [np.array([float(n)])],
+            }
+        )
+
+    parts = vec_df.select("idxs", "vals").coalesce(GRAMIAN_PARTIALS).mapInPandas(
+        partials, "chunk_idx int, part array<double>"
+    )
+
+    def merge(pdf: pd.DataFrame) -> pd.DataFrame:
+        summed = np.stack(pdf["part"].to_numpy()).sum(axis=0)
+        return pd.DataFrame(
+            {"chunk_idx": [int(pdf["chunk_idx"].iloc[0])], "row": [summed]}
+        )
+
+    # toPandas: Arrow-batched transfer of the ~n_s^2 doubles (a plain
+    # collect() would pickle them row-by-row — 10x slower at 5k sources)
+    merged = parts.groupBy("chunk_idx").applyInPandas(
+        merge, "chunk_idx int, row array<double>"
+    ).toPandas()
+    g = np.zeros((n_s, n_s))
+    n_t = 0
+    for ci, row in zip(merged["chunk_idx"], merged["row"]):
+        if ci == -1:
+            n_t = int(row[0])
+        else:
+            lo = int(ci) * GRAMIAN_CHUNK
+            chunk = np.asarray(row)
+            g[lo : lo + len(chunk) // n_s] = chunk.reshape(-1, n_s)
+    return g, n_t
 
 
 def eof(
@@ -64,39 +231,91 @@ def eof(
     bucket_col: str = "bucket_start",
 ) -> dict:
     """EOF decomposition; returns {"modes": DataFrame, "ecs": DataFrame,
-    "lambda": list, "explained_pct": list, "tot_var": float}."""
-    mat, buckets, sources = _pivot_matrix(tier_df, value_col, key_col, bucket_col)
-    n_t, n_s = mat.shape
-    n_modes = max(1, min(n_modes, min(n_t, n_s)))
-    center = mat.mean(axis=0) if centered else np.zeros(n_s)
-    scale = mat.std(axis=0, ddof=1) if scaled else np.ones(n_s)
-    scale[scale == 0] = 1.0
-    x = (mat - center) / scale
+    "lambda": list, "explained_pct": list, "tot_var": float}.
 
-    # SVD: x = U S Vt; spatial modes = columns of V, ECs = U*S
-    u, s, vt = np.linalg.svd(x, full_matrices=False)
-    lam = (s**2) / max(n_t - 1, 1)  # eigenvalues of the covariance
+    Fully distributed: per-source stats by groupBy, Gramian by
+    per-partition outer products, expansion coefficients streamed back as
+    ``Z @ V`` per bucket. Driver holds only n_s-sized arrays."""
+    sources = source_index(tier_df, key_col)
+    n_s = len(sources)
+    stats = {
+        r[key_col]: r
+        for r in tier_df.groupBy(key_col)
+        .agg(
+            F.avg(F.col(value_col)).alias("_mean"),
+            F.stddev_samp(F.col(value_col)).alias("_sd"),
+        )
+        .collect()
+    }
+    center = (
+        np.array([stats[s]["_mean"] for s in sources])
+        if centered
+        else np.zeros(n_s)
+    )
+    scale = (
+        np.array([stats[s]["_sd"] or 0.0 for s in sources])
+        if scaled
+        else np.ones(n_s)
+    )
+    scale[scale == 0] = 1.0
+
+    # persist: the vectors feed completeness check, Gramian, and the EC
+    # pass — one materialization instead of three
+    vecs = require_complete(
+        bucket_vectors(tier_df, sources, value_col, key_col, bucket_col)
+    ).persist()
+    g, n_t = gramian(vecs, n_s, center, scale)
+    n_modes = max(1, min(n_modes, min(n_t, n_s)))
+
+    w, v = np.linalg.eigh(g / max(n_t - 1, 1))
+    order = np.argsort(w)[::-1]
+    lam = np.maximum(w[order], 0.0)
+    v = v[:, order]
+    # deterministic sign: largest-|loading| element of each mode positive
+    for m in range(n_s):
+        j = int(np.argmax(np.abs(v[:, m])))
+        if v[j, m] < 0:
+            v[:, m] = -v[:, m]
     tot_var = float(lam.sum())
     explained = [float(100 * l / tot_var) if tot_var else 0.0 for l in lam[:n_modes]]
 
-    modes_rows = [
-        (sources[j], m + 1, float(vt[m, j]), float(center[j]), float(scale[j]))
-        for m in range(n_modes)
-        for j in range(n_s)
-    ]
     modes = spark.createDataFrame(
-        modes_rows, f"{key_col} string, mode int, loading double, center double, scale double"
+        pd.DataFrame(
+            {
+                key_col: np.repeat(np.array(sources, dtype=object), n_modes),
+                "mode": np.tile(np.arange(1, n_modes + 1), n_s),
+                "loading": v[:, :n_modes].ravel(),
+                "center": np.repeat(center, n_modes),
+                "scale": np.repeat(scale, n_modes),
+            }
+        ),
+        f"{key_col} string, mode int, loading double, center double, scale double",
     )
-    ec = u[:, :n_modes] * s[:n_modes]
-    import pandas as pd
 
-    ecs_rows = [
-        (pd.Timestamp(buckets[i]).to_pydatetime(), m + 1, float(ec[i, m]))
-        for m in range(n_modes)
-        for i in range(n_t)
-    ]
-    ecs = spark.createDataFrame(
-        ecs_rows, f"{bucket_col} timestamp, mode int, ec double"
+    vk = v[:, :n_modes].copy()
+    c_arr, s_arr = center.copy(), scale.copy()
+
+    n_s_k = n_s
+
+    def ec_rows(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            z = (stack_vectors(pdf, n_s_k) - c_arr) / s_arr
+            ec = z @ vk  # (batch, n_modes)
+            nb = len(pdf)
+            yield pd.DataFrame(
+                {
+                    bucket_col: np.repeat(
+                        pdf[bucket_col].to_numpy(), n_modes
+                    ),
+                    "mode": np.tile(np.arange(1, n_modes + 1), nb),
+                    "ec": ec.ravel(),
+                }
+            )
+
+    ecs = vecs.select(bucket_col, "idxs", "vals").mapInPandas(
+        ec_rows, f"{bucket_col} timestamp, mode int, ec double"
     )
     return {
         "modes": modes,

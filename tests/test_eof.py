@@ -70,3 +70,25 @@ def test_scale_eof_clips_to_unit(spark):
     vals = [r["loading_scaled"] for r in scaled]
     assert max(vals) <= 1.0 + 1e-9 and min(vals) >= -1.0 - 1e-9
     assert any(v == 1.0 for v in vals) and any(v == -1.0 for v in vals)
+
+
+def test_gramian_distributed_path_matches_driver_path(spark):
+    """The chunked distributed Gramian (the 100-TB path) and the
+    collect-Z driver shortcut must agree to float precision."""
+    from rtsa_spark.operators.eof import (
+        bucket_vectors,
+        gramian,
+        require_complete,
+        source_index,
+    )
+
+    rng = np.random.default_rng(3)
+    mat = rng.normal(size=(30, 12))
+    tier = _tier_from_matrix(spark, mat, [f"s{j:02d}" for j in range(12)])
+    sources = source_index(tier)
+    vecs = require_complete(bucket_vectors(tier, sources)).persist()
+    g1, n1 = gramian(vecs, 12)
+    g2, n2 = gramian(vecs, 12, force_distributed=True)
+    assert n1 == n2 == 30
+    assert float(np.abs(g1 - g2).max()) < 1e-9
+    assert np.allclose(g1, mat.T @ mat)
