@@ -498,8 +498,11 @@ def q_minhash_lsh(spark, sf_dir):
     per (band, band_hash) bucket size + survivor."""
     from rtsa_spark.operators.dedup import minhash_lsh_buckets
 
+    # hash_fn="md5" pins the ANSI-SQL-replayable variant; the scale
+    # default (xxhash64 + universal-hash mixing) is benched in bench.py
+    # and behavior-tested in tests/test_training_ops.py
     return minhash_lsh_buckets(
-        _documents(spark, sf_dir), n_hashes=N_MINHASH, band_size=2
+        _documents(spark, sf_dir), n_hashes=N_MINHASH, band_size=2, hash_fn="md5"
     )
 
 
@@ -585,7 +588,8 @@ def q_ngram_jaccard_lsh(spark, sf_dir):
     from rtsa_spark.operators.dedup import ngram_jaccard_lsh
 
     return ngram_jaccard_lsh(
-        _documents(spark, sf_dir), min_jaccard_e4=5000, n_hashes=N_MINHASH, band_size=2
+        _documents(spark, sf_dir), min_jaccard_e4=5000, n_hashes=N_MINHASH,
+        band_size=2, hash_fn="md5",
     )
 
 

@@ -86,7 +86,9 @@ def run_bench(sf_dir: str, cores: int) -> dict:
     # shape of a long-running cluster job (JIT burns ~60-80 CPU-seconds in
     # background threads during rep 1, which otherwise poisons low-thread
     # wall measurements).
-    reps = int(os.environ.get("SPARK_GRAFT_LADDER_REPS", "1"))
+    # default 2: rep 1 burns JVM JIT warmup; recorded numbers are rep 2+
+    # (CLAUDE.md: measure warm)
+    reps = int(os.environ.get("SPARK_GRAFT_LADDER_REPS", "2"))
     for _rep in range(reps):
         t0 = time.time()
         raw = persist(rollup_raw(seq), "raw")
@@ -146,7 +148,16 @@ def run_bench(sf_dir: str, cores: int) -> dict:
         qs = E.queries()
         for name in headline:
             t0 = time.time()
-            qs[name](spark, sf_dir).count()
+            if name == "minhash_lsh":
+                # bench the engine's scale default (one xxhash64 per
+                # shingle + k arithmetic mixes); the md5 variant the SQL
+                # oracle replays is what queries()["minhash_lsh"] runs
+                from rtsa_spark.operators.dedup import minhash_lsh_buckets
+
+                docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+                minhash_lsh_buckets(docs).count()
+            else:
+                qs[name](spark, sf_dir).count()
             timings[name] = round(time.time() - t0, 3)
 
     total = round(sum(timings.values()), 3)
