@@ -1095,6 +1095,24 @@ LEFT JOIN trend t ON l.source = t.source AND l.n >= 14
 """
 
 
+def q_sequences_stl(spark, sf_dir):
+    """Numeric-window STL metrics (reference W3/M5 loess surface,
+    R/rtsa.stl.R:140-169) per source over the derived daily tier —
+    iterative loess is not SQL-expressible, so rows-only; the loess/STL
+    math itself is pinned by tests/test_stl.py."""
+    from rtsa_spark.operators.metrics import compute_metrics
+    from rtsa_spark.operators.gapfill import gapfill_linear
+    from rtsa_spark.operators.rollup import rollup_ladder
+
+    daily = gapfill_linear(
+        rollup_ladder(_derived_sequences(spark, sf_dir))["daily"], "daily"
+    )
+    return compute_metrics(
+        daily, "daily", value_col="n_tok_mean", period=7,
+        s_window=15, s_degree=1, t_degree=1,
+    )
+
+
 def q_mk_stats(spark, sf_dir):
     """Mann-Kendall S / varS / tau per event_type over the hourly series
     (A6, ``R/rtsa.mk.R:296-312``) as exact integers: S and 18*varS are
@@ -1204,6 +1222,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sequences_ladder": q_sequences_ladder,
         "sequences_encode_blocks": q_sequences_encode_blocks,
         "sequences_metrics": q_sequences_metrics,
+        "sequences_stl": q_sequences_stl,
         "sequences_gapfill_spline": q_sequences_gapfill_spline,
         "sequences_dineof": q_sequences_dineof,
         "sequences_eof": q_sequences_eof,

@@ -1,0 +1,167 @@
+"""STL decomposition with numeric loess windows — vectorized numpy.
+
+Completes the reference's W3/M5 surface (``/root/reference/R/rtsa.stl.R:
+140-169`` validates numeric ``s.window``/``t.window`` and degrees 0/1/2,
+then delegates to ``stlplus::stlplus`` at ``:360``). The r1 engine only
+implemented the ``s.window="periodic"`` closed form
+(functions/decompose.py); this module adds the genuine STL inner loop
+(Cleveland, Cleveland, McRae & Terpenning 1990 — public algorithm):
+
+1. detrend;
+2. loess-smooth each cycle-subseries (window ``s_window``, degree
+   ``s_degree``), extended one period on each side;
+3. low-pass the assembled subseries (MA period x2, MA 3, then loess
+   ``l_window`` deg 1) and subtract -> seasonal;
+4. loess-smooth the deseasonalized series (window ``t_window``, degree
+   ``t_degree``) -> trend; iterate.
+
+Defaults mirror the reference wrapper, NOT stlplus: ``t.window`` defaults
+to the odd-ized SERIES LENGTH (``R/rtsa.stl.R:148-150``), giving a
+near-linear trend; ``s.window`` defaults to "periodic".
+
+The loess here is the evenly-spaced-series special case (tier buckets are
+regular by construction): the q nearest neighbors of position i form a
+contiguous clamped window, so the whole smoother is one gather +
+einsum-solved weighted least squares per degree — no Python loops.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def _nextodd(x: float) -> int:
+    v = int(round(x))
+    return v + 1 if v % 2 == 0 else v
+
+
+def loess_smooth(
+    y: np.ndarray,
+    window: int,
+    degree: int = 1,
+    eval_x: np.ndarray | None = None,
+    rho: np.ndarray | None = None,
+) -> np.ndarray:
+    """Loess over an evenly spaced series (x = 0..n-1), tricube weights,
+    polynomial degree 0/1/2, optional robustness weights ``rho``.
+
+    ``eval_x``: positions to evaluate at (may extend beyond [0, n-1], as
+    STL needs for the subseries extension); defaults to 0..n-1. When
+    ``window > n`` the tricube bandwidth stretches by ``window/n`` (the
+    standard loess lambda_q rule)."""
+    y = np.asarray(y, dtype="float64")
+    n = len(y)
+    if n == 0:
+        return np.array([])
+    if n == 1:
+        base = np.zeros(1) if eval_x is None else np.zeros(len(eval_x))
+        return base + y[0]
+    if degree not in (0, 1, 2):
+        raise ValueError("loess degree must be 0, 1 or 2")
+    q = max(2, min(int(window), n))
+    xe = np.arange(n, dtype="float64") if eval_x is None else np.asarray(
+        eval_x, dtype="float64"
+    )
+    m = len(xe)
+    # contiguous q-window of nearest in-range points per eval position
+    lo = np.clip(np.round(xe).astype(int) - (q - 1) // 2, 0, n - q)
+    idx = lo[:, None] + np.arange(q)[None, :]  # (m, q)
+    xs = idx.astype("float64")
+    ys = y[idx]
+    d = np.abs(xs - xe[:, None])
+    dmax = d.max(axis=1)
+    if int(window) > n:
+        dmax = dmax * (int(window) / n)
+    dmax = np.where(dmax == 0, 1.0, dmax)
+    w = np.clip(1.0 - (d / dmax[:, None]) ** 3, 0.0, None) ** 3
+    if rho is not None:
+        w = w * rho[idx]
+    wsum = w.sum(axis=1)
+    wsum = np.where(wsum == 0, 1.0, wsum)
+    if degree == 0:
+        return (w * ys).sum(axis=1) / wsum
+    # center x per row for conditioning
+    xc = xs - xe[:, None]
+    if degree == 1:
+        sw = wsum
+        sx = (w * xc).sum(axis=1)
+        sxx = (w * xc * xc).sum(axis=1)
+        sy = (w * ys).sum(axis=1)
+        sxy = (w * xc * ys).sum(axis=1)
+        det = sw * sxx - sx * sx
+        bad = np.abs(det) < 1e-12  # all weight on one x -> weighted mean
+        det = np.where(bad, 1.0, det)
+        fit = (sxx * sy - sx * sxy) / det  # intercept = value at xc=0
+        return np.where(bad, sy / sw, fit)
+    # degree 2: solve 3x3 weighted normal equations per row
+    powers = np.stack([np.ones_like(xc), xc, xc * xc], axis=2)  # (m, q, 3)
+    a = np.einsum("mqi,mq,mqj->mij", powers, w, powers)
+    b = np.einsum("mqi,mq,mq->mi", powers, w, ys)
+    # regularize degenerate rows
+    a = a + 1e-12 * np.eye(3)[None, :, :]
+    coef = np.linalg.solve(a, b)
+    return coef[:, 0]
+
+
+def _ma(x: np.ndarray, window: int) -> np.ndarray:
+    """Simple length-reducing moving average (STL low-pass building block):
+    output length len(x) - window + 1."""
+    c = np.cumsum(np.concatenate(([0.0], x)))
+    return (c[window:] - c[:-window]) / window
+
+
+def stl_decompose(
+    x: np.ndarray,
+    period: int,
+    s_window: int | str = "periodic",
+    s_degree: int = 0,
+    t_window: int | None = None,
+    t_degree: int = 1,
+    l_window: int | None = None,
+    inner: int = 2,
+) -> dict[str, np.ndarray]:
+    """Additive STL with numeric loess windows. NaN-free regular input
+    (gap-fill first). Returns {"seasonal", "trend", "remainder"}.
+
+    ``t_window=None`` -> odd-ized series length (the reference wrapper's
+    default, ``R/rtsa.stl.R:148-150``); ``l_window=None`` -> odd-ized
+    period. ``s_window="periodic"`` -> per-phase means (the closed form the
+    r1 engine shipped; kept as the fast path)."""
+    x = np.asarray(x, dtype="float64")
+    n = len(x)
+    if n < 2 * period or period < 2:
+        return {"seasonal": np.zeros(n), "trend": x.copy(),
+                "remainder": np.zeros(n)}
+    t_win = _nextodd(n) if t_window is None else _nextodd(t_window)
+    l_win = _nextodd(period) if l_window is None else _nextodd(l_window)
+    periodic = s_window == "periodic"
+    if not periodic:
+        s_win = _nextodd(int(s_window))
+        if s_win < 3:
+            raise ValueError("s_window must be >= 3 (odd-ized)")
+
+    phases = np.arange(n) % period
+    trend = np.zeros(n)
+    seasonal = np.zeros(n)
+    for _ in range(max(1, inner)):
+        detr = x - trend
+        # --- cycle-subseries smoothing, extended one period each side
+        c = np.empty(n + 2 * period)
+        for ph in range(period):
+            sub = detr[ph::period]
+            m = len(sub)
+            if periodic:
+                sm = np.full(m + 2, sub.mean())
+            else:
+                sm = loess_smooth(
+                    sub, s_win, s_degree, eval_x=np.arange(-1, m + 1, dtype="float64")
+                )
+            # scatter back: positions ph, ph+period, ... in the extended frame
+            c[ph::period][: m + 2] = sm
+        # --- low pass: MA(p) x2 + MA(3) + loess(l_win, deg 1)
+        lp = _ma(_ma(_ma(c, period), period), 3)  # length n
+        lp = loess_smooth(lp, l_win, 1)
+        seasonal = c[period : period + n] - lp
+        # --- trend from the deseasonalized series
+        trend = loess_smooth(x - seasonal, t_win, t_degree)
+    return {"seasonal": seasonal, "trend": trend, "remainder": x - seasonal - trend}

@@ -150,8 +150,9 @@ def gapfill_interpolate(
 
     import pandas as pd
 
+    dtypes = dict(df.dtypes)
     out_schema = ", ".join(
-        [f"{k} string" for k in keys]
+        [f"{k} {dtypes.get(k, 'string')}" for k in keys]
         + [f"{bucket_col} timestamp"]
         + [f"{c} double" for c in value_cols]
         + ["gapfilled boolean"]
@@ -165,6 +166,13 @@ def gapfill_interpolate(
         xs = spine.asi8.astype("float64")
         x_obs = pdf[bucket_col].to_numpy("datetime64[ns]").view("int64").astype("float64")
         pos = np.searchsorted(xs, x_obs)  # observed knots' spine positions
+        # every observed bucket must land exactly on the tier spine —
+        # otherwise the wrong slot would silently be marked observed
+        if (pos >= len(xs)).any() or not np.array_equal(xs[pos], x_obs):
+            raise ValueError(
+                f"observed bucket_start not aligned to the '{tier}' spine "
+                f"({freq}); re-bucket the input with date_trunc first"
+            )
         is_obs = np.zeros(len(xs), dtype=bool)
         is_obs[pos] = True
         data = {k: pdf[k].iloc[0] for k in keys}

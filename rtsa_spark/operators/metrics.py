@@ -40,11 +40,21 @@ def compute_metrics(
     period: int | None = None,
     key_col: str = "source",
     bucket_col: str = "bucket_start",
+    s_window: int | str = "periodic",
+    s_degree: int = 0,
+    t_window: int | None = None,
+    t_degree: int = 1,
 ) -> DataFrame:
     """One metrics row per source from its tier series.
 
     Seasonal MK is used when period == 12, mirroring the reference's
     monthly-periodicity switch (``R/rtsa.mk.R:121-125``).
+
+    ``s_window``: "periodic" (default) uses the closed-form periodic
+    decomposition; a numeric window runs the genuine STL loess loop with
+    the reference's window/degree surface (``R/rtsa.stl.R:140-169``) —
+    ``t_window=None`` then defaults to the odd-ized series length, the
+    reference wrapper's own default (``:148-150``).
     """
     p = period if period is not None else DEFAULT_PERIOD.get(tier, 12)
 
@@ -54,7 +64,15 @@ def compute_metrics(
         pdf = pdf.sort_values(bucket_col)
         x = pdf[value_col].to_numpy("float64")
         t = pdf[bucket_col].to_numpy("datetime64[ns]").view("int64") / 1e9
-        comp = decompose(x, p)
+        if s_window == "periodic" and t_window is None:
+            comp = decompose(x, p)
+        else:
+            from rtsa_spark.functions.stl import stl_decompose
+
+            comp = stl_decompose(
+                x, p, s_window=s_window, s_degree=s_degree,
+                t_window=t_window, t_degree=t_degree,
+            )
         stats = component_stats(comp["seasonal"], comp["trend"], comp["remainder"], t, p)
         mk = seasonal_mann_kendall(x, p) if p == 12 else mann_kendall(x)
         return pd.DataFrame(

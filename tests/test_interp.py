@@ -68,3 +68,43 @@ def test_gapfill_interpolate_spark(spark, tiny_sequences):
 
     with pytest.raises(ValueError, match="unknown gap-fill method"):
         gapfill_interpolate(hr, "hourly", method="cubic-nope")
+
+
+def test_gapfill_interpolate_rejects_misaligned_buckets(spark):
+    """An observed bucket off the tier spine must raise loudly, not mark
+    the wrong slot observed (ADVICE r1)."""
+    import datetime as dt
+
+    import pytest
+
+    from rtsa_spark.operators.gapfill import gapfill_interpolate
+
+    rows = [
+        ("a", dt.datetime(2024, 1, 1, 0, 0), 1.0),
+        ("a", dt.datetime(2024, 1, 1, 2, 30), 2.0),  # not hour-aligned
+        ("a", dt.datetime(2024, 1, 1, 4, 0), 3.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "source string, bucket_start timestamp, n_tok_mean double"
+    )
+    with pytest.raises(Exception, match="not aligned"):
+        gapfill_interpolate(df, "hourly", method="spline").collect()
+
+
+def test_gapfill_interpolate_nonstring_keys(spark):
+    """Key columns keep their input types (r1 hardcoded string keys)."""
+    import datetime as dt
+
+    from rtsa_spark.operators.gapfill import gapfill_interpolate
+
+    rows = [
+        (7, dt.datetime(2024, 1, 1, 0, 0), 1.0),
+        (7, dt.datetime(2024, 1, 1, 2, 0), 3.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "source bigint, bucket_start timestamp, n_tok_mean double"
+    )
+    out = gapfill_interpolate(df, "hourly", method="spline")
+    assert dict(out.dtypes)["source"] == "bigint"
+    got = {r["bucket_start"]: r["n_tok_mean"] for r in out.collect()}
+    assert len(got) == 3

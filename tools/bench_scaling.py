@@ -77,7 +77,18 @@ def run_once(sf_dir: str, cores: int) -> dict:
     return res
 
 
+def _git_commit() -> str:
+    try:
+        return subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"],
+            cwd=REPO, capture_output=True, text=True, timeout=10,
+        ).stdout.strip() or "unknown"
+    except Exception:
+        return "unknown"
+
+
 def main(sf_dir: str = "/root/testdata/sf0.1") -> None:
+    commit = _git_commit()
     attempts = []
     accepted = None
     rn = r4 = rec = None
@@ -93,7 +104,8 @@ def main(sf_dir: str = "/root/testdata/sf0.1") -> None:
         r4 = run_once(sf_dir, N4)
         c_after = capacity()
         eff = (rn["ladder_sec"] / r4["ladder_sec"]) / 4
-        rec = {"attempt": i, "capacity_before": c_before, "capacity_after": c_after,
+        rec = {"attempt": i, "commit": commit,
+               "capacity_before": c_before, "capacity_after": c_after,
                "t2": rn["ladder_sec"], "t8": r4["ladder_sec"],
                "cpu2": rn["cpu_sec"], "cpu8": r4["cpu_sec"],
                "efficiency": round(eff, 3)}
@@ -138,6 +150,7 @@ fixed-work calibration gates every wall-clock pair: a (local[1], local[4])
 pair counts only when the host demonstrably had >= {MIN_CAPACITY} effective
 cores immediately before AND after it. All attempts are logged in
 BENCH_scaling.json. Measurement note: {note}
+Measured at commit `{commit}`.
 
 ## Wall-clock pair (N=1 -> 4N=4, steady-state: 2nd ladder pass in a warm JVM)
 
@@ -175,32 +188,55 @@ raw-tier ratio is the number that predicts cluster behavior.
 """
 
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    # never regress the recorded evidence: keep the best capacity-ACCEPTED
-    # efficiency across runs (this host's weather varies; a bad window must
-    # not overwrite a good one). All attempts are still appended to the log.
+    # Evidence policy (per-commit, not best-ever): a capacity-accepted pair
+    # from the CURRENT commit always replaces older evidence (so a real
+    # regression shows up); within the same commit, keep the better
+    # capacity-accepted window (host weather varies). When no valid window
+    # exists this run, prior evidence is kept but BASELINE.md is stamped
+    # with the stale-commit note. All attempts are always logged.
     json_path = os.path.join(REPO, "BENCH", "BENCH_scaling.json")
-    prior_eff = None
     prior = {}
     if os.path.exists(json_path):
         try:
             prior = json.load(open(json_path))
-            if prior.get("accepted"):
-                prior_eff = prior["accepted"].get("efficiency")
         except Exception:
             prior = {}
+    prior_acc = prior.get("accepted") or {}
+    prior_eff = prior_acc.get("efficiency")
+    prior_commit = prior_acc.get("commit", "unknown")
     new_eff = accepted["efficiency"] if accepted else None
-    improved = new_eff is not None and (prior_eff is None or new_eff > prior_eff)
-    if improved or prior_eff is None:
+
+    write = accepted is not None and (
+        prior_eff is None
+        or prior_commit != commit
+        or new_eff > prior_eff
+    )
+    if write:
         with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
             f.write(md)
-        payload = {"attempts": attempts, "accepted": accepted,
+        payload = {"attempts": attempts, "accepted": accepted, "commit": commit,
                    "runs": {"local2": rn, "local8": r4} if rn else None}
     else:
         payload = dict(prior)
-        print(f"(kept prior accepted efficiency {prior_eff}; this run: {new_eff})")
+        print(f"(kept prior accepted efficiency {prior_eff} from commit "
+              f"{prior_commit}; this run at {commit}: {new_eff})")
+        base_md = os.path.join(REPO, "BENCH", "BASELINE.md")
+        stale_note = (
+            f"\n> NOTE: shown pair was measured at commit {prior_commit}; a later "
+            f"run at commit {commit} found "
+            + (f"efficiency {new_eff} (not accepted as better)."
+               if new_eff is not None
+               else "no capacity-valid window (host starved).")
+            + "\n"
+        )
+        if os.path.exists(base_md):
+            cur = open(base_md).read()
+            if f"at commit {commit} " not in cur:
+                with open(base_md, "a") as f:
+                    f.write(stale_note)
     payload.setdefault("history", prior.get("history", []))
     payload["history"] = payload["history"] + [
-        {"accepted_eff": new_eff, "n_attempts": len(attempts)}
+        {"accepted_eff": new_eff, "n_attempts": len(attempts), "commit": commit}
     ]
     with open(json_path, "w") as f:
         json.dump(payload, f, indent=2)
