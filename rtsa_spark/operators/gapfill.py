@@ -144,9 +144,17 @@ def gapfill_interpolate(
     keys = _keys(key_col)
     freq = _PD_FREQ[tier]
 
-    from rtsa_spark.functions.interp import monotone_cubic, natural_cubic_spline
+    from rtsa_spark.functions.interp import (
+        monotone_cubic,
+        natural_cubic_spline,
+        stineman,
+    )
 
-    interp = natural_cubic_spline if method == "spline" else monotone_cubic
+    interp = {
+        "spline": natural_cubic_spline,
+        "stine": stineman,  # true Stineman rational interpolant
+        "pchip": monotone_cubic,
+    }[method]
 
     import pandas as pd
 

@@ -108,3 +108,61 @@ def test_gapfill_interpolate_nonstring_keys(spark):
     assert dict(out.dtypes)["source"] == "bigint"
     got = {r["bucket_start"]: r["n_tok_mean"] for r in out.collect()}
     assert len(got) == 3
+
+
+def test_stineman_passes_through_knots_and_lines():
+    from rtsa_spark.functions.interp import stineman
+
+    x = np.array([0.0, 1.0, 3.0, 4.0, 7.0])
+    y = 2.0 + 0.5 * x
+    out = stineman(x, y, np.linspace(0, 7, 29))
+    assert np.allclose(out, 2.0 + 0.5 * np.linspace(0, 7, 29), atol=1e-12)
+    # knots reproduced exactly for a non-linear shape too
+    y2 = np.array([0.0, 1.0, 0.5, 2.0, -1.0])
+    got = stineman(x, y2, x)
+    assert np.allclose(got, y2, atol=1e-12)
+
+
+def test_stineman_no_overshoot_on_monotone_data():
+    """Stineman's defining property: well-behaved, no spline-style
+    overshoot between knots of monotone data."""
+    from rtsa_spark.functions.interp import natural_cubic_spline, stineman
+
+    x = np.array([0.0, 1.0, 2.0, 3.0, 4.0, 5.0])
+    y = np.array([0.0, 0.0, 0.0, 5.0, 5.0, 5.0])  # step-ish
+    xs = np.linspace(0, 5, 101)
+    st = stineman(x, y, xs)
+    assert st.min() >= -1e-9 and st.max() <= 5 + 1e-9
+    # the cubic spline DOES overshoot here (what 'stine' users avoid)
+    sp = natural_cubic_spline(x, y, xs)
+    assert sp.min() < -1e-3 or sp.max() > 5 + 1e-3
+
+
+def test_stineman_differs_from_pchip():
+    """'stine' is its own curve now, not the PCHIP stand-in (r1 gap)."""
+    from rtsa_spark.functions.interp import monotone_cubic, stineman
+
+    x = np.array([0.0, 1.0, 2.0, 4.0, 5.0])
+    y = np.array([0.0, 2.0, 1.5, 6.0, 6.5])
+    xs = np.linspace(0, 5, 50)
+    assert not np.allclose(stineman(x, y, xs), monotone_cubic(x, y, xs))
+
+
+def test_gapfill_stine_roundtrip(spark):
+    import datetime as dt
+
+    from rtsa_spark.operators.gapfill import gapfill_interpolate
+
+    rows = [
+        ("a", dt.datetime(2024, 1, 1, h), float(v))
+        for h, v in [(0, 1.0), (2, 5.0), (3, 4.0), (6, 10.0)]
+    ]
+    df = spark.createDataFrame(
+        rows, "source string, bucket_start timestamp, n_tok_mean double"
+    )
+    out = gapfill_interpolate(df, "hourly", method="stine")
+    got = {r["bucket_start"].hour: r for r in out.collect()}
+    assert len(got) == 7
+    for h, v in [(0, 1.0), (2, 5.0), (3, 4.0), (6, 10.0)]:
+        assert got[h]["n_tok_mean"] == v and not got[h]["gapfilled"]
+    assert got[1]["gapfilled"] and 1.0 <= got[1]["n_tok_mean"] <= 5.0
