@@ -739,6 +739,75 @@ FROM ranked WHERE rank <= 5
 """
 
 
+EMB_DEDUP_MIN_COS_E6 = 400_000
+
+
+def q_embedding_dedup(spark, sf_dir):
+    """Embedding-cosine near-dup pairs via multiprobe-LSH candidates +
+    exact verify (the fifth dedup family of the training-data surface).
+    Same deterministic planes as ann_cosine_lsh; oracle replays the
+    candidate generation and the exact cosine in SQL."""
+    from rtsa_spark.operators.similarity import embedding_near_dup_pairs
+
+    return embedding_near_dup_pairs(
+        _embeddings(spark, sf_dir),
+        min_cos_e6=EMB_DEDUP_MIN_COS_E6,
+        n_planes=ANN_LSH_PLANES,
+        n_tables=ANN_LSH_TABLES,
+    )
+
+
+def _sql_embedding_dedup():
+    from rtsa_spark.operators.similarity import lsh_planes
+
+    planes = lsh_planes(ANN_LSH_PLANES, 64, 42, ANN_LSH_TABLES)
+    pl_cols = ", ".join(
+        "[" + ",".join(str(int(v)) for v in planes[j]) + "] AS p{}".format(j)
+        for j in range(len(planes))
+    )
+
+    def bucket_expr(t):
+        return " + ".join(
+            f"(CASE WHEN list_sum(list_transform(generate_series(1, 64),"
+            f" i -> embedding[i]::DOUBLE * p{t * ANN_LSH_PLANES + p}[i])) > 0"
+            f" THEN {1 << p} ELSE 0 END)"
+            for p in range(ANN_LSH_PLANES)
+        )
+
+    bucket_case = (
+        "CASE t.tbl "
+        + " ".join(f"WHEN {t} THEN ({bucket_expr(t)})" for t in range(ANN_LSH_TABLES))
+        + " END"
+    )
+    tbls = ", ".join(str(t) for t in range(ANN_LSH_TABLES))
+    return f"""
+WITH pl AS (SELECT {pl_cols}),
+b AS (
+  SELECT vec_id, embedding, t.tbl, {bucket_case} AS bucket
+  FROM embeddings, pl, (SELECT unnest([{tbls}]) AS tbl) t
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, c.vec_id AS id_b
+  FROM b a JOIN b c ON a.tbl = c.tbl AND a.bucket = c.bucket
+  WHERE a.vec_id < c.vec_id
+),
+scored AS (
+  SELECT id_a, id_b,
+         list_sum(list_transform(generate_series(1, 64),
+                                 i -> va.embedding[i]::DOUBLE * vb.embedding[i]::DOUBLE))
+         / (sqrt(list_sum(list_transform(generate_series(1, 64),
+                  i -> va.embedding[i]::DOUBLE * va.embedding[i]::DOUBLE)))
+          * sqrt(list_sum(list_transform(generate_series(1, 64),
+                  i -> vb.embedding[i]::DOUBLE * vb.embedding[i]::DOUBLE)))) AS cos
+  FROM cand
+  JOIN embeddings va ON va.vec_id = cand.id_a
+  JOIN embeddings vb ON vb.vec_id = cand.id_b
+)
+SELECT id_a, id_b, CAST(floor(cos * 1e6) AS BIGINT) AS cos_e6
+FROM scored WHERE floor(cos * 1e6) >= {EMB_DEDUP_MIN_COS_E6}
+"""
+
+
 def q_embedding_norms(spark, sf_dir):
     """Array-column aggregation check: mean L2 norm per label."""
     from rtsa_spark.operators.similarity import norms_by_label
@@ -1215,6 +1284,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_lsh": q_ngram_jaccard_lsh,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_cosine_lsh": q_ann_cosine_lsh,
+        "embedding_dedup": q_embedding_dedup,
         "embedding_norms": q_embedding_norms,
         "text_quality": q_text_quality,
         "langid_heuristic": q_langid_heuristic,
@@ -1252,6 +1322,7 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard_lsh": _sql_ngram_jaccard_lsh(),
         "ann_cosine_topk": SQL_ANN_COSINE,
         "ann_cosine_lsh": _sql_ann_lsh(),
+        "embedding_dedup": _sql_embedding_dedup(),
         "embedding_norms": SQL_EMBEDDING_NORMS,
         "text_quality": SQL_TEXT_QUALITY,
         "langid_heuristic": SQL_LANGID,

@@ -179,6 +179,53 @@ def cosine_topk_lsh(
     )
 
 
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    min_cos_e6: int = 900_000,
+    n_planes: int = 4,
+    n_tables: int = 8,
+    dim: int = 64,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exact: bool = False,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate detection: pairs with cosine above
+    ``min_cos_e6/1e6``. The scale path (default) generates candidates from
+    the multiprobe hyperplane-LSH tables and verifies exactly — same
+    bucket-join shape as the MinHash text dedup, never all-pairs; genuine
+    near-dups (cos -> 1) collide in some table with high probability.
+    ``exact=True`` scores all pairs (the oracle/verification shape — O(n^2),
+    small corpora only). Output: (id_a, id_b, cos_e6), id_a < id_b."""
+    if exact:
+        a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+        b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+        cand = a.join(b, F.col("id_a") < F.col("id_b"))
+    else:
+        ab = hyperplane_bucket(df, n_planes, dim, seed, vec_col, n_tables).select(
+            F.col(id_col).alias("id_a"), "lsh_table", "lsh_bucket"
+        )
+        bb = hyperplane_bucket(df, n_planes, dim, seed, vec_col, n_tables).select(
+            F.col(id_col).alias("id_b"), "lsh_table", "lsh_bucket"
+        )
+        pairs = (
+            ab.join(bb, ["lsh_table", "lsh_bucket"])
+            .where(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .distinct()
+        )
+        va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+        vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+        cand = pairs.join(va, "id_a").join(vb, "id_b")
+    cos = _dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb")))
+    return (
+        cand.select(
+            "id_a", "id_b", F.floor(cos * 1e6).cast("bigint").alias("cos_e6")
+        )
+        .where(F.col("cos_e6") >= min_cos_e6)
+    )
+
+
 def norms_by_label(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
     """Mean L2 norm per label (array-aggregation health check)."""
     return df.groupBy("label").agg(

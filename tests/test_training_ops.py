@@ -207,3 +207,31 @@ def test_ngram_jaccard_lsh_default_path(spark, docs):
     for k, v in pairs.items():
         if k in full:
             assert full[k] == v
+
+
+def test_embedding_near_dup_finds_planted_dups(spark):
+    """Planted near-identical vectors must surface as near-dup pairs via
+    the LSH candidate path, with the exact path as ground truth."""
+    from rtsa_spark.operators.similarity import embedding_near_dup_pairs
+
+    rng = np.random.default_rng(12)
+    base = rng.normal(size=(60, 64)).astype("float32")
+    base[50] = base[0] + 0.01 * rng.normal(size=64).astype("float32")  # near-dup
+    base[51] = base[1]  # exact dup
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in base[i]]) for i in range(60)],
+        "vec_id long, embedding array<float>",
+    ).cache()
+    exact = {
+        (r["id_a"], r["id_b"]): r["cos_e6"]
+        for r in embedding_near_dup_pairs(df, min_cos_e6=990_000, exact=True).collect()
+    }
+    assert (0, 50) in exact and (1, 51) in exact
+    lsh = {
+        (r["id_a"], r["id_b"]): r["cos_e6"]
+        for r in embedding_near_dup_pairs(df, min_cos_e6=990_000).collect()
+    }
+    # genuine near-dups collide in some LSH table with high probability
+    assert (0, 50) in lsh and (1, 51) in lsh
+    for k, v in lsh.items():
+        assert exact[k] == v  # verify stage is exact
