@@ -49,3 +49,91 @@ def test_streaming_rollup_matches_batch(spark, tiny_sequences, tmp_path):
     )
     q2.awaitTermination(300)
     assert spark.read.parquet(out).count() == want.count()
+
+
+def test_stateful_source_state_across_batches(spark, tmp_path):
+    """applyInPandasWithState: state persists ACROSS micro-batches (one
+    file per trigger) and the drained totals equal the batch aggregates;
+    max_gap_s equals the batch window-lag computation on ordered input."""
+    import datetime as dt
+
+    from pyspark.sql import Window
+
+    from rtsa_spark.streaming.stateful import streaming_source_state
+
+    # 3 time-ordered files -> 3 micro-batches with maxFilesPerTrigger=1
+    src = str(tmp_path / "state_src")
+    base = dt.datetime(2024, 1, 1)
+    rows_per_file = [
+        [("a", base + dt.timedelta(minutes=m), 10 + m) for m in (0, 1, 5)],
+        [("a", base + dt.timedelta(minutes=m), 20 + m) for m in (6, 30)]
+        + [("b", base + dt.timedelta(minutes=2), 7)],
+        [("a", base + dt.timedelta(minutes=31), 1), ("b", base + dt.timedelta(minutes=62), 3)],
+    ]
+    for i, rows in enumerate(rows_per_file):
+        spark.createDataFrame(
+            [(f"d{i}{j}", [1], int(v), s, t) for j, (s, t, v) in enumerate(rows)],
+            "doc_id string, tokens array<int>, n_tok int, source string, ts timestamp",
+        ).coalesce(1).write.mode("overwrite").parquet(f"{src}/f{i}")
+
+    all_rows = [r for rows in rows_per_file for r in rows]
+    batch = spark.createDataFrame(
+        [(f"x{j}", [1], int(v), s, t) for j, (s, t, v) in enumerate(all_rows)],
+        "doc_id string, tokens array<int>, n_tok int, source string, ts timestamp",
+    )
+
+    stream = (
+        spark.readStream.schema(
+            "doc_id string, tokens array<int>, n_tok int, source string, ts timestamp"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(f"{src}/f*")
+    )
+    updates: list = []
+
+    def sink(df, _epoch):
+        updates.extend(df.collect())
+
+    q = (
+        streaming_source_state(stream)
+        .writeStream.foreachBatch(sink)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "state_ckpt"))
+        .start()
+    )
+    q.awaitTermination(120)
+
+    # multiple batches must have fired (state crossed batch boundaries)
+    n_updates_a = sum(1 for r in updates if r["source"] == "a")
+    assert n_updates_a >= 2
+
+    final = {}
+    for r in updates:  # last update per source wins
+        final[r["source"]] = r
+    want = {
+        r["source"]: r
+        for r in batch.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_seq"),
+            F.sum("n_tok").alias("n_tok_sum"),
+            F.max("ts").alias("last_ts"),
+        )
+        .collect()
+    }
+    w = Window.partitionBy("source").orderBy("ts")
+    gaps = {
+        r["source"]: r["g"]
+        for r in batch.withColumn(
+            "g", F.col("ts").cast("long") - F.lag("ts").over(w).cast("long")
+        )
+        .groupBy("source")
+        .agg(F.max("g").alias("g"))
+        .collect()
+    }
+    for s in ("a", "b"):
+        assert final[s]["n_seq"] == want[s]["n_seq"]
+        assert final[s]["n_tok_sum"] == want[s]["n_tok_sum"]
+        assert final[s]["last_ts"] == want[s]["last_ts"]
+        assert final[s]["max_gap_s"] == gaps[s]
