@@ -90,6 +90,60 @@ def main() -> int:
                 "ArrowEvalPython" not in gap_plan and "BatchEvalPython" not in gap_plan)
     ok &= check("gap-fill uses window exchange", "Window" in gap_plan)
 
+    # 6. minhash: the text is split once (projected), not once per shingle
+    #    word/signature — count split() occurrences in the plan details
+    from rtsa_spark.operators.dedup import minhash_lsh_buckets, ngram_jaccard_lsh
+
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma delta epsilon zeta " * 3) for i in range(4)],
+        "doc_id long, text string",
+    )
+    mh_plan = plan_of(minhash_lsh_buckets(docs))
+    ok &= check(
+        "minhash splits text once per doc",
+        mh_plan.count("split(text") <= 2,  # formatted prints expr ~twice
+        f"split occurrences: {mh_plan.count('split(text')}",
+    )
+    ok &= check("minhash partial-aggregates signatures map-side",
+                "partial_min" in mh_plan)
+
+    # 7. LSH-fed jaccard: candidate join is a bounded equi-join, never a
+    #    nested-loop/cartesian pair enumeration
+    jac_plan = plan_of(ngram_jaccard_lsh(docs, min_jaccard_e4=0))
+    ok &= check(
+        "jaccard LSH candidates use equi-join (no cartesian)",
+        "CartesianProduct" not in jac_plan
+        and "BroadcastNestedLoopJoin" not in jac_plan,
+    )
+
+    # 8. analytics bucket vectors shuffle on the BUCKET, not the source —
+    #    dominant sources cannot skew the Gramian exchange
+    from rtsa_spark.operators.eof import bucket_vectors, source_index
+
+    hr2 = hr.select("source", "bucket_start", "n_tok_mean")
+    srcs = source_index(hr2)
+    bv_plan = plan_of(bucket_vectors(hr2, srcs))
+    ok &= check(
+        "bucket vectors partition by bucket_start",
+        "hashpartitioning(bucket_start" in bv_plan,
+    )
+
+    # 9. embedding near-dup: LSH candidate generation is an equi-join too
+    from rtsa_spark.operators.similarity import embedding_near_dup_pairs
+
+    emb = spark.createDataFrame(
+        [(i, [float(i + d) for d in range(8)]) for i in range(4)],
+        "vec_id long, embedding array<float>",
+    )
+    nd_plan = plan_of(
+        embedding_near_dup_pairs(emb, min_cos_e6=0, n_planes=2, n_tables=2, dim=8)
+    )
+    ok &= check(
+        "embedding near-dup candidates use equi-join (no cartesian)",
+        "CartesianProduct" not in nd_plan
+        and "BroadcastNestedLoopJoin" not in nd_plan,
+    )
+
     spark.stop()
     print("AUDIT", "PASS" if ok else "FAIL")
     return 0 if ok else 1
