@@ -24,7 +24,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
 
-from rtsa_spark.operators.rollup import BUCKET_OF, ROLLUP_COLS
+from rtsa_spark.operators.rollup import ROLLUP_COLS
 
 #: calendar step per tier, as an INTERVAL literal for F.sequence
 STEP_OF = {

@@ -22,7 +22,6 @@ same caveat as read_sequences_stream).
 from __future__ import annotations
 
 import pandas as pd
-import pyspark.sql.functions as F  # noqa: F401  (kept for API parity)
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
