@@ -1182,6 +1182,24 @@ def q_sequences_stl(spark, sf_dir):
     )
 
 
+def q_sequences_x11(spark, sf_dir):
+    """X-11 MA-cascade metrics (reference M6 core, R/rtsa.seas.R:275-285)
+    per source over the derived daily tier — Henderson + 3x3/3x5 seasonal
+    MAs are a multi-stage filter cascade, not SQL-expressible; the filter
+    math is pinned by tests/test_x11.py (cubic-exact Henderson, planted
+    components, normalization constraint)."""
+    from rtsa_spark.operators.gapfill import gapfill_linear
+    from rtsa_spark.operators.metrics import compute_metrics
+    from rtsa_spark.operators.rollup import rollup_ladder
+
+    daily = gapfill_linear(
+        rollup_ladder(_derived_sequences(spark, sf_dir))["daily"], "daily"
+    )
+    return compute_metrics(
+        daily, "daily", value_col="n_tok_mean", period=7, decomposition="x11"
+    )
+
+
 def q_mk_stats(spark, sf_dir):
     """Mann-Kendall S / varS / tau per event_type over the hourly series
     (A6, ``R/rtsa.mk.R:296-312``) as exact integers: S and 18*varS are
@@ -1293,6 +1311,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sequences_encode_blocks": q_sequences_encode_blocks,
         "sequences_metrics": q_sequences_metrics,
         "sequences_stl": q_sequences_stl,
+        "sequences_x11": q_sequences_x11,
         "sequences_gapfill_spline": q_sequences_gapfill_spline,
         "sequences_dineof": q_sequences_dineof,
         "sequences_eof": q_sequences_eof,

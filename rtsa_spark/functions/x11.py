@@ -1,0 +1,138 @@
+"""X-11-style seasonal adjustment core — vectorized numpy (reference M6).
+
+``rtsa.seas`` (``/root/reference/R/rtsa.seas.R:275-285``) delegates to
+``seasonal::seas`` (X-13ARIMA-SEATS). The ARIMA pre-adjustment/forecast
+machinery is out of scope (SURVEY §2.6 decision), but the X-11 DECOMPOSITION
+core itself is a published sequence of moving averages (Shiskin, Young &
+Musgrave 1967; summarized in every X-11/X-12 methods paper) and is
+implemented here for the additive case:
+
+  B1. initial trend: centered 2x(period) MA;
+  B2. initial SI = x - trend; initial seasonal: 3x3 MA over each phase
+      subseries, normalized so every centered 2x(period) window of the
+      seasonal sums to ~0;
+  B3. first pass seasonally adjusted = x - seasonal;
+  B4. trend: HENDERSON 13-term filter (weights from the published
+      closed-form polynomial, not hard-coded constants — they reproduce
+      cubic polynomials exactly, which the tests assert);
+  B5. final SI = x - trend; final seasonal: 3x5 MA per phase, normalized;
+  B6. final trend: Henderson on the final adjusted series.
+
+End effects use symmetric reflect padding (a documented divergence from
+X-11's asymmetric Musgrave end filters — interior values match the
+standard filters exactly).
+
+Statistics consumed downstream are the reference's A2-A4 contract
+(trend endpoint slope, yearly seasonal amplitude mean/sd —
+``R/rtsa.seas.R:314-327``), already produced by
+``decompose.component_stats``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def henderson_weights(n_terms: int = 13) -> np.ndarray:
+    """Henderson filter weights from the closed-form polynomial.
+
+    For a (2p+1)-term filter let m = p + 2; then for j in [-p, p]:
+      w_j = 315 * ((m-1)^2 - j^2) * (m^2 - j^2) * ((m+1)^2 - j^2)
+                 * (3m^2 - 16 - 11 j^2)
+            / (8 m (m^2-1) (4m^2-1) (4m^2-9) (4m^2-25))
+    (standard published form). Weights sum to 1 and annihilate nothing up
+    to cubic — the filter passes cubics through unchanged.
+    """
+    if n_terms % 2 == 0 or n_terms < 5:
+        raise ValueError("Henderson filter needs an odd term count >= 5")
+    p = n_terms // 2
+    m = p + 2
+    j = np.arange(-p, p + 1, dtype="float64")
+    num = (
+        315.0
+        * ((m - 1) ** 2 - j**2)
+        * (m**2 - j**2)
+        * ((m + 1) ** 2 - j**2)
+        * (3 * m**2 - 16 - 11 * j**2)
+    )
+    den = (
+        8.0 * m * (m**2 - 1) * (4 * m**2 - 1) * (4 * m**2 - 9) * (4 * m**2 - 25)
+    )
+    return num / den
+
+
+def _sym_filter(x: np.ndarray, w: np.ndarray, odd: bool = True) -> np.ndarray:
+    """Symmetric filter, length-preserving. Ends use ODD reflection by
+    default (point-reflection through the end value), which passes linear
+    trends through exactly — the cheap stand-in for X-11's asymmetric
+    Musgrave end filters (documented divergence; interior is exact)."""
+    half = len(w) // 2
+    if len(x) < 2:
+        return x.astype("float64", copy=True)
+    xp = np.pad(
+        x, (half, half), mode="reflect", reflect_type="odd" if odd else "even"
+    )
+    return np.convolve(xp, w, mode="valid")
+
+
+def _ma2xp(x: np.ndarray, period: int, odd: bool = True) -> np.ndarray:
+    """Centered 2x(period) MA (split end weights for even periods)."""
+    if period % 2 == 1:
+        w = np.full(period, 1.0 / period)
+    else:
+        w = np.full(period + 1, 1.0 / period)
+        w[0] = w[-1] = 1.0 / (2 * period)
+    return _sym_filter(x, w, odd=odd)
+
+
+def _seasonal_ma(si: np.ndarray, period: int, kind: str) -> np.ndarray:
+    """3x3 or 3x5 MA over each phase subseries of the SI ratios."""
+    w = {
+        "3x3": np.array([1, 2, 3, 2, 1], dtype="float64") / 9.0,
+        "3x5": np.array([1, 2, 3, 3, 3, 2, 1], dtype="float64") / 15.0,
+    }[kind]
+    out = np.empty_like(si, dtype="float64")
+    for ph in range(period):
+        sub = si[ph::period]
+        # detrended SI subseries are level-ish: even reflection is right
+        out[ph::period] = _sym_filter(sub, w, odd=False)
+    return out
+
+
+def _normalize_seasonal(s: np.ndarray, period: int) -> np.ndarray:
+    """X-11 seasonal normalization: subtract the centered 2x(period) MA of
+    the raw seasonal so any full-period window sums to ~0."""
+    return s - _ma2xp(s, period)
+
+
+def x11_decompose(x: np.ndarray, period: int = 12) -> dict[str, np.ndarray]:
+    """Additive X-11-core decomposition. Returns seasonal/trend/remainder
+    plus the seasonally adjusted series (the slot rtsa.seas reports —
+    noting its Q3 slot mix-up is NOT reproduced; columns here are named by
+    meaning)."""
+    x = np.asarray(x, dtype="float64")
+    n = len(x)
+    if n < 2 * period or period < 2:
+        return {
+            "seasonal": np.zeros(n),
+            "trend": x.copy(),
+            "remainder": np.zeros(n),
+            "adjusted": x.copy(),
+        }
+    hw = henderson_weights(13 if n >= 13 else (n if n % 2 == 1 else n - 1))
+    # B1-B2: initial estimate
+    t1 = _ma2xp(x, period)
+    s1 = _normalize_seasonal(_seasonal_ma(x - t1, period, "3x3"), period)
+    # B3-B4: first adjusted pass + Henderson trend
+    t2 = _sym_filter(x - s1, hw)
+    # B5: final seasonal from the Henderson-detrended SI
+    s2 = _normalize_seasonal(_seasonal_ma(x - t2, period, "3x5"), period)
+    # B6: final trend on the final adjusted series
+    adjusted = x - s2
+    t3 = _sym_filter(adjusted, hw)
+    return {
+        "seasonal": s2,
+        "trend": t3,
+        "remainder": x - s2 - t3,
+        "adjusted": adjusted,
+    }

@@ -44,6 +44,7 @@ def compute_metrics(
     s_degree: int = 0,
     t_window: int | None = None,
     t_degree: int = 1,
+    decomposition: str = "stl",
 ) -> DataFrame:
     """One metrics row per source from its tier series.
 
@@ -55,6 +56,10 @@ def compute_metrics(
     the reference's window/degree surface (``R/rtsa.stl.R:140-169``) —
     ``t_window=None`` then defaults to the odd-ized series length, the
     reference wrapper's own default (``:148-150``).
+
+    ``decomposition="x11"`` switches to the X-11 MA-cascade core
+    (functions/x11.py; reference rtsa.seas, ``R/rtsa.seas.R:275-285``) —
+    same statistics contract over its components.
     """
     p = period if period is not None else DEFAULT_PERIOD.get(tier, 12)
 
@@ -64,7 +69,11 @@ def compute_metrics(
         pdf = pdf.sort_values(bucket_col)
         x = pdf[value_col].to_numpy("float64")
         t = pdf[bucket_col].to_numpy("datetime64[ns]").view("int64") / 1e9
-        if s_window == "periodic" and t_window is None:
+        if decomposition == "x11":
+            from rtsa_spark.functions.x11 import x11_decompose
+
+            comp = x11_decompose(x, p)
+        elif s_window == "periodic" and t_window is None:
             comp = decompose(x, p)
         else:
             from rtsa_spark.functions.stl import stl_decompose

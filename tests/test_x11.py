@@ -1,0 +1,85 @@
+"""X-11 decomposition core (reference M6, R/rtsa.seas.R:275-285)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from rtsa_spark.functions.x11 import henderson_weights, x11_decompose, _sym_filter
+
+
+def test_henderson_weights_published_properties():
+    """The closed-form weights must behave like the published filter:
+    sum to 1, symmetric, and reproduce cubic polynomials EXACTLY."""
+    for n in (5, 9, 13, 23):
+        w = henderson_weights(n)
+        assert w.sum() == pytest.approx(1.0, abs=1e-12)
+        assert np.allclose(w, w[::-1])
+    w13 = henderson_weights(13)
+    t = np.arange(60, dtype="float64")
+    cubic = 2.0 - 0.3 * t + 0.05 * t**2 - 0.001 * t**3
+    sm = _sym_filter(cubic, w13)
+    # interior points (away from the reflect-padded ends) are exact
+    assert np.allclose(sm[6:-6], cubic[6:-6], atol=1e-8)
+    # known spot value: center weight of H13 ~ 0.2402
+    assert w13[6] == pytest.approx(0.24006, abs=3e-4)
+
+
+def test_x11_recovers_planted_components():
+    rng = np.random.default_rng(5)
+    n, p = 144, 12
+    t = np.arange(n)
+    season = 4.0 * np.sin(2 * np.pi * t / p) + 1.5 * np.cos(4 * np.pi * t / p)
+    trend = 20 + 0.1 * t
+    x = season + trend + rng.normal(0, 0.15, n)
+    out = x11_decompose(x, p)
+    assert np.corrcoef(out["seasonal"], season)[0, 1] > 0.995
+    assert np.corrcoef(out["trend"], trend)[0, 1] > 0.998
+    # interior (away from the documented symmetric end effects) is tight
+    interior = slice(12, -12)
+    s_err = out["seasonal"][interior] - (season - season.mean())[interior]
+    assert float(np.abs(s_err).max()) < 0.5
+    assert float(np.std(out["remainder"])) < 0.4
+    assert np.allclose(out["adjusted"], x - out["seasonal"])
+    assert np.allclose(out["seasonal"] + out["trend"] + out["remainder"], x)
+
+
+def test_x11_seasonal_windows_sum_to_zero():
+    """Normalization: every centered full-period window of the seasonal
+    sums to ~0 (the defining X-11 constraint)."""
+    rng = np.random.default_rng(8)
+    n, p = 120, 12
+    x = 3 * np.sin(2 * np.pi * np.arange(n) / p) + rng.normal(0, 0.2, n)
+    s = x11_decompose(x, p)["seasonal"]
+    sums = np.convolve(s, np.ones(p), "valid")
+    assert float(np.abs(sums[p:-p]).max()) < 0.25
+
+
+def test_x11_degenerate_short():
+    out = x11_decompose(np.array([1.0, 2.0]), 12)
+    assert np.allclose(out["trend"], [1, 2])
+    assert np.allclose(out["seasonal"], 0)
+
+
+def test_x11_stats_contract(spark):
+    """compute_metrics with decomposition='x11' produces the A2-A4 stats
+    row shape over a tier series."""
+    import datetime as dt
+
+    from rtsa_spark.operators.metrics import compute_metrics
+
+    rows = []
+    base = dt.datetime(2020, 1, 1)
+    for src in ("a", "b"):
+        for i in range(48):
+            v = 100 + (5 if src == "a" else -3) * np.sin(2 * np.pi * i / 12) + 0.5 * i
+            rows.append((src, base + dt.timedelta(days=31 * i), float(v)))
+    df = spark.createDataFrame(
+        rows, "source string, bucket_start timestamp, n_tok_mean double"
+    )
+    out = {r["source"]: r for r in compute_metrics(
+        df, "monthly", period=12, decomposition="x11"
+    ).collect()}
+    assert set(out) == {"a", "b"}
+    assert out["a"]["seasonal_amplitude"] > out["b"]["seasonal_amplitude"] * 0.9
+    assert out["a"]["trend_slope"] > 0
