@@ -140,7 +140,6 @@ def stl_decompose(
         if s_win < 3:
             raise ValueError("s_window must be >= 3 (odd-ized)")
 
-    phases = np.arange(n) % period
     trend = np.zeros(n)
     seasonal = np.zeros(n)
     for _ in range(max(1, inner)):

@@ -119,7 +119,9 @@ def x11_decompose(x: np.ndarray, period: int = 12) -> dict[str, np.ndarray]:
             "remainder": np.zeros(n),
             "adjusted": x.copy(),
         }
-    hw = henderson_weights(13 if n >= 13 else (n if n % 2 == 1 else n - 1))
+    # short series still get a valid (>=5-term) filter: reflect padding
+    # makes a kernel longer than the series well-defined
+    hw = henderson_weights(max(5, 13 if n >= 13 else (n if n % 2 == 1 else n - 1)))
     # B1-B2: initial estimate
     t1 = _ma2xp(x, period)
     s1 = _normalize_seasonal(_seasonal_ma(x - t1, period, "3x3"), period)

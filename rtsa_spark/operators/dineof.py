@@ -107,9 +107,7 @@ def dineof_gapfill(
     reconstruction. Input: a tier rollup (sparse); output: dense rows
     (key, bucket, value, gapfilled) over the global bucket spine."""
     sources = source_index(tier_df, key_col)
-    vecs = bucket_vectors(
-        tier_df, sources, value_col, key_col, bucket_col, allow_missing=True
-    )
+    vecs = bucket_vectors(tier_df, sources, value_col, key_col, bucket_col)
     x, buckets = _collect_matrix(vecs, bucket_col, len(sources))
     missing = np.isnan(x)
     if missing.all(axis=0).any():

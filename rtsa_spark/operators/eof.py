@@ -55,16 +55,15 @@ def bucket_vectors(
     value_col: str = "n_tok_mean",
     key_col: str = "source",
     bucket_col: str = "bucket_start",
-    allow_missing: bool = False,
 ) -> DataFrame:
-    """One row per bucket: ``(bucket, vec array<double>, n_miss int)`` with
-    ``vec`` ordered by the ``sources`` index. Pure Catalyst: keys are first
-    swapped for dense integer indices (broadcast join against the tiny
-    source list — NOT an n_s-literal expression, which chokes codegen at
-    thousands of sources), then each bucket builds its vector with one
-    ``sequence + element_at(map)`` transform. The shuffle key is the
+    """One row per bucket: packed ``(bucket, idxs array<int>, vals
+    array<double>, n_miss int)`` with positions from the ``sources`` index.
+    Pure Catalyst: keys are first swapped for dense integer indices
+    (broadcast join against the tiny source list — NOT an n_s-literal
+    expression, which chokes codegen at thousands of sources), then each
+    bucket packs its sorted (idx, value) pairs. The shuffle key is the
     bucket, so dominant sources do not skew this exchange. Missing cells
-    are NULL (NaN when ``allow_missing``)."""
+    simply have no entry; :func:`stack_vectors` scatters NaN there."""
     spark = tier_df.sparkSession
     n_s = len(sources)
     idx_df = spark.createDataFrame(
@@ -79,19 +78,39 @@ def bucket_vectors(
         )
     )
     m = keyed.groupBy(bucket_col).agg(srt.alias("_s"))
+    idxs = F.transform(F.col("_s"), lambda s: s["_src_idx"])
+    n_distinct = F.size(F.array_distinct(idxs))
     return m.select(
         F.col(bucket_col),
-        F.transform(F.col("_s"), lambda s: s["_src_idx"]).alias("idxs"),
+        idxs.alias("idxs"),
         F.transform(F.col("_s"), lambda s: s["_v"]).alias("vals"),
-        (F.lit(n_s) - F.size(F.col("_s"))).alias("n_miss"),
+        # distinct-based, so a duplicate cell can never cancel against a
+        # genuinely missing one
+        (F.lit(n_s) - n_distinct).alias("n_miss"),
+        (F.size(F.col("_s")) - n_distinct).alias("n_dup"),
     )
 
 
-def stack_vectors(pdf: pd.DataFrame, n_s: int) -> np.ndarray:
+def stack_vectors(pdf: pd.DataFrame, n_s: int, scratch: bool = False) -> np.ndarray:
     """Dense (rows, n_s) float64 matrix from the (idxs, vals) packed
-    columns — vectorized scatter, NaN where missing."""
+    columns — vectorized scatter, NaN where missing.
+
+    ``scratch=True`` returns a view into a worker-global grow-only buffer
+    (CLAUDE.md: fresh large allocations pay ~100x first-touch here) — valid
+    only until the NEXT stack_vectors(scratch=True) call, so use it for
+    per-batch kernels that consume the matrix immediately, never for
+    results that outlive the batch."""
     nb = len(pdf)
-    z = np.full((nb, n_s), np.nan)
+    if scratch:
+        key = ("sv", n_s)
+        buf = _SCRATCH.get(key)
+        if buf is None or buf.shape[0] < nb:
+            buf = np.empty((max(nb, 256), n_s))
+            _SCRATCH[key] = buf
+        z = buf[:nb]
+        z.fill(np.nan)
+    else:
+        z = np.full((nb, n_s), np.nan)
     lens = pdf["idxs"].map(len).to_numpy("int64")
     rows = np.repeat(np.arange(nb), lens)
     cols = np.concatenate(pdf["idxs"].to_numpy()) if nb else np.array([], dtype=int)
@@ -119,8 +138,10 @@ def _gramian_scratch(n_s: int) -> dict:
 
 def require_complete(vec_df: DataFrame) -> DataFrame:
     """Reference P2 semantics (``R/rtsa.eof.R:129-132``): every bucket must
-    cover every source. Raises like the r1 pivot did."""
-    if vec_df.where(F.col("n_miss") > 0).limit(1).count() > 0:
+    cover every source exactly once. Missing and duplicate cells are
+    counted separately (distinct-based), so a duplicate can never cancel a
+    genuinely missing cell and let NaN corrupt the Gramian silently."""
+    if vec_df.where((F.col("n_miss") != 0) | (F.col("n_dup") != 0)).limit(1).count() > 0:
         raise ValueError(
             "EOF requires complete profiles: gap-fill the tier or apply "
             "mask_complete_profile first (reference P2, R/rtsa.eof.R:129-132)"
@@ -177,7 +198,7 @@ def gramian(
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            z = (stack_vectors(pdf, n_s) - c) / s
+            z = (stack_vectors(pdf, n_s, scratch=True) - c) / s
             np.dot(z.T, z, out=tmp)
             g += tmp
             n += len(pdf)
@@ -272,7 +293,7 @@ def eof(
     lam = np.maximum(w[order], 0.0)
     v = v[:, order]
     # deterministic sign: largest-|loading| element of each mode positive
-    for m in range(n_s):
+    for m in range(n_modes):
         j = int(np.argmax(np.abs(v[:, m])))
         if v[j, m] < 0:
             v[:, m] = -v[:, m]
@@ -301,7 +322,7 @@ def eof(
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            z = (stack_vectors(pdf, n_s_k) - c_arr) / s_arr
+            z = (stack_vectors(pdf, n_s_k, scratch=True) - c_arr) / s_arr
             ec = z @ vk  # (batch, n_modes)
             nb = len(pdf)
             yield pd.DataFrame(
@@ -340,4 +361,8 @@ def scale_eof_modes(modes: DataFrame, cut_pct: float = 1.0) -> DataFrame:
     ).otherwise(
         -1.0 + 2.0 * (F.col("loading") - F.col("lo")) / (F.col("hi") - F.col("lo"))
     )
-    return j.select("source", "mode", scaled.alias("loading_scaled"))
+    # the key column is whatever eof() named it (its key_col argument)
+    key = next(
+        c for c in modes.columns if c not in ("mode", "loading", "center", "scale")
+    )
+    return j.select(key, "mode", scaled.alias("loading_scaled"))

@@ -195,7 +195,7 @@ def eot(
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            z = (stack_vectors(pdf, n_s_k) - c_arr) / s_arr
+            z = (stack_vectors(pdf, n_s_k, scratch=True) - c_arr) / s_arr
             bv = z @ wb  # (batch, n_modes)
             nb = len(pdf)
             yield pd.DataFrame(

@@ -92,3 +92,38 @@ def test_gramian_distributed_path_matches_driver_path(spark):
     assert n1 == n2 == 30
     assert float(np.abs(g1 - g2).max()) < 1e-9
     assert np.allclose(g1, mat.T @ mat)
+
+
+def test_require_complete_rejects_duplicates(spark):
+    """Duplicate (bucket, source) rows must be rejected, not silently
+    collapse against missing cells (n_miss != 0 check)."""
+    import datetime as dt
+
+    from rtsa_spark.operators.eof import eof
+
+    rows = [
+        ("a", dt.datetime(2024, 1, 1), 1.0),
+        ("a", dt.datetime(2024, 1, 1), 2.0),  # duplicate cell
+        ("c", dt.datetime(2024, 1, 1), 3.0),  # b missing in this bucket
+        ("a", dt.datetime(2024, 1, 2), 1.0),
+        ("b", dt.datetime(2024, 1, 2), 2.0),
+        ("c", dt.datetime(2024, 1, 2), 3.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "source string, bucket_start timestamp, n_tok_mean double"
+    )
+    with pytest.raises(ValueError, match="complete profiles"):
+        eof(spark, df)
+
+
+def test_scale_eof_custom_key_col(spark):
+    from rtsa_spark.operators.eof import eof, scale_eof_modes
+
+    rng = np.random.default_rng(2)
+    mat = rng.normal(size=(40, 5))
+    tier = _tier_from_matrix(spark, mat, [f"s{j}" for j in range(5)]).withColumnRenamed(
+        "source", "model"
+    )
+    out = eof(spark, tier, n_modes=2, key_col="model")
+    scaled = scale_eof_modes(out["modes"], cut_pct=5.0)
+    assert "model" in scaled.columns and scaled.count() == 10
