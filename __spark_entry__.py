@@ -523,9 +523,11 @@ WITH words AS (
   SELECT doc_id, string_split(text, ' ') AS w FROM documents
 ), shingled AS (
   SELECT doc_id,
-         unnest(list_transform(generate_series(1, len(w) - 2),
-                               i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle
-  FROM words WHERE len(w) >= 3
+         unnest(CASE WHEN len(w) >= 3
+                THEN list_transform(generate_series(1, len(w) - 2),
+                                    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+                ELSE [array_to_string(w, ' ')] END) AS shingle
+  FROM words
 ), sigs AS (
   SELECT doc_id, {sigs} FROM shingled GROUP BY doc_id
 ), banded AS ({union})
@@ -606,9 +608,11 @@ WITH words AS (
   SELECT doc_id, string_split(text, ' ') AS w FROM documents
 ), shingled AS (
   SELECT doc_id,
-         unnest(list_transform(generate_series(1, len(w) - 2),
-                               i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle
-  FROM words WHERE len(w) >= 3
+         unnest(CASE WHEN len(w) >= 3
+                THEN list_transform(generate_series(1, len(w) - 2),
+                                    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+                ELSE [array_to_string(w, ' ')] END) AS shingle
+  FROM words
 ), sigs AS (
   SELECT doc_id, {sigs} FROM shingled GROUP BY doc_id
 ), banded AS ({union}),

@@ -67,19 +67,29 @@ def _decode_stub(payload: bytes, kind: str) -> "object":
 
 
 def _fake_decode_features(payloads: "pd.Series") -> "object":
-    """Deterministic 'decoder': fixed-width feature from payload bytes.
-    Vectorized: one numpy pass over the concatenated batch."""
+    """Deterministic 'decoder': fixed-width feature = per-column byte mean
+    of the zero-padded (rows, FEATURE_DIM) reshape of each payload.
+
+    Truly vectorized over the whole batch: one ``frombuffer`` of the
+    concatenated payloads + a single ``np.add.at`` scatter-add keyed by
+    (row, byte_position % FEATURE_DIM) — no per-row Python loop (CLAUDE.md
+    kernel rule), identical output to the per-payload reshape/mean."""
     import numpy as np
 
-    feats = []
-    for b in payloads:
-        arr = np.frombuffer(b, dtype=np.uint8)
-        k = FEATURE_DIM
-        pad = (-len(arr)) % k
-        if pad:
-            arr = np.pad(arr, (0, pad))
-        feats.append((arr.reshape(-1, k).mean(axis=0) / 255.0).astype("float32"))
-    return feats
+    k = FEATURE_DIM
+    lens = np.fromiter((len(b) for b in payloads), dtype=np.int64, count=len(payloads))
+    blob = np.frombuffer(b"".join(payloads), dtype=np.uint8)
+    nb = len(lens)
+    sums = np.zeros((nb, k), dtype=np.float64)
+    if blob.size:
+        row_ids = np.repeat(np.arange(nb), lens)
+        pos = np.arange(blob.size) - np.repeat(
+            np.concatenate(([0], np.cumsum(lens)[:-1])), lens
+        )
+        np.add.at(sums, (row_ids, pos % k), blob)
+    rows = np.maximum((lens + k - 1) // k, 1)
+    feats = (sums / (rows[:, None] * 255.0)).astype("float32")
+    return list(feats)
 
 
 def extract_features(media: DataFrame, fake: bool = False) -> DataFrame:

@@ -60,16 +60,23 @@ def _shingled(
     """(id, shingle) rows: word n-grams, 1-based indexing to match the SQL
     oracle. The text is split ONCE into a projected array column — naive
     inline expressions re-evaluate split() per shingle word, which was the
-    dominant cost of the whole minhash stage."""
+    dominant cost of the whole minhash stage.
+
+    Documents shorter than ``n`` words contribute their whole text as one
+    degenerate shingle (rather than being silently dropped from the
+    near-dup pipeline — identical short docs must still collide)."""
     words = df.select(
-        F.col(id_col), F.split(F.col(text_col), " ").alias("_w")
-    ).where(F.size("_w") >= n)
-    sh = F.transform(
-        F.sequence(F.lit(1), F.size("_w") - (n - 1)),
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(F.col("_w"), i + j) for j in range(n)]
-        ),
+        F.col(id_col), F.split(F.col(text_col), " ").alias("_w"), F.col(text_col)
     )
+    sh = F.when(
+        F.size("_w") >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size("_w") - (n - 1)),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(F.col("_w"), i + j) for j in range(n)]
+            ),
+        ),
+    ).otherwise(F.array(F.col(text_col)))
     return words.select(id_col, F.explode(sh).alias("shingle"))
 
 

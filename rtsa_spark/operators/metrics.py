@@ -25,12 +25,13 @@ from rtsa_spark.functions.kendall import mann_kendall, seasonal_mann_kendall
 #: hourly daily.
 DEFAULT_PERIOD = {"hourly": 24, "daily": 7, "monthly": 12}
 
-METRICS_SCHEMA = (
-    "source string, n_buckets int, value_mean double, value_stdev double,"
-    " seasonal_amplitude double, trend_slope double, remainder_stdev double,"
-    " seas_amp_cycle_mean double, seas_amp_cycle_stdev double,"
-    " mk_s double, mk_vars double, mk_tau double, mk_p double"
-)
+def _metrics_schema(key_col: str) -> str:
+    return (
+        f"{key_col} string, n_buckets int, value_mean double, value_stdev double,"
+        " seasonal_amplitude double, trend_slope double, remainder_stdev double,"
+        " seas_amp_cycle_mean double, seas_amp_cycle_stdev double,"
+        " mk_s double, mk_vars double, mk_tau double, mk_p double"
+    )
 
 
 def compute_metrics(
@@ -87,7 +88,7 @@ def compute_metrics(
         return pd.DataFrame(
             [
                 {
-                    "source": pdf[key_col].iloc[0],
+                    key_col: pdf[key_col].iloc[0],
                     "n_buckets": len(x),
                     "value_mean": float(np.mean(x)) if len(x) else float("nan"),
                     "value_stdev": float(np.std(x, ddof=1)) if len(x) >= 2 else float("nan"),
@@ -97,7 +98,7 @@ def compute_metrics(
             ]
         )
 
-    return tier_df.groupBy(key_col).applyInPandas(kernel, METRICS_SCHEMA)
+    return tier_df.groupBy(key_col).applyInPandas(kernel, _metrics_schema(key_col))
 
 
 def _deterministic_schema(key_col: str) -> str:

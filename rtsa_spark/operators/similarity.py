@@ -202,12 +202,9 @@ def embedding_near_dup_pairs(
         b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
         cand = a.join(b, F.col("id_a") < F.col("id_b"))
     else:
-        ab = hyperplane_bucket(df, n_planes, dim, seed, vec_col, n_tables).select(
-            F.col(id_col).alias("id_a"), "lsh_table", "lsh_bucket"
-        )
-        bb = hyperplane_bucket(df, n_planes, dim, seed, vec_col, n_tables).select(
-            F.col(id_col).alias("id_b"), "lsh_table", "lsh_bucket"
-        )
+        bucketed = hyperplane_bucket(df, n_planes, dim, seed, vec_col, n_tables)
+        ab = bucketed.select(F.col(id_col).alias("id_a"), "lsh_table", "lsh_bucket")
+        bb = bucketed.select(F.col(id_col).alias("id_b"), "lsh_table", "lsh_bucket")
         pairs = (
             ab.join(bb, ["lsh_table", "lsh_bucket"])
             .where(F.col("id_a") < F.col("id_b"))

@@ -269,7 +269,30 @@ class TierPipeline:
         )
         in_months = F.col(P_MONTH).isin(months)
         prev_recomputed: DataFrame | None = None
-        prev_fp = content_fingerprint(sequences)
+        seq_fp = content_fingerprint(sequences)
+        prev_fp = seq_fp
+
+        def _overwrite_months(df: DataFrame, path: str) -> None:
+            """Dynamic partition overwrite of the affected months, PLUS
+            explicit removal of any requested month the recomputation
+            produced no rows for — dynamic mode only touches partitions
+            present in the frame, so a fully-deleted month would otherwise
+            survive as a stale partition dir forever."""
+            with_m = self._with_month(df)
+            written = {
+                r[P_MONTH] for r in with_m.select(P_MONTH).distinct().collect()
+            }
+            (
+                with_m.write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy(P_MONTH)
+                .parquet(path)
+            )
+            for m in set(months) - written:
+                stale = os.path.join(path, f"{P_MONTH}={m}")
+                if os.path.exists(stale):
+                    shutil.rmtree(stale)
+
         for tier in self.tiers:
             stage = f"rollup_{tier}"
             path = self._stage_path(stage)
@@ -280,13 +303,7 @@ class TierPipeline:
             )
             t0 = time.time()
             n_new = recomputed.count()
-            (
-                self._with_month(recomputed)
-                .write.mode("overwrite")
-                .option("partitionOverwriteMode", "dynamic")
-                .partitionBy(P_MONTH)
-                .parquet(path)
-            )
+            _overwrite_months(recomputed, path)
             self._append_ledger(
                 {
                     "run_id": self.run_id,
@@ -304,16 +321,46 @@ class TierPipeline:
             replaced[stage] = n_new
 
             if tier in self.hist_tiers:
-                from rtsa_spark.operators.rollup import token_histogram
+                from rtsa_spark.operators.rollup import (
+                    merge_token_histograms,
+                    token_histogram,
+                )
 
                 hstage = f"hist_{tier}"
-                hist = token_histogram(affected_seq, tier, top_k=self.hist_top_k)
-                (
-                    self._with_month(hist)
-                    .write.mode("overwrite")
-                    .option("partitionOverwriteMode", "dynamic")
-                    .partitionBy(P_MONTH)
-                    .parquet(self._stage_path(hstage))
+                hpath = self._stage_path(hstage)
+                # mirror run()'s construction exactly: first hist tier from
+                # raw tokens with top_k; coarser hist tiers cascade by
+                # merging the (already refreshed) finer tier's month rows —
+                # a direct rebuild would change top-k truncation semantics
+                # for refreshed months only
+                finer = next(
+                    (f"hist_{t}" for t in reversed(self.tiers[: self.tiers.index(tier)])
+                     if t in self.hist_tiers),
+                    None,
+                )
+                if finer and os.path.exists(self._stage_path(finer)):
+                    finer_months = (
+                        self.spark.read.parquet(self._stage_path(finer))
+                        .where(in_months)
+                        .drop(P_MONTH)
+                    )
+                    hist = merge_token_histograms(finer_months, tier)
+                else:
+                    hist = token_histogram(affected_seq, tier, top_k=self.hist_top_k)
+                _overwrite_months(hist, hpath)
+                self._append_ledger(
+                    {
+                        "run_id": self.run_id,
+                        "stage": hstage,
+                        "rows_in": None,
+                        "rows_out": self.spark.read.parquet(hpath).count(),
+                        "n_files": None,
+                        "started_at": t0,
+                        "finished_at": time.time(),
+                        "status": "REFRESH",
+                        "fingerprint": seq_fp,
+                        "months": months,
+                    }
                 )
                 replaced[hstage] = -1  # partition-scoped; rows tracked above
 

@@ -45,13 +45,19 @@ def streaming_source_state(
             n, s, last_ns, mg = state.get
         else:
             n, s, last_ns, mg = 0, 0, None, 0
+        # a group's rows may arrive as SEVERAL Arrow chunks in arbitrary
+        # post-shuffle order: gather the whole micro-batch group first,
+        # then sort ONCE — per-chunk sorting would overstate gaps across
+        # chunk boundaries
+        chunks = []
         for pdf in pdfs:
             if len(pdf) == 0:
                 continue
-            ts = np.sort(pdf[ts_col].to_numpy("datetime64[ns]").view("int64"))
-            vals = pdf[value_col].to_numpy("int64")
             n += len(pdf)
-            s += int(vals.sum())
+            s += int(pdf[value_col].to_numpy("int64").sum())
+            chunks.append(pdf[ts_col].to_numpy("datetime64[ns]").view("int64"))
+        if chunks:
+            ts = np.sort(np.concatenate(chunks))
             seq = ts if last_ns is None else np.concatenate(([last_ns], ts))
             if len(seq) > 1:
                 mg = max(mg, int(np.diff(seq).max() // 1_000_000_000))

@@ -121,3 +121,60 @@ def test_content_fingerprint_detects_same_count_change(spark, tiny_sequences, tm
     TierPipeline(spark, base, gapfill_tiers=(), metrics_tiers=()).run(corrected)
     monthly_after = _tier_hash(spark, f"{base}/rollup_monthly")
     assert monthly_before != monthly_after  # stage was recomputed
+
+
+def test_refresh_removes_fully_deleted_month(spark, tiny_sequences, tmp_path):
+    """Late-data correction that DELETES every row of a month must remove
+    that month's partition from every tier (dynamic overwrite alone would
+    leave it stale forever)."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    base = str(tmp_path / "del")
+    p = TierPipeline(spark, base, gapfill_tiers=(), metrics_tiers=())
+    p.run(tiny_sequences)
+    assert os.path.exists(f"{base}/rollup_daily/p_month=2024-02")
+
+    corrected = tiny_sequences.where(
+        F.date_format(F.col("ts"), "yyyy-MM") != "2024-02"
+    )
+    p.refresh_months(corrected, ["2024-02"])
+    for tier in ("raw", "hourly", "daily", "monthly"):
+        assert not os.path.exists(f"{base}/rollup_{tier}/p_month=2024-02"), tier
+    # and the tables now equal a from-scratch run on the corrected input
+    truth = str(tmp_path / "del_truth")
+    TierPipeline(spark, truth, gapfill_tiers=(), metrics_tiers=()).run(corrected)
+    got = _tier_hash(spark, f"{base}/rollup_monthly")
+    want = _tier_hash(spark, f"{truth}/rollup_monthly")
+    assert got == want
+
+
+def test_refresh_hist_matches_run_semantics(spark, tiny_sequences, tmp_path):
+    """Refreshed hist partitions must carry run()'s construction semantics
+    (coarser tiers = merge of the finer tier's truncated maps), so a
+    refresh followed by run() yields tables identical to a fresh run()."""
+    import pyspark.sql.functions as F
+
+    base = str(tmp_path / "hist")
+    kw = dict(gapfill_tiers=(), metrics_tiers=(),
+              hist_tiers=("hourly", "daily"), hist_top_k=4)
+    p = TierPipeline(spark, base, **kw)
+    p.run(tiny_sequences)
+
+    feb = F.date_format(F.col("ts"), "yyyy-MM") == "2024-02"
+    corrected = tiny_sequences.withColumn(
+        "n_tok", F.when(feb, F.col("n_tok") * 2).otherwise(F.col("n_tok"))
+    )
+    p.refresh_months(corrected, ["2024-02"])
+
+    truth = str(tmp_path / "hist_truth")
+    TierPipeline(spark, truth, **kw).run(corrected)
+    for stage in ("hist_hourly", "hist_daily"):
+        got = spark.read.parquet(f"{base}/{stage}").select(
+            "source", "bucket_start", F.to_json("tok_hist").alias("h")
+        )
+        want = spark.read.parquet(f"{truth}/{stage}").select(
+            "source", "bucket_start", F.to_json("tok_hist").alias("h")
+        )
+        assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0, stage
