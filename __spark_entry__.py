@@ -310,10 +310,13 @@ def q_metrics_series(spark, sf_dir):
     first_v = F.min_by("v_mean_e4", "bucket_start")
     last_v = F.max_by("v_mean_e4", "bucket_start")
     span_s = F.max("bucket_start").cast("long") - F.min("bucket_start").cast("long")
+    slope = F.when(
+        span_s > 0, F.floor((last_v - first_v) * 3600 * 100 / span_s)
+    )  # NULL for single-bucket groups (ANSI: guard zero divisors)
     return hourly.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_buckets"),
         (F.max("v_mean_e4") - F.min("v_mean_e4")).alias("amplitude_e4"),
-        F.floor((last_v - first_v) * 3600 * 100 / span_s).alias("slope_e6_per_hour"),
+        slope.alias("slope_e6_per_hour"),
         F.round(F.stddev_samp(F.col("v_mean_e4") / 1e4), 4).alias("stdev"),
     )
 
@@ -328,10 +331,11 @@ WITH h AS (
 SELECT event_type,
        count(*) AS n_buckets,
        max(v_mean_e4) - min(v_mean_e4) AS amplitude_e4,
-       CAST(floor((arg_max(v_mean_e4, bucket_start) - arg_min(v_mean_e4, bucket_start))
-             * 3600 * 100
-             / date_diff('second', min(bucket_start), max(bucket_start))) AS BIGINT)
-         AS slope_e6_per_hour,
+       CASE WHEN date_diff('second', min(bucket_start), max(bucket_start)) > 0 THEN
+         CAST(floor((arg_max(v_mean_e4, bucket_start) - arg_min(v_mean_e4, bucket_start))
+               * 3600 * 100
+               / date_diff('second', min(bucket_start), max(bucket_start))) AS BIGINT)
+       ELSE NULL END AS slope_e6_per_hour,
        round(stddev_samp(v_mean_e4 / 1e4), 4) AS stdev
 FROM h GROUP BY 1
 """
@@ -510,10 +514,6 @@ def _sql_minhash():
     sigs = ", ".join(
         f"min(md5('{j}:' || shingle)) AS sig_{j}" for j in range(N_MINHASH)
     )
-    bands = ", ".join(
-        f"SELECT {b} AS band, md5(sig_{2*b} || sig_{2*b+1}) AS band_hash, doc_id FROM sigs"
-        for b in range(N_MINHASH // 2)
-    )
     union = " UNION ALL ".join(
         f"SELECT {b} AS band, md5(sig_{2*b} || sig_{2*b+1}) AS band_hash, doc_id FROM sigs"
         for b in range(N_MINHASH // 2)
@@ -687,7 +687,11 @@ def q_ann_cosine_lsh(spark, sf_dir):
     )
 
 
-def _sql_ann_lsh():
+def _sql_lsh_bucket_cte():
+    """Shared SQL scaffolding for the hyperplane-LSH oracles: plane
+    literals (same deterministic rng stream as the Spark bucketer) + the
+    per-table bucket CASE + the bucketed-embeddings CTE. One source of
+    truth so ann_cosine_lsh and embedding_dedup can never drift apart."""
     from rtsa_spark.operators.similarity import lsh_planes
 
     planes = lsh_planes(ANN_LSH_PLANES, 64, 42, ANN_LSH_TABLES)
@@ -715,7 +719,11 @@ WITH pl AS (SELECT {pl_cols}),
 b AS (
   SELECT vec_id, embedding, t.tbl, {bucket_case} AS bucket
   FROM embeddings, pl, (SELECT unnest([{tbls}]) AS tbl) t
-),
+)"""
+
+
+def _sql_ann_lsh():
+    return f"""{_sql_lsh_bucket_cte()},
 cand AS (
   SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
   FROM b q JOIN b c ON q.tbl = c.tbl AND q.bucket = c.bucket
@@ -762,34 +770,7 @@ def q_embedding_dedup(spark, sf_dir):
 
 
 def _sql_embedding_dedup():
-    from rtsa_spark.operators.similarity import lsh_planes
-
-    planes = lsh_planes(ANN_LSH_PLANES, 64, 42, ANN_LSH_TABLES)
-    pl_cols = ", ".join(
-        "[" + ",".join(str(int(v)) for v in planes[j]) + "] AS p{}".format(j)
-        for j in range(len(planes))
-    )
-
-    def bucket_expr(t):
-        return " + ".join(
-            f"(CASE WHEN list_sum(list_transform(generate_series(1, 64),"
-            f" i -> embedding[i]::DOUBLE * p{t * ANN_LSH_PLANES + p}[i])) > 0"
-            f" THEN {1 << p} ELSE 0 END)"
-            for p in range(ANN_LSH_PLANES)
-        )
-
-    bucket_case = (
-        "CASE t.tbl "
-        + " ".join(f"WHEN {t} THEN ({bucket_expr(t)})" for t in range(ANN_LSH_TABLES))
-        + " END"
-    )
-    tbls = ", ".join(str(t) for t in range(ANN_LSH_TABLES))
-    return f"""
-WITH pl AS (SELECT {pl_cols}),
-b AS (
-  SELECT vec_id, embedding, t.tbl, {bucket_case} AS bucket
-  FROM embeddings, pl, (SELECT unnest([{tbls}]) AS tbl) t
-),
+    return f"""{_sql_lsh_bucket_cte()},
 cand AS (
   SELECT DISTINCT a.vec_id AS id_a, c.vec_id AS id_b
   FROM b a JOIN b c ON a.tbl = c.tbl AND a.bucket = c.bucket

@@ -98,6 +98,11 @@ def rollup_ladder(df: DataFrame, tiers: list[str] | None = None) -> dict[str, Da
     (pipeline.py writes tier k before deriving k+1, so the cascade reads
     parquet, not a recomputed lineage)."""
     tiers = tiers or TIER_ORDER
+    if not tiers or tiers[0] != "raw":
+        raise ValueError(
+            "rollup_ladder cascades from the raw tier; to cascade from an "
+            "already-rolled tier use rollup_next directly"
+        )
     out: dict[str, DataFrame] = {}
     prev: DataFrame | None = None
     for t in tiers:
