@@ -46,12 +46,17 @@ def ensure_sequences(spark, sf: float, cache_root: str = "/tmp/rtsa_bench") -> s
     n_rows = int(
         os.environ.get("SPARK_GRAFT_BENCH_ROWS", 0)
     ) or max(int(SEQ_ROWS_PER_SF * sf), 10_000)
-    path = os.path.join(cache_root, f"sequences_{n_rows}")
+    # cache key includes every generation parameter — a changed source
+    # count / token cap / seed must NOT silently reuse stale parquet
+    max_tokens, seed = 16, 42
+    path = os.path.join(
+        cache_root, f"sequences_{n_rows}_s{N_SOURCES}_t{max_tokens}_r{seed}"
+    )
     marker = os.path.join(path, "_SUCCESS")
     if not os.path.exists(marker):
-        synth_sequences(spark, n_rows, n_sources=N_SOURCES, max_tokens=16).write.mode(
-            "overwrite"
-        ).parquet(path)
+        synth_sequences(
+            spark, n_rows, n_sources=N_SOURCES, seed=seed, max_tokens=max_tokens
+        ).write.mode("overwrite").parquet(path)
     return path
 
 

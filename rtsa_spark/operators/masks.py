@@ -16,7 +16,14 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
 
-from rtsa_spark.operators.gapfill import _keys, bucket_spine
+from rtsa_spark.operators.gapfill import STEP_OF, _keys, bucket_spine
+
+
+def _observed(tier_df: DataFrame) -> DataFrame:
+    """Observed (non-gapfilled) rows — the shared mask input convention."""
+    if "gapfilled" in tier_df.columns:
+        return tier_df.where(~F.col("gapfilled"))
+    return tier_df
 
 
 def mask_min_observations(
@@ -30,9 +37,8 @@ def mask_min_observations(
     SURVEY.md §8 Q4).
     """
     keys = _keys(key_col)
-    observed = tier_df.where(~F.col("gapfilled")) if "gapfilled" in tier_df.columns else tier_df
     return (
-        observed.groupBy(*keys)
+        _observed(tier_df).groupBy(*keys)
         .agg(F.count(F.lit(1)).alias("_n"))
         .where(F.col("_n") >= min_obs)
         .select(*keys)
@@ -45,20 +51,19 @@ def mask_complete_profile(
     """Keys whose bucket series has NO missing bucket over its own span —
     the ``rastermask="compute"`` complete-profile mask (P2,
     ``R/rtsa.eof.R:129-132``): observed buckets == spine length.
+
+    One groupBy, no spine explode: the expected bucket count is
+    ``size(sequence(min, max, step))`` computed per key row.
     """
     keys = _keys(key_col)
-    observed = tier_df.where(~F.col("gapfilled")) if "gapfilled" in tier_df.columns else tier_df
-    got = observed.groupBy(*keys).agg(F.count(F.lit(1)).alias("_got"))
-    want = (
-        bucket_spine(observed, tier, keys, bucket_col)
-        .groupBy(*keys)
-        .agg(F.count(F.lit(1)).alias("_want"))
+    step = F.expr(STEP_OF[tier])
+    agg = _observed(tier_df).groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("_got"),
+        F.min(bucket_col).alias("_lo"),
+        F.max(bucket_col).alias("_hi"),
     )
-    return (
-        got.join(want, keys)
-        .where(F.col("_got") == F.col("_want"))
-        .select(*keys)
-    )
+    want = F.size(F.sequence(F.col("_lo"), F.col("_hi"), step))
+    return agg.where(F.col("_got") == want).select(*keys)
 
 
 def mask_max_consecutive_gap(
@@ -74,7 +79,7 @@ def mask_max_consecutive_gap(
     a key is dropped when any window holds >= n_p gaps.
     """
     keys = _keys(key_col)
-    observed = tier_df.where(~F.col("gapfilled")) if "gapfilled" in tier_df.columns else tier_df
+    observed = _observed(tier_df)
     spine = bucket_spine(observed, tier, keys, bucket_col)
     dense = spine.join(
         observed.select(*keys, bucket_col, F.lit(1).alias("_one")),

@@ -50,8 +50,15 @@ def dominant_keys(
     total = sample.count()
     if total == 0:
         return []
-    counts = sample.groupBy(key_col).agg(F.count(F.lit(1)).alias("_n")).collect()
-    return [r[key_col] for r in counts if r["_n"] / total > dominance]
+    # dominance filter pushed into Spark: only the (by definition few)
+    # dominant keys ever reach the driver, regardless of key cardinality
+    counts = (
+        sample.groupBy(key_col)
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .where(F.col("_n") > total * dominance)
+        .collect()
+    )
+    return [r[key_col] for r in counts]
 
 
 def rollup_raw_salted(

@@ -35,7 +35,17 @@ def get_spark(
             pkg_root + (os.pathsep + existing if existing else "")
         )
     builder = SparkSession.builder.appName(app_name)
-    if "SPARK_MASTER" not in os.environ and not os.environ.get("SPARK_SUBMIT"):
+    # only force local mode when no master was provided externally:
+    # spark-submit sets spark.master as a JVM system property (visible via
+    # SparkConf) and launches python through its gateway (PYSPARK_GATEWAY_PORT)
+    from pyspark import SparkConf
+
+    external_master = (
+        SparkConf(loadDefaults=True).contains("spark.master")
+        or "PYSPARK_GATEWAY_PORT" in os.environ
+        or "SPARK_MASTER" in os.environ
+    )
+    if not external_master:
         n = cores or int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or "*"
         builder = builder.master(f"local[{n}]")
     if shuffle_partitions is None:

@@ -65,6 +65,10 @@ def main() -> None:
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
 
     qs, oracles = E.queries(), E.oracle_sql()
+    unknown = only - set(qs)
+    if unknown:
+        print(f"unknown query name(s): {sorted(unknown)}")
+        sys.exit(2)
     results = {}
     for name, fn in qs.items():
         if only and name not in only:
