@@ -66,6 +66,11 @@ def bucket_vectors(
     simply have no entry; :func:`stack_vectors` scatters NaN there."""
     spark = tier_df.sparkSession
     n_s = len(sources)
+    if n_s == 0:
+        raise ValueError(
+            "empty source index: the tier has no rows (gap-fill/mask away "
+            "nothing before the analytics, or check the input filter)"
+        )
     idx_df = spark.createDataFrame(
         pd.DataFrame({key_col: sources, "_src_idx": np.arange(n_s, dtype="int32")})
     )

@@ -80,6 +80,154 @@ def _ioa_scores(resid: np.ndarray) -> np.ndarray:
     return scores
 
 
+def eot_deterministic(
+    tier_df: DataFrame,
+    value_col: str = "x",
+    key_col: str = "source",
+    bucket_col: str = "bucket_start",
+    n_modes: int = 2,
+) -> DataFrame:
+    """Oracle-facing EOT twin (reference M4, ``/root/reference/R/rtsa.eot.R:245``)
+    over an INTEGER-valued tier series, IEEE-deterministic so a DuckDB
+    oracle hash-matches every output bit (CLAUDE.md pattern):
+
+    - restrict to the **common complete spine** (buckets observed by every
+      source) — the relational analog of the reference's complete-profile
+      requirement, replayable as a ``HAVING count(*) = n_sources`` filter;
+    - center in exact-int domain: ``z = n_t*x - S_j`` (scale-invariant for
+      every emitted statistic, so no float mean ever enters);
+    - the source x source Gramian ``G = Z^T Z`` is accumulated by the
+      distributed :func:`rtsa_spark.operators.eof.gramian` pass — every
+      entry an exact integer below 2^53, so float64 partials are exact and
+      summation order is irrelevant;
+    - per mode: base = argmax_j sum_k (G_jk*G_jk)/(G_jj*G_kk) with the sum
+      taken in ascending-source order; emitted stats are fixed 3-op chains
+      (product, sqrt, divide); the residual step is the rank-1 float
+      downdate ``G' = G - (g_aj*g_bj)/G_jj`` with the base row/col zeroed
+      exactly. Both engines execute the identical op sequence, so the
+      doubles (and their ``floor(1e6*.)`` quantizations) are bit-equal.
+
+    Returns one row per (source, mode): ``is_base``, ``r_e6``,
+    ``slope_e6`` (NULL for sources already consumed as bases), and the
+    per-mode ``expl_e4`` explained-variance quantization. The float64
+    production path (:func:`eot`) is pinned to this twin in
+    tests/test_dineof_eot.py.
+    """
+    import math
+
+    spark = tier_df.sparkSession
+    sources = source_index(tier_df, key_col)
+    n_s = len(sources)
+    x = F.col(value_col).cast("long")
+    base = tier_df.select(key_col, bucket_col, x.alias("_x"))
+    spine = (
+        base.groupBy(bucket_col)
+        .agg(F.count_distinct(key_col).alias("_nk"))
+        .where(F.col("_nk") == n_s)
+        .select(bucket_col)
+    )
+    on_spine = base.join(spine, bucket_col)
+    n_t = spine.count()
+    sums = on_spine.groupBy(key_col).agg(F.sum("_x").alias("_s"))
+    z_df = on_spine.join(F.broadcast(sums), key_col).select(
+        key_col,
+        bucket_col,
+        (F.lit(n_t) * F.col("_x") - F.col("_s")).alias("z"),
+    )
+    vecs = bucket_vectors(z_df, sources, "z", key_col, bucket_col)
+    g_mat, _ = gramian(vecs, n_s)
+
+    rows: list[dict] = []
+    g = [[float(g_mat[a][b]) for b in range(n_s)] for a in range(n_s)]
+    diag = [g[a][a] for a in range(n_s)]
+    tot0 = 0.0
+    for a in range(n_s):
+        tot0 += diag[a]
+    for mode in range(1, n_modes + 1):
+        elig = [a for a in range(n_s) if diag[a] > 0]
+        best_j, best_score = None, None
+        for j in elig:
+            s = 0.0
+            for k in elig:
+                s += (g[j][k] * g[j][k]) / (diag[j] * diag[k])
+            if best_score is None or s > best_score:
+                best_j, best_score = j, s
+        if best_j is None:
+            # no eligible base (all variances consumed/zero): the SQL twin
+            # still emits the ineligible-source NULL rows for this mode
+            # (and nothing for later modes — its next diag CTE is empty)
+            if n_t > 0:
+                for k in range(n_s):
+                    rows.append(
+                        {
+                            key_col: sources[k],
+                            "mode": mode,
+                            "is_base": 0,
+                            "r_e6": None,
+                            "slope_e6": None,
+                            "expl_e4": None,
+                        }
+                    )
+            break
+        bj = best_j
+        before = 0.0
+        for a in range(n_s):
+            before += diag[a]
+        for k in range(n_s):
+            if diag[k] > 0:
+                r = g[bj][k] / math.sqrt(diag[bj] * diag[k])
+                slope = g[bj][k] / diag[bj]
+                rows.append(
+                    {
+                        key_col: sources[k],
+                        "mode": mode,
+                        "is_base": int(k == bj),
+                        "r_e6": math.floor(1_000_000.0 * r),
+                        "slope_e6": math.floor(1_000_000.0 * slope),
+                    }
+                )
+            else:
+                rows.append(
+                    {
+                        key_col: sources[k],
+                        "mode": mode,
+                        "is_base": 0,
+                        "r_e6": None,
+                        "slope_e6": None,
+                    }
+                )
+        gj = [g[a][bj] for a in range(n_s)]
+        gjj = diag[bj]
+        for a in range(n_s):
+            for b in range(n_s):
+                if a == bj or b == bj:
+                    g[a][b] = 0.0
+                else:
+                    g[a][b] = g[a][b] - (gj[a] * gj[b]) / gjj
+        diag = [g[a][a] for a in range(n_s)]
+        after = 0.0
+        for a in range(n_s):
+            after += diag[a]
+        expl = math.floor(10_000.0 * ((before - after) / tot0)) if tot0 else None
+        for r_ in rows[-n_s:]:
+            r_["expl_e4"] = expl
+
+    schema = (
+        f"{key_col} string, mode int, is_base int, r_e6 bigint,"
+        " slope_e6 bigint, expl_e4 bigint"
+    )
+    if not rows:
+        # degenerate input (empty common spine / all-zero variance): the
+        # SQL twin likewise emits no rows
+        from pyspark.sql.types import StructType
+
+        return spark.createDataFrame([], StructType.fromDDL(schema))
+    pdf = pd.DataFrame(rows).astype(
+        {c: "Int64" for c in ("r_e6", "slope_e6", "expl_e4")}
+    )
+    return spark.createDataFrame(pdf, schema)
+
+
 def eot(
     spark: SparkSession,
     tier_df: DataFrame,

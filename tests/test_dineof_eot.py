@@ -158,3 +158,48 @@ def test_eof_distributed_5k_sources(spark):
     assert out["modes"].count() == n_s * 2
     assert out["ecs"].count() == n_t * 2
     assert out["explained_pct"][0] > 90  # one planted spatial mode dominates
+
+
+def test_eot_deterministic_matches_production(spark):
+    """The oracle-facing twin (eot_deterministic) must agree with the
+    float64 production path (eot, type='rsq') on a complete integer tier:
+    same base points per mode, and r/slope within float tolerance of the
+    quantized twin outputs."""
+    import math
+
+    from rtsa_spark.operators.eot import eot, eot_deterministic
+
+    rng = np.random.default_rng(7)
+    n_t, n_s = 60, 6
+    base = rng.integers(50, 150, size=n_t).astype("float64")
+    mat = np.empty((n_t, n_s))
+    for j in range(n_s):
+        w = rng.uniform(0.3, 1.5)
+        mat[:, j] = np.round(w * base + rng.integers(0, 20, size=n_t))
+    sources = [f"s{j}" for j in range(n_s)]
+    tier = _tier(spark, mat, sources)
+
+    det = eot_deterministic(
+        tier, value_col="n_tok_mean", key_col="source", n_modes=2
+    ).toPandas()
+    prod = eot(spark, tier, n_modes=2, value_col="n_tok_mean", key_col="source")
+
+    det_bases = {
+        int(r["mode"]): r["source"]
+        for _, r in det.iterrows()
+        if r["is_base"] == 1
+    }
+    assert det_bases == dict(prod["base_points"])
+
+    prod_modes = prod["modes"].toPandas().set_index(["source", "mode"])
+    for _, r in det.iterrows():
+        if r["r_e6"] is None or (isinstance(r["r_e6"], float) and math.isnan(r["r_e6"])):
+            continue
+        pr = prod_modes.loc[(r["source"], r["mode"])]
+        # z-centering is scale-invariant: same r up to float rounding
+        assert abs(pr["r"] - int(r["r_e6"]) / 1e6) < 2e-6
+        assert abs(pr["slope"] - int(r["slope_e6"]) / 1e6) < 2e-6
+
+    expl = {int(r["mode"]): int(r["expl_e4"]) for _, r in det.iterrows()}
+    for m, pct in enumerate(prod["explained_pct"], start=1):
+        assert abs(pct / 100.0 - expl[m] / 1e4) < 2e-4
