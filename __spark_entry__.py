@@ -1014,6 +1014,61 @@ FROM b
 """
 
 
+def q_token_histogram_cascade(spark, sf_dir):
+    """Token-histogram sketch + distributive merge (SURVEY §2.4) with a
+    real oracle: tokenize documents into 16-bit md5 token ids, sketch the
+    daily tier (exact counts, deterministic top-5 per bucket), cascade the
+    sketches to monthly via map-sum merge, and emit the exploded rows.
+    DuckDB replays tokenization, sketch and merge from the same documents
+    — any drift in the explode/top-k/merge path breaks the value hash."""
+    from rtsa_spark.operators.rollup import (
+        merge_token_histograms,
+        token_histogram,
+    )
+
+    d = _documents(spark, sf_dir)
+    h = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 12), 16, 10).cast(
+        "bigint"
+    )
+    tokens = F.transform(
+        F.split(F.col("text"), " "),
+        lambda w: F.conv(F.substring(F.md5(w), 1, 4), 16, 10).cast("int"),
+    )
+    seq = d.select(
+        "source",
+        tokens.alias("tokens"),
+        F.timestamp_seconds(
+            F.lit(SEQ_EPOCH_S) + F.pmod(h, F.lit(SEQ_HORIZON_S))
+        ).alias("ts"),
+    )
+    daily = token_histogram(seq, "daily", top_k=5)
+    monthly = merge_token_histograms(daily, "monthly")
+    return monthly.select(
+        "source", "bucket_start", F.explode("tok_hist").alias("token", "cnt")
+    )
+
+
+SQL_TOKEN_HIST = f"""
+WITH {SQL_SEQ_CTE.replace("len(string_split(text, ' ')) AS n_tok", "text")},
+tok AS MATERIALIZED (
+  SELECT source, date_trunc('day', ts) AS b,
+         ('0x' || substr(md5(w), 1, 4))::INTEGER AS token
+  FROM (SELECT source, ts, unnest(string_split(text, ' ')) AS w FROM seq)
+), daily AS (
+  SELECT source, b, token, count(*) AS cnt FROM tok GROUP BY 1, 2, 3
+), topk AS (
+  SELECT source, b, token, cnt FROM (
+    SELECT *, row_number() OVER (PARTITION BY source, b
+                                 ORDER BY cnt DESC, token) AS rk
+    FROM daily
+  ) WHERE rk <= 5
+)
+SELECT source, date_trunc('month', b) AS bucket_start,
+       token, CAST(sum(cnt) AS BIGINT) AS cnt
+FROM topk GROUP BY 1, 2, 3
+"""
+
+
 # ------------------------- hard-oracle analytics over the events hourly tier
 #
 # The r1 verdict's top gap: EOF/EOT/DINEOF/spline rested on rows-only checks.
@@ -1586,6 +1641,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sequences_ladder": q_sequences_ladder,
         "sequences_encode_blocks": q_sequences_encode_blocks,
         "sequences_metrics": q_sequences_metrics,
+        "token_histogram_cascade": q_token_histogram_cascade,
         "eot_deterministic": q_eot_deterministic,
         "eof_reconstruction_audit": q_eof_reconstruction_audit,
         "dineof_audit": q_dineof_audit,
@@ -1629,6 +1685,7 @@ def oracle_sql() -> dict[str, str]:
         "media_features": SQL_MEDIA_FEATURES,
         "mk_stats": SQL_MK_STATS,
         "sequences_metrics": _sql_metrics_deterministic(),
+        "token_histogram_cascade": SQL_TOKEN_HIST,
         "eot_deterministic": _sql_eot_det(),
         "eof_reconstruction_audit": SQL_EOF_AUDIT,
         "dineof_audit": SQL_DINEOF_AUDIT,
