@@ -1078,10 +1078,20 @@ FROM topk GROUP BY 1, 2, 3
 # (spine sizes, fill counts, exact-int Gramian diagonals) the oracle
 # recomputes independently from raw events.
 
-_SQL_HOURLY_X = """
+
+def _sql_floordiv(num: str, den: str) -> str:
+    """Python-semantics floor division for possibly-negative exact ints
+    (DuckDB's ``//`` truncates toward zero)."""
+    return (
+        f"(CASE WHEN ({num}) >= 0 THEN ({num}) // ({den})"
+        f" ELSE -((-({num}) + ({den}) - 1) // ({den})) END)"
+    )
+
+
+_SQL_HOURLY_X = f"""
 h AS MATERIALIZED (
   SELECT event_type AS k, date_trunc('hour', ts) AS b,
-         CAST(round(sum(value) * 100) AS BIGINT) // 100 AS x
+         {_sql_floordiv("CAST(round(sum(value) * 100) AS BIGINT)", "100")} AS x
   FROM events GROUP BY 1, 2
 )"""
 
@@ -1213,17 +1223,15 @@ def q_eof_reconstruction_audit(spark, sf_dir):
     size and exact-int z-Gramian diagonal (both independently recomputed by
     DuckDB from raw events) plus the reconstruction mismatch count (0)."""
     from rtsa_spark.operators.eof import eof
+    from rtsa_spark.operators.eot import common_spine_z
 
-    hx = _hourly_x(spark, sf_dir)
-    n_s = hx.select("event_type").distinct().count()
-    spine = (
-        hx.groupBy("bucket_start")
-        .agg(F.count_distinct("event_type").alias("_nk"))
-        .where(F.col("_nk") == n_s)
-        .select("bucket_start")
+    # same spine + exact-int centering contract as eot_deterministic (one
+    # Spark-side source of truth; _SQL_SPINE_Z is their shared SQL twin)
+    on_spine, z_df, sources, n_t = common_spine_z(
+        _hourly_x(spark, sf_dir), "x", key_col="event_type"
     )
-    tier = hx.join(spine, "bucket_start")
-    n_t = spine.count()
+    n_s = len(sources)
+    tier = on_spine.withColumnRenamed("_x", "x")
     if n_t == 0 or n_s == 0:
         # empty common spine (ultra-sparse SF): oracle likewise emits 0 rows
         from pyspark.sql.types import StructType
@@ -1235,15 +1243,8 @@ def q_eof_reconstruction_audit(spark, sf_dir):
                 " n_mismatch bigint"
             ),
         )
-    sums = tier.groupBy("event_type").agg(F.sum("x").alias("_s"))
-    zz = (
-        tier.join(F.broadcast(sums), "event_type")
-        .select(
-            "event_type",
-            (F.lit(n_t) * F.col("x") - F.col("_s")).alias("z"),
-        )
-        .groupBy("event_type")
-        .agg(F.sum(F.col("z") * F.col("z")).alias("zz_sum"))
+    zz = z_df.groupBy("event_type").agg(
+        F.sum(F.col("z") * F.col("z")).alias("zz_sum")
     )
     res = eof(
         spark, tier, n_modes=n_s, value_col="x", key_col="event_type"
@@ -1374,15 +1375,6 @@ def q_sequences_metrics(spark, sf_dir):
     daily = rollup_ladder(_derived_sequences(spark, sf_dir))["daily"]
     return compute_metrics_deterministic(
         daily, "daily", value_col="n_tok_sum", period=7
-    )
-
-
-def _sql_floordiv(num: str, den: str) -> str:
-    """Python-semantics floor division for possibly-negative exact ints
-    (DuckDB's ``//`` truncates toward zero)."""
-    return (
-        f"(CASE WHEN ({num}) >= 0 THEN ({num}) // ({den})"
-        f" ELSE -((-({num}) + ({den}) - 1) // ({den})) END)"
     )
 
 

@@ -80,6 +80,41 @@ def _ioa_scores(resid: np.ndarray) -> np.ndarray:
     return scores
 
 
+def common_spine_z(
+    tier_df: DataFrame,
+    value_col: str,
+    key_col: str = "source",
+    bucket_col: str = "bucket_start",
+) -> tuple[DataFrame, DataFrame, list, int]:
+    """Common complete spine + exact-int centering shared by the
+    deterministic analytics (:func:`eot_deterministic`, the EOF
+    reconstruction audit) and replayed in SQL by the driver's
+    ``_SQL_SPINE_Z``: keep the buckets observed by every source, then
+    center as ``z = n_t*x - S_key`` (scale-invariant for every emitted
+    statistic, so no float mean ever enters). Returns
+    ``(on_spine(key, bucket, _x), z_df(key, bucket, z), sources, n_t)``.
+    """
+    sources = source_index(tier_df, key_col)
+    n_s = len(sources)
+    x = F.col(value_col).cast("long")
+    base = tier_df.select(key_col, bucket_col, x.alias("_x"))
+    spine = (
+        base.groupBy(bucket_col)
+        .agg(F.count_distinct(key_col).alias("_nk"))
+        .where(F.col("_nk") == n_s)
+        .select(bucket_col)
+    )
+    on_spine = base.join(spine, bucket_col)
+    n_t = spine.count()
+    sums = on_spine.groupBy(key_col).agg(F.sum("_x").alias("_s"))
+    z_df = on_spine.join(F.broadcast(sums), key_col).select(
+        key_col,
+        bucket_col,
+        (F.lit(n_t) * F.col("_x") - F.col("_s")).alias("z"),
+    )
+    return on_spine, z_df, sources, n_t
+
+
 def eot_deterministic(
     tier_df: DataFrame,
     value_col: str = "x",
@@ -115,25 +150,18 @@ def eot_deterministic(
     """
     import math
 
+    from pyspark.sql.types import StructType
+
     spark = tier_df.sparkSession
-    sources = source_index(tier_df, key_col)
+    schema = (
+        f"{key_col} string, mode int, is_base int, r_e6 bigint,"
+        " slope_e6 bigint, expl_e4 bigint"
+    )
+    _, z_df, sources, n_t = common_spine_z(tier_df, value_col, key_col, bucket_col)
     n_s = len(sources)
-    x = F.col(value_col).cast("long")
-    base = tier_df.select(key_col, bucket_col, x.alias("_x"))
-    spine = (
-        base.groupBy(bucket_col)
-        .agg(F.count_distinct(key_col).alias("_nk"))
-        .where(F.col("_nk") == n_s)
-        .select(bucket_col)
-    )
-    on_spine = base.join(spine, bucket_col)
-    n_t = spine.count()
-    sums = on_spine.groupBy(key_col).agg(F.sum("_x").alias("_s"))
-    z_df = on_spine.join(F.broadcast(sums), key_col).select(
-        key_col,
-        bucket_col,
-        (F.lit(n_t) * F.col("_x") - F.col("_s")).alias("z"),
-    )
+    if n_s == 0:
+        # empty tier: the SQL twin likewise emits no rows
+        return spark.createDataFrame([], StructType.fromDDL(schema))
     vecs = bucket_vectors(z_df, sources, "z", key_col, bucket_col)
     g_mat, _ = gramian(vecs, n_s)
 
@@ -212,15 +240,9 @@ def eot_deterministic(
         for r_ in rows[-n_s:]:
             r_["expl_e4"] = expl
 
-    schema = (
-        f"{key_col} string, mode int, is_base int, r_e6 bigint,"
-        " slope_e6 bigint, expl_e4 bigint"
-    )
     if not rows:
         # degenerate input (empty common spine / all-zero variance): the
         # SQL twin likewise emits no rows
-        from pyspark.sql.types import StructType
-
         return spark.createDataFrame([], StructType.fromDDL(schema))
     pdf = pd.DataFrame(rows).astype(
         {c: "Int64" for c in ("r_e6", "slope_e6", "expl_e4")}

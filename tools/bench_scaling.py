@@ -187,6 +187,10 @@ def main(sf_dir: str = "/root/testdata/sf0.1") -> None:
                 "see attempts log).")
         if pairs:
             rec = max(pairs, key=lambda a: min(a["capacity_before"], a["capacity_after"]))
+        else:
+            # every window was starved or superlinear-rejected: report no
+            # pair rather than a record the loop explicitly rejected
+            rec = None
     else:
         rec = accepted
         note = (f"pair accepted: host delivered >= {MIN_CAPACITY} effective cores "
