@@ -49,10 +49,12 @@ cluster run extrapolates from.
 
 ## spark-submit --py-files launch evidence
 
-`tools/make_pyfiles_zip.py` + `spark-submit --py-files rtsa_spark.zip
-tools/submit_ladder.py` runs the ladder end-to-end with no repo checkout
-on executors: `SUBMIT_RESULT {'raw': 9947, 'hourly': 7369, 'daily': 720,
-'monthly': 24} gapfill_dense 17264`.
+`tools/make_pyfiles_zip.py` + (from /tmp, so no repo checkout is on any
+path) `spark-submit --master 'local[8]' --py-files rtsa_spark.zip
+tools/submit_ladder.py` runs the ladder end-to-end with every import
+resolved from the shipped zip: `SUBMIT_RESULT {'raw': 96861, 'hourly':
+46081, 'daily': 2880, 'monthly': 96} gapfill_dense 69102` (100k-row
+synth, 24 sources).
 
 ## Per-round bench.py expectations (what BENCH_r{N}.json should look like)
 
