@@ -359,13 +359,20 @@ def q_tier_match_check(spark, sf_dir):
         | (F.col("c.n") != F.col("d.n"))
         | (F.round(F.col("c.v_sum") - F.col("d.v_sum"), 6) != 0)
     )
+    # n_buckets (full-outer row count = distinct days per type) is
+    # recomputed independently by the oracle from raw events, so this row
+    # carries a real data check alongside the stated-zero mismatch audit
     return j.groupBy("event_type").agg(
-        F.sum(mismatch.cast("int")).alias("n_mismatch")
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.sum(mismatch.cast("int")).alias("n_mismatch"),
     )
 
 
 SQL_TIER_MATCH = """
-SELECT event_type, CAST(0 AS BIGINT) AS n_mismatch FROM events GROUP BY 1
+SELECT event_type,
+       count(DISTINCT date_trunc('day', ts)) AS n_buckets,
+       CAST(0 AS BIGINT) AS n_mismatch
+FROM events GROUP BY 1
 """
 
 
