@@ -76,3 +76,37 @@ def test_single_doc_dedup(spark):
     assert dedup_exact(one).count() == 1
     assert minhash_lsh_buckets(one).count() == 4  # one doc in each band
     assert ngram_jaccard_lsh(one).count() == 0  # no pairs
+
+
+def test_eot_deterministic_degenerate_inputs(spark):
+    """The oracle-facing EOT twin must mirror its SQL twin on degenerate
+    inputs: a sourceless tier and an empty common spine both yield a typed
+    empty result (no schema-inference errors), and a constant-valued tier
+    (all variances zero) yields one NULL-stat row per source for mode 1."""
+    import datetime as dt
+
+    from rtsa_spark.operators.eot import eot_deterministic
+
+    schema = "source string, bucket_start timestamp, x long"
+    empty = spark.createDataFrame([], schema)
+    out = eot_deterministic(empty, value_col="x")
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == [
+        "source", "mode", "is_base", "r_e6", "slope_e6", "expl_e4"
+    ]
+
+    # two sources with disjoint buckets -> empty common spine -> no rows
+    b = dt.datetime(2024, 1, 1)
+    disjoint = spark.createDataFrame(
+        [("a", b, 10), ("b", b + dt.timedelta(hours=1), 20)], schema
+    )
+    assert eot_deterministic(disjoint, value_col="x").count() == 0
+
+    # constant series: all-zero variance -> NULL-stat rows, mode 1 only
+    rows = [
+        (s, b + dt.timedelta(hours=i), 7) for s in ("a", "b") for i in range(4)
+    ]
+    const = spark.createDataFrame(rows, schema)
+    out = eot_deterministic(const, value_col="x", n_modes=2).toPandas()
+    assert len(out) == 2 and set(out["mode"]) == {1}
+    assert out["r_e6"].isna().all() and (out["is_base"] == 0).all()
