@@ -1021,6 +1021,97 @@ FROM b
 """
 
 
+def q_seasonal_mk_stats(spark, sf_dir):
+    """Hirsch-Slack seasonal Mann-Kendall (A6's period-switch variant,
+    ``R/rtsa.mk.R:121-125``) per event_type over the daily series with
+    position-based period 7: S and 18*varS exact ints, tau via the
+    phase-ordered denominator sum (IEEE-deterministic; see
+    functions/kendall.seasonal_mann_kendall_deterministic)."""
+    import pandas as pd
+
+    from rtsa_spark.functions.kendall import (
+        seasonal_mann_kendall_deterministic,
+    )
+    from rtsa_spark.operators.rollup import rollup_series
+
+    daily = rollup_series(
+        _events(spark, sf_dir), "daily", ["event_type"], "ts", "value"
+    ).select("event_type", "bucket_start", _cents(F.col("v_sum")).alias("x"))
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("bucket_start")
+        x = pdf["x"].to_numpy("int64")
+        st = seasonal_mann_kendall_deterministic(x, 7)
+        return pd.DataFrame(
+            [{"event_type": pdf["event_type"].iloc[0], "n_buckets": len(x), **st}]
+        ).astype({c: "Int64" for c in ("smk_s", "smk_vars18", "smk_tau_e6")})
+
+    return daily.groupBy("event_type").applyInPandas(
+        kernel,
+        "event_type string, n_buckets bigint, smk_s bigint,"
+        " smk_vars18 bigint, smk_tau_e6 bigint",
+    )
+
+
+SQL_SEASONAL_MK = """
+WITH d AS MATERIALIZED (
+  SELECT event_type, date_trunc('day', ts) AS b,
+         CAST(round(sum(value) * 100) AS BIGINT) AS x
+  FROM events GROUP BY 1, 2
+), ord AS MATERIALIZED (
+  SELECT event_type, x,
+         CAST((row_number() OVER (PARTITION BY event_type ORDER BY b) - 1) % 7
+              AS BIGINT) AS ph,
+         CAST(row_number() OVER (PARTITION BY event_type ORDER BY b) - 1
+              AS BIGINT) AS i
+  FROM d
+), ph_n AS MATERIALIZED (
+  SELECT event_type, ph, CAST(count(*) AS BIGINT) AS n FROM ord GROUP BY 1, 2
+), pairs AS (
+  SELECT a.event_type, a.ph, CAST(sign(b2.x - a.x) AS BIGINT) AS sg
+  FROM ord a JOIN ord b2
+    ON a.event_type = b2.event_type AND a.ph = b2.ph AND a.i < b2.i
+), sstat AS MATERIALIZED (
+  SELECT event_type, ph, CAST(coalesce(sum(sg), 0) AS BIGINT) AS s
+  FROM pairs GROUP BY 1, 2
+), tg AS (
+  SELECT event_type, ph, x, CAST(count(*) AS BIGINT) AS t
+  FROM ord GROUP BY 1, 2, 3
+), ties AS MATERIALIZED (
+  SELECT event_type, ph,
+         CAST(sum(t*(t-1)*(2*t+5)) AS BIGINT) AS corr,
+         CAST(sum(t*(t-1)//2) AS BIGINT) AS n1
+  FROM tg GROUP BY 1, 2
+), per_ph AS MATERIALIZED (
+  SELECT p.event_type, p.ph, p.n,
+         coalesce(s.s, 0) AS s,
+         p.n*(p.n-1)*(2*p.n+5) - coalesce(t.corr, 0) AS v18,
+         (p.n*(p.n-1)//2 - coalesce(t.n1, 0)) AS d1,
+         p.n*(p.n-1)//2 AS n0
+  FROM ph_n p
+  LEFT JOIN sstat s USING (event_type, ph)
+  LEFT JOIN ties t USING (event_type, ph)
+  WHERE p.n >= 2
+), agg AS MATERIALIZED (
+  SELECT event_type,
+         CAST(sum(s) AS BIGINT) AS s_total,
+         CAST(sum(v18) AS BIGINT) AS vars18,
+         list_sum(list(sqrt(d1::DOUBLE * n0::DOUBLE) ORDER BY ph)) AS denom,
+         CAST(sum(n) AS BIGINT) AS n_used
+  FROM per_ph GROUP BY 1
+), tot AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n_buckets FROM d GROUP BY 1
+)
+SELECT t.event_type, t.n_buckets,
+       CASE WHEN a.n_used >= 5 AND a.denom > 0 THEN a.s_total END AS smk_s,
+       CASE WHEN a.n_used >= 5 AND a.denom > 0 THEN a.vars18 END AS smk_vars18,
+       CASE WHEN a.n_used >= 5 AND a.denom > 0 THEN
+         CAST(floor(1000000.0 * (a.s_total::DOUBLE / a.denom)) AS BIGINT)
+       END AS smk_tau_e6
+FROM tot t LEFT JOIN agg a USING (event_type)
+"""
+
+
 def q_token_histogram_cascade(spark, sf_dir):
     """Token-histogram sketch + distributive merge (SURVEY §2.4) with a
     real oracle: tokenize documents into 16-bit md5 token ids, sketch the
@@ -1640,6 +1731,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sequences_ladder": q_sequences_ladder,
         "sequences_encode_blocks": q_sequences_encode_blocks,
         "sequences_metrics": q_sequences_metrics,
+        "seasonal_mk_stats": q_seasonal_mk_stats,
         "token_histogram_cascade": q_token_histogram_cascade,
         "eot_deterministic": q_eot_deterministic,
         "eof_reconstruction_audit": q_eof_reconstruction_audit,
@@ -1684,6 +1776,7 @@ def oracle_sql() -> dict[str, str]:
         "media_features": SQL_MEDIA_FEATURES,
         "mk_stats": SQL_MK_STATS,
         "sequences_metrics": _sql_metrics_deterministic(),
+        "seasonal_mk_stats": SQL_SEASONAL_MK,
         "token_histogram_cascade": SQL_TOKEN_HIST,
         "eot_deterministic": _sql_eot_det(),
         "eof_reconstruction_audit": SQL_EOF_AUDIT,

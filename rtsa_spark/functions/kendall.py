@@ -112,3 +112,41 @@ def seasonal_mann_kendall(x: np.ndarray, period: int) -> dict[str, float]:
         "mk_tau": s_total / denom_total,
         "mk_p": _p_two_sided(s_total, var_total),
     }
+
+
+def seasonal_mann_kendall_deterministic(
+    x: np.ndarray, period: int
+) -> dict[str, int | None]:
+    """Oracle-facing Hirsch-Slack seasonal MK over an INTEGER series
+    (IEEE-deterministic twin of :func:`seasonal_mann_kendall`; SQL replay
+    in ``__spark_entry__``): S and 18*varS are exact integers; tau is
+    ``floor(1e6 * S/denom)`` where the denominator sums the per-phase
+    ``sqrt((n0-n1)*n0)`` terms in ascending-phase order — a fixed sequence
+    of correctly-rounded ops both engines execute identically. Phases are
+    POSITION-based (``i % period`` over the bucket-ordered series), the
+    same convention as the production kernel."""
+    s_total = 0
+    vars18 = 0
+    denom = 0.0
+    n_used = 0
+    for ph in range(period):
+        xi = np.asarray(x[ph::period], dtype=np.int64)
+        n = len(xi)
+        if n < 2:
+            continue
+        s, ties = _s_and_ties(xi.astype(np.float64))
+        t = ties.astype(np.int64)
+        corr = int((t * (t - 1) * (2 * t + 5)).sum())
+        n1 = int((t * (t - 1) // 2).sum())
+        n0 = n * (n - 1) // 2
+        s_total += int(s)
+        vars18 += n * (n - 1) * (2 * n + 5) - corr
+        denom += math.sqrt(float(n0 - n1) * float(n0))
+        n_used += n
+    if n_used < MK_MIN_OBS or denom <= 0:
+        return {"smk_s": None, "smk_vars18": None, "smk_tau_e6": None}
+    return {
+        "smk_s": s_total,
+        "smk_vars18": vars18,
+        "smk_tau_e6": math.floor(1_000_000.0 * (s_total / denom)),
+    }

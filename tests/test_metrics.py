@@ -224,3 +224,29 @@ def test_compute_metrics_deterministic_spark(spark):
             1e4 * p["seasonal_amplitude"], abs=2
         )
         assert d["trend_slope_e9"] == pytest.approx(1e9 * p["trend_slope"], abs=2)
+
+
+def test_seasonal_mk_deterministic_matches_production():
+    """The exact-int seasonal MK twin must carry the same integers the
+    float production kernel (seasonal_mann_kendall) computes, including on
+    series with ties and a non-multiple-of-period length."""
+    import numpy as np
+
+    from rtsa_spark.functions.kendall import (
+        seasonal_mann_kendall,
+        seasonal_mann_kendall_deterministic,
+    )
+
+    rng = np.random.default_rng(3)
+    for n in (23, 28, 60):
+        x = rng.integers(0, 12, size=n).astype("int64")  # many ties
+        det = seasonal_mann_kendall_deterministic(x, 7)
+        prod = seasonal_mann_kendall(x.astype("float64"), 7)
+        assert det["smk_s"] == int(prod["mk_s"])
+        assert det["smk_vars18"] == round(prod["mk_vars"] * 18)
+        assert det["smk_tau_e6"] == math.floor(1e6 * prod["mk_tau"])
+
+    # below the minimum-observation gate: NULLs, matching the SQL twin
+    assert seasonal_mann_kendall_deterministic(
+        np.array([1, 2, 3], dtype="int64"), 7
+    ) == {"smk_s": None, "smk_vars18": None, "smk_tau_e6": None}
