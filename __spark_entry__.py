@@ -1423,18 +1423,17 @@ FROM kn GROUP BY 1
 """
 
 
-def q_spline_audit(spark, sf_dir):
-    """Spline gap-fill (reference W4 'spline') pinned to a real oracle on
-    the same knocked-out hourly tier: per-source spine span and fill count
-    are recomputed by DuckDB; observed cells must pass through the Arrow
-    kernel bit-exactly (n_obs_mismatch = 0)."""
+def _interp_audit(spark, sf_dir, method):
+    """Shared body of the spline/stine/pchip audits: knock out the md5
+    hole pattern, interpolate, and emit the SQL-recomputable spine span +
+    fill count plus the bit-exact observed-passthrough mismatch count."""
     from rtsa_spark.operators.gapfill import gapfill_interpolate
 
     kn = _hourly_x(spark, sf_dir).where(_KNOCK_SPARK).withColumn(
         "x", F.col("x").cast("double")
     )
     dense = gapfill_interpolate(
-        kn, "hourly", method="spline", value_cols=["x"], key_col="event_type"
+        kn, "hourly", method=method, value_cols=["x"], key_col="event_type"
     )
     j = dense.join(
         kn.withColumnRenamed("x", "x_in"), ["event_type", "bucket_start"], "left"
@@ -1446,6 +1445,26 @@ def q_spline_audit(spark, sf_dir):
             (~F.col("gapfilled") & (F.col("x") != F.col("x_in"))).cast("int")
         ).cast("bigint").alias("n_obs_mismatch"),
     )
+
+
+def q_spline_audit(spark, sf_dir):
+    """Natural-cubic-spline gap-fill (reference W4 'spline') pinned to a
+    real oracle on the knocked-out hourly tier: per-source spine span and
+    fill count are recomputed by DuckDB; observed cells must pass through
+    the Arrow kernel bit-exactly (n_obs_mismatch = 0)."""
+    return _interp_audit(spark, sf_dir, "spline")
+
+
+def q_stine_audit(spark, sf_dir):
+    """True Stineman-1980 rational interpolation (reference W4 'stine',
+    imputeTS parity) under the same knockout/passthrough audit."""
+    return _interp_audit(spark, sf_dir, "stine")
+
+
+def q_pchip_audit(spark, sf_dir):
+    """Monotone-cubic (Fritsch-Carlson PCHIP) gap-fill under the same
+    knockout/passthrough audit."""
+    return _interp_audit(spark, sf_dir, "pchip")
 
 
 SQL_SPLINE_AUDIT = f"""
@@ -1737,6 +1756,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eof_reconstruction_audit": q_eof_reconstruction_audit,
         "dineof_audit": q_dineof_audit,
         "spline_audit": q_spline_audit,
+        "stine_audit": q_stine_audit,
+        "pchip_audit": q_pchip_audit,
         "sequences_stl": q_sequences_stl,
         "sequences_x11": q_sequences_x11,
         "sequences_gapfill_spline": q_sequences_gapfill_spline,
@@ -1782,6 +1803,8 @@ def oracle_sql() -> dict[str, str]:
         "eof_reconstruction_audit": SQL_EOF_AUDIT,
         "dineof_audit": SQL_DINEOF_AUDIT,
         "spline_audit": SQL_SPLINE_AUDIT,
+        "stine_audit": SQL_SPLINE_AUDIT,
+        "pchip_audit": SQL_SPLINE_AUDIT,
         "sequences_ladder": SQL_SEQ_LADDER,
         "sequences_encode_blocks": SQL_SEQ_ENCODE_BLOCKS,
         "encode_roundtrip_audit": SQL_ENCODE_AUDIT,
