@@ -1021,6 +1021,146 @@ FROM b
 """
 
 
+def q_x11_stats(spark, sf_dir):
+    """X-11 MA-cascade core (reference M6, ``R/rtsa.seas.R:275-285``) with
+    a REAL value oracle: the deterministic twin runs the B1-B6 cascade
+    (2x7 MA, per-phase 3x3/3x5 MAs, Henderson-13) with explicit
+    ascending-tap summation over the integer daily series; DuckDB replays
+    the identical filters from shared double literals
+    (functions/x11.x11_deterministic_stats / x11_weight_lists)."""
+    import pandas as pd
+
+    from rtsa_spark.functions.x11 import x11_deterministic_stats
+    from rtsa_spark.operators.rollup import rollup_series
+
+    daily = rollup_series(
+        _events(spark, sf_dir), "daily", ["event_type"], "ts", "value"
+    ).select("event_type", "bucket_start", _cents(F.col("v_sum")).alias("x"))
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("bucket_start")
+        x = pdf["x"].to_numpy("int64")
+        st = x11_deterministic_stats(x, 7)
+        return pd.DataFrame(
+            [
+                {
+                    "event_type": pdf["event_type"].iloc[0],
+                    "n_buckets": len(x),
+                    "x_sum": int(x.sum()),
+                    **st,
+                }
+            ]
+        ).astype(
+            {c: "Int64" for c in ("seas_amp_e4", "trend_first_e4", "trend_last_e4")}
+        )
+
+    return daily.groupBy("event_type").applyInPandas(
+        kernel,
+        "event_type string, n_buckets bigint, x_sum bigint,"
+        " seas_amp_e4 bigint, trend_first_e4 bigint, trend_last_e4 bigint",
+    )
+
+
+def _sql_x11() -> str:
+    """DuckDB replay of x11_deterministic_stats at period 7: every filter
+    is a list_transform over ascending taps with the SAME double weight
+    literals the Python twin uses (repr round-trips doubles), ODD (point)
+    reflection for the full-series MAs and EVEN reflection within each
+    phase subseries, chained through materialized list CTEs."""
+    from rtsa_spark.functions.x11 import x11_weight_lists
+
+    w = x11_weight_lists(7)
+    # weights must be SCIENTIFIC-notation literals: DuckDB types them
+    # DOUBLE directly. A bare decimal literal goes through DECIMAL and
+    # `0.21433674684448678::DOUBLE` lands 1 ulp off the binary value
+    # (double rounding through the decimal intermediate), silently
+    # breaking the bit-equality contract.
+    lits = {k: "[" + ", ".join(f"{v!r}e0" for v in vals) + "]"
+            for k, vals in w.items()}
+    ni = "CAST(n AS INTEGER)"
+
+    def odd_val(lst):
+        return (
+            f"(CASE WHEN i + d < 0 THEN 2.0::DOUBLE * {lst}[1] - {lst}[-(i + d) + 1]"
+            f" WHEN i + d >= n THEN 2.0::DOUBLE * {lst}[{ni}]"
+            f" - {lst}[2 * ({ni} - 1) - (i + d) + 1]"
+            f" ELSE {lst}[i + d + 1] END)"
+        )
+
+    def filt_odd(lst, wlit, half):
+        return (
+            f"list_transform(generate_series(0, {ni} - 1), i -> "
+            f"list_sum(list_transform(generate_series(-{half}, {half}), d -> "
+            f"{wlit}[d + {half + 1}] * {odd_val(lst)})))"
+        )
+
+    def filt_phase(lst, wlit, half):
+        # p = i % 7, k = i // 7, c = per-phase length; EVEN reflection of
+        # k + d within [0, c)
+        refl = (
+            "(CASE WHEN (i // 7) + d < 0 THEN -((i // 7) + d)"
+            " WHEN (i // 7) + d >= ((n - 1 - (i % 7)) // 7 + 1)"
+            " THEN 2 * (((n - 1 - (i % 7)) // 7 + 1) - 1) - ((i // 7) + d)"
+            " ELSE (i // 7) + d END)"
+        )
+        return (
+            f"list_transform(generate_series(0, {ni} - 1), i -> "
+            f"list_sum(list_transform(generate_series(-{half}, {half}), d -> "
+            f"{wlit}[d + {half + 1}] * {lst}[(i % 7) + 7 * {refl} + 1])))"
+        )
+
+    def sub(a, b):
+        # fresh lambda variable: this expression nests INSIDE filt lambdas
+        # that already bind i/d
+        return (
+            f"list_transform(generate_series(1, {ni}), k -> {a}[k] - {b}[k])"
+        )
+
+    guard = "CASE WHEN n >= 14 THEN {} ELSE NULL END"
+    return f"""
+WITH d AS MATERIALIZED (
+  SELECT event_type, date_trunc('day', ts) AS b,
+         CAST(round(sum(value) * 100) AS BIGINT) AS x
+  FROM events GROUP BY 1, 2
+), lists AS MATERIALIZED (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS x_sum,
+         list(x::DOUBLE ORDER BY b) AS xs
+  FROM d GROUP BY 1
+), st1 AS MATERIALIZED (
+  SELECT *, {guard.format(filt_odd('xs', lits['ma_p'], 3))} AS t1 FROM lists
+), st2 AS MATERIALIZED (
+  SELECT *, {guard.format(sub('xs', 't1'))} AS si1 FROM st1
+), st3 AS MATERIALIZED (
+  SELECT *, {guard.format(filt_phase('si1', lits['m3x3'], 2))} AS s1p FROM st2
+), st4 AS MATERIALIZED (
+  SELECT *, {guard.format(sub('s1p', filt_odd('s1p', lits['ma_p'], 3)))} AS s1
+  FROM st3
+), st5 AS MATERIALIZED (
+  SELECT *, {guard.format(filt_odd(sub('xs', 's1'), lits['h13'], 6))} AS t2
+  FROM st4
+), st6 AS MATERIALIZED (
+  SELECT *, {guard.format(filt_phase(sub('xs', 't2'), lits['m3x5'], 3))} AS s2p
+  FROM st5
+), st7 AS MATERIALIZED (
+  SELECT *, {guard.format(sub('s2p', filt_odd('s2p', lits['ma_p'], 3)))} AS s2
+  FROM st6
+), st8 AS MATERIALIZED (
+  SELECT *, {guard.format(filt_odd(sub('xs', 's2'), lits['h13'], 6))} AS t3
+  FROM st7
+)
+SELECT event_type, n AS n_buckets, x_sum,
+       CASE WHEN n >= 14 THEN
+         CAST(floor(10000.0::DOUBLE * (list_max(s2) - list_min(s2))) AS BIGINT)
+       ELSE 0 END AS seas_amp_e4,
+       CASE WHEN n >= 14 THEN CAST(floor(10000.0::DOUBLE * t3[1]) AS BIGINT)
+            ELSE CAST(floor(10000.0::DOUBLE * xs[1]) AS BIGINT) END AS trend_first_e4,
+       CASE WHEN n >= 14 THEN CAST(floor(10000.0::DOUBLE * t3[{ni}]) AS BIGINT)
+            ELSE CAST(floor(10000.0::DOUBLE * xs[{ni}]) AS BIGINT) END AS trend_last_e4
+FROM st8
+"""
+
+
 def q_seasonal_mk_stats(spark, sf_dir):
     """Hirsch-Slack seasonal Mann-Kendall (A6's period-switch variant,
     ``R/rtsa.mk.R:121-125``) per event_type over the daily series with
@@ -1750,6 +1890,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sequences_ladder": q_sequences_ladder,
         "sequences_encode_blocks": q_sequences_encode_blocks,
         "sequences_metrics": q_sequences_metrics,
+        "x11_stats": q_x11_stats,
         "seasonal_mk_stats": q_seasonal_mk_stats,
         "token_histogram_cascade": q_token_histogram_cascade,
         "eot_deterministic": q_eot_deterministic,
@@ -1797,6 +1938,7 @@ def oracle_sql() -> dict[str, str]:
         "media_features": SQL_MEDIA_FEATURES,
         "mk_stats": SQL_MK_STATS,
         "sequences_metrics": _sql_metrics_deterministic(),
+        "x11_stats": _sql_x11(),
         "seasonal_mk_stats": SQL_SEASONAL_MK,
         "token_histogram_cascade": SQL_TOKEN_HIST,
         "eot_deterministic": _sql_eot_det(),

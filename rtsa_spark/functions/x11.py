@@ -138,3 +138,113 @@ def x11_decompose(x: np.ndarray, period: int = 12) -> dict[str, np.ndarray]:
         "remainder": x - s2 - t3,
         "adjusted": adjusted,
     }
+
+
+def _refl_even(j: int, m: int) -> int:
+    """np.pad mode='reflect' (even) single-bounce index (valid for
+    half-width <= m-1, the same bound np.pad enforces)."""
+    if j < 0:
+        return -j
+    if j >= m:
+        return 2 * (m - 1) - j
+    return j
+
+
+def _val_odd(arr: list, j: int, m: int) -> float:
+    """ODD (point) reflection value: 2*edge - mirrored, matching
+    np.pad(..., mode='reflect', reflect_type='odd')."""
+    if 0 <= j < m:
+        return arr[j]
+    if j < 0:
+        return 2.0 * arr[0] - arr[-j]
+    return 2.0 * arr[m - 1] - arr[2 * (m - 1) - j]
+
+
+def _filt_ordered(arr: list, w: list, odd: bool) -> list:
+    """Length-preserving symmetric filter with an EXPLICIT ascending-tap
+    summation order (the IEEE-deterministic twin of _sym_filter: same
+    values up to summation order, bit-replayable in SQL)."""
+    m = len(arr)
+    if m < 2:
+        return list(arr)
+    half = len(w) // 2
+    out = []
+    for i in range(m):
+        s = 0.0
+        for d in range(-half, half + 1):
+            j = i + d
+            v = _val_odd(arr, j, m) if odd else arr[_refl_even(j, m)]
+            s += w[d + half] * v
+        out.append(s)
+    return out
+
+
+def _phase_filt_ordered(si: list, period: int, w: list) -> list:
+    """Per-phase subseries filter (EVEN reflection), ascending taps."""
+    n = len(si)
+    out = [0.0] * n
+    for ph in range(period):
+        sub = [si[ph + period * k] for k in range((n - 1 - ph) // period + 1)]
+        f = _filt_ordered(sub, w, odd=False)
+        for k, v in enumerate(f):
+            out[ph + period * k] = v
+    return out
+
+
+def x11_weight_lists(period: int) -> dict[str, list[float]]:
+    """The exact double tap values of the X-11 cascade filters, exposed so
+    the SQL oracle can embed them as literals (repr round-trips doubles,
+    so both engines compute with bit-identical constants)."""
+    return {
+        "ma_p": [1.0 / period] * period if period % 2 == 1 else
+                [1.0 / (2 * period)] + [1.0 / period] * (period - 1)
+                + [1.0 / (2 * period)],
+        "m3x3": [float(v) for v in
+                 np.array([1, 2, 3, 2, 1], dtype="float64") / 9.0],
+        "m3x5": [float(v) for v in
+                 np.array([1, 2, 3, 3, 3, 2, 1], dtype="float64") / 15.0],
+        "h13": [float(v) for v in henderson_weights(13)],
+    }
+
+
+def x11_deterministic_stats(x, period: int = 7) -> dict:
+    """Oracle-facing X-11 twin (reference M6 core, ``R/rtsa.seas.R:275-285``)
+    over an INTEGER series: runs the same B1-B6 moving-average cascade as
+    :func:`x11_decompose` with explicit ascending-tap summation and the
+    shared :func:`x11_weight_lists` constants, then emits quantized stats
+    — floor(1e4 * seasonal amplitude) and floor(1e4 * trend endpoints).
+    Every op is a fixed correctly-rounded sequence a DuckDB oracle replays
+    bit-exactly; pytest pins :func:`x11_decompose` to these values."""
+    import math
+
+    xs = [float(v) for v in x]
+    n = len(xs)
+    if n < 2 * period or period < 2:
+        # degenerate contract of x11_decompose: zero seasonal, trend = x
+        return {
+            "seas_amp_e4": 0 if n else None,
+            "trend_first_e4": math.floor(10000.0 * xs[0]) if n else None,
+            "trend_last_e4": math.floor(10000.0 * xs[-1]) if n else None,
+        }
+    w = x11_weight_lists(period)
+    if n < 13:  # mirror x11_decompose's short-series Henderson choice
+        hw = [float(v) for v in
+              henderson_weights(max(5, n if n % 2 == 1 else n - 1))]
+    else:
+        hw = w["h13"]
+
+    def sub(a, b):
+        return [a[i] - b[i] for i in range(n)]
+
+    t1 = _filt_ordered(xs, w["ma_p"], odd=True)
+    s1p = _phase_filt_ordered(sub(xs, t1), period, w["m3x3"])
+    s1 = sub(s1p, _filt_ordered(s1p, w["ma_p"], odd=True))
+    t2 = _filt_ordered(sub(xs, s1), hw, odd=True)
+    s2p = _phase_filt_ordered(sub(xs, t2), period, w["m3x5"])
+    s2 = sub(s2p, _filt_ordered(s2p, w["ma_p"], odd=True))
+    t3 = _filt_ordered(sub(xs, s2), hw, odd=True)
+    return {
+        "seas_amp_e4": math.floor(10000.0 * (max(s2) - min(s2))),
+        "trend_first_e4": math.floor(10000.0 * t3[0]),
+        "trend_last_e4": math.floor(10000.0 * t3[n - 1]),
+    }

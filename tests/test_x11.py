@@ -83,3 +83,30 @@ def test_x11_stats_contract(spark):
     assert set(out) == {"a", "b"}
     assert out["a"]["seasonal_amplitude"] > out["b"]["seasonal_amplitude"] * 0.9
     assert out["a"]["trend_slope"] > 0
+
+
+def test_x11_deterministic_matches_production():
+    """The oracle-facing twin (explicit ascending-tap sums) must agree
+    with the convolve-based production cascade to quantization slack on
+    integer series of assorted lengths, including the short-series
+    degenerate branch."""
+    import math
+
+    import numpy as np
+
+    from rtsa_spark.functions.x11 import x11_decompose, x11_deterministic_stats
+
+    rng = np.random.default_rng(5)
+    for n in (30, 28, 60, 101):
+        x = rng.integers(100, 100_000, size=n)
+        det = x11_deterministic_stats(x, 7)
+        prod = x11_decompose(x.astype("float64"), 7)
+        amp = float(prod["seasonal"].max() - prod["seasonal"].min())
+        assert abs(det["seas_amp_e4"] - math.floor(1e4 * amp)) <= 1
+        assert abs(det["trend_first_e4"] - math.floor(1e4 * prod["trend"][0])) <= 1
+        assert abs(det["trend_last_e4"] - math.floor(1e4 * prod["trend"][-1])) <= 1
+
+    short = np.array([5, 9, 7, 8], dtype="int64")
+    det = x11_deterministic_stats(short, 7)
+    assert det["seas_amp_e4"] == 0
+    assert det["trend_first_e4"] == 50000 and det["trend_last_e4"] == 80000
