@@ -1081,8 +1081,8 @@ def _sql_x11() -> str:
 
     def odd_val(lst):
         return (
-            f"(CASE WHEN i + d < 0 THEN 2.0::DOUBLE * {lst}[1] - {lst}[-(i + d) + 1]"
-            f" WHEN i + d >= n THEN 2.0::DOUBLE * {lst}[{ni}]"
+            f"(CASE WHEN i + d < 0 THEN 2e0 * {lst}[1] - {lst}[-(i + d) + 1]"
+            f" WHEN i + d >= n THEN 2e0 * {lst}[{ni}]"
             f" - {lst}[2 * ({ni} - 1) - (i + d) + 1]"
             f" ELSE {lst}[i + d + 1] END)"
         )
@@ -1096,12 +1096,16 @@ def _sql_x11() -> str:
 
     def filt_phase(lst, wlit, half):
         # p = i % 7, k = i // 7, c = per-phase length; EVEN reflection of
-        # k + d within [0, c)
+        # k + d within [0, c) via the triangle-wave fold (period 2(c-1)),
+        # matching _refl_even's multi-bounce behavior. DuckDB % truncates,
+        # so the double-mod makes the residue non-negative like Python's.
+        c = "((n - 1 - (i % 7)) // 7 + 1)"
+        r = (
+            f"((((i // 7) + d) % (2 * {c} - 2) + (2 * {c} - 2))"
+            f" % (2 * {c} - 2))"
+        )
         refl = (
-            "(CASE WHEN (i // 7) + d < 0 THEN -((i // 7) + d)"
-            " WHEN (i // 7) + d >= ((n - 1 - (i % 7)) // 7 + 1)"
-            " THEN 2 * (((n - 1 - (i % 7)) // 7 + 1) - 1) - ((i // 7) + d)"
-            " ELSE (i // 7) + d END)"
+            f"(CASE WHEN {r} >= {c} THEN 2 * ({c} - 1) - {r} ELSE {r} END)"
         )
         return (
             f"list_transform(generate_series(0, {ni} - 1), i -> "
@@ -1136,27 +1140,30 @@ WITH d AS MATERIALIZED (
 ), st4 AS MATERIALIZED (
   SELECT *, {guard.format(sub('s1p', filt_odd('s1p', lits['ma_p'], 3)))} AS s1
   FROM st3
+), st4b AS MATERIALIZED (
+  SELECT *, {guard.format(sub('xs', 's1'))} AS adj1 FROM st4
 ), st5 AS MATERIALIZED (
-  SELECT *, {guard.format(filt_odd(sub('xs', 's1'), lits['h13'], 6))} AS t2
-  FROM st4
+  SELECT *, {guard.format(filt_odd('adj1', lits['h13'], 6))} AS t2 FROM st4b
+), st5b AS MATERIALIZED (
+  SELECT *, {guard.format(sub('xs', 't2'))} AS si2 FROM st5
 ), st6 AS MATERIALIZED (
-  SELECT *, {guard.format(filt_phase(sub('xs', 't2'), lits['m3x5'], 3))} AS s2p
-  FROM st5
+  SELECT *, {guard.format(filt_phase('si2', lits['m3x5'], 3))} AS s2p FROM st5b
 ), st7 AS MATERIALIZED (
   SELECT *, {guard.format(sub('s2p', filt_odd('s2p', lits['ma_p'], 3)))} AS s2
   FROM st6
+), st7b AS MATERIALIZED (
+  SELECT *, {guard.format(sub('xs', 's2'))} AS adj2 FROM st7
 ), st8 AS MATERIALIZED (
-  SELECT *, {guard.format(filt_odd(sub('xs', 's2'), lits['h13'], 6))} AS t3
-  FROM st7
+  SELECT *, {guard.format(filt_odd('adj2', lits['h13'], 6))} AS t3 FROM st7b
 )
 SELECT event_type, n AS n_buckets, x_sum,
        CASE WHEN n >= 14 THEN
-         CAST(floor(10000.0::DOUBLE * (list_max(s2) - list_min(s2))) AS BIGINT)
+         CAST(floor(1e4 * (list_max(s2) - list_min(s2))) AS BIGINT)
        ELSE 0 END AS seas_amp_e4,
-       CASE WHEN n >= 14 THEN CAST(floor(10000.0::DOUBLE * t3[1]) AS BIGINT)
-            ELSE CAST(floor(10000.0::DOUBLE * xs[1]) AS BIGINT) END AS trend_first_e4,
-       CASE WHEN n >= 14 THEN CAST(floor(10000.0::DOUBLE * t3[{ni}]) AS BIGINT)
-            ELSE CAST(floor(10000.0::DOUBLE * xs[{ni}]) AS BIGINT) END AS trend_last_e4
+       CASE WHEN n >= 14 THEN CAST(floor(1e4 * t3[1]) AS BIGINT)
+            ELSE CAST(floor(1e4 * xs[1]) AS BIGINT) END AS trend_first_e4,
+       CASE WHEN n >= 14 THEN CAST(floor(1e4 * t3[{ni}]) AS BIGINT)
+            ELSE CAST(floor(1e4 * xs[{ni}]) AS BIGINT) END AS trend_last_e4
 FROM st8
 """
 
@@ -1246,7 +1253,7 @@ SELECT t.event_type, t.n_buckets,
        CASE WHEN a.n_used >= 5 AND a.denom > 0 THEN a.s_total END AS smk_s,
        CASE WHEN a.n_used >= 5 AND a.denom > 0 THEN a.vars18 END AS smk_vars18,
        CASE WHEN a.n_used >= 5 AND a.denom > 0 THEN
-         CAST(floor(1000000.0 * (a.s_total::DOUBLE / a.denom)) AS BIGINT)
+         CAST(floor(1e6 * (a.s_total::DOUBLE / a.denom)) AS BIGINT)
        END AS smk_tau_e6
 FROM tot t LEFT JOIN agg a USING (event_type)
 """

@@ -76,21 +76,17 @@ def _sym_filter(x: np.ndarray, w: np.ndarray, odd: bool = True) -> np.ndarray:
 
 
 def _ma2xp(x: np.ndarray, period: int, odd: bool = True) -> np.ndarray:
-    """Centered 2x(period) MA (split end weights for even periods)."""
-    if period % 2 == 1:
-        w = np.full(period, 1.0 / period)
-    else:
-        w = np.full(period + 1, 1.0 / period)
-        w[0] = w[-1] = 1.0 / (2 * period)
+    """Centered 2x(period) MA (split end weights for even periods).
+    Taps come from x11_weight_lists — the single source of truth shared
+    with the deterministic twin and its SQL oracle."""
+    w = np.array(x11_weight_lists(period)["ma_p"], dtype="float64")
     return _sym_filter(x, w, odd=odd)
 
 
 def _seasonal_ma(si: np.ndarray, period: int, kind: str) -> np.ndarray:
     """3x3 or 3x5 MA over each phase subseries of the SI ratios."""
-    w = {
-        "3x3": np.array([1, 2, 3, 2, 1], dtype="float64") / 9.0,
-        "3x5": np.array([1, 2, 3, 3, 3, 2, 1], dtype="float64") / 15.0,
-    }[kind]
+    wl = x11_weight_lists(0)  # 3x3/3x5 taps are period-independent
+    w = np.array(wl["m3x3" if kind == "3x3" else "m3x5"], dtype="float64")
     out = np.empty_like(si, dtype="float64")
     for ph in range(period):
         sub = si[ph::period]
@@ -141,13 +137,12 @@ def x11_decompose(x: np.ndarray, period: int = 12) -> dict[str, np.ndarray]:
 
 
 def _refl_even(j: int, m: int) -> int:
-    """np.pad mode='reflect' (even) single-bounce index (valid for
-    half-width <= m-1, the same bound np.pad enforces)."""
-    if j < 0:
-        return -j
-    if j >= m:
-        return 2 * (m - 1) - j
-    return j
+    """np.pad mode='reflect' (even) index for ANY distance: the reflected
+    sequence is periodic with period 2(m-1) (triangle wave), so a floor-mod
+    fold handles multi-bounce — phase subseries can be shorter than the
+    3x3/3x5 half-widths when n is just past the 2*period gate."""
+    r = j % (2 * m - 2)
+    return 2 * (m - 1) - r if r >= m else r
 
 
 def _val_odd(arr: list, j: int, m: int) -> float:
@@ -195,16 +190,20 @@ def x11_weight_lists(period: int) -> dict[str, list[float]]:
     """The exact double tap values of the X-11 cascade filters, exposed so
     the SQL oracle can embed them as literals (repr round-trips doubles,
     so both engines compute with bit-identical constants)."""
-    return {
-        "ma_p": [1.0 / period] * period if period % 2 == 1 else
-                [1.0 / (2 * period)] + [1.0 / period] * (period - 1)
-                + [1.0 / (2 * period)],
+    out = {
         "m3x3": [float(v) for v in
                  np.array([1, 2, 3, 2, 1], dtype="float64") / 9.0],
         "m3x5": [float(v) for v in
                  np.array([1, 2, 3, 3, 3, 2, 1], dtype="float64") / 15.0],
         "h13": [float(v) for v in henderson_weights(13)],
     }
+    if period >= 1:  # the 2xp MA is only defined for a real period
+        out["ma_p"] = (
+            [1.0 / period] * period if period % 2 == 1 else
+            [1.0 / (2 * period)] + [1.0 / period] * (period - 1)
+            + [1.0 / (2 * period)]
+        )
+    return out
 
 
 def x11_deterministic_stats(x, period: int = 7) -> dict:

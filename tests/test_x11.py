@@ -97,7 +97,7 @@ def test_x11_deterministic_matches_production():
     from rtsa_spark.functions.x11 import x11_decompose, x11_deterministic_stats
 
     rng = np.random.default_rng(5)
-    for n in (30, 28, 60, 101):
+    for n in (*range(14, 28), 28, 30, 60, 101):  # incl. multi-bounce window
         x = rng.integers(100, 100_000, size=n)
         det = x11_deterministic_stats(x, 7)
         prod = x11_decompose(x.astype("float64"), 7)
