@@ -1168,6 +1168,52 @@ FROM st8
 """
 
 
+def q_stl_stats(spark, sf_dir):
+    """Numeric-loess STL (reference W3/M5, ``R/rtsa.stl.R:140-169``) with
+    a REAL value oracle: the deterministic twin runs the full inner loop
+    (per-phase degree-1 loess at s_window=15, triple-MA low pass, trend
+    loess at the odd-ized series length) with explicit ascending-index
+    summation; DuckDB replays it through table-form loess CTEs
+    (tools/gen_stl_sql.py)."""
+    import pandas as pd
+
+    from rtsa_spark.functions.stl import stl_deterministic_stats
+    from rtsa_spark.operators.rollup import rollup_series
+
+    daily = rollup_series(
+        _events(spark, sf_dir), "daily", ["event_type"], "ts", "value"
+    ).select("event_type", "bucket_start", _cents(F.col("v_sum")).alias("x"))
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("bucket_start")
+        x = pdf["x"].to_numpy("int64")
+        st = stl_deterministic_stats(x, 7, s_window=15)
+        return pd.DataFrame(
+            [
+                {
+                    "event_type": pdf["event_type"].iloc[0],
+                    "n_buckets": len(x),
+                    "x_sum": int(x.sum()),
+                    **st,
+                }
+            ]
+        ).astype(
+            {c: "Int64" for c in ("seas_amp_e4", "trend_first_e4", "trend_last_e4")}
+        )
+
+    return daily.groupBy("event_type").applyInPandas(
+        kernel,
+        "event_type string, n_buckets bigint, x_sum bigint,"
+        " seas_amp_e4 bigint, trend_first_e4 bigint, trend_last_e4 bigint",
+    )
+
+
+def _sql_stl() -> str:
+    from tools.gen_stl_sql import sql_stl
+
+    return sql_stl()
+
+
 def q_seasonal_mk_stats(spark, sf_dir):
     """Hirsch-Slack seasonal Mann-Kendall (A6's period-switch variant,
     ``R/rtsa.mk.R:121-125``) per event_type over the daily series with
@@ -1898,6 +1944,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sequences_encode_blocks": q_sequences_encode_blocks,
         "sequences_metrics": q_sequences_metrics,
         "x11_stats": q_x11_stats,
+        "stl_stats": q_stl_stats,
         "seasonal_mk_stats": q_seasonal_mk_stats,
         "token_histogram_cascade": q_token_histogram_cascade,
         "eot_deterministic": q_eot_deterministic,
@@ -1946,6 +1993,7 @@ def oracle_sql() -> dict[str, str]:
         "mk_stats": SQL_MK_STATS,
         "sequences_metrics": _sql_metrics_deterministic(),
         "x11_stats": _sql_x11(),
+        "stl_stats": _sql_stl(),
         "seasonal_mk_stats": SQL_SEASONAL_MK,
         "token_histogram_cascade": SQL_TOKEN_HIST,
         "eot_deterministic": _sql_eot_det(),

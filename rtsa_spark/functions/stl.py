@@ -164,3 +164,107 @@ def stl_decompose(
         # --- trend from the deseasonalized series
         trend = loess_smooth(x - seasonal, t_win, t_degree)
     return {"seasonal": seasonal, "trend": trend, "remainder": x - seasonal - trend}
+
+
+def _loess1_det(y: list, window: int, eval_x: list) -> list:
+    """Degree-1 loess twin of :func:`loess_smooth` with EXPLICIT
+    ascending-index summation (IEEE-deterministic; SQL replay in
+    ``__spark_entry__._sql_stl``). Evenly spaced x = 0..m-1, tricube
+    weights, contiguous clamped q-window, lambda_q bandwidth stretch when
+    ``window > m``. No robustness weights (STL inner loop only)."""
+    m = len(y)
+    if m == 1:
+        return [y[0]] * len(eval_x)
+    q = max(2, min(int(window), m))
+    out = []
+    for xe in eval_x:
+        lo = int(round(xe)) - (q - 1) // 2
+        lo = 0 if lo < 0 else (m - q if lo > m - q else lo)
+        dmax = 0.0
+        for jj in range(q):
+            d = abs(float(lo + jj) - xe)
+            if d > dmax:
+                dmax = d
+        if int(window) > m:
+            dmax = dmax * (int(window) / m)
+        if dmax == 0:
+            dmax = 1.0
+        sw = sx = sxx = sy = sxy = 0.0
+        for jj in range(q):
+            xj = float(lo + jj)
+            t = abs(xj - xe) / dmax
+            u = 1.0 - t * t * t
+            if u < 0.0:
+                u = 0.0
+            w = u * u * u
+            xc = xj - xe
+            sw += w
+            sx += w * xc
+            sxx += (w * xc) * xc
+            sy += w * y[lo + jj]
+            sxy += (w * xc) * y[lo + jj]
+        det = sw * sxx - sx * sx
+        if abs(det) < 1e-12:
+            out.append(sy / sw)
+        else:
+            out.append((sxx * sy - sx * sxy) / det)
+    return out
+
+
+def _ma_det(a: list, w: int) -> list:
+    """Length-reducing MA twin of :func:`_ma` with direct ordered window
+    sums (the production cumsum trick reassociates floats)."""
+    out = []
+    for i in range(len(a) - w + 1):
+        s = 0.0
+        for j in range(i, i + w):
+            s += a[j]
+        out.append(s / w)
+    return out
+
+
+def stl_deterministic_stats(
+    x, period: int = 7, s_window: int = 15, inner: int = 2
+) -> dict:
+    """Oracle-facing numeric-loess STL twin (reference W3/M5,
+    ``R/rtsa.stl.R:140-169``) over an INTEGER series: the same inner loop
+    as :func:`stl_decompose` (degree-1 seasonal and trend loess,
+    ``t_window`` = odd-ized series length — the reference wrapper default)
+    with explicit ascending-index summation everywhere, emitting
+    ``floor(1e4 * .)`` quantized stats a DuckDB oracle replays bit-exactly.
+    pytest pins :func:`stl_decompose` to these values."""
+    import math
+
+    xs = [float(v) for v in x]
+    n = len(xs)
+    if n < 2 * period or period < 2:
+        return {
+            "seas_amp_e4": 0 if n else None,
+            "trend_first_e4": math.floor(10000.0 * xs[0]) if n else None,
+            "trend_last_e4": math.floor(10000.0 * xs[-1]) if n else None,
+        }
+    s_win = _nextodd(s_window)
+    t_win = _nextodd(n)
+    l_win = _nextodd(period)
+    trend = [0.0] * n
+    seasonal = [0.0] * n
+    for _ in range(max(1, inner)):
+        detr = [xs[i] - trend[i] for i in range(n)]
+        c = [0.0] * (n + 2 * period)
+        for ph in range(period):
+            sub = [detr[ph + period * k]
+                   for k in range((n - 1 - ph) // period + 1)]
+            m = len(sub)
+            sm = _loess1_det(sub, s_win, [float(e) for e in range(-1, m + 1)])
+            for k in range(m + 2):
+                c[ph + period * k] = sm[k]
+        lp = _ma_det(_ma_det(_ma_det(c, period), period), 3)
+        lp = _loess1_det(lp, l_win, [float(i) for i in range(n)])
+        seasonal = [c[period + i] - lp[i] for i in range(n)]
+        deseas = [xs[i] - seasonal[i] for i in range(n)]
+        trend = _loess1_det(deseas, t_win, [float(i) for i in range(n)])
+    return {
+        "seas_amp_e4": math.floor(10000.0 * (max(seasonal) - min(seasonal))),
+        "trend_first_e4": math.floor(10000.0 * trend[0]),
+        "trend_last_e4": math.floor(10000.0 * trend[n - 1]),
+    }

@@ -103,3 +103,31 @@ def test_stl_degenerate_short_series():
     out = stl_decompose(np.array([1.0, 2.0, 3.0]), 12)
     assert np.allclose(out["trend"], [1, 2, 3])
     assert np.allclose(out["seasonal"], 0)
+
+
+def test_stl_deterministic_matches_production():
+    """The oracle-facing twin (explicit ordered loops) must agree with the
+    vectorized stl_decompose to quantization slack across series lengths,
+    including the 14..27 short-subseries window and the degenerate gate."""
+    import math
+
+    import numpy as np
+
+    from rtsa_spark.functions.stl import stl_decompose, stl_deterministic_stats
+
+    rng = np.random.default_rng(5)
+    for n in (*range(14, 28), 30, 60, 101):
+        x = rng.integers(100, 100_000, size=n)
+        det = stl_deterministic_stats(x, 7, s_window=15)
+        prod = stl_decompose(
+            x.astype("float64"), 7, s_window=15, s_degree=1, t_degree=1
+        )
+        amp = float(prod["seasonal"].max() - prod["seasonal"].min())
+        assert abs(det["seas_amp_e4"] - math.floor(1e4 * amp)) <= 1
+        assert abs(det["trend_first_e4"] - math.floor(1e4 * prod["trend"][0])) <= 1
+        assert abs(det["trend_last_e4"] - math.floor(1e4 * prod["trend"][-1])) <= 1
+
+    short = np.array([5, 9, 7], dtype="int64")
+    det = stl_deterministic_stats(short, 7)
+    assert det["seas_amp_e4"] == 0
+    assert det["trend_first_e4"] == 50000 and det["trend_last_e4"] == 70000

@@ -75,7 +75,7 @@ of one arbitrary rep:
   input sizes or rep semantics (r1 used last-rep: 23.3 s / 80k was its
   mixed-weather reading).
 - correctness companion: `tools/check_correctness.py` must end
-  `0 failing` (45 driver queries, 39 DuckDB value-hash oracles + 6
+  `0 failing` (46 driver queries, 40 DuckDB value-hash oracles + 6
   rows-only iterative solvers).
 """
 N, N4 = 1, 4
