@@ -67,8 +67,9 @@ the engine's best-observed-warm capability rather than the host weather
 of one arbitrary rep:
 
 - representative run (32 advertised cores, >= 7 effective):
-  `ladder_sec ~= 5-9`, `rolled_points = 1,857,765`,
-  `points_per_sec ~= 200k-400k`, total `value ~= 30-60 s` including the
+  `ladder_sec ~= 4-9`, `rolled_points = 1,857,765`,
+  `points_per_sec ~= 200k-500k` (measured 472k at the round-2 HEAD),
+  total `value ~= 15-60 s` including the
   10 star-schema headline queries. Under a starved host (< 4 effective
   cores) every number degrades roughly proportionally; compare rounds on
   `ladder_sec` / `points_per_sec` at equal `seq_rows`, never across
