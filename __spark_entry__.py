@@ -1005,19 +1005,41 @@ def q_media_features(spark, sf_dir):
     return extract_feature_digests(media, id_col="doc_id", fake=True)
 
 
+# Version-stable byte oracle (round-2 fix): the blob route
+# (encode() + hex() + per-pair substring parsing) hash-diverged in the
+# driver's DuckDB while passing locally. Instead derive n_bytes/byte_sum
+# from Unicode CODE POINTS via the UTF-8 closed form — for code point u:
+#   1 byte  (u < 0x80):    bytes sum to u
+#   2 bytes (u < 0x800):   0xC0|u>>6, 0x80|u&63          -> 320 + pieces
+#   3 bytes (u < 0x10000): 0xE0|u>>12, 2 continuations   -> 480 + pieces
+#   4 bytes:               0xF0|u>>18, 3 continuations   -> 624 + pieces
+# using only substr/unicode/length/generate_series/list_transform/list_sum,
+# the exact function families other green oracles already exercise in the
+# driver's DuckDB. Spark's F.encode(text,'utf-8') byte stream satisfies
+# these identities exactly for any valid Unicode text.
 SQL_MEDIA_FEATURES = """
-WITH d AS (
-  SELECT doc_id, encode(text) AS payload FROM documents WHERE length(text) > 0
-), b AS (
+WITH cps AS MATERIALIZED (
   SELECT doc_id,
-         octet_length(payload) AS n_bytes,
-         list_sum(list_transform(generate_series(1, octet_length(payload)),
-                  i -> ('0x' || substr(hex(payload), 2*i-1, 2))::BIGINT)) AS byte_sum
-  FROM d
+         list_transform(generate_series(1, length(text)),
+                        i -> unicode(substr(text, i, 1))) AS us
+  FROM documents WHERE length(text) > 0
+), agg AS (
+  SELECT doc_id,
+    CAST(list_sum(list_transform(us, cp ->
+      CASE WHEN cp < 128 THEN 1 WHEN cp < 2048 THEN 2
+           WHEN cp < 65536 THEN 3 ELSE 4 END)) AS BIGINT) AS n_bytes,
+    CAST(list_sum(list_transform(us, cp ->
+      CASE WHEN cp < 128 THEN cp
+           WHEN cp < 2048 THEN 320 + (cp // 64) + (cp % 64)
+           WHEN cp < 65536 THEN 480 + (cp // 4096) + ((cp // 64) % 64) + (cp % 64)
+           ELSE 624 + (cp // 262144) + ((cp // 4096) % 64) + ((cp // 64) % 64)
+                + (cp % 64)
+      END)) AS BIGINT) AS byte_sum
+  FROM cps
 )
 SELECT doc_id AS media_id, n_bytes, byte_sum,
        (1000000 * byte_sum) // (255 * ((n_bytes + 15) // 16)) AS feat_digest_e6
-FROM b
+FROM agg
 """
 
 
@@ -1075,7 +1097,14 @@ def _sql_x11() -> str:
     # `0.21433674684448678::DOUBLE` lands 1 ulp off the binary value
     # (double rounding through the decimal intermediate), silently
     # breaking the bit-equality contract.
-    lits = {k: "[" + ", ".join(f"{v!r}e0" for v in vals) + "]"
+    def _dlit(v: float) -> str:
+        # repr already scientific (e.g. 1e-05): appending 'e0' would emit
+        # invalid SQL like '1e-05e0' — pass it through unchanged (it is
+        # already typed DOUBLE by DuckDB).
+        r = repr(v)
+        return r if "e" in r else f"{r}e0"
+
+    lits = {k: "[" + ", ".join(_dlit(v) for v in vals) + "]"
             for k, vals in w.items()}
     ni = "CAST(n AS INTEGER)"
 

@@ -164,6 +164,16 @@ def eot_deterministic(
         return spark.createDataFrame([], StructType.fromDDL(schema))
     vecs = bucket_vectors(z_df, sources, "z", key_col, bucket_col)
     g_mat, _ = gramian(vecs, n_s)
+    # bit-equality contract: every Gramian entry must be an exact int below
+    # 2^53 so Spark's float64 partial sums equal DuckDB's integer sums.
+    # Enforce instead of silently diverging at larger SF / longer spines.
+    g_abs_max = float(np.abs(np.asarray(g_mat)).max()) if n_s else 0.0
+    if g_abs_max >= 2.0**53:
+        raise ValueError(
+            f"eot_deterministic exact-int domain exceeded: |G|max={g_abs_max:.3e}"
+            " >= 2^53; rescale the input (coarser value units or shorter"
+            " spine) to keep the oracle bit-exact"
+        )
 
     rows: list[dict] = []
     g = [[float(g_mat[a][b]) for b in range(n_s)] for a in range(n_s)]
@@ -244,10 +254,15 @@ def eot_deterministic(
         # degenerate input (empty common spine / all-zero variance): the
         # SQL twin likewise emits no rows
         return spark.createDataFrame([], StructType.fromDDL(schema))
-    pdf = pd.DataFrame(rows).astype(
-        {c: "Int64" for c in ("r_e6", "slope_e6", "expl_e4")}
-    )
-    return spark.createDataFrame(pdf, schema)
+    # Plain python int|None tuples: pandas nullable-Int64 frames degrade to
+    # float64 under the non-Arrow createDataFrame fallback and the LongType
+    # verifier then rejects them (round-2 driver failure). Tuples are exact
+    # on both the Arrow and the legacy row-verifier path.
+    data = [
+        (r[key_col], r["mode"], r["is_base"], r["r_e6"], r["slope_e6"], r["expl_e4"])
+        for r in rows
+    ]
+    return spark.createDataFrame(data, schema)
 
 
 def eot(
