@@ -936,57 +936,155 @@ FROM hourly GROUP BY 1, 2
 """
 
 
-def q_sequences_gapfill_spline(spark, sf_dir):
-    """Spline gap-fill (reference W4 'spline') over a knocked-out hourly
-    tier — grouped Arrow kernel, rows-only check."""
-    from rtsa_spark.operators.gapfill import gapfill_interpolate
-    from rtsa_spark.operators.rollup import rollup_next, rollup_raw
-    from rtsa_spark.synth import knock_out_buckets, synth_sequences
+def _seq_daily_x(spark, sf_dir):
+    """Derived-sequences daily tier (source, bucket_start, x = n_tok_sum)
+    via the engine's rollup ladder — x is an exact int both engines agree
+    on, so every audit column below can be hard-hashed."""
+    from rtsa_spark.operators.rollup import rollup_ladder
 
-    seq = knock_out_buckets(
-        synth_sequences(spark, 20_000, n_sources=8), ["s001", "s002"], bucket="hour"
+    daily = rollup_ladder(_derived_sequences(spark, sf_dir))["daily"]
+    return daily.select(
+        "source", "bucket_start", F.col("n_tok_sum").cast("long").alias("x")
     )
-    hr = rollup_next(rollup_raw(seq), "hourly").select(
-        "source", "bucket_start", "n_tok_mean"
+
+
+SEQ_DAYS = SEQ_HORIZON_S // 86400  # fixed 120-day horizon spine
+
+
+def _seq_daily_dense(spark, sf_dir):
+    """Zero-filled DENSE daily tier: every source x every day of the fixed
+    horizon, x = n_tok_sum or 0 — complete by construction, so the
+    common-spine analytics (EOF/EOT) never degenerate to an empty spine at
+    sparse SF. Scale shape: the day spine is tiny (broadcast side of the
+    join); the only shuffle is the daily rollup itself."""
+    sparse = _seq_daily_x(spark, sf_dir)
+    days = spark.range(SEQ_DAYS).select(
+        F.timestamp_seconds(
+            F.lit(SEQ_EPOCH_S) + F.col("id") * 86400
+        ).alias("bucket_start")
     )
-    return gapfill_interpolate(hr, "hourly", method="spline", value_cols=["n_tok_mean"])
+    srcs = sparse.select("source").distinct()
+    return (
+        srcs.crossJoin(F.broadcast(days))
+        .join(sparse, ["source", "bucket_start"], "left")
+        .select(
+            "source",
+            "bucket_start",
+            F.coalesce(F.col("x"), F.lit(0)).cast("long").alias("x"),
+        )
+    )
+
+
+# SQL twins of the two tier builders: d(event_type, b, x) for the stl/x11
+# generators (internally keyed on the literal name event_type) and
+# h(k, b, x) for the spine-z analytics.
+_SQL_SEQ_DAILY_D = f"""{SQL_SEQ_CTE}, d AS MATERIALIZED (
+  SELECT source AS event_type, date_trunc('day', ts) AS b,
+         CAST(sum(n_tok) AS BIGINT) AS x
+  FROM seq GROUP BY 1, 2
+)"""
+
+_SQL_SEQ_DENSE_H = f"""{SQL_SEQ_CTE}, sp AS MATERIALIZED (
+  SELECT TIMESTAMP '2024-01-01 00:00:00' + i * INTERVAL 1 DAY AS b
+  FROM unnest(generate_series(0, {SEQ_DAYS - 1})) AS g(i)
+), sd AS MATERIALIZED (
+  SELECT source AS k, date_trunc('day', ts) AS b,
+         CAST(sum(n_tok) AS BIGINT) AS x
+  FROM seq GROUP BY 1, 2
+), h AS MATERIALIZED (
+  SELECT s.k, sp.b, coalesce(sd.x, 0) AS x
+  FROM (SELECT DISTINCT k FROM sd) s
+  CROSS JOIN sp
+  LEFT JOIN sd ON sd.k = s.k AND sd.b = sp.b
+)"""
+
+
+def q_sequences_gapfill_spline(spark, sf_dir):
+    """Spline gap-fill (reference W4 'spline') over the derived daily tier's
+    NATURAL sparsity (~23 of 120 days observed per source), pinned to a
+    real oracle: per-source spine span + fill count are recomputed by
+    DuckDB from the same derived table; observed cells must pass through
+    the Arrow kernel bit-exactly (n_obs_mismatch = 0). Spline values
+    themselves are pinned by tests/test_gapfill.py + spline_audit."""
+    from rtsa_spark.operators.gapfill import gapfill_interpolate
+
+    sparse = _seq_daily_x(spark, sf_dir).withColumn("x", F.col("x").cast("double"))
+    dense = gapfill_interpolate(
+        sparse, "daily", method="spline", value_cols=["x"], key_col="source"
+    )
+    j = dense.join(
+        sparse.withColumnRenamed("x", "x_in"), ["source", "bucket_start"], "left"
+    )
+    return j.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_buckets"),
+        F.sum(F.col("gapfilled").cast("int")).cast("bigint").alias("n_filled"),
+        F.sum(
+            (~F.col("gapfilled") & (F.col("x") != F.col("x_in"))).cast("int")
+        ).cast("bigint").alias("n_obs_mismatch"),
+    )
+
+
+SQL_SEQ_GAPFILL_SPLINE = f"""
+WITH {SQL_SEQ_CTE}, d AS MATERIALIZED (
+  SELECT source, date_trunc('day', ts) AS b FROM seq GROUP BY 1, 2
+)
+SELECT source,
+       CAST(date_diff('day', min(b), max(b)) + 1 AS BIGINT) AS n_buckets,
+       CAST(date_diff('day', min(b), max(b)) + 1 - count(*) AS BIGINT) AS n_filled,
+       CAST(0 AS BIGINT) AS n_obs_mismatch
+FROM d GROUP BY 1
+"""
 
 
 def q_sequences_dineof(spark, sf_dir):
-    """DINEOF-style SVD gap-fill (reference M1) on the daily tier."""
+    """DINEOF-style SVD gap-fill (reference M1) over the derived daily
+    tier's natural sparsity, pinned to a real oracle: union-spine size and
+    per-source fill count recomputed by DuckDB; observed cells must
+    round-trip bit-exactly (n_obs_mismatch = 0)."""
     from rtsa_spark.operators.dineof import dineof_gapfill
-    from rtsa_spark.operators.rollup import rollup_ladder
-    from rtsa_spark.synth import knock_out_buckets, synth_sequences
 
-    seq = knock_out_buckets(
-        synth_sequences(spark, 20_000, n_sources=8), ["s002", "s003"], bucket="day"
+    sparse = _seq_daily_x(spark, sf_dir)
+    filled = dineof_gapfill(spark, sparse, n_max=4, value_col="x", key_col="source")
+    j = filled.join(
+        sparse.withColumnRenamed("x", "x_in"), ["source", "bucket_start"], "left"
     )
-    daily = rollup_ladder(seq)["daily"]
-    return dineof_gapfill(spark, daily, n_max=4)
+    return j.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_buckets"),
+        F.sum(F.col("gapfilled").cast("int")).cast("bigint").alias("n_filled"),
+        F.sum(
+            (~F.col("gapfilled") & (F.col("x") != F.col("x_in"))).cast("int")
+        ).cast("bigint").alias("n_obs_mismatch"),
+    )
+
+
+SQL_SEQ_DINEOF = f"""
+WITH {SQL_SEQ_CTE}, d AS MATERIALIZED (
+  SELECT source, date_trunc('day', ts) AS b FROM seq GROUP BY 1, 2
+), spine AS (SELECT DISTINCT b FROM d)
+SELECT source,
+       (SELECT count(*) FROM spine) AS n_buckets,
+       (SELECT count(*) FROM spine) - count(*) AS n_filled,
+       CAST(0 AS BIGINT) AS n_obs_mismatch
+FROM d GROUP BY 1
+"""
 
 
 def q_sequences_eof(spark, sf_dir):
-    """EOF/PCA mode loadings (reference M2) over the gap-filled daily tier."""
-    from rtsa_spark.operators.eof import eof
-    from rtsa_spark.operators.gapfill import gapfill_linear
-    from rtsa_spark.operators.rollup import rollup_ladder
-    from rtsa_spark.synth import synth_sequences
-
-    seq = synth_sequences(spark, 20_000, n_sources=8)
-    daily = gapfill_linear(rollup_ladder(seq)["daily"], "daily")
-    return eof(spark, daily, n_modes=2)["modes"]
+    """EOF/PCA (reference M2) over the zero-filled dense daily tier of the
+    derived sequences — full-rank reconstruction audit with the exact-int
+    z-Gramian diagonal independently recomputed by DuckDB."""
+    return _eof_audit_body(spark, _seq_daily_dense(spark, sf_dir), "source")
 
 
 def q_sequences_eot(spark, sf_dir):
-    """EOT base-point regression stats (reference M4)."""
-    from rtsa_spark.operators.eot import eot
-    from rtsa_spark.operators.gapfill import gapfill_linear
-    from rtsa_spark.operators.rollup import rollup_ladder
-    from rtsa_spark.synth import synth_sequences
+    """EOT (reference M4) over the zero-filled dense daily tier of the
+    derived sequences — the IEEE-deterministic twin, bit-replayed by
+    DuckDB (same construction as eot_deterministic)."""
+    from rtsa_spark.operators.eot import eot_deterministic
 
-    seq = synth_sequences(spark, 20_000, n_sources=8)
-    daily = gapfill_linear(rollup_ladder(seq)["daily"], "daily")
-    return eot(spark, daily, n_modes=2)["modes"]
+    return eot_deterministic(
+        _seq_daily_dense(spark, sf_dir), value_col="x", key_col="source", n_modes=2
+    )
 
 
 def q_media_features(spark, sf_dir):
@@ -1083,12 +1181,25 @@ def q_x11_stats(spark, sf_dir):
     )
 
 
-def _sql_x11() -> str:
+_SQL_X11_DEFAULT_D = """d AS MATERIALIZED (
+  SELECT event_type, date_trunc('day', ts) AS b,
+         CAST(round(sum(value) * 100) AS BIGINT) AS x
+  FROM events GROUP BY 1, 2
+)"""
+
+
+def _sql_x11(d_sql: str | None = None, key_out: str = "event_type") -> str:
     """DuckDB replay of x11_deterministic_stats at period 7: every filter
     is a list_transform over ascending taps with the SAME double weight
     literals the Python twin uses (repr round-trips doubles), ODD (point)
     reflection for the full-series MAs and EVEN reflection within each
-    phase subseries, chained through materialized list CTEs."""
+    phase subseries, chained through materialized list CTEs.
+
+    ``d_sql``: complete CTE block ending in ``d(event_type, b, x)``
+    (internals are keyed on the literal name ``event_type``); ``key_out``
+    renames the key in the final projection."""
+    if d_sql is None:
+        d_sql = _SQL_X11_DEFAULT_D
     from rtsa_spark.functions.x11 import x11_weight_lists
 
     w = x11_weight_lists(7)
@@ -1151,11 +1262,7 @@ def _sql_x11() -> str:
 
     guard = "CASE WHEN n >= 14 THEN {} ELSE NULL END"
     return f"""
-WITH d AS MATERIALIZED (
-  SELECT event_type, date_trunc('day', ts) AS b,
-         CAST(round(sum(value) * 100) AS BIGINT) AS x
-  FROM events GROUP BY 1, 2
-), lists AS MATERIALIZED (
+WITH {d_sql}, lists AS MATERIALIZED (
   SELECT event_type, CAST(count(*) AS BIGINT) AS n,
          CAST(sum(x) AS BIGINT) AS x_sum,
          list(x::DOUBLE ORDER BY b) AS xs
@@ -1185,7 +1292,7 @@ WITH d AS MATERIALIZED (
 ), st8 AS MATERIALIZED (
   SELECT *, {guard.format(filt_odd('adj2', lits['h13'], 6))} AS t3 FROM st7b
 )
-SELECT event_type, n AS n_buckets, x_sum,
+SELECT event_type AS {key_out}, n AS n_buckets, x_sum,
        CASE WHEN n >= 14 THEN
          CAST(floor(1e4 * (list_max(s2) - list_min(s2))) AS BIGINT)
        ELSE 0 END AS seas_amp_e4,
@@ -1241,6 +1348,12 @@ def _sql_stl() -> str:
     from tools.gen_stl_sql import sql_stl
 
     return sql_stl()
+
+
+def _sql_stl_seq() -> str:
+    from tools.gen_stl_sql import sql_stl
+
+    return sql_stl(_SQL_SEQ_DAILY_D, "source")
 
 
 def q_seasonal_mk_stats(spark, sf_dir):
@@ -1449,13 +1562,18 @@ def q_eot_deterministic(spark, sf_dir):
     )
 
 
-def _sql_eot_det() -> str:
+def _sql_eot_det(h_sql: str | None = None, key_out: str = "event_type") -> str:
     """DuckDB replay of eot_deterministic: exact-int Gramian from the
     z = n_t*x - S centering, ascending-source ordered score sums, the same
     3-op r/slope chains and rank-1 float downdate with the base row/col
-    zeroed exactly."""
+    zeroed exactly.
+
+    ``h_sql``: complete CTE block ending in ``h(k, b, x)``; ``key_out``
+    names the key column in the output rows."""
+    if h_sql is None:
+        h_sql = _SQL_HOURLY_X
     return f"""
-WITH {_SQL_HOURLY_X}, {_SQL_SPINE_Z},
+WITH {h_sql}, {_SQL_SPINE_Z},
 g0 AS MATERIALIZED (
   SELECT a.k AS j, c.k AS k2, CAST(sum(a.z * c.z) AS DOUBLE) AS g
   FROM z a JOIN z c USING (b) GROUP BY 1, 2
@@ -1486,7 +1604,7 @@ expl1 AS MATERIALIZED (
                           / (SELECT t0 FROM tot))) AS BIGINT) AS e
 ),
 m1 AS MATERIALIZED (
-  SELECT dk.k AS event_type, 1 AS mode,
+  SELECT dk.k AS {key_out}, 1 AS mode,
          CAST(CASE WHEN dk.k = (SELECT j FROM b1) THEN 1 ELSE 0 END
               AS INTEGER) AS is_base,
          CAST(floor(1e6 * (g.g / sqrt(djj.d * dk.d))) AS BIGINT) AS r_e6,
@@ -1520,7 +1638,7 @@ expl2 AS MATERIALIZED (
                           / (SELECT t0 FROM tot))) AS BIGINT) AS e
 ),
 m2 AS MATERIALIZED (
-  SELECT dk.k AS event_type, 2 AS mode,
+  SELECT dk.k AS {key_out}, 2 AS mode,
          CAST(CASE WHEN dk.k = (SELECT j FROM b2) THEN 1 ELSE 0 END
               AS INTEGER) AS is_base,
          CAST(floor(1e6 * (g.g / sqrt(djj.d * dk.d))) AS BIGINT) AS r_e6,
@@ -1536,20 +1654,19 @@ SELECT * FROM m1 UNION ALL SELECT * FROM m2
 """
 
 
-def q_eof_reconstruction_audit(spark, sf_dir):
-    """EOF (reference M2) pinned to a real oracle: run the distributed
-    Gramian EOF at FULL rank on the common-spine hourly tier, reconstruct
-    every centered cell from (modes x ecs), and emit per source the spine
-    size and exact-int z-Gramian diagonal (both independently recomputed by
-    DuckDB from raw events) plus the reconstruction mismatch count (0)."""
+def _eof_audit_body(spark, tier_xdf, key_col):
+    """Shared EOF reconstruction audit (reference M2): run the distributed
+    Gramian EOF at FULL rank on the common-spine tier ``(key, bucket_start,
+    x)``, reconstruct every centered cell from (modes x ecs), and emit per
+    source the spine size and exact-int z-Gramian diagonal (both
+    independently recomputed by DuckDB) plus the reconstruction mismatch
+    count (0)."""
     from rtsa_spark.operators.eof import eof
     from rtsa_spark.operators.eot import common_spine_z
 
     # same spine + exact-int centering contract as eot_deterministic (one
     # Spark-side source of truth; _SQL_SPINE_Z is their shared SQL twin)
-    on_spine, z_df, sources, n_t = common_spine_z(
-        _hourly_x(spark, sf_dir), "x", key_col="event_type"
-    )
+    on_spine, z_df, sources, n_t = common_spine_z(tier_xdf, "x", key_col=key_col)
     n_s = len(sources)
     tier = on_spine.withColumnRenamed("_x", "x")
     if n_t == 0 or n_s == 0:
@@ -1559,20 +1676,18 @@ def q_eof_reconstruction_audit(spark, sf_dir):
         return spark.createDataFrame(
             [],
             StructType.fromDDL(
-                "event_type string, n_buckets bigint, zz_sum bigint,"
+                f"{key_col} string, n_buckets bigint, zz_sum bigint,"
                 " n_mismatch bigint"
             ),
         )
-    zz = z_df.groupBy("event_type").agg(
+    zz = z_df.groupBy(key_col).agg(
         F.sum(F.col("z") * F.col("z")).alias("zz_sum")
     )
-    res = eof(
-        spark, tier, n_modes=n_s, value_col="x", key_col="event_type"
-    )
+    res = eof(spark, tier, n_modes=n_s, value_col="x", key_col=key_col)
     recon = (
         res["ecs"]
         .join(res["modes"], "mode")
-        .groupBy("bucket_start", "event_type")
+        .groupBy("bucket_start", key_col)
         .agg(
             F.sum(F.col("ec") * F.col("loading")).alias("recon"),
             F.first("center").alias("center"),
@@ -1581,26 +1696,38 @@ def q_eof_reconstruction_audit(spark, sf_dir):
     dev = F.abs(F.col("recon") - (F.col("x") - F.col("center")))
     mism = dev > 1e-6 * (F.lit(1.0) + F.abs(F.col("x") - F.col("center")))
     audit = (
-        tier.join(recon, ["bucket_start", "event_type"])
-        .groupBy("event_type")
+        tier.join(recon, ["bucket_start", key_col])
+        .groupBy(key_col)
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_buckets"),
             F.sum(mism.cast("int")).cast("bigint").alias("n_mismatch"),
         )
     )
-    return audit.join(zz, "event_type").select(
-        "event_type", "n_buckets", F.col("zz_sum").cast("bigint"), "n_mismatch"
+    return audit.join(zz, key_col).select(
+        key_col, "n_buckets", F.col("zz_sum").cast("bigint"), "n_mismatch"
     )
 
 
-SQL_EOF_AUDIT = f"""
-WITH {_SQL_HOURLY_X}, {_SQL_SPINE_Z}
-SELECT k AS event_type,
+def q_eof_reconstruction_audit(spark, sf_dir):
+    """EOF reconstruction audit over the common-spine hourly events tier
+    (see :func:`_eof_audit_body`)."""
+    return _eof_audit_body(spark, _hourly_x(spark, sf_dir), "event_type")
+
+
+def _sql_eof_audit(h_sql: str | None = None, key_out: str = "event_type") -> str:
+    if h_sql is None:
+        h_sql = _SQL_HOURLY_X
+    return f"""
+WITH {h_sql}, {_SQL_SPINE_Z}
+SELECT k AS {key_out},
        (SELECT n_t FROM nt) AS n_buckets,
        CAST(sum(z * z) AS BIGINT) AS zz_sum,
        CAST(0 AS BIGINT) AS n_mismatch
 FROM z GROUP BY 1
 """
+
+
+SQL_EOF_AUDIT = _sql_eof_audit()
 
 # knockout rule shared by the DINEOF/spline audits: drop ~1/16 of hourly
 # cells where md5(event_type || 'yyyy-MM-dd HH') starts with '0' — a
@@ -1827,38 +1954,75 @@ LEFT JOIN trend t ON l.source = t.source AND l.n >= 14
 
 
 def q_sequences_stl(spark, sf_dir):
-    """Numeric-window STL metrics (reference W3/M5 loess surface,
-    R/rtsa.stl.R:140-169) per source over the derived daily tier —
-    iterative loess is not SQL-expressible, so rows-only; the loess/STL
-    math itself is pinned by tests/test_stl.py."""
-    from rtsa_spark.operators.metrics import compute_metrics
-    from rtsa_spark.operators.gapfill import gapfill_linear
-    from rtsa_spark.operators.rollup import rollup_ladder
+    """Numeric-window STL (reference W3/M5, R/rtsa.stl.R:140-169) per
+    source over the derived daily tier, HARD-ORACLED (round-2 upgrade from
+    rows-only): the deterministic loess twin runs on the exact-int
+    n_tok_sum series and DuckDB replays the full inner loop via the
+    parameterized tools/gen_stl_sql generator. The float production path
+    (compute_metrics s_window=15) is pinned to the twin in tests/test_stl.py."""
+    import pandas as pd
 
-    daily = gapfill_linear(
-        rollup_ladder(_derived_sequences(spark, sf_dir))["daily"], "daily"
-    )
-    return compute_metrics(
-        daily, "daily", value_col="n_tok_mean", period=7,
-        s_window=15, s_degree=1, t_degree=1,
+    from rtsa_spark.functions.stl import stl_deterministic_stats
+
+    d = _seq_daily_x(spark, sf_dir)
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("bucket_start")
+        x = pdf["x"].to_numpy("int64")
+        st = stl_deterministic_stats(x, 7, s_window=15)
+        return pd.DataFrame(
+            [
+                {
+                    "source": pdf["source"].iloc[0],
+                    "n_buckets": len(x),
+                    "x_sum": int(x.sum()),
+                    **st,
+                }
+            ]
+        ).astype(
+            {c: "Int64" for c in ("seas_amp_e4", "trend_first_e4", "trend_last_e4")}
+        )
+
+    return d.groupBy("source").applyInPandas(
+        kernel,
+        "source string, n_buckets bigint, x_sum bigint,"
+        " seas_amp_e4 bigint, trend_first_e4 bigint, trend_last_e4 bigint",
     )
 
 
 def q_sequences_x11(spark, sf_dir):
-    """X-11 MA-cascade metrics (reference M6 core, R/rtsa.seas.R:275-285)
-    per source over the derived daily tier — Henderson + 3x3/3x5 seasonal
-    MAs are a multi-stage filter cascade, not SQL-expressible; the filter
-    math is pinned by tests/test_x11.py (cubic-exact Henderson, planted
-    components, normalization constraint)."""
-    from rtsa_spark.operators.gapfill import gapfill_linear
-    from rtsa_spark.operators.metrics import compute_metrics
-    from rtsa_spark.operators.rollup import rollup_ladder
+    """X-11 MA cascade (reference M6 core, R/rtsa.seas.R:275-285) per
+    source over the derived daily tier, HARD-ORACLED (round-2 upgrade from
+    rows-only): the deterministic B1-B6 twin runs on the exact-int
+    n_tok_sum series; DuckDB replays the identical filters via the
+    parameterized _sql_x11 generator."""
+    import pandas as pd
 
-    daily = gapfill_linear(
-        rollup_ladder(_derived_sequences(spark, sf_dir))["daily"], "daily"
-    )
-    return compute_metrics(
-        daily, "daily", value_col="n_tok_mean", period=7, decomposition="x11"
+    from rtsa_spark.functions.x11 import x11_deterministic_stats
+
+    d = _seq_daily_x(spark, sf_dir)
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("bucket_start")
+        x = pdf["x"].to_numpy("int64")
+        st = x11_deterministic_stats(x, 7)
+        return pd.DataFrame(
+            [
+                {
+                    "source": pdf["source"].iloc[0],
+                    "n_buckets": len(x),
+                    "x_sum": int(x.sum()),
+                    **st,
+                }
+            ]
+        ).astype(
+            {c: "Int64" for c in ("seas_amp_e4", "trend_first_e4", "trend_last_e4")}
+        )
+
+    return d.groupBy("source").applyInPandas(
+        kernel,
+        "source string, n_buckets bigint, x_sum bigint,"
+        " seas_amp_e4 bigint, trend_first_e4 bigint, trend_last_e4 bigint",
     )
 
 
@@ -2034,6 +2198,12 @@ def oracle_sql() -> dict[str, str]:
         "sequences_ladder": SQL_SEQ_LADDER,
         "sequences_encode_blocks": SQL_SEQ_ENCODE_BLOCKS,
         "encode_roundtrip_audit": SQL_ENCODE_AUDIT,
-        # remaining sequences_* (spline/dineof/eof/eot) are genuinely
-        # non-SQL-expressible (iterative solvers) -> rows-only checks
+        # round-3: the formerly rows-only sequences_* entries, now
+        # hard-oracled via the parameterized twin generators / audits
+        "sequences_stl": _sql_stl_seq(),
+        "sequences_x11": _sql_x11(_SQL_SEQ_DAILY_D, "source"),
+        "sequences_gapfill_spline": SQL_SEQ_GAPFILL_SPLINE,
+        "sequences_dineof": SQL_SEQ_DINEOF,
+        "sequences_eof": _sql_eof_audit(_SQL_SEQ_DENSE_H, "source"),
+        "sequences_eot": _sql_eot_det(_SQL_SEQ_DENSE_H, "source"),
     }

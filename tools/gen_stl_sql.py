@@ -139,7 +139,20 @@ seas_{it} AS MATERIALIZED (
     return ",".join([c, ma1, ma2, ma3, lp, rest, tr])
 
 
-def sql_stl() -> str:
+DEFAULT_D_SQL = """d AS MATERIALIZED (
+  SELECT event_type, date_trunc('day', ts) AS b,
+         CAST(round(sum(value) * 100) AS BIGINT) AS x
+  FROM events GROUP BY 1, 2
+)"""
+
+
+def sql_stl(d_sql: str | None = None, key_out: str = "event_type") -> str:
+    """STL oracle over any daily tier: ``d_sql`` must be a complete CTE
+    block ending in ``d(event_type, b, x)`` (the internal CTEs are keyed on
+    the literal name ``event_type``); ``key_out`` renames the key column in
+    the final projection (e.g. ``source`` for the derived-sequences tier)."""
+    if d_sql is None:
+        d_sql = DEFAULT_D_SQL
     p = PERIOD
     it1 = _iteration(1, "lists", "xs")
     detr2 = f"""
@@ -151,17 +164,13 @@ detr_2 AS MATERIALIZED (
 )"""
     it2 = _iteration(2, "detr_2", "dt")
     return f"""
-WITH d AS MATERIALIZED (
-  SELECT event_type, date_trunc('day', ts) AS b,
-         CAST(round(sum(value) * 100) AS BIGINT) AS x
-  FROM events GROUP BY 1, 2
-), lists AS MATERIALIZED (
+WITH {d_sql}, lists AS MATERIALIZED (
   SELECT event_type, CAST(count(*) AS BIGINT) AS n,
          CAST(sum(x) AS BIGINT) AS x_sum,
          list(x::DOUBLE ORDER BY b) AS xs
   FROM d GROUP BY 1
 ),{it1},{detr2},{it2}
-SELECT l.event_type, l.n AS n_buckets, l.x_sum,
+SELECT l.event_type AS {key_out}, l.n AS n_buckets, l.x_sum,
        CASE WHEN l.n >= {2 * p} THEN
          CAST(floor(1e4 * (list_max(s2.s) - list_min(s2.s))) AS BIGINT)
        ELSE 0 END AS seas_amp_e4,
