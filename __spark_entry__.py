@@ -1953,6 +1953,91 @@ LEFT JOIN trend t ON l.source = t.source AND l.n >= 14
 """
 
 
+def q_decompose_components(spark, sf_dir):
+    """STDstack bricks (reference ``only.statistics=FALSE`` path,
+    R/rtsa.stl.R:378-382,441-489): the full per-bucket
+    seasonal/trend/remainder series per source over the derived daily
+    tier — the deterministic periodic-seasonal twin, every component an
+    exact-int numerator with one floor-divide, bit-replayed by DuckDB."""
+    from rtsa_spark.operators.components import decompose_components_deterministic
+
+    return decompose_components_deterministic(
+        _seq_daily_x(spark, sf_dir), "daily", value_col="x", period=7
+    )
+
+
+def _sql_components_seq() -> str:
+    """DuckDB replay of decompose_components_deterministic (period 7) over
+    the derived daily tier: same reflect-padded MA numerators, per-phase
+    detrended sums and deseasonalized MA as the metrics oracle
+    (_sql_metrics_deterministic), but unnested to per-bucket rows."""
+    refl = (
+        "(CASE WHEN i + d < 0 THEN -(i + d)"
+        " WHEN i + d >= n THEN 2 * (n - 1) - (i + d)"
+        " ELSE i + d END)"
+    )
+    ni = "CAST(n AS INTEGER)"
+    s_e4 = _sql_floordiv("10000 * sl[g.i]", "49 * qbig")
+    t_e4 = _sql_floordiv("10000 * tl[g.i]", "49 * qbig * 7")
+    r_e4 = _sql_floordiv(
+        "10000 * (49 * qbig * 7 * xs[g.i] - 7 * sl[g.i] - tl[g.i])",
+        "49 * qbig * 7",
+    )
+    return f"""
+WITH {SQL_SEQ_CTE}, tier AS (
+  SELECT source, date_trunc('day', ts) AS b, CAST(sum(n_tok) AS BIGINT) AS x
+  FROM seq GROUP BY 1, 2
+), lists AS MATERIALIZED (
+  SELECT source, CAST(count(*) AS BIGINT) AS n,
+         list(x ORDER BY b) AS xs, list(b ORDER BY b) AS bs
+  FROM tier GROUP BY 1
+), dec AS MATERIALIZED (
+  SELECT source, n, xs, bs,
+    list_transform(generate_series(0, {ni} - 1), i ->
+      7 * xs[i + 1] - list_sum(list_transform(generate_series(-3, 3), d ->
+        xs[{refl} + 1]))) AS detr,
+    n // 7 AS q, n % 7 AS r
+  FROM lists WHERE n >= 14
+), ph AS MATERIALIZED (
+  SELECT source, n, xs, bs, (q * (q + 1)) AS qbig,
+    list_transform(generate_series(0, 6), p ->
+      list_sum(list_transform(generate_series(0, CAST((n - 1 - p) // 7 AS INTEGER)),
+        k -> detr[p + 7 * k + 1]))) AS ph_sum,
+    list_transform(generate_series(0, 6), p ->
+      CASE WHEN p < r THEN q + 1 ELSE q END) AS c_ph
+  FROM dec
+), snl AS MATERIALIZED (
+  SELECT source, n, xs, bs, qbig,
+    list_transform(generate_series(0, {ni} - 1), i ->
+      ph_sum[(i % 7) + 1] * ((qbig * 7) // c_ph[(i % 7) + 1])
+      - list_sum(list_transform(generate_series(1, 7), p ->
+          ph_sum[p] * (qbig // c_ph[p])))) AS sl
+  FROM ph
+), dsn AS MATERIALIZED (
+  SELECT source, n, xs, bs, qbig, sl,
+    list_transform(generate_series(0, {ni} - 1), i ->
+      49 * qbig * xs[i + 1] - sl[i + 1]) AS dl
+  FROM snl
+), tnl AS MATERIALIZED (
+  SELECT source, n, xs, bs, qbig, sl,
+    list_transform(generate_series(0, {ni} - 1), i ->
+      list_sum(list_transform(generate_series(-3, 3), d ->
+        dl[{refl} + 1]))) AS tl
+  FROM dsn
+)
+SELECT source, bs[g.i] AS bucket_start, xs[g.i] AS x,
+       CAST({s_e4} AS BIGINT) AS seasonal_e4,
+       CAST({t_e4} AS BIGINT) AS trend_e4,
+       CAST({r_e4} AS BIGINT) AS remainder_e4
+FROM tnl, unnest(generate_series(1, {ni})) AS g(i)
+UNION ALL
+SELECT source, bs[g.i], xs[g.i],
+       CAST(0 AS BIGINT), CAST(10000 * xs[g.i] AS BIGINT), CAST(0 AS BIGINT)
+FROM lists, unnest(generate_series(1, {ni})) AS g(i)
+WHERE n < 14
+"""
+
+
 def q_sequences_stl(spark, sf_dir):
     """Numeric-window STL (reference W3/M5, R/rtsa.stl.R:140-169) per
     source over the derived daily tier, HARD-ORACLED (round-2 upgrade from
@@ -2153,6 +2238,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sequences_eof": q_sequences_eof,
         "sequences_eot": q_sequences_eot,
         "media_features": q_media_features,
+        "decompose_components": q_decompose_components,
     }
 
 
@@ -2206,4 +2292,5 @@ def oracle_sql() -> dict[str, str]:
         "sequences_dineof": SQL_SEQ_DINEOF,
         "sequences_eof": _sql_eof_audit(_SQL_SEQ_DENSE_H, "source"),
         "sequences_eot": _sql_eot_det(_SQL_SEQ_DENSE_H, "source"),
+        "decompose_components": _sql_components_seq(),
     }
