@@ -1087,6 +1087,139 @@ def q_sequences_eot(spark, sf_dir):
     )
 
 
+def q_scale_eof_modes(spark, sf_dir):
+    """rtsa.scaleEOF percentile clip (M3/A9,
+    ``R/rtsa.scaleEOF.R:67-73``) hard-oracled: the operator's explicit
+    R type-7 quantile chain (operators/eof._type7_quantile_bounds) runs on
+    deterministic exact-int pseudo-loadings (per-source daily totals /
+    maxima, both engines recompute them from the derived table), so the
+    clip output is a fixed correctly-rounded op sequence DuckDB replays
+    bit-exactly. (Real eigenvector loadings are LAPACK-order-dependent and
+    can't cross-engine hash; the clip semantics are what A9 specifies.)"""
+    from rtsa_spark.operators.eof import scale_eof_modes
+
+    d = _seq_daily_x(spark, sf_dir)
+    per = d.groupBy("source").agg(
+        F.sum("x").alias("s"), F.max("x").alias("m")
+    )
+    modes = per.select(
+        "source", F.lit(1).alias("mode"), F.col("s").cast("double").alias("loading")
+    ).unionByName(
+        per.select(
+            "source", F.lit(2).alias("mode"), F.col("m").cast("double").alias("loading")
+        )
+    )
+    scaled = scale_eof_modes(modes, cut_pct=10.0)
+    return scaled.select(
+        "source",
+        "mode",
+        F.floor(F.lit(1_000_000.0) * F.col("loading_scaled"))
+        .cast("bigint")
+        .alias("scaled_e6"),
+    )
+
+
+SQL_SCALE_EOF = f"""
+WITH {SQL_SEQ_CTE}, t AS (
+  SELECT source, date_trunc('day', ts) AS b, CAST(sum(n_tok) AS BIGINT) AS x
+  FROM seq GROUP BY 1, 2
+), per AS (
+  SELECT source, CAST(sum(x) AS DOUBLE) AS l1, CAST(max(x) AS DOUBLE) AS l2
+  FROM t GROUP BY 1
+), modes AS (
+  SELECT source, 1 AS mode, l1 AS loading FROM per
+  UNION ALL
+  SELECT source, 2 AS mode, l2 AS loading FROM per
+), rk AS MATERIALIZED (
+  SELECT mode, source, loading,
+         CAST(row_number() OVER (PARTITION BY mode ORDER BY loading) - 1
+              AS BIGINT) AS rk,
+         CAST(count(*) OVER (PARTITION BY mode) AS BIGINT) AS n
+  FROM modes
+), hb AS MATERIALIZED (
+  SELECT mode, max(n) AS n,
+         1e-1 * CAST(max(n) - 1 AS DOUBLE) AS h_lo,
+         9e-1 * CAST(max(n) - 1 AS DOUBLE) AS h_hi
+  FROM rk GROUP BY 1
+), qb AS MATERIALIZED (
+  SELECT r.mode,
+    max(CASE WHEN r.rk = CAST(floor(b.h_lo) AS BIGINT) THEN r.loading END) AS lo_k,
+    max(CASE WHEN r.rk = CAST(floor(b.h_lo) AS BIGINT) + 1 THEN r.loading END) AS lo_k1,
+    max(CASE WHEN r.rk = CAST(floor(b.h_hi) AS BIGINT) THEN r.loading END) AS hi_k,
+    max(CASE WHEN r.rk = CAST(floor(b.h_hi) AS BIGINT) + 1 THEN r.loading END) AS hi_k1,
+    max(b.h_lo) AS h_lo, max(b.h_hi) AS h_hi
+  FROM rk r JOIN hb b USING (mode) GROUP BY 1
+), bounds AS MATERIALIZED (
+  SELECT mode,
+    lo_k + (coalesce(lo_k1, lo_k) - lo_k) * (h_lo - floor(h_lo)) AS lo,
+    hi_k + (coalesce(hi_k1, hi_k) - hi_k) * (h_hi - floor(h_hi)) AS hi
+  FROM qb
+)
+SELECT r.source, r.mode,
+  CAST(floor(1e6 * (CASE WHEN r.loading >= b.hi THEN 1e0
+                         WHEN r.loading <= b.lo THEN -1e0
+                         ELSE -1e0 + 2e0 * (r.loading - b.lo) / (b.hi - b.lo)
+                    END)) AS BIGINT) AS scaled_e6
+FROM rk r JOIN bounds b USING (mode)
+"""
+
+
+def q_streaming_batch_parity(spark, sf_dir):
+    """Structured-Streaming raw-tier rollup (SURVEY §2.9) vs the batch
+    oracle: write the derived sequences out, replay them through the
+    file-source stream (availableNow, single batch) into the windowed
+    rollup with a watermark, and return the finalized buckets — DuckDB
+    recomputes the same minute tier from the derived rows. A sentinel row
+    2099-01-01 pushes the watermark past every real bucket so append mode
+    emits them all (same pattern as tests/test_streaming.py)."""
+    import tempfile
+
+    from rtsa_spark.streaming.rollup_stream import (
+        read_sequences_stream,
+        run_stream_to_parquet,
+        streaming_rollup_raw,
+    )
+
+    work = tempfile.mkdtemp(prefix="rtsa_stream_parity_")
+    seq = _derived_sequences(spark, sf_dir).select(
+        "doc_id",
+        F.expr("CAST(array() AS array<int>)").alias("tokens"),
+        F.col("n_tok").cast("int").alias("n_tok"),
+        "source",
+        "ts",
+    )
+    sentinel = seq.limit(1).withColumn(
+        "ts", F.lit("2099-01-01 00:00:00").cast("timestamp")
+    )
+    seq.unionByName(sentinel).coalesce(4).write.mode("overwrite").parquet(
+        f"{work}/in"
+    )
+    stream = read_sequences_stream(spark, f"{work}/in", max_files_per_trigger=None)
+    rolled = streaming_rollup_raw(stream, watermark="5 minutes")
+    q = run_stream_to_parquet(rolled, f"{work}/out", f"{work}/ckpt")
+    q.awaitTermination(300)
+    out = spark.read.parquet(f"{work}/out")
+    return out.select(
+        "source",
+        "bucket_start",
+        F.col("n_seq").cast("bigint").alias("n_seq"),
+        F.col("n_tok_sum").cast("bigint").alias("n_tok_sum"),
+        F.col("n_tok_min").cast("bigint").alias("n_tok_min"),
+        F.col("n_tok_max").cast("bigint").alias("n_tok_max"),
+    )
+
+
+SQL_STREAMING_PARITY = f"""
+WITH {SQL_SEQ_CTE}
+SELECT source, date_trunc('minute', ts) AS bucket_start,
+       CAST(count(*) AS BIGINT) AS n_seq,
+       CAST(sum(n_tok) AS BIGINT) AS n_tok_sum,
+       CAST(min(n_tok) AS BIGINT) AS n_tok_min,
+       CAST(max(n_tok) AS BIGINT) AS n_tok_max
+FROM seq GROUP BY 1, 2
+"""
+
+
 def q_media_features(spark, sf_dir):
     """Multimodal plumbing over a REAL parquet table: documents.text as an
     opaque binary payload -> Arrow-batched decode (faked; plumbing real)
@@ -1188,7 +1321,11 @@ _SQL_X11_DEFAULT_D = """d AS MATERIALIZED (
 )"""
 
 
-def _sql_x11(d_sql: str | None = None, key_out: str = "event_type") -> str:
+def _sql_x11(
+    d_sql: str | None = None,
+    key_out: str = "event_type",
+    tail_sql: str | None = None,
+) -> str:
     """DuckDB replay of x11_deterministic_stats at period 7: every filter
     is a list_transform over ascending taps with the SAME double weight
     literals the Python twin uses (repr round-trips doubles), ODD (point)
@@ -1197,7 +1334,9 @@ def _sql_x11(d_sql: str | None = None, key_out: str = "event_type") -> str:
 
     ``d_sql``: complete CTE block ending in ``d(event_type, b, x)``
     (internals are keyed on the literal name ``event_type``); ``key_out``
-    renames the key in the final projection."""
+    renames the key in the final projection. ``tail_sql`` replaces the
+    final projection entirely (extra CTEs + SELECT against ``st8``, which
+    carries n/x_sum/xs plus every cascade stage incl. s2/t3)."""
     if d_sql is None:
         d_sql = _SQL_X11_DEFAULT_D
     from rtsa_spark.functions.x11 import x11_weight_lists
@@ -1291,7 +1430,7 @@ WITH {d_sql}, lists AS MATERIALIZED (
   SELECT *, {guard.format(sub('xs', 's2'))} AS adj2 FROM st7
 ), st8 AS MATERIALIZED (
   SELECT *, {guard.format(filt_odd('adj2', lits['h13'], 6))} AS t3 FROM st7b
-)
+){tail_sql if tail_sql is not None else f'''
 SELECT event_type AS {key_out}, n AS n_buckets, x_sum,
        CASE WHEN n >= 14 THEN
          CAST(floor(1e4 * (list_max(s2) - list_min(s2))) AS BIGINT)
@@ -1300,7 +1439,94 @@ SELECT event_type AS {key_out}, n AS n_buckets, x_sum,
             ELSE CAST(floor(1e4 * xs[1]) AS BIGINT) END AS trend_first_e4,
        CASE WHEN n >= 14 THEN CAST(floor(1e4 * t3[{ni}]) AS BIGINT)
             ELSE CAST(floor(1e4 * xs[{ni}]) AS BIGINT) END AS trend_last_e4
-FROM st8
+FROM st8'''}
+"""
+
+
+def q_x11_yearly_amplitude(spark, sf_dir):
+    """Yearly (per-cycle) seasonal amplitude mean/stdev (reference A4,
+    ``R/rtsa.seas.R:314-316``) over the X-11 seasonal of the daily events
+    series — the per-cycle amplitudes genuinely vary under the MA cascade
+    (unlike the periodic closed form, where they are all equal). Fixed op
+    chain per statistic: ordered amplitude sum / nc, ordered squared-dev
+    sum / (nc-1), sqrt, floor — bit-replayed by DuckDB against the same
+    cascade (_sql_x11 tail)."""
+    import math
+
+    import pandas as pd
+
+    from rtsa_spark.functions.x11 import x11_deterministic_components
+    from rtsa_spark.operators.rollup import rollup_series
+
+    daily = rollup_series(
+        _events(spark, sf_dir), "daily", ["event_type"], "ts", "value"
+    ).select("event_type", "bucket_start", _cents(F.col("v_sum")).alias("x"))
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("bucket_start")
+        x = pdf["x"].to_numpy("int64")
+        n = len(x)
+        nc = n // 7
+        row = {
+            "event_type": pdf["event_type"].iloc[0],
+            "n_buckets": n,
+            "n_cycles": nc,
+            "amp_cycle_mean_e4": None,
+            "amp_cycle_sd_e6": None,
+        }
+        comp = x11_deterministic_components(x, 7)
+        if comp is not None and nc >= 1:
+            s2 = comp["s2"]
+            amps = [
+                max(s2[7 * c : 7 * c + 7]) - min(s2[7 * c : 7 * c + 7])
+                for c in range(nc)
+            ]
+            s = 0.0
+            for a in amps:  # ascending-cycle ordered sum (oracle parity)
+                s += a
+            amean = s / nc
+            row["amp_cycle_mean_e4"] = math.floor(10000.0 * amean)
+            if nc >= 2:
+                v = 0.0
+                for a in amps:
+                    v += (a - amean) * (a - amean)
+                row["amp_cycle_sd_e6"] = math.floor(
+                    1_000_000.0 * math.sqrt(v / (nc - 1))
+                )
+        return pd.DataFrame([row]).astype(
+            {c: "Int64" for c in ("amp_cycle_mean_e4", "amp_cycle_sd_e6")}
+        )
+
+    return daily.groupBy("event_type").applyInPandas(
+        kernel,
+        "event_type string, n_buckets bigint, n_cycles bigint,"
+        " amp_cycle_mean_e4 bigint, amp_cycle_sd_e6 bigint",
+    )
+
+
+_SQL_X11_YEARLY_TAIL = """, yc AS MATERIALIZED (
+  SELECT event_type, n, n // 7 AS nc,
+    CASE WHEN n >= 14 THEN
+      list_transform(generate_series(0, CAST(n // 7 AS INTEGER) - 1), c ->
+        list_max(list_transform(generate_series(1, 7), j -> s2[7 * c + j]))
+        - list_min(list_transform(generate_series(1, 7), j -> s2[7 * c + j])))
+    ELSE NULL END AS amps
+  FROM st8
+), ym AS MATERIALIZED (
+  SELECT *, CASE WHEN n >= 14 AND nc >= 1
+                 THEN list_sum(amps) / CAST(nc AS DOUBLE)
+                 ELSE NULL END AS amean
+  FROM yc
+)
+SELECT event_type, n AS n_buckets, CAST(nc AS BIGINT) AS n_cycles,
+  CASE WHEN amean IS NOT NULL THEN CAST(floor(1e4 * amean) AS BIGINT)
+       ELSE NULL END AS amp_cycle_mean_e4,
+  CASE WHEN amean IS NOT NULL AND nc >= 2 THEN
+    CAST(floor(1e6 * sqrt(
+      list_sum(list_transform(amps, a -> (a - amean) * (a - amean)))
+      / CAST(nc - 1 AS DOUBLE))) AS BIGINT)
+  ELSE NULL END AS amp_cycle_sd_e6
+FROM ym
 """
 
 
@@ -2239,6 +2465,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sequences_eot": q_sequences_eot,
         "media_features": q_media_features,
         "decompose_components": q_decompose_components,
+        "x11_yearly_amplitude": q_x11_yearly_amplitude,
+        "scale_eof_modes": q_scale_eof_modes,
+        "streaming_batch_parity": q_streaming_batch_parity,
     }
 
 
@@ -2293,4 +2522,7 @@ def oracle_sql() -> dict[str, str]:
         "sequences_eof": _sql_eof_audit(_SQL_SEQ_DENSE_H, "source"),
         "sequences_eot": _sql_eot_det(_SQL_SEQ_DENSE_H, "source"),
         "decompose_components": _sql_components_seq(),
+        "x11_yearly_amplitude": _sql_x11(tail_sql=_SQL_X11_YEARLY_TAIL),
+        "scale_eof_modes": SQL_SCALE_EOF,
+        "streaming_batch_parity": SQL_STREAMING_PARITY,
     }

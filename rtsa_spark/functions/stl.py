@@ -119,6 +119,7 @@ def stl_decompose(
     t_degree: int = 1,
     l_window: int | None = None,
     inner: int = 2,
+    outer: int = 0,
 ) -> dict[str, np.ndarray]:
     """Additive STL with numeric loess windows. NaN-free regular input
     (gap-fill first). Returns {"seasonal", "trend", "remainder"}.
@@ -126,7 +127,18 @@ def stl_decompose(
     ``t_window=None`` -> odd-ized series length (the reference wrapper's
     default, ``R/rtsa.stl.R:148-150``); ``l_window=None`` -> odd-ized
     period. ``s_window="periodic"`` -> per-phase means (the closed form the
-    r1 engine shipped; kept as the fast path)."""
+    r1 engine shipped; kept as the fast path — robustness weights turn it
+    into a weighted per-phase mean).
+
+    ``outer``: robustness (outer) iterations per Cleveland 1990 §2:
+    after each full inner pass, bisquare weights
+    ``rho = B(|remainder| / (6 * median|remainder|))`` down-weight
+    outliers in the seasonal and trend loess of the next pass.
+    DIVERGENCE NOTE: the default here is ``outer=0`` (no robustness) while
+    ``stlplus::stlplus`` — which the reference invokes at
+    ``R/rtsa.stl.R:360`` — defaults to one outer pass; outlier-heavy
+    series therefore differ from the reference unless ``outer>=1`` is
+    passed. The deterministic oracle twin covers ``outer=0`` only."""
     x = np.asarray(x, dtype="float64")
     n = len(x)
     if n < 2 * period or period < 2:
@@ -142,27 +154,46 @@ def stl_decompose(
 
     trend = np.zeros(n)
     seasonal = np.zeros(n)
-    for _ in range(max(1, inner)):
-        detr = x - trend
-        # --- cycle-subseries smoothing, extended one period each side
-        c = np.empty(n + 2 * period)
-        for ph in range(period):
-            sub = detr[ph::period]
-            m = len(sub)
-            if periodic:
-                sm = np.full(m + 2, sub.mean())
+    rho: np.ndarray | None = None
+    for o in range(max(0, outer) + 1):
+        for _ in range(max(1, inner)):
+            detr = x - trend
+            # --- cycle-subseries smoothing, extended one period each side
+            c = np.empty(n + 2 * period)
+            for ph in range(period):
+                sub = detr[ph::period]
+                m = len(sub)
+                if periodic:
+                    if rho is None:
+                        sm = np.full(m + 2, sub.mean())
+                    else:
+                        rw = rho[ph::period]
+                        denom = rw.sum()
+                        wm = (rw * sub).sum() / denom if denom > 0 else sub.mean()
+                        sm = np.full(m + 2, wm)
+                else:
+                    sm = loess_smooth(
+                        sub, s_win, s_degree,
+                        eval_x=np.arange(-1, m + 1, dtype="float64"),
+                        rho=None if rho is None else rho[ph::period],
+                    )
+                # scatter back: positions ph, ph+period, ... in the extended
+                # frame
+                c[ph::period][: m + 2] = sm
+            # --- low pass: MA(p) x2 + MA(3) + loess(l_win, deg 1)
+            lp = _ma(_ma(_ma(c, period), period), 3)  # length n
+            lp = loess_smooth(lp, l_win, 1)
+            seasonal = c[period : period + n] - lp
+            # --- trend from the deseasonalized series
+            trend = loess_smooth(x - seasonal, t_win, t_degree, rho=rho)
+        if o < outer:
+            resid = np.abs(x - seasonal - trend)
+            h = 6.0 * float(np.median(resid))
+            if h <= 0:
+                rho = np.ones(n)
             else:
-                sm = loess_smooth(
-                    sub, s_win, s_degree, eval_x=np.arange(-1, m + 1, dtype="float64")
-                )
-            # scatter back: positions ph, ph+period, ... in the extended frame
-            c[ph::period][: m + 2] = sm
-        # --- low pass: MA(p) x2 + MA(3) + loess(l_win, deg 1)
-        lp = _ma(_ma(_ma(c, period), period), 3)  # length n
-        lp = loess_smooth(lp, l_win, 1)
-        seasonal = c[period : period + n] - lp
-        # --- trend from the deseasonalized series
-        trend = loess_smooth(x - seasonal, t_win, t_degree)
+                u = np.clip(resid / h, 0.0, 1.0)
+                rho = (1.0 - u * u) ** 2
     return {"seasonal": seasonal, "trend": trend, "remainder": x - seasonal - trend}
 
 

@@ -225,8 +225,27 @@ def x11_deterministic_stats(x, period: int = 7) -> dict:
             "trend_first_e4": math.floor(10000.0 * xs[0]) if n else None,
             "trend_last_e4": math.floor(10000.0 * xs[-1]) if n else None,
         }
+    comp = x11_deterministic_components(x, period)
+    s2, t3 = comp["s2"], comp["t3"]
+    return {
+        "seas_amp_e4": math.floor(10000.0 * (max(s2) - min(s2))),
+        "trend_first_e4": math.floor(10000.0 * t3[0]),
+        "trend_last_e4": math.floor(10000.0 * t3[n - 1]),
+    }
+
+
+def x11_deterministic_components(x, period: int = 7) -> dict | None:
+    """The deterministic cascade's component LISTS (final seasonal ``s2``
+    and trend ``t3``) for oracle queries that need per-cycle values —
+    e.g. the yearly seasonal-amplitude stats (A4, ``R/rtsa.seas.R:314-316``).
+    Same op sequence as :func:`x11_deterministic_stats`; returns None for
+    the degenerate short-series case (n < 2*period)."""
+    xs = [float(v) for v in x]
+    n = len(xs)
+    if n < 2 * period or period < 2:
+        return None
     w = x11_weight_lists(period)
-    if n < 13:  # mirror x11_decompose's short-series Henderson choice
+    if n < 13:
         hw = [float(v) for v in
               henderson_weights(max(5, n if n % 2 == 1 else n - 1))]
     else:
@@ -242,8 +261,4 @@ def x11_deterministic_stats(x, period: int = 7) -> dict:
     s2p = _phase_filt_ordered(sub(xs, t2), period, w["m3x5"])
     s2 = sub(s2p, _filt_ordered(s2p, w["ma_p"], odd=True))
     t3 = _filt_ordered(sub(xs, s2), hw, odd=True)
-    return {
-        "seas_amp_e4": math.floor(10000.0 * (max(s2) - min(s2))),
-        "trend_first_e4": math.floor(10000.0 * t3[0]),
-        "trend_last_e4": math.floor(10000.0 * t3[n - 1]),
-    }
+    return {"s2": s2, "t3": t3, "n": n}

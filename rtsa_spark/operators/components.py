@@ -41,6 +41,7 @@ def decompose_components(
     t_window: int | None = None,
     t_degree: int = 1,
     decomposition: str = "stl",
+    outer: int = 0,
 ) -> DataFrame:
     """Full component series per (source, bucket) — same decomposition
     surface as ``compute_metrics`` (periodic closed form, numeric-window
@@ -60,14 +61,14 @@ def decompose_components(
             from rtsa_spark.functions.x11 import x11_decompose
 
             comp = x11_decompose(x, p)
-        elif s_window == "periodic" and t_window is None:
+        elif s_window == "periodic" and t_window is None and outer == 0:
             comp = decompose(x, p)
         else:
             from rtsa_spark.functions.stl import stl_decompose
 
             comp = stl_decompose(
                 x, p, s_window=s_window, s_degree=s_degree,
-                t_window=t_window, t_degree=t_degree,
+                t_window=t_window, t_degree=t_degree, outer=outer,
             )
         return pd.DataFrame(
             {

@@ -15,13 +15,26 @@ over the bucket x source tier matrix:
   bit-identical (the reference then NaNs non-mask cells, Q5 in SURVEY §8;
   key-based masking makes that moot).
 
-Execution shape: the dense matrix is ASSEMBLED DISTRIBUTEDLY (per-bucket
-packed vectors via operators/eof.bucket_vectors — one shuffle keyed by
-bucket, no pandas pivot, no long-format driver materialization) and then
-iterated on the driver: the iterative rewrite of missing cells is
-inherently a whole-matrix fixed point, the same shape sinkr runs. The
-matrix is tier-bounded (buckets x sources), not raw-data-bounded. The
-rank-k step uses the source x source Gramian + ``eigh`` (tall-skinny
+Execution shape (adaptive, mirroring operators/eof.gramian):
+
+- small tiers (``n_buckets * n_sources <= DINEOF_Z_DRIVER_LIMIT``): the
+  dense matrix is ASSEMBLED DISTRIBUTEDLY (per-bucket packed vectors via
+  operators/eof.bucket_vectors — one shuffle keyed by bucket, no pandas
+  pivot) and iterated on the driver with one BLAS Gramian per inner step —
+  fastest when the whole matrix is a few MB;
+- large tiers (or ``force_distributed=True``): the round-2 scale-killer
+  (driver collect of the full bucket x source matrix) is GONE — the state
+  lives as per-bucket dense rows in a cached DataFrame, each inner
+  iteration is (a) a distributed ``Z^T Z`` partial-sum pass and (b) a
+  distributed rank-k rewrite pass ``Z <- Z + M ((Z V_k) V_k^T - Z)`` with
+  only the (n_s x k) eigenvector block and the n_s-sized column means on
+  the driver — the same streaming ``Z @ V_k`` shape as
+  operators/eof.eof's expansion coefficients. Validation cells are chosen
+  by a deterministic per-cell splitmix64 hash (statistically equivalent
+  to the dense path's rng.choice; the stopping rule is statistical, not
+  bit-specified).
+
+The rank-k step uses the source x source Gramian + ``eigh`` (tall-skinny
 normal equations) instead of a full SVD per inner iteration. Linear
 gap-fill (operators/gapfill.py) remains the north-rule default; DINEOF is
 the analytic upgrade for strongly correlated sources.

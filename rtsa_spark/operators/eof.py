@@ -352,14 +352,63 @@ def eof(
     }
 
 
+def _type7_quantile_bounds(modes: DataFrame, cut_pct: float) -> DataFrame:
+    """Per-mode (lo, hi) = R type-7 quantiles at (cut, 1-cut), computed by
+    an EXPLICIT rank/interpolation chain rather than the engine's built-in
+    percentile: h = p*(n-1), k = floor(h), q = x_(k+1) + (x_(k+2) -
+    x_(k+1))*(h-k) over the ascending sort. The fixed op order makes the
+    result replayable bit-for-bit by any engine running the same formula
+    (R ``quantile type=7`` is what rtsa.scaleEOF calls;
+    ``/root/reference/R/rtsa.scaleEOF.R:67-70``)."""
+    from pyspark.sql import Window
+
+    c = cut_pct / 100.0
+    wm = Window.partitionBy("mode").orderBy("loading")
+    # rank assignment under ties is arbitrary but harmless: tied values are
+    # equal, so the interpolated quantile is identical either way
+    ranked = modes.select(
+        "mode",
+        "loading",
+        (F.row_number().over(wm) - 1).alias("rk"),
+        F.count(F.lit(1)).over(Window.partitionBy("mode")).alias("n"),
+    )
+    return (
+        ranked.withColumn(
+            "h_lo", F.lit(c) * (F.col("n") - 1).cast("double")
+        )
+        .withColumn("h_hi", F.lit(1.0 - c) * (F.col("n") - 1).cast("double"))
+        .groupBy("mode")
+        .agg(_agg_type7("h_lo").alias("lo"), _agg_type7("h_hi").alias("hi"))
+    )
+
+
+def _agg_type7(h_col: str):
+    """Aggregate expression: interpolate loading at fractional rank h."""
+    h = F.first(F.col(h_col))
+    k = F.floor(F.first(F.col(h_col))).cast("long")
+    at_k = F.max(
+        F.when(F.col("rk") == F.floor(F.col(h_col)).cast("long"), F.col("loading"))
+    )
+    at_k1 = F.coalesce(
+        F.max(
+            F.when(
+                F.col("rk") == F.floor(F.col(h_col)).cast("long") + 1,
+                F.col("loading"),
+            )
+        ),
+        at_k,
+    )
+    return at_k + (at_k1 - at_k) * (h - k.cast("double"))
+
+
 def scale_eof_modes(modes: DataFrame, cut_pct: float = 1.0) -> DataFrame:
     """Percentile clip of mode loadings to [-1, 1] — rtsa.scaleEOF (M3/A9,
     ``/root/reference/R/rtsa.scaleEOF.R:67-73``): values >= p(1-cut) -> 1,
-    <= p(cut) -> -1, linear in between. Pure columnar expressions."""
-    w = F.expr(f"percentile(loading, array({cut_pct / 100}, {1 - cut_pct / 100}))")
-    bounds = modes.groupBy("mode").agg(w.alias("pp")).select(
-        "mode", F.col("pp")[0].alias("lo"), F.col("pp")[1].alias("hi")
-    )
+    <= p(cut) -> -1, linear in between. Pure columnar expressions; the
+    quantile bounds use the explicit R type-7 chain
+    (:func:`_type7_quantile_bounds`) so the operator is deterministic
+    across engines and hard-oracled at the gate (q_scale_eof_modes)."""
+    bounds = _type7_quantile_bounds(modes, cut_pct)
     j = modes.join(F.broadcast(bounds), "mode")
     scaled = F.when(F.col("loading") >= F.col("hi"), 1.0).when(
         F.col("loading") <= F.col("lo"), -1.0

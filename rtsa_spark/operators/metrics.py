@@ -46,6 +46,7 @@ def compute_metrics(
     t_window: int | None = None,
     t_degree: int = 1,
     decomposition: str = "stl",
+    outer: int = 0,
 ) -> DataFrame:
     """One metrics row per source from its tier series.
 
@@ -74,14 +75,14 @@ def compute_metrics(
             from rtsa_spark.functions.x11 import x11_decompose
 
             comp = x11_decompose(x, p)
-        elif s_window == "periodic" and t_window is None:
+        elif s_window == "periodic" and t_window is None and outer == 0:
             comp = decompose(x, p)
         else:
             from rtsa_spark.functions.stl import stl_decompose
 
             comp = stl_decompose(
                 x, p, s_window=s_window, s_degree=s_degree,
-                t_window=t_window, t_degree=t_degree,
+                t_window=t_window, t_degree=t_degree, outer=outer,
             )
         stats = component_stats(comp["seasonal"], comp["trend"], comp["remainder"], t, p)
         mk = seasonal_mann_kendall(x, p) if p == 12 else mann_kendall(x)

@@ -131,3 +131,38 @@ def test_stl_deterministic_matches_production():
     det = stl_deterministic_stats(short, 7)
     assert det["seas_amp_e4"] == 0
     assert det["trend_first_e4"] == 50000 and det["trend_last_e4"] == 70000
+
+
+def test_outer_robustness_downweights_outliers():
+    """Cleveland 1990 outer loop: with bisquare robustness weights, an
+    outlier perturbs the fitted trend/seasonal far less than without.
+    Documents the stlplus divergence (outer=0 default vs stlplus's one
+    outer pass, R/rtsa.stl.R:360)."""
+    import numpy as np
+
+    from rtsa_spark.functions.stl import stl_decompose
+
+    rng = np.random.default_rng(7)
+    n, p = 84, 7
+    t = np.arange(n, dtype=float)
+    clean = 100.0 + 0.5 * t + 10.0 * np.sin(2 * np.pi * t / p)
+    clean = clean + rng.normal(0, 0.5, n)
+    dirty = clean.copy()
+    dirty[40] += 500.0
+
+    ref = stl_decompose(clean, p, s_window=15, s_degree=1)
+    plain = stl_decompose(dirty, p, s_window=15, s_degree=1, outer=0)
+    robust = stl_decompose(dirty, p, s_window=15, s_degree=1, outer=2)
+
+    def dev(res):
+        keep = np.abs(np.arange(n) - 40) > 3  # judge away from the spike
+        return float(
+            np.abs((res["trend"] + res["seasonal"])
+                   - (ref["trend"] + ref["seasonal"]))[keep].max()
+        )
+
+    assert dev(robust) < 0.5 * dev(plain)
+    # outer=0 keeps bit-identical behavior with the pre-robustness code
+    legacy = stl_decompose(dirty, p, s_window=15, s_degree=1)
+    assert np.array_equal(plain["trend"], legacy["trend"])
+    assert np.array_equal(plain["seasonal"], legacy["seasonal"])
