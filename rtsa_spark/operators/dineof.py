@@ -44,6 +44,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from rtsa_spark.operators.eof import bucket_vectors, source_index
@@ -107,6 +108,289 @@ def _dineof_matrix(
     return out, best[1], best[2]
 
 
+#: when the whole bucket x source matrix is at most this many doubles, the
+#: dense driver iteration wins (one BLAS Gramian per inner step, zero
+#: per-iteration job overhead); above it the distributed path runs and the
+#: driver never holds more than n_s-sized state. Same rationale/number as
+#: operators/eof.GRAMIAN_Z_DRIVER_LIMIT.
+DINEOF_Z_DRIVER_LIMIT = 32 * 1024 * 1024
+
+
+def _val_hash_mask(
+    bsec: np.ndarray, n_s: int, val_frac: float, seed: int
+) -> np.ndarray:
+    """Deterministic per-cell validation selector for the distributed path:
+    splitmix64 of (bucket epoch-seconds, source index) -> uniform [0,1) <
+    val_frac. Stable across runs/partitionings — every pass recomputes the
+    same mask with no global state."""
+    cell = (
+        bsec.astype(np.int64).view(np.uint64)[:, None] * np.uint64(1000003)
+        + np.arange(n_s, dtype=np.uint64)[None, :]
+        + np.uint64(seed)
+    )
+    z = cell + np.uint64(0x9E3779B97F4A7C15)
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    z = z ^ (z >> np.uint64(31))
+    return (z >> np.uint64(11)).astype(np.float64) / float(1 << 53) < val_frac
+
+
+def _bsec(pdf: pd.DataFrame, bucket_col: str) -> np.ndarray:
+    return (
+        pdf[bucket_col].to_numpy("datetime64[ns]").view("int64") // 1_000_000_000
+    )
+
+
+def _dineof_distributed(
+    spark: SparkSession,
+    vecs: DataFrame,
+    sources: list,
+    value_col: str,
+    key_col: str,
+    bucket_col: str,
+    n_max: int,
+    max_iter: int,
+    tol: float,
+    val_frac: float,
+    seed: int,
+) -> DataFrame:
+    """Distributed DINEOF fixed point: per-bucket dense state rows in a
+    cached DataFrame; each inner iteration = one ``Z^T Z`` partial-sum pass
+    + one rank-k rewrite pass with only (n_s x k) eigenvectors on the
+    driver. See module docstring."""
+    from rtsa_spark.operators.eof import stack_vectors
+
+    n_s = len(sources)
+
+    # ---- pass 1: per-source stats (col means over non-validation observed
+    # cells, observation counts) — n_s-sized driver state only
+    def stats_part(batches):
+        s = np.zeros(n_s)
+        c = np.zeros(n_s, dtype=np.int64)
+        obs_any = np.zeros(n_s, dtype=np.int64)
+        nval = 0
+        nb_total = 0
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            z = stack_vectors(pdf, n_s)
+            obs = ~np.isnan(z)
+            vm = _val_hash_mask(_bsec(pdf, bucket_col), n_s, val_frac, seed) & obs
+            keep = obs & ~vm
+            s += np.where(keep, z, 0.0).sum(axis=0)
+            c += keep.sum(axis=0)
+            obs_any += obs.sum(axis=0)
+            nval += int(vm.sum())
+            nb_total += len(pdf)
+        yield pd.DataFrame(
+            {
+                "s": [s],
+                "c": [c.astype("float64")],
+                "obs": [obs_any.astype("float64")],
+                "nval": [float(nval)],
+                "nb": [float(nb_total)],
+            }
+        )
+
+    parts = vecs.select(bucket_col, "idxs", "vals").mapInPandas(
+        stats_part,
+        "s array<double>, c array<double>, obs array<double>,"
+        " nval double, nb double",
+    ).collect()
+    col_sum = np.zeros(n_s)
+    col_cnt = np.zeros(n_s)
+    obs_cnt = np.zeros(n_s)
+    n_val_total = 0
+    n_t = 0
+    for r in parts:
+        col_sum += np.asarray(r["s"])
+        col_cnt += np.asarray(r["c"])
+        obs_cnt += np.asarray(r["obs"])
+        n_val_total += int(r["nval"])
+        n_t += int(r["nb"])
+    if (obs_cnt == 0).any():
+        raise ValueError("DINEOF needs at least one observation per source")
+    col_mean = np.where(col_cnt > 0, col_sum / np.maximum(col_cnt, 1), 0.0)
+    use_cv = n_val_total > 0
+
+    # ---- pass 2: init state rows (centered, work-missing zeroed)
+    cm = col_mean
+
+    def init_rows(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            z = stack_vectors(pdf, n_s)
+            obs = ~np.isnan(z)
+            vm = _val_hash_mask(_bsec(pdf, bucket_col), n_s, val_frac, seed) & obs
+            wm = (~obs) | vm
+            cur = np.where(wm, 0.0, z - cm)
+            out = {
+                bucket_col: pdf[bucket_col].to_numpy(),
+                "cur": list(cur),
+                "obs_idx": [np.where(o)[0].astype("int32") for o in obs],
+                "obs_val": [row[o] for row, o in zip(z, obs)],
+                "val_idx": [np.where(v)[0].astype("int32") for v in vm],
+                "val_orig": [row[v] for row, v in zip(z, vm)],
+                "wm_idx": [np.where(w)[0].astype("int32") for w in wm],
+                "dsq": np.zeros(len(pdf)),
+            }
+            yield pd.DataFrame(out)
+
+    state_schema = (
+        f"{bucket_col} timestamp, cur array<double>, obs_idx array<int>,"
+        " obs_val array<double>, val_idx array<int>, val_orig array<double>,"
+        " wm_idx array<int>, dsq double"
+    )
+    state = vecs.select(bucket_col, "idxs", "vals").mapInPandas(
+        init_rows, state_schema
+    ).localCheckpoint(eager=True)
+    total_wm = state.select(
+        F.sum(F.size("wm_idx")).alias("w")
+    ).collect()[0]["w"] or 0
+
+    def dense_gramian(df) -> np.ndarray:
+        def part(batches):
+            g = np.zeros((n_s, n_s))
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                z = np.stack(pdf["cur"].to_numpy())
+                g += z.T @ z
+            yield pd.DataFrame({"g": [g.ravel()]})
+
+        acc = np.zeros(n_s * n_s)
+        for r in df.select("cur").mapInPandas(part, "g array<double>").collect():
+            acc += np.asarray(r["g"])
+        return acc.reshape(n_s, n_s)
+
+    def rewrite(df, vk: np.ndarray):
+        def upd(batches):
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                z = np.stack(pdf["cur"].to_numpy())
+                recon = (z @ vk) @ vk.T
+                nb = len(pdf)
+                lens = pdf["wm_idx"].map(len).to_numpy("int64")
+                rows = np.repeat(np.arange(nb), lens)
+                cols = (
+                    np.concatenate(pdf["wm_idx"].to_numpy())
+                    if nb and lens.sum()
+                    else np.array([], dtype=np.int64)
+                ).astype(np.int64)
+                old = z[rows, cols]
+                new = recon[rows, cols]
+                z[rows, cols] = new
+                dsq = np.zeros(nb)
+                np.add.at(dsq, rows, (new - old) ** 2)
+                pdf = pdf.copy()
+                pdf["cur"] = list(z)
+                pdf["dsq"] = dsq
+                yield pdf
+
+        return df.mapInPandas(upd, state_schema)
+
+    best_state = None
+    best_rmse = np.inf
+    best_k = 0
+    k_cap = min(n_max, min(n_t, n_s))
+    for k in range(1, max(1, k_cap) + 1):
+        for _ in range(max_iter):
+            g = dense_gramian(state)
+            w, v = np.linalg.eigh(g)
+            vk = np.ascontiguousarray(v[:, -k:])
+            # localCheckpoint TRUNCATES the lineage every iteration — a
+            # persist() chain keeps the full mapInPandas nesting in the
+            # logical plan and Catalyst re-analysis goes quadratic with
+            # iteration count. Old checkpoints are GC'd once unreferenced.
+            new_state = rewrite(state, vk).localCheckpoint(eager=True)
+            delta_sq = new_state.select(F.sum("dsq").alias("d")).collect()[0]["d"]
+            state = new_state
+            if total_wm == 0 or float(
+                np.sqrt((delta_sq or 0.0) / total_wm)
+            ) < tol:
+                break
+        if not use_cv:
+            best_state, best_k, best_rmse = state, k, float("nan")
+            break
+
+        def rmse_part(batches):
+            se = 0.0
+            n = 0
+            for pdf in batches:
+                nb = len(pdf)
+                if nb == 0:
+                    continue
+                vlens = pdf["val_idx"].map(len).to_numpy("int64")
+                if vlens.sum() == 0:
+                    continue
+                cur = np.stack(pdf["cur"].to_numpy())
+                vrows = np.repeat(np.arange(nb), vlens)
+                vcols = np.concatenate(pdf["val_idx"].to_numpy()).astype(np.int64)
+                orig = np.concatenate(pdf["val_orig"].to_numpy())
+                err = cur[vrows, vcols] + cm[vcols] - orig
+                se += float((err * err).sum())
+                n += len(vcols)
+            yield pd.DataFrame({"se": [se], "n": [float(n)]})
+
+        agg = state.select("cur", "val_idx", "val_orig").mapInPandas(
+            rmse_part, "se double, n double"
+        ).collect()
+        se = sum(r["se"] for r in agg)
+        nv = sum(r["n"] for r in agg)
+        rmse = float(np.sqrt(se / nv)) if nv else np.inf
+        if rmse < best_rmse:
+            best_state, best_rmse, best_k = state, rmse, k
+        else:
+            break  # dineof stopping rule: CV error worsened
+
+    if best_state is None:
+        best_state = state
+
+    # ---- final pass: uncenter, restore observed values bit-exactly, emit
+    # long rows. Only truly-missing cells are gapfilled (validation cells
+    # are observed -> original values pass through).
+    src_arr = np.array(sources, dtype=object)
+
+    def emit(batches):
+        for pdf in batches:
+            nb = len(pdf)
+            if nb == 0:
+                continue
+            z = np.stack(pdf["cur"].to_numpy()) + cm
+            missing = np.ones((nb, n_s), dtype=bool)
+            lens = pdf["obs_idx"].map(len).to_numpy("int64")
+            rows = np.repeat(np.arange(nb), lens)
+            cols = (
+                np.concatenate(pdf["obs_idx"].to_numpy())
+                if nb and lens.sum()
+                else np.array([], dtype=np.int64)
+            ).astype(np.int64)
+            vals = (
+                np.concatenate(pdf["obs_val"].to_numpy())
+                if nb and lens.sum()
+                else np.array([])
+            )
+            z[rows, cols] = vals  # observed cells pass through bit-exactly
+            missing[rows, cols] = False
+            yield pd.DataFrame(
+                {
+                    key_col: np.tile(src_arr, nb),
+                    bucket_col: np.repeat(pdf[bucket_col].to_numpy(), n_s),
+                    value_col: z.ravel(),
+                    "gapfilled": missing.ravel(),
+                }
+            )
+
+    out = best_state.select(bucket_col, "cur", "obs_idx", "obs_val").mapInPandas(
+        emit,
+        f"{key_col} string, {bucket_col} timestamp, {value_col} double,"
+        " gapfilled boolean",
+    )
+    return out
+
+
 def dineof_gapfill(
     spark: SparkSession,
     tier_df: DataFrame,
@@ -115,17 +399,39 @@ def dineof_gapfill(
     key_col: str = "source",
     bucket_col: str = "bucket_start",
     seed: int = 42,
+    max_iter: int = 50,
+    tol: float = 1e-6,
+    val_frac: float = 0.05,
+    force_distributed: bool = False,
 ) -> DataFrame:
     """Fill missing (key, bucket) cells of a tier by iterative truncated-SVD
     reconstruction. Input: a tier rollup (sparse); output: dense rows
-    (key, bucket, value, gapfilled) over the global bucket spine."""
+    (key, bucket, value, gapfilled) over the global bucket spine.
+
+    Adaptive plan (see module docstring): dense driver iteration for small
+    matrices, distributed per-bucket state above
+    ``DINEOF_Z_DRIVER_LIMIT`` or when ``force_distributed=True``."""
     sources = source_index(tier_df, key_col)
     vecs = bucket_vectors(tier_df, sources, value_col, key_col, bucket_col)
-    x, buckets = _collect_matrix(vecs, bucket_col, len(sources))
+    n_s = len(sources)
+    n_t = vecs.count()
+    if force_distributed or n_t * n_s > DINEOF_Z_DRIVER_LIMIT:
+        vecs = vecs.persist()
+        try:
+            return _dineof_distributed(
+                spark, vecs, sources, value_col, key_col, bucket_col,
+                n_max, max_iter, tol, val_frac, seed,
+            )
+        finally:
+            vecs.unpersist()
+    x, buckets = _collect_matrix(vecs, bucket_col, n_s)
     missing = np.isnan(x)
     if missing.all(axis=0).any():
         raise ValueError("DINEOF needs at least one observation per source")
-    filled, _k, _rmse = _dineof_matrix(x, missing, n_max=n_max, seed=seed)
+    filled, _k, _rmse = _dineof_matrix(
+        x, missing, n_max=n_max, max_iter=max_iter, tol=tol,
+        val_frac=val_frac, seed=seed,
+    )
     n_t, n_s = filled.shape
     pdf = pd.DataFrame(
         {

@@ -203,3 +203,61 @@ def test_eot_deterministic_matches_production(spark):
     expl = {int(r["mode"]): int(r["expl_e4"]) for _, r in det.iterrows()}
     for m, pct in enumerate(prod["explained_pct"], start=1):
         assert abs(pct / 100.0 - expl[m] / 1e4) < 2e-4
+
+
+def test_dineof_distributed_matches_dense_shape(spark):
+    """The distributed DINEOF path (per-bucket cached state, n_s-sized
+    driver memory) fills a low-rank field as well as the dense driver
+    path, passes observed cells through bit-exactly, and emits the same
+    grid. Run with force_distributed=True on a matrix the adaptive
+    dispatch would otherwise collect (round-3: the driver-collect scale
+    ceiling is gone)."""
+    from rtsa_spark.operators.dineof import dineof_gapfill
+
+    rng = np.random.default_rng(23)
+    n_t, n_s = 60, 8
+    truth = (
+        np.outer(np.sin(np.linspace(0, 4 * np.pi, n_t)), rng.normal(size=n_s))
+        + np.outer(np.linspace(0, 1, n_t), rng.normal(size=n_s))
+        + 40.0
+    )
+    noisy = truth + rng.normal(0, 0.05, truth.shape)
+    holes = rng.random(truth.shape) < 0.2
+    observed = noisy.copy()
+    observed[holes] = np.nan
+    sources = [f"s{j}" for j in range(n_s)]
+    tier = _tier(spark, observed, sources)
+
+    dist = dineof_gapfill(
+        spark, tier, n_max=3, max_iter=15, force_distributed=True
+    ).toPandas()
+    dense = dineof_gapfill(spark, tier, n_max=3, max_iter=15).toPandas()
+
+    assert len(dist) == n_t * n_s == len(dense)
+    key = ["source", "bucket_start"]
+    dist = dist.sort_values(key).reset_index(drop=True)
+    dense = dense.sort_values(key).reset_index(drop=True)
+    # identical grid + identical gapfilled mask
+    assert (dist["gapfilled"] == dense["gapfilled"]).all()
+    # observed cells: bit-exact passthrough of the input on BOTH paths
+    obs = ~dist["gapfilled"].to_numpy()
+    assert np.array_equal(
+        dist["n_tok_mean"].to_numpy()[obs], dense["n_tok_mean"].to_numpy()[obs]
+    )
+    # filled cells: both paths reconstruct the truth to the same quality
+    filled = dist["gapfilled"].to_numpy()
+    m = dist.merge(
+        _tier(spark, truth, sources).toPandas().rename(
+            columns={"n_tok_mean": "truth"}
+        ),
+        on=key,
+    ).sort_values(key).reset_index(drop=True)
+    err_dist = np.abs(
+        m["n_tok_mean"].to_numpy()[filled] - m["truth"].to_numpy()[filled]
+    )
+    err_dense = np.abs(
+        dense["n_tok_mean"].to_numpy()[filled] - m["truth"].to_numpy()[filled]
+    )
+    scale = float(np.abs(truth - truth.mean()).max())
+    assert float(np.median(err_dist)) < 0.05 * scale
+    assert float(np.median(err_dist)) < 3.0 * max(float(np.median(err_dense)), 1e-3)
