@@ -99,12 +99,22 @@ def run_bench(sf_dir: str, cores: int) -> dict:
     # "last rep" would report whatever the host weather was at that moment.
     reps = int(os.environ.get("SPARK_GRAFT_LADDER_REPS", "3"))
 
+    # every warm rep is kept: "queries" reports the per-stage MIN (engine
+    # capability under fluctuating host weather), "queries_median" the
+    # median of the same warm reps so a real regression can't hide behind
+    # one lucky rep (ADVICE r2).
+    rep_values: dict[str, list[float]] = {}
+
+    def record(name, dt):
+        rep_values.setdefault(name, []).append(dt)
+        if dt < timings.get(name, float("inf")):
+            timings[name] = dt
+
     def stage(name, rep, t0):
         dt = round(time.time() - t0, 3)
         if rep == 0 and reps > 1:
             return  # JIT warmup rep: never recorded
-        if dt < timings.get(name, float("inf")):
-            timings[name] = dt
+        record(name, dt)
 
     for rep in range(reps):
         t0 = time.time()
@@ -143,13 +153,29 @@ def run_bench(sf_dir: str, cores: int) -> dict:
         _warm, "id long"
     ).count()
 
-    t0 = time.time()
-    blocks = encode_tier(hourly, partitions=min(cores, 16)).count()
-    timings["encode_hourly"] = round(time.time() - t0, 3)
+    # min-of-warm-reps for the kernel stages too (round-3: r2 left these
+    # single-shot and weather-exposed; rep 0 is the warmup, never recorded)
+    qreps = int(os.environ.get("SPARK_GRAFT_QUERY_REPS", "3"))
 
-    t0 = time.time()
-    metrics_rows = compute_metrics(gapfill_linear(daily, "daily"), "daily").count()
-    timings["metrics_daily"] = round(time.time() - t0, 3)
+    def timed_reps(name, fn):
+        result = None
+        for rep in range(qreps):
+            t0 = time.time()
+            result = fn()
+            dt = round(time.time() - t0, 3)
+            if rep == 0 and qreps > 1:
+                continue
+            record(name, dt)
+        return result
+
+    blocks = timed_reps(
+        "encode_hourly",
+        lambda: encode_tier(hourly, partitions=min(cores, 16)).count(),
+    )
+    metrics_rows = timed_reps(
+        "metrics_daily",
+        lambda: compute_metrics(gapfill_linear(daily, "daily"), "daily").count(),
+    )
 
     points = raw_rows + hourly_rows + daily_rows + monthly_rows + filled_rows
     ladder_sec = sum(
@@ -177,19 +203,19 @@ def run_bench(sf_dir: str, cores: int) -> dict:
     ]
     if E is not None:
         qs = E.queries()
+        from rtsa_spark.operators.dedup import minhash_lsh_buckets
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
         for name in headline:
-            t0 = time.time()
             if name == "minhash_lsh":
                 # bench the engine's scale default (one xxhash64 per
                 # shingle + k arithmetic mixes); the md5 variant the SQL
                 # oracle replays is what queries()["minhash_lsh"] runs
-                from rtsa_spark.operators.dedup import minhash_lsh_buckets
-
-                docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-                minhash_lsh_buckets(docs).count()
+                timed_reps(name, lambda: minhash_lsh_buckets(docs).count())
             else:
-                qs[name](spark, sf_dir).count()
-            timings[name] = round(time.time() - t0, 3)
+                timed_reps(
+                    name, lambda n=name: qs[n](spark, sf_dir).count()
+                )
 
     total = round(sum(timings.values()), 3)
     out = {
@@ -197,6 +223,9 @@ def run_bench(sf_dir: str, cores: int) -> dict:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "queries_median": {
+            k: round(sorted(v)[len(v) // 2], 3) for k, v in rep_values.items()
+        },
         "sf": sf,
         "rolled_points": points,
         "ladder_sec": round(ladder_sec, 3),

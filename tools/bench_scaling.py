@@ -37,6 +37,9 @@ SCALING_ROWS = 20_000_000
 DURABLE_TAIL = """
 ## Headroom: 5x the scaling input (100M rows, solo, warm rep 2)
 
+Measured during round 2 (commit `b773acb` era); re-measure after any
+ladder/rollup change and update this table with the new commit.
+
 | seq rows | ladder wall (s) | points/s | tier_raw share |
 |---|---|---|---|
 | 100,000,000 | 46.1 | 247,794 | 89% |
@@ -54,7 +57,7 @@ path) `spark-submit --master 'local[8]' --py-files rtsa_spark.zip
 tools/submit_ladder.py` runs the ladder end-to-end with every import
 resolved from the shipped zip: `SUBMIT_RESULT {'raw': 96861, 'hourly':
 46081, 'daily': 2880, 'monthly': 96} gapfill_dense 69102` (100k-row
-synth, 24 sources).
+synth, 24 sources; measured round 2, commit `b773acb` era).
 
 ## Per-round bench.py expectations (what BENCH_r{N}.json should look like)
 
@@ -68,16 +71,19 @@ of one arbitrary rep:
 
 - representative run (32 advertised cores, >= 7 effective):
   `ladder_sec ~= 4-9`, `rolled_points = 1,857,765`,
-  `points_per_sec ~= 200k-500k` (measured 472k at the round-2 HEAD),
-  total `value ~= 15-60 s` including the
+  `points_per_sec ~= 200k-500k` (measured 472k at the round-2 HEAD,
+  commit `c1feb5b`), total `value ~= 15-60 s` including the
   10 star-schema headline queries. Under a starved host (< 4 effective
   cores) every number degrades roughly proportionally; compare rounds on
   `ladder_sec` / `points_per_sec` at equal `seq_rows`, never across
   input sizes or rep semantics (r1 used last-rep: 23.3 s / 80k was its
-  mixed-weather reading).
+  mixed-weather reading). Since round 3 the 10 headline star queries,
+  encode and metrics stages ALSO use min-of-warm-reps (rep 1 warmup,
+  min of reps 2-3), and `queries_median` reports the warm-rep median
+  alongside the MIN so regressions can't hide behind one lucky rep.
 - correctness companion: `tools/check_correctness.py` must end
-  `0 failing` (46 driver queries, 40 DuckDB value-hash oracles + 6
-  rows-only iterative solvers).
+  `0 failing` (50 driver queries, 50 DuckDB value-hash oracles — no
+  rows-only entries since round 3).
 """
 N, N4 = 1, 4
 MIN_CAPACITY = 5.5  # effective cores needed for an honest 1->4 pair
