@@ -265,6 +265,18 @@ def eot_deterministic(
     return spark.createDataFrame(data, schema)
 
 
+#: remote::eot's exportable per-cell components (``R/rtsa.eot.R:21-37``)
+#: mapped to this engine's column names.
+EOT_PREDICTOR_COLS = {
+    "r_predictor": "r",
+    "rsq_predictor": "r2",
+    "rsq_sums_predictor": "rsq_sums",
+    "int_predictor": "intercept",
+    "slp_predictor": "slope",
+    "p_predictor": "p",
+}
+
+
 def eot(
     spark: SparkSession,
     tier_df: DataFrame,
@@ -274,13 +286,42 @@ def eot(
     value_col: str = "n_tok_mean",
     key_col: str = "source",
     bucket_col: str = "bucket_start",
+    predictor: tuple = ("all",),
+    reduce_both: bool = True,
 ) -> dict:
-    """Returns {"modes": DataFrame(source, mode, r, r2, slope, intercept, p),
+    """Returns {"modes": DataFrame(source, mode, <selected components>),
     "base_points": [(mode, source)], "base_series": DataFrame,
     "explained_pct": [..]} — the EOTstack contract
-    (``R/rtsa_classes.R:66-79``, unpack at ``R/rtsa.eot.R:285-362``)."""
+    (``R/rtsa_classes.R:66-79``, unpack at ``R/rtsa.eot.R:285-362``).
+
+    ``predictor`` (``R/rtsa.eot.R:89,117-119``): which per-cell component
+    columns to export — any of :data:`EOT_PREDICTOR_COLS` keys or "all"
+    (default). ``rsq_sums`` is the per-cell sum of r^2 against all cells,
+    i.e. the base-selection score map (remote's rsq_sums_predictor).
+
+    ``reduce_both`` (remote::eot's flag): True (default) deflates the
+    single field after each mode — the classic one-field EOT the
+    reference's single-raster call performs. False treats the input as
+    predictor/response COPIES and deflates only the response: base
+    selection for later modes scans the UNDEFLATED predictor field
+    against the deflated response (remote's two-field
+    ``reduce.both=FALSE`` semantics); base series are then original
+    centered cell series. Only ``type="rsq"`` supports False (the ioa
+    scorer is single-field)."""
     if type not in ("rsq", "ioa"):
         raise ValueError(f"type must be 'rsq' or 'ioa', got {type!r}")
+    if not reduce_both and type != "rsq":
+        raise ValueError("reduce_both=False requires type='rsq'")
+    if "all" in predictor:
+        sel_cols = list(EOT_PREDICTOR_COLS.values())
+    else:
+        bad = [p for p in predictor if p not in EOT_PREDICTOR_COLS]
+        if bad:
+            raise ValueError(
+                f"unknown predictor component(s) {bad}; valid: "
+                f"{sorted(EOT_PREDICTOR_COLS)} or 'all'"
+            )
+        sel_cols = [EOT_PREDICTOR_COLS[p] for p in predictor]
     sources = source_index(tier_df, key_col)
     n_s = len(sources)
     stats = {
@@ -315,21 +356,38 @@ def eot(
     t_mat = np.eye(n_s)
     w_cols = np.zeros((n_s, n_modes))
     df_t = n_t - 2
+    if not reduce_both:
+        # predictor/response copies: gp stays at the original Gramian, the
+        # cross matrix c = P^T R and response variances gr deflate
+        gp = g.copy()
+        c_mat = g.copy()
+        gr = np.diag(g).copy()
     for mode in range(1, n_modes + 1):
-        diag = np.diag(g).copy()
-        diag_safe = np.where(diag <= 0, 1.0, diag)
-        corr = g / np.sqrt(np.outer(diag_safe, diag_safe))
+        if reduce_both:
+            diag = np.diag(g).copy()
+            diag_safe = np.where(diag <= 0, 1.0, diag)
+            corr = g / np.sqrt(np.outer(diag_safe, diag_safe))
+        else:
+            dp = np.diag(gp).copy()
+            dp_safe = np.where(dp <= 0, 1.0, dp)
+            gr_safe = np.where(gr <= 0, 1.0, gr)
+            corr = c_mat / np.sqrt(np.outer(dp_safe, gr_safe))
         r2 = corr**2
+        rsq_sums = r2.sum(axis=1)
         if type == "ioa":
             scores = _ioa_scores(dense)
         else:
-            scores = r2.sum(axis=1)
+            scores = rsq_sums
         base_j = int(np.argmax(scores))
         bases.append((mode, sources[base_j]))
         w_cols[:, mode - 1] = t_mat[:, base_j]
 
-        gj = g[:, base_j]
-        gjj = float(diag_safe[base_j])
+        if reduce_both:
+            gj = g[:, base_j]
+            gjj = float(diag_safe[base_j])
+        else:
+            gj = c_mat[base_j, :]
+            gjj = float(dp_safe[base_j])
         slope = gj / gjj
         r = corr[base_j, :]
         with np.errstate(divide="ignore", invalid="ignore"):
@@ -346,6 +404,7 @@ def eot(
                     "mode": mode,
                     "r": r,
                     "r2": r * r,
+                    "rsq_sums": rsq_sums,
                     "slope": slope,
                     # residual field is centered by construction -> 0
                     "intercept": 0.0,
@@ -353,19 +412,30 @@ def eot(
                 }
             )
         )
-        before = float(np.trace(g))
-        # rank-1 downdate: resid' = resid (I - e_j slope^T)
-        g = g - np.outer(gj, gj) / gjj
-        t_mat = t_mat - np.outer(t_mat[:, base_j], slope)
-        if dense is not None:
-            dense = dense - np.outer(dense[:, base_j], slope)
-        after = float(np.trace(g))
+        if reduce_both:
+            before = float(np.trace(g))
+            # rank-1 downdate: resid' = resid (I - e_j slope^T)
+            g = g - np.outer(gj, gj) / gjj
+            t_mat = t_mat - np.outer(t_mat[:, base_j], slope)
+            if dense is not None:
+                dense = dense - np.outer(dense[:, base_j], slope)
+            after = float(np.trace(g))
+        else:
+            before = float(gr.sum())
+            # response-only deflation: r_k' = r_k - slope_k p_b, so
+            # C' = C - Gp[:, b] slope^T and Gr' = Gr - C_bk^2 / Gp_bb;
+            # the predictor (selection) field stays at the original.
+            gr = gr - (c_mat[base_j, :] ** 2) / gjj
+            c_mat = c_mat - np.outer(gp[:, base_j], slope)
+            after = float(gr.sum())
         explained.append(100.0 * (before - after) / tot_var if tot_var else 0.0)
 
     modes = spark.createDataFrame(
-        pd.concat(mode_frames, ignore_index=True),
-        f"{key_col} string, mode int, r double, r2 double, slope double,"
-        " intercept double, p double",
+        pd.concat(mode_frames, ignore_index=True)[
+            [key_col, "mode", *sel_cols]
+        ],
+        f"{key_col} string, mode int, "
+        + ", ".join(f"{c} double" for c in sel_cols),
     )
 
     wb = w_cols.copy()

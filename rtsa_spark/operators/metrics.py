@@ -61,7 +61,16 @@ def compute_metrics(
 
     ``decomposition="x11"`` switches to the X-11 MA-cascade core
     (functions/x11.py; reference rtsa.seas, ``R/rtsa.seas.R:275-285``) —
-    same statistics contract over its components.
+    same statistics contract over its components. DIVERGENCE: series ends
+    use symmetric reflect padding, not X-11's asymmetric Musgrave end
+    filters, so the first/last ~half-filter-width of the trend (and the
+    trend-endpoint slope statistic) differ slightly from X-13 output;
+    interior values match. The X-13-SEATS variant is out of scope
+    (SURVEY.md §2.6).
+
+    ``outer``: STL robustness iterations (Cleveland 1990); default 0
+    diverges from stlplus's one outer pass — see
+    :func:`rtsa_spark.functions.stl.stl_decompose`.
     """
     p = period if period is not None else DEFAULT_PERIOD.get(tier, 12)
 

@@ -261,3 +261,51 @@ def test_dineof_distributed_matches_dense_shape(spark):
     scale = float(np.abs(truth - truth.mean()).max())
     assert float(np.median(err_dist)) < 0.05 * scale
     assert float(np.median(err_dist)) < 3.0 * max(float(np.median(err_dense)), 1e-3)
+
+
+def test_eot_predictor_selection_and_reduce_both(spark):
+    """remote::eot surface (R/rtsa.eot.R:89): `predictor` selects which
+    per-cell component columns to export (incl. the rsq_sums score map);
+    `reduce_both=False` deflates only the response copy, so mode-1 output
+    is unchanged, and the mode-1 base has ~zero correlation with the
+    deflated response at mode 2."""
+    from rtsa_spark.operators.eot import eot
+
+    rng = np.random.default_rng(5)
+    n_t, n_s = 100, 6
+    driver = np.cos(np.linspace(0, 8 * np.pi, n_t)) * 4
+    mat = rng.normal(0, 0.4, (n_t, n_s))
+    for j, w in enumerate((1.0, 0.8, 0.5, 0.2, 0.0, 0.0)):
+        mat[:, j] += w * driver
+    sources = [f"s{j}" for j in range(n_s)]
+    tier = _tier(spark, mat, sources)
+
+    sel = eot(spark, tier, n_modes=1,
+              predictor=("r_predictor", "p_predictor"))
+    assert sel["modes"].columns == ["source", "mode", "r", "p"]
+
+    full = eot(spark, tier, n_modes=2)
+    assert "rsq_sums" in full["modes"].columns
+    m1 = {r["source"]: r for r in full["modes"].where("mode = 1").collect()}
+    # rsq_sums is the base-selection score map: the base maximizes it
+    base1 = full["base_points"][0][1]
+    assert m1[base1]["rsq_sums"] == max(v["rsq_sums"] for v in m1.values())
+
+    nred = eot(spark, tier, n_modes=2, reduce_both=False)
+    # mode 1 identical to the classic path (nothing deflated yet)
+    a = {r["source"]: r for r in nred["modes"].where("mode = 1").collect()}
+    for s in sources:
+        assert a[s]["r"] == pytest.approx(m1[s]["r"], abs=1e-12)
+    assert nred["base_points"][0] == full["base_points"][0]
+    # mode 2: the mode-1 base is orthogonal to the deflated response, so
+    # its correlations (hence its selection score) collapse and a
+    # different base wins
+    b2 = {r["source"]: r for r in nred["modes"].where("mode = 2").collect()}
+    assert abs(b2[base1]["r"]) < 1e-9
+    m2base = nred["base_points"][1][1]
+    assert m2base != base1
+    # invalid component name fails loudly
+    with pytest.raises(ValueError):
+        eot(spark, tier, predictor=("nope",))
+    with pytest.raises(ValueError):
+        eot(spark, tier, reduce_both=False, type="ioa")
