@@ -642,6 +642,74 @@ WHERE floor(10000 * len(list_intersect(wa.ws, wb.ws))
 """
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """Near-dup CLUSTER resolution — the step a training pipeline actually
+    dedupes with: LSH pairs -> exact-Jaccard verify -> connected
+    components (min-label = deterministic canonical) -> per-doc
+    (cluster_id, cluster_size, is_canonical). DuckDB replays the closure
+    with a recursive CTE over the same verified edge set."""
+    from rtsa_spark.operators.dedup import dedup_clusters
+
+    return dedup_clusters(
+        _documents(spark, sf_dir), min_jaccard_e4=5000, n_hashes=N_MINHASH,
+        band_size=2, hash_fn="md5",
+    )
+
+
+def _sql_dedup_clusters():
+    sigs = ", ".join(
+        f"min(md5('{j}:' || shingle)) AS sig_{j}" for j in range(N_MINHASH)
+    )
+    union = " UNION ALL ".join(
+        f"SELECT {b} AS band, md5(sig_{2*b} || sig_{2*b+1}) AS band_hash, doc_id FROM sigs"
+        for b in range(N_MINHASH // 2)
+    )
+    return f"""
+WITH RECURSIVE words AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), shingled AS (
+  SELECT doc_id,
+         unnest(CASE WHEN len(w) >= 3
+                THEN list_transform(generate_series(1, len(w) - 2),
+                                    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+                ELSE [array_to_string(w, ' ')] END) AS shingle
+  FROM words
+), sigs AS (
+  SELECT doc_id, {sigs} FROM shingled GROUP BY doc_id
+), banded AS ({union}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+), ws AS (
+  SELECT doc_id, list_distinct(string_split(text, ' ')) AS ws FROM documents
+), verified AS MATERIALIZED (
+  SELECT doc_a, doc_b
+  FROM cand
+  JOIN ws wa ON wa.doc_id = cand.doc_a
+  JOIN ws wb ON wb.doc_id = cand.doc_b
+  WHERE floor(10000 * len(list_intersect(wa.ws, wb.ws))
+        / (len(wa.ws) + len(wb.ws) - len(list_intersect(wa.ws, wb.ws)))) >= 5000
+), edges AS MATERIALIZED (
+  SELECT doc_a AS a, doc_b AS b FROM verified
+  UNION
+  SELECT doc_b AS a, doc_a AS b FROM verified
+), r AS (
+  SELECT doc_id AS id, doc_id AS comp FROM documents
+  UNION
+  SELECT e.b AS id, r.comp FROM r JOIN edges e ON e.a = r.id
+), comp AS (
+  SELECT id, min(comp) AS cluster_id FROM r GROUP BY id
+), sz AS (
+  SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
+  FROM comp GROUP BY 1
+)
+SELECT c.id AS doc_id, c.cluster_id, s.cluster_size,
+       c.id = c.cluster_id AS is_canonical
+FROM comp c JOIN sz s USING (cluster_id)
+"""
+
+
 def q_ann_cosine_topk(spark, sf_dir):
     """Brute-force cosine top-5 neighbors for query vectors vec_id < 5 —
     the exact baseline of the similarity-search surface."""
@@ -2437,6 +2505,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash16": q_simhash16,
         "ngram_jaccard": q_ngram_jaccard,
         "ngram_jaccard_lsh": q_ngram_jaccard_lsh,
+        "dedup_clusters": q_dedup_clusters,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_cosine_lsh": q_ann_cosine_lsh,
         "embedding_dedup": q_embedding_dedup,
@@ -2490,6 +2559,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash16": _sql_simhash(),
         "ngram_jaccard": SQL_NGRAM_JACCARD,
         "ngram_jaccard_lsh": _sql_ngram_jaccard_lsh(),
+        "dedup_clusters": _sql_dedup_clusters(),
         "ann_cosine_topk": SQL_ANN_COSINE,
         "ann_cosine_lsh": _sql_ann_lsh(),
         "embedding_dedup": _sql_embedding_dedup(),

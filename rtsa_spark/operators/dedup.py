@@ -310,3 +310,105 @@ def ngram_jaccard_pairs(
         )
         .where(F.col("jaccard_e4") >= min_jaccard_e4)
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    nodes: DataFrame,
+    id_col: str = "doc_id",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components over near-dup candidate edges: min-label
+    propagation with pointer jumping. Returns ``(id_col, cluster_id)``
+    where ``cluster_id`` is the MINIMUM member id of the component — a
+    deterministic canonical label any engine can reproduce (the DuckDB
+    oracle replays it with a recursive CTE).
+
+    Scale shape: each iteration is one neighbor-min shuffle plus one
+    pointer-jumping self-join (path halving), so convergence is
+    O(log diameter) iterations; LSH near-dup graphs are unions of bucket
+    cliques (diameter ~2), so 2-3 iterations in practice. Per-iteration
+    ``localCheckpoint`` keeps the plan depth constant (see
+    operators/dineof.py). Raises after ``max_iter`` instead of silently
+    emitting partial components.
+
+    Reference scope: rtsa has no near-dup clustering; this closes the
+    LLM-pipeline dedup family (pairs -> components -> canonical pick),
+    the step a training-data pipeline actually dedupes with.
+    """
+    sym = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).union(
+        pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    )
+    edges = sym.distinct().localCheckpoint(eager=True)
+    labels = nodes.select(
+        F.col(id_col).alias("id"), F.col(id_col).alias("comp")
+    ).localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        nbr = (
+            edges.join(labels, edges["src"] == labels["id"])
+            .groupBy("dst")
+            .agg(F.min("comp").alias("nbr_comp"))
+        )
+        stepped = labels.join(
+            nbr, labels["id"] == nbr["dst"], "left"
+        ).select(
+            "id",
+            "comp",
+            F.least(
+                F.col("comp"), F.coalesce(F.col("nbr_comp"), F.col("comp"))
+            ).alias("comp1"),
+        )
+        changed = stepped.where(F.col("comp1") < F.col("comp")).limit(1).count()
+        # pointer jumping (path halving): comp <- label(comp)
+        l2 = labels.select(
+            F.col("id").alias("p_id"), F.col("comp").alias("p_comp")
+        )
+        labels = stepped.join(
+            l2, stepped["comp1"] == l2["p_id"], "left"
+        ).select(
+            "id",
+            F.least(
+                F.col("comp1"), F.coalesce(F.col("p_comp"), F.col("comp1"))
+            ).alias("comp"),
+        ).localCheckpoint(eager=True)
+        if changed == 0:
+            return labels.select(F.col("id").alias(id_col), F.col("comp").alias("cluster_id"))
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iter} iterations —"
+        " pathological chain graph; raise max_iter"
+    )
+
+
+def dedup_clusters(
+    df: DataFrame,
+    min_jaccard_e4: int = 5000,
+    n_hashes: int = 8,
+    band_size: int = 2,
+    shingle_n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """End-to-end near-dup cluster resolution: LSH candidate pairs ->
+    exact-Jaccard verify (:func:`ngram_jaccard_lsh`) -> connected
+    components -> canonical pick. One row per document:
+    ``(id, cluster_id, cluster_size, is_canonical)`` with
+    ``is_canonical = (id == cluster_id)`` (keep-min-id policy —
+    deterministic; swap the ordering column for keep-longest/keep-newest).
+    Filtering to ``is_canonical`` yields the deduplicated corpus."""
+    verified = ngram_jaccard_lsh(
+        df, min_jaccard_e4, n_hashes, band_size, shingle_n,
+        text_col, id_col, hash_fn,
+    ).select("doc_a", "doc_b")
+    comps = connected_components(verified, df, id_col)
+    sizes = comps.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cluster_size")
+    )
+    return comps.join(sizes, "cluster_id").select(
+        F.col(id_col),
+        "cluster_id",
+        "cluster_size",
+        (F.col(id_col) == F.col("cluster_id")).alias("is_canonical"),
+    )

@@ -27,10 +27,14 @@ p-values use the exact Student-t correlation test
 normal approximation.
 
 ``type="ioa"`` (index-of-agreement base selection, the second ``remote``
-option) needs per-pair absolute deviations that no Gramian carries, so it
-scores candidates on the assembled dense field (bucket vectors collected
-to numpy — tier-bounded) and is intended for modest source counts;
-``rsq`` remains the scale path.
+option): Willmott's denominator needs per-pair sums of
+``(|pred| + |resid|)^2`` — expandable as ``slope^2 G_jj + 2|slope| A_jk
++ G_kk`` where ``A = |resid|^T |resid|`` is the ABSOLUTE-value Gramian.
+A is accumulated distributedly per mode (same partial-sum shape as G)
+and the residual field is downdated by a distributed rank-1 pass, so
+above ``IOA_Z_DRIVER_LIMIT`` the driver never holds more than n_s^2
+doubles (the round-2 dense-collect scale ceiling is gone); small tiers
+keep the dense scorer (fewer jobs, identical scores).
 """
 
 from __future__ import annotations
@@ -64,7 +68,9 @@ def _collect_matrix(
 def _ioa_scores(resid: np.ndarray) -> np.ndarray:
     """Sum over cells of Willmott's index of agreement of the base-j
     regression prediction vs each cell series; O(n_s^2 n_t) brute force
-    (what ``remote::eot`` does per pixel)."""
+    (what ``remote::eot`` does per pixel). Dense-path scorer — the
+    distributed path computes the identical quantity from (G, A) via
+    :func:`_ioa_scores_from_gramians`."""
     n_t, n_s = resid.shape
     var = np.einsum("ij,ij->j", resid, resid)
     var_safe = np.where(var == 0, 1.0, var)
@@ -77,6 +83,26 @@ def _ioa_scores(resid: np.ndarray) -> np.ndarray:
         denom = ((np.abs(pred) + np.abs(resid)) ** 2).sum(axis=0)
         denom = np.where(denom == 0, 1.0, denom)
         scores[j] = (1.0 - err / denom).sum()
+    return scores
+
+
+def _ioa_scores_from_gramians(g: np.ndarray, a: np.ndarray) -> np.ndarray:
+    """Willmott-ioa scores from the residual Gramian ``G`` and the
+    absolute-value Gramian ``A = |resid|^T |resid|``: per (base j, cell k)
+    ``err = G_kk - 2 slope G_jk + slope^2 G_jj`` and
+    ``denom = slope^2 G_jj + 2 |slope| A_jk + G_kk`` with
+    ``slope = G_jk / G_jj`` — algebraically identical to
+    :func:`_ioa_scores`, O(n_s^2) driver math, nothing bucket-sized."""
+    n_s = g.shape[0]
+    var = np.diag(g).copy()
+    var_safe = np.where(var == 0, 1.0, var)
+    scores = np.zeros(n_s)
+    for j in range(n_s):
+        slope = g[:, j] / var_safe[j]
+        err = var - 2.0 * slope * g[:, j] + slope * slope * var_safe[j]
+        denom = slope * slope * var_safe[j] + 2.0 * np.abs(slope) * a[:, j] + var
+        denom = np.where(denom == 0, 1.0, denom)
+        scores[j] = float((1.0 - err / denom).sum())
     return scores
 
 
@@ -288,6 +314,7 @@ def eot(
     bucket_col: str = "bucket_start",
     predictor: tuple = ("all",),
     reduce_both: bool = True,
+    force_distributed: bool = False,
 ) -> dict:
     """Returns {"modes": DataFrame(source, mode, <selected components>),
     "base_points": [(mode, source)], "base_series": DataFrame,
@@ -298,6 +325,10 @@ def eot(
     columns to export — any of :data:`EOT_PREDICTOR_COLS` keys or "all"
     (default). ``rsq_sums`` is the per-cell sum of r^2 against all cells,
     i.e. the base-selection score map (remote's rsq_sums_predictor).
+
+    ``force_distributed``: route ``type="ioa"`` scoring through the
+    distributed G/A-Gramian path even below ``GRAMIAN_Z_DRIVER_LIMIT``
+    (testing hook; the dispatch is otherwise size-adaptive).
 
     ``reduce_both`` (remote::eot's flag): True (default) deflates the
     single field after each mode — the classic one-field EOT the
@@ -345,10 +376,70 @@ def eot(
     g, n_t = gramian(vecs, n_s, center, scale)
     tot_var = float(np.trace(g))
 
+    from rtsa_spark.operators.eof import GRAMIAN_Z_DRIVER_LIMIT, stack_vectors
+
     dense = None
+    ioa_state = None
     if type == "ioa":
-        mat, _ = _collect_matrix(vecs, bucket_col, n_s)
-        dense = (mat - center) / scale
+        if not force_distributed and n_t * n_s <= GRAMIAN_Z_DRIVER_LIMIT:
+            mat, _ = _collect_matrix(vecs, bucket_col, n_s)
+            dense = (mat - center) / scale
+        else:
+            # distributed ioa: per-bucket residual rows; only the n_s^2
+            # G/A Gramians ever reach the driver (module docstring)
+            c_arr0, s_arr0 = center.copy(), scale.copy()
+            n_s0 = n_s
+
+            def _init_resid(batches):
+                for pdf in batches:
+                    if len(pdf) == 0:
+                        continue
+                    z = (stack_vectors(pdf, n_s0) - c_arr0) / s_arr0
+                    yield pd.DataFrame(
+                        {bucket_col: pdf[bucket_col].to_numpy(), "resid": list(z)}
+                    )
+
+            _resid_schema = f"{bucket_col} timestamp, resid array<double>"
+            ioa_state = vecs.select(bucket_col, "idxs", "vals").mapInPandas(
+                _init_resid, _resid_schema
+            ).localCheckpoint(eager=True)
+
+            def _abs_gramian(df):
+                def part(batches):
+                    acc = np.zeros((n_s0, n_s0))
+                    for pdf in batches:
+                        if len(pdf) == 0:
+                            continue
+                        z = np.abs(np.stack(pdf["resid"].to_numpy()))
+                        acc += z.T @ z
+                    yield pd.DataFrame({"g": [acc.ravel()]})
+
+                tot = np.zeros(n_s0 * n_s0)
+                for r_ in df.select("resid").mapInPandas(
+                    part, "g array<double>"
+                ).collect():
+                    tot += np.asarray(r_["g"])
+                return tot.reshape(n_s0, n_s0)
+
+            def _downdate_resid(df, base_j, slope_vec):
+                sl = slope_vec.copy()
+                bj = int(base_j)
+
+                def f(batches):
+                    for pdf in batches:
+                        if len(pdf) == 0:
+                            continue
+                        z = np.stack(pdf["resid"].to_numpy())
+                        z = z - np.outer(z[:, bj], sl)
+                        pdf = pdf.copy()
+                        pdf["resid"] = list(z)
+                        yield pdf
+
+                # localCheckpoint keeps the plan depth constant across
+                # modes (same rationale as the distributed DINEOF loop)
+                return df.mapInPandas(f, _resid_schema).localCheckpoint(
+                    eager=True
+                )
 
     mode_frames, bases, explained = [], [], []
     # w_cols[:, m] maps a centered bucket vector to mode m's base value:
@@ -375,7 +466,10 @@ def eot(
         r2 = corr**2
         rsq_sums = r2.sum(axis=1)
         if type == "ioa":
-            scores = _ioa_scores(dense)
+            if dense is not None:
+                scores = _ioa_scores(dense)
+            else:
+                scores = _ioa_scores_from_gramians(g, _abs_gramian(ioa_state))
         else:
             scores = rsq_sums
         base_j = int(np.argmax(scores))
@@ -419,6 +513,8 @@ def eot(
             t_mat = t_mat - np.outer(t_mat[:, base_j], slope)
             if dense is not None:
                 dense = dense - np.outer(dense[:, base_j], slope)
+            elif ioa_state is not None and mode < n_modes:
+                ioa_state = _downdate_resid(ioa_state, base_j, slope)
             after = float(np.trace(g))
         else:
             before = float(gr.sum())

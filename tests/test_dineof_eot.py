@@ -109,7 +109,7 @@ def test_eot_ioa_selection(spark):
     m1 = {r["source"]: r for r in out["modes"].collect()}
     assert m1["s0"]["r2"] > 0.9
     assert set(m1["s0"].asDict()) == {
-        "source", "mode", "r", "r2", "slope", "intercept", "p"
+        "source", "mode", "r", "r2", "rsq_sums", "slope", "intercept", "p"
     }
 
 
@@ -309,3 +309,27 @@ def test_eot_predictor_selection_and_reduce_both(spark):
         eot(spark, tier, predictor=("nope",))
     with pytest.raises(ValueError):
         eot(spark, tier, reduce_both=False, type="ioa")
+
+
+def test_eot_ioa_distributed_matches_dense(spark):
+    """The distributed ioa scorer (G + |resid|-Gramian, n_s^2 driver
+    state) must pick the same base points and emit the same mode stats as
+    the dense-collect scorer."""
+    from rtsa_spark.operators.eot import eot
+
+    rng = np.random.default_rng(13)
+    n_t, n_s = 90, 7
+    driver = np.sin(np.linspace(0, 6 * np.pi, n_t)) * 3
+    mat = rng.normal(0, 0.5, (n_t, n_s))
+    for j, w in enumerate((1.0, 0.7, 0.4, 0.0, 0.0, 0.0, 0.0)):
+        mat[:, j] += w * driver
+    tier = _tier(spark, mat, [f"s{j}" for j in range(n_s)])
+
+    dense = eot(spark, tier, n_modes=2, type="ioa")
+    dist = eot(spark, tier, n_modes=2, type="ioa", force_distributed=True)
+    assert dist["base_points"] == dense["base_points"]
+    a = dense["modes"].toPandas().sort_values(["mode", "source"])
+    b = dist["modes"].toPandas().sort_values(["mode", "source"])
+    for c in ("r", "r2", "slope", "p"):
+        assert np.allclose(a[c].to_numpy(), b[c].to_numpy(), atol=1e-9)
+    assert np.allclose(dist["explained_pct"], dense["explained_pct"], atol=1e-9)

@@ -235,3 +235,46 @@ def test_embedding_near_dup_finds_planted_dups(spark):
     assert (0, 50) in lsh and (1, 51) in lsh
     for k, v in lsh.items():
         assert exact[k] == v  # verify stage is exact
+
+
+def test_connected_components_chain(spark):
+    """Min-label + pointer-jumping components: a chain a-b-c merges
+    transitively to min-id 'a'; isolated nodes are their own cluster."""
+    from rtsa_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [("b", "c"), ("a", "b"), ("x", "y")], "doc_a string, doc_b string"
+    )
+    nodes = spark.createDataFrame([(c,) for c in "abcxyz"], "doc_id string")
+    comp = {
+        r["doc_id"]: r["cluster_id"]
+        for r in connected_components(pairs, nodes).collect()
+    }
+    assert comp == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x", "z": "z"}
+
+
+def test_dedup_clusters_planted(spark):
+    """End-to-end near-dup resolution: exact dup trio collapses to one
+    canonical (min id); unique doc is its own singleton cluster."""
+    from rtsa_spark.operators.dedup import dedup_clusters
+
+    base = (
+        "the quick brown fox jumps over the lazy dog again and again forever"
+    )
+    rows = [
+        ("d01", base),
+        ("d02", base),
+        ("d03", base),
+        ("d10", "completely different text about spark engines and tiers ok"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    out = dedup_clusters(df, min_jaccard_e4=5000).toPandas().set_index("doc_id")
+    assert len(out) == 4
+    for d in ("d01", "d02", "d03"):
+        assert out.loc[d, "cluster_id"] == "d01"
+        assert out.loc[d, "cluster_size"] == 3
+    assert bool(out.loc["d01", "is_canonical"])
+    assert not bool(out.loc["d02", "is_canonical"])
+    assert bool(out.loc["d10", "is_canonical"])
+    assert out.loc["d10", "cluster_size"] == 1
+    assert int(out["is_canonical"].sum()) == out["cluster_id"].nunique()
