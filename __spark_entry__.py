@@ -742,6 +742,112 @@ FROM ranked WHERE rank <= 5
 """
 
 
+def q_ann_cosine_ivf(spark, sf_dir):
+    """IVF ANN (the second scale path the brief names): exact-int k-means
+    coarse quantizer (floor(e*256) vectors, centroids as (sum, count)
+    pairs — assignments are pure integer comparisons both engines
+    replay bit-exactly), nprobe nearest lists per query, exact cosine
+    re-rank. Same schema as ann_cosine_topk; recall gated in
+    tests/test_training_ops.py."""
+    from rtsa_spark.operators.similarity import cosine_topk_ivf
+
+    emb = _embeddings(spark, sf_dir)
+    return cosine_topk_ivf(
+        emb.where("vec_id < 5"), emb, k=5,
+        n_centroids=IVF_CENTROIDS, n_iter=IVF_ITER, nprobe=IVF_NPROBE,
+    )
+
+
+IVF_CENTROIDS = 8
+IVF_ITER = 2
+IVF_NPROBE = 3
+
+
+def _sql_ann_ivf() -> str:
+    """DuckDB replay of cosine_topk_ivf: identical exact-int k-means
+    (seeds by md5 order, (sum,count) centroids, n^2-scaled integer
+    distances, (dist, cid) tie-break), identical probe set, and the same
+    ascending-index cosine re-rank as SQL_ANN_COSINE."""
+    dist = (
+        "list_sum(list_transform(generate_series(1, 64), d ->"
+        " (c.n * t.qv[d] - c.s[d]) * (c.n * t.qv[d] - c.s[d])))"
+    )
+
+    def assign_cte(tag: str, cent: str) -> str:
+        return f"""{tag} AS MATERIALIZED (
+  SELECT vid, qv, cid FROM (
+    SELECT t.vid, t.qv, c.cid,
+           row_number() OVER (PARTITION BY t.vid ORDER BY {dist}, c.cid) AS rk
+    FROM q t CROSS JOIN {cent} c
+  ) WHERE rk = 1
+)"""
+
+    def update_cte(tag: str, asg: str) -> str:
+        return f"""{tag} AS MATERIALIZED (
+  SELECT cid, list(sv ORDER BY pos) AS s, CAST(max(nn) AS BIGINT) AS n
+  FROM (
+    SELECT cid, g.pos AS pos, CAST(sum(qv[g.pos]) AS BIGINT) AS sv,
+           CAST(count(*) AS BIGINT) AS nn
+    FROM {asg}, unnest(generate_series(1, 64)) AS g(pos)
+    GROUP BY cid, g.pos
+  ) GROUP BY cid
+)"""
+
+    steps = []
+    cent = "cent_0"
+    for i in range(1, IVF_ITER + 1):
+        steps.append(assign_cte(f"asg_{i}", cent))
+        cent = f"cent_{i}"
+        steps.append(update_cte(cent, f"asg_{i}"))
+    steps.append(assign_cte("asg_f", cent))
+    chain = ",\n".join(steps)
+    return f"""
+WITH q AS MATERIALIZED (
+  SELECT vec_id AS vid,
+         list_transform(embedding, e -> CAST(floor(e::DOUBLE * 256e0) AS BIGINT)) AS qv
+  FROM embeddings
+), cent_0 AS MATERIALIZED (
+  SELECT CAST(row_number() OVER (ORDER BY h) AS BIGINT) AS cid, qv AS s,
+         CAST(1 AS BIGINT) AS n
+  FROM (
+    SELECT vid, qv, md5(vid::VARCHAR || ':ivf') AS h
+    FROM q ORDER BY h LIMIT {IVF_CENTROIDS}
+  ) seeds
+),
+{chain},
+probes AS MATERIALIZED (
+  SELECT vid AS query_id, cid FROM (
+    SELECT t.vid, c.cid,
+           row_number() OVER (PARTITION BY t.vid ORDER BY {dist}, c.cid) AS rk
+    FROM (SELECT vid, qv FROM q WHERE vid < 5) t CROSS JOIN {cent} c
+  ) WHERE rk <= {IVF_NPROBE}
+), cand AS (
+  SELECT p.query_id, a.vid AS neighbor_id
+  FROM probes p JOIN asg_f a USING (cid)
+  WHERE a.vid != p.query_id
+), scored AS (
+  SELECT query_id, neighbor_id,
+         list_sum(list_transform(generate_series(1, 64),
+                                 i -> eq.embedding[i]::DOUBLE * ec.embedding[i]::DOUBLE))
+         / (sqrt(list_sum(list_transform(generate_series(1, 64),
+                                         i -> eq.embedding[i]::DOUBLE * eq.embedding[i]::DOUBLE)))
+          * sqrt(list_sum(list_transform(generate_series(1, 64),
+                                         i -> ec.embedding[i]::DOUBLE * ec.embedding[i]::DOUBLE))))
+           AS cos
+  FROM cand
+  JOIN embeddings eq ON eq.vec_id = cand.query_id
+  JOIN embeddings ec ON ec.vec_id = cand.neighbor_id
+), ranked AS (
+  SELECT query_id, neighbor_id, cos,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank,
+       CAST(floor(cos * 1e6) AS BIGINT) AS cos_e6
+FROM ranked WHERE rank <= 5
+"""
+
+
 ANN_LSH_PLANES = 4
 ANN_LSH_TABLES = 8
 
@@ -2508,6 +2614,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_cosine_lsh": q_ann_cosine_lsh,
+        "ann_cosine_ivf": q_ann_cosine_ivf,
         "embedding_dedup": q_embedding_dedup,
         "embedding_norms": q_embedding_norms,
         "text_quality": q_text_quality,
@@ -2562,6 +2669,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_clusters": _sql_dedup_clusters(),
         "ann_cosine_topk": SQL_ANN_COSINE,
         "ann_cosine_lsh": _sql_ann_lsh(),
+        "ann_cosine_ivf": _sql_ann_ivf(),
         "embedding_dedup": _sql_embedding_dedup(),
         "embedding_norms": SQL_EMBEDDING_NORMS,
         "text_quality": SQL_TEXT_QUALITY,

@@ -229,3 +229,239 @@ def norms_by_label(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.floor(F.avg(_norm(F.col(vec_col))) * 1e6).cast("bigint").alias("avg_norm_e6"),
     )
+
+
+# --------------------------------------------------------------- IVF ANN
+#
+# The second scale path the training-pipeline brief names (IVF): a coarse
+# k-means quantizer partitions the corpus into inverted lists; a query
+# probes only the nprobe nearest lists and re-ranks exactly. The quantizer
+# runs in EXACT INTEGER arithmetic so the index is deterministic and
+# cross-engine replayable (the DuckDB oracle rebuilds the identical
+# index): vectors quantize as floor(e * 2^s) (power-of-two scale -> the
+# multiply is exact in float64), and a centroid is kept as its exact
+# (sum-vector, count) pair — comparing n^2*dist^2 = sum_d (n*q_d - s_d)^2
+# needs no division, so assignments are order-independent integers.
+# Driver state is only the k x dim centroid table; assignment and
+# partial-sum passes are distributed (mapInPandas, numpy int64 bodies).
+
+IVF_QUANT_SCALE = 256  # power of two: e*256 is exact in float64
+
+
+def _ivf_quant(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    return df.select(
+        F.col(id_col).alias("vid"),
+        F.transform(
+            F.col(vec_col),
+            lambda e: F.floor(e.cast("double") * IVF_QUANT_SCALE).cast("long"),
+        ).alias("qv"),
+    )
+
+
+def _ivf_assign_kernel(cent_s, cent_n, cent_ids):
+    """Closure: per-batch argmin over exact-int centroid distances with
+    deterministic (distance, cid) tie-break."""
+    import numpy as np
+
+    S = np.asarray(cent_s, dtype=np.int64)          # (k, dim)
+    N = np.asarray(cent_n, dtype=np.int64)          # (k,)
+    IDS = np.asarray(cent_ids, dtype=np.int64)      # (k,) ascending
+
+    def assign(Q):
+        # dist[b, c] = sum_d (N[c] * Q[b, d] - S[c, d])^2 ; k is small, so
+        # loop over centroids with vectorized rows
+        nb = Q.shape[0]
+        best_d = None
+        best_c = np.zeros(nb, dtype=np.int64)
+        for ci in range(len(IDS)):
+            diff = N[ci] * Q - S[ci][None, :]
+            d = np.einsum("bd,bd->b", diff, diff)
+            if best_d is None:
+                best_d = d
+                best_c[:] = IDS[ci]
+            else:
+                better = d < best_d  # strict: ties keep the smaller cid
+                best_d = np.where(better, d, best_d)
+                best_c = np.where(better, IDS[ci], best_c)
+        return best_c
+
+    return assign
+
+
+def ivf_index(
+    corpus: DataFrame,
+    n_centroids: int = 8,
+    n_iter: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed_tag: str = ":ivf",
+):
+    """Build the IVF index: ``(assignments DataFrame(vid, cid), centroids)``
+    where centroids is the driver-side list of ``(cid, sum_vec, count)``.
+    Seeds = the ``n_centroids`` vectors with smallest ``md5(vid||tag)``
+    (both engines agree); ``n_iter`` fixed Lloyd iterations in exact-int
+    (sum, count) form; empty clusters drop out."""
+    import numpy as np
+    import pandas as pd
+
+    q = _ivf_quant(corpus, id_col, vec_col)
+    seeds = (
+        q.withColumn(
+            "h", F.md5(F.concat(F.col("vid").cast("string"), F.lit(seed_tag)))
+        )
+        .orderBy("h")
+        .limit(n_centroids)
+        .collect()
+    )
+    cent = [
+        (i + 1, np.asarray(r["qv"], dtype=np.int64), 1)
+        for i, r in enumerate(seeds)
+    ]
+
+    def assigned(cent_list):
+        ids = [c[0] for c in cent_list]
+        S = [c[1] for c in cent_list]
+        N = [c[2] for c in cent_list]
+        kern = _ivf_assign_kernel(S, N, ids)
+
+        def it(batches):
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                Q = np.stack(pdf["qv"].to_numpy()).astype(np.int64)
+                yield pd.DataFrame(
+                    {"vid": pdf["vid"], "qv": pdf["qv"], "cid": kern(Q)}
+                )
+
+        return q.mapInPandas(it, "vid long, qv array<long>, cid long")
+
+    dim = len(cent[0][1])
+    for _ in range(n_iter):
+        asg = assigned(cent)
+
+        def partials(batches):
+            sums: dict = {}
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                Q = np.stack(pdf["qv"].to_numpy()).astype(np.int64)
+                cids = pdf["cid"].to_numpy()
+                for cid in np.unique(cids):
+                    m = cids == cid
+                    prev = sums.get(int(cid))
+                    s = Q[m].sum(axis=0)
+                    n = int(m.sum())
+                    if prev is None:
+                        sums[int(cid)] = [s, n]
+                    else:
+                        prev[0] += s
+                        prev[1] += n
+            yield pd.DataFrame(
+                {
+                    "cid": list(sums),
+                    "s": [v[0] for v in sums.values()],
+                    "n": [v[1] for v in sums.values()],
+                }
+            )
+
+        acc: dict = {}
+        for r in asg.mapInPandas(
+            partials, "cid long, s array<long>, n long"
+        ).collect():
+            prev = acc.get(r["cid"])
+            if prev is None:
+                acc[r["cid"]] = [np.asarray(r["s"], dtype=np.int64), int(r["n"])]
+            else:
+                prev[0] = prev[0] + np.asarray(r["s"], dtype=np.int64)
+                prev[1] += int(r["n"])
+        cent = [(cid, v[0], v[1]) for cid, v in sorted(acc.items())]
+        if not cent:  # degenerate: empty corpus
+            return q.sparkSession.createDataFrame(
+                [], "vid long, cid long"
+            ), []
+    final = assigned(cent).select("vid", "cid")
+    return final, cent
+
+
+def cosine_topk_ivf(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    n_centroids: int = 8,
+    n_iter: int = 2,
+    nprobe: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF ANN: probe the ``nprobe`` nearest inverted lists per query,
+    exact cosine re-rank within them. Same output schema as
+    :func:`cosine_topk`; recall rises with nprobe (gated in tests).
+
+    Scale shape: the k-means index costs ``n_iter`` passes over the
+    corpus (exact-int partial sums; k x dim driver state); each query
+    touches ~``nprobe/n_centroids`` of the corpus via a cid equi-join —
+    never a full scan per query."""
+    import numpy as np
+    import pandas as pd
+
+    asg, cent = ivf_index(corpus, n_centroids, n_iter, id_col, vec_col)
+    if not cent:
+        return cosine_topk(queries, corpus, k, id_col, vec_col).limit(0)
+    kern = _ivf_assign_kernel(
+        [c[1] for c in cent], [c[2] for c in cent], [c[0] for c in cent]
+    )
+    S = np.stack([c[1] for c in cent]).astype(np.int64)
+    N = np.asarray([c[2] for c in cent], dtype=np.int64)
+    IDS = np.asarray([c[0] for c in cent], dtype=np.int64)
+    np_probe = min(nprobe, len(cent))
+
+    qq = _ivf_quant(queries, id_col, vec_col)
+
+    def probe_it(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            Q = np.stack(pdf["qv"].to_numpy()).astype(np.int64)
+            nb = Q.shape[0]
+            dists = np.empty((nb, len(IDS)), dtype=np.int64)
+            for ci in range(len(IDS)):
+                diff = N[ci] * Q - S[ci][None, :]
+                dists[:, ci] = np.einsum("bd,bd->b", diff, diff)
+            # argsort by (dist, cid): IDS ascending makes stable sort by
+            # dist the deterministic tie-break
+            order = np.argsort(dists, axis=1, kind="stable")[:, :np_probe]
+            yield pd.DataFrame(
+                {
+                    "query_id": np.repeat(pdf["vid"].to_numpy(), np_probe),
+                    "cid": IDS[order].ravel(),
+                }
+            )
+
+    probes = qq.mapInPandas(probe_it, "query_id long, cid long")
+    cand = (
+        asg.join(F.broadcast(probes), "cid")
+        .where(F.col("vid") != F.col("query_id"))
+        .select("query_id", F.col("vid").alias("neighbor_id"))
+    )
+    qe = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qe"))
+    ce = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("ce"))
+    scored = (
+        cand.join(F.broadcast(qe), "query_id")
+        .join(ce, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            (_dot(F.col("qe"), F.col("ce")) / (_norm(F.col("qe")) * _norm(F.col("ce")))).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "rank",
+            F.floor(F.col("cos") * 1e6).cast("bigint").alias("cos_e6"),
+        )
+    )

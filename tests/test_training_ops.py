@@ -278,3 +278,51 @@ def test_dedup_clusters_planted(spark):
     assert bool(out.loc["d10", "is_canonical"])
     assert out.loc["d10", "cluster_size"] == 1
     assert int(out["is_canonical"].sum()) == out["cluster_id"].nunique()
+
+
+def test_ivf_topk_recall_clustered(spark):
+    """IVF ANN on a clustered corpus: the coarse quantizer separates the
+    clusters, so probing nprobe lists recovers most of the exact top-k;
+    every IVF hit's cosine must equal the exact path's value."""
+    from rtsa_spark.operators.similarity import cosine_topk, cosine_topk_ivf
+
+    rng = np.random.default_rng(17)
+    centers = rng.normal(size=(4, 16)) * 3.0
+    vecs = np.concatenate(
+        [c + rng.normal(0, 0.4, size=(30, 16)) for c in centers]
+    ).astype("float32")
+    pdf = [(i, [float(x) for x in vecs[i]]) for i in range(len(vecs))]
+    df = spark.createDataFrame(pdf, "vec_id long, embedding array<float>")
+    q = df.where("vec_id < 3")
+
+    exact = cosine_topk(q, df, k=5).collect()
+    ivf = cosine_topk_ivf(
+        q, df, k=5, n_centroids=6, n_iter=2, nprobe=2
+    ).collect()
+    exact_set = {(r["query_id"], r["neighbor_id"]) for r in exact}
+    ivf_set = {(r["query_id"], r["neighbor_id"]) for r in ivf}
+    recall = len(exact_set & ivf_set) / len(exact_set)
+    assert recall >= 0.8
+    exact_cos = {(r["query_id"], r["neighbor_id"]): r["cos_e6"] for r in exact}
+    for r in ivf:
+        key = (r["query_id"], r["neighbor_id"])
+        if key in exact_cos:
+            assert exact_cos[key] == r["cos_e6"]
+
+
+def test_ivf_index_deterministic_and_partitioned(spark):
+    """The exact-int quantizer is run-to-run deterministic and assigns
+    every corpus vector to exactly one inverted list."""
+    from rtsa_spark.operators.similarity import ivf_index
+
+    rng = np.random.default_rng(19)
+    vecs = rng.normal(size=(60, 16)).astype("float32")
+    pdf = [(i, [float(x) for x in vecs[i]]) for i in range(60)]
+    df = spark.createDataFrame(pdf, "vec_id long, embedding array<float>")
+    a1, c1 = ivf_index(df, n_centroids=5, n_iter=2)
+    a2, c2 = ivf_index(df, n_centroids=5, n_iter=2)
+    m1 = {r["vid"]: r["cid"] for r in a1.collect()}
+    m2 = {r["vid"]: r["cid"] for r in a2.collect()}
+    assert m1 == m2 and len(m1) == 60
+    assert [(c[0], c[2]) for c in c1] == [(c[0], c[2]) for c in c2]
+    assert sum(c[2] for c in c1) == 60
