@@ -356,6 +356,11 @@ def ivf_index(
                     else:
                         prev[0] += s
                         prev[1] += n
+            if not sums:
+                # empty partition: yield NOTHING — a zero-row frame's "s"
+                # column defaults to float64 and Arrow rejects it against
+                # array<long>
+                return
             yield pd.DataFrame(
                 {
                     "cid": list(sums),

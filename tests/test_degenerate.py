@@ -110,3 +110,47 @@ def test_eot_deterministic_degenerate_inputs(spark):
     out = eot_deterministic(const, value_col="x", n_modes=2).toPandas()
     assert len(out) == 2 and set(out["mode"]) == {1}
     assert out["r_e6"].isna().all() and (out["is_base"] == 0).all()
+
+
+def test_new_ops_degenerate_inputs(spark):
+    """Round-3 operators under degenerate inputs (ANSI mode throws on the
+    sloppy paths): single-vector IVF, pairless dedup clustering, empty and
+    single-row component decomposition."""
+    import numpy as np
+    import pyspark.sql.functions as F
+
+    from rtsa_spark.operators.components import (
+        decompose_components_deterministic,
+    )
+    from rtsa_spark.operators.dedup import dedup_clusters
+    from rtsa_spark.operators.similarity import cosine_topk_ivf
+
+    one = spark.createDataFrame(
+        [(0, [float(x) for x in np.ones(8)])], "vec_id long, embedding array<float>"
+    )
+    # single vector: the only query's self-match is excluded -> empty top-k
+    assert cosine_topk_ivf(one, one, k=3, n_centroids=4, nprobe=2).count() == 0
+
+    # all-unique corpus: every doc is its own singleton cluster
+    docs = spark.createDataFrame(
+        [(f"d{i}", f"totally unique text number {i} with word {i*7}")
+         for i in range(4)],
+        "doc_id string, text string",
+    )
+    out = dedup_clusters(docs).toPandas()
+    assert (out["cluster_size"] == 1).all() and out["is_canonical"].all()
+
+    # empty tier -> empty components; single row -> degenerate contract
+    empty = spark.createDataFrame(
+        [], "source string, bucket_start timestamp, x long"
+    )
+    assert decompose_components_deterministic(
+        empty, "daily", value_col="x", period=7
+    ).count() == 0
+    single = spark.createDataFrame(
+        [("a", "2024-01-01 00:00:00", 5)], "source string, b string, x long"
+    ).select("source", F.to_timestamp("b").alias("bucket_start"), "x")
+    row = decompose_components_deterministic(
+        single, "daily", value_col="x", period=7
+    ).collect()[0]
+    assert row["seasonal_e4"] == 0 and row["trend_e4"] == 50_000
