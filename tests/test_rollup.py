@@ -90,3 +90,26 @@ def test_token_array_equality_invariant(spark, tiny_sequences):
     ).count()
     assert n_bad == 0
     assert surviving.count() > 0
+
+
+def test_plan_audits_round3(spark):
+    """Plan-shape contracts for the round-3 paths: the dense derived tier
+    never sort-merge-joins (tiny spine/source sides broadcast), and the
+    media digest scan prunes to (doc_id, text) — payload-free columns
+    never reach the scan."""
+    import __spark_entry__ as E
+
+    sf = "/root/testdata/sf0.001"
+    dense_plan = (
+        E._seq_daily_dense(spark, sf)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "SortMergeJoin" not in dense_plan
+    assert "BroadcastHashJoin" in dense_plan
+
+    media_plan = (
+        E.q_media_features(spark, sf)._jdf.queryExecution().executedPlan().toString()
+    )
+    import re
+
+    m = re.search(r"ReadSchema: ([^\n]*)", media_plan)
+    assert m and set(re.findall(r"(\w+):", m.group(1))) <= {"doc_id", "text", "struct"}

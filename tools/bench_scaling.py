@@ -37,15 +37,16 @@ SCALING_ROWS = 20_000_000
 DURABLE_TAIL = """
 ## Headroom: 5x the scaling input (100M rows, solo, warm rep 2)
 
-Measured during round 2 (commit `b773acb` era); re-measure after any
-ladder/rollup change and update this table with the new commit.
+Re-measured round 3 at commit `cbf7733` (host ~6.2 effective cores);
+re-measure after any ladder/rollup change and update this table with the
+new commit.
 
 | seq rows | ladder wall (s) | points/s | tier_raw share |
 |---|---|---|---|
-| 100,000,000 | 46.1 | 247,794 | 89% |
+| 100,000,000 | 37.2 | 307,013 | 90% |
 
-Throughput per point RISES with input size (248k pts/s at 100M vs ~120k at
-2M, last-rep semantics): fixed job overheads amortize and the ladder
+Throughput per point RISES with input size (307k pts/s at 100M vs ~120k at
+2M): fixed job overheads amortize and the ladder
 becomes the raw-tier shuffle it is at production scale — the coarser tiers
 stay flat while raw grows linearly. This is the shape the 10^12-row
 cluster run extrapolates from.
@@ -82,7 +83,7 @@ of one arbitrary rep:
   min of reps 2-3), and `queries_median` reports the warm-rep median
   alongside the MIN so regressions can't hide behind one lucky rep.
 - correctness companion: `tools/check_correctness.py` must end
-  `0 failing` (50 driver queries, 50 DuckDB value-hash oracles — no
+  `0 failing` (52 driver queries, 52 DuckDB value-hash oracles — no
   rows-only entries since round 3).
 """
 N, N4 = 1, 4
