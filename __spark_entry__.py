@@ -1394,6 +1394,50 @@ FROM seq GROUP BY 1, 2
 """
 
 
+def q_retention_ladder(spark, sf_dir):
+    """Retention-policy audit over the derived tiers (the 'retention' in
+    the north star): per-tier kept/dropped bucket-row counts under fixed
+    keep windows ending at the horizon end (as_of is explicit — no
+    wall-clock — so DuckDB recomputes the identical manifest)."""
+    from rtsa_spark.operators.retention import retention_manifest
+    from rtsa_spark.operators.rollup import rollup_ladder
+
+    tiers = rollup_ladder(_derived_sequences(spark, sf_dir))
+    return retention_manifest(
+        tiers,
+        as_of="2024-04-30 00:00:00",
+        policy={"raw": "7 days", "hourly": "30 days",
+                "daily": "60 days", "monthly": None},
+    )
+
+
+SQL_RETENTION = f"""
+WITH {SQL_SEQ_CTE}, tier_rows AS (
+  SELECT 'raw' AS tier, source, date_trunc('minute', ts) AS b
+  FROM seq GROUP BY 2, 3
+  UNION ALL
+  SELECT 'hourly', source, date_trunc('hour', ts) FROM seq GROUP BY 2, 3
+  UNION ALL
+  SELECT 'daily', source, date_trunc('day', ts) FROM seq GROUP BY 2, 3
+  UNION ALL
+  SELECT 'monthly', source, date_trunc('month', ts) FROM seq GROUP BY 2, 3
+)
+SELECT tier,
+       CAST(count(*) AS BIGINT) AS rows_total,
+       CAST(sum(CASE
+         WHEN tier = 'raw'    THEN CASE WHEN b >= TIMESTAMP '2024-04-23 00:00:00' THEN 1 ELSE 0 END
+         WHEN tier = 'hourly' THEN CASE WHEN b >= TIMESTAMP '2024-03-31 00:00:00' THEN 1 ELSE 0 END
+         WHEN tier = 'daily'  THEN CASE WHEN b >= TIMESTAMP '2024-03-01 00:00:00' THEN 1 ELSE 0 END
+         ELSE 1 END) AS BIGINT) AS rows_kept,
+       CAST(count(*) AS BIGINT) - CAST(sum(CASE
+         WHEN tier = 'raw'    THEN CASE WHEN b >= TIMESTAMP '2024-04-23 00:00:00' THEN 1 ELSE 0 END
+         WHEN tier = 'hourly' THEN CASE WHEN b >= TIMESTAMP '2024-03-31 00:00:00' THEN 1 ELSE 0 END
+         WHEN tier = 'daily'  THEN CASE WHEN b >= TIMESTAMP '2024-03-01 00:00:00' THEN 1 ELSE 0 END
+         ELSE 1 END) AS BIGINT) AS rows_dropped
+FROM tier_rows GROUP BY tier
+"""
+
+
 def q_media_features(spark, sf_dir):
     """Multimodal plumbing over a REAL parquet table: documents.text as an
     opaque binary payload -> Arrow-batched decode (faked; plumbing real)
@@ -2644,6 +2688,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x11_yearly_amplitude": q_x11_yearly_amplitude,
         "scale_eof_modes": q_scale_eof_modes,
         "streaming_batch_parity": q_streaming_batch_parity,
+        "retention_ladder": q_retention_ladder,
     }
 
 
@@ -2703,4 +2748,5 @@ def oracle_sql() -> dict[str, str]:
         "x11_yearly_amplitude": _sql_x11(tail_sql=_SQL_X11_YEARLY_TAIL),
         "scale_eof_modes": SQL_SCALE_EOF,
         "streaming_batch_parity": SQL_STREAMING_PARITY,
+        "retention_ladder": SQL_RETENTION,
     }
