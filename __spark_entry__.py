@@ -1356,7 +1356,10 @@ def q_streaming_batch_parity(spark, sf_dir):
 
     work = tempfile.mkdtemp(prefix="rtsa_stream_parity_")
     seq = _derived_sequences(spark, sf_dir).select(
-        "doc_id",
+        # cast to match SEQUENCES_SCHEMA exactly — the windowed rollup
+        # prunes doc_id away, but relying on pruning to dodge a schema
+        # mismatch is a trap (the stateful query hit it)
+        F.col("doc_id").cast("string").alias("doc_id"),
         F.expr("CAST(array() AS array<int>)").alias("tokens"),
         F.col("n_tok").cast("int").alias("n_tok"),
         "source",
@@ -1391,6 +1394,88 @@ SELECT source, date_trunc('minute', ts) AS bucket_start,
        CAST(min(n_tok) AS BIGINT) AS n_tok_min,
        CAST(max(n_tok) AS BIGINT) AS n_tok_max
 FROM seq GROUP BY 1, 2
+"""
+
+
+def q_stateful_tracker(spark, sf_dir):
+    """applyInPandasWithState per-source ingest tracker (SURVEY §2.9 /
+    §2.10) hard-oracled: replay the derived sequences as THREE time-ordered
+    file slices -> three micro-batches, drain the update stream, keep the
+    last state row per source. Totals, last_ts and the cross-batch
+    max inter-event gap are all recomputed by DuckDB from the same rows
+    (gaps via lag over the per-source ts order — the derived ts is
+    whole-second, so second-quantized gaps are exact)."""
+    import tempfile
+
+    from rtsa_spark.streaming.rollup_stream import SEQUENCES_SCHEMA
+    from rtsa_spark.streaming.stateful import streaming_source_state
+
+    work = tempfile.mkdtemp(prefix="rtsa_stateful_")
+    seq = _derived_sequences(spark, sf_dir).select(
+        # SEQUENCES_SCHEMA declares doc_id string; the stateful operator
+        # reads every column (no pruning), so the cast is load-bearing
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.expr("CAST(array() AS array<int>)").alias("tokens"),
+        F.col("n_tok").cast("int").alias("n_tok"),
+        "source",
+        "ts",
+    )
+    bounds = ("2024-02-01", "2024-03-15")
+    slices = [
+        seq.where(F.col("ts") < bounds[0]),
+        seq.where((F.col("ts") >= bounds[0]) & (F.col("ts") < bounds[1])),
+        seq.where(F.col("ts") >= bounds[1]),
+    ]
+    # sequential writes -> increasing mod times -> the file source replays
+    # them oldest-first (one micro-batch each via maxFilesPerTrigger=1)
+    for i, sl in enumerate(slices):
+        sl.coalesce(1).write.mode("overwrite").parquet(f"{work}/in/f{i}")
+    stream = (
+        spark.readStream.schema(SEQUENCES_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(f"{work}/in/f*")
+    )
+    updates: list = []
+
+    def sink(df, _epoch):
+        updates.extend(df.collect())
+
+    q = (
+        streaming_source_state(stream)
+        .writeStream.foreachBatch(sink)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", f"{work}/ckpt")
+        .start()
+    )
+    q.awaitTermination(300)
+    final: dict = {}
+    for r in updates:  # last update per source wins
+        final[r["source"]] = r
+    rows = [
+        (r["source"], r["n_seq"], r["n_tok_sum"], r["last_ts"], r["max_gap_s"])
+        for r in final.values()
+    ]
+    return spark.createDataFrame(
+        rows,
+        "source string, n_seq bigint, n_tok_sum bigint, last_ts timestamp,"
+        " max_gap_s bigint",
+    )
+
+
+SQL_STATEFUL_TRACKER = f"""
+WITH {SQL_SEQ_CTE}, ord AS (
+  SELECT source, n_tok, ts,
+         lag(ts) OVER (PARTITION BY source ORDER BY ts) AS pts
+  FROM seq
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_seq,
+       CAST(sum(n_tok) AS BIGINT) AS n_tok_sum,
+       max(ts) AS last_ts,
+       CAST(coalesce(max(epoch(ts) - epoch(pts)), 0) AS BIGINT) AS max_gap_s
+FROM ord GROUP BY source
 """
 
 
@@ -2689,6 +2774,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scale_eof_modes": q_scale_eof_modes,
         "streaming_batch_parity": q_streaming_batch_parity,
         "retention_ladder": q_retention_ladder,
+        "stateful_tracker": q_stateful_tracker,
     }
 
 
@@ -2749,4 +2835,5 @@ def oracle_sql() -> dict[str, str]:
         "scale_eof_modes": SQL_SCALE_EOF,
         "streaming_batch_parity": SQL_STREAMING_PARITY,
         "retention_ladder": SQL_RETENTION,
+        "stateful_tracker": SQL_STATEFUL_TRACKER,
     }
