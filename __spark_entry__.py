@@ -1063,6 +1063,42 @@ def _exact_seq_tier(df):
     )
 
 
+def q_winnow_fingerprints(spark, sf_dir):
+    """Winnowing document fingerprints (Schleimer 2003 / MOSS): word
+    4-gram rolling hashes -> min per 4-window -> distinct per doc. The
+    substring-robust fingerprint family (whole-doc hashes miss partial
+    overlap); DuckDB replays the identical 48-bit md5-derived hash stream
+    and window minima."""
+    from rtsa_spark.functions.text import winnow_fingerprints
+
+    return winnow_fingerprints(
+        _documents(spark, sf_dir), k=4, w=4, hash_fn="md5"
+    )
+
+
+SQL_WINNOW = """
+WITH words AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents
+), grams AS (
+  SELECT doc_id,
+         list_transform(generate_series(0, GREATEST(len(ws) - 4, 0)),
+                        i -> array_to_string(ws[i+1:i+4], ' ')) AS gs
+  FROM words
+), hs AS (
+  SELECT doc_id,
+         list_transform(gs, g -> ('0x' || substr(md5(g), 1, 12))::BIGINT) AS hh
+  FROM grams
+), fps AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           generate_series(0, GREATEST(len(hh) - 4, 0)),
+           i -> list_min(hh[i+1:i+4]))) AS fp
+  FROM hs
+)
+SELECT doc_id, unnest(fp) AS fingerprint FROM fps
+"""
+
+
 def q_sequences_ladder(spark, sf_dir):
     """The north-rule engine on the derived sequences table: raw(minute) ->
     hourly -> daily cascade of algebraic partials; the oracle aggregates the
@@ -2775,6 +2811,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_batch_parity": q_streaming_batch_parity,
         "retention_ladder": q_retention_ladder,
         "stateful_tracker": q_stateful_tracker,
+        "winnow_fingerprints": q_winnow_fingerprints,
     }
 
 
@@ -2836,4 +2873,5 @@ def oracle_sql() -> dict[str, str]:
         "streaming_batch_parity": SQL_STREAMING_PARITY,
         "retention_ladder": SQL_RETENTION,
         "stateful_tracker": SQL_STATEFUL_TRACKER,
+        "winnow_fingerprints": SQL_WINNOW,
     }

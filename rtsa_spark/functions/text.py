@@ -72,3 +72,58 @@ def doc_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn(
         "fingerprint", F.md5(F.regexp_replace(F.lower(F.col(text_col)), " ", ""))
     )
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    k: int = 4,
+    w: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken 2003
+    — the MOSS local fingerprinting scheme; public algorithm): word-level
+    k-gram rolling hashes, then the minimum hash of every w-wide window,
+    deduped per document. Guarantee: any shared run of >= w+k-1 words
+    between two documents shares at least one fingerprint — the
+    substring-robust "document fingerprinting (rolling hash)" the
+    training-pipeline brief asks for (whole-doc hashes miss partial
+    overlap entirely).
+
+    Pure Catalyst (sequence/transform/slice/array_min — whole-stage
+    codegen, no UDFs): the hot path is one projection + one explode, and
+    the (fingerprint -> docs) inverted index it feeds is one shuffle.
+    ``hash_fn="xxhash64"`` is the scale default (one JVM hash per gram);
+    ``"md5"`` derives the same 48-bit integer stream DuckDB replays
+    (``('0x' || substr(md5(g),1,12))::BIGINT``) for the gate oracle.
+
+    Returns the exploded distinct set: ``(id_col, fingerprint bigint)``.
+    Documents shorter than k words contribute their whole text as the
+    single gram.
+    """
+    if hash_fn not in ("xxhash64", "md5"):
+        raise ValueError("hash_fn must be 'xxhash64' or 'md5'")
+    words = F.split(F.lower(F.col(text_col)), " ")
+    n_g = F.greatest(F.size(words) - k, F.lit(0))
+    grams = F.transform(
+        F.sequence(F.lit(0), n_g),
+        lambda i: F.concat_ws(" ", F.slice(words, i + 1, k)),
+    )
+    if hash_fn == "md5":
+        def h(g):
+            return F.conv(F.substring(F.md5(g), 1, 12), 16, 10).cast("bigint")
+    else:
+        def h(g):
+            return F.xxhash64(g)
+    hashes = F.transform(grams, h)
+    n_w = F.greatest(F.size(hashes) - w, F.lit(0))
+    fps = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), n_w),
+            lambda i: F.array_min(F.slice(hashes, i + 1, w)),
+        )
+    )
+    return df.select(
+        F.col(id_col), F.explode(fps).alias("fingerprint")
+    )

