@@ -359,3 +359,22 @@ def test_winnow_fingerprints_guarantee(spark):
 
     with _pt.raises(ValueError):
         winnow_fingerprints(df, hash_fn="sha1")
+
+
+def test_connected_components_long_path(spark):
+    """A 50-node path graph converges within max_iter=20 ONLY because of
+    pointer jumping (plain min-label propagation needs ~50 hops) — the
+    O(log diameter) claim, exercised."""
+    from rtsa_spark.operators.dedup import connected_components
+
+    n = 50
+    pairs = spark.createDataFrame(
+        [(f"a{i:02d}", f"a{i+1:02d}") for i in range(n - 1)],
+        "doc_a string, doc_b string",
+    )
+    nodes = spark.createDataFrame(
+        [(f"a{i:02d}",) for i in range(n)], "doc_id string"
+    )
+    comp = connected_components(pairs, nodes, max_iter=20).collect()
+    assert len(comp) == n
+    assert {r["cluster_id"] for r in comp} == {"a00"}
