@@ -1063,6 +1063,31 @@ def _exact_seq_tier(df):
     )
 
 
+def q_bpe_token_counts(spark, sf_dir):
+    """Whitespace + BPE-ish pretokenizer token counts per doc (the budget
+    number an LLM pipeline plans with); the lookahead-free pattern is
+    matched identically by Java regex and DuckDB's RE2."""
+    from rtsa_spark.functions.text import bpe_token_counts
+
+    return bpe_token_counts(_documents(spark, sf_dir)).select(
+        "doc_id",
+        F.col("ws_tokens").cast("bigint").alias("ws_tokens"),
+        F.col("bpe_tokens").cast("bigint").alias("bpe_tokens"),
+        F.col("n_chars").cast("bigint").alias("n_chars"),
+    )
+
+
+SQL_BPE_TOKENS = r"""
+SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+       CAST(len(regexp_extract_all(lower(text),
+            '''[a-z]+| ?[a-z]+| ?[0-9]+| ?[^a-z0-9\s'']+')) AS BIGINT)
+         AS bpe_tokens,
+       CAST(length(text) AS BIGINT) AS n_chars
+FROM documents
+"""
+
+
 def q_winnow_fingerprints(spark, sf_dir):
     """Winnowing document fingerprints (Schleimer 2003 / MOSS): word
     4-gram rolling hashes -> min per 4-window -> distinct per doc. The
@@ -2812,6 +2837,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "retention_ladder": q_retention_ladder,
         "stateful_tracker": q_stateful_tracker,
         "winnow_fingerprints": q_winnow_fingerprints,
+        "bpe_token_counts": q_bpe_token_counts,
     }
 
 
@@ -2874,4 +2900,5 @@ def oracle_sql() -> dict[str, str]:
         "retention_ladder": SQL_RETENTION,
         "stateful_tracker": SQL_STATEFUL_TRACKER,
         "winnow_fingerprints": SQL_WINNOW,
+        "bpe_token_counts": SQL_BPE_TOKENS,
     }

@@ -127,3 +127,28 @@ def winnow_fingerprints(
     return df.select(
         F.col(id_col), F.explode(fps).alias("fingerprint")
     )
+
+
+#: GPT-2-style pretokenizer, simplified to a lookahead-free subset that
+#: Java regex (Spark) and RE2 (DuckDB) match identically: contraction
+#: tails, letter runs, digit runs, punctuation runs — each optionally
+#: space-prefixed, like BPE pretokenization.
+BPE_ISH_PATTERN = r"'[a-z]+| ?[a-z]+| ?[0-9]+| ?[^a-z0-9\s']+"
+
+
+def bpe_token_counts(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Token counting both ways the brief asks for: whitespace tokens AND
+    BPE-ish pretokenizer tokens (the count a GPT-2-style tokenizer's
+    pretokenization stage produces — the budget number an LLM-data
+    pipeline actually plans with). Pure Catalyst regexp; no UDFs."""
+    toks = F.regexp_extract_all(
+        F.lower(F.col(text_col)), F.lit(BPE_ISH_PATTERN), F.lit(0)
+    )
+    return df.select(
+        F.col(id_col),
+        F.size(F.split(F.col(text_col), " ")).alias("ws_tokens"),
+        F.size(toks).alias("bpe_tokens"),
+        F.length(F.col(text_col)).alias("n_chars"),
+    )

@@ -378,3 +378,21 @@ def test_connected_components_long_path(spark):
     comp = connected_components(pairs, nodes, max_iter=20).collect()
     assert len(comp) == n
     assert {r["cluster_id"] for r in comp} == {"a00"}
+
+
+def test_bpe_token_counts(spark):
+    """BPE-ish pretokenizer: contractions split into tail tokens, digits
+    and punctuation runs tokenize separately — counts exceed whitespace
+    tokens on such text and match a hand count."""
+    from rtsa_spark.functions.text import bpe_token_counts
+
+    df = spark.createDataFrame(
+        [("d1", "don't stop 123 now!!"), ("d2", "plain words only")],
+        "doc_id string, text string",
+    )
+    out = {r["doc_id"]: r for r in bpe_token_counts(df).collect()}
+    # "don" | "'t" | " stop" | " 123" | " now" | "!!"
+    assert out["d1"]["ws_tokens"] == 4
+    assert out["d1"]["bpe_tokens"] == 6
+    assert out["d2"]["ws_tokens"] == 3 == out["d2"]["bpe_tokens"]
+    assert out["d1"]["n_chars"] == len("don't stop 123 now!!")
