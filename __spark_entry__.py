@@ -1693,8 +1693,9 @@ def _sql_x11(
     """DuckDB replay of x11_deterministic_stats at period 7: every filter
     is a list_transform over ascending taps with the SAME double weight
     literals the Python twin uses (repr round-trips doubles), ODD (point)
-    reflection for the full-series MAs and EVEN reflection within each
-    phase subseries, chained through materialized list CTEs.
+    reflection for the 2x7 MAs, EVEN reflection within each phase
+    subseries, and Musgrave asymmetric end weights for the Henderson-13
+    passes, chained through materialized list CTEs.
 
     ``d_sql``: complete CTE block ending in ``d(event_type, b, x)``
     (internals are keyed on the literal name ``event_type``); ``key_out``
@@ -1719,7 +1720,13 @@ def _sql_x11(
         return r if "e" in r else f"{r}e0"
 
     lits = {k: "[" + ", ".join(_dlit(v) for v in vals) + "]"
-            for k, vals in w.items()}
+            for k, vals in w.items() if k != "h13_end"}
+    # Musgrave end-weight table: ragged nested list literal, HEND[q+1] =
+    # the asymmetric vector with q future points (taps -6..q, 1-based
+    # index d+7); the left end uses the reversed vector (index 7-d).
+    lits["h13_end"] = "[" + ", ".join(
+        "[" + ", ".join(_dlit(v) for v in row) + "]" for row in w["h13_end"]
+    ) + "]"
     ni = "CAST(n AS INTEGER)"
 
     def odd_val(lst):
@@ -1756,6 +1763,29 @@ def _sql_x11(
             f"{wlit}[d + {half + 1}] * {lst}[(i % 7) + 7 * {refl} + 1])))"
         )
 
+    def filt_henderson(lst):
+        # Henderson-13 with Musgrave asymmetric ends (twin of
+        # _filt_henderson_ordered): guard n >= 14 means only ONE end can
+        # be short at any i, so the three branches are exhaustive.
+        hend, h13 = lits["h13_end"], lits["h13"]
+        interior = (
+            f"list_sum(list_transform(generate_series(-6, 6), d -> "
+            f"{h13}[d + 7] * {lst}[i + d + 1]))"
+        )
+        left = (
+            f"list_sum(list_transform(generate_series(-i, 6), d -> "
+            f"{hend}[i + 1][7 - d] * {lst}[i + d + 1]))"
+        )
+        right = (
+            f"list_sum(list_transform(generate_series(-6, {ni} - 1 - i), d -> "
+            f"{hend}[{ni} - i][d + 7] * {lst}[i + d + 1]))"
+        )
+        return (
+            f"list_transform(generate_series(0, {ni} - 1), i -> "
+            f"CASE WHEN i >= 6 AND i <= {ni} - 7 THEN {interior}"
+            f" WHEN i < 6 THEN {left} ELSE {right} END)"
+        )
+
     def sub(a, b):
         # fresh lambda variable: this expression nests INSIDE filt lambdas
         # that already bind i/d
@@ -1782,7 +1812,7 @@ WITH {d_sql}, lists AS MATERIALIZED (
 ), st4b AS MATERIALIZED (
   SELECT *, {guard.format(sub('xs', 's1'))} AS adj1 FROM st4
 ), st5 AS MATERIALIZED (
-  SELECT *, {guard.format(filt_odd('adj1', lits['h13'], 6))} AS t2 FROM st4b
+  SELECT *, {guard.format(filt_henderson('adj1'))} AS t2 FROM st4b
 ), st5b AS MATERIALIZED (
   SELECT *, {guard.format(sub('xs', 't2'))} AS si2 FROM st5
 ), st6 AS MATERIALIZED (
@@ -1793,7 +1823,7 @@ WITH {d_sql}, lists AS MATERIALIZED (
 ), st7b AS MATERIALIZED (
   SELECT *, {guard.format(sub('xs', 's2'))} AS adj2 FROM st7
 ), st8 AS MATERIALIZED (
-  SELECT *, {guard.format(filt_odd('adj2', lits['h13'], 6))} AS t3 FROM st7b
+  SELECT *, {guard.format(filt_henderson('adj2'))} AS t3 FROM st7b
 ){tail_sql if tail_sql is not None else f'''
 SELECT event_type AS {key_out}, n AS n_buckets, x_sum,
        CASE WHEN n >= 14 THEN

@@ -18,9 +18,12 @@ implemented here for the additive case:
   B5. final SI = x - trend; final seasonal: 3x5 MA per phase, normalized;
   B6. final trend: Henderson on the final adjusted series.
 
-End effects use symmetric reflect padding (a documented divergence from
-X-11's asymmetric Musgrave end filters — interior values match the
-standard filters exactly).
+End effects: the HENDERSON passes use X-11's asymmetric MUSGRAVE end
+filters (Musgrave 1964 minimum-revision construction; closed form as in
+Doherty 2001, "The surrogate Henderson filters in X-11", with the
+standard I/C ratio 3.5 for the 13-term filter). The 2x(period) and
+seasonal 3x3/3x5 MAs still use reflect padding (a smaller, documented
+divergence — X-11's hand-derived seasonal end tables are not reproduced).
 
 Statistics consumed downstream are the reference's A2-A4 contract
 (trend endpoint slope, yearly seasonal amplitude mean/sd —
@@ -59,6 +62,71 @@ def henderson_weights(n_terms: int = 13) -> np.ndarray:
         8.0 * m * (m**2 - 1) * (4 * m**2 - 1) * (4 * m**2 - 9) * (4 * m**2 - 25)
     )
     return num / den
+
+
+def musgrave_weights(w, q: int, r_ic: float = 3.5) -> np.ndarray:
+    """Musgrave asymmetric end weights for a symmetric filter ``w``
+    (2H+1 terms) when only ``q`` future points are available (0 <= q <= H).
+
+    Minimum-revision construction (Musgrave 1964; closed form per Doherty
+    2001 / Ladiray & Quenneville 2001 ch. 3): with available taps
+    j = -H..q, mean mu = (q-H)/2, and D = 4 / (pi * R^2) where R is the
+    I/C (noise-to-slope) ratio — R = 3.5 is X-11's value for the 13-term
+    Henderson — the end weights are
+
+      u_j = w_j + S0/(H+q+1) + (j-mu) * D / (1 + D*sum_k (k-mu)^2) * S1
+
+    where S0/S1 are the plain/linear-moment sums of the UNAVAILABLE
+    weights. u reproduces constants exactly (sum u = 1); q = H returns w
+    unchanged. Returns the length-(H+q+1) vector for taps -H..q (the
+    RIGHT end of a series; the left end uses the reversed vector)."""
+    w = np.asarray(w, dtype="float64")
+    H = len(w) // 2
+    if not 0 <= q <= H:
+        raise ValueError(f"q must be in [0, {H}], got {q}")
+    if q == H:
+        return w.copy()
+    idx = np.arange(-H, H + 1, dtype="float64")
+    miss = idx > q
+    mu = (q - H) / 2.0
+    D = 4.0 / (np.pi * r_ic * r_ic)
+    S0 = float(w[miss].sum())
+    S1 = float(((idx[miss] - mu) * w[miss]).sum())
+    avail = ~miss
+    denom = 1.0 + D * float(((idx[avail] - mu) ** 2).sum())
+    return w[avail] + S0 / (H + q + 1) + (idx[avail] - mu) * (D / denom) * S1
+
+
+def musgrave_table(w, r_ic: float = 3.5) -> list[list[float]]:
+    """End-weight table [u_0, ..., u_{H-1}] (u_q = weights with q future
+    points) as exact Python doubles — the single source shared by the
+    production kernel, the deterministic twin, and the SQL oracle."""
+    H = len(np.asarray(w)) // 2
+    return [[float(v) for v in musgrave_weights(w, q, r_ic)] for q in range(H)]
+
+
+def _henderson_filter(
+    x: np.ndarray, hw: np.ndarray, end_table: list[list[float]] | None = None
+) -> np.ndarray:
+    """Length-preserving Henderson trend filter: symmetric weights in the
+    interior, Musgrave asymmetric weights over the first/last H points
+    (left end = reversed right-end vectors). Falls back to odd-reflection
+    :func:`_sym_filter` when the series is shorter than the filter
+    (2H+1), where one-sided truncation no longer holds."""
+    x = np.asarray(x, dtype="float64")
+    hw = np.asarray(hw, dtype="float64")
+    n, H = len(x), len(hw) // 2
+    if n < 2 * H + 1:
+        return _sym_filter(x, hw)
+    if end_table is None:
+        end_table = musgrave_table(hw)
+    out = np.empty(n, dtype="float64")
+    out[H : n - H] = np.convolve(x, hw, mode="valid")
+    for q in range(H):
+        aq = np.asarray(end_table[q], dtype="float64")
+        out[n - 1 - q] = float(np.dot(aq, x[n - 1 - q - H :]))
+        out[q] = float(np.dot(aq[::-1], x[: q + H + 1]))
+    return out
 
 
 def _sym_filter(x: np.ndarray, w: np.ndarray, odd: bool = True) -> np.ndarray:
@@ -121,13 +189,14 @@ def x11_decompose(x: np.ndarray, period: int = 12) -> dict[str, np.ndarray]:
     # B1-B2: initial estimate
     t1 = _ma2xp(x, period)
     s1 = _normalize_seasonal(_seasonal_ma(x - t1, period, "3x3"), period)
-    # B3-B4: first adjusted pass + Henderson trend
-    t2 = _sym_filter(x - s1, hw)
+    # B3-B4: first adjusted pass + Henderson trend (Musgrave ends)
+    hend = musgrave_table(hw)
+    t2 = _henderson_filter(x - s1, hw, hend)
     # B5: final seasonal from the Henderson-detrended SI
     s2 = _normalize_seasonal(_seasonal_ma(x - t2, period, "3x5"), period)
     # B6: final trend on the final adjusted series
     adjusted = x - s2
-    t3 = _sym_filter(adjusted, hw)
+    t3 = _henderson_filter(adjusted, hw, hend)
     return {
         "seasonal": s2,
         "trend": t3,
@@ -174,6 +243,30 @@ def _filt_ordered(arr: list, w: list, odd: bool) -> list:
     return out
 
 
+def _filt_henderson_ordered(arr: list, hw: list, ends: list[list[float]]) -> list:
+    """IEEE-deterministic twin of :func:`_henderson_filter`: interior
+    symmetric taps, Musgrave ends, EXPLICIT ascending-tap summation (the
+    order the SQL oracle replays). Requires n >= len(hw); callers guard."""
+    n, H = len(arr), len(hw) // 2
+    out = []
+    for i in range(n):
+        s = 0.0
+        if i < H:  # left end: q = i past points; reversed right-end vector
+            aq = ends[i]
+            for d in range(-i, H + 1):
+                s += aq[H - d] * arr[i + d]
+        elif n - 1 - i < H:  # right end: q = n-1-i future points
+            q = n - 1 - i
+            aq = ends[q]
+            for d in range(-H, q + 1):
+                s += aq[d + H] * arr[i + d]
+        else:
+            for d in range(-H, H + 1):
+                s += hw[d + H] * arr[i + d]
+        out.append(s)
+    return out
+
+
 def _phase_filt_ordered(si: list, period: int, w: list) -> list:
     """Per-phase subseries filter (EVEN reflection), ascending taps."""
     n = len(si)
@@ -197,6 +290,7 @@ def x11_weight_lists(period: int) -> dict[str, list[float]]:
                  np.array([1, 2, 3, 3, 3, 2, 1], dtype="float64") / 15.0],
         "h13": [float(v) for v in henderson_weights(13)],
     }
+    out["h13_end"] = musgrave_table(out["h13"])
     if period >= 1:  # the 2xp MA is only defined for a real period
         out["ma_p"] = (
             [1.0 / period] * period if period % 2 == 1 else
@@ -248,8 +342,10 @@ def x11_deterministic_components(x, period: int = 7) -> dict | None:
     if n < 13:
         hw = [float(v) for v in
               henderson_weights(max(5, n if n % 2 == 1 else n - 1))]
+        hend = musgrave_table(hw)
     else:
         hw = w["h13"]
+        hend = w["h13_end"]
 
     def sub(a, b):
         return [a[i] - b[i] for i in range(n)]
@@ -257,8 +353,10 @@ def x11_deterministic_components(x, period: int = 7) -> dict | None:
     t1 = _filt_ordered(xs, w["ma_p"], odd=True)
     s1p = _phase_filt_ordered(sub(xs, t1), period, w["m3x3"])
     s1 = sub(s1p, _filt_ordered(s1p, w["ma_p"], odd=True))
-    t2 = _filt_ordered(sub(xs, s1), hw, odd=True)
+    t2 = (_filt_henderson_ordered(sub(xs, s1), hw, hend) if n >= len(hw)
+          else _filt_ordered(sub(xs, s1), hw, odd=True))
     s2p = _phase_filt_ordered(sub(xs, t2), period, w["m3x5"])
     s2 = sub(s2p, _filt_ordered(s2p, w["ma_p"], odd=True))
-    t3 = _filt_ordered(sub(xs, s2), hw, odd=True)
+    t3 = (_filt_henderson_ordered(sub(xs, s2), hw, hend) if n >= len(hw)
+          else _filt_ordered(sub(xs, s2), hw, odd=True))
     return {"s2": s2, "t3": t3, "n": n}

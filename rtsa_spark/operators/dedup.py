@@ -412,3 +412,45 @@ def dedup_clusters(
         "cluster_size",
         (F.col(id_col) == F.col("cluster_id")).alias("is_canonical"),
     )
+
+
+def contamination_check(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    k: int = 4,
+    w: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Benchmark decontamination: flag corpus documents that share any
+    winnowing fingerprint (Schleimer 2003; functions/text.py) with an
+    eval/benchmark document. The winnowing guarantee makes this catch
+    any shared run of >= w+k-1 words — the n-gram-overlap test
+    pretraining pipelines run before training so eval questions are not
+    memorized from the corpus.
+
+    Plan shape at 100 TB: benchmark sets are tiny (MBs) next to the
+    corpus, so its fingerprint set is BROADCAST and the flagging is a
+    map-side join at scan speed — the full corpus is fingerprinted in one
+    projection+explode, never shuffled on content. Returns one row per
+    contaminated corpus doc: ``(doc_id, n_shared_fps,
+    n_benchmark_docs_hit)``.
+    """
+    from pyspark.sql.functions import broadcast
+
+    from ..functions.text import winnow_fingerprints
+
+    corp_fp = winnow_fingerprints(
+        corpus, k=k, w=w, text_col=text_col, id_col=id_col, hash_fn=hash_fn
+    )
+    bench_fp = winnow_fingerprints(
+        benchmark, k=k, w=w, text_col=text_col, id_col=id_col, hash_fn=hash_fn
+    ).withColumnRenamed(id_col, "bench_doc_id")
+    hits = corp_fp.join(broadcast(bench_fp), "fingerprint")
+    return hits.groupBy(id_col).agg(
+        F.countDistinct("fingerprint").cast("bigint").alias("n_shared_fps"),
+        F.countDistinct("bench_doc_id").cast("bigint").alias(
+            "n_benchmark_docs_hit"
+        ),
+    )

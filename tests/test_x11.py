@@ -25,6 +25,52 @@ def test_henderson_weights_published_properties():
     assert w13[6] == pytest.approx(0.24006, abs=3e-4)
 
 
+def test_musgrave_end_weights_published_values():
+    """Musgrave asymmetric end weights for Henderson-13 at I/C=3.5 must
+    reproduce the published X-11 table (Ladiray & Quenneville 2001, ch. 3;
+    the classic last-point vector), sum to 1 (constant reproduction), and
+    collapse to the symmetric filter at q=H."""
+    from rtsa_spark.functions.x11 import musgrave_weights
+
+    h13 = henderson_weights(13)
+    last_point = musgrave_weights(h13, 0)
+    published_q0 = [-0.092, -0.058, 0.012, 0.120, 0.244, 0.353, 0.421]
+    assert np.allclose(last_point, published_q0, atol=5e-4)
+    for q in range(7):
+        u = musgrave_weights(h13, q)
+        assert len(u) == 7 + q
+        assert u.sum() == pytest.approx(1.0, abs=1e-12)
+    assert np.array_equal(musgrave_weights(h13, 6), h13)
+    with pytest.raises(ValueError):
+        musgrave_weights(h13, 7)
+
+
+def test_henderson_filter_musgrave_ends():
+    """The Musgrave-ended Henderson filter: interior equals the symmetric
+    convolution, ends reproduce constants exactly and track a linear
+    trend closely (minimum-revision property), and the ordered twin
+    agrees to float noise."""
+    from rtsa_spark.functions.x11 import (
+        _filt_henderson_ordered,
+        _henderson_filter,
+        musgrave_table,
+    )
+
+    h13 = henderson_weights(13)
+    const = np.full(30, 7.25)
+    assert np.allclose(_henderson_filter(const, h13), 7.25, atol=1e-12)
+    line = 3.0 + 0.5 * np.arange(40)
+    t = _henderson_filter(line, h13)
+    assert np.allclose(t[6:-6], line[6:-6], atol=1e-9)  # interior exact
+    assert float(np.abs(t - line).max()) < 0.35  # ends: slope-biased, small
+    rng = np.random.default_rng(7)
+    x = rng.integers(100, 100_000, size=41).astype("float64")
+    twin = _filt_henderson_ordered(
+        list(x), [float(v) for v in h13], musgrave_table(h13)
+    )
+    assert np.allclose(_henderson_filter(x, h13), twin, rtol=1e-12)
+
+
 def test_x11_recovers_planted_components():
     rng = np.random.default_rng(5)
     n, p = 144, 12
