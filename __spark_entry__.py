@@ -1124,6 +1124,128 @@ SELECT doc_id, unnest(fp) AS fingerprint FROM fps
 """
 
 
+def q_hash_split(spark, sf_dir):
+    """Deterministic train/val/test splitting (operators/sampling.py):
+    salted-md5 bucket per doc -> 98/1/1 split, summarized per
+    (source, split). Adding docs never moves an existing one between
+    splits; the assignment is a scan-speed projection (no shuffle at
+    100 TB) and DuckDB replays the identical 48-bit md5-prefix bucket."""
+    from rtsa_spark.operators.sampling import hash_split
+
+    return (
+        hash_split(_documents(spark, sf_dir))
+        .groupBy("source", "split")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.min("bucket").cast("bigint").alias("bucket_min"),
+            F.max("bucket").cast("bigint").alias("bucket_max"),
+            F.sum("n_chars").cast("bigint").alias("chars_total"),
+        )
+    )
+
+
+SQL_HASH_SPLIT = """
+WITH b AS (
+  SELECT source, n_chars,
+         ('0x' || substr(md5('split-v1|' || CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT
+           % 10000 AS bucket
+  FROM documents
+)
+SELECT source,
+       CASE WHEN bucket < 9800 THEN 'train'
+            WHEN bucket < 9900 THEN 'val' ELSE 'test' END AS split,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(min(bucket) AS BIGINT) AS bucket_min,
+       CAST(max(bucket) AS BIGINT) AS bucket_max,
+       CAST(sum(n_chars) AS BIGINT) AS chars_total
+FROM b GROUP BY 1, 2
+"""
+
+
+def q_token_budget_pack(spark, sf_dir):
+    """GPT-style sequence packing (operators/sampling.py): per-source
+    deterministic doc order, cumulative token stream chunked every 256
+    tokens; each doc reports its shard and offset. Integer-exact window
+    — the oracle is the same SUM ... ROWS UNBOUNDED PRECEDING window."""
+    from rtsa_spark.operators.sampling import token_budget_pack
+
+    toks = _documents(spark, sf_dir).withColumn(
+        "n_tokens", F.size(F.split(F.col("text"), " ")).cast("bigint")
+    )
+    return token_budget_pack(toks, budget=256)
+
+
+SQL_TOKEN_PACK = """
+WITH t AS (
+  SELECT source, doc_id,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+), c AS (
+  SELECT source, doc_id, n_tokens,
+         CAST(coalesce(sum(n_tokens) OVER (
+           PARTITION BY source ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS tok_before
+  FROM t
+)
+SELECT source, doc_id, n_tokens, tok_before,
+       CAST(tok_before // 256 AS BIGINT) AS shard,
+       CAST(tok_before % 256 AS BIGINT) AS shard_offset
+FROM c
+"""
+
+
+def q_contamination_check(spark, sf_dir):
+    """Benchmark decontamination (operators/dedup.contamination_check):
+    a deterministic ~2% hash-held-out 'benchmark' set vs the rest of the
+    corpus, flagged on shared winnowing fingerprints (any common run of
+    >= 7 words). The benchmark fingerprint set is broadcast — at 100 TB
+    the corpus is never shuffled on content. md5 hash family at the gate
+    so DuckDB replays the identical fingerprint stream."""
+    from rtsa_spark.operators.dedup import contamination_check
+    from rtsa_spark.operators.sampling import hash_bucket
+
+    docs = _documents(spark, sf_dir)
+    b = hash_bucket("doc_id", "bench-v1")
+    return contamination_check(
+        docs.where(b >= 200), docs.where(b < 200), hash_fn="md5"
+    )
+
+
+SQL_CONTAMINATION = """
+WITH bucketed AS (
+  SELECT *, ('0x' || substr(md5('bench-v1|' || CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT
+            % 10000 AS bucket
+  FROM documents
+), words AS (
+  SELECT doc_id, bucket, string_split(lower(text), ' ') AS ws FROM bucketed
+), grams AS (
+  SELECT doc_id, bucket,
+         list_transform(generate_series(0, GREATEST(len(ws) - 4, 0)),
+                        i -> array_to_string(ws[i+1:i+4], ' ')) AS gs
+  FROM words
+), hs AS (
+  SELECT doc_id, bucket,
+         list_transform(gs, g -> ('0x' || substr(md5(g), 1, 12))::BIGINT) AS hh
+  FROM grams
+), fps AS (
+  SELECT doc_id, bucket,
+         list_distinct(list_transform(
+           generate_series(0, GREATEST(len(hh) - 4, 0)),
+           i -> list_min(hh[i+1:i+4]))) AS fp
+  FROM hs
+), flat AS (
+  SELECT doc_id, bucket, unnest(fp) AS fingerprint FROM fps
+)
+SELECT c.doc_id AS doc_id,
+       CAST(count(DISTINCT c.fingerprint) AS BIGINT) AS n_shared_fps,
+       CAST(count(DISTINCT b.doc_id) AS BIGINT) AS n_benchmark_docs_hit
+FROM flat c JOIN flat b ON c.fingerprint = b.fingerprint
+WHERE c.bucket >= 200 AND b.bucket < 200
+GROUP BY 1
+"""
+
+
 def q_sequences_ladder(spark, sf_dir):
     """The north-rule engine on the derived sequences table: raw(minute) ->
     hourly -> daily cascade of algebraic partials; the oracle aggregates the
@@ -2868,6 +2990,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stateful_tracker": q_stateful_tracker,
         "winnow_fingerprints": q_winnow_fingerprints,
         "bpe_token_counts": q_bpe_token_counts,
+        "hash_split": q_hash_split,
+        "token_budget_pack": q_token_budget_pack,
+        "contamination_check": q_contamination_check,
     }
 
 
@@ -2931,4 +3056,7 @@ def oracle_sql() -> dict[str, str]:
         "stateful_tracker": SQL_STATEFUL_TRACKER,
         "winnow_fingerprints": SQL_WINNOW,
         "bpe_token_counts": SQL_BPE_TOKENS,
+        "hash_split": SQL_HASH_SPLIT,
+        "token_budget_pack": SQL_TOKEN_PACK,
+        "contamination_check": SQL_CONTAMINATION,
     }

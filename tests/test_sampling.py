@@ -1,0 +1,106 @@
+"""Deterministic sampling / splitting / packing (operators/sampling.py)
+and benchmark decontamination (operators/dedup.contamination_check)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from rtsa_spark.operators.dedup import contamination_check
+from rtsa_spark.operators.sampling import (
+    BUCKETS,
+    hash_bucket,
+    hash_sample,
+    hash_split,
+    token_budget_pack,
+)
+
+
+def _docs(spark, n=400):
+    return spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("s"), (F.col("id") % 4).cast("string")).alias("source"),
+        (F.col("id") * 37 % 211 + 5).cast("bigint").alias("n_tokens"),
+    )
+
+
+def test_hash_split_deterministic_and_stable(spark):
+    d = _docs(spark)
+    a = {r["doc_id"]: r["split"] for r in hash_split(d).collect()}
+    b = {r["doc_id"]: r["split"] for r in hash_split(d).collect()}
+    assert a == b
+    # growing the corpus never moves an existing row between splits
+    grown = {r["doc_id"]: r["split"]
+             for r in hash_split(_docs(spark, 800)).collect()}
+    assert all(grown[k] == v for k, v in a.items())
+    # shares are roughly 98/1/1
+    counts = {s: sum(1 for v in a.values() if v == s)
+              for s in ("train", "val", "test")}
+    assert counts["train"] > 350 and counts["val"] < 25 and counts["test"] < 25
+    with pytest.raises(ValueError):
+        hash_split(d, weights=(5000, 5000, 5000))
+
+
+def test_hash_split_salt_independence(spark):
+    """A different salt reshuffles the assignment (splits are not a
+    property of the id alone)."""
+    d = _docs(spark)
+    a = {r["doc_id"]: r["bucket"] for r in hash_split(d).collect()}
+    b = {r["doc_id"]: r["bucket"]
+         for r in hash_split(d, salt="split-v2").collect()}
+    assert a != b
+    assert all(0 <= v < BUCKETS for v in a.values())
+
+
+def test_hash_sample_rate_and_nesting(spark):
+    d = _docs(spark, 2000)
+    small = {r["doc_id"] for r in hash_sample(d, 1000).collect()}
+    big = {r["doc_id"] for r in hash_sample(d, 5000).collect()}
+    assert small < big  # same salt: lower rate is a strict subset
+    assert 120 < len(small) < 280  # ~10% of 2000
+    assert 800 < len(big) < 1200  # ~50%
+
+
+def test_token_budget_pack_invariants(spark):
+    d = _docs(spark)
+    budget = 500
+    out = token_budget_pack(d, budget).collect()
+    assert len(out) == 400
+    by_src: dict[str, list] = {}
+    for r in out:
+        by_src.setdefault(r["source"], []).append(r)
+    for rows in by_src.values():
+        rows.sort(key=lambda r: r["doc_id"])
+        cum = 0
+        for r in rows:
+            assert r["tok_before"] == cum
+            assert r["shard"] == cum // budget
+            assert r["shard_offset"] == cum % budget
+            cum += r["n_tokens"]
+        # the stream actually spans multiple shards at this budget
+        assert rows[-1]["shard"] >= 2
+    with pytest.raises(ValueError):
+        token_budget_pack(d, 0)
+
+
+def test_contamination_check_planted_overlap(spark):
+    """A corpus doc sharing an 8-word run with a benchmark doc must be
+    flagged (winnowing guarantee: any shared run >= w+k-1 = 7 words);
+    disjoint docs must not be."""
+    shared = "the quick brown fox jumps over the lazy dog tonight"
+    bench = spark.createDataFrame(
+        [(100, "benchmark question: " + shared)], "doc_id long, text string"
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "totally unrelated words about spark partitions and shuffles"),
+            (2, "contaminated document containing " + shared + " verbatim"),
+            (3, "another clean doc with different vocabulary entirely here"),
+        ],
+        "doc_id long, text string",
+    )
+    for fn in ("xxhash64", "md5"):
+        flagged = {r["doc_id"]: r for r in
+                   contamination_check(corpus, bench, hash_fn=fn).collect()}
+        assert 2 in flagged and flagged[2]["n_benchmark_docs_hit"] == 1
+        assert 1 not in flagged and 3 not in flagged
