@@ -1124,6 +1124,85 @@ SELECT doc_id, unnest(fp) AS fingerprint FROM fps
 """
 
 
+def q_pipeline_publish_audit(spark, sf_dir):
+    """Tier sink + result-stack audit (reference S3/S4 surface,
+    ``R/rtsa_methods.R:12-97`` setValues / stack assembly): run the
+    resumable TierPipeline end-to-end — raw->hourly->daily->monthly, each
+    stage ATOMICALLY PUBLISHED as month-partitioned parquet and ledger
+    logged — then read every tier BACK FROM DISK and reconcile per-source
+    bucket counts, token totals (identical across tiers by cascade
+    exactness), and daily bucket bounds. The oracle recomputes all of it
+    straight from the derived sequences, so a wrong write, a lossy
+    read-back schema, or a broken cascade all hash-mismatch. Results are
+    collected before the temp dir is removed (plain int tuples — the
+    driver harness runs Arrow-less)."""
+    import shutil
+    import tempfile
+
+    from rtsa_spark.pipeline import TierPipeline
+
+    seq = _derived_sequences(spark, sf_dir)
+    base = tempfile.mkdtemp(prefix="rtsa_publish_audit_")
+    try:
+        tp = TierPipeline(
+            spark, base, tiers=["raw", "hourly", "daily", "monthly"],
+            gapfill_tiers=(), metrics_tiers=(), hist_tiers=(),
+        )
+        paths = tp.run(seq)
+
+        def tier_agg(stage, name):
+            df = spark.read.parquet(paths[stage])
+            agg = [
+                F.count(F.lit(1)).cast("bigint").alias(f"n_{name}"),
+                F.sum("n_tok_sum").cast("bigint").alias(f"tok_{name}"),
+            ]
+            if name == "daily":
+                agg += [
+                    F.min(F.unix_timestamp("bucket_start"))
+                    .cast("bigint").alias("daily_first_s"),
+                    F.max(F.unix_timestamp("bucket_start"))
+                    .cast("bigint").alias("daily_last_s"),
+                ]
+            return df.groupBy("source").agg(*agg)
+
+        joined = (
+            tier_agg("rollup_raw", "raw")
+            .join(tier_agg("rollup_hourly", "hourly"), "source")
+            .join(tier_agg("rollup_daily", "daily"), "source")
+            .join(tier_agg("rollup_monthly", "monthly"), "source")
+        )
+        cols = joined.columns
+        rows = [tuple(r[c] for c in cols) for r in joined.collect()]
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    n_published = sum(1 for k in paths if k.startswith("rollup_"))
+    schema = "source string, " + ", ".join(
+        f"{c} bigint" for c in cols if c != "source"
+    )
+    out = spark.createDataFrame(rows, schema)
+    return out.withColumn(
+        "stages_published", F.lit(int(n_published)).cast("bigint")
+    )
+
+
+SQL_PUBLISH_AUDIT = f"""
+WITH {SQL_SEQ_CTE}
+SELECT source,
+       CAST(count(DISTINCT date_trunc('minute', ts)) AS BIGINT) AS n_raw,
+       CAST(sum(n_tok) AS BIGINT) AS tok_raw,
+       CAST(count(DISTINCT date_trunc('hour', ts)) AS BIGINT) AS n_hourly,
+       CAST(sum(n_tok) AS BIGINT) AS tok_hourly,
+       CAST(count(DISTINCT date_trunc('day', ts)) AS BIGINT) AS n_daily,
+       CAST(sum(n_tok) AS BIGINT) AS tok_daily,
+       CAST(epoch(min(date_trunc('day', ts))) AS BIGINT) AS daily_first_s,
+       CAST(epoch(max(date_trunc('day', ts))) AS BIGINT) AS daily_last_s,
+       CAST(count(DISTINCT date_trunc('month', ts)) AS BIGINT) AS n_monthly,
+       CAST(sum(n_tok) AS BIGINT) AS tok_monthly,
+       CAST(4 AS BIGINT) AS stages_published
+FROM seq GROUP BY 1
+"""
+
+
 def q_hash_split(spark, sf_dir):
     """Deterministic train/val/test splitting (operators/sampling.py):
     salted-md5 bucket per doc -> 98/1/1 split, summarized per
@@ -2990,6 +3069,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stateful_tracker": q_stateful_tracker,
         "winnow_fingerprints": q_winnow_fingerprints,
         "bpe_token_counts": q_bpe_token_counts,
+        "pipeline_publish_audit": q_pipeline_publish_audit,
         "hash_split": q_hash_split,
         "token_budget_pack": q_token_budget_pack,
         "contamination_check": q_contamination_check,
@@ -3056,6 +3136,7 @@ def oracle_sql() -> dict[str, str]:
         "stateful_tracker": SQL_STATEFUL_TRACKER,
         "winnow_fingerprints": SQL_WINNOW,
         "bpe_token_counts": SQL_BPE_TOKENS,
+        "pipeline_publish_audit": SQL_PUBLISH_AUDIT,
         "hash_split": SQL_HASH_SPLIT,
         "token_budget_pack": SQL_TOKEN_PACK,
         "contamination_check": SQL_CONTAMINATION,
