@@ -1124,6 +1124,57 @@ SELECT doc_id, unnest(fp) AS fingerprint FROM fps
 """
 
 
+def q_corpus_build(spark, sf_dir):
+    """Flagship corpus-assembly composition — the end-to-end 'build a
+    training set' path: quality gate (>= 5 words) -> exact-dedup
+    survivors (min doc id per content hash) -> deterministic train split
+    (98%) -> fixed-budget sequence packing per source. Every stage is one
+    of the gate-checked primitives; this query proves they COMPOSE with
+    no driver-side glue: the whole thing is one Catalyst plan (two
+    shuffles: the dedup groupBy and the pack window)."""
+    from rtsa_spark.operators.dedup import dedup_exact
+    from rtsa_spark.operators.sampling import hash_split, token_budget_pack
+
+    docs = _documents(spark, sf_dir).withColumn(
+        "n_tokens", F.size(F.split(F.col("text"), " ")).cast("bigint")
+    )
+    quality = docs.where(F.col("n_tokens") >= 5)
+    survivors = dedup_exact(quality).select(
+        F.col("survivor_doc_id").alias("doc_id")
+    )
+    kept = quality.join(survivors, "doc_id")
+    train = hash_split(kept).where(F.col("split") == "train")
+    return token_budget_pack(train, budget=256)
+
+
+SQL_CORPUS_BUILD = """
+WITH q AS (
+  SELECT doc_id, source, text,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+  WHERE len(string_split(text, ' ')) >= 5
+), surv AS (
+  SELECT min(doc_id) AS doc_id FROM q GROUP BY md5(text)
+), train AS (
+  SELECT q.source, q.doc_id, q.n_tokens
+  FROM q JOIN surv USING (doc_id)
+  WHERE ('0x' || substr(md5('split-v1|' || CAST(q.doc_id AS VARCHAR)), 1, 12))::BIGINT
+        % 10000 < 9800
+), c AS (
+  SELECT source, doc_id, n_tokens,
+         CAST(coalesce(sum(n_tokens) OVER (
+           PARTITION BY source ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS tok_before
+  FROM train
+)
+SELECT source, doc_id, n_tokens, tok_before,
+       CAST(tok_before // 256 AS BIGINT) AS shard,
+       CAST(tok_before % 256 AS BIGINT) AS shard_offset
+FROM c
+"""
+
+
 def q_pipeline_publish_audit(spark, sf_dir):
     """Tier sink + result-stack audit (reference S3/S4 surface,
     ``R/rtsa_methods.R:12-97`` setValues / stack assembly): run the
@@ -3070,6 +3121,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_fingerprints": q_winnow_fingerprints,
         "bpe_token_counts": q_bpe_token_counts,
         "pipeline_publish_audit": q_pipeline_publish_audit,
+        "corpus_build": q_corpus_build,
         "hash_split": q_hash_split,
         "token_budget_pack": q_token_budget_pack,
         "contamination_check": q_contamination_check,
@@ -3137,6 +3189,7 @@ def oracle_sql() -> dict[str, str]:
         "winnow_fingerprints": SQL_WINNOW,
         "bpe_token_counts": SQL_BPE_TOKENS,
         "pipeline_publish_audit": SQL_PUBLISH_AUDIT,
+        "corpus_build": SQL_CORPUS_BUILD,
         "hash_split": SQL_HASH_SPLIT,
         "token_budget_pack": SQL_TOKEN_PACK,
         "contamination_check": SQL_CONTAMINATION,
