@@ -1124,6 +1124,97 @@ SELECT doc_id, unnest(fp) AS fingerprint FROM fps
 """
 
 
+def q_sessionize_events(spark, sf_dir):
+    """Gap-based sessionization (operators/sessionize.py — the batch twin
+    of streaming session windows, extending SURVEY §2.5): the sparse
+    event stream per type splits into sessions at >4 h inactivity gaps;
+    one window shuffle, no UDFs. DuckDB replays the identical
+    lag/flag/running-sum construction."""
+    from rtsa_spark.operators.sessionize import sessionize
+
+    ev = (
+        _events(spark, sf_dir)
+        .where(EVENTS_SPARSE_FILTER)
+        .select("event_type", "ts", _cents(F.col("value")).alias("v_cents"))
+    )
+    return sessionize(
+        ev, ["event_type"], ts_col="ts", gap_s=14400, value_col="v_cents"
+    )
+
+
+SQL_SESSIONIZE = """
+WITH e AS (
+  -- floor, not CAST: Spark's unix_timestamp truncates sub-second parts
+  -- while a double->BIGINT cast in DuckDB rounds
+  SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
+         CAST(round(value * 100) AS BIGINT) AS v
+  FROM events WHERE value > 190
+), flagged AS (
+  SELECT event_type, ts_s, v,
+         CASE WHEN lag(ts_s) OVER w IS NULL
+                   OR ts_s - lag(ts_s) OVER w > 14400
+              THEN 1 ELSE 0 END AS is_new
+  FROM e WINDOW w AS (PARTITION BY event_type ORDER BY ts_s)
+), ids AS (
+  SELECT event_type, ts_s, v,
+         CAST(sum(is_new) OVER (
+           PARTITION BY event_type ORDER BY ts_s
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS session_id
+  FROM flagged
+)
+SELECT event_type, session_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(min(ts_s) AS BIGINT) AS start_s,
+       CAST(max(ts_s) AS BIGINT) AS end_s,
+       CAST(max(ts_s) - min(ts_s) AS BIGINT) AS duration_s,
+       CAST(sum(v) AS BIGINT) AS v_sum
+FROM ids GROUP BY 1, 2
+"""
+
+
+def q_tier_percentiles(spark, sf_dir):
+    """Exact type-7 percentiles (p50/p90/p99) of the daily tier's cent
+    totals per event type (operators/sessionize.tier_percentiles),
+    emitted in the e2 integer domain — pure integer interpolation both
+    engines replay bit-for-bit (the quantile-internals trap engine
+    built-ins have; cf. scale_eof_modes)."""
+    from rtsa_spark.operators.rollup import rollup_series
+    from rtsa_spark.operators.sessionize import tier_percentiles
+
+    daily = rollup_series(
+        _events(spark, sf_dir), "daily", ["event_type"], "ts", "value"
+    ).select("event_type", _cents(F.col("v_sum")).alias("x"))
+    return tier_percentiles(daily, value_col="x", key_col="event_type")
+
+
+def _sql_tier_percentiles() -> str:
+    def pexpr(p: int) -> str:
+        pos = f"((n_buckets - 1) * {p})"
+        lo = f"({pos} // 100)"
+        rem = f"({pos} % 100)"
+        x_lo = f"xs[{lo} + 1]"
+        x_hi = f"xs[LEAST({lo} + 2, CAST(n_buckets AS INTEGER))]"
+        return (
+            f"CAST({x_lo} * (100 - {rem}) + {x_hi} * {rem} AS BIGINT)"
+            f" AS p{p}_e2"
+        )
+
+    return f"""
+WITH d AS (
+  SELECT event_type, date_trunc('day', ts) AS b,
+         CAST(round(sum(value) * 100) AS BIGINT) AS x
+  FROM events GROUP BY 1, 2
+), l AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n_buckets,
+         list(x ORDER BY x) AS xs
+  FROM d GROUP BY 1
+)
+SELECT event_type, n_buckets, {pexpr(50)}, {pexpr(90)}, {pexpr(99)}
+FROM l
+"""
+
+
 def q_corpus_build(spark, sf_dir):
     """Flagship corpus-assembly composition — the end-to-end 'build a
     training set' path: quality gate (>= 5 words) -> exact-dedup
@@ -3122,6 +3213,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_token_counts": q_bpe_token_counts,
         "pipeline_publish_audit": q_pipeline_publish_audit,
         "corpus_build": q_corpus_build,
+        "sessionize_events": q_sessionize_events,
+        "tier_percentiles": q_tier_percentiles,
         "hash_split": q_hash_split,
         "token_budget_pack": q_token_budget_pack,
         "contamination_check": q_contamination_check,
@@ -3190,6 +3283,8 @@ def oracle_sql() -> dict[str, str]:
         "bpe_token_counts": SQL_BPE_TOKENS,
         "pipeline_publish_audit": SQL_PUBLISH_AUDIT,
         "corpus_build": SQL_CORPUS_BUILD,
+        "sessionize_events": SQL_SESSIONIZE,
+        "tier_percentiles": _sql_tier_percentiles(),
         "hash_split": SQL_HASH_SPLIT,
         "token_budget_pack": SQL_TOKEN_PACK,
         "contamination_check": SQL_CONTAMINATION,

@@ -1,0 +1,96 @@
+"""Gap-based sessionization + exact tier percentiles — window-family ops.
+
+Two batch analytics the tier engine needs around the rollup ladder:
+
+- :func:`sessionize`: classic inactivity-gap sessionization (the batch
+  twin of Structured Streaming's session windows): a new session starts
+  whenever the gap to the previous event on the key exceeds ``gap_s``.
+  One shuffle (window over the key), no UDFs — lag + running sum of
+  session-start flags, all whole-stage codegen.
+- :func:`tier_percentiles`: EXACT type-7 (linear-interpolation) per-key
+  percentiles of a tier column, emitted in the e2 integer domain
+  (``value_e2 = x_lo*(100-rem) + x_hi*rem`` with integer ``rem`` — no
+  float rounding, so any SQL engine reproduces it bit-for-bit). Per-key
+  state is the sorted per-bucket value list: tier-bounded (buckets per
+  source), NOT raw-data-bounded, so the sort_array stays small even at
+  100 TB of raw input. For cross-tier merges the token-histogram sketch
+  (operators/rollup.py) is the distributive path; this operator is the
+  exact finisher on a rolled-up tier.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+
+def sessionize(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    gap_s: int = 1800,
+    value_col: str | None = None,
+) -> DataFrame:
+    """Sessionize events per key with an inactivity gap of ``gap_s``
+    seconds. Returns one row per session: ``(key..., session_id (1-based
+    per key), n_events, start_s, end_s, duration_s [, v_sum])``.
+
+    Ties on the timestamp stay in one session (gap 0 <= gap_s); the
+    ordering adds the value column as a tiebreaker only inside the
+    window sort, which does not affect session membership.
+    """
+    if gap_s < 0:
+        raise ValueError("gap_s must be >= 0")
+    proj = df.select(
+        *key_cols,
+        F.unix_timestamp(F.col(ts_col)).alias("ts_s"),
+        *([F.col(value_col).alias("v")] if value_col else []),
+    )
+    ts_s = F.col("ts_s")
+    w = Window.partitionBy(*key_cols).orderBy(ts_s)
+    prev = F.lag(ts_s).over(w)
+    is_new = (prev.isNull() | ((ts_s - prev) > gap_s)).cast("int")
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sess = proj.withColumn(
+        "session_id", F.sum(is_new).over(wrun).cast("bigint")
+    )
+    aggs = [
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.min("ts_s").cast("bigint").alias("start_s"),
+        F.max("ts_s").cast("bigint").alias("end_s"),
+        (F.max("ts_s") - F.min("ts_s")).cast("bigint").alias("duration_s"),
+    ]
+    if value_col:
+        aggs.append(F.sum("v").cast("bigint").alias("v_sum"))
+    return sess.groupBy(*key_cols, "session_id").agg(*aggs)
+
+
+def tier_percentiles(
+    df: DataFrame,
+    value_col: str = "n_tok_sum",
+    key_col: str = "source",
+    ps: tuple[int, ...] = (50, 90, 99),
+) -> DataFrame:
+    """Exact type-7 percentiles of ``value_col`` per key over a rolled-up
+    tier, in the e2 integer domain. For percentile p over the sorted
+    values x[0..n-1]: pos = (n-1)*p, lo = pos // 100, rem = pos % 100,
+    ``p{p}_e2 = x[lo]*(100-rem) + x[lo+1]*rem`` (``x[lo]*100`` at the
+    boundary) — pure integer arithmetic both engines agree on."""
+    if not ps or any(not 0 <= p <= 100 for p in ps):
+        raise ValueError("ps must be percentiles in [0, 100]")
+    xs = F.sort_array(F.collect_list(F.col(value_col).cast("bigint")))
+    agg = df.groupBy(key_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_buckets"),
+        xs.alias("xs"),
+    )
+    cols = [F.col(key_col), F.col("n_buckets")]
+    for p in ps:
+        pos = (F.col("n_buckets") - 1) * p
+        lo = F.floor(pos / 100).cast("int")
+        rem = (pos % 100).cast("bigint")
+        x_lo = F.element_at("xs", lo + 1)
+        x_hi = F.element_at("xs", F.least(lo + 2, F.size("xs")))
+        cols.append(
+            (x_lo * (100 - rem) + x_hi * rem).cast("bigint").alias(f"p{p}_e2")
+        )
+    return agg.select(*cols)

@@ -1,0 +1,70 @@
+"""Gap sessionization + exact tier percentiles (operators/sessionize.py)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import numpy as np
+import pytest
+
+from rtsa_spark.operators.sessionize import sessionize, tier_percentiles
+
+
+def test_sessionize_hand_case(spark):
+    base = dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc)
+
+    def t(minutes):
+        return base + dt.timedelta(minutes=minutes)
+
+    rows = [
+        # key a: [0, 10, 20] | gap 40 | [60, 61]  (gap_s = 30 min)
+        ("a", t(0), 1), ("a", t(10), 2), ("a", t(20), 3),
+        ("a", t(60), 4), ("a", t(61), 5),
+        # key b: single event
+        ("b", t(5), 7),
+    ]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, v long")
+    out = {(r["k"], r["session_id"]): r
+           for r in sessionize(df, ["k"], gap_s=1800, value_col="v").collect()}
+    assert set(out) == {("a", 1), ("a", 2), ("b", 1)}
+    s1, s2 = out[("a", 1)], out[("a", 2)]
+    assert s1["n_events"] == 3 and s1["v_sum"] == 6
+    assert s1["duration_s"] == 1200
+    assert s2["n_events"] == 2 and s2["v_sum"] == 9 and s2["duration_s"] == 60
+    assert out[("b", 1)]["n_events"] == 1 and out[("b", 1)]["duration_s"] == 0
+
+
+def test_sessionize_gap_boundary(spark):
+    """Gap exactly == gap_s stays in-session; gap_s+1 splits."""
+    base = dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc)
+    rows = [
+        ("a", base, 1),
+        ("a", base + dt.timedelta(seconds=600), 1),          # == gap
+        ("a", base + dt.timedelta(seconds=1201), 1),         # 601 > gap
+    ]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, v long")
+    out = sessionize(df, ["k"], gap_s=600).collect()
+    assert sorted(r["n_events"] for r in out) == [1, 2]
+    with pytest.raises(ValueError):
+        sessionize(df, ["k"], gap_s=-1)
+
+
+def test_tier_percentiles_match_numpy_type7(spark):
+    rng = np.random.default_rng(11)
+    rows = []
+    for src in ("a", "b"):
+        vals = rng.integers(0, 10_000, size=37 if src == "a" else 8)
+        rows += [(src, int(v)) for v in vals]
+    df = spark.createDataFrame(rows, "source string, x long")
+    out = {r["source"]: r for r in
+           tier_percentiles(df, value_col="x", ps=(0, 50, 90, 99, 100)).collect()}
+    for src in ("a", "b"):
+        xs = sorted(v for s, v in rows if s == src)
+        for p in (0, 50, 90, 99, 100):
+            want = np.percentile(np.array(xs), p, method="linear") * 100
+            assert out[src][f"p{p}_e2"] == pytest.approx(want, abs=0.51), (src, p)
+    single = spark.createDataFrame([("c", 42)], "source string, x long")
+    got = tier_percentiles(single, value_col="x", ps=(50,)).collect()[0]
+    assert got["p50_e2"] == 4200
+    with pytest.raises(ValueError):
+        tier_percentiles(df, ps=(101,))
