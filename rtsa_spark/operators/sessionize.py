@@ -35,9 +35,12 @@ def sessionize(
     seconds. Returns one row per session: ``(key..., session_id (1-based
     per key), n_events, start_s, end_s, duration_s [, v_sum])``.
 
-    Ties on the timestamp stay in one session (gap 0 <= gap_s); the
-    ordering adds the value column as a tiebreaker only inside the
-    window sort, which does not affect session membership.
+    Ties on the timestamp stay in one session (gap 0 <= gap_s).
+    Semantics match Spark's native ``F.session_window`` with the same gap
+    (boundary inclusive; pytest pins the equivalence) — the lag+cumsum
+    construction is used instead because it (a) yields a stable per-key
+    session ORDINAL usable as a join key and (b) is plain ANSI window
+    SQL, so the DuckDB oracle replays it exactly.
     """
     if gap_s < 0:
         raise ValueError("gap_s must be >= 0")

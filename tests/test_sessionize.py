@@ -49,6 +49,33 @@ def test_sessionize_gap_boundary(spark):
         sessionize(df, ["k"], gap_s=-1)
 
 
+def test_sessionize_matches_builtin_session_window(spark):
+    """The lag+cumsum construction must agree with Spark's native
+    F.session_window on (n_events, v_sum) multisets per key: both treat
+    the boundary inclusively (an event exactly gap_s after the previous
+    one extends the session; strictly-greater gaps split)."""
+    import pyspark.sql.functions as F
+
+    rng = np.random.default_rng(3)
+    base = dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc)
+    rows = []
+    for k in ("a", "b", "c"):
+        t = 0
+        for _ in range(200):
+            t += int(rng.integers(1, 1200))
+            rows.append((k, base + dt.timedelta(seconds=t), int(rng.integers(1, 9))))
+    df = spark.createDataFrame(rows, "k string, ts timestamp, v long")
+    ours = sessionize(df, ["k"], gap_s=600, value_col="v").collect()
+    native = (
+        df.groupBy("k", F.session_window("ts", "600 seconds"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("s"))
+        .collect()
+    )
+    ours_set = sorted((r["k"], r["n_events"], r["v_sum"]) for r in ours)
+    native_set = sorted((r["k"], r["n"], r["s"]) for r in native)
+    assert ours_set == native_set
+
+
 def test_tier_percentiles_match_numpy_type7(spark):
     rng = np.random.default_rng(11)
     rows = []
