@@ -1124,6 +1124,53 @@ SELECT doc_id, unnest(fp) AS fingerprint FROM fps
 """
 
 
+def q_media_resize(spark, sf_dir):
+    """Multimodal resize stage (functions/multimodal.resize_plan +
+    resize_media): aspect-preserving integer target dims + stride
+    decimation of the decoded 'pixel' stream (faked as utf-8 code points
+    — the documented stand-in; plumbing, batching and schema are real),
+    digested as the exact strided code-point sum. Dims derive
+    deterministically from doc_id so DuckDB replays plan AND digest."""
+    from rtsa_spark.functions.multimodal import resize_media
+
+    media = (
+        _documents(spark, sf_dir)
+        .where(F.length("text") > 0)
+        .select(
+            "doc_id",
+            (16 + (F.col("doc_id") * 37) % 4080).cast("int").alias("width"),
+            (16 + (F.col("doc_id") * 53) % 4080).cast("int").alias("height"),
+            F.encode(F.col("text"), "utf-8").alias("payload"),
+        )
+    )
+    return resize_media(media, max_side=224, id_col="doc_id", fake=True)
+
+
+SQL_MEDIA_RESIZE = """
+WITH m AS (
+  SELECT doc_id, text,
+         CAST(16 + (doc_id * 37) % 4080 AS INTEGER) AS w,
+         CAST(16 + (doc_id * 53) % 4080 AS INTEGER) AS h
+  FROM documents WHERE length(text) > 0
+), p2 AS (
+  SELECT doc_id, text,
+    CASE WHEN GREATEST(w, h) > 224
+         THEN CAST((w * 224) // GREATEST(w, h) AS INTEGER) ELSE w END AS target_w,
+    CASE WHEN GREATEST(w, h) > 224
+         THEN CAST((h * 224) // GREATEST(w, h) AS INTEGER) ELSE h END AS target_h,
+    CASE WHEN GREATEST(w, h) > 224
+         THEN CAST((GREATEST(w, h) + 223) // 224 AS INTEGER) ELSE 1 END AS stride
+  FROM m
+)
+SELECT doc_id AS media_id, target_w, target_h, stride,
+       CAST(length(text) AS BIGINT) AS n_cp,
+       CAST(coalesce(list_sum(list_transform(
+         generate_series(1, CAST(length(text) AS INTEGER), stride),
+         i -> unicode(substr(text, i, 1)))), 0) AS BIGINT) AS strided_cp_sum
+FROM p2
+"""
+
+
 def q_sessionize_events(spark, sf_dir):
     """Gap-based sessionization (operators/sessionize.py — the batch twin
     of streaming session windows, extending SURVEY §2.5): the sparse
@@ -3213,6 +3260,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_token_counts": q_bpe_token_counts,
         "pipeline_publish_audit": q_pipeline_publish_audit,
         "corpus_build": q_corpus_build,
+        "media_resize": q_media_resize,
         "sessionize_events": q_sessionize_events,
         "tier_percentiles": q_tier_percentiles,
         "hash_split": q_hash_split,
@@ -3283,6 +3331,7 @@ def oracle_sql() -> dict[str, str]:
         "bpe_token_counts": SQL_BPE_TOKENS,
         "pipeline_publish_audit": SQL_PUBLISH_AUDIT,
         "corpus_build": SQL_CORPUS_BUILD,
+        "media_resize": SQL_MEDIA_RESIZE,
         "sessionize_events": SQL_SESSIONIZE,
         "tier_percentiles": _sql_tier_percentiles(),
         "hash_split": SQL_HASH_SPLIT,

@@ -192,3 +192,104 @@ def frame_sample_plan(media: DataFrame, every_n: int = 30) -> DataFrame:
             F.sequence(F.lit(0), F.col("n_frames") - 1, F.lit(every_n))
         ).alias("frame_idx"),
     )
+
+
+def resize_plan(media: DataFrame, max_side: int = 224) -> DataFrame:
+    """Pure-Catalyst resize planning (metadata only, payload never read):
+    aspect-preserving integer target dims capped at ``max_side`` on the
+    longest side, plus the decimation ``stride`` (ceil(longest/max_side))
+    the payload stage samples with. Null/degenerate dims pass through
+    unchanged at stride 1. All integer arithmetic — any SQL engine
+    replays the plan exactly."""
+    if max_side <= 0:
+        raise ValueError("max_side must be positive")
+    w, h = F.col("width"), F.col("height")
+    m = F.greatest(w, h)
+    need = m.isNotNull() & (m > max_side)
+    return media.withColumns(
+        {
+            "target_w": F.when(need, F.floor(w * max_side / m))
+            .otherwise(w).cast("int"),
+            "target_h": F.when(need, F.floor(h * max_side / m))
+            .otherwise(h).cast("int"),
+            "stride": F.when(
+                need, F.floor((m + max_side - 1) / max_side)
+            ).otherwise(F.lit(1)).cast("int"),
+        }
+    )
+
+
+def resize_media(
+    media: DataFrame,
+    max_side: int = 224,
+    id_col: str = "media_id",
+    fake: bool = False,
+) -> DataFrame:
+    """Decode -> resize (decimate by the plan's stride) -> digest, as one
+    Arrow-batched ``mapInPandas`` stage over :func:`resize_plan`. The real
+    decoder is stubbed (no imaging libs in this container); ``fake=True``
+    substitutes the deterministic stand-in used throughout this module —
+    payload bytes ARE the utf-8 'pixel' stream, decode = utf-8 ->
+    code-point array, resize = every ``stride``-th code point, digest =
+    their exact integer sum (``strided_cp_sum``) — so the full
+    batching/schema/pruning plumbing runs for real and the output is
+    oracle-replayable.
+
+    Kernel is batch-vectorized, zero per-row Python: code-point counts
+    come from counting non-continuation bytes per row (reduceat over one
+    boolean mask of the concatenated blob), the code-point stream from a
+    single utf-32 reinterpretation of the batch-joined decode, and the
+    per-row strided sums from one masked bincount."""
+    import numpy as np
+
+    planned = resize_plan(media, max_side)
+    id_type = dict(media.dtypes)[id_col]
+    schema = (
+        f"media_id {id_type}, target_w int, target_h int, stride int,"
+        " n_cp bigint, strided_cp_sum bigint"
+    )
+
+    def it(batches):
+        for pdf in batches:
+            if not fake:
+                _decode_stub(None, None)
+            if len(pdf) == 0:
+                continue
+            payloads = pdf["payload"]
+            blob = np.frombuffer(b"".join(payloads), dtype=np.uint8)
+            # code points per row = non-continuation bytes per row
+            lens = payloads.map(len).to_numpy("int64")
+            is_start = (blob < 0x80) | (blob >= 0xC0)
+            offsets = np.concatenate(([0], np.cumsum(lens)[:-1]))
+            if blob.size:
+                n_cp = np.add.reduceat(
+                    is_start.astype(np.int64), np.clip(offsets, 0, blob.size - 1)
+                )
+                n_cp[lens == 0] = 0
+            else:
+                n_cp = np.zeros(len(pdf), dtype=np.int64)
+            # one decode of the joined blob -> one utf-32 view = code points
+            cps = np.frombuffer(
+                blob.tobytes().decode("utf-8").encode("utf-32-le"), dtype="<u4"
+            ).astype(np.int64)
+            nb = len(pdf)
+            cp_off = np.concatenate(([0], np.cumsum(n_cp)[:-1]))
+            row_ids = np.repeat(np.arange(nb), n_cp)
+            pos = np.arange(cps.size) - np.repeat(cp_off, n_cp)
+            k = np.repeat(pdf["stride"].to_numpy("int64"), n_cp)
+            keep = (pos % np.maximum(k, 1)) == 0
+            ssum = np.bincount(
+                row_ids[keep], weights=cps[keep], minlength=nb
+            ).astype(np.int64)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf[id_col].to_numpy(),
+                    "target_w": pdf["target_w"].to_numpy(),
+                    "target_h": pdf["target_h"].to_numpy(),
+                    "stride": pdf["stride"].to_numpy(),
+                    "n_cp": n_cp,
+                    "strided_cp_sum": ssum,
+                }
+            )
+
+    return planned.mapInPandas(it, schema)

@@ -396,3 +396,36 @@ def test_bpe_token_counts(spark):
     assert out["d1"]["bpe_tokens"] == 6
     assert out["d2"]["ws_tokens"] == 3 == out["d2"]["bpe_tokens"]
     assert out["d1"]["n_chars"] == len("don't stop 123 now!!")
+
+
+def test_resize_plan_and_media(spark):
+    """Resize stage: integer aspect-preserving dims, stride decimation of
+    the faked code-point 'pixel' stream, vectorized kernel vs a plain
+    python reference; stub path raises without fake=True."""
+    from rtsa_spark.functions.multimodal import resize_media, resize_plan
+
+    rows = [
+        (1, 4000, 2000, "hello world, ascii only"),
+        (2, 100, 50, "short doc stays unresized"),
+        (3, 224, 448, "tall one needs halving é中\U0001F600"),  # multibyte
+        (4, 225, 1, "just over the cap"),
+    ]
+    df = spark.createDataFrame(
+        rows, "media_id long, width int, height int, text string"
+    ).withColumn("payload", F.encode("text", "utf-8"))
+    plan = {r["media_id"]: r for r in resize_plan(df, 224).collect()}
+    assert (plan[1]["target_w"], plan[1]["target_h"], plan[1]["stride"]) == (224, 112, 18)
+    assert (plan[2]["target_w"], plan[2]["target_h"], plan[2]["stride"]) == (100, 50, 1)
+    assert (plan[3]["target_w"], plan[3]["target_h"], plan[3]["stride"]) == (112, 224, 2)
+    assert (plan[4]["target_w"], plan[4]["target_h"], plan[4]["stride"]) == (224, 0, 2)
+    out = {r["media_id"]: r for r in
+           resize_media(df, 224, fake=True).collect()}
+    for mid, _w, _h, text in rows:
+        k = plan[mid]["stride"]
+        cps = [ord(c) for c in text]
+        assert out[mid]["n_cp"] == len(cps)
+        assert out[mid]["strided_cp_sum"] == sum(cps[::k])
+    with pytest.raises(Exception, match="NotImplementedError|imaging"):
+        resize_media(df, 224, fake=False).collect()
+    with pytest.raises(ValueError):
+        resize_plan(df, 0)
