@@ -28,6 +28,33 @@ SEQ_ROWS_PER_SF = 20_000_000
 N_SOURCES = 64
 
 
+def probe_effective_cores(threads: int = 8, secs: float = 0.6) -> float:
+    """Cheap host-capacity probe (same construction as
+    tools/bench_scaling.py's gate): parallel numpy matmul throughput over
+    single-thread throughput. Recorded in the output JSON so a round's
+    wall-clock numbers carry their weather context — this sandbox's
+    usable capacity swings between <1 and ~11 effective cores on minute
+    scales, and min-of-warm-reps cannot save a run where EVERY rep was
+    starved."""
+    import numpy as np
+    from concurrent.futures import ThreadPoolExecutor
+
+    def burn(_):
+        a = np.random.rand(300, 300)
+        t0 = time.time()
+        n = 0
+        while time.time() - t0 < secs:
+            a @ a
+            n += 1
+        return n
+
+    with ThreadPoolExecutor(1) as ex:
+        base = max(ex.map(burn, range(1)))
+    with ThreadPoolExecutor(threads) as ex:
+        tot = sum(ex.map(burn, range(threads)))
+    return round(tot / max(base, 1), 2)
+
+
 def _sf_from_dir(sf_dir: str) -> float:
     try:
         return float(sf_dir.rstrip("/").split("sf")[-1])
@@ -259,7 +286,11 @@ def run_bench(sf_dir: str, cores: int) -> dict:
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    print(json.dumps(run_bench(sf_dir, cores)))
+    cap_before = probe_effective_cores()
+    out = run_bench(sf_dir, cores)
+    out["host_effective_cores_before"] = cap_before
+    out["host_effective_cores_after"] = probe_effective_cores()
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
