@@ -93,3 +93,34 @@ def test_component_twin_additive_identity(xs):
     # exact 1e4*x by at most 3 (one unit per floor), never overshoot
     diff = 10_000 * out["x"].to_numpy() - recon
     assert (diff >= 0).all() and (diff <= 3).all()
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    half=st.integers(min_value=2, max_value=11),
+    q=st.integers(min_value=0, max_value=11),
+    r_ic=st.floats(min_value=0.5, max_value=8.0),
+)
+def test_musgrave_invariants(half, q, r_ic):
+    """For ANY odd symmetric filter and I/C ratio: Musgrave end weights
+    sum to 1 (constant reproduction), collapse to the symmetric filter at
+    q=H, and the production Henderson filter reproduces constants exactly
+    through the ends."""
+    from rtsa_spark.functions.x11 import (
+        _henderson_filter,
+        henderson_weights,
+        musgrave_table,
+        musgrave_weights,
+    )
+
+    q = min(q, half)
+    w = henderson_weights(2 * half + 1)
+    u = musgrave_weights(w, q, r_ic)
+    assert len(u) == half + q + 1
+    assert abs(u.sum() - 1.0) < 1e-12
+    if q == half:
+        assert np.array_equal(u, w)
+    n = 3 * (2 * half + 1)
+    const = np.full(n, 3.75)
+    out = _henderson_filter(const, w, musgrave_table(w, r_ic))
+    assert np.allclose(out, 3.75, atol=1e-10)
