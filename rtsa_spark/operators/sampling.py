@@ -83,6 +83,8 @@ def hash_sample(
     subsample at rate rate_e4/10^4. Stratify by choosing a per-stratum
     rate upstream and filtering on it (the predicate is pushed to the
     scan either way)."""
+    if not 0 <= rate_e4 <= BUCKETS:
+        raise ValueError(f"rate_e4 must be in [0, {BUCKETS}]")
     return df.where(hash_bucket(id_col, salt) < rate_e4)
 
 

@@ -59,6 +59,8 @@ def test_hash_sample_rate_and_nesting(spark):
     assert small < big  # same salt: lower rate is a strict subset
     assert 120 < len(small) < 280  # ~10% of 2000
     assert 800 < len(big) < 1200  # ~50%
+    with pytest.raises(ValueError):
+        hash_sample(d, 10_001)
 
 
 def test_token_budget_pack_invariants(spark):
