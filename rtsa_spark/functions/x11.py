@@ -279,10 +279,17 @@ def _phase_filt_ordered(si: list, period: int, w: list) -> list:
     return out
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=32)
 def x11_weight_lists(period: int) -> dict[str, list[float]]:
     """The exact double tap values of the X-11 cascade filters, exposed so
     the SQL oracle can embed them as literals (repr round-trips doubles,
-    so both engines compute with bit-identical constants)."""
+    so both engines compute with bit-identical constants). Cached per
+    period (the Musgrave table costs ~40 numpy ops and this is called
+    several times per kernel invocation) — callers must treat the
+    returned dict as read-only."""
     out = {
         "m3x3": [float(v) for v in
                  np.array([1, 2, 3, 2, 1], dtype="float64") / 9.0],
