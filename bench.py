@@ -48,11 +48,16 @@ def probe_effective_cores(threads: int = 8, secs: float = 0.6) -> float:
             n += 1
         return n
 
-    with ThreadPoolExecutor(1) as ex:
-        base = max(ex.map(burn, range(1)))
-    with ThreadPoolExecutor(threads) as ex:
-        tot = sum(ex.map(burn, range(threads)))
-    return round(tot / max(base, 1), 2)
+    # best-of-N per leg: a single starved 1-thread window otherwise
+    # poisons the ratio in either direction
+    bases, tots = [], []
+    for _ in range(3):
+        with ThreadPoolExecutor(1) as ex:
+            bases.append(max(ex.map(burn, range(1))))
+    for _ in range(2):
+        with ThreadPoolExecutor(threads) as ex:
+            tots.append(sum(ex.map(burn, range(threads))))
+    return round(max(tots) / max(max(bases), 1), 2)
 
 
 def _sf_from_dir(sf_dir: str) -> float:
