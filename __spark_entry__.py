@@ -2693,6 +2693,22 @@ def _eof_audit_body(spark, tier_xdf, key_col):
     zz = z_df.groupBy(key_col).agg(
         F.sum(F.col("z") * F.col("z")).alias("zz_sum")
     )
+    # bit-equality contract (same as eot_deterministic's driver-side |G|
+    # guard): every zz_sum must stay an exact integer below 2^53 so the
+    # float64 partial sums equal DuckDB's integer sums. assert_true keeps
+    # the check inside the plan (no extra job) and fails LOUDLY instead of
+    # letting a larger SF / longer spine silently diverge the hash.
+    zz = zz.withColumn(
+        "zz_sum",
+        F.when(
+            F.assert_true(
+                F.col("zz_sum") < F.lit(2.0**53),
+                F.lit("eof audit exact-int domain exceeded: zz_sum >= 2^53;"
+                      " rescale the input to keep the oracle bit-exact"),
+            ).isNull(),
+            F.col("zz_sum"),
+        ),
+    )
     res = eof(spark, tier, n_modes=n_s, value_col="x", key_col=key_col)
     recon = (
         res["ecs"]

@@ -58,6 +58,16 @@ def main() -> None:
 
     only = set(sys.argv[1:])
     spark = get_spark(app_name="check_correctness", cores=8, shuffle_partitions=16)
+    # Mirror the grading harness: the driver runs with Arrow conversion
+    # DISABLED, so createDataFrame/toPandas take the legacy row paths there.
+    # Round 2 shipped an oracle that was green locally (Arrow fast path) and
+    # red at the gate (legacy verifier rejected pandas nullable ints) —
+    # default the checker to the driver's behavior; CC_ARROW=true restores
+    # the fast path for quick iteration.
+    spark.conf.set(
+        "spark.sql.execution.arrow.pyspark.enabled",
+        os.environ.get("CC_ARROW", "false"),
+    )
     con = duckdb.connect()
     for t in TABLES:
         p = f"{SF_DIR}/{t}.parquet"
