@@ -3195,6 +3195,118 @@ LEFT JOIN ties ti USING (event_type)
 """
 
 
+def q_repetition_quality(spark, sf_dir):
+    """Gopher-style repetition signals (Rae et al. 2021 appendix A) per
+    source: duplicated-bigram mass and top-bigram concentration. Pure
+    Catalyst n-gram build + two map-side-combinable aggs (see
+    functions/text.repetition_stats)."""
+    from rtsa_spark.functions.text import repetition_stats
+
+    return repetition_stats(_documents(spark, sf_dir), n=2)
+
+
+SQL_REPETITION = """
+WITH d AS (
+  SELECT source, doc_id, string_split(lower(text), ' ') AS w FROM documents
+),
+g AS (
+  SELECT source, doc_id, unnest(list_transform(
+    range(0, greatest(len(w) - 2, 0) + 1),
+    i -> array_to_string(list_slice(w, i + 1, i + 2), ' ')
+  )) AS g FROM d
+),
+c AS (SELECT source, doc_id, g, count(*) AS cnt FROM g GROUP BY 1, 2, 3),
+p AS (SELECT source, doc_id, sum(cnt) AS total, max(cnt) AS topc,
+        sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS dup
+      FROM c GROUP BY 1, 2)
+SELECT source, count(*) AS n_docs,
+  CAST(sum(total) AS BIGINT) AS total_ngrams,
+  CAST(sum(dup) AS BIGINT) AS dup_ngram_occ,
+  CAST(sum(topc) AS BIGINT) AS top_ngram_occ,
+  CAST(floor(sum(dup) * 10000 / sum(total)) AS BIGINT) AS dup_frac_e4,
+  CAST(floor(sum(topc) * 10000 / sum(total)) AS BIGINT) AS top_frac_e4
+FROM p GROUP BY 1
+"""
+
+
+#: sparse-checkpoint threshold for the as-of join demo: hourly buckets
+#: with >= this many events count as "dense" checkpoints (sf0.01 hourly
+#: buckets hold 1-10 events, so 6 keeps the right side genuinely sparse
+#: and irregular — the matched bucket varies per event instead of
+#: degenerating to the event's own hour).
+ASOF_DENSE_N = 6
+
+
+def q_asof_tier_checkpoint(spark, sf_dir):
+    """As-of join (operators/asof.py): every raw event matched to the
+    latest DENSE hourly tier bucket (n >= ASOF_DENSE_N events) at-or-
+    before its timestamp — the "align to last known-good checkpoint"
+    query. One shuffle, no join node (union + ordered window); emits
+    per event_type the exact-int match summary."""
+    from rtsa_spark.operators.asof import asof_join
+
+    right = (
+        _hourly_series(spark, sf_dir)
+        .where(F.col("n") >= ASOF_DENSE_N)
+        .select(
+            "event_type",
+            F.unix_timestamp("bucket_start").alias("bs"),
+            F.col("n").cast("long").alias("tier_n"),
+        )
+    )
+    left = _events(spark, sf_dir).select(
+        "event_id", "event_type", F.unix_timestamp("ts").alias("t")
+    )
+    j = asof_join(left, right, "event_type", "t", "bs", ["tier_n"])
+    return j.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("tier_n_asof").isNotNull().cast("int"))
+        .cast("bigint")
+        .alias("n_matched"),
+        F.coalesce(F.sum("tier_n_asof"), F.lit(0))
+        .cast("bigint")
+        .alias("sum_tier_n"),
+        F.coalesce(F.sum(F.col("t") - F.col("bs_asof")), F.lit(0))
+        .cast("bigint")
+        .alias("sum_lag_s"),
+    )
+
+
+SQL_ASOF_TIER = f"""
+WITH h AS (
+  SELECT event_type, date_trunc('hour', ts) AS b, count(*) AS n
+  FROM events GROUP BY 1, 2
+),
+r AS (SELECT event_type, CAST(epoch(b) AS BIGINT) AS bs, n
+      FROM h WHERE n >= {ASOF_DENSE_N}),
+l AS (SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) AS t FROM events),
+u AS (
+  SELECT event_type AS k, t, 1 AS is_l,
+         CAST(NULL AS BIGINT) AS rb, CAST(NULL AS BIGINT) AS rn FROM l
+  UNION ALL
+  SELECT event_type, bs, 0, bs, CAST(n AS BIGINT) FROM r
+),
+c AS (
+  SELECT k, t, is_l,
+    last_value(rb IGNORE NULLS) OVER
+      (PARTITION BY k ORDER BY t, is_l
+       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS mb,
+    last_value(rn IGNORE NULLS) OVER
+      (PARTITION BY k ORDER BY t, is_l
+       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS mn
+  FROM u
+)
+SELECT k AS event_type,
+       count(*) AS n_events,
+       CAST(sum(CASE WHEN mb IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_matched,
+       CAST(coalesce(sum(mn), 0) AS BIGINT) AS sum_tier_n,
+       CAST(coalesce(sum(CASE WHEN mb IS NOT NULL THEN t - mb END), 0)
+         AS BIGINT) AS sum_lag_s
+FROM c WHERE is_l = 1 GROUP BY 1
+"""
+
+
 # ------------------------------------------------------------ entry points
 
 
@@ -3282,6 +3394,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_split": q_hash_split,
         "token_budget_pack": q_token_budget_pack,
         "contamination_check": q_contamination_check,
+        "repetition_quality": q_repetition_quality,
+        "asof_tier_checkpoint": q_asof_tier_checkpoint,
     }
 
 
@@ -3353,4 +3467,6 @@ def oracle_sql() -> dict[str, str]:
         "hash_split": SQL_HASH_SPLIT,
         "token_budget_pack": SQL_TOKEN_PACK,
         "contamination_check": SQL_CONTAMINATION,
+        "repetition_quality": SQL_REPETITION,
+        "asof_tier_checkpoint": SQL_ASOF_TIER,
     }

@@ -129,6 +129,63 @@ def winnow_fingerprints(
     )
 
 
+def repetition_stats(
+    df: DataFrame,
+    n: int = 2,
+    text_col: str = "text",
+    source_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Gopher-style repetition quality signals (Rae et al. 2021,
+    "Scaling Language Models" appendix A — the public repetition filters
+    every large-scale pretraining pipeline applies): per-source mass of
+    duplicated word n-grams and concentration in the single most frequent
+    n-gram. Boilerplate-heavy and template-generated documents light up
+    both signals; natural text keeps them low.
+
+    Pure Catalyst: one projection builds each document's n-gram list
+    (sequence/transform/slice — whole-stage codegen, same gram
+    construction as :func:`winnow_fingerprints`), then explode +
+    two map-side-combinable aggregations. Shuffle keys are
+    (source, doc, gram) then (source, doc) — high-cardinality, skew-free,
+    the shape that survives 100 TB. Documents shorter than ``n`` words
+    contribute their whole text as one gram (so every document counts).
+
+    Emits per source, all integer-exact for oracle portability:
+    ``n_docs``, ``total_ngrams``, ``dup_ngram_occ`` (occurrences of
+    grams appearing >1 time within their doc), ``top_ngram_occ`` (sum of
+    each doc's max gram count), ``dup_frac_e4``, ``top_frac_e4``.
+    """
+    words = F.split(F.lower(F.col(text_col)), " ")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
+    )
+    g = df.select(
+        F.col(source_col).alias("source"),
+        F.col(id_col).alias("_doc"),
+        F.explode(grams).alias("g"),
+    )
+    c = g.groupBy("source", "_doc", "g").agg(F.count(F.lit(1)).alias("cnt"))
+    per_doc = c.groupBy("source", "_doc").agg(
+        F.sum("cnt").alias("total"),
+        F.max("cnt").alias("topc"),
+        F.sum(F.when(F.col("cnt") > 1, F.col("cnt")).otherwise(0)).alias("dup"),
+    )
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("total").cast("bigint").alias("total_ngrams"),
+        F.sum("dup").cast("bigint").alias("dup_ngram_occ"),
+        F.sum("topc").cast("bigint").alias("top_ngram_occ"),
+        F.floor(F.sum("dup") * 10000 / F.sum("total"))
+        .cast("bigint")
+        .alias("dup_frac_e4"),
+        F.floor(F.sum("topc") * 10000 / F.sum("total"))
+        .cast("bigint")
+        .alias("top_frac_e4"),
+    )
+
+
 #: GPT-2-style pretokenizer, simplified to a lookahead-free subset that
 #: Java regex (Spark) and RE2 (DuckDB) match identically: contraction
 #: tails, letter runs, digit runs, punctuation runs — each optionally

@@ -429,3 +429,50 @@ def test_resize_plan_and_media(spark):
         resize_media(df, 224, fake=False).collect()
     with pytest.raises(ValueError):
         resize_plan(df, 0)
+
+
+def test_repetition_stats_hand_case(spark):
+    """Gopher repetition signals on a hand-counted corpus."""
+    from rtsa_spark.functions.text import repetition_stats
+
+    rows = [
+        # "a b a b c": bigrams [a b, b a, a b, b c] -> total 4,
+        # top "a b"=2, dup occ = 2
+        (1, "a b a b c", "en", "s1"),
+        # "x y z": bigrams [x y, y z] -> total 2, top 1, dup 0
+        (2, "x y z", "en", "s1"),
+        # single word: one whole-text gram
+        (3, "hello", "en", "s2"),
+        # pathological repetition: "no no no no" -> [no no]*3
+        (4, "no no no no", "en", "s2"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string")
+    got = {r["source"]: r.asDict() for r in repetition_stats(df, n=2).collect()}
+
+    s1 = got["s1"]
+    assert (s1["n_docs"], s1["total_ngrams"]) == (2, 6)
+    assert s1["dup_ngram_occ"] == 2
+    assert s1["top_ngram_occ"] == 2 + 1
+    assert s1["dup_frac_e4"] == 10000 * 2 // 6
+    assert s1["top_frac_e4"] == 10000 * 3 // 6
+
+    s2 = got["s2"]
+    assert (s2["n_docs"], s2["total_ngrams"]) == (2, 4)
+    assert s2["dup_ngram_occ"] == 3
+    assert s2["top_ngram_occ"] == 1 + 3
+    assert s2["top_frac_e4"] == 10000 * 4 // 4
+
+
+def test_repetition_flags_boilerplate(spark, docs):
+    """Template-duplicated text scores higher than varied text."""
+    from rtsa_spark.functions.text import repetition_stats
+
+    boiler = " ".join(["click here to subscribe now"] * 8)
+    varied = "many different words that never repeat across this sentence"
+    df = spark.createDataFrame(
+        [(1, boiler, "en", "boiler"), (2, varied, "en", "clean")],
+        "doc_id long, text string, lang string, source string",
+    )
+    got = {r["source"]: r for r in repetition_stats(df, n=2).collect()}
+    assert got["boiler"]["dup_frac_e4"] > 9000
+    assert got["clean"]["dup_frac_e4"] == 0
