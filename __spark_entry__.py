@@ -3307,6 +3307,165 @@ FROM c WHERE is_l = 1 GROUP BY 1
 """
 
 
+M4_WIDTH = 16
+
+
+def q_m4_downsample(spark, sf_dir):
+    """M4 visual downsample (Jugel et al. VLDB 2014) of the hourly
+    integer tier into M4_WIDTH pixel buckets per event_type: min/max/
+    first/last value per pixel, all exact-int (operators/downsample.py).
+    Output size is bounded by |keys| * width regardless of input rows."""
+    from rtsa_spark.operators.downsample import m4_downsample
+
+    tier = _hourly_x(spark, sf_dir).select(
+        "event_type",
+        F.unix_timestamp("bucket_start").alias("t"),
+        "x",
+    )
+    return m4_downsample(tier, "event_type", "t", "x", width=M4_WIDTH)
+
+
+SQL_M4 = f"""
+WITH {_SQL_HOURLY_X},
+t AS (SELECT k, CAST(epoch(b) AS BIGINT) AS t, x FROM h),
+span AS (SELECT k, min(t) AS tmin, max(t) AS tmax FROM t GROUP BY 1)
+SELECT t.k AS event_type,
+       CAST(floor((t.t - span.tmin) * {M4_WIDTH} / (span.tmax - span.tmin + 1))
+            AS INT) AS pixel,
+       count(*) AS n,
+       CAST(min(t.x) AS BIGINT) AS v_min,
+       CAST(max(t.x) AS BIGINT) AS v_max,
+       CAST(arg_min(t.x, t.t) AS BIGINT) AS v_first,
+       CAST(arg_max(t.x, t.t) AS BIGINT) AS v_last,
+       CAST(min(t.t) AS BIGINT) AS t_first,
+       CAST(max(t.t) AS BIGINT) AS t_last
+FROM t JOIN span USING (k)
+GROUP BY 1, 2
+"""
+
+
+#: counter wrap modulus for the planted-reset rate query: small enough
+#: that every event_type wraps several times at sf0.01, so the reset
+#: branch is genuinely exercised.
+COUNTER_MOD = 997
+
+
+def q_counter_rate(spark, sf_dir):
+    """Prometheus-style increase() with reset handling
+    (operators/counters.counter_increase): a cumulative token counter per
+    event_type (running sum of the hourly tier, wrapped mod COUNTER_MOD
+    to plant deterministic resets), then per-step increases that treat a
+    drop as a restart. Emits the per-key recovery summary, exact-int."""
+    from pyspark.sql import Window
+
+    from rtsa_spark.operators.counters import counter_increase
+
+    tier = _hourly_x(spark, sf_dir).select(
+        "event_type", F.unix_timestamp("bucket_start").alias("t"), "x"
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    counter = tier.select(
+        "event_type",
+        "t",
+        F.pmod(F.sum("x").over(w), F.lit(COUNTER_MOD)).alias("c"),
+    )
+    inc = counter_increase(counter, "event_type", "t", "c")
+    return inc.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_samples"),
+        F.coalesce(F.sum("inc"), F.lit(0)).cast("bigint").alias("recovered_inc"),
+        F.sum("is_reset").cast("bigint").alias("n_resets"),
+        F.max_by("c", "t").cast("bigint").alias("final_counter"),
+    )
+
+
+SQL_COUNTER_RATE = f"""
+WITH {_SQL_HOURLY_X},
+t AS (SELECT k, CAST(epoch(b) AS BIGINT) AS t, x FROM h),
+c AS (
+  SELECT k, t,
+    sum(x) OVER (PARTITION BY k ORDER BY t
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      % {COUNTER_MOD} AS c
+  FROM t
+),
+i AS (
+  SELECT k, t, c, lag(c) OVER (PARTITION BY k ORDER BY t) AS pc FROM c
+)
+SELECT k AS event_type,
+       count(*) AS n_samples,
+       CAST(coalesce(sum(CASE WHEN pc IS NULL THEN NULL
+                              WHEN c >= pc THEN c - pc
+                              ELSE c END), 0) AS BIGINT) AS recovered_inc,
+       CAST(sum(CASE WHEN pc IS NOT NULL AND c < pc THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_resets,
+       CAST(arg_max(c, t) AS BIGINT) AS final_counter
+FROM i GROUP BY 1
+"""
+
+
+def q_cusum_drift(spark, sf_dir):
+    """Page (1954) one-sided CUSUM drift over the hourly integer tier,
+    computed with two stock windows instead of the sequential recursion
+    (operators/counters.cusum_drift). Target = floor per-key mean, kept
+    integer so every S_t is exact. Emits per event_type the max drift
+    statistic and the earliest bucket attaining it."""
+    from rtsa_spark.operators.counters import cusum_drift
+
+    tier = _hourly_x(spark, sf_dir).select(
+        "event_type", F.unix_timestamp("bucket_start").alias("t"), "x"
+    )
+    tgt = tier.groupBy("event_type").agg(
+        F.floor(F.sum("x") / F.count(F.lit(1))).cast("bigint").alias("target")
+    )
+    based = tier.join(F.broadcast(tgt), "event_type")
+    s = cusum_drift(based, "event_type", "t", "x", target_col="target")
+    mx = s.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.max("cusum_s").alias("max_s"),
+    )
+    return (
+        s.join(mx, "event_type")
+        .where(F.col("cusum_s") == F.col("max_s"))
+        .groupBy("event_type", "n_buckets", "max_s")
+        .agg(F.min("t").cast("bigint").alias("argmax_first_s"))
+        .select("event_type", "n_buckets", "max_s", "argmax_first_s")
+    )
+
+
+SQL_CUSUM = f"""
+WITH {_SQL_HOURLY_X},
+t AS (SELECT k, CAST(epoch(b) AS BIGINT) AS t, x FROM h),
+tgt AS (
+  SELECT k, CAST(floor(sum(x) / count(*)) AS BIGINT) AS target
+  FROM t GROUP BY 1
+),
+c AS (
+  SELECT t.k, t.t,
+    sum(t.x - tgt.target) OVER (PARTITION BY t.k ORDER BY t.t
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cc
+  FROM t JOIN tgt ON t.k = tgt.k
+),
+s AS (
+  SELECT k, t,
+    cc - least(0, min(cc) OVER (PARTITION BY k ORDER BY t
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS cusum_s
+  FROM c
+),
+mx AS (SELECT k, count(*) AS n_buckets, max(cusum_s) AS max_s
+       FROM s GROUP BY 1)
+SELECT s.k AS event_type,
+       mx.n_buckets,
+       CAST(mx.max_s AS BIGINT) AS max_s,
+       CAST(min(s.t) AS BIGINT) AS argmax_first_s
+FROM s JOIN mx ON s.k = mx.k AND s.cusum_s = mx.max_s
+GROUP BY 1, 2, 3
+"""
+
+
 # ------------------------------------------------------------ entry points
 
 
@@ -3396,6 +3555,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination_check": q_contamination_check,
         "repetition_quality": q_repetition_quality,
         "asof_tier_checkpoint": q_asof_tier_checkpoint,
+        "m4_downsample": q_m4_downsample,
+        "counter_rate": q_counter_rate,
+        "cusum_drift": q_cusum_drift,
     }
 
 
@@ -3469,4 +3631,7 @@ def oracle_sql() -> dict[str, str]:
         "contamination_check": SQL_CONTAMINATION,
         "repetition_quality": SQL_REPETITION,
         "asof_tier_checkpoint": SQL_ASOF_TIER,
+        "m4_downsample": SQL_M4,
+        "counter_rate": SQL_COUNTER_RATE,
+        "cusum_drift": SQL_CUSUM,
     }

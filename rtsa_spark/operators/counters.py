@@ -1,0 +1,86 @@
+"""Monotonic-counter rate extraction and CUSUM drift detection.
+
+Two window-shaped diagnostics every large ingest pipeline runs over its
+retention tiers:
+
+- :func:`counter_increase` — Prometheus-style ``increase()`` semantics
+  (public, prometheus.io/docs/prometheus/latest/querying/functions): a
+  cumulative counter that RESETS (source restart) must contribute its
+  post-reset value, not a negative delta. One ``lag`` window per key.
+- :func:`cusum_drift` — Page (1954) one-sided CUSUM, computed WITHOUT the
+  sequential recursion: ``S_t = max(0, S_{t-1} + dev_t)`` is identically
+  ``C_t - min_{i<=t} C_i`` for the prefix sums ``C`` of the deviations,
+  so two stock window functions (running sum, running min) replace the
+  per-row loop — the whole detector stays in whole-stage codegen and is
+  replayable by any SQL engine. Extends the reference's trend testing
+  (Mann-Kendall, ``/root/reference/R/rtsa.trend.R``) with a
+  changepoint-flavored drift statistic.
+
+Both are one hash shuffle on the key; state per key is O(1).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["counter_increase", "cusum_drift"]
+
+
+def counter_increase(
+    df: DataFrame, key_col: str, ts_col: str, counter_col: str
+) -> DataFrame:
+    """Per-sample increase of a cumulative counter with reset handling:
+    ``inc = c - prev`` when the counter advanced, ``c`` after a reset
+    (counter dropped — the new value is what accumulated since restart).
+    First sample per key contributes no increase (NULL inc, reset=0).
+
+    Returns the input rows plus ``inc`` and ``is_reset``.
+    """
+    w = Window.partitionBy(key_col).orderBy(ts_col)
+    prev = F.lag(counter_col).over(w)
+    c = F.col(counter_col)
+    return df.select(
+        "*",
+        F.when(prev.isNull(), F.lit(None).cast("bigint"))
+        .when(c >= prev, (c - prev).cast("bigint"))
+        .otherwise(c.cast("bigint"))
+        .alias("inc"),
+        F.when(prev.isNull(), F.lit(0))
+        .otherwise((c < prev).cast("int"))
+        .alias("is_reset"),
+    )
+
+
+def cusum_drift(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    target_col: str = None,
+) -> DataFrame:
+    """One-sided upward CUSUM per key over an integer series.
+
+    ``dev_t = x_t - target`` (caller supplies an integer target column or
+    scaled-int constant upstream so everything stays exact-int);
+    ``C_t = sum(dev)`` running, ``S_t = C_t - min(C) so far``
+    (== Page's recursion, see module docstring). Emits every row with its
+    ``cusum_s``; the downstream drift summary is a plain max/argmax agg.
+    """
+    tgt = F.col(target_col) if target_col else F.lit(0)
+    dev = (F.col(value_col) - tgt).cast("bigint")
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(ts_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # two stacked selects: Spark forbids nesting a window inside a window
+    # expression, but both share the same (partition, order) so Catalyst
+    # plans ONE shuffle + sort with two Window nodes on top.
+    with_c = df.select("*", F.sum(dev).over(w).alias("_c"))
+    # S_t = C_t - min(0, running_min(C)): Page's S_0 = 0 baseline means a
+    # series that only rises never subtracts anything.
+    run_min = F.least(F.lit(0).cast("bigint"), F.min("_c").over(w))
+    return with_c.select("*", (F.col("_c") - run_min).alias("cusum_s")).drop(
+        "_c"
+    )
