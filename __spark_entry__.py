@@ -3466,6 +3466,81 @@ GROUP BY 1, 2, 3
 """
 
 
+def q_ols_trend(spark, sf_dir):
+    """Exact-sum least-squares trend per event_type over the hourly
+    integer tier (operators/trend.ols_trend): six exact-int sums in one
+    map-side-combinable agg, then a fixed correctly-rounded float chain
+    — slope/intercept/R² bit-identical across engines."""
+    from rtsa_spark.operators.trend import ols_trend
+
+    tier = _hourly_x(spark, sf_dir).select(
+        "event_type", F.unix_timestamp("bucket_start").alias("t"), "x"
+    )
+    return ols_trend(tier, "event_type", "t", "x")
+
+
+SQL_OLS_TREND = f"""
+WITH {_SQL_HOURLY_X},
+t AS (SELECT k, row_number() OVER (PARTITION BY k ORDER BY b) - 1 AS i,
+             x AS y FROM h),
+s AS (SELECT k, count(*) AS n, sum(i) AS sx, sum(y) AS sy,
+             sum(i * i) AS sxx, sum(i * y) AS sxy, sum(y * y) AS syy
+      FROM t GROUP BY 1)
+SELECT k AS event_type, n, CAST(sy AS BIGINT) AS sy,
+  CASE WHEN n >= 2 AND (n * sxx - sx * sx) > 0 THEN
+    CAST(floor(((n * sxy - sx * sy) / (n * sxx - sx * sx)) * 1e9) AS BIGINT)
+  END AS slope_e9,
+  CASE WHEN n >= 2 AND (n * sxx - sx * sx) > 0 THEN
+    CAST(floor(((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n)
+               * 1e6) AS BIGINT)
+  END AS intercept_e6,
+  CASE WHEN n >= 2 AND (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0 THEN
+    CAST(floor((((n * sxy - sx * sy) / (n * sxx - sx * sx))
+                * ((n * sxy - sx * sy) / (n * syy - sy * sy))) * 1e6) AS BIGINT)
+  END AS r2_e6
+FROM s
+"""
+
+
+def q_theil_sen(spark, sf_dir):
+    """Theil–Sen robust slope per event_type (Sen 1968 — the estimator
+    Mann-Kendall pairs with): median of all pairwise slopes via the
+    vectorized kernel in operators/trend.theil_sen; the oracle replays
+    the full pair triangle and the explicit rank-median selection."""
+    from rtsa_spark.operators.trend import theil_sen
+
+    tier = _hourly_x(spark, sf_dir).select(
+        "event_type", F.unix_timestamp("bucket_start").alias("t"), "x"
+    )
+    return theil_sen(tier, "event_type", "t", "x")
+
+
+SQL_THEIL_SEN = f"""
+WITH {_SQL_HOURLY_X},
+t AS MATERIALIZED (
+  SELECT k, row_number() OVER (PARTITION BY k ORDER BY b) - 1 AS i,
+         x AS y FROM h),
+cnt AS (SELECT k, count(*) AS n FROM t GROUP BY 1),
+p AS (SELECT a.k, (b.y - a.y) / (b.i - a.i) AS s
+      FROM t a JOIN t b ON a.k = b.k AND b.i > a.i),
+r AS (SELECT k, s, row_number() OVER (PARTITION BY k ORDER BY s) AS rn,
+             count(*) OVER (PARTITION BY k) AS m FROM p),
+med AS (
+  SELECT k, m,
+         sum(CASE WHEN m % 2 = 1 AND rn = (m + 1) // 2 THEN s
+                  WHEN m % 2 = 0 AND rn IN (m // 2, m // 2 + 1) THEN s
+             END) AS stot,
+         CASE WHEN m % 2 = 1 THEN 1 ELSE 2 END AS cnt2
+  FROM r GROUP BY k, m)
+SELECT cnt.k AS event_type, cnt.n,
+       CAST(coalesce(med.m, 0) AS BIGINT) AS n_pairs,
+       CASE WHEN med.k IS NOT NULL THEN
+         CAST(floor(1e9 * (med.stot / med.cnt2)) AS BIGINT)
+       END AS ts_slope_e9
+FROM cnt LEFT JOIN med ON cnt.k = med.k
+"""
+
+
 # ------------------------------------------------------------ entry points
 
 
@@ -3558,6 +3633,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "m4_downsample": q_m4_downsample,
         "counter_rate": q_counter_rate,
         "cusum_drift": q_cusum_drift,
+        "ols_trend": q_ols_trend,
+        "theil_sen": q_theil_sen,
     }
 
 
@@ -3634,4 +3711,6 @@ def oracle_sql() -> dict[str, str]:
         "m4_downsample": SQL_M4,
         "counter_rate": SQL_COUNTER_RATE,
         "cusum_drift": SQL_CUSUM,
+        "ols_trend": SQL_OLS_TREND,
+        "theil_sen": SQL_THEIL_SEN,
     }
