@@ -3541,6 +3541,71 @@ FROM cnt LEFT JOIN med ON cnt.k = med.k
 """
 
 
+def q_interval_join_sessions(spark, sf_dir):
+    """Interval join (operators/intervals.py): high-value incident
+    sessions per event_type (value > 190, 4h gap — same construction the
+    sessionize oracle pins) joined against ALL events of that type via
+    the bucketed range-join plan; per session the count and exact cents
+    sum of contained events. No cross product anywhere."""
+    from rtsa_spark.operators.intervals import interval_join
+    from rtsa_spark.operators.sessionize import sessionize
+
+    ev = _events(spark, sf_dir)
+    sess = sessionize(
+        ev.where(F.col("value") > 190), ["event_type"], gap_s=14400
+    ).select(
+        "event_type",
+        "session_id",
+        F.col("n_events").alias("n_sess_events"),
+        "start_s",
+        "end_s",
+    )
+    pts = ev.select(
+        "event_type",
+        F.unix_timestamp("ts").alias("ts_s"),
+        _cents(F.col("value")).alias("cents"),
+    )
+    j = interval_join(pts, sess, "event_type", "ts_s", "start_s", "end_s")
+    return j.groupBy("event_type", "session_id", "n_sess_events").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_inside"),
+        F.sum("cents").cast("bigint").alias("v_inside_cents"),
+    )
+
+
+SQL_INTERVAL_JOIN = """
+WITH e AS (
+  SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
+         CAST(round(value * 100) AS BIGINT) AS cents, value
+  FROM events
+), hi AS (
+  SELECT event_type, ts_s,
+         CASE WHEN lag(ts_s) OVER w IS NULL
+                   OR ts_s - lag(ts_s) OVER w > 14400
+              THEN 1 ELSE 0 END AS is_new
+  FROM e WHERE value > 190
+  WINDOW w AS (PARTITION BY event_type ORDER BY ts_s)
+), ids AS (
+  SELECT event_type, ts_s,
+         CAST(sum(is_new) OVER (
+           PARTITION BY event_type ORDER BY ts_s
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS session_id
+  FROM hi
+), sess AS (
+  SELECT event_type, session_id,
+         CAST(count(*) AS BIGINT) AS n_sess_events,
+         min(ts_s) AS start_s, max(ts_s) AS end_s
+  FROM ids GROUP BY 1, 2
+)
+SELECT e.event_type, sess.session_id, sess.n_sess_events,
+       CAST(count(*) AS BIGINT) AS n_inside,
+       CAST(sum(e.cents) AS BIGINT) AS v_inside_cents
+FROM e JOIN sess ON e.event_type = sess.event_type
+                AND e.ts_s BETWEEN sess.start_s AND sess.end_s
+GROUP BY 1, 2, 3
+"""
+
+
 # ------------------------------------------------------------ entry points
 
 
@@ -3635,6 +3700,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cusum_drift": q_cusum_drift,
         "ols_trend": q_ols_trend,
         "theil_sen": q_theil_sen,
+        "interval_join_sessions": q_interval_join_sessions,
     }
 
 
@@ -3713,4 +3779,5 @@ def oracle_sql() -> dict[str, str]:
         "cusum_drift": SQL_CUSUM,
         "ols_trend": SQL_OLS_TREND,
         "theil_sen": SQL_THEIL_SEN,
+        "interval_join_sessions": SQL_INTERVAL_JOIN,
     }
