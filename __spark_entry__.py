@@ -3606,6 +3606,78 @@ GROUP BY 1, 2, 3
 """
 
 
+def q_acf_stats(spark, sf_dir):
+    """ACF at lags 1/2/3/24 per event_type over the hourly integer tier
+    (operators/acf.py). Exact-int numerators z = n*x - S on both engines
+    (LongType vs HUGEINT), one correctly-rounded divide — bit-identical
+    with no float partial sums anywhere."""
+    from rtsa_spark.operators.acf import acf
+
+    tier = _hourly_x(spark, sf_dir).select(
+        "event_type", F.unix_timestamp("bucket_start").alias("t"), "x"
+    )
+    return acf(tier, "event_type", "t", "x", [1, 2, 3, 24])
+
+
+_SQL_ACF_CORE = """
+s AS (SELECT k, CAST(count(*) AS BIGINT) AS n, sum(x) AS sx FROM h GROUP BY 1),
+zt AS MATERIALIZED (
+  SELECT h.k, row_number() OVER (PARTITION BY h.k ORDER BY h.b) - 1 AS i,
+         s.n * h.x - s.sx AS z
+  FROM h JOIN s ON h.k = s.k),
+den AS (SELECT zt.k, any_value(s.n) AS n, sum(z * z) AS den
+        FROM zt JOIN s ON zt.k = s.k GROUP BY 1),
+num AS (
+  SELECT a.k, l.lag, sum(a.z * b.z) AS num
+  FROM zt a JOIN lags l ON a.i >= l.lag
+       JOIN zt b ON b.k = a.k AND b.i = a.i - l.lag
+  GROUP BY 1, 2),
+grid AS (SELECT d.k, l.lag, d.n, d.den FROM den d CROSS JOIN lags l)"""
+
+
+SQL_ACF = f"""
+WITH {_SQL_HOURLY_X},
+lags AS (SELECT unnest([1, 2, 3, 24]) AS lag),
+{_SQL_ACF_CORE}
+SELECT grid.k AS event_type, CAST(grid.lag AS BIGINT) AS lag, grid.n,
+  CASE WHEN grid.n > grid.lag AND grid.den > 0
+       THEN CAST(floor((num.num / grid.den) * 1e9) AS BIGINT) END AS acf_e9
+FROM grid LEFT JOIN num ON grid.k = num.k AND grid.lag = num.lag
+"""
+
+
+def q_ljung_box(spark, sf_dir):
+    """Ljung-Box white-noise Q over lags 1..8 per event_type
+    (operators/acf.ljung_box): per-lag (r*r)/(n-l) terms summed by an
+    ORDERED ascending-lag left fold (the list_sum(list(x ORDER BY k))
+    bit-equality pattern), then one multiply by exact-int n(n+2)."""
+    from rtsa_spark.operators.acf import ljung_box
+
+    tier = _hourly_x(spark, sf_dir).select(
+        "event_type", F.unix_timestamp("bucket_start").alias("t"), "x"
+    )
+    return ljung_box(tier, "event_type", "t", "x", 8)
+
+
+SQL_LJUNG_BOX = f"""
+WITH {_SQL_HOURLY_X},
+lags AS (SELECT unnest([1, 2, 3, 4, 5, 6, 7, 8]) AS lag),
+{_SQL_ACF_CORE},
+terms AS (
+  SELECT grid.k, grid.lag, grid.n,
+    CASE WHEN grid.n > grid.lag AND grid.den > 0 THEN
+      ((num.num / grid.den) * (num.num / grid.den)) / (grid.n - grid.lag)
+    END AS term
+  FROM grid LEFT JOIN num ON grid.k = num.k AND grid.lag = num.lag)
+SELECT k AS event_type, n, CAST(count(*) AS BIGINT) AS k_lags,
+  CASE WHEN count(*) FILTER (WHERE term IS NULL) = 0 THEN
+    CAST(floor((list_sum(list(term ORDER BY lag))
+                * CAST(n * (n + 2) AS DOUBLE)) * 1e6) AS BIGINT)
+  END AS lb_q_e6
+FROM terms GROUP BY k, n
+"""
+
+
 # ------------------------------------------------------------ entry points
 
 
@@ -3701,6 +3773,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ols_trend": q_ols_trend,
         "theil_sen": q_theil_sen,
         "interval_join_sessions": q_interval_join_sessions,
+        "acf_stats": q_acf_stats,
+        "ljung_box": q_ljung_box,
     }
 
 
@@ -3780,4 +3854,6 @@ def oracle_sql() -> dict[str, str]:
         "ols_trend": SQL_OLS_TREND,
         "theil_sen": SQL_THEIL_SEN,
         "interval_join_sessions": SQL_INTERVAL_JOIN,
+        "acf_stats": SQL_ACF,
+        "ljung_box": SQL_LJUNG_BOX,
     }
