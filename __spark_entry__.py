@@ -3678,6 +3678,166 @@ FROM terms GROUP BY k, n
 """
 
 
+def q_hampel_anomalies(spark, sf_dir):
+    """Hampel rolling-median outlier flags over the hourly integer tier
+    (operators/anomaly.hampel): centered 7-bucket window, exact BIGINT
+    median/MAD (odd window of ints -> an element, never an average) and
+    the flag comparison dev*10000 > 44478*mad all in exact-int domain —
+    no floats anywhere, bit-identical by construction."""
+    from rtsa_spark.operators.anomaly import hampel
+
+    tier = _hourly_x(spark, sf_dir).select(
+        "event_type", F.unix_timestamp("bucket_start").alias("t"), "x"
+    )
+    return hampel(tier, "event_type", "t", "x", half_window=3)
+
+
+SQL_HAMPEL = f"""
+WITH {_SQL_HOURLY_X},
+t AS (
+  SELECT k, CAST(epoch(b) AS BIGINT) AS t, x,
+         list(x) OVER (PARTITION BY k ORDER BY b
+                       ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS arr
+  FROM h),
+m AS (
+  SELECT k, t, x, arr,
+         CASE WHEN len(arr) = 7 THEN list_sort(arr)[4] END AS med
+  FROM t),
+d AS (
+  SELECT k, t, x, med,
+         CASE WHEN med IS NOT NULL THEN
+           list_sort(list_transform(arr, v -> abs(v - med)))[4] END AS mad
+  FROM m)
+SELECT k AS event_type, t, x, CAST(med AS BIGINT) AS med,
+       CAST(mad AS BIGINT) AS mad,
+       CAST(CASE WHEN med IS NULL THEN NULL
+                 WHEN abs(x - med) * 10000 > 44478 * mad THEN 1 ELSE 0 END
+            AS BIGINT) AS anom
+FROM d
+"""
+
+
+def q_seasonal_naive_mase(spark, sf_dir):
+    """Seasonal-naive (period 24) forecast accuracy per event_type
+    (operators/forecast.seasonal_naive_accuracy): Hyndman & Koehler 2006
+    MASE with the in-sample naive-1 denominator. Exact BIGINT error sums,
+    one correctly-rounded divide each for mae/mase — bit-identical with
+    no ordered float sums at all."""
+    from rtsa_spark.operators.forecast import seasonal_naive_accuracy
+
+    tier = _hourly_x(spark, sf_dir).select(
+        "event_type", F.unix_timestamp("bucket_start").alias("t"), "x"
+    )
+    return seasonal_naive_accuracy(tier, "event_type", "t", "x", period=24)
+
+
+SQL_SEASONAL_NAIVE = f"""
+WITH {_SQL_HOURLY_X},
+l AS (
+  SELECT k,
+         abs(x - lag(x, 24) OVER w) AS err,
+         abs(x - lag(x, 1) OVER w) AS dif
+  FROM h WINDOW w AS (PARTITION BY k ORDER BY b)),
+a AS (SELECT k, CAST(count(*) AS BIGINT) AS n,
+             CAST(count(err) AS BIGINT) AS m_eval,
+             sum(err) AS se, sum(dif) AS sd
+      FROM l GROUP BY 1)
+SELECT k AS event_type, n, m_eval,
+  CASE WHEN m_eval > 0
+       THEN CAST(floor((se / m_eval) * 1e6) AS BIGINT) END AS mae_e6,
+  CASE WHEN m_eval > 0 AND sd > 0 THEN
+    CAST(floor(((se * (n - 1)) / (sd * m_eval)) * 1e9) AS BIGINT)
+  END AS mase_e9
+FROM a
+"""
+
+
+def q_period_strength_scan(spark, sf_dir):
+    """Periodicity-strength scan over candidate periods 6/12/24
+    (operators/forecast.period_strength): rows truncated to complete
+    cycles so every phase has equal counts, then the between-phase
+    variance ratio (p*sum Sj^2 - S^2)/(n*sum x^2 - S^2) — exact-int
+    numerator and denominator (< 2^53 at gate SF), ONE correctly-rounded
+    divide. Feeds the period parameter of functions/stl.py / x11.py."""
+    from rtsa_spark.operators.forecast import period_strength
+
+    tier = _hourly_x(spark, sf_dir).select(
+        "event_type", F.unix_timestamp("bucket_start").alias("t"), "x"
+    )
+    return period_strength(tier, "event_type", "t", "x", [6, 12, 24])
+
+
+SQL_PERIOD_STRENGTH = f"""
+WITH {_SQL_HOURLY_X},
+t AS MATERIALIZED (
+  SELECT k, row_number() OVER (PARTITION BY k ORDER BY b) - 1 AS i, x,
+         count(*) OVER (PARTITION BY k) AS n
+  FROM h),
+p AS (SELECT unnest([6, 12, 24]) AS period),
+u AS (
+  SELECT t.k, p.period, t.i % p.period AS phase, t.x
+  FROM t CROSS JOIN p
+  WHERE t.i < t.n - t.n % p.period),
+ph AS (
+  SELECT k, period, phase, sum(x) AS sj, count(*) AS m, sum(x * x) AS sxx
+  FROM u GROUP BY 1, 2, 3),
+a AS (
+  SELECT k, period, CAST(sum(m) AS BIGINT) AS n_used, max(m) AS m,
+         sum(sj) AS s, sum(sj * sj) AS ssj, sum(sxx) AS sxx
+  FROM ph GROUP BY 1, 2)
+SELECT k AS event_type, CAST(period AS BIGINT) AS period, n_used,
+  CASE WHEN m >= 2 AND (n_used * sxx - s * s) > 0 THEN
+    CAST(floor(((period * ssj - s * s) / (n_used * sxx - s * s)) * 1e9)
+         AS BIGINT)
+  END AS strength_e9
+FROM a
+"""
+
+
+def q_holt_smoothing(spark, sf_dir):
+    """SES + Holt level/trend finals with a 24-step forecast per
+    event_type (operators/smooth.holt_smooth, alpha=1/4, beta=1/8 —
+    binary rationals so the fold ops are exact). Spark evaluates the
+    recursions as an ``aggregate`` left-fold over the time-sorted array;
+    the oracle replays the IDENTICAL op sequence as a recursive CTE
+    (DuckDB's list_reduce mis-binds STRUCT accumulators, so the coupled
+    Holt recursion must not use it) — bit-identical finals."""
+    from rtsa_spark.operators.smooth import holt_smooth
+
+    tier = _hourly_x(spark, sf_dir).select(
+        "event_type", F.unix_timestamp("bucket_start").alias("t"), "x"
+    )
+    return holt_smooth(
+        tier, "event_type", "t", "x", alpha=0.25, beta=0.125, horizon=24
+    )
+
+
+SQL_HOLT = f"""
+WITH RECURSIVE {_SQL_HOURLY_X},
+t AS MATERIALIZED (
+  SELECT k, row_number() OVER (PARTITION BY k ORDER BY b) AS i,
+         CAST(x AS DOUBLE) AS x
+  FROM h),
+cnt AS (SELECT k, CAST(count(*) AS BIGINT) AS n FROM t GROUP BY 1),
+r AS (
+  SELECT t.k, t.i, t.x AS ses, t.x AS l, 0e0 AS b FROM t WHERE t.i = 1
+  UNION ALL
+  SELECT r.k, t.i,
+    0.25e0 * t.x + 0.75e0 * r.ses AS ses,
+    0.25e0 * t.x + 0.75e0 * (r.l + r.b) AS l,
+    0.125e0 * ((0.25e0 * t.x + 0.75e0 * (r.l + r.b)) - r.l)
+      + 0.875e0 * r.b AS b
+  FROM r JOIN t ON t.k = r.k AND t.i = r.i + 1
+)
+SELECT cnt.k AS event_type, cnt.n,
+       CAST(floor(r.ses * 1e6) AS BIGINT) AS ses_e6,
+       CAST(floor(r.l * 1e6) AS BIGINT) AS level_e6,
+       CAST(floor(r.b * 1e6) AS BIGINT) AS trend_e6,
+       CAST(floor((r.l + 24e0 * r.b) * 1e6) AS BIGINT) AS fc_e6
+FROM cnt JOIN r ON r.k = cnt.k AND r.i = cnt.n
+"""
+
+
 # ------------------------------------------------------------ entry points
 
 
@@ -3775,6 +3935,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interval_join_sessions": q_interval_join_sessions,
         "acf_stats": q_acf_stats,
         "ljung_box": q_ljung_box,
+        "hampel_anomalies": q_hampel_anomalies,
+        "seasonal_naive_mase": q_seasonal_naive_mase,
+        "period_strength_scan": q_period_strength_scan,
+        "holt_smoothing": q_holt_smoothing,
     }
 
 
@@ -3856,4 +4020,8 @@ def oracle_sql() -> dict[str, str]:
         "interval_join_sessions": SQL_INTERVAL_JOIN,
         "acf_stats": SQL_ACF,
         "ljung_box": SQL_LJUNG_BOX,
+        "hampel_anomalies": SQL_HAMPEL,
+        "seasonal_naive_mase": SQL_SEASONAL_NAIVE,
+        "period_strength_scan": SQL_PERIOD_STRENGTH,
+        "holt_smoothing": SQL_HOLT,
     }
