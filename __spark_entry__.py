@@ -3838,6 +3838,100 @@ FROM cnt JOIN r ON r.k = cnt.k AND r.i = cnt.n
 """
 
 
+def q_pettitt_changepoint(spark, sf_dir):
+    """Pettitt (1979) change-point statistic per event_type over the
+    hourly integer tier (operators/changepoint.pettitt): U_t via the
+    prefix-sum-of-sign-sums identity (rank arithmetic, no pair triangle),
+    K = max|U_t| and the earliest argmax bucket — ALL exact BIGINT.  The
+    operator's exp-based p-value is excluded from the gate columns
+    (libm exp is not correctly rounded cross-engine); six_k2 carries the
+    exact-int input to it instead."""
+    from rtsa_spark.operators.changepoint import pettitt
+
+    tier = _hourly_x(spark, sf_dir).select(
+        "event_type", F.unix_timestamp("bucket_start").alias("t"), "x"
+    )
+    return pettitt(tier, "event_type", "t", "x").select(
+        "event_type", "n", "k_stat", "u_at_cp", "cp_t", "six_k2"
+    )
+
+
+SQL_PETTITT = f"""
+WITH {_SQL_HOURLY_X},
+t AS (SELECT k, CAST(epoch(b) AS BIGINT) AS t, x FROM h),
+rk AS (
+  SELECT k, t,
+    count(*) OVER (PARTITION BY k) AS n,
+    rank() OVER (PARTITION BY k ORDER BY x) - 1 AS less,
+    count(*) OVER (PARTITION BY k, x) AS cnt
+  FROM t),
+u AS (
+  SELECT k, t, n,
+    row_number() OVER (PARTITION BY k ORDER BY t) AS rn,
+    sum(2 * less + cnt - n) OVER (PARTITION BY k ORDER BY t
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS uu
+  FROM rk),
+cuts AS (SELECT * FROM u WHERE rn < n),
+mx AS (SELECT k, n, max(abs(uu)) AS k_stat FROM cuts GROUP BY 1, 2)
+SELECT cuts.k AS event_type, CAST(mx.n AS BIGINT) AS n,
+       CAST(mx.k_stat AS BIGINT) AS k_stat,
+       CAST(arg_min(cuts.uu, cuts.t) AS BIGINT) AS u_at_cp,
+       CAST(min(cuts.t) AS BIGINT) AS cp_t,
+       CAST(6 * mx.k_stat * mx.k_stat AS BIGINT) AS six_k2
+FROM cuts JOIN mx ON cuts.k = mx.k AND abs(cuts.uu) = mx.k_stat
+GROUP BY cuts.k, mx.n, mx.k_stat
+"""
+
+
+def q_ccf_pairs(spark, sf_dir):
+    """Cross-correlation between every event_type pair at lags 0/1/2/24
+    over the hourly tier (operators/acf.ccf): exact-int residual
+    numerators zx = m*x - Sx on each pair's COMMON bucket spine, exact
+    integer numerator/denominator sums, then the fixed chain
+    num / (sqrt(dx) * sqrt(dy)) — int->double conversions, two
+    correctly-rounded sqrts, one multiply, one divide: bit-identical."""
+    from rtsa_spark.operators.acf import ccf
+
+    tier = _hourly_x(spark, sf_dir).select(
+        "event_type", F.unix_timestamp("bucket_start").alias("t"), "x"
+    )
+    return ccf(tier, "event_type", "t", "x", [0, 1, 2, 24])
+
+
+SQL_CCF = f"""
+WITH {_SQL_HOURLY_X},
+pr AS MATERIALIZED (
+  SELECT a.k AS kx, b.k AS ky, a.b AS ts, a.x AS x, b.x AS y
+  FROM h a JOIN h b ON a.b = b.b AND a.k < b.k),
+st AS (SELECT kx, ky, CAST(count(*) AS BIGINT) AS m,
+              sum(x) AS sx, sum(y) AS sy FROM pr GROUP BY 1, 2),
+zi AS MATERIALIZED (
+  SELECT pr.kx, pr.ky, st.m,
+         row_number() OVER (PARTITION BY pr.kx, pr.ky ORDER BY pr.ts) - 1
+           AS i,
+         st.m * pr.x - st.sx AS zx, st.m * pr.y - st.sy AS zy
+  FROM pr JOIN st ON pr.kx = st.kx AND pr.ky = st.ky),
+lags AS (SELECT unnest([0, 1, 2, 24]) AS lag),
+den AS (SELECT kx, ky, m, sum(zx * zx) AS dx, sum(zy * zy) AS dy
+        FROM zi GROUP BY 1, 2, 3),
+num AS (
+  SELECT a.kx, a.ky, l.lag, sum(a.zx * b.zy) AS num
+  FROM zi a JOIN lags l ON a.i >= l.lag
+       JOIN zi b ON b.kx = a.kx AND b.ky = a.ky AND b.i = a.i - l.lag
+  GROUP BY 1, 2, 3),
+grid AS (SELECT d.kx, d.ky, l.lag, d.m, d.dx, d.dy
+         FROM den d CROSS JOIN lags l)
+SELECT grid.kx, grid.ky, CAST(grid.lag AS BIGINT) AS lag, grid.m,
+  CASE WHEN grid.m > grid.lag AND grid.dx > 0 AND grid.dy > 0 THEN
+    CAST(floor((num.num / (sqrt(CAST(grid.dx AS DOUBLE))
+                           * sqrt(CAST(grid.dy AS DOUBLE)))) * 1e9)
+         AS BIGINT)
+  END AS ccf_e9
+FROM grid LEFT JOIN num ON grid.kx = num.kx AND grid.ky = num.ky
+                       AND grid.lag = num.lag
+"""
+
+
 # ------------------------------------------------------------ entry points
 
 
@@ -3939,6 +4033,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seasonal_naive_mase": q_seasonal_naive_mase,
         "period_strength_scan": q_period_strength_scan,
         "holt_smoothing": q_holt_smoothing,
+        "pettitt_changepoint": q_pettitt_changepoint,
+        "ccf_pairs": q_ccf_pairs,
     }
 
 
@@ -4024,4 +4120,6 @@ def oracle_sql() -> dict[str, str]:
         "seasonal_naive_mase": SQL_SEASONAL_NAIVE,
         "period_strength_scan": SQL_PERIOD_STRENGTH,
         "holt_smoothing": SQL_HOLT,
+        "pettitt_changepoint": SQL_PETTITT,
+        "ccf_pairs": SQL_CCF,
     }

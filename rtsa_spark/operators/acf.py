@@ -37,7 +37,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["acf", "ljung_box"]
+__all__ = ["acf", "ccf", "ljung_box"]
 
 
 def _acf_long(
@@ -116,6 +116,112 @@ def acf(
         F.when(ok, F.floor((F.col("num") / F.col("den")) * 1e9))
         .cast("bigint")
         .alias("acf_e9"),
+    )
+
+
+def ccf(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    lags: list[int],
+) -> DataFrame:
+    """Cross-correlation between every ordered key pair at given lags.
+
+    For each pair ``(kx, ky)`` with ``kx < ky`` the two series are inner-
+    joined on the bucket (the pair's COMMON spine, length ``m``) and
+
+        r_xy(L) = sum_t zx_t * zy_{t-L} / (sqrt(sum zx^2) * sqrt(sum zy^2))
+
+    with ``zx_i = m*x_i - Sx`` / ``zy_i = m*y_i - Sy`` the exact-int
+    residual numerators over the common spine (positive ``r`` at lag L
+    means y LEADS x by L buckets).  Numerator and the two denominator
+    sums are exact integer sums; the final chain is int->double
+    conversions, two correctly-rounded ``sqrt``s, one multiply, one
+    divide — bit-identical across engines (``sqrt(A)*sqrt(B)``, never
+    ``sqrt(A*B)``: the product can overflow the exact-int domain).
+    Emits ``(kx, ky, lag, m, ccf_e9)``; NULL when ``m <= lag`` or
+    either series is constant on the common spine.
+
+    Scale shape: one equi-join on bucket (quadratic in KEY count, not in
+    rows — callers with many keys should pre-filter the pair set), then
+    the same single-window single-agg design as :func:`acf`.
+    """
+    if not lags or any(int(l) < 0 for l in lags):
+        raise ValueError(f"lags must be ints >= 0, got {lags}")
+    lags = sorted({int(l) for l in lags})
+    base = df.select(
+        F.col(key_col).alias("_k"),
+        F.col(ts_col).alias("_ts"),
+        F.col(value_col).cast("bigint").alias("_x"),
+    )
+    left = base.select(
+        F.col("_k").alias("kx"), "_ts", F.col("_x").alias("x")
+    )
+    right = base.select(
+        F.col("_k").alias("ky"), "_ts", F.col("_x").alias("y")
+    )
+    pair = left.join(right, "_ts").where(F.col("kx") < F.col("ky"))
+    stats = pair.groupBy("kx", "ky").agg(
+        F.count(F.lit(1)).alias("_m"),
+        F.sum("x").alias("_sx"),
+        F.sum("y").alias("_sy"),
+    )
+    w = Window.partitionBy("kx", "ky").orderBy("_ts")
+    z = (
+        pair.join(F.broadcast(stats), ["kx", "ky"])
+        .withColumn("_zx", F.col("_m") * F.col("x") - F.col("_sx"))
+        .withColumn("_zy", F.col("_m") * F.col("y") - F.col("_sy"))
+        .select(
+            "kx",
+            "ky",
+            "_m",
+            "_zx",
+            "_zy",
+            *[F.lag("_zy", L).over(w).alias(f"_zyl{L}") for L in lags],
+        )
+    )
+    agg = z.groupBy("kx", "ky", "_m").agg(
+        F.sum(F.col("_zx") * F.col("_zx")).alias("_dx"),
+        F.sum(F.col("_zy") * F.col("_zy")).alias("_dy"),
+        *[
+            F.sum(F.col("_zx") * F.col(f"_zyl{L}")).alias(f"_num{L}")
+            for L in lags
+        ],
+    )
+    stacked = agg.select(
+        "kx",
+        "ky",
+        "_m",
+        "_dx",
+        "_dy",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(L).cast("bigint").alias("lag"),
+                        F.col(f"_num{L}").alias("num"),
+                    )
+                    for L in lags
+                ]
+            )
+        ).alias("_s"),
+    )
+    ok = (
+        (F.col("_m") > F.col("_s.lag"))
+        & (F.col("_dx") > 0)
+        & (F.col("_dy") > 0)
+    )
+    r = F.col("_s.num") / (
+        F.sqrt(F.col("_dx").cast("double"))
+        * F.sqrt(F.col("_dy").cast("double"))
+    )
+    return stacked.select(
+        "kx",
+        "ky",
+        F.col("_s.lag").alias("lag"),
+        F.col("_m").cast("bigint").alias("m"),
+        F.when(ok, F.floor(r * 1e9)).cast("bigint").alias("ccf_e9"),
     )
 
 
