@@ -3932,6 +3932,65 @@ FROM grid LEFT JOIN num ON grid.kx = num.kx AND grid.ky = num.ky
 """
 
 
+def q_chunk_documents(spark, sf_dir):
+    """Overlapping context-window chunking of every document (64-token
+    windows every 48 — operators/sampling.chunk_documents): pure-Catalyst
+    split + sequence + slice, no shuffle; per chunk the exact token
+    count and the engine-portable 48-bit md5 prefix of the re-joined
+    chunk text. All integer columns — hash-exact by construction."""
+    from rtsa_spark.operators.sampling import chunk_documents
+
+    return chunk_documents(_documents(spark, sf_dir), window=64, stride=48)
+
+
+SQL_CHUNKS = """
+WITH d AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+n AS (SELECT doc_id, toks, len(toks) AS n FROM d),
+s AS (SELECT doc_id, toks, n, unnest(range(0, n, 48)) AS start_tok FROM n),
+f AS (SELECT * FROM s WHERE start_tok = 0 OR start_tok - 48 + 64 < n),
+p AS (
+  SELECT doc_id, start_tok,
+         list_slice(toks, start_tok + 1, start_tok + 64) AS piece
+  FROM f)
+SELECT doc_id,
+       CAST(start_tok // 48 AS BIGINT) AS chunk_id,
+       CAST(start_tok AS BIGINT) AS start_tok,
+       CAST(len(piece) AS BIGINT) AS n_tok,
+       ('0x' || substr(md5(array_to_string(piece, ' ')), 1, 12))::BIGINT
+         AS chunk_hash
+FROM p
+"""
+
+
+def q_domain_weights(spark, sf_dir):
+    """Temperature (alpha=1/2) domain-resampling weights over documents
+    by source, weighted by character mass
+    (operators/sampling.domain_temperature_weights). sqrt is the one
+    exponent that is IEEE-correctly-rounded on both engines; the
+    denominator is the ordered ascending-key float fold (the
+    list_sum(list(x ORDER BY k)) portability pattern)."""
+    from rtsa_spark.operators.sampling import domain_temperature_weights
+
+    return domain_temperature_weights(
+        _documents(spark, sf_dir), key_col="source", tokens_expr=F.col("n_chars")
+    )
+
+
+SQL_DOMAIN_WEIGHTS = """
+WITH per AS (
+  SELECT source AS k, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_chars) AS BIGINT) AS n_units
+  FROM documents GROUP BY 1),
+tot AS (SELECT list_sum(list(sqrt(CAST(n_units AS DOUBLE)) ORDER BY k))
+          AS t FROM per)
+SELECT per.k AS source, per.n_docs, per.n_units,
+       CAST(floor(sqrt(CAST(per.n_units AS DOUBLE)) / tot.t * 1e6)
+            AS BIGINT) AS w_e6
+FROM per CROSS JOIN tot
+"""
+
+
 # ------------------------------------------------------------ entry points
 
 
@@ -4035,6 +4094,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "holt_smoothing": q_holt_smoothing,
         "pettitt_changepoint": q_pettitt_changepoint,
         "ccf_pairs": q_ccf_pairs,
+        "chunk_documents": q_chunk_documents,
+        "domain_weights": q_domain_weights,
     }
 
 
@@ -4122,4 +4183,6 @@ def oracle_sql() -> dict[str, str]:
         "holt_smoothing": SQL_HOLT,
         "pettitt_changepoint": SQL_PETTITT,
         "ccf_pairs": SQL_CCF,
+        "chunk_documents": SQL_CHUNKS,
+        "domain_weights": SQL_DOMAIN_WEIGHTS,
     }

@@ -88,6 +88,107 @@ def hash_sample(
     return df.where(hash_bucket(id_col, salt) < rate_e4)
 
 
+def chunk_documents(
+    df: DataFrame,
+    window: int,
+    stride: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split each document into overlapping ``window``-token chunks every
+    ``stride`` tokens — the standard context-window prep for long-document
+    pretraining/embedding.  Chunk c covers tokens ``[c*stride, c*stride +
+    window)``; a chunk is emitted iff it is the first OR its predecessor
+    did not already reach the document's end (no fully-redundant tail
+    suffixes).  Tokens are the corpus's single-space words (same
+    tokenizer as :func:`rtsa_spark.functions.text.word_count`).
+
+    Emits ``(id, chunk_id, start_tok, n_tok, chunk_hash)`` with
+    ``chunk_hash`` the 48-bit md5 integer prefix of the re-joined chunk
+    text — the engine-portable hash recipe (module docstring).
+
+    Scale shape: pure Catalyst — split once, ``sequence`` + ``explode``
+    + ``slice`` all codegen'd; no shuffle at all (narrow op), output size
+    ~ total_tokens/stride rows per doc.
+    """
+    if window <= 0 or stride <= 0 or stride > window:
+        raise ValueError(
+            f"need 0 < stride <= window, got window={window} stride={stride}"
+        )
+    toks = df.select(
+        F.col(id_col),
+        F.split(F.col(text_col), " ").alias("_toks"),
+    ).withColumn("_n", F.size("_toks"))
+    chunks = toks.select(
+        id_col,
+        "_toks",
+        "_n",
+        F.explode(
+            F.sequence(F.lit(0), F.col("_n") - 1, F.lit(stride))
+        ).alias("start_tok"),
+    ).where(
+        (F.col("start_tok") == 0)
+        | (F.col("start_tok") - stride + window < F.col("_n"))
+    )
+    piece = F.slice("_toks", F.col("start_tok") + 1, F.lit(window))
+    joined = F.array_join(piece, " ")
+    return chunks.select(
+        id_col,
+        F.floor(F.col("start_tok") / stride).cast("bigint").alias("chunk_id"),
+        F.col("start_tok").cast("bigint").alias("start_tok"),
+        F.size(piece).cast("bigint").alias("n_tok"),
+        F.conv(F.substring(F.md5(joined), 1, 12), 16, 10)
+        .cast("bigint")
+        .alias("chunk_hash"),
+    )
+
+
+def domain_temperature_weights(
+    df: DataFrame,
+    key_col: str = "source",
+    tokens_expr=None,
+) -> DataFrame:
+    """Temperature-based domain resampling weights at alpha = 1/2 (the
+    multilingual-pretraining rebalancing move: w_d ∝ n_d^alpha flattens
+    the domain distribution so small domains are not drowned).  alpha is
+    FIXED at 1/2 because ``sqrt`` is IEEE-correctly-rounded on both
+    engines while ``pow(x, a)`` is not — the only exponent with a
+    bit-equality guarantee.
+
+    Emits ``(key, n_docs, n_units, w_e6)`` with ``w_e6 = floor(1e6 *
+    sqrt(n_units) / sum_d sqrt(n_units_d))``; the denominator is an
+    ORDERED ascending-key float fold (the list_sum(list(x ORDER BY k))
+    portability pattern).  ``tokens_expr`` defaults to counting rows
+    (docs); pass e.g. ``F.col("n_chars")`` to weight by token/char mass.
+
+    Scale shape: one map-side-combinable agg to domain cardinality, then
+    a broadcast of the (tiny) per-domain table; the fold runs over
+    #domains values, never over rows.
+    """
+    unit = F.lit(1) if tokens_expr is None else tokens_expr
+    per = df.groupBy(F.col(key_col).alias("k")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(unit).cast("bigint").alias("n_units"),
+    )
+    tot = per.select(
+        F.aggregate(
+            F.sort_array(
+                F.collect_list(F.struct("k", F.sqrt(F.col("n_units")).alias("r")))
+            ),
+            F.lit(0.0),
+            lambda acc, s: acc + s["r"],
+        ).alias("_tot")
+    )
+    return per.crossJoin(F.broadcast(tot)).select(
+        F.col("k").alias(key_col),
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+        "n_units",
+        F.floor(F.sqrt(F.col("n_units")) / F.col("_tot") * 1e6)
+        .cast("bigint")
+        .alias("w_e6"),
+    )
+
+
 def token_budget_pack(
     df: DataFrame,
     budget: int,
