@@ -3991,6 +3991,77 @@ FROM per CROSS JOIN tot
 """
 
 
+def q_lttb_downsample(spark, sf_dir):
+    """LTTB shape-preserving downsample to 40 points per event_type over
+    the hourly tier (operators/downsample.lttb_downsample, Steinarsson
+    2013). Exact-int bucket assignment and 2*area*mn triangle-area
+    argmax keep the ENTIRE sequential selection chain in BIGINT domain;
+    the oracle replays it with a recursive CTE picking each bucket's
+    argmax via a (neg_area, i)-sorted struct list — bit-exact, ties to
+    the earliest index on both engines."""
+    from rtsa_spark.operators.downsample import lttb_downsample
+
+    tier = _hourly_x(spark, sf_dir).select(
+        "event_type", F.unix_timestamp("bucket_start").alias("t"), "x"
+    )
+    return lttb_downsample(tier, "event_type", "t", "x", m=40)
+
+
+SQL_LTTB = f"""
+WITH RECURSIVE {_SQL_HOURLY_X},
+t0 AS MATERIALIZED (
+  SELECT k, CAST(epoch(b) AS BIGINT) AS t, x,
+         row_number() OVER (PARTITION BY k ORDER BY b) - 1 AS i,
+         count(*) OVER (PARTITION BY k) AS n
+  FROM h),
+small AS (SELECT k, i AS rank, i, t, x FROM t0 WHERE n <= 40 OR n < 3),
+big AS MATERIALIZED (SELECT * FROM t0 WHERE n > 40 AND n >= 3),
+ib AS MATERIALIZED (
+  SELECT k, n, i, t, x, ((i - 1) * 38) // (n - 2) AS bkt
+  FROM big WHERE i >= 1 AND i <= n - 2),
+bc AS MATERIALIZED (
+  SELECT k, bkt,
+         list(struct_pack(i := i, t := t, x := x) ORDER BY i) AS cands,
+         CAST(sum(i) AS BIGINT) AS gi, CAST(sum(x) AS BIGINT) AS gx,
+         CAST(count(*) AS BIGINT) AS mn
+  FROM ib GROUP BY 1, 2),
+lastp AS (SELECT k, n, t, x FROM big WHERE i = n - 1),
+cent AS MATERIALIZED (
+  SELECT k, bkt - 1 AS bkt, gi, gx, mn FROM bc WHERE bkt >= 1
+  UNION ALL
+  SELECT k, 37 AS bkt, CAST(n - 1 AS BIGINT) AS gi,
+         CAST(x AS BIGINT) AS gx, CAST(1 AS BIGINT) AS mn
+  FROM lastp),
+rec AS (
+  SELECT k, -1 AS bkt,
+         struct_pack(nega := CAST(0 AS BIGINT), i := i, t := t, x := x) AS p
+  FROM big WHERE i = 0
+  UNION ALL
+  SELECT r.k, bc.bkt,
+    list_sort(list_transform(bc.cands, c ->
+      struct_pack(
+        nega := -abs((c.i - r.p.i) * (ce.gx - ce.mn * r.p.x)
+                     - (ce.gi - ce.mn * r.p.i) * (c.x - r.p.x)),
+        i := c.i, t := c.t, x := c.x)))[1] AS p
+  FROM rec r
+  JOIN bc ON bc.k = r.k AND bc.bkt = r.bkt + 1
+  JOIN cent ce ON ce.k = r.k AND ce.bkt = bc.bkt
+)
+SELECT k AS event_type, CAST(bkt + 1 AS BIGINT) AS rank,
+       CAST(p.i AS BIGINT) AS i, CAST(p.t AS BIGINT) AS t,
+       CAST(p.x AS BIGINT) AS x
+FROM rec
+UNION ALL
+SELECT k, CAST(39 AS BIGINT), CAST(n - 1 AS BIGINT),
+       CAST(t AS BIGINT), CAST(x AS BIGINT)
+FROM lastp
+UNION ALL
+SELECT k, CAST(rank AS BIGINT), CAST(i AS BIGINT),
+       CAST(t AS BIGINT), CAST(x AS BIGINT)
+FROM small
+"""
+
+
 # ------------------------------------------------------------ entry points
 
 
@@ -4096,6 +4167,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ccf_pairs": q_ccf_pairs,
         "chunk_documents": q_chunk_documents,
         "domain_weights": q_domain_weights,
+        "lttb_downsample": q_lttb_downsample,
     }
 
 
@@ -4185,4 +4257,5 @@ def oracle_sql() -> dict[str, str]:
         "ccf_pairs": SQL_CCF,
         "chunk_documents": SQL_CHUNKS,
         "domain_weights": SQL_DOMAIN_WEIGHTS,
+        "lttb_downsample": SQL_LTTB,
     }
