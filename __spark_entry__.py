@@ -4062,6 +4062,55 @@ FROM small
 """
 
 
+def q_holt_winters(spark, sf_dir):
+    """Additive Holt-Winters (period 24) finals per event_type
+    (operators/smooth.holt_winters; alpha=1/4 beta=1/8 delta=1/4 —
+    binary rationals). The seasonal state rides the fold as a rotating
+    24-queue; the oracle replays the identical op sequence in a
+    recursive CTE whose state carries the same DOUBLE[24] list —
+    bit-identical finals including the h=24 seasonal forecast."""
+    from rtsa_spark.operators.smooth import holt_winters
+
+    tier = _hourly_x(spark, sf_dir).select(
+        "event_type", F.unix_timestamp("bucket_start").alias("t"), "x"
+    )
+    return holt_winters(
+        tier, "event_type", "t", "x",
+        period=24, alpha=0.25, beta=0.125, delta=0.25, horizon=24,
+    )
+
+
+_HW_ZEROS = "[" + ", ".join(["0e0"] * 24) + "]"
+
+SQL_HOLT_WINTERS = f"""
+WITH RECURSIVE {_SQL_HOURLY_X},
+t AS MATERIALIZED (
+  SELECT k, row_number() OVER (PARTITION BY k ORDER BY b) AS i,
+         CAST(x AS DOUBLE) AS x
+  FROM h),
+cnt AS (SELECT k, CAST(count(*) AS BIGINT) AS n FROM t GROUP BY 1),
+r AS (
+  SELECT t.k, t.i, t.x AS l, 0e0 AS b, {_HW_ZEROS} AS s
+  FROM t WHERE t.i = 1
+  UNION ALL
+  SELECT r.k, t.i,
+    0.25e0 * (t.x - r.s[1]) + 0.75e0 * (r.l + r.b) AS l,
+    0.125e0 * ((0.25e0 * (t.x - r.s[1]) + 0.75e0 * (r.l + r.b)) - r.l)
+      + 0.875e0 * r.b AS b,
+    list_append(r.s[2:24],
+      0.25e0 * (t.x - (0.25e0 * (t.x - r.s[1]) + 0.75e0 * (r.l + r.b)))
+        + 0.75e0 * r.s[1]) AS s
+  FROM r JOIN t ON t.k = r.k AND t.i = r.i + 1
+)
+SELECT cnt.k AS event_type, cnt.n,
+       CAST(floor(r.l * 1e6) AS BIGINT) AS level_e6,
+       CAST(floor(r.b * 1e6) AS BIGINT) AS trend_e6,
+       CAST(floor(r.s[1] * 1e6) AS BIGINT) AS s_next_e6,
+       CAST(floor((r.l + 24e0 * r.b + r.s[24]) * 1e6) AS BIGINT) AS fc_e6
+FROM cnt JOIN r ON r.k = cnt.k AND r.i = cnt.n
+"""
+
+
 # ------------------------------------------------------------ entry points
 
 
@@ -4168,6 +4217,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_documents": q_chunk_documents,
         "domain_weights": q_domain_weights,
         "lttb_downsample": q_lttb_downsample,
+        "holt_winters": q_holt_winters,
     }
 
 
@@ -4258,4 +4308,5 @@ def oracle_sql() -> dict[str, str]:
         "chunk_documents": SQL_CHUNKS,
         "domain_weights": SQL_DOMAIN_WEIGHTS,
         "lttb_downsample": SQL_LTTB,
+        "holt_winters": SQL_HOLT_WINTERS,
     }

@@ -35,7 +35,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["holt_smooth"]
+__all__ = ["holt_smooth", "holt_winters"]
 
 
 def _check_binary_rational(name: str, v: float) -> None:
@@ -123,4 +123,103 @@ def holt_smooth(
         e6(
             F.col("_st.l") + F.lit(float(horizon)) * F.col("_st.b")
         ).alias("fc_e6"),
+    )
+
+
+def holt_winters(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    period: int,
+    alpha: float = 0.25,
+    beta: float = 0.125,
+    delta: float = 0.25,
+    horizon: int = 24,
+) -> DataFrame:
+    """Additive Holt-Winters (Winters 1960) level/trend/seasonal finals
+    per key, same IEEE-deterministic fold contract as :func:`holt_smooth`:
+
+        l_t = a*(x_t - s_{t-p}) + (1-a)*(l_{t-1} + b_{t-1})
+        b_t = g*(l_t - l_{t-1}) + (1-g)*b_{t-1}
+        s_t = d*(x_t - l_t)     + (1-d)*s_{t-p}
+
+    State is a struct ``(l, b, s[p])`` with the seasonal vector kept as a
+    rotating queue (head = the seasonal owed to the CURRENT step), folded
+    left over the time-sorted array inside codegen.  Init is the
+    simplified deterministic start ``l_0 = x_0, b_0 = 0, s = zeros(p)``
+    — the first element only sets the level, exactly as in
+    :func:`holt_smooth` (classical init instead fits a full first cycle;
+    documented divergence — after a few cycles the recursions coincide).
+
+    Emits ``(key, n, level_e6, trend_e6, s_next_e6, fc_e6)`` — finals at
+    1e-6 floor quantization; ``s_next_e6`` is the seasonal the NEXT
+    bucket would consume, ``fc_e6 = l + horizon*b + s[(horizon-1) mod p]``
+    the additive h-step forecast.
+
+    Scale shape: identical to :func:`holt_smooth` — one ``collect_list``
+    per key, O(p) state, no UDFs.
+    """
+    _check_binary_rational("alpha", alpha)
+    _check_binary_rational("beta", beta)
+    _check_binary_rational("delta", delta)
+    if period < 2:
+        raise ValueError(f"period must be >= 2, got {period}")
+    if horizon < 1:
+        raise ValueError(f"horizon must be >= 1, got {horizon}")
+    p = int(period)
+    a, na = float(alpha), 1.0 - float(alpha)
+    g, ng = float(beta), 1.0 - float(beta)
+    d, nd = float(delta), 1.0 - float(delta)
+
+    arr = F.sort_array(
+        F.collect_list(
+            F.struct(
+                F.col(ts_col).alias("t"),
+                F.col(value_col).cast("bigint").alias("x"),
+            )
+        )
+    )
+    grouped = df.groupBy(F.col(key_col).alias("k")).agg(arr.alias("_arr"))
+    xs = F.transform("_arr", lambda s: s["x"].cast("double"))
+    with_xs = grouped.select("k", F.size("_arr").alias("n"), xs.alias("_xs"))
+
+    def step(acc, e):
+        s1 = F.element_at(acc["s"], 1)
+        l2 = F.lit(a) * (e - s1) + F.lit(na) * (acc["l"] + acc["b"])
+        return F.struct(
+            l2.alias("l"),
+            (F.lit(g) * (l2 - acc["l"]) + F.lit(ng) * acc["b"]).alias("b"),
+            F.concat(
+                F.slice(acc["s"], 2, p - 1),
+                F.array(F.lit(d) * (e - l2) + F.lit(nd) * s1),
+            ).alias("s"),
+        )
+
+    folded = with_xs.select(
+        "k",
+        F.col("n").cast("bigint").alias("n"),
+        F.aggregate(
+            F.slice("_xs", 2, F.col("n") - 1),
+            F.struct(
+                F.element_at("_xs", 1).alias("l"),
+                F.lit(0.0).alias("b"),
+                F.array_repeat(F.lit(0.0), p).alias("s"),
+            ),
+            step,
+        ).alias("_st"),
+    )
+    e6 = lambda c: F.floor(c * F.lit(1e6)).cast("bigint")  # noqa: E731
+    fc = (
+        F.col("_st.l")
+        + F.lit(float(horizon)) * F.col("_st.b")
+        + F.element_at(F.col("_st.s"), ((horizon - 1) % p) + 1)
+    )
+    return folded.select(
+        F.col("k").alias(key_col),
+        "n",
+        e6(F.col("_st.l")).alias("level_e6"),
+        e6(F.col("_st.b")).alias("trend_e6"),
+        e6(F.element_at(F.col("_st.s"), 1)).alias("s_next_e6"),
+        e6(fc).alias("fc_e6"),
     )

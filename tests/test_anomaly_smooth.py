@@ -157,3 +157,57 @@ def test_holt_trend_sign_tracks_drift(spark):
     dn = holt_smooth(_df(spark, list(range(400, 0, -4))), "k", "t", "x").collect()[0]
     assert up["trend_e6"] > 0 > dn["trend_e6"]
     assert up["fc_e6"] > up["level_e6"]
+
+
+# ------------------------------------------------------------ holt-winters
+
+
+def _py_hw(vals, p, a=0.25, g=0.125, d=0.25, h=24):
+    l, b, s = float(vals[0]), 0.0, [0.0] * p
+    for x in vals[1:]:
+        s1 = s[0]
+        l2 = a * (x - s1) + (1 - a) * (l + b)
+        b = g * (l2 - l) + (1 - g) * b
+        s = s[1:] + [d * (x - l2) + (1 - d) * s1]
+        l = l2
+    fc = l + float(h) * b + s[(h - 1) % p]
+    return l, b, s[0], fc
+
+
+def test_holt_winters_matches_python_bitwise(spark):
+    from rtsa_spark.operators.smooth import holt_winters
+
+    rng = np.random.RandomState(6)
+    base = 300 + 80 * np.sin(np.arange(240) * 2 * np.pi / 12)
+    vals = (base + rng.randint(-5, 6, size=240)).astype(int)
+    row = holt_winters(_df(spark, vals), "k", "t", "x", period=12).collect()[0]
+    l, b, s0, fc = _py_hw([float(v) for v in vals], 12)
+    assert row["n"] == 240
+    assert row["level_e6"] == int(np.floor(l * 1e6))
+    assert row["trend_e6"] == int(np.floor(b * 1e6))
+    assert row["s_next_e6"] == int(np.floor(s0 * 1e6))
+    assert row["fc_e6"] == int(np.floor(fc * 1e6))
+
+
+def test_holt_winters_learns_seasonal_sign(spark):
+    from rtsa_spark.operators.smooth import holt_winters
+
+    # period 4, phase 0 always high: after many cycles s for phase 0 > 0
+    vals = [200, 100, 100, 100] * 30
+    row = holt_winters(_df(spark, vals), "k", "t", "x", period=4).collect()[0]
+    # last consumed phase is 3 (index 119); next to consume is phase 0 -> high
+    assert row["s_next_e6"] > 10_000_000  # ~ +75 amplitude
+    l, b, s0, fc = _py_hw([float(v) for v in vals], 4)
+    assert row["s_next_e6"] == int(np.floor(s0 * 1e6))
+
+
+def test_holt_winters_guards(spark):
+    from rtsa_spark.operators.smooth import holt_winters
+
+    with pytest.raises(ValueError):
+        holt_winters(_df(spark, [1, 2]), "k", "t", "x", period=1)
+    with pytest.raises(ValueError):
+        holt_winters(_df(spark, [1, 2]), "k", "t", "x", period=4, delta=0.3)
+    row = holt_winters(_df(spark, [50]), "k", "t", "x", period=3).collect()[0]
+    assert row["level_e6"] == 50_000_000 and row["trend_e6"] == 0
+    assert row["s_next_e6"] == 0 and row["fc_e6"] == 50_000_000
