@@ -4111,6 +4111,188 @@ FROM cnt JOIN r ON r.k = cnt.k AND r.i = cnt.n
 """
 
 
+def q_spearman_pairs(spark, sf_dir):
+    """Spearman rank correlation between every event_type pair on the
+    hourly tier's common spine (operators/distribution.spearman_corr):
+    tie-averaged ranks carried as exact-int doubled ranks rx = rank_lt +
+    rank_le + 1, then the ccf-style exact-int Pearson chain
+    num / (sqrt(dx) * sqrt(dy)) — bit-identical across engines."""
+    from rtsa_spark.operators.distribution import spearman_corr
+
+    tier = _hourly_x(spark, sf_dir).select(
+        "event_type", F.unix_timestamp("bucket_start").alias("t"), "x"
+    )
+    return spearman_corr(tier, "event_type", "t", "x")
+
+
+SQL_SPEARMAN = f"""
+WITH {_SQL_HOURLY_X},
+pr AS MATERIALIZED (
+  SELECT a.k AS kx, b.k AS ky, a.b AS ts, a.x AS x, b.x AS y
+  FROM h a JOIN h b ON a.b = b.b AND a.k < b.k),
+rk AS MATERIALIZED (
+  SELECT kx, ky,
+    CAST(rank() OVER (PARTITION BY kx, ky ORDER BY x)
+       + count(*) OVER (PARTITION BY kx, ky ORDER BY x
+           RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1
+       AS BIGINT) AS rx,
+    CAST(rank() OVER (PARTITION BY kx, ky ORDER BY y)
+       + count(*) OVER (PARTITION BY kx, ky ORDER BY y
+           RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1
+       AS BIGINT) AS ry
+  FROM pr),
+st AS (SELECT kx, ky, CAST(count(*) AS BIGINT) AS m,
+              sum(rx) AS srx, sum(ry) AS sry FROM rk GROUP BY 1, 2),
+z AS (
+  SELECT rk.kx, rk.ky, st.m,
+         st.m * rk.rx - st.srx AS zx, st.m * rk.ry - st.sry AS zy
+  FROM rk JOIN st ON rk.kx = st.kx AND rk.ky = st.ky),
+ag AS (SELECT kx, ky, m, sum(zx * zy) AS num,
+              sum(zx * zx) AS dx, sum(zy * zy) AS dy
+       FROM z GROUP BY 1, 2, 3)
+SELECT kx, ky, m,
+  CASE WHEN m >= 2 AND dx > 0 AND dy > 0 THEN
+    CAST(floor(1e9 * (CAST(num AS DOUBLE)
+      / (sqrt(CAST(dx AS DOUBLE)) * sqrt(CAST(dy AS DOUBLE))))) AS BIGINT)
+  END AS rho_e9
+FROM ag
+"""
+
+
+def q_ks_pairs(spark, sf_dir):
+    """Two-sample Kolmogorov-Smirnov D between every event_type pair's
+    hourly-value distributions (operators/distribution.ks_two_sample):
+    the numerator max_t |i*m - j*n| stays exact BIGINT (RANGE frames tie
+    both CDFs), ks_e6 is an integer div — never floor-of-double."""
+    from rtsa_spark.operators.distribution import ks_two_sample
+
+    return ks_two_sample(_hourly_x(spark, sf_dir), "event_type", "x")
+
+
+SQL_KS = f"""
+WITH {_SQL_HOURLY_X},
+ks AS (SELECT DISTINCT k FROM h),
+pairs AS (SELECT a.k AS kx, b.k AS ky FROM ks a, ks b WHERE a.k < b.k),
+obs AS MATERIALIZED (
+  SELECT p.kx, p.ky, h.x AS v, 1 AS is_x FROM pairs p JOIN h ON h.k = p.kx
+  UNION ALL
+  SELECT p.kx, p.ky, h.x AS v, 0 AS is_x FROM pairs p JOIN h ON h.k = p.ky),
+cum AS (
+  SELECT kx, ky,
+    sum(is_x) OVER (PARTITION BY kx, ky ORDER BY v
+      RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS i,
+    sum(1 - is_x) OVER (PARTITION BY kx, ky ORDER BY v
+      RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS j,
+    sum(is_x) OVER (PARTITION BY kx, ky) AS n,
+    sum(1 - is_x) OVER (PARTITION BY kx, ky) AS m
+  FROM obs),
+ag AS (
+  SELECT kx, ky, CAST(n AS BIGINT) AS n, CAST(m AS BIGINT) AS m,
+         CAST(max(abs(i * m - j * n)) AS BIGINT) AS d_num
+  FROM cum GROUP BY 1, 2, 3, 4)
+SELECT kx, ky, n, m, d_num,
+       CASE WHEN n > 0 AND m > 0
+            THEN (1000000 * d_num) // (n * m) END AS ks_e6
+FROM ag
+"""
+
+
+def q_kmv_distinct_words(spark, sf_dir):
+    """KMV distinct-count sketch of the per-source vocabulary
+    (operators/sketch.kmv_distinct, Bar-Yossef 2002): k=64 smallest
+    portable 48-bit md5 hashes; estimate (k-1)*2^48 div h_(k), exact
+    count when fewer than k distinct — all integer arithmetic."""
+    from rtsa_spark.operators.sketch import kmv_distinct
+
+    words = _documents(spark, sf_dir).select(
+        "source", F.explode(F.split("text", " ")).alias("word")
+    )
+    return kmv_distinct(words, "source", "word", k=64)
+
+
+SQL_KMV_WORDS = """
+WITH w AS MATERIALIZED (
+  SELECT DISTINCT source, ('0x' || substr(md5(word), 1, 12))::BIGINT AS h
+  FROM (SELECT source, unnest(string_split(text, ' ')) AS word
+        FROM documents)
+), r AS (
+  SELECT source, h, row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+  FROM w
+), sk AS (
+  SELECT source AS key, CAST(count(*) AS BIGINT) AS k_used,
+         max(h) AS h_kth
+  FROM r WHERE rn <= 64 GROUP BY 1
+)
+SELECT key, k_used, h_kth,
+  CASE WHEN k_used < 64 THEN k_used
+       ELSE (63 * 281474976710656) // greatest(h_kth, 1)
+  END AS est_distinct
+FROM sk
+"""
+
+
+def q_token_gini(spark, sf_dir):
+    """Simpson-index vocabulary concentration per source
+    (operators/sketch.gini_concentration): gini_e6 and inverse-Simpson
+    effective vocabulary as scaled-integer divs of exact count sums —
+    the no-logs concentration stat (Shannon's ln is not correctly
+    rounded cross-engine)."""
+    from rtsa_spark.operators.sketch import gini_concentration
+
+    words = _documents(spark, sf_dir).select(
+        "source", F.explode(F.split("text", " ")).alias("word")
+    )
+    return gini_concentration(words, "source", "word")
+
+
+SQL_TOKEN_GINI = """
+WITH w AS (
+  SELECT source, unnest(string_split(text, ' ')) AS word FROM documents
+), c AS (
+  SELECT source, word, CAST(count(*) AS BIGINT) AS c FROM w GROUP BY 1, 2
+), a AS (
+  SELECT source AS key, CAST(sum(c) AS BIGINT) AS n_items,
+         CAST(count(*) AS BIGINT) AS n_distinct,
+         CAST(sum(c * c) AS BIGINT) AS sum_c2
+  FROM c GROUP BY 1
+)
+SELECT key, n_items, n_distinct, sum_c2,
+  (1000000 * (n_items * n_items - sum_c2)) // (n_items * n_items) AS gini_e6,
+  (1000 * n_items * n_items) // sum_c2 AS eff_vocab_e3
+FROM a
+"""
+
+
+def q_media_frame_sample(spark, sf_dir):
+    """Multimodal frame-sampling manifest (functions/multimodal.
+    frame_sample_plan): every-30th frame index per synthetic video
+    (kind/n_frames derive deterministically from doc_id) — pure Catalyst
+    sequence+explode, payload untouched, integers end to end."""
+    from rtsa_spark.functions.multimodal import frame_sample_plan
+
+    media = _documents(spark, sf_dir).select(
+        F.col("doc_id").alias("media_id"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("video"))
+        .otherwise(F.lit("image"))
+        .alias("kind"),
+        (1 + (F.col("doc_id") * 29) % 900).cast("int").alias("n_frames"),
+    )
+    return frame_sample_plan(media, every_n=30)
+
+
+SQL_FRAME_SAMPLE = """
+WITH m AS (
+  SELECT doc_id AS media_id,
+         CAST(1 + (doc_id * 29) % 900 AS INTEGER) AS n_frames
+  FROM documents WHERE doc_id % 3 = 0
+)
+SELECT media_id,
+       CAST(unnest(generate_series(0, n_frames - 1, 30)) AS INTEGER)
+         AS frame_idx
+FROM m
+"""
+
+
 # ------------------------------------------------------------ entry points
 
 
@@ -4218,6 +4400,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_weights": q_domain_weights,
         "lttb_downsample": q_lttb_downsample,
         "holt_winters": q_holt_winters,
+        "spearman_pairs": q_spearman_pairs,
+        "ks_pairs": q_ks_pairs,
+        "kmv_distinct_words": q_kmv_distinct_words,
+        "token_gini": q_token_gini,
+        "media_frame_sample": q_media_frame_sample,
     }
 
 
@@ -4309,4 +4496,9 @@ def oracle_sql() -> dict[str, str]:
         "domain_weights": SQL_DOMAIN_WEIGHTS,
         "lttb_downsample": SQL_LTTB,
         "holt_winters": SQL_HOLT_WINTERS,
+        "spearman_pairs": SQL_SPEARMAN,
+        "ks_pairs": SQL_KS,
+        "kmv_distinct_words": SQL_KMV_WORDS,
+        "token_gini": SQL_TOKEN_GINI,
+        "media_frame_sample": SQL_FRAME_SAMPLE,
     }

@@ -1,0 +1,174 @@
+"""Distribution-comparison statistics between tier series: Spearman rank
+correlation and the two-sample Kolmogorov-Smirnov statistic, per ordered
+key pair.
+
+Complements the reference's association surface — Mann-Kendall
+(``/root/reference/R/rtsa.trend.R``, our ``functions/kendall.py``) is the
+rank test rtsa runs WITHIN one series; these compare ACROSS series:
+Spearman for monotone association between two sources on their common
+bucket spine, KS for whether two sources draw bucket values from the same
+distribution (the standard drift check a training-data pipeline runs
+between corpus snapshots).
+
+IEEE-deterministic contract (CLAUDE.md):
+
+- Spearman with ties is Pearson on tie-averaged ranks.  We carry
+  ``r2 = 2 * average_rank = rank_lt + rank_le + 1`` (``rank()`` +
+  RANGE-framed ``count(*)``) so ranks stay exact BIGINT; the doubled
+  scale cancels in Pearson.  With ``m`` the common-spine length and
+  ``z = m*r2 - sum(r2)`` the exact-int residual numerators,
+  ``rho = sum(zx*zy) / (sqrt(sum zx^2) * sqrt(sum zy^2))`` — integer
+  sums in both engines, then a fixed int->double / sqrt / sqrt /
+  multiply / divide chain (never ``sqrt(A*B)``: the product overflows
+  the exact-int domain).
+- KS: with ``n``/``m`` the two sample sizes and, at each observed value
+  ``t``, ``i = #{x <= t}``, ``j = #{y <= t}`` (RANGE frames so ties are
+  counted on both sides before comparing), the statistic's numerator
+  ``max_t |i*m - j*n|`` is exact BIGINT; ``ks_e6 = (1e6*num) // (n*m)``
+  never leaves integer arithmetic (ANSI overflow throws loudly rather
+  than rounding).
+
+Scale shape: one equi-join on bucket (Spearman) / one broadcast of the
+tiny key-pair set (KS) — both quadratic in KEY count, not in rows;
+callers with many keys pre-filter the pair set.  After pairing, each
+statistic is one window pass + one map-side-combinable aggregate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["spearman_corr", "ks_two_sample"]
+
+
+def spearman_corr(
+    df: DataFrame, key_col: str, ts_col: str, value_col: str
+) -> DataFrame:
+    """Spearman rank correlation for every ordered key pair on the pair's
+    common bucket spine.
+
+    Emits ``(kx, ky, m, rho_e9)`` with ``rho_e9 = floor(1e9 * rho)``;
+    NULL rho when the spine is shorter than 2 or either side's ranks are
+    constant on it.  Ties get average ranks (the standard treatment), so
+    the result equals Pearson correlation of the tie-averaged ranks.
+    """
+    base = df.select(
+        F.col(key_col).alias("_k"),
+        F.col(ts_col).alias("_ts"),
+        F.col(value_col).cast("bigint").alias("_x"),
+    )
+    left = base.select(F.col("_k").alias("kx"), "_ts", F.col("_x").alias("x"))
+    right = base.select(F.col("_k").alias("ky"), "_ts", F.col("_x").alias("y"))
+    pair = left.join(right, "_ts").where(F.col("kx") < F.col("ky"))
+
+    # Doubled tie-averaged ranks, exact ints: rank() = #{< v} + 1 and the
+    # RANGE-framed count = #{<= v}; their sum is 2*avg_rank (+1 cancels -1).
+    def _r2(col: str) -> F.Column:
+        wo = Window.partitionBy("kx", "ky").orderBy(col)
+        wr = wo.rangeBetween(Window.unboundedPreceding, Window.currentRow)
+        return (F.rank().over(wo) + F.count(F.lit(1)).over(wr) - 1).cast(
+            "bigint"
+        )
+
+    ranked = pair.select(
+        "kx", "ky", _r2("x").alias("_rx"), _r2("y").alias("_ry")
+    )
+    stats = ranked.groupBy("kx", "ky").agg(
+        F.count(F.lit(1)).alias("_m"),
+        F.sum("_rx").alias("_srx"),
+        F.sum("_ry").alias("_sry"),
+    )
+    z = (
+        ranked.join(F.broadcast(stats), ["kx", "ky"])
+        .withColumn("_zx", F.col("_m") * F.col("_rx") - F.col("_srx"))
+        .withColumn("_zy", F.col("_m") * F.col("_ry") - F.col("_sry"))
+    )
+    agg = z.groupBy("kx", "ky", "_m").agg(
+        F.sum(F.col("_zx") * F.col("_zy")).alias("_num"),
+        F.sum(F.col("_zx") * F.col("_zx")).alias("_dx"),
+        F.sum(F.col("_zy") * F.col("_zy")).alias("_dy"),
+    )
+    ok = (F.col("_m") >= 2) & (F.col("_dx") > 0) & (F.col("_dy") > 0)
+    rho = F.col("_num").cast("double") / (
+        F.sqrt(F.col("_dx").cast("double")) * F.sqrt(F.col("_dy").cast("double"))
+    )
+    return agg.select(
+        "kx",
+        "ky",
+        F.col("_m").alias("m"),
+        F.when(ok, F.floor(F.lit(1e9) * rho)).cast("bigint").alias("rho_e9"),
+    )
+
+
+def ks_two_sample(df: DataFrame, key_col: str, value_col: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov statistic for every ordered key pair
+    over the keys' value distributions (no spine alignment — KS compares
+    marginal distributions).
+
+    Emits ``(kx, ky, n, m, d_num, ks_e6)``: ``d_num = max_t |i*m - j*n|``
+    exact BIGINT and ``ks_e6 = (1e6 * d_num) // (n * m)`` — the classic
+    ``D = sup_t |F_x(t) - F_y(t)|`` scaled to e6, evaluated at every
+    observed value with ties absorbed into both empirical CDFs before
+    comparison.
+    """
+    base = df.select(
+        F.col(key_col).alias("_k"), F.col(value_col).cast("bigint").alias("_v")
+    )
+    keys = base.select("_k").distinct()
+    pairs = (
+        keys.select(F.col("_k").alias("kx"))
+        .crossJoin(keys.select(F.col("_k").alias("ky")))
+        .where(F.col("kx") < F.col("ky"))
+    )
+    # Tag each observation with the side it contributes to in each pair
+    # the key participates in; the pair set is tiny (quadratic in key
+    # count), so both joins broadcast.
+    xs = base.join(
+        F.broadcast(pairs), base["_k"] == pairs["kx"]
+    ).select("kx", "ky", "_v", F.lit(1).alias("_is_x"))
+    ys = base.join(
+        F.broadcast(pairs), base["_k"] == pairs["ky"]
+    ).select("kx", "ky", "_v", F.lit(0).alias("_is_x"))
+    both = xs.unionByName(ys)
+
+    wr = (
+        Window.partitionBy("kx", "ky")
+        .orderBy("_v")
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy("kx", "ky")
+    cum = both.select(
+        "kx",
+        "ky",
+        F.sum("_is_x").over(wr).alias("_i"),
+        F.sum(1 - F.col("_is_x")).over(wr).alias("_j"),
+        F.sum("_is_x").over(wall).alias("_n"),
+        F.sum(1 - F.col("_is_x")).over(wall).alias("_m"),
+    )
+    agg = (
+        cum.groupBy("kx", "ky", "_n", "_m")
+        .agg(
+            F.max(
+                F.abs(F.col("_i") * F.col("_m") - F.col("_j") * F.col("_n"))
+            ).alias("d_num")
+        )
+        .select(
+            "kx",
+            "ky",
+            F.col("_n").alias("n"),
+            F.col("_m").alias("m"),
+            F.col("d_num").cast("bigint").alias("d_num"),
+        )
+    )
+    # Integer `div` (not floor-of-double): 1e6*d_num can pass 2^53 long
+    # before it nears 2^63, and a lossy double conversion would put the
+    # floor off by one.  Both sides nonnegative, so Spark `div` ==
+    # DuckDB `//`.
+    return agg.withColumn(
+        "ks_e6",
+        F.when(
+            (F.col("n") > 0) & (F.col("m") > 0),
+            F.expr("(1000000 * d_num) div (n * m)"),
+        ).cast("bigint"),
+    )

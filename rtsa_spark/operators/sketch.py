@@ -1,0 +1,122 @@
+"""Mergeable cardinality / concentration sketches over token streams:
+K-minimum-values distinct-count estimation and Simpson-index vocabulary
+concentration, per key.
+
+Extends the tier sketch surface (``rollup.token_histogram`` — frequency
+top-k) with the other two questions a 100 TB corpus pipeline asks of a
+token column: HOW MANY distinct tokens (KMV, Bar-Yossef et al. 2002 —
+the k smallest hash values of a set are a uniform order-statistic sample,
+so ``(k-1) * H / h_(k)`` estimates cardinality for hash range ``H``) and
+how CONCENTRATED the distribution is (Simpson/Gini impurity
+``1 - sum(p_i^2)`` and its inverse, "effective vocabulary" — both exact
+rational in the counts, no logs, unlike Shannon entropy whose ``ln`` is
+not correctly rounded cross-engine).
+
+IEEE-deterministic contract (CLAUDE.md): everything is integer
+arithmetic end-to-end.  The KMV hash is the portable 48-bit md5 prefix
+(same seam as the synthetic media timestamps / chunk hashes — both
+engines parse 12 hex chars), the estimator is an integer ``div``
+(``(k-1)*2^48`` fits BIGINT for any practical k), and the concentration
+ratios are scaled-integer ``div``s of exact sums — ANSI overflow throws
+loudly if a key's token count passes ~3e6 at the e6 scale rather than
+silently rounding.
+
+Scale shape (KMV): one distinct on (key, hash) — map-side partial
+dedup does the heavy lifting — then a per-key window keeps k rows, then
+a map-side-combinable agg.  The sketch itself is mergeable: the k
+smallest hashes of a union are a subset of the union of each side's k
+smallest, so tier cascades can combine sketches without revisiting raw
+data (pytest pins this).  Concentration: two map-side-combinable aggs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["kmv_distinct", "gini_concentration", "KMV_HASH_RANGE"]
+
+#: Hash range of the portable 48-bit md5-prefix hash (exclusive upper bound).
+KMV_HASH_RANGE = 1 << 48
+
+
+def _h48(col: F.Column) -> F.Column:
+    """Portable 48-bit hash: first 12 hex chars of md5, as BIGINT.
+
+    md5 emits lowercase hex in both Spark and DuckDB; 48 bits keeps the
+    parse exact in either engine's signed 64-bit integers.
+    """
+    return F.conv(F.substring(F.md5(col.cast("string")), 1, 12), 16, 10).cast(
+        "bigint"
+    )
+
+
+def kmv_distinct(
+    df: DataFrame, key_col: str, item_col: str, k: int = 64
+) -> DataFrame:
+    """K-minimum-values distinct-count sketch per key.
+
+    Emits ``(key, k_used, h_kth, est_distinct)``: the k smallest 48-bit
+    item hashes' count and max, and the cardinality estimate
+    ``(k-1) * 2^48 div h_(k)`` — or the EXACT distinct count when the
+    key has fewer than k distinct items (the sketch degenerates to the
+    full hash set, so the count is exact, the honest answer).
+    """
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    dist = df.select(
+        F.col(key_col).alias("key"), _h48(F.col(item_col)).alias("_h")
+    ).distinct()
+    w = Window.partitionBy("key").orderBy("_h")
+    sk = dist.select("key", "_h", F.row_number().over(w).alias("_rn")).where(
+        F.col("_rn") <= k
+    )
+    agg = sk.groupBy("key").agg(
+        F.count(F.lit(1)).alias("k_used"), F.max("_h").alias("h_kth")
+    )
+    # greatest(h_kth, 1): an all-zero md5 prefix is astronomically
+    # unlikely but must not divide by zero under ANSI.
+    return agg.select(
+        "key",
+        "k_used",
+        "h_kth",
+        F.when(F.col("k_used") < k, F.col("k_used"))
+        .otherwise(
+            F.expr(f"({k - 1} * {KMV_HASH_RANGE}) div greatest(h_kth, 1)")
+        )
+        .cast("bigint")
+        .alias("est_distinct"),
+    )
+
+
+def gini_concentration(
+    df: DataFrame, key_col: str, item_col: str
+) -> DataFrame:
+    """Simpson-index token concentration per key, exact scaled integers.
+
+    Emits ``(key, n_items, n_distinct, sum_c2, gini_e6, eff_vocab_e3)``
+    where ``gini_e6 = 1e6 * (S^2 - sum c_i^2) div S^2`` (Gini impurity:
+    0 = all mass on one token, -> 1e6 = uniform over many) and
+    ``eff_vocab_e3 = 1e3 * S^2 div sum c_i^2`` (inverse Simpson, the
+    "effective number of distinct tokens" — equals ``1e3 * n_distinct``
+    exactly when the distribution is uniform).
+    """
+    counts = df.groupBy(
+        F.col(key_col).alias("key"), F.col(item_col).alias("_it")
+    ).agg(F.count(F.lit(1)).alias("_c"))
+    agg = counts.groupBy("key").agg(
+        F.sum("_c").alias("n_items"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.sum(F.col("_c") * F.col("_c")).alias("sum_c2"),
+    )
+    return agg.select(
+        "key",
+        "n_items",
+        "n_distinct",
+        "sum_c2",
+        F.expr(
+            "(1000000 * (n_items * n_items - sum_c2))"
+            " div (n_items * n_items)"
+        ).alias("gini_e6"),
+        F.expr("(1000 * n_items * n_items) div sum_c2").alias("eff_vocab_e3"),
+    )

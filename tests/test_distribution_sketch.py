@@ -1,0 +1,157 @@
+"""Distribution-comparison stats (Spearman / KS) and token sketches
+(KMV distinct, Simpson concentration)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from rtsa_spark.operators.distribution import ks_two_sample, spearman_corr
+from rtsa_spark.operators.sketch import (
+    KMV_HASH_RANGE,
+    gini_concentration,
+    kmv_distinct,
+)
+
+
+def _series_df(spark, series: dict[str, list[int]]):
+    rows = [
+        (k, t, int(v)) for k, vs in series.items() for t, v in enumerate(vs)
+    ]
+    return spark.createDataFrame(rows, "k string, t int, x long")
+
+
+# ----------------------------------------------------------- spearman
+
+
+def test_spearman_perfect_monotone(spark):
+    df = _series_df(
+        spark, {"a": [1, 5, 3, 9, 7], "b": [10, 50, 30, 90, 70]}
+    )
+    row = spearman_corr(df, "k", "t", "x").collect()[0]
+    assert (row["kx"], row["ky"], row["m"]) == ("a", "b", 5)
+    assert row["rho_e9"] == 1_000_000_000
+
+
+def test_spearman_anti_monotone(spark):
+    df = _series_df(spark, {"a": [1, 2, 3, 4], "b": [9, 7, 5, 3]})
+    assert (
+        spearman_corr(df, "k", "t", "x").collect()[0]["rho_e9"]
+        == -1_000_000_000
+    )
+
+
+def test_spearman_ties_match_rank_pearson(spark):
+    rng = np.random.RandomState(7)
+    x = rng.randint(0, 6, 40)  # heavy ties
+    y = (x + rng.randint(0, 4, 40)).astype(int)
+    df = _series_df(spark, {"a": x.tolist(), "b": y.tolist()})
+    got = spearman_corr(df, "k", "t", "x").collect()[0]["rho_e9"]
+    rx = pd.Series(x).rank(method="average").to_numpy()
+    ry = pd.Series(y).rank(method="average").to_numpy()
+    want = np.corrcoef(rx, ry)[0, 1]
+    assert got == pytest.approx(1e9 * want, abs=2)
+
+
+def test_spearman_constant_side_null(spark):
+    df = _series_df(spark, {"a": [3, 3, 3], "b": [1, 2, 3]})
+    assert spearman_corr(df, "k", "t", "x").collect()[0]["rho_e9"] is None
+
+
+# ----------------------------------------------------------------- ks
+
+
+def test_ks_disjoint_supports_is_one(spark):
+    df = _series_df(spark, {"a": [1, 2, 3], "b": [10, 11, 12, 13]})
+    row = ks_two_sample(df, "k", "x").collect()[0]
+    assert (row["n"], row["m"]) == (3, 4)
+    assert row["d_num"] == 12  # 3*4
+    assert row["ks_e6"] == 1_000_000
+
+
+def test_ks_identical_samples_is_zero(spark):
+    df = _series_df(spark, {"a": [1, 2, 2, 5], "b": [1, 2, 2, 5]})
+    assert ks_two_sample(df, "k", "x").collect()[0]["ks_e6"] == 0
+
+
+def test_ks_matches_bruteforce_with_ties(spark):
+    rng = np.random.RandomState(11)
+    xa = rng.randint(0, 20, 37)
+    xb = rng.randint(5, 25, 23)
+    df = _series_df(spark, {"a": xa.tolist(), "b": xb.tolist()})
+    row = ks_two_sample(df, "k", "x").collect()[0]
+    n, m = len(xa), len(xb)
+    ts = np.unique(np.concatenate([xa, xb]))
+    want = max(
+        abs(int((xa <= t).sum()) * m - int((xb <= t).sum()) * n) for t in ts
+    )
+    assert row["d_num"] == want
+    assert row["ks_e6"] == (1_000_000 * want) // (n * m)
+
+
+def test_ks_all_pairs_emitted(spark):
+    df = _series_df(spark, {"a": [1], "b": [2], "c": [3]})
+    got = {
+        (r["kx"], r["ky"]) for r in ks_two_sample(df, "k", "x").collect()
+    }
+    assert got == {("a", "b"), ("a", "c"), ("b", "c")}
+
+
+# ---------------------------------------------------------------- kmv
+
+
+def _items_df(spark, groups: dict[str, list[str]]):
+    rows = [(k, it) for k, its in groups.items() for it in its]
+    return spark.createDataFrame(rows, "g string, item string")
+
+
+def test_kmv_exact_below_k(spark):
+    df = _items_df(spark, {"a": ["x", "y", "z", "x", "y"]})
+    row = kmv_distinct(df, "g", "item", k=64).collect()[0]
+    assert row["k_used"] == 3
+    assert row["est_distinct"] == 3  # exact when sketch not full
+
+
+def test_kmv_estimate_in_range(spark):
+    items = [f"tok{i}" for i in range(5000)]
+    df = _items_df(spark, {"a": items})
+    row = kmv_distinct(df, "g", "item", k=64).collect()[0]
+    assert row["k_used"] == 64
+    # KMV with k=64 has ~1/sqrt(62) ~ 13% relative sd; allow 4 sigma.
+    assert 2500 <= row["est_distinct"] <= 10000
+    assert 0 < row["h_kth"] < KMV_HASH_RANGE
+
+
+def test_kmv_sketch_is_mergeable(spark):
+    """k smallest hashes of the union == k smallest of each half's k
+    smallest, so tier cascades can merge sketches without raw data."""
+    import hashlib
+
+    all_items = [f"tok{i}" for i in range(2000)]
+    halves = {"h1": all_items[:1200], "h2": all_items[800:]}
+    whole = kmv_distinct(
+        _items_df(spark, {"w": all_items}), "g", "item", k=32
+    ).collect()[0]
+
+    def h48(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:12], 16)
+
+    merged = sorted({h48(i) for half in halves.values() for i in half})[:32]
+    assert whole["h_kth"] == merged[-1]
+    assert whole["k_used"] == 32
+
+
+def test_gini_uniform_and_point_mass(spark):
+    d = 25
+    uniform = [f"t{i}" for i in range(d)] * 4
+    point = ["only"] * 100
+    df = _items_df(spark, {"u": uniform, "p": point})
+    rows = {r["key"]: r for r in gini_concentration(df, "g", "item").collect()}
+    s = len(uniform)
+    c2 = d * 4 * 4
+    assert rows["u"]["n_items"] == s and rows["u"]["n_distinct"] == d
+    assert rows["u"]["gini_e6"] == (1_000_000 * (s * s - c2)) // (s * s)
+    assert rows["u"]["eff_vocab_e3"] == 1000 * d  # inverse Simpson exact
+    assert rows["p"]["gini_e6"] == 0
+    assert rows["p"]["eff_vocab_e3"] == 1000
