@@ -4293,6 +4293,142 @@ FROM m
 """
 
 
+def q_gapfill_hourly_locf(spark, sf_dir):
+    """Last-observation-carried-forward fill of the sparse hourly tier
+    (operators/gapfill.gapfill_locf) with a 12-bucket staleness cutoff:
+    values are copied, never computed, so the oracle replays it with
+    IGNORE NULLS windows — carry distance and cutoff NULLs included."""
+    from rtsa_spark.operators.gapfill import gapfill_locf
+    from rtsa_spark.operators.rollup import rollup_series
+
+    sparse = rollup_series(
+        _events(spark, sf_dir).where(EVENTS_SPARSE_FILTER),
+        "hourly",
+        ["event_type"],
+        "ts",
+        "value",
+    ).select(
+        "event_type", "bucket_start", _cents(F.col("v_sum")).alias("v_sum_c")
+    )
+    dense = gapfill_locf(
+        sparse,
+        "hourly",
+        value_cols=["v_sum_c"],
+        key_col="event_type",
+        max_carry=12,
+    )
+    return dense.select(
+        "event_type",
+        "bucket_start",
+        "v_sum_c",
+        "carry_dist",
+        F.col("gapfilled").cast("int").alias("gapfilled"),
+    )
+
+
+SQL_GAPFILL_LOCF = f"""
+WITH obs AS (
+  SELECT event_type, date_trunc('hour', ts) AS bucket_start,
+         CAST(round(sum(value) * 100) AS BIGINT) AS v_sum_c
+  FROM events WHERE {EVENTS_SPARSE_FILTER} GROUP BY 1, 2
+), bounds AS (
+  SELECT event_type, min(bucket_start) AS lo, max(bucket_start) AS hi
+  FROM obs GROUP BY 1
+), spine AS (
+  SELECT event_type,
+         unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket_start
+  FROM bounds
+), joined AS (
+  SELECT s.event_type, s.bucket_start, o.v_sum_c,
+         (o.v_sum_c IS NOT NULL) AS _obs
+  FROM spine s LEFT JOIN obs o USING (event_type, bucket_start)
+), rr AS (
+  SELECT *, row_number() OVER
+    (PARTITION BY event_type ORDER BY bucket_start) AS rn
+  FROM joined
+), w AS (
+  SELECT *,
+    last_value(CASE WHEN _obs THEN rn END IGNORE NULLS) OVER
+      (PARTITION BY event_type ORDER BY bucket_start
+       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_rn,
+    last_value(CASE WHEN _obs THEN v_sum_c END IGNORE NULLS) OVER
+      (PARTITION BY event_type ORDER BY bucket_start
+       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS carried
+  FROM rr
+)
+SELECT event_type, bucket_start,
+  CASE WHEN _obs THEN v_sum_c
+       WHEN rn - last_rn <= 12 THEN carried END AS v_sum_c,
+  CASE WHEN rn - last_rn <= 12
+       THEN CAST(rn - last_rn AS BIGINT) END AS carry_dist,
+  CASE WHEN _obs THEN 0 ELSE 1 END AS gapfilled
+FROM w
+"""
+
+
+def q_cap_per_source(spark, sf_dir):
+    """Per-source document cap (operators/sampling.cap_per_key): keep at
+    most 15 docs per source by salted-md5 hash order — the corpus
+    source-balancing primitive; pure-Catalyst window, stable under
+    corpus growth."""
+    from rtsa_spark.operators.sampling import cap_per_key
+
+    return cap_per_key(
+        _documents(spark, sf_dir).select("source", "doc_id"),
+        "source",
+        cap=15,
+    )
+
+
+SQL_CAP_PER_SOURCE = """
+WITH r AS (
+  SELECT source, doc_id,
+    CAST(row_number() OVER (PARTITION BY source ORDER BY
+      ('0x' || substr(md5('cap-v1' || '|' || doc_id::VARCHAR), 1, 12))::BIGINT
+        % 10000,
+      doc_id) AS INTEGER) AS keep_rank
+  FROM documents
+)
+SELECT source, doc_id, keep_rank FROM r WHERE keep_rank <= 15
+"""
+
+
+def q_histogram_quantiles(spark, sf_dir):
+    """Mergeable fixed-width histogram quantile sketch over the hourly
+    tier (operators/sketch.value_histogram + histogram_quantiles):
+    p50/p90/p99 as inverted-CDF bin lower bounds, integer arithmetic end
+    to end — the bounded-size scale path next to the exact type-7
+    percentiles (tier_percentiles)."""
+    from rtsa_spark.operators.sketch import histogram_quantiles, value_histogram
+
+    hist = value_histogram(_hourly_x(spark, sf_dir), "event_type", "x", 50)
+    return histogram_quantiles(hist, [500, 900, 990], 50)
+
+
+SQL_HISTOGRAM_QUANTILES = f"""
+WITH {_SQL_HOURLY_X},
+hist AS (
+  SELECT k AS key, {_sql_floordiv("x", "50")} AS bin,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM h GROUP BY 1, 2
+), cum AS (
+  SELECT key, bin,
+    sum(cnt) OVER (PARTITION BY key ORDER BY bin
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c,
+    sum(cnt) OVER (PARTITION BY key) AS n
+  FROM hist
+), ex AS (
+  SELECT key, bin, c, CAST(n AS BIGINT) AS n,
+         unnest([500, 900, 990]) AS q
+  FROM cum
+), hit AS (
+  SELECT key, CAST(q AS BIGINT) AS q_e3, n, min(bin) AS b
+  FROM ex WHERE c >= (q * n + 999) // 1000 GROUP BY 1, 2, 3
+)
+SELECT key, q_e3, n, CAST(b * 50 AS BIGINT) AS bin_lo FROM hit
+"""
+
+
 # ------------------------------------------------------------ entry points
 
 
@@ -4405,6 +4541,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_distinct_words": q_kmv_distinct_words,
         "token_gini": q_token_gini,
         "media_frame_sample": q_media_frame_sample,
+        "gapfill_hourly_locf": q_gapfill_hourly_locf,
+        "cap_per_source": q_cap_per_source,
+        "histogram_quantiles": q_histogram_quantiles,
     }
 
 
@@ -4501,4 +4640,7 @@ def oracle_sql() -> dict[str, str]:
         "kmv_distinct_words": SQL_KMV_WORDS,
         "token_gini": SQL_TOKEN_GINI,
         "media_frame_sample": SQL_FRAME_SAMPLE,
+        "gapfill_hourly_locf": SQL_GAPFILL_LOCF,
+        "cap_per_source": SQL_CAP_PER_SOURCE,
+        "histogram_quantiles": SQL_HISTOGRAM_QUANTILES,
     }

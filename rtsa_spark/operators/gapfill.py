@@ -118,6 +118,64 @@ def gapfill_linear(
     return out.select(*keys, bucket_col, *value_cols, *extras, "gapfilled")
 
 
+def gapfill_locf(
+    df: DataFrame,
+    tier: str,
+    value_cols: list[str] | None = None,
+    key_col="source",
+    bucket_col: str = "bucket_start",
+    max_carry: int | None = None,
+) -> DataFrame:
+    """Last-observation-carried-forward fill on the dense bucket spine.
+
+    The step-function counterpart of :func:`gapfill_linear` (reference
+    gap-fill surface, ``/root/reference/R/rtsa_gapfill.R`` — LOCF is the
+    conventional fill for state-like series where interpolating between
+    observations invents values, e.g. configuration or cumulative
+    counters).  Observed rows pass through unchanged; missing buckets take
+    the key's most recent observed value.  ``carry_dist`` counts buckets
+    since that observation (0 for observed rows); with ``max_carry`` set,
+    fills farther than that stay NULL (stale-data cutoff).  Leading
+    missing buckets cannot exist: the spine starts at each key's first
+    observation.  Exact by construction — values are copied, never
+    computed, so any SQL engine with IGNORE NULLS windows replays it.
+
+    Scale shape: one spine left-join + one ordered window per key, same
+    as the linear fill.
+    """
+    if value_cols is None:
+        value_cols = ["n_seq", "n_tok_sum", "n_tok_min", "n_tok_max", "n_tok_mean"]
+    keys = _keys(key_col)
+    spine = bucket_spine(df, tier, keys, bucket_col)
+    joined = spine.join(df, [*keys, bucket_col], "left").withColumn(
+        "_obs", F.col(value_cols[0]).isNotNull()
+    )
+    order = Window.partitionBy(*keys).orderBy(bucket_col)
+    upto = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    rn = F.row_number().over(order)
+    joined = joined.withColumn("_rn", rn).withColumn(
+        "_last_rn",
+        F.last(F.when(F.col("_obs"), rn), ignorenulls=True).over(upto),
+    )
+    dist = (F.col("_rn") - F.col("_last_rn")).cast("bigint")
+    within = dist <= max_carry if max_carry is not None else F.lit(True)
+    out = joined.withColumn(
+        "carry_dist", F.when(within, dist).cast("bigint")
+    )
+    for c in value_cols:
+        carried = F.last(
+            F.when(F.col("_obs"), F.col(c)), ignorenulls=True
+        ).over(upto)
+        out = out.withColumn(
+            c,
+            F.when(F.col("_obs"), F.col(c)).otherwise(
+                F.when(within, carried)
+            ),
+        )
+    out = out.withColumn("gapfilled", ~F.col("_obs"))
+    return out.select(*keys, bucket_col, *value_cols, "carry_dist", "gapfilled")
+
+
 #: pandas frequency per tier, for the kernel-based interpolators
 _PD_FREQ = {"raw": "min", "hourly": "h", "daily": "D", "monthly": "MS"}
 

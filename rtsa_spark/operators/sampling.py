@@ -88,6 +88,40 @@ def hash_sample(
     return df.where(hash_bucket(id_col, salt) < rate_e4)
 
 
+def cap_per_key(
+    df: DataFrame,
+    key_col: str,
+    cap: int,
+    id_col: str = "doc_id",
+    salt: str = "cap-v1",
+) -> DataFrame:
+    """Cap any single key at ``cap`` rows, chosen by deterministic hash
+    order — source balancing for corpus assembly (a dominant crawl domain
+    must not swamp the mixture; cf. the skew treatment the rollup ladder
+    applies to dominant sources, ``plans/skew.py``).
+
+    Rows are ranked inside each key by the salted md5 bucket of their id
+    (id as the tie-break), so the kept subset is stable under corpus
+    growth in distribution (a row's rank only changes when new rows hash
+    ahead of it) and reproducible across runs/engines.  Emits the kept
+    rows plus ``keep_rank`` (1-based).
+
+    Scale shape: one window per key.  For keys orders of magnitude over
+    the cap, pre-filter with :func:`hash_sample` at a rate safely above
+    ``cap/|key|`` first so the sort sees a bounded candidate set.
+    """
+    if cap < 1:
+        raise ValueError(f"cap must be >= 1, got {cap}")
+    w = Window.partitionBy(key_col).orderBy(
+        hash_bucket(id_col, salt), F.col(id_col)
+    )
+    return (
+        df.withColumn("keep_rank", F.row_number().over(w))
+        .where(F.col("keep_rank") <= cap)
+        .withColumn("keep_rank", F.col("keep_rank").cast("int"))
+    )
+
+
 def chunk_documents(
     df: DataFrame,
     window: int,

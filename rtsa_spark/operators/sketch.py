@@ -34,7 +34,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["kmv_distinct", "gini_concentration", "KMV_HASH_RANGE"]
+__all__ = [
+    "kmv_distinct",
+    "gini_concentration",
+    "value_histogram",
+    "histogram_quantiles",
+    "KMV_HASH_RANGE",
+]
 
 #: Hash range of the portable 48-bit md5-prefix hash (exclusive upper bound).
 KMV_HASH_RANGE = 1 << 48
@@ -86,6 +92,77 @@ def kmv_distinct(
         )
         .cast("bigint")
         .alias("est_distinct"),
+    )
+
+
+def value_histogram(
+    df: DataFrame, key_col: str, value_col: str, bin_width: int
+) -> DataFrame:
+    """Fixed-width value histogram per key: ``(key, bin, cnt)`` with
+    ``bin = floor(value / bin_width)`` (Python floor semantics for
+    negative values — pmod keeps the remainder nonnegative, so the div
+    is exact in both engines).
+
+    This is the mergeable quantile sketch for the tier cascade: bins are
+    additive under union (map-sum, like the token histogram), the sketch
+    is bounded by value range / bin_width regardless of row count, and
+    :func:`histogram_quantiles` reads any quantile off the merged sketch
+    with error at most one bin width.  The scale path where the exact
+    type-7 percentiles (``operators/sessionize.tier_percentiles``) would
+    need a full per-key sort of 100 TB.
+    """
+    if bin_width < 1:
+        raise ValueError(f"bin_width must be >= 1, got {bin_width}")
+    pre = df.select(
+        F.col(key_col).alias("key"), F.col(value_col).cast("bigint").alias("_v")
+    )
+    # Integer `div` (never float divide): (_v - pmod) is exactly divisible,
+    # and pmod keeps the remainder nonnegative so this floors like Python.
+    binned = pre.select(
+        "key",
+        F.expr(
+            f"(_v - pmod(_v, {int(bin_width)})) div {int(bin_width)}"
+        ).alias("bin"),
+    )
+    return binned.groupBy("key", "bin").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def histogram_quantiles(
+    hist: DataFrame, qs_e3: list[int], bin_width: int
+) -> DataFrame:
+    """Quantiles from a :func:`value_histogram` sketch (or a map-sum
+    merge of several): for each ``q`` (permille), the lower bound of the
+    first bin whose cumulative count reaches ``ceil(q/1000 * n)`` — the
+    inverted-CDF (type-1) estimate, integer arithmetic end to end.
+
+    Emits ``(key, q_e3, n, bin_lo)``; ``bin_lo = bin * bin_width`` is a
+    lower bound on the true quantile, tight to one bin width.
+    """
+    if not qs_e3 or any(not 0 < int(q) <= 1000 for q in qs_e3):
+        raise ValueError(f"qs_e3 must be permilles in (0, 1000], got {qs_e3}")
+    qs = sorted({int(q) for q in qs_e3})
+    w = Window.partitionBy("key").orderBy("bin")
+    cum = hist.select(
+        "key",
+        "bin",
+        F.sum("cnt").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).alias("_cum"),
+        F.sum("cnt").over(Window.partitionBy("key")).alias("n"),
+    )
+    q = F.explode(
+        F.array(*[F.lit(int(v)).cast("bigint") for v in qs])
+    ).alias("q_e3")
+    expanded = cum.select("key", "bin", "_cum", "n", q)
+    # ceil(q*n/1000) as exact ints; first bin with _cum >= threshold
+    thr = F.expr("(q_e3 * n + 999) div 1000")
+    hit = expanded.where(F.col("_cum") >= thr)
+    first = hit.groupBy("key", "q_e3", "n").agg(F.min("bin").alias("_bin"))
+    return first.select(
+        "key",
+        "q_e3",
+        "n",
+        (F.col("_bin") * bin_width).cast("bigint").alias("bin_lo"),
     )
 
 
