@@ -4429,6 +4429,92 @@ SELECT key, q_e3, n, CAST(b * 50 AS BIGINT) AS bin_lo FROM hit
 """
 
 
+def q_trailing_window(spark, sf_dir):
+    """Trailing 7-bucket continuous aggregate over the daily tier
+    (operators/rollup.trailing_window): RANGE-framed epoch window so
+    gaps shorten coverage (n_in_window says by how much); sums/min/max
+    exact BIGINT, mean as an exact scaled-int div."""
+    from rtsa_spark.operators.rollup import trailing_window
+
+    tier = _hourly_x(spark, sf_dir)
+    return trailing_window(
+        tier,
+        window_buckets=24,
+        bucket_seconds=3600,
+        key_cols=["event_type"],
+        value_col="x",
+    )
+
+
+SQL_TRAILING_WINDOW = f"""
+WITH {_SQL_HOURLY_X},
+w AS (
+  SELECT k AS event_type, b AS bucket_start,
+    sum(x) OVER tw AS w_sum,
+    min(x) OVER tw AS w_min,
+    max(x) OVER tw AS w_max,
+    count(*) OVER tw AS n_in_window
+  FROM h
+  WINDOW tw AS (PARTITION BY k ORDER BY epoch(b)
+                RANGE BETWEEN 82800 PRECEDING AND CURRENT ROW)
+)
+SELECT event_type, bucket_start,
+  CAST(w_sum AS BIGINT) AS w_sum, CAST(w_min AS BIGINT) AS w_min,
+  CAST(w_max AS BIGINT) AS w_max, CAST(n_in_window AS BIGINT) AS n_in_window,
+  CASE WHEN w_sum >= 0 THEN (10000 * w_sum) // n_in_window
+       ELSE -((10000 * (-w_sum) + n_in_window - 1) // n_in_window)
+  END AS w_mean_e4
+FROM w
+"""
+
+
+def q_streaming_dedup(spark, sf_dir):
+    """Streaming exact dedup (streaming/rollup_stream.streaming_dedup,
+    dropDuplicatesWithinWatermark on the content md5): replay the
+    derived sequences through the file stream with colliding synthetic
+    content (doc_id mod 37), return the surviving content set — which
+    duplicate row arrives first is scheduler-dependent, the SET of
+    surviving contents is not."""
+    import tempfile
+
+    from rtsa_spark.streaming.rollup_stream import streaming_dedup
+
+    work = tempfile.mkdtemp(prefix="rtsa_stream_dedup_")
+    seq = _derived_sequences(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.concat(F.lit("c"), (F.col("doc_id") % 37).cast("string")).alias(
+            "content"
+        ),
+        "ts",
+    )
+    seq.coalesce(4).write.mode("overwrite").parquet(f"{work}/in")
+    stream = spark.readStream.schema(
+        "doc_id string, content string, ts timestamp"
+    ).parquet(f"{work}/in")
+    deduped = streaming_dedup(
+        stream, watermark="5 minutes", content_cols=["content"]
+    )
+    q = (
+        deduped.select("content_md5", "content")
+        .writeStream.format("parquet")
+        .option("path", f"{work}/out")
+        .option("checkpointLocation", f"{work}/ckpt")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.read.parquet(f"{work}/out").distinct()
+
+
+SQL_STREAMING_DEDUP = f"""
+WITH {SQL_SEQ_CTE}
+SELECT DISTINCT md5('c' || (doc_id % 37)::VARCHAR) AS content_md5,
+       'c' || (doc_id % 37)::VARCHAR AS content
+FROM seq
+"""
+
+
 # ------------------------------------------------------------ entry points
 
 
@@ -4544,6 +4630,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gapfill_hourly_locf": q_gapfill_hourly_locf,
         "cap_per_source": q_cap_per_source,
         "histogram_quantiles": q_histogram_quantiles,
+        "trailing_window": q_trailing_window,
+        "streaming_dedup": q_streaming_dedup,
     }
 
 
@@ -4643,4 +4731,6 @@ def oracle_sql() -> dict[str, str]:
         "gapfill_hourly_locf": SQL_GAPFILL_LOCF,
         "cap_per_source": SQL_CAP_PER_SOURCE,
         "histogram_quantiles": SQL_HISTOGRAM_QUANTILES,
+        "trailing_window": SQL_TRAILING_WINDOW,
+        "streaming_dedup": SQL_STREAMING_DEDUP,
     }

@@ -145,6 +145,63 @@ def rollup_series_next(tier_df: DataFrame, to_tier: str, key_cols: list[str]) ->
     )
 
 
+def trailing_window(
+    tier_df: DataFrame,
+    window_buckets: int,
+    bucket_seconds: int,
+    key_cols: list[str],
+    value_col: str,
+    bucket_col: str = "bucket_start",
+) -> DataFrame:
+    """Trailing-window aggregates over a retention tier: for every
+    observed bucket, the sum/min/max/count of ``value_col`` across the
+    last ``window_buckets`` buckets (current included) — the "7-day
+    trailing volume" style continuous aggregate layered on the ladder.
+
+    Uses a RANGE frame over epoch seconds, not a ROWS frame, so missing
+    buckets shorten the window instead of silently stretching it over
+    gaps (``n_in_window`` reports the actual coverage).  The trailing
+    mean is emitted as the exact scaled integer ``w_mean_e4 =
+    (1e4 * w_sum) div n_in_window`` (Python floor semantics for negative
+    sums).  Exact integer arithmetic end to end.
+
+    Scale shape: one window pass per key over tier-sized data — no
+    self-join, no re-scan of raw; at 10^12 raw rows this runs on the
+    (orders of magnitude smaller) tier exactly like the cascade stages.
+    """
+    if window_buckets < 1 or bucket_seconds < 1:
+        raise ValueError("window_buckets and bucket_seconds must be >= 1")
+    from pyspark.sql import Window
+
+    span = (window_buckets - 1) * bucket_seconds
+    base = tier_df.select(
+        *key_cols,
+        bucket_col,
+        F.unix_timestamp(bucket_col).alias("_t"),
+        F.col(value_col).cast("bigint").alias("_v"),
+    )
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy("_t")
+        .rangeBetween(-span, 0)
+    )
+    agg = base.select(
+        *key_cols,
+        bucket_col,
+        F.sum("_v").over(w).alias("w_sum"),
+        F.min("_v").over(w).alias("w_min"),
+        F.max("_v").over(w).alias("w_max"),
+        F.count(F.lit(1)).over(w).alias("n_in_window"),
+    )
+    neg = F.col("w_sum") < 0
+    mean_e4 = F.when(
+        ~neg, F.expr("(10000 * w_sum) div n_in_window")
+    ).otherwise(
+        -F.expr("(10000 * (-w_sum) + n_in_window - 1) div n_in_window")
+    )
+    return agg.withColumn("w_mean_e4", mean_e4.cast("bigint"))
+
+
 def token_histogram(
     df: DataFrame,
     tier: str = "raw",

@@ -75,6 +75,37 @@ def streaming_rollup_raw(
     )
 
 
+def streaming_dedup(
+    stream: DataFrame,
+    watermark: str = "10 minutes",
+    ts_col: str = "ts",
+    content_cols: list[str] | None = None,
+) -> DataFrame:
+    """Streaming exact dedup: drop rows whose content hash was already
+    seen within the watermark horizon — the incremental skin of
+    ``operators/dedup.dedup_exact`` for the hot ingest path (re-crawled /
+    re-queued documents collapse before they reach the raw tier).
+
+    Uses ``dropDuplicatesWithinWatermark`` on the md5 of the content
+    columns, so state is bounded by the watermark window (Spark evicts
+    hash state older than the watermark) instead of growing with the
+    corpus; the batch dedup pass downstream owns cross-horizon dups.
+    First occurrence wins, identical to the batch operator's semantics
+    on time-ordered input.
+    """
+    content_cols = content_cols or ["tokens"]
+    h = F.md5(
+        F.concat_ws(
+            "|", *[F.col(c).cast("string") for c in content_cols]
+        )
+    )
+    return (
+        stream.withColumn("content_md5", h)
+        .withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(["content_md5"])
+    )
+
+
 def run_stream_to_parquet(
     rollup_stream: DataFrame,
     out_path: str,
