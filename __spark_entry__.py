@@ -4515,6 +4515,55 @@ FROM seq
 """
 
 
+def q_rollup_weekly_branch(spark, sf_dir):
+    """Weekly side-branch tier (operators/rollup.BUCKET_OF['weekly']):
+    cascaded daily -> weekly algebraic merge vs the oracle's direct
+    week-trunc aggregation of raw events — the exact tier-match property
+    off the trunk (ISO weeks straddle months, so weekly feeds nothing;
+    see the BUCKET_OF comment)."""
+    from rtsa_spark.operators.rollup import rollup_series_next
+
+    daily = rollup_series_next(
+        _hourly_series(spark, sf_dir), "daily", ["event_type"]
+    )
+    return _exact_rollup_projection(
+        rollup_series_next(daily, "weekly", ["event_type"])
+    )
+
+
+def q_benford_audit(spark, sf_dir):
+    """Benford first-digit audit of the hourly tier volumes
+    (operators/anomaly.benford_audit): leading digit extracted lexically
+    from the decimal rendering (no logs at query time — the Benford
+    shares are precomputed exact e6 constants summing to 1e6), per-digit
+    counts and deviations all integer divs."""
+    from rtsa_spark.operators.anomaly import benford_audit
+
+    return benford_audit(_hourly_x(spark, sf_dir), "event_type", "x")
+
+
+SQL_BENFORD = f"""
+WITH {_SQL_HOURLY_X},
+d AS (
+  SELECT k AS key,
+         CAST(substr(CAST(abs(x) AS VARCHAR), 1, 1) AS INTEGER) AS digit
+  FROM h WHERE abs(x) > 0
+), c AS (
+  SELECT key, digit, CAST(count(*) AS BIGINT) AS cnt FROM d GROUP BY 1, 2
+), e AS (
+  SELECT key, digit, cnt,
+         CAST(sum(cnt) OVER (PARTITION BY key) AS BIGINT) AS n,
+         CAST([301030, 176091, 124939, 96910, 79181,
+               66947, 57992, 51153, 45757][digit] AS BIGINT) AS exp_e6
+  FROM c
+)
+SELECT key, digit, cnt, n, exp_e6,
+       (1000000 * cnt) // n AS obs_e6,
+       abs(1000000 * cnt - exp_e6 * n) // n AS dev_e6
+FROM e
+"""
+
+
 # ------------------------------------------------------------ entry points
 
 
@@ -4632,6 +4681,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "histogram_quantiles": q_histogram_quantiles,
         "trailing_window": q_trailing_window,
         "streaming_dedup": q_streaming_dedup,
+        "rollup_weekly_branch": q_rollup_weekly_branch,
+        "benford_audit": q_benford_audit,
     }
 
 
@@ -4733,4 +4784,6 @@ def oracle_sql() -> dict[str, str]:
         "histogram_quantiles": SQL_HISTOGRAM_QUANTILES,
         "trailing_window": SQL_TRAILING_WINDOW,
         "streaming_dedup": SQL_STREAMING_DEDUP,
+        "rollup_weekly_branch": _SQL_ROLLUP_TEMPLATE.format(unit="week"),
+        "benford_audit": SQL_BENFORD,
     }

@@ -27,7 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["hampel"]
+__all__ = ["hampel", "benford_audit", "BENFORD_E6"]
 
 
 def hampel(
@@ -92,4 +92,55 @@ def hampel(
     )
     return out.select(
         F.col("k").alias(key_col), "t", "x", "med", "mad", "anom"
+    )
+
+
+#: round(1e6 * log10(1 + 1/d)) for d = 1..9 — exact integer constants that
+#: sum to exactly 1_000_000 (Benford 1938, public closed form; the logs are
+#: precomputed here so neither engine evaluates a transcendental at query
+#: time — the non-portable step never happens).
+BENFORD_E6 = [301030, 176091, 124939, 96910, 79181, 66947, 57992, 51153, 45757]
+
+
+def benford_audit(df: DataFrame, key_col: str, value_col: str) -> DataFrame:
+    """First-significant-digit distribution per key vs Benford's law —
+    the classic synthetic-data / corruption audit for "organically grown"
+    measures (tier volumes, token counts).
+
+    The leading digit is extracted lexically (first character of the
+    decimal rendering of ``|value|``), so no logs or float powers are
+    involved; zero values are excluded (no leading significant digit).
+    Emits one row per (key, digit): observed count, expected e6 share,
+    observed e6 share, and ``dev_e6 = |1e6*cnt - exp_e6*n| div n`` — the
+    per-digit absolute deviation, exact integer arithmetic end to end.
+    Interpretation stays with the caller (max dev_e6 > ~30000 is the
+    usual screening threshold); the operator only reports.
+
+    Scale shape: one map-side-combinable groupBy on (key, digit) — digit
+    cardinality is 9, so the shuffle is key-count-sized.
+    """
+    v = F.abs(F.col(value_col).cast("bigint"))
+    digit = F.substring(v.cast("string"), 1, 1).cast("int")
+    counts = (
+        df.where(v > 0)
+        .select(F.col(key_col).alias("key"), digit.alias("digit"))
+        .groupBy("key", "digit")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    n = Window.partitionBy("key")
+    exp_e6 = F.element_at(
+        F.array(*[F.lit(x) for x in BENFORD_E6]), F.col("digit")
+    ).cast("bigint")
+    out = (
+        counts.withColumn("n", F.sum("cnt").over(n))
+        .withColumn("exp_e6", exp_e6)
+    )
+    return out.select(
+        "key",
+        "digit",
+        "cnt",
+        "n",
+        "exp_e6",
+        F.expr("(1000000 * cnt) div n").alias("obs_e6"),
+        F.expr("abs(1000000 * cnt - exp_e6 * n) div n").alias("dev_e6"),
     )

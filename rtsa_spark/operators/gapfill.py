@@ -31,6 +31,7 @@ STEP_OF = {
     "raw": "interval 1 minute",
     "hourly": "interval 1 hour",
     "daily": "interval 1 day",
+    "weekly": "interval 1 week",
     "monthly": "interval 1 month",
 }
 

@@ -26,7 +26,17 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
 TIER_ORDER = ["raw", "hourly", "daily", "monthly"]
-BUCKET_OF = {"raw": "minute", "hourly": "hour", "daily": "day", "monthly": "month"}
+#: "weekly" is a SIDE BRANCH off daily (rollup_next(daily, "weekly")), not a
+#: cascade stage: ISO weeks straddle month boundaries, so weekly partials can
+#: never be re-aggregated into exact monthly totals — the ladder keeps
+#: daily -> monthly as the trunk and derives weekly separately.
+BUCKET_OF = {
+    "raw": "minute",
+    "hourly": "hour",
+    "daily": "day",
+    "weekly": "week",
+    "monthly": "month",
+}
 
 #: Columns every tier carries (FIXTURES.md F2).
 ROLLUP_COLS = [
