@@ -144,9 +144,56 @@ def main() -> int:
         and "BroadcastNestedLoopJoin" not in nd_plan,
     )
 
+    # 10. distribution/sketch family (round 3): still pure Catalyst
+    from rtsa_spark.operators.distribution import ks_two_sample, spearman_corr
+    from rtsa_spark.operators.rollup import trailing_window
+    from rtsa_spark.operators.sketch import kmv_distinct, value_histogram
+
+    tier = hr.select(
+        "source", "bucket_start",
+        hr["n_tok_sum"].cast("bigint").alias("x"),
+    )
+    sp_plan = plan_of(spearman_corr(tier, "source", "bucket_start", "x"))
+    ok &= check(
+        "spearman pair join is an equi-join; stats broadcast back",
+        "CartesianProduct" not in sp_plan
+        and "BroadcastHashJoin" in sp_plan,
+    )
+    ks_plan = plan_of(ks_two_sample(tier, "source", "x"))
+    ok &= check(
+        "ks tags rows via broadcast of the tiny pair set",
+        "BroadcastHashJoin" in ks_plan and "CartesianProduct" not in ks_plan,
+    )
+    tw_plan = plan_of(
+        trailing_window(tier, 24, 3600, ["source"], "x")
+    )
+    ok &= check(
+        "trailing window is one window pass, no join, no UDF",
+        "Join" not in tw_plan and "EvalPython" not in tw_plan
+        and tw_plan.count("Window") >= 1,
+    )
+    words = docs.select("doc_id", F_split_word())
+    kmv_plan = plan_of(kmv_distinct(words, "doc_id", "word", k=8))
+    ok &= check(
+        "kmv dedups map-side before the shuffle (partial distinct)",
+        "partial" in kmv_plan.lower() or "HashAggregate" in kmv_plan,
+    )
+    ok &= check("kmv has no Python eval node", "EvalPython" not in kmv_plan)
+    vh_plan = plan_of(value_histogram(tier, "source", "x", 50))
+    ok &= check(
+        "value histogram partial-aggregates map-side",
+        "partial_count" in vh_plan,
+    )
+
     spark.stop()
     print("AUDIT", "PASS" if ok else "FAIL")
     return 0 if ok else 1
+
+
+def F_split_word():
+    from pyspark.sql import functions as F
+
+    return F.explode(F.split("text", " ")).alias("word")
 
 
 if __name__ == "__main__":
