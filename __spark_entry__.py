@@ -4564,6 +4564,58 @@ FROM e
 """
 
 
+def q_iqr_outliers(spark, sf_dir):
+    """Tukey boxplot outlier flags on the daily tier
+    (operators/anomaly.iqr_outliers): exact type-7 quartiles in the e2
+    integer domain, fences compared by cross-multiplication — no float
+    materializes anywhere."""
+    from rtsa_spark.operators.anomaly import iqr_outliers
+    from rtsa_spark.operators.rollup import rollup_series
+
+    daily = rollup_series(
+        _events(spark, sf_dir), "daily", ["event_type"], "ts", "value"
+    ).select(
+        "event_type", "bucket_start", _cents(F.col("v_sum")).alias("x")
+    )
+    out = iqr_outliers(daily, "event_type", "bucket_start", "x")
+    return out.select(
+        "key",
+        "t",
+        "x",
+        "p25_e2",
+        "p75_e2",
+        F.col("is_low").cast("int").alias("is_low"),
+        F.col("is_high").cast("int").alias("is_high"),
+    )
+
+
+SQL_IQR_OUTLIERS = """
+WITH d AS MATERIALIZED (
+  SELECT event_type AS key, date_trunc('day', ts) AS t,
+         CAST(round(sum(value) * 100) AS BIGINT) AS x
+  FROM events GROUP BY 1, 2
+), l AS (
+  SELECT key, CAST(count(*) AS BIGINT) AS n, list(x ORDER BY x) AS xs
+  FROM d GROUP BY 1
+), q AS (
+  SELECT key,
+    CAST(xs[((n-1)*25 // 100) + 1] * (100 - ((n-1)*25 % 100))
+       + xs[LEAST((n-1)*25 // 100 + 2, CAST(n AS INTEGER))]
+         * ((n-1)*25 % 100) AS BIGINT) AS p25_e2,
+    CAST(xs[((n-1)*75 // 100) + 1] * (100 - ((n-1)*75 % 100))
+       + xs[LEAST((n-1)*75 // 100 + 2, CAST(n AS INTEGER))]
+         * ((n-1)*75 % 100) AS BIGINT) AS p75_e2
+  FROM l
+)
+SELECT d.key, d.t, d.x, q.p25_e2, q.p75_e2,
+  CASE WHEN 4 * 100 * d.x < 4 * q.p25_e2 - 6 * (q.p75_e2 - q.p25_e2)
+       THEN 1 ELSE 0 END AS is_low,
+  CASE WHEN 4 * 100 * d.x > 4 * q.p75_e2 + 6 * (q.p75_e2 - q.p25_e2)
+       THEN 1 ELSE 0 END AS is_high
+FROM d JOIN q ON d.key = q.key
+"""
+
+
 # ------------------------------------------------------------ entry points
 
 
@@ -4683,6 +4735,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_dedup": q_streaming_dedup,
         "rollup_weekly_branch": q_rollup_weekly_branch,
         "benford_audit": q_benford_audit,
+        "iqr_outliers": q_iqr_outliers,
     }
 
 
@@ -4786,4 +4839,5 @@ def oracle_sql() -> dict[str, str]:
         "streaming_dedup": SQL_STREAMING_DEDUP,
         "rollup_weekly_branch": _SQL_ROLLUP_TEMPLATE.format(unit="week"),
         "benford_audit": SQL_BENFORD,
+        "iqr_outliers": SQL_IQR_OUTLIERS,
     }

@@ -27,7 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["hampel", "benford_audit", "BENFORD_E6"]
+__all__ = ["hampel", "benford_audit", "iqr_outliers", "BENFORD_E6"]
 
 
 def hampel(
@@ -143,4 +143,57 @@ def benford_audit(df: DataFrame, key_col: str, value_col: str) -> DataFrame:
         "exp_e6",
         F.expr("(1000000 * cnt) div n").alias("obs_e6"),
         F.expr("abs(1000000 * cnt - exp_e6 * n) div n").alias("dev_e6"),
+    )
+
+
+def iqr_outliers(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    k_num: int = 3,
+    k_den: int = 2,
+) -> DataFrame:
+    """Tukey boxplot outlier flags per key: ``x`` is flagged when it falls
+    outside ``[q25 - k*IQR, q75 + k*IQR]`` with ``k = k_num/k_den``
+    (default the classic 1.5).
+
+    Quartiles are the exact type-7 interpolants carried in the e2 integer
+    domain (the same chain as ``sessionize.tier_percentiles``), and the
+    fence comparison is cross-multiplied into the ``2 * k_den * e2``
+    integer domain — no float ever materializes, so both engines agree
+    bit-for-bit:  flag_low  <=>  ``2*k_den*100*x < 2*k_den*q25_e2 -
+    2*k_num*iqr_e2`` (the 2 keeps k=3/2 integral).
+
+    Scale shape: one per-key quartile agg (key-count-sized result)
+    broadcast back onto the tier — rows are flagged in a codegen'd
+    projection, no window over the fact table.
+    """
+    from rtsa_spark.operators.sessionize import tier_percentiles
+
+    base = df.select(
+        F.col(key_col).alias("key"),
+        F.col(ts_col).alias("t"),
+        F.col(value_col).cast("bigint").alias("x"),
+    )
+    q = tier_percentiles(base, value_col="x", key_col="key", ps=(25, 75))
+    q = q.select(
+        "key",
+        "n_buckets",
+        "p25_e2",
+        "p75_e2",
+        (F.col("p75_e2") - F.col("p25_e2")).alias("iqr_e2"),
+    )
+    j = base.join(F.broadcast(q), "key")
+    c = 2 * k_den
+    low = c * 100 * F.col("x") < c * F.col("p25_e2") - 2 * k_num * F.col("iqr_e2")
+    high = c * 100 * F.col("x") > c * F.col("p75_e2") + 2 * k_num * F.col("iqr_e2")
+    return j.select(
+        "key",
+        "t",
+        "x",
+        "p25_e2",
+        "p75_e2",
+        low.alias("is_low"),
+        high.alias("is_high"),
     )

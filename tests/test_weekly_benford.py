@@ -56,3 +56,36 @@ def test_weekly_branch_matches_direct(spark, tiny_sequences):
     ).exceptAll(direct)
     assert joined.count() == 0
     assert weekly.count() == direct.count()
+
+
+def test_iqr_outliers_flags_extremes(spark):
+    from rtsa_spark.operators.anomaly import iqr_outliers
+
+    vals = list(range(10, 30)) + [1000, -1000]
+    df = spark.createDataFrame(
+        [("k", i, v) for i, v in enumerate(vals)],
+        "g string, t int, v long",
+    )
+    out = {r["x"]: r for r in iqr_outliers(df, "g", "t", "v").collect()}
+    assert out[1000]["is_high"] and not out[1000]["is_low"]
+    assert out[-1000]["is_low"] and not out[-1000]["is_high"]
+    assert not out[15]["is_low"] and not out[15]["is_high"]
+
+
+def test_iqr_matches_numpy_fences(spark):
+    import numpy as np
+
+    from rtsa_spark.operators.anomaly import iqr_outliers
+
+    rng = np.random.RandomState(2)
+    vals = rng.randint(-200, 200, 101).tolist()
+    df = spark.createDataFrame(
+        [("k", i, int(v)) for i, v in enumerate(vals)],
+        "g string, t int, v long",
+    )
+    rows = iqr_outliers(df, "g", "t", "v").collect()
+    q25, q75 = np.percentile(vals, [25, 75])  # numpy default == type 7
+    iqr = q75 - q25
+    for r in rows:
+        assert r["is_low"] == (r["x"] < q25 - 1.5 * iqr)
+        assert r["is_high"] == (r["x"] > q75 + 1.5 * iqr)
