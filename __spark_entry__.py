@@ -4616,6 +4616,61 @@ FROM d JOIN q ON d.key = q.key
 """
 
 
+def q_distribution_drift(spark, sf_dir):
+    """Day-over-day categorical drift of each event type's user mix
+    (operators/distribution.distribution_drift): TVD / L-inf / support
+    Jaccard between adjacent observed days, exact-int e6 chain."""
+    from rtsa_spark.operators.distribution import distribution_drift
+
+    ev = _events(spark, sf_dir).select(
+        "event_type", F.date_trunc("day", "ts").alias("day"), "user_id"
+    )
+    return distribution_drift(ev, "event_type", "day", "user_id")
+
+
+SQL_DISTRIBUTION_DRIFT = """
+WITH c AS MATERIALIZED (
+  SELECT event_type AS key, date_trunc('day', ts) AS p, user_id AS item,
+         CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2, 3
+), t AS MATERIALIZED (
+  SELECT key, p, CAST(sum(c) AS BIGINT) AS tot FROM c GROUP BY 1, 2
+), spine AS MATERIALIZED (
+  SELECT key, p AS prev_p, tot AS tot_prv,
+         lead(p) OVER (PARTITION BY key ORDER BY p) AS pair
+  FROM t
+), u AS (
+  SELECT key, p AS pair, item, c AS cur_c, CAST(0 AS BIGINT) AS prv_c FROM c
+  UNION ALL
+  SELECT c.key, s.pair, c.item, CAST(0 AS BIGINT), c.c
+  FROM c JOIN spine s ON c.key = s.key AND c.p = s.prev_p
+  WHERE s.pair IS NOT NULL
+), g AS (
+  SELECT key, pair, item,
+         CAST(sum(cur_c) AS BIGINT) AS cur_c,
+         CAST(sum(prv_c) AS BIGINT) AS prv_c
+  FROM u GROUP BY 1, 2, 3
+), j AS (
+  SELECT g.key, g.pair, s.prev_p, g.cur_c, g.prv_c, tc.tot AS tot_cur,
+         s.tot_prv,
+         abs(g.cur_c * s.tot_prv - g.prv_c * tc.tot) AS diff
+  FROM g
+  JOIN t tc ON g.key = tc.key AND g.pair = tc.p
+  JOIN spine s ON g.key = s.key AND g.pair = s.pair
+)
+-- nonnegative operands: DuckDB // truncation == Spark div == floor
+SELECT key, pair AS period, prev_p AS prev_period, tot_cur, tot_prv,
+  CAST(count(*) AS BIGINT) AS n_union,
+  CAST(sum(CASE WHEN cur_c > 0 AND prv_c > 0 THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_both,
+  CAST(1000000 * sum(CASE WHEN cur_c > 0 AND prv_c > 0 THEN 1 ELSE 0 END)
+       // count(*) AS BIGINT) AS jaccard_e6,
+  CAST((1000000 * sum(diff)) // (2 * tot_cur * tot_prv) AS BIGINT) AS tvd_e6,
+  CAST((1000000 * max(diff)) // (tot_cur * tot_prv) AS BIGINT) AS linf_e6
+FROM j GROUP BY 1, 2, 3, 4, 5
+"""
+
+
 # ------------------------------------------------------------ entry points
 
 
@@ -4736,6 +4791,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_weekly_branch": q_rollup_weekly_branch,
         "benford_audit": q_benford_audit,
         "iqr_outliers": q_iqr_outliers,
+        "distribution_drift": q_distribution_drift,
     }
 
 
@@ -4840,4 +4896,5 @@ def oracle_sql() -> dict[str, str]:
         "rollup_weekly_branch": _SQL_ROLLUP_TEMPLATE.format(unit="week"),
         "benford_audit": SQL_BENFORD,
         "iqr_outliers": SQL_IQR_OUTLIERS,
+        "distribution_drift": SQL_DISTRIBUTION_DRIFT,
     }

@@ -39,7 +39,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["spearman_corr", "ks_two_sample"]
+__all__ = ["spearman_corr", "ks_two_sample", "distribution_drift"]
 
 
 def spearman_corr(
@@ -171,4 +171,124 @@ def ks_two_sample(df: DataFrame, key_col: str, value_col: str) -> DataFrame:
             (F.col("n") > 0) & (F.col("m") > 0),
             F.expr("(1000000 * d_num) div (n * m)"),
         ).cast("bigint"),
+    )
+
+
+def distribution_drift(
+    df: DataFrame, key_col: str, period_col: str, item_col: str
+) -> DataFrame:
+    """Categorical-distribution drift between ADJACENT observed periods of
+    each key: for every consecutive period pair ``(prev -> period)`` in the
+    key's observed spine, compare the item-frequency distributions.
+
+    The day-over-day / snapshot-over-snapshot mix monitor a training-data
+    pipeline runs on its ingest (which sources / users / languages make up
+    today's batch vs yesterday's?).  Complements :func:`ks_two_sample`:
+    KS compares two NUMERIC marginals once, this walks the period spine
+    and compares CATEGORICAL mixes pairwise.
+
+    Emits per ``(key, period)`` with ``prev_period`` the key's previous
+    observed period (spine gaps collapse — "previous" means previous
+    OBSERVED, like the reference's irregular-spine handling in
+    ``/root/reference/R/rtsa.trend.R``'s pairwise walks):
+
+    - ``n_union`` / ``n_both``: item-support sizes (either / both sides);
+      ``jaccard_e6 = (1e6 * n_both) // n_union`` — support overlap.
+    - ``tvd_e6``: total variation distance ``0.5 * sum_i |p_i - q_i|``
+      scaled to e6.  Exact-int chain: with per-side counts ``c/d`` and
+      totals ``T_c/T_d``, ``tvd_num = sum |c_i*T_d - d_i*T_c|`` is an
+      exact BIGINT and ``tvd_e6 = (1e6*tvd_num) // (2*T_c*T_d)``.
+    - ``linf_e6``: worst single-item shift ``max_i |p_i - q_i|`` as
+      ``(1e6 * max_i |c_i*T_d - d_i*T_c|) // (T_c*T_d)``.
+
+    No float ever materializes, so both engines agree bit-for-bit.  ANSI
+    overflow throws loudly when ``1e6 * T_c * T_d`` nears 2^63 (~ 3e6 rows
+    per period side); at that scale drift should be run on a rolled-up
+    tier or sampled counts, not the raw event stream.
+
+    Scale shape: one map-side-combinable groupBy on ``(key, period,
+    item)``, a period-spine window over the KEY-PERIOD set (tiny), then
+    one groupBy on ``(key, pair, item)`` of the role-tagged union — counts
+    flow through two shuffles of the distinct-triple set, never a second
+    pass over the fact rows, and nothing is ever all-pairs-of-periods.
+    """
+    c = (
+        df.select(
+            F.col(key_col).alias("key"),
+            F.col(period_col).alias("p"),
+            F.col(item_col).alias("item"),
+        )
+        .groupBy("key", "p", "item")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    tot = c.groupBy("key", "p").agg(F.sum("c").alias("tot"))
+    w = Window.partitionBy("key").orderBy("p")
+    # per-key observed-period spine: each period knows its successor, so a
+    # count row can be re-tagged into the NEXT period's comparison pair.
+    spine = tot.select(
+        "key",
+        F.col("p").alias("prev_p"),
+        F.col("tot").alias("tot_prv"),
+        F.lead("p").over(w).alias("pair"),
+    ).where(F.col("pair").isNotNull())
+
+    cur = c.select(
+        "key",
+        F.col("p").alias("pair"),
+        "item",
+        F.col("c").alias("cur_c"),
+        F.lit(0).cast("bigint").alias("prv_c"),
+    )
+    prv = (
+        c.join(spine.select("key", "prev_p", "pair"), ["key"])
+        .where(F.col("p") == F.col("prev_p"))
+        .select(
+            "key",
+            "pair",
+            "item",
+            F.lit(0).cast("bigint").alias("cur_c"),
+            F.col("c").alias("prv_c"),
+        )
+    )
+    g = (
+        cur.unionByName(prv)
+        .groupBy("key", "pair", "item")
+        .agg(F.sum("cur_c").alias("cur_c"), F.sum("prv_c").alias("prv_c"))
+    )
+    j = (
+        g.join(
+            tot.select("key", F.col("p").alias("pair"), F.col("tot").alias("tot_cur")),
+            ["key", "pair"],
+        )
+        .join(
+            spine.select("key", "pair", "prev_p", "tot_prv"), ["key", "pair"]
+        )
+    )
+    diff = F.abs(F.col("cur_c") * F.col("tot_prv") - F.col("prv_c") * F.col("tot_cur"))
+    agg = j.groupBy("key", "pair", "prev_p", "tot_cur", "tot_prv").agg(
+        F.count(F.lit(1)).alias("n_union"),
+        F.sum(
+            F.when((F.col("cur_c") > 0) & (F.col("prv_c") > 0), 1).otherwise(0)
+        ).alias("n_both"),
+        F.sum(diff).alias("_tvd_num"),
+        F.max(diff).alias("_linf_num"),
+    )
+    # Integer div throughout (nonnegative operands: Spark `div` == DuckDB
+    # `//`); 1e6-scaled numerators stay exact BIGINT where a double floor
+    # could land off by one.
+    return agg.select(
+        "key",
+        F.col("pair").alias("period"),
+        F.col("prev_p").alias("prev_period"),
+        "tot_cur",
+        "tot_prv",
+        F.col("n_union").cast("bigint").alias("n_union"),
+        F.col("n_both").cast("bigint").alias("n_both"),
+        F.expr("(1000000 * n_both) div n_union").cast("bigint").alias("jaccard_e6"),
+        F.expr("(1000000 * _tvd_num) div (2 * tot_cur * tot_prv)")
+        .cast("bigint")
+        .alias("tvd_e6"),
+        F.expr("(1000000 * _linf_num) div (tot_cur * tot_prv)")
+        .cast("bigint")
+        .alias("linf_e6"),
     )

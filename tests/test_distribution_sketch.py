@@ -155,3 +155,56 @@ def test_gini_uniform_and_point_mass(spark):
     assert rows["u"]["eff_vocab_e3"] == 1000 * d  # inverse Simpson exact
     assert rows["p"]["gini_e6"] == 0
     assert rows["p"]["eff_vocab_e3"] == 1000
+
+
+def test_distribution_drift_identical_and_disjoint(spark):
+    from rtsa_spark.operators.distribution import distribution_drift
+
+    rows = (
+        # day 1 and day 2 identical mixes -> zero drift, full overlap
+        [("k", 1, "a")] * 3 + [("k", 1, "b")] * 1
+        + [("k", 2, "a")] * 3 + [("k", 2, "b")] * 1
+        # day 3 disjoint support -> TVD 1, Jaccard 0
+        + [("k", 3, "c")] * 2
+    )
+    df = spark.createDataFrame(rows, "key string, p int, item string")
+    out = {r["period"]: r for r in
+           distribution_drift(df, "key", "p", "item").collect()}
+    assert set(out) == {2, 3}
+    d2 = out[2]
+    assert d2["prev_period"] == 1 and d2["tvd_e6"] == 0
+    assert d2["jaccard_e6"] == 1_000_000 and d2["n_both"] == 2
+    d3 = out[3]
+    assert d3["tvd_e6"] == 1_000_000 and d3["jaccard_e6"] == 0
+    assert d3["linf_e6"] == 1_000_000  # 'c': |2/2 - 0|
+
+
+def test_distribution_drift_matches_python(spark):
+    from collections import Counter
+
+    from rtsa_spark.operators.distribution import distribution_drift
+
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    rows = [
+        ("k", int(d), f"i{rng.randint(0, 12)}")
+        for d in rng.randint(0, 5, 400)
+    ]
+    df = spark.createDataFrame(rows, "key string, p int, item string")
+    got = {r["period"]: r for r in
+           distribution_drift(df, "key", "p", "item").collect()}
+    days = sorted({p for _, p, _ in rows})
+    for prev, cur in zip(days, days[1:]):
+        cp = Counter(i for _, p, i in rows if p == prev)
+        cc = Counter(i for _, p, i in rows if p == cur)
+        tp, tc = sum(cp.values()), sum(cc.values())
+        num = {i: abs(cc.get(i, 0) * tp - cp.get(i, 0) * tc)
+               for i in set(cp) | set(cc)}
+        r = got[cur]
+        assert r["prev_period"] == prev
+        assert r["tvd_e6"] == (1_000_000 * sum(num.values())) // (2 * tc * tp)
+        assert r["linf_e6"] == (1_000_000 * max(num.values())) // (tc * tp)
+        both = len(set(cp) & set(cc))
+        assert r["n_both"] == both
+        assert r["jaccard_e6"] == 1_000_000 * both // len(set(cp) | set(cc))
