@@ -4616,6 +4616,45 @@ FROM d JOIN q ON d.key = q.key
 """
 
 
+def q_zscore_outliers(spark, sf_dir):
+    """Global 3-sigma flags on the daily tier
+    (operators/anomaly.zscore_outliers): squared-and-cross-multiplied
+    exact-int comparison — z_i^2 (n-1) > 9 * (n^2 Q - n S^2), no
+    sqrt/divide anywhere."""
+    from rtsa_spark.operators.anomaly import zscore_outliers
+    from rtsa_spark.operators.rollup import rollup_series
+
+    daily = rollup_series(
+        _events(spark, sf_dir), "daily", ["event_type"], "ts", "value"
+    ).select(
+        "event_type", "bucket_start", _cents(F.col("v_sum")).alias("x")
+    )
+    out = zscore_outliers(daily, "event_type", "bucket_start", "x")
+    return out.select(
+        "key", "t", "x", "n", "z_num",
+        F.col("is_outlier").cast("int").alias("is_outlier"),
+    )
+
+
+SQL_ZSCORE_OUTLIERS = """
+WITH d AS MATERIALIZED (
+  SELECT event_type AS key, date_trunc('day', ts) AS t,
+         CAST(round(sum(value) * 100) AS BIGINT) AS x
+  FROM events GROUP BY 1, 2
+), s AS (
+  SELECT key, CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS sx,
+         CAST(sum(x * x) AS BIGINT) AS q
+  FROM d GROUP BY 1
+)
+SELECT d.key, d.t, d.x, s.n, (s.n * d.x - s.sx) AS z_num,
+  CASE WHEN s.n >= 2 AND
+    (s.n * d.x - s.sx) * (s.n * d.x - s.sx) * (s.n - 1)
+      > 9 * (s.n * s.n * s.q - s.n * s.sx * s.sx)
+  THEN 1 ELSE 0 END AS is_outlier
+FROM d JOIN s ON d.key = s.key
+"""
+
+
 def q_distribution_drift(spark, sf_dir):
     """Day-over-day categorical drift of each event type's user mix
     (operators/distribution.distribution_drift): TVD / L-inf / support
@@ -4792,6 +4831,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "benford_audit": q_benford_audit,
         "iqr_outliers": q_iqr_outliers,
         "distribution_drift": q_distribution_drift,
+        "zscore_outliers": q_zscore_outliers,
     }
 
 
@@ -4897,4 +4937,5 @@ def oracle_sql() -> dict[str, str]:
         "benford_audit": SQL_BENFORD,
         "iqr_outliers": SQL_IQR_OUTLIERS,
         "distribution_drift": SQL_DISTRIBUTION_DRIFT,
+        "zscore_outliers": SQL_ZSCORE_OUTLIERS,
     }

@@ -27,7 +27,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["hampel", "benford_audit", "iqr_outliers", "BENFORD_E6"]
+__all__ = [
+    "hampel",
+    "benford_audit",
+    "iqr_outliers",
+    "zscore_outliers",
+    "BENFORD_E6",
+]
 
 
 def hampel(
@@ -196,4 +202,62 @@ def iqr_outliers(
         "p75_e2",
         low.alias("is_low"),
         high.alias("is_high"),
+    )
+
+
+def zscore_outliers(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    k_num: int = 3,
+    k_den: int = 1,
+) -> DataFrame:
+    """Classic k-sigma rule per key, exact-int end to end: flag ``x_i``
+    when ``|x_i - mean| > k * sd`` with ``sd`` the n-1 sample stdev and
+    ``k = k_num/k_den``.
+
+    Square-and-cross-multiply so no sqrt/divide ever runs: with
+    ``S = sum x``, ``Q = sum x^2`` and ``z_i = n*x_i - S`` (all exact
+    BIGINT), ``sum_j z_j^2 = n^2*Q - n*S^2`` in closed form and the flag
+    is ``k_den^2 * z_i^2 * (n-1) > k_num^2 * (n^2*Q - n*S^2)`` — pure
+    integer comparison, identical in any engine (ANSI overflow throws
+    loudly; at tier magnitudes z^2 stays far below 2^63).  ``z_num`` is
+    emitted signed so callers can rank by deviation without recomputing.
+
+    Complements :func:`hampel` (rolling robust, window-local) and
+    :func:`iqr_outliers` (global robust): this is the global
+    moment-based detector — the one to run on a REMAINDER series after
+    :func:`rtsa_spark.operators.components.decompose_components`
+    strips seasonality (the classic seasonal-ESD composition), where
+    the near-normal residual makes mean/sd appropriate.
+
+    Scale shape: one map-side-combinable groupBy per key (n, S, Q) and
+    a broadcast join back onto the tier — a codegen'd projection flags
+    every row, no window over the fact table, two passes total.
+    """
+    base = df.select(
+        F.col(key_col).alias("key"),
+        F.col(ts_col).alias("t"),
+        F.col(value_col).cast("bigint").alias("x"),
+    )
+    s = base.groupBy("key").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("s"),
+        F.sum(F.col("x") * F.col("x")).alias("q"),
+    )
+    j = base.join(F.broadcast(s), "key")
+    z = F.col("n") * F.col("x") - F.col("s")
+    ssz = F.col("n") * F.col("n") * F.col("q") - F.col("n") * F.col("s") * F.col("s")
+    flag = (
+        F.lit(k_den * k_den) * z * z * (F.col("n") - 1)
+        > F.lit(k_num * k_num) * ssz
+    )
+    return j.select(
+        "key",
+        "t",
+        "x",
+        "n",
+        z.alias("z_num"),
+        F.when(F.col("n") >= 2, flag).otherwise(F.lit(False)).alias("is_outlier"),
     )

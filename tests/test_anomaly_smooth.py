@@ -4,6 +4,7 @@ from __future__ import annotations
 
 import numpy as np
 import pytest
+from pyspark.sql import functions as F
 
 from rtsa_spark.operators.anomaly import hampel
 from rtsa_spark.operators.forecast import period_strength, seasonal_naive_accuracy
@@ -211,3 +212,73 @@ def test_holt_winters_guards(spark):
     row = holt_winters(_df(spark, [50]), "k", "t", "x", period=3).collect()[0]
     assert row["level_e6"] == 50_000_000 and row["trend_e6"] == 0
     assert row["s_next_e6"] == 0 and row["fc_e6"] == 50_000_000
+
+
+def test_zscore_outliers_matches_numpy(spark):
+    import numpy as np
+
+    from rtsa_spark.operators.anomaly import zscore_outliers
+
+    rng = np.random.RandomState(11)
+    vals = rng.randint(-500, 500, 64).tolist() + [9000]
+    df = spark.createDataFrame(
+        [("k", i, int(v)) for i, v in enumerate(vals)],
+        "g string, t int, v long",
+    )
+    rows = zscore_outliers(df, "g", "t", "v").collect()
+    mu, sd = np.mean(vals), np.std(vals, ddof=1)
+    for r in rows:
+        assert r["is_outlier"] == (abs(r["x"] - mu) > 3 * sd)
+    assert sum(r["is_outlier"] for r in rows) >= 1
+
+
+def test_zscore_degenerate_single_row(spark):
+    from rtsa_spark.operators.anomaly import zscore_outliers
+
+    df = spark.createDataFrame([("k", 0, 5)], "g string, t int, v long")
+    [r] = zscore_outliers(df, "g", "t", "v").collect()
+    assert r["is_outlier"] is False
+
+
+def test_seasonal_zscore_composition(spark):
+    """The seasonal-ESD shape: a moderate anomaly hidden under strong
+    seasonality is invisible to the raw 3-sigma rule but flagged once
+    decompose_components strips the seasonal/trend components."""
+    import datetime as dt
+
+    import numpy as np
+
+    from rtsa_spark.operators.anomaly import zscore_outliers
+    from rtsa_spark.operators.components import decompose_components
+
+    t0 = dt.datetime(2024, 1, 1)
+    n, p = 56, 7
+    seas = [10000, -8000, 3000, -2000, 6000, -5000, -4000]
+    vals = [seas[i % p] for i in range(n)]
+    vals[30] += 5000  # ~0.7 sigma of the raw series: invisible raw
+    rows = [
+        ("s", t0 + dt.timedelta(days=i), int(v)) for i, v in enumerate(vals)
+    ]
+    df = spark.createDataFrame(
+        rows, "source string, bucket_start timestamp, x long"
+    )
+    raw = {
+        r["t"]: r["is_outlier"]
+        for r in zscore_outliers(df, "source", "bucket_start", "x").collect()
+    }
+    assert not any(raw.values())
+
+    comp = decompose_components(df, "daily", value_col="x", period=p)
+    adj = comp.select(
+        "source",
+        "bucket_start",
+        (F.col("remainder") * 1000).cast("long").alias("r_e3"),
+    )
+    flags = {
+        r["t"]: r["is_outlier"]
+        for r in zscore_outliers(
+            adj, "source", "bucket_start", "r_e3"
+        ).collect()
+    }
+    anom_t = t0 + dt.timedelta(days=30)
+    assert flags[anom_t]
