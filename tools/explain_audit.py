@@ -185,6 +185,34 @@ def main() -> int:
         "partial_count" in vh_plan,
     )
 
+    # 11. anomaly family: per-key stats broadcast back onto the tier —
+    #     a codegen'd flag projection, never a window over the fact rows
+    from rtsa_spark.operators.anomaly import iqr_outliers, zscore_outliers
+    from rtsa_spark.operators.distribution import distribution_drift
+
+    zs_plan = plan_of(zscore_outliers(tier, "source", "bucket_start", "x"))
+    ok &= check(
+        "zscore flags via broadcast of per-key moments (no window/UDF)",
+        "BroadcastHashJoin" in zs_plan
+        and "EvalPython" not in zs_plan
+        and "partial_sum" in zs_plan,
+    )
+    iqr_plan = plan_of(iqr_outliers(tier, "source", "bucket_start", "x"))
+    ok &= check(
+        "iqr flags via broadcast of per-key quartiles (no UDF)",
+        "BroadcastHashJoin" in iqr_plan and "EvalPython" not in iqr_plan,
+    )
+    dd_plan = plan_of(
+        distribution_drift(tier, "source", "bucket_start", "x")
+    )
+    ok &= check(
+        "distribution drift joins are equi-joins with map-side combine",
+        "CartesianProduct" not in dd_plan
+        and "BroadcastNestedLoopJoin" not in dd_plan
+        and "EvalPython" not in dd_plan
+        and "partial_count" in dd_plan,
+    )
+
     spark.stop()
     print("AUDIT", "PASS" if ok else "FAIL")
     return 0 if ok else 1
