@@ -4616,6 +4616,55 @@ FROM d JOIN q ON d.key = q.key
 """
 
 
+def q_phase_profile(spark, sf_dir):
+    """Typical-day envelope (operators/sessionize.phase_profile): exact
+    type-7 p10/p50/p90 bands of the hourly tier per (event_type,
+    hour-of-day); phase from pure epoch integer arithmetic."""
+    from rtsa_spark.operators.rollup import rollup_series
+    from rtsa_spark.operators.sessionize import phase_profile
+
+    hourly = rollup_series(
+        _events(spark, sf_dir), "hourly", ["event_type"], "ts", "value"
+    ).select(
+        "event_type", "bucket_start", _cents(F.col("v_sum")).alias("x")
+    )
+    return phase_profile(hourly, "event_type", "bucket_start", "x", "hour")
+
+
+def _sql_p_e2(p: int) -> str:
+    """Type-7 percentile in the e2 integer domain over sorted list xs."""
+    return (
+        f"CAST(xs[((n_buckets-1)*{p} // 100) + 1]"
+        f" * (100 - ((n_buckets-1)*{p} % 100))"
+        f" + xs[LEAST((n_buckets-1)*{p} // 100 + 2,"
+        f" CAST(n_buckets AS INTEGER))]"
+        f" * ((n_buckets-1)*{p} % 100) AS BIGINT) AS p{p}_e2"
+    )
+
+
+SQL_PHASE_PROFILE = f"""
+WITH hb AS MATERIALIZED (
+  SELECT event_type AS key, date_trunc('hour', ts) AS b,
+         CAST(round(sum(value) * 100) AS BIGINT) AS x
+  FROM events GROUP BY 1, 2
+), ph AS (
+  SELECT key,
+         CAST((CAST(epoch(b) AS BIGINT) // 3600) % 24 AS INTEGER) AS phase,
+         x
+  FROM hb
+), l AS (
+  SELECT key, phase, CAST(count(*) AS BIGINT) AS n_buckets,
+         list(x ORDER BY x) AS xs
+  FROM ph GROUP BY 1, 2
+)
+SELECT key, phase, n_buckets,
+  {_sql_p_e2(10)},
+  {_sql_p_e2(50)},
+  {_sql_p_e2(90)}
+FROM l
+"""
+
+
 def q_zscore_outliers(spark, sf_dir):
     """Global 3-sigma flags on the daily tier
     (operators/anomaly.zscore_outliers): squared-and-cross-multiplied
@@ -4832,6 +4881,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iqr_outliers": q_iqr_outliers,
         "distribution_drift": q_distribution_drift,
         "zscore_outliers": q_zscore_outliers,
+        "phase_profile": q_phase_profile,
     }
 
 
@@ -4938,4 +4988,5 @@ def oracle_sql() -> dict[str, str]:
         "iqr_outliers": SQL_IQR_OUTLIERS,
         "distribution_drift": SQL_DISTRIBUTION_DRIFT,
         "zscore_outliers": SQL_ZSCORE_OUTLIERS,
+        "phase_profile": SQL_PHASE_PROFILE,
     }

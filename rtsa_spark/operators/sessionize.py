@@ -71,22 +71,24 @@ def sessionize(
 def tier_percentiles(
     df: DataFrame,
     value_col: str = "n_tok_sum",
-    key_col: str = "source",
+    key_col: str | list[str] = "source",
     ps: tuple[int, ...] = (50, 90, 99),
 ) -> DataFrame:
-    """Exact type-7 percentiles of ``value_col`` per key over a rolled-up
-    tier, in the e2 integer domain. For percentile p over the sorted
-    values x[0..n-1]: pos = (n-1)*p, lo = pos // 100, rem = pos % 100,
+    """Exact type-7 percentiles of ``value_col`` per key (single column or
+    composite list) over a rolled-up tier, in the e2 integer domain. For
+    percentile p over the sorted values x[0..n-1]: pos = (n-1)*p,
+    lo = pos // 100, rem = pos % 100,
     ``p{p}_e2 = x[lo]*(100-rem) + x[lo+1]*rem`` (``x[lo]*100`` at the
     boundary) — pure integer arithmetic both engines agree on."""
     if not ps or any(not 0 <= p <= 100 for p in ps):
         raise ValueError("ps must be percentiles in [0, 100]")
+    keys = [key_col] if isinstance(key_col, str) else list(key_col)
     xs = F.sort_array(F.collect_list(F.col(value_col).cast("bigint")))
-    agg = df.groupBy(key_col).agg(
+    agg = df.groupBy(*keys).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_buckets"),
         xs.alias("xs"),
     )
-    cols = [F.col(key_col), F.col("n_buckets")]
+    cols = [*[F.col(k) for k in keys], F.col("n_buckets")]
     for p in ps:
         pos = (F.col("n_buckets") - 1) * p
         lo = F.floor(pos / 100).cast("int")
@@ -97,3 +99,44 @@ def tier_percentiles(
             (x_lo * (100 - rem) + x_hi * rem).cast("bigint").alias(f"p{p}_e2")
         )
     return agg.select(*cols)
+
+
+def phase_profile(
+    df: DataFrame,
+    key_col: str,
+    bucket_col: str,
+    value_col: str,
+    phase: str = "hour",
+    ps: tuple[int, ...] = (10, 50, 90),
+) -> DataFrame:
+    """Seasonal envelope — "what does a typical day/week look like": exact
+    type-7 percentile bands of ``value_col`` per ``(key, phase)`` where
+    phase is the hour-of-day (0-23) or day-of-week (0=Sunday..6) of the
+    bucket.  The per-phase p10/p50/p90 profile is the reference's seasonal
+    climatology read (``/root/reference/R/rtsa.seas.R`` amplitude cycle)
+    turned into an operational band a monitor can compare live buckets
+    against.
+
+    Phase extraction is pure integer epoch arithmetic — ``(epoch div
+    3600) mod 24`` / ``((epoch div 86400) + 4) mod 7`` (1970-01-01 was a
+    Thursday) — never an engine calendar function, so UTC phases agree
+    across engines by construction.
+
+    Scale shape: inherits :func:`tier_percentiles` — one groupBy on the
+    composite key; per-group state is the sorted per-bucket list, tier-
+    bounded (buckets per key-phase), not raw-data-bounded.
+    """
+    if phase == "hour":
+        ph = F.pmod(F.expr(f"(cast({bucket_col} as long) div 3600)"), F.lit(24))
+    elif phase == "dow":
+        ph = F.pmod(
+            F.expr(f"(cast({bucket_col} as long) div 86400) + 4"), F.lit(7)
+        )
+    else:
+        raise ValueError(f"phase must be 'hour' or 'dow', got {phase!r}")
+    base = df.select(
+        F.col(key_col).alias("key"),
+        ph.cast("int").alias("phase"),
+        F.col(value_col).cast("bigint").alias("x"),
+    )
+    return tier_percentiles(base, value_col="x", key_col=["key", "phase"], ps=ps)

@@ -95,3 +95,67 @@ def test_tier_percentiles_match_numpy_type7(spark):
     assert got["p50_e2"] == 4200
     with pytest.raises(ValueError):
         tier_percentiles(df, ps=(101,))
+
+
+def test_phase_profile_hour_matches_numpy(spark):
+    import datetime as dt
+
+    import numpy as np
+
+    from rtsa_spark.operators.sessionize import phase_profile
+
+    t0 = dt.datetime(2024, 3, 1)
+    rng = np.random.RandomState(5)
+    rows = [
+        ("k", t0 + dt.timedelta(hours=i), int(rng.randint(0, 1000)))
+        for i in range(24 * 14)
+    ]
+    df = spark.createDataFrame(
+        rows, "key string, bucket_start timestamp, x long"
+    )
+    out = {
+        r["phase"]: r
+        for r in phase_profile(
+            df, "key", "bucket_start", "x", "hour"
+        ).collect()
+    }
+    assert set(out) == set(range(24))
+    for h in range(24):
+        vals = sorted(x for _, b, x in rows if b.hour == h)
+        assert out[h]["n_buckets"] == 14
+        for p in (10, 50, 90):
+            pos = (14 - 1) * p
+            lo, rem = pos // 100, pos % 100
+            hi = min(lo + 1, 13)
+            exp = vals[lo] * (100 - rem) + vals[hi] * rem
+            assert out[h][f"p{p}_e2"] == exp
+
+
+def test_phase_profile_dow_epoch_arithmetic(spark):
+    import datetime as dt
+
+    from rtsa_spark.operators.sessionize import phase_profile
+
+    # 2024-03-03 is a Sunday -> phase 0 under the (d+4)%7 convention
+    rows = [
+        ("k", dt.datetime(2024, 3, 3 + i), i) for i in range(7)
+    ]
+    df = spark.createDataFrame(
+        rows, "key string, bucket_start timestamp, x long"
+    )
+    out = {r["phase"]: r["p50_e2"] for r in phase_profile(
+        df, "key", "bucket_start", "x", "dow").collect()}
+    assert set(out) == set(range(7))
+    assert out[0] == 0 * 100 and out[6] == 6 * 100
+
+
+def test_phase_profile_bad_phase(spark):
+    import pytest as _pytest
+
+    from rtsa_spark.operators.sessionize import phase_profile
+
+    df = spark.createDataFrame(
+        [("k", 0, 1)], "key string, bucket_start int, x long"
+    )
+    with _pytest.raises(ValueError):
+        phase_profile(df, "key", "bucket_start", "x", "month")
