@@ -4616,6 +4616,34 @@ FROM d JOIN q ON d.key = q.key
 """
 
 
+def q_word_bigrams(spark, sf_dir):
+    """Top-10 word bigrams per source (functions/text.word_bigram_topk):
+    boilerplate-surfacing transition counts, zip-with-shift in codegen,
+    deterministic tie-break."""
+    from rtsa_spark.functions.text import word_bigram_topk
+
+    return word_bigram_topk(_documents(spark, sf_dir), "source", "text", 10)
+
+
+SQL_WORD_BIGRAMS = """
+WITH t AS (
+  SELECT source AS key, string_split(text, ' ') AS ws FROM documents
+), e AS (
+  SELECT key, ws, unnest(ws) AS w, generate_subscripts(ws, 1) AS i FROM t
+), b AS (
+  SELECT key, w || ' ' || ws[i + 1] AS bigram FROM e WHERE i < len(ws)
+), c AS (
+  SELECT key, bigram, CAST(count(*) AS BIGINT) AS cnt FROM b GROUP BY 1, 2
+), r AS (
+  SELECT key, bigram, cnt,
+         CAST(row_number() OVER (PARTITION BY key ORDER BY cnt DESC, bigram)
+              AS INTEGER) AS rank
+  FROM c
+)
+SELECT key, bigram, cnt, rank FROM r WHERE rank <= 10
+"""
+
+
 def q_phase_profile(spark, sf_dir):
     """Typical-day envelope (operators/sessionize.phase_profile): exact
     type-7 p10/p50/p90 bands of the hourly tier per (event_type,
@@ -4882,6 +4910,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distribution_drift": q_distribution_drift,
         "zscore_outliers": q_zscore_outliers,
         "phase_profile": q_phase_profile,
+        "word_bigrams": q_word_bigrams,
     }
 
 
@@ -4989,4 +5018,5 @@ def oracle_sql() -> dict[str, str]:
         "distribution_drift": SQL_DISTRIBUTION_DRIFT,
         "zscore_outliers": SQL_ZSCORE_OUTLIERS,
         "phase_profile": SQL_PHASE_PROFILE,
+        "word_bigrams": SQL_WORD_BIGRAMS,
     }

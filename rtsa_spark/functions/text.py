@@ -209,3 +209,44 @@ def bpe_token_counts(
         F.size(toks).alias("bpe_tokens"),
         F.length(F.col(text_col)).alias("n_chars"),
     )
+
+
+def word_bigram_topk(
+    df: DataFrame, key_col: str, text_col: str = "text", k: int = 10
+) -> DataFrame:
+    """Top-k word bigrams per key — the transition-frequency statistic a
+    corpus report pairs with unigram top-k (:func:`word_count` family):
+    dominant bigrams surface boilerplate and template text that unigram
+    counts hide.
+
+    Bigrams are emitted as a single ``"w1 w2"`` string (engine-portable —
+    no struct-field naming to disagree on), built by zipping the word
+    array against its own 1-shift inside codegen; docs with fewer than 2
+    words contribute nothing.  Ties break deterministically on
+    ``(cnt DESC, bigram ASC)``.
+
+    Scale shape: explode -> map-side-combinable groupBy on (key, bigram)
+    -> per-key top-k window over the COUNT table (distinct-bigram-sized,
+    not corpus-sized).
+    """
+    from pyspark.sql import Window
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    words = F.split(F.col(text_col), " ")
+    n = F.size(words)
+    bigrams = F.zip_with(
+        F.slice(words, 1, F.greatest(n - 1, F.lit(0))),
+        F.slice(words, 2, F.greatest(n - 1, F.lit(0))),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    b = df.select(
+        F.col(key_col).alias("key"), F.explode(bigrams).alias("bigram")
+    )
+    counts = b.groupBy("key", "bigram").agg(F.count(F.lit(1)).alias("cnt"))
+    rk = Window.partitionBy("key").orderBy(F.desc("cnt"), F.asc("bigram"))
+    return (
+        counts.withColumn("rank", F.row_number().over(rk).cast("int"))
+        .where(F.col("rank") <= k)
+        .select("key", "bigram", "cnt", "rank")
+    )

@@ -476,3 +476,37 @@ def test_repetition_flags_boilerplate(spark, docs):
     got = {r["source"]: r for r in repetition_stats(df, n=2).collect()}
     assert got["boiler"]["dup_frac_e4"] > 9000
     assert got["clean"]["dup_frac_e4"] == 0
+
+
+def test_word_bigram_topk_counts(spark):
+    from rtsa_spark.functions.text import word_bigram_topk
+
+    df = spark.createDataFrame(
+        [
+            ("s", "a b a b c"),
+            ("s", "a b"),
+            ("s", "x"),          # <2 words: contributes nothing
+            ("t", "q q q"),
+        ],
+        "source string, text string",
+    )
+    rows = word_bigram_topk(df, "source", "text", 10).collect()
+    got = {(r["key"], r["bigram"]): (r["cnt"], r["rank"]) for r in rows}
+    assert got[("s", "a b")] == (3, 1)
+    assert got[("s", "b a")] == (1, 2)  # tie with 'b c' breaks on string
+    assert got[("s", "b c")] == (1, 3)
+    assert got[("t", "q q")] == (2, 1)
+    assert not any(k == "x" for _, k in got)
+
+
+def test_word_bigram_topk_k_bound_and_guard(spark):
+    import pytest as _pytest
+
+    from rtsa_spark.functions.text import word_bigram_topk
+
+    df = spark.createDataFrame(
+        [("s", "a b c d e f g")], "source string, text string"
+    )
+    assert word_bigram_topk(df, "source", "text", 2).count() == 2
+    with _pytest.raises(ValueError):
+        word_bigram_topk(df, "source", "text", 0)
