@@ -4616,6 +4616,41 @@ FROM d JOIN q ON d.key = q.key
 """
 
 
+def q_cohort_retention(spark, sf_dir):
+    """Cohort retention triangle over events
+    (operators/counters.cohort_retention): first-seen-day cohorts x
+    day-offset distinct actives, pure epoch integer day boundaries,
+    retention_e6 exact."""
+    from rtsa_spark.operators.counters import cohort_retention
+
+    return cohort_retention(_events(spark, sf_dir), "user_id", "ts")
+
+
+SQL_COHORT_RETENTION = """
+WITH days AS MATERIALIZED (
+  -- day = floor(micros / 86400e6): exact-integer micros, no float epoch
+  SELECT DISTINCT user_id AS u,
+         epoch_us(ts) // 86400000000 AS d
+  FROM events
+), f AS MATERIALIZED (
+  SELECT u, min(d) AS d0 FROM days GROUP BY 1
+), j AS (
+  SELECT days.u, f.d0 AS cohort_day, days.d - f.d0 AS day_offset
+  FROM days JOIN f ON days.u = f.u
+), sz AS (
+  SELECT d0 AS cohort_day, CAST(count(*) AS BIGINT) AS n_cohort
+  FROM f GROUP BY 1
+), a AS (
+  SELECT cohort_day, day_offset, CAST(count(*) AS BIGINT) AS n_active
+  FROM j GROUP BY 1, 2
+)
+SELECT a.cohort_day, CAST(a.day_offset AS BIGINT) AS day_offset,
+       a.n_active, sz.n_cohort,
+       CAST((1000000 * a.n_active) // sz.n_cohort AS BIGINT) AS retention_e6
+FROM a JOIN sz ON a.cohort_day = sz.cohort_day
+"""
+
+
 def q_word_bigrams(spark, sf_dir):
     """Top-10 word bigrams per source (functions/text.word_bigram_topk):
     boilerplate-surfacing transition counts, zip-with-shift in codegen,
@@ -4911,6 +4946,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zscore_outliers": q_zscore_outliers,
         "phase_profile": q_phase_profile,
         "word_bigrams": q_word_bigrams,
+        "cohort_retention": q_cohort_retention,
     }
 
 
@@ -5019,4 +5055,5 @@ def oracle_sql() -> dict[str, str]:
         "zscore_outliers": SQL_ZSCORE_OUTLIERS,
         "phase_profile": SQL_PHASE_PROFILE,
         "word_bigrams": SQL_WORD_BIGRAMS,
+        "cohort_retention": SQL_COHORT_RETENTION,
     }

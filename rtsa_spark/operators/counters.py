@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["counter_increase", "cusum_drift"]
+__all__ = ["counter_increase", "cusum_drift", "cohort_retention"]
 
 
 def counter_increase(
@@ -83,4 +83,64 @@ def cusum_drift(
     run_min = F.least(F.lit(0).cast("bigint"), F.min("_c").over(w))
     return with_c.select("*", (F.col("_c") - run_min).alias("cusum_s")).drop(
         "_c"
+    )
+
+
+def cohort_retention(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    day_s: int = 86400,
+    max_offset: int | None = None,
+) -> DataFrame:
+    """Cohort retention matrix: group users by their first-seen day, then
+    for each ``(cohort_day, day_offset)`` count the distinct users active
+    that many days later — the classic product-analytics triangle, here
+    the freshness/stickiness read on a source/user event tier.
+
+    Day boundaries are pure epoch integer arithmetic (``epoch div
+    day_s``), never an engine calendar function.  Emits ``(cohort_day,
+    day_offset, n_active, n_cohort, retention_e6)`` with
+    ``retention_e6 = (1e6 * n_active) div n_cohort`` — exact integers
+    end to end; ``day_offset = 0`` rows carry ``n_active = n_cohort``
+    by construction.
+
+    Scale shape: one groupBy per user for the first-seen day (map-side
+    combined min), an equi-join back onto the distinct (user, day) set
+    (NOT the raw events — activity is collapsed first, so the join input
+    is distinct-pair-sized), then one groupBy on (cohort, offset).
+    ``max_offset`` caps the emitted triangle; NULL keeps everything.
+    """
+    if day_s <= 0:
+        raise ValueError(f"day_s must be > 0, got {day_s}")
+    # unix_timestamp (not a bigint cast): works for both TIMESTAMP and
+    # TIMESTAMP_NTZ inputs, truncating to whole UTC seconds — day floors
+    # then agree with any exact-integer epoch recipe for positive epochs.
+    days = df.select(
+        F.col(user_col).alias("u"),
+        F.expr(f"unix_timestamp({ts_col}) div {int(day_s)}").alias("d"),
+    ).distinct()
+    first = days.groupBy("u").agg(F.min("d").alias("d0"))
+    j = days.join(first, "u").select(
+        "u", F.col("d0").alias("cohort_day"), (F.col("d") - F.col("d0")).alias("day_offset")
+    )
+    if max_offset is not None:
+        j = j.where(F.col("day_offset") <= int(max_offset))
+    sizes = first.groupBy("d0").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_cohort")
+    )
+    act = j.groupBy("cohort_day", "day_offset").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_active")
+    )
+    out = act.join(
+        F.broadcast(sizes.withColumnRenamed("d0", "cohort_day")), "cohort_day"
+    )
+    return out.select(
+        "cohort_day",
+        F.col("day_offset").cast("bigint").alias("day_offset"),
+        "n_active",
+        "n_cohort",
+        F.expr("(1000000 * n_active) div n_cohort")
+        .cast("bigint")
+        .alias("retention_e6"),
     )

@@ -86,3 +86,43 @@ def test_cusum_with_target_column(spark):
     )
     got = {r["t"]: r["cusum_s"] for r in cusum_drift(df, "k", "t", "x", "tgt").collect()}
     assert got == {0: 2, 1: 4, 2: 0}
+
+
+def test_cohort_retention_hand_case(spark):
+    import datetime as dt
+
+    from rtsa_spark.operators.counters import cohort_retention
+
+    d = lambda day, u: (u, dt.datetime(2024, 1, 1 + day, 12, 0))
+    rows = [
+        d(0, 1), d(0, 2), d(0, 2),      # cohort day0: users 1,2
+        d(1, 1),                        # day0 offset1: user 1 only
+        d(1, 3),                        # cohort day1: user 3
+        d(2, 1), d(2, 3),               # offsets 2 (u1) and 1 (u3)
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    out = {(r["cohort_day"], r["day_offset"]): r
+           for r in cohort_retention(df, "user_id", "ts").collect()}
+    c0 = dt.datetime(2024, 1, 1).toordinal() - dt.date(1970, 1, 1).toordinal()
+    assert out[(c0, 0)]["n_active"] == 2 and out[(c0, 0)]["n_cohort"] == 2
+    assert out[(c0, 0)]["retention_e6"] == 1_000_000
+    assert out[(c0, 1)]["n_active"] == 1
+    assert out[(c0, 1)]["retention_e6"] == 500_000
+    assert out[(c0, 2)]["n_active"] == 1
+    assert out[(c0 + 1, 0)]["n_cohort"] == 1
+    assert out[(c0 + 1, 1)]["n_active"] == 1
+    assert (c0 + 1, 2) not in out
+
+
+def test_cohort_retention_max_offset_and_guard(spark):
+    import datetime as dt
+
+    import pytest as _pytest
+
+    from rtsa_spark.operators.counters import cohort_retention
+
+    rows = [(1, dt.datetime(2024, 1, 1 + i)) for i in range(5)]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    assert cohort_retention(df, "user_id", "ts", max_offset=2).count() == 3
+    with _pytest.raises(ValueError):
+        cohort_retention(df, "user_id", "ts", day_s=0)
