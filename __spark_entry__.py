@@ -4616,6 +4616,62 @@ FROM d JOIN q ON d.key = q.key
 """
 
 
+def q_dedup_savings(spark, sf_dir):
+    """Per-source token-savings report for exact dedup: the corpus
+    accountant's read of operators/dedup.dedup_exact — tokens before vs
+    after keeping only each content hash's global min-doc_id survivor;
+    savings_e6 exact-int."""
+    from rtsa_spark.operators.dedup import dedup_exact
+    from rtsa_spark.functions.text import word_count
+
+    docs = _documents(spark, sf_dir).select(
+        "doc_id", "source", word_count("text").cast("bigint").alias("toks")
+    )
+    surv = dedup_exact(_documents(spark, sf_dir)).select(
+        F.col("survivor_doc_id").alias("doc_id"), F.lit(1).alias("kept")
+    )
+    j = docs.join(F.broadcast(surv), "doc_id", "left")
+    return j.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.coalesce(F.col("kept"), F.lit(0))).cast("bigint").alias("n_kept"),
+        F.sum("toks").cast("bigint").alias("tokens_total"),
+        F.sum(F.when(F.col("kept").isNotNull(), F.col("toks")).otherwise(0))
+        .cast("bigint")
+        .alias("tokens_kept"),
+    ).select(
+        "source",
+        "n_docs",
+        "n_kept",
+        "tokens_total",
+        "tokens_kept",
+        F.expr(
+            "(1000000 * (tokens_total - tokens_kept)) div tokens_total"
+        ).cast("bigint").alias("savings_e6"),
+    )
+
+
+SQL_DEDUP_SAVINGS = """
+WITH surv AS MATERIALIZED (
+  SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+), d AS (
+  SELECT doc_id, source,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS toks,
+         CASE WHEN doc_id IN (SELECT doc_id FROM surv) THEN 1 ELSE 0 END
+           AS kept
+  FROM documents
+)
+SELECT source,
+  CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(kept) AS BIGINT) AS n_kept,
+  CAST(sum(toks) AS BIGINT) AS tokens_total,
+  CAST(sum(CASE WHEN kept = 1 THEN toks ELSE 0 END) AS BIGINT)
+    AS tokens_kept,
+  CAST((1000000 * (sum(toks) - sum(CASE WHEN kept = 1 THEN toks ELSE 0 END)))
+       // sum(toks) AS BIGINT) AS savings_e6
+FROM d GROUP BY 1
+"""
+
+
 def q_cohort_retention(spark, sf_dir):
     """Cohort retention triangle over events
     (operators/counters.cohort_retention): first-seen-day cohorts x
@@ -4947,6 +5003,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phase_profile": q_phase_profile,
         "word_bigrams": q_word_bigrams,
         "cohort_retention": q_cohort_retention,
+        "dedup_savings": q_dedup_savings,
     }
 
 
@@ -5056,4 +5113,5 @@ def oracle_sql() -> dict[str, str]:
         "phase_profile": SQL_PHASE_PROFILE,
         "word_bigrams": SQL_WORD_BIGRAMS,
         "cohort_retention": SQL_COHORT_RETENTION,
+        "dedup_savings": SQL_DEDUP_SAVINGS,
     }
