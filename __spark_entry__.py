@@ -4616,6 +4616,47 @@ FROM d JOIN q ON d.key = q.key
 """
 
 
+def q_term_lift(spark, sf_dir):
+    """Top-5 distinctive terms per source (functions/text.term_lift_topk):
+    exact-int lift P(w|key)/P(w) scaled e6 — tf-idf's read without the
+    engine-unportable log."""
+    from rtsa_spark.functions.text import term_lift_topk
+
+    return term_lift_topk(_documents(spark, sf_dir), "source", "text", 5, 5)
+
+
+SQL_TERM_LIFT = """
+WITH w AS MATERIALIZED (
+  SELECT source AS key, unnest(string_split(text, ' ')) AS word
+  FROM documents
+), ckw AS (
+  SELECT key, word, CAST(count(*) AS BIGINT) AS cnt FROM w GROUP BY 1, 2
+), cw AS (
+  SELECT word, CAST(count(*) AS BIGINT) AS c_w FROM w GROUP BY 1
+), nk AS (
+  SELECT key, CAST(count(*) AS BIGINT) AS n_key FROM w GROUP BY 1
+), nt AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_total FROM w
+), j AS (
+  SELECT ckw.key, ckw.word, ckw.cnt, cw.c_w,
+         CAST((1000000 * ckw.cnt * nt.n_total) // (cw.c_w * nk.n_key)
+              AS BIGINT) AS lift_e6
+  FROM ckw
+  JOIN cw ON ckw.word = cw.word
+  JOIN nk ON ckw.key = nk.key
+  CROSS JOIN nt
+  WHERE ckw.cnt >= 5
+), r AS (
+  SELECT key, word, cnt, c_w, lift_e6,
+         CAST(row_number() OVER (
+           PARTITION BY key ORDER BY lift_e6 DESC, cnt DESC, word
+         ) AS INTEGER) AS rank
+  FROM j
+)
+SELECT key, word, cnt, c_w, lift_e6, rank FROM r WHERE rank <= 5
+"""
+
+
 def q_dedup_savings(spark, sf_dir):
     """Per-source token-savings report for exact dedup: the corpus
     accountant's read of operators/dedup.dedup_exact — tokens before vs
@@ -5004,6 +5045,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "word_bigrams": q_word_bigrams,
         "cohort_retention": q_cohort_retention,
         "dedup_savings": q_dedup_savings,
+        "term_lift": q_term_lift,
     }
 
 
@@ -5114,4 +5156,5 @@ def oracle_sql() -> dict[str, str]:
         "word_bigrams": SQL_WORD_BIGRAMS,
         "cohort_retention": SQL_COHORT_RETENTION,
         "dedup_savings": SQL_DEDUP_SAVINGS,
+        "term_lift": SQL_TERM_LIFT,
     }

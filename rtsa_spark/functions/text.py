@@ -250,3 +250,60 @@ def word_bigram_topk(
         .where(F.col("rank") <= k)
         .select("key", "bigram", "cnt", "rank")
     )
+
+
+def term_lift_topk(
+    df: DataFrame,
+    key_col: str,
+    text_col: str = "text",
+    k: int = 10,
+    min_count: int = 5,
+) -> DataFrame:
+    """Top-k DISTINCTIVE terms per key — tf-idf's job without its log:
+    ``lift = P(word | key) / P(word)`` as the exact-int
+    ``lift_e6 = (1e6 * c_kw * n_total) div (c_w * n_key)`` (c_kw the
+    word's count in the key, c_w its corpus count, n_key/n_total word
+    totals).  A lift of 1e6 means "as common here as everywhere";
+    boilerplate shared across sources scores ~1e6 and sinks, while
+    source-specific vocabulary rises — the corpus-card "what makes this
+    source different" read.  ``min_count`` suppresses one-off noise
+    terms; ties break on ``(lift DESC, cnt DESC, word ASC)``.
+
+    Scale shape: two map-side-combinable groupBys (key-word and word),
+    one equi-join on word (vocab-sized, shuffle-partitioned — never
+    broadcast: at 100 TB the vocabulary is not small), per-key totals
+    and the scalar grand total broadcast. Top-k windows over the
+    count table only.
+    """
+    from pyspark.sql import Window
+
+    if k < 1 or min_count < 1:
+        raise ValueError(f"k and min_count must be >= 1, got {k}, {min_count}")
+    w = df.select(
+        F.col(key_col).alias("key"),
+        F.explode(F.split(F.col(text_col), " ")).alias("word"),
+    )
+    c_kw = w.groupBy("key", "word").agg(F.count(F.lit(1)).alias("cnt"))
+    c_w = w.groupBy("word").agg(F.count(F.lit(1)).alias("c_w"))
+    n_k = w.groupBy("key").agg(F.count(F.lit(1)).alias("n_key"))
+    n_tot = w.agg(F.count(F.lit(1)).alias("n_total"))
+    j = (
+        c_kw.where(F.col("cnt") >= min_count)
+        .join(c_w, "word")
+        .join(F.broadcast(n_k), "key")
+        .crossJoin(F.broadcast(n_tot))
+        .withColumn(
+            "lift_e6",
+            F.expr("(1000000 * cnt * n_total) div (c_w * n_key)").cast(
+                "bigint"
+            ),
+        )
+    )
+    rk = Window.partitionBy("key").orderBy(
+        F.desc("lift_e6"), F.desc("cnt"), F.asc("word")
+    )
+    return (
+        j.withColumn("rank", F.row_number().over(rk).cast("int"))
+        .where(F.col("rank") <= k)
+        .select("key", "word", "cnt", "c_w", "lift_e6", "rank")
+    )

@@ -510,3 +510,35 @@ def test_word_bigram_topk_k_bound_and_guard(spark):
     assert word_bigram_topk(df, "source", "text", 2).count() == 2
     with _pytest.raises(ValueError):
         word_bigram_topk(df, "source", "text", 0)
+
+
+def test_term_lift_distinctive_terms(spark):
+    from rtsa_spark.functions.text import term_lift_topk
+
+    # 'shared' appears equally everywhere (lift ~1e6); 'rare' only in s
+    docs = [("s", "shared rare " * 6), ("t", "shared other " * 6)]
+    df = spark.createDataFrame(docs, "source string, text string")
+    rows = term_lift_topk(df, "source", "text", k=3, min_count=2).collect()
+    got = {(r["key"], r["word"]): r for r in rows}
+    # n_total = 50 words (incl. two trailing ''), n_key = 25
+    r = got[("s", "rare")]
+    assert r["lift_e6"] == (1_000_000 * 6 * 50) // (6 * 25)  # = 2e6
+    assert r["rank"] == 1
+    sh = got[("s", "shared")]
+    assert sh["lift_e6"] == (1_000_000 * 6 * 50) // (12 * 25)  # = 1e6
+    assert r["lift_e6"] > sh["lift_e6"]
+
+
+def test_term_lift_min_count_and_guard(spark):
+    import pytest as _pytest
+
+    from rtsa_spark.functions.text import term_lift_topk
+
+    df = spark.createDataFrame(
+        [("s", "a a a b")], "source string, text string"
+    )
+    words = {r["word"] for r in
+             term_lift_topk(df, "source", "text", 5, 2).collect()}
+    assert words == {"a"}  # 'b' suppressed by min_count
+    with _pytest.raises(ValueError):
+        term_lift_topk(df, "source", "text", 0)
