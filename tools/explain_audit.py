@@ -213,6 +213,40 @@ def main() -> int:
         and "partial_count" in dd_plan,
     )
 
+    # 12. text/cohort family (late round 3)
+    from rtsa_spark.functions.text import term_lift_topk, word_bigram_topk
+    from rtsa_spark.operators.counters import cohort_retention
+    from rtsa_spark.operators.sessionize import phase_profile
+
+    bg_plan = plan_of(word_bigram_topk(docs, "doc_id", "text", 5))
+    ok &= check(
+        "bigrams zip in codegen (no UDF), counts combine map-side",
+        "EvalPython" not in bg_plan and "partial_count" in bg_plan,
+    )
+    tl_plan = plan_of(term_lift_topk(docs, "doc_id", "text", 5, 1))
+    ok &= check(
+        "term lift: vocab join is an equi-join, totals broadcast",
+        "CartesianProduct" not in tl_plan
+        and "BroadcastNestedLoopJoin" in tl_plan  # the 1-row grand total
+        and "BroadcastHashJoin" in tl_plan,
+    )
+    ev = spark.createDataFrame(
+        [(i % 3, i * 3600) for i in range(48)], "user_id long, ts long"
+    ).select("user_id", F_ts("ts"))
+    cr_plan = plan_of(cohort_retention(ev, "user_id", "ts"))
+    ok &= check(
+        "cohort retention: distinct-day collapse before the join, "
+        "cohort sizes broadcast",
+        "BroadcastHashJoin" in cr_plan and "EvalPython" not in cr_plan,
+    )
+    pp_plan = plan_of(
+        phase_profile(tier, "source", "bucket_start", "x", "hour")
+    )
+    ok &= check(
+        "phase profile is one composite-key agg, no join, no UDF",
+        "Join" not in pp_plan and "EvalPython" not in pp_plan,
+    )
+
     spark.stop()
     print("AUDIT", "PASS" if ok else "FAIL")
     return 0 if ok else 1
@@ -222,6 +256,12 @@ def F_split_word():
     from pyspark.sql import functions as F
 
     return F.explode(F.split("text", " ")).alias("word")
+
+
+def F_ts(col):
+    from pyspark.sql import functions as F
+
+    return F.timestamp_seconds(F.col(col)).alias("ts")
 
 
 if __name__ == "__main__":
