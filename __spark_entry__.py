@@ -4616,6 +4616,122 @@ FROM d JOIN q ON d.key = q.key
 """
 
 
+def q_missing_ranges(spark, sf_dir):
+    """Backfill plan (operators/monitor.missing_ranges): maximal missing-
+    bucket runs per key over the dense hourly spine; gaps induced
+    deterministically by knocking out buckets whose cent-sum % 7 == 0."""
+    from rtsa_spark.operators.monitor import missing_ranges
+    from rtsa_spark.operators.rollup import rollup_series
+
+    hourly = rollup_series(
+        _events(spark, sf_dir), "hourly", ["event_type"], "ts", "value"
+    ).select(
+        "event_type", "bucket_start", _cents(F.col("v_sum")).alias("x")
+    )
+    kept = hourly.where("x % 7 != 0").select("event_type", "bucket_start")
+    out = missing_ranges(kept, "hourly", "event_type", "bucket_start")
+    return out.select(
+        F.col("event_type").alias("key"), "gap_start", "gap_end", "n_missing"
+    )
+
+
+SQL_MISSING_RANGES = """
+WITH hb AS MATERIALIZED (
+  SELECT event_type AS key, date_trunc('hour', ts) AS b,
+         CAST(round(sum(value) * 100) AS BIGINT) AS x
+  FROM events GROUP BY 1, 2
+), kept AS MATERIALIZED (
+  SELECT key, b FROM hb WHERE x % 7 != 0
+), bounds AS (
+  SELECT key, min(b) AS lo, max(b) AS hi FROM kept GROUP BY 1
+), spine AS (
+  SELECT key, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS b
+  FROM bounds
+), flag AS (
+  SELECT s.key, s.b, k.b IS NULL AS miss,
+         row_number() OVER (PARTITION BY s.key ORDER BY s.b) AS pos
+  FROM spine s LEFT JOIN kept k ON s.key = k.key AND s.b = k.b
+), runs AS (
+  SELECT key, b,
+         pos - row_number() OVER (PARTITION BY key ORDER BY pos) AS run
+  FROM flag WHERE miss
+)
+SELECT key, min(b) AS gap_start, max(b) AS gap_end,
+       CAST(count(*) AS BIGINT) AS n_missing
+FROM runs GROUP BY key, run
+"""
+
+
+def q_top_movers(spark, sf_dir):
+    """Largest day-over-day swings (operators/monitor.top_movers): per-key
+    top-k prefilter keeps the global rank window key-count-bounded."""
+    from rtsa_spark.operators.monitor import top_movers
+    from rtsa_spark.operators.rollup import rollup_series
+
+    daily = rollup_series(
+        _events(spark, sf_dir), "daily", ["event_type"], "ts", "value"
+    ).select(
+        "event_type", "bucket_start", _cents(F.col("v_sum")).alias("x")
+    )
+    return top_movers(daily, "event_type", "bucket_start", "x", 10)
+
+
+SQL_TOP_MOVERS = """
+WITH d AS MATERIALIZED (
+  SELECT event_type AS key, date_trunc('day', ts) AS bucket,
+         CAST(round(sum(value) * 100) AS BIGINT) AS x
+  FROM events GROUP BY 1, 2
+), l AS (
+  SELECT key, bucket, x,
+         lag(x) OVER (PARTITION BY key ORDER BY bucket) AS prev_x
+  FROM d
+), dd AS (
+  SELECT key, bucket, prev_x, x, x - prev_x AS delta
+  FROM l WHERE prev_x IS NOT NULL
+)
+SELECT key, bucket, prev_x, x, delta,
+       CAST(row_number() OVER (ORDER BY abs(delta) DESC, key, bucket)
+            AS INTEGER) AS rank
+FROM dd QUALIFY rank <= 10
+"""
+
+
+#: 2024-02-01T00:00:00Z — just after the testdata window
+_AS_OF_EPOCH = 1706745600
+
+
+def q_stale_sources(spark, sf_dir):
+    """Liveness flags (operators/monitor.stale_sources): last observed
+    hourly bucket per event type vs a fixed as-of epoch, exact integer
+    ages."""
+    from rtsa_spark.operators.monitor import stale_sources
+    from rtsa_spark.operators.rollup import rollup_series
+
+    hourly = rollup_series(
+        _events(spark, sf_dir), "hourly", ["event_type"], "ts", "value"
+    )
+    out = stale_sources(hourly, _AS_OF_EPOCH, 7200, "event_type")
+    return out.select(
+        "key",
+        "last_bucket",
+        "age_s",
+        F.col("is_stale").cast("int").alias("is_stale"),
+    )
+
+
+SQL_STALE_SOURCES = f"""
+WITH lastb AS (
+  SELECT event_type AS key, max(date_trunc('hour', ts)) AS last_bucket
+  FROM events GROUP BY 1
+)
+SELECT key, last_bucket,
+  CAST({_AS_OF_EPOCH} - epoch_us(last_bucket) // 1000000 AS BIGINT) AS age_s,
+  CASE WHEN {_AS_OF_EPOCH} - epoch_us(last_bucket) // 1000000 > 7200
+       THEN 1 ELSE 0 END AS is_stale
+FROM lastb
+"""
+
+
 def q_term_lift(spark, sf_dir):
     """Top-5 distinctive terms per source (functions/text.term_lift_topk):
     exact-int lift P(w|key)/P(w) scaled e6 — tf-idf's read without the
@@ -5046,6 +5162,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cohort_retention": q_cohort_retention,
         "dedup_savings": q_dedup_savings,
         "term_lift": q_term_lift,
+        "missing_ranges": q_missing_ranges,
+        "top_movers": q_top_movers,
+        "stale_sources": q_stale_sources,
     }
 
 
@@ -5157,4 +5276,7 @@ def oracle_sql() -> dict[str, str]:
         "cohort_retention": SQL_COHORT_RETENTION,
         "dedup_savings": SQL_DEDUP_SAVINGS,
         "term_lift": SQL_TERM_LIFT,
+        "missing_ranges": SQL_MISSING_RANGES,
+        "top_movers": SQL_TOP_MOVERS,
+        "stale_sources": SQL_STALE_SOURCES,
     }

@@ -1,0 +1,145 @@
+"""Operational tier monitoring: missing-bucket backfill ranges, staleness
+flags, top movers.
+
+The ops an on-call engineer runs against the retention ladder — where the
+reference's workflow is "rebuild the raster" (``/root/reference/R/
+rtsa_gapfill.R`` fills everything unconditionally), a 100 TB tier wants
+the DIAGNOSIS first: which (source, range) is missing (feed a targeted
+backfill), which sources went silent, what moved hardest since yesterday.
+
+All three are spine/window algebra in whole-stage codegen — exact
+BIGINT/epoch arithmetic end to end (CLAUDE.md contract), no UDFs:
+
+- :func:`missing_ranges`: islands-and-gaps over the dense per-key spine
+  (``gapfill.bucket_spine``) anti-joined with the observed buckets; run
+  ids via the classic ``row_number - rank-position`` difference on the
+  epoch grid, so each maximal missing run collapses to one row.
+- :func:`stale_sources`: last observed bucket per key vs an ``as_of``
+  epoch — one map-side-combinable groupBy.
+- :func:`top_movers`: largest absolute period-over-period delta per key
+  (one lag window), ranked with a deterministic tie-break.
+
+Scale shape: spines are key-count x buckets (tier-sized, never
+fact-sized); every window partitions on the key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from rtsa_spark.operators.gapfill import bucket_spine
+
+__all__ = ["missing_ranges", "stale_sources", "top_movers"]
+
+
+def missing_ranges(
+    df: DataFrame,
+    tier: str,
+    key_col: str = "source",
+    bucket_col: str = "bucket_start",
+) -> DataFrame:
+    """Backfill plan: one row per maximal run of missing buckets inside
+    each key's observed min..max spine — ``(key, gap_start, gap_end,
+    n_missing)``, ordered runs collapsed via the position-minus-rank
+    island identity (position arithmetic, so calendar-width monthly
+    steps work too)."""
+    spine = bucket_spine(df, tier, key_col, bucket_col)
+    obs = df.select(F.col(key_col).alias("k"), F.col(bucket_col).alias("b"))
+    w = Window.partitionBy(key_col).orderBy(bucket_col)
+    flagged = (
+        spine.join(
+            obs,
+            (spine[key_col] == obs["k"]) & (spine[bucket_col] == obs["b"]),
+            "left",
+        )
+        .select(key_col, bucket_col, F.col("b").isNull().alias("_miss"))
+        .withColumn("_pos", F.row_number().over(w))
+    )
+    miss = flagged.where("_miss")
+    wm = Window.partitionBy(key_col).orderBy("_pos")
+    runs = miss.withColumn("_run", F.col("_pos") - F.row_number().over(wm))
+    return (
+        runs.groupBy(key_col, "_run")
+        .agg(
+            F.min(bucket_col).alias("gap_start"),
+            F.max(bucket_col).alias("gap_end"),
+            F.count(F.lit(1)).cast("bigint").alias("n_missing"),
+        )
+        .drop("_run")
+    )
+
+
+def stale_sources(
+    df: DataFrame,
+    as_of,
+    max_age_s: int,
+    key_col: str = "source",
+    bucket_col: str = "bucket_start",
+) -> DataFrame:
+    """Liveness: per key, the last observed bucket and whether it is older
+    than ``max_age_s`` seconds before ``as_of`` (epoch seconds or a
+    timestamp-like Column/literal castable by ``unix_timestamp``).
+    Emits ``(key, last_bucket, age_s, is_stale)`` — exact integers."""
+    if max_age_s < 0:
+        raise ValueError(f"max_age_s must be >= 0, got {max_age_s}")
+    as_of_s = (
+        F.lit(int(as_of))
+        if isinstance(as_of, int)
+        else F.unix_timestamp(F.lit(as_of))
+    )
+    last = df.groupBy(F.col(key_col).alias("key")).agg(
+        F.max(bucket_col).alias("last_bucket")
+    )
+    age = as_of_s - F.unix_timestamp(F.col("last_bucket"))
+    return last.select(
+        "key",
+        "last_bucket",
+        age.cast("bigint").alias("age_s"),
+        (age > max_age_s).alias("is_stale"),
+    )
+
+
+def top_movers(
+    df: DataFrame,
+    key_col: str,
+    bucket_col: str,
+    value_col: str,
+    k: int = 10,
+) -> DataFrame:
+    """Largest absolute period-over-period changes per key: ``delta =
+    x - lag(x)`` over the key's observed bucket order, global top-k by
+    ``|delta|`` with a deterministic ``(|delta| DESC, key, bucket)``
+    tie-break.  First bucket per key has no predecessor and is skipped.
+
+    The global rank would single-partition the whole delta table, so a
+    per-key top-k (parallel window) prunes to ``k x keys`` rows first —
+    the global window then sorts a key-count-bounded set, never the
+    tier."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    d = (
+        df.select(
+            F.col(key_col).alias("key"),
+            F.col(bucket_col).alias("bucket"),
+            F.col(value_col).cast("bigint").alias("x"),
+        )
+        .withColumn(
+            "prev_x",
+            F.lag("x").over(Window.partitionBy("key").orderBy("bucket")),
+        )
+        .where(F.col("prev_x").isNotNull())
+        .withColumn("delta", F.col("x") - F.col("prev_x"))
+    )
+    per_key = Window.partitionBy("key").orderBy(
+        F.desc(F.abs(F.col("delta"))), F.asc("bucket")
+    )
+    d = d.withColumn("_kr", F.row_number().over(per_key)).where(
+        F.col("_kr") <= k
+    )
+    rk = Window.orderBy(F.desc(F.abs(F.col("delta"))), F.asc("key"), F.asc("bucket"))
+    return (
+        d.withColumn("rank", F.row_number().over(rk).cast("int"))
+        .where(F.col("rank") <= k)
+        .select("key", "bucket", "prev_x", "x", "delta", "rank")
+    )
