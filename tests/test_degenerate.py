@@ -154,3 +154,53 @@ def test_new_ops_degenerate_inputs(spark):
         single, "daily", value_col="x", period=7
     ).collect()[0]
     assert row["seasonal_e4"] == 0 and row["trend_e4"] == 50_000
+
+
+def test_degenerate_round3_late_ops(spark):
+    """Empty and single-row probes for the late round-3 operators —
+    ANSI mode throws on 0-divisors, so every e6/e2 div needs a guard
+    or a structurally-empty path."""
+    from rtsa_spark.functions.text import term_lift_topk, word_bigram_topk
+    from rtsa_spark.operators.anomaly import iqr_outliers, zscore_outliers
+    from rtsa_spark.operators.counters import cohort_retention
+    from rtsa_spark.operators.distribution import distribution_drift
+    from rtsa_spark.operators.monitor import (
+        missing_ranges,
+        stale_sources,
+        top_movers,
+    )
+    from rtsa_spark.operators.sessionize import phase_profile
+
+    empty_kv = spark.createDataFrame([], "g string, t int, v long")
+    assert zscore_outliers(empty_kv, "g", "t", "v").count() == 0
+    assert iqr_outliers(empty_kv, "g", "t", "v").count() == 0
+    assert distribution_drift(empty_kv, "g", "t", "v").count() == 0
+
+    empty_ts = spark.createDataFrame(
+        [], "source string, bucket_start timestamp, x long"
+    )
+    assert phase_profile(
+        empty_ts, "source", "bucket_start", "x", "hour"
+    ).count() == 0
+    assert missing_ranges(empty_ts, "hourly").count() == 0
+    assert stale_sources(empty_ts, 0, 10).count() == 0
+    assert top_movers(empty_ts, "source", "bucket_start", "x").count() == 0
+
+    empty_docs = spark.createDataFrame([], "source string, text string")
+    assert word_bigram_topk(empty_docs, "source").count() == 0
+    assert term_lift_topk(empty_docs, "source").count() == 0
+
+    empty_ev = spark.createDataFrame([], "user_id long, ts timestamp")
+    assert cohort_retention(empty_ev, "user_id", "ts").count() == 0
+
+    # single row: n=1 paths (zscore n-1 == 0 must not divide; drift has
+    # no pair; movers have no lag)
+    one = spark.createDataFrame([("g", 1, 7)], "g string, t int, v long")
+    [z] = zscore_outliers(one, "g", "t", "v").collect()
+    assert z["is_outlier"] is False
+    assert distribution_drift(one, "g", "t", "v").count() == 0
+    one_ts = spark.createDataFrame(
+        [("s", "2024-01-01 00:00:00", 3)], "source string, b string, x long"
+    ).selectExpr("source", "to_timestamp(b) AS bucket_start", "x")
+    assert top_movers(one_ts, "source", "bucket_start", "x").count() == 0
+    assert missing_ranges(one_ts, "hourly").count() == 0
