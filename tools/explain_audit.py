@@ -247,6 +247,23 @@ def main() -> int:
         "Join" not in pp_plan and "EvalPython" not in pp_plan,
     )
 
+    # 13. monitor family: spine joins stay equi; top_movers never ranks
+    #     the whole tier in one partition (per-key prefilter window first)
+    from rtsa_spark.operators.monitor import missing_ranges, top_movers
+
+    mr_plan = plan_of(
+        missing_ranges(tier.select("source", "bucket_start"), "hourly")
+    )
+    ok &= check(
+        "missing ranges: spine anti-join is an equi-join, no UDF",
+        "CartesianProduct" not in mr_plan and "EvalPython" not in mr_plan,
+    )
+    tm_plan = plan_of(top_movers(tier, "source", "bucket_start", "x", 5))
+    ok &= check(
+        "top movers: per-key prefilter window precedes the global rank",
+        tm_plan.count("Window") >= 2 and "EvalPython" not in tm_plan,
+    )
+
     spark.stop()
     print("AUDIT", "PASS" if ok else "FAIL")
     return 0 if ok else 1
