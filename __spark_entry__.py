@@ -4616,6 +4616,17 @@ FROM d JOIN q ON d.key = q.key
 """
 
 
+def _sql_p_e2(p: int) -> str:
+    """Type-7 percentile in the e2 integer domain over sorted list xs."""
+    return (
+        f"CAST(xs[((n_buckets-1)*{p} // 100) + 1]"
+        f" * (100 - ((n_buckets-1)*{p} % 100))"
+        f" + xs[LEAST((n_buckets-1)*{p} // 100 + 2,"
+        f" CAST(n_buckets AS INTEGER))]"
+        f" * ((n_buckets-1)*{p} % 100) AS BIGINT) AS p{p}_e2"
+    )
+
+
 def q_missing_ranges(spark, sf_dir):
     """Backfill plan (operators/monitor.missing_ranges): maximal missing-
     bucket runs per key over the dense hourly spine; gaps induced
@@ -4729,6 +4740,55 @@ SELECT key, last_bucket,
   CASE WHEN {_AS_OF_EPOCH} - epoch_us(last_bucket) // 1000000 > 7200
        THEN 1 ELSE 0 END AS is_stale
 FROM lastb
+"""
+
+
+def q_phase_band_breach(spark, sf_dir):
+    """Seasonal-envelope breach flags (operators/monitor.phase_band_breach):
+    hourly buckets outside their (event_type, hour-of-day) p10/p90 band,
+    e2-domain cross-multiplied comparison."""
+    from rtsa_spark.operators.monitor import phase_band_breach
+    from rtsa_spark.operators.rollup import rollup_series
+
+    hourly = rollup_series(
+        _events(spark, sf_dir), "hourly", ["event_type"], "ts", "value"
+    ).select(
+        "event_type", "bucket_start", _cents(F.col("v_sum")).alias("x")
+    )
+    out = phase_band_breach(hourly, "event_type", "bucket_start", "x", "hour")
+    return out.select(
+        "key",
+        "bucket",
+        "phase",
+        "x",
+        "p10_e2",
+        "p90_e2",
+        F.col("below").cast("int").alias("below"),
+        F.col("above").cast("int").alias("above"),
+    )
+
+
+SQL_PHASE_BAND_BREACH = f"""
+WITH hb AS MATERIALIZED (
+  SELECT event_type AS key, date_trunc('hour', ts) AS b,
+         CAST(round(sum(value) * 100) AS BIGINT) AS x
+  FROM events GROUP BY 1, 2
+), ph AS MATERIALIZED (
+  SELECT key, b,
+         CAST((CAST(epoch(b) AS BIGINT) // 3600) % 24 AS INTEGER) AS phase,
+         x
+  FROM hb
+), l AS (
+  SELECT key, phase, CAST(count(*) AS BIGINT) AS n_buckets,
+         list(x ORDER BY x) AS xs
+  FROM ph GROUP BY 1, 2
+), prof AS (
+  SELECT key, phase, {_sql_p_e2(10)}, {_sql_p_e2(90)} FROM l
+)
+SELECT ph.key, ph.b AS bucket, ph.phase, ph.x, prof.p10_e2, prof.p90_e2,
+  CASE WHEN 100 * ph.x < prof.p10_e2 THEN 1 ELSE 0 END AS below,
+  CASE WHEN 100 * ph.x > prof.p90_e2 THEN 1 ELSE 0 END AS above
+FROM ph JOIN prof ON ph.key = prof.key AND ph.phase = prof.phase
 """
 
 
@@ -4905,17 +4965,6 @@ def q_phase_profile(spark, sf_dir):
         "event_type", "bucket_start", _cents(F.col("v_sum")).alias("x")
     )
     return phase_profile(hourly, "event_type", "bucket_start", "x", "hour")
-
-
-def _sql_p_e2(p: int) -> str:
-    """Type-7 percentile in the e2 integer domain over sorted list xs."""
-    return (
-        f"CAST(xs[((n_buckets-1)*{p} // 100) + 1]"
-        f" * (100 - ((n_buckets-1)*{p} % 100))"
-        f" + xs[LEAST((n_buckets-1)*{p} // 100 + 2,"
-        f" CAST(n_buckets AS INTEGER))]"
-        f" * ((n_buckets-1)*{p} % 100) AS BIGINT) AS p{p}_e2"
-    )
 
 
 SQL_PHASE_PROFILE = f"""
@@ -5165,6 +5214,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "missing_ranges": q_missing_ranges,
         "top_movers": q_top_movers,
         "stale_sources": q_stale_sources,
+        "phase_band_breach": q_phase_band_breach,
     }
 
 
@@ -5279,4 +5329,5 @@ def oracle_sql() -> dict[str, str]:
         "missing_ranges": SQL_MISSING_RANGES,
         "top_movers": SQL_TOP_MOVERS,
         "stale_sources": SQL_STALE_SOURCES,
+        "phase_band_breach": SQL_PHASE_BAND_BREACH,
     }

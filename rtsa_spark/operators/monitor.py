@@ -30,7 +30,7 @@ from pyspark.sql import functions as F
 
 from rtsa_spark.operators.gapfill import bucket_spine
 
-__all__ = ["missing_ranges", "stale_sources", "top_movers"]
+__all__ = ["missing_ranges", "stale_sources", "top_movers", "phase_band_breach"]
 
 
 def missing_ranges(
@@ -142,4 +142,59 @@ def top_movers(
         d.withColumn("rank", F.row_number().over(rk).cast("int"))
         .where(F.col("rank") <= k)
         .select("key", "bucket", "prev_x", "x", "delta", "rank")
+    )
+
+
+def phase_band_breach(
+    df: DataFrame,
+    key_col: str,
+    bucket_col: str,
+    value_col: str,
+    phase: str = "hour",
+    lo_p: int = 10,
+    hi_p: int = 90,
+) -> DataFrame:
+    """The operational consumer of
+    :func:`rtsa_spark.operators.sessionize.phase_profile`: flag every
+    bucket whose value leaves its key's [p_lo, p_hi] seasonal envelope
+    for that bucket's phase (hour-of-day / day-of-week) — "is tonight's
+    3am volume abnormal FOR a 3am?".
+
+    The e2-domain percentile bands compare against ``100 * x`` by
+    cross-multiplication — exact integers, no float.  Emits the input
+    keys/buckets plus ``(phase, p{lo}_e2, p{hi}_e2, below, above)``.
+
+    Scale shape: the profile is (keys x phases)-sized — broadcast back
+    onto the tier; flags are a codegen'd projection.
+    """
+    from rtsa_spark.operators.sessionize import phase_profile
+
+    prof = phase_profile(
+        df, key_col, bucket_col, value_col, phase, ps=(lo_p, hi_p)
+    ).drop("n_buckets")
+    if phase == "hour":
+        ph = F.pmod(
+            F.expr(f"(cast({bucket_col} as long) div 3600)"), F.lit(24)
+        )
+    else:
+        ph = F.pmod(
+            F.expr(f"(cast({bucket_col} as long) div 86400) + 4"), F.lit(7)
+        )
+    base = df.select(
+        F.col(key_col).alias("key"),
+        F.col(bucket_col).alias("bucket"),
+        ph.cast("int").alias("phase"),
+        F.col(value_col).cast("bigint").alias("x"),
+    )
+    j = base.join(F.broadcast(prof), ["key", "phase"])
+    lo, hi = F.col(f"p{lo_p}_e2"), F.col(f"p{hi_p}_e2")
+    return j.select(
+        "key",
+        "bucket",
+        "phase",
+        "x",
+        lo.alias(f"p{lo_p}_e2"),
+        hi.alias(f"p{hi_p}_e2"),
+        (100 * F.col("x") < lo).alias("below"),
+        (100 * F.col("x") > hi).alias("above"),
     )

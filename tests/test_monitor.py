@@ -72,3 +72,23 @@ def test_top_movers_rank_and_prefilter(spark):
     assert deltas[2] == ("a", 10, 3)  # ties (a,10) < (b,5)? no: |10|>|5|
     with pytest.raises(ValueError):
         top_movers(df, "key", "bucket", "x", 0)
+
+
+def test_phase_band_breach_flags(spark):
+    from rtsa_spark.operators.monitor import phase_band_breach
+
+    # 14 days hourly; hour 3 is steady at 100 except one 10000 spike
+    rows = []
+    for d in range(14):
+        for h in range(24):
+            v = 100 if h == 3 else 200 + h
+            rows.append(("k", T0 + dt.timedelta(days=d, hours=h), v))
+    rows[3] = ("k", T0 + dt.timedelta(hours=3), 10000)  # day-0 hour-3 spike
+    df = spark.createDataFrame(
+        rows, "source string, bucket_start timestamp, x long"
+    )
+    out = phase_band_breach(df, "source", "bucket_start", "x", "hour")
+    above = [r for r in out.collect() if r["above"]]
+    assert len(above) == 1
+    assert above[0]["phase"] == 3 and above[0]["x"] == 10000
+    assert out.where("below").count() == 0  # p10 of 13x100+spike is 100
