@@ -4743,6 +4743,39 @@ FROM lastb
 """
 
 
+def q_rank_normalize(spark, sf_dir):
+    """Per-source percent-rank of document length
+    (operators/sampling.rank_normalize): the top-X%-per-source filter
+    primitive, exact-int pr_e6, row_number + id tie-break so both
+    engines replay ties identically."""
+    from rtsa_spark.operators.sampling import rank_normalize
+    from rtsa_spark.functions.text import word_count
+
+    docs = _documents(spark, sf_dir).select(
+        "source", "doc_id", word_count("text").cast("bigint").alias("wc")
+    )
+    return rank_normalize(docs, "source", "doc_id", "wc")
+
+
+SQL_RANK_NORMALIZE = """
+WITH d AS (
+  SELECT source AS key, doc_id AS id,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS score
+  FROM documents
+), r AS (
+  SELECT key, id, score,
+         CAST(row_number() OVER (PARTITION BY key ORDER BY score, id)
+              AS BIGINT) AS rank,
+         CAST(count(*) OVER (PARTITION BY key) AS BIGINT) AS n
+  FROM d
+)
+SELECT key, id, score, rank, n,
+  CASE WHEN n > 1 THEN CAST((1000000 * (rank - 1)) // (n - 1) AS BIGINT)
+       ELSE 0 END AS pr_e6
+FROM r
+"""
+
+
 def q_phase_band_breach(spark, sf_dir):
     """Seasonal-envelope breach flags (operators/monitor.phase_band_breach):
     hourly buckets outside their (event_type, hour-of-day) p10/p90 band,
@@ -5215,6 +5248,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_movers": q_top_movers,
         "stale_sources": q_stale_sources,
         "phase_band_breach": q_phase_band_breach,
+        "rank_normalize": q_rank_normalize,
     }
 
 
@@ -5330,4 +5364,5 @@ def oracle_sql() -> dict[str, str]:
         "top_movers": SQL_TOP_MOVERS,
         "stale_sources": SQL_STALE_SOURCES,
         "phase_band_breach": SQL_PHASE_BAND_BREACH,
+        "rank_normalize": SQL_RANK_NORMALIZE,
     }

@@ -256,3 +256,45 @@ def token_budget_pack(
         F.floor(F.col("tok_before") / budget).cast("bigint").alias("shard"),
         (F.col("tok_before") % budget).cast("bigint").alias("shard_offset"),
     )
+
+
+def rank_normalize(
+    df: DataFrame, key_col: str, id_col: str, score_col: str
+) -> DataFrame:
+    """Exact-int percent-rank of ``score_col`` within each key — the
+    "keep the top X% by quality PER SOURCE" primitive a corpus filter
+    composes with a threshold (``pr_e6 >= 700000`` keeps the top 30%).
+
+    ``rank`` is ``row_number`` over ``(score ASC, id ASC)`` — ties break
+    deterministically on the id rather than sharing a rank (SQL
+    ``percent_rank``'s tie sharing differs subtly across engines; this
+    construction replays identically anywhere).  ``pr_e6 =
+    (1e6 * (rank-1)) div (n-1)``, 0 for singleton keys — integers end to
+    end, so 1e6 means "best in key" exactly.
+
+    Scale shape: one window sort per key; ``n`` rides the same partition
+    as a frame-less count — no second shuffle, no join.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("key").orderBy("score", "id")
+    wall = Window.partitionBy("key")
+    base = df.select(
+        F.col(key_col).alias("key"),
+        F.col(id_col).alias("id"),
+        F.col(score_col).cast("bigint").alias("score"),
+    )
+    r = base.withColumn(
+        "rank", F.row_number().over(w).cast("bigint")
+    ).withColumn("n", F.count(F.lit(1)).over(wall).cast("bigint"))
+    return r.select(
+        "key",
+        "id",
+        "score",
+        "rank",
+        "n",
+        F.when(F.col("n") > 1, F.expr("(1000000 * (rank - 1)) div (n - 1)"))
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("pr_e6"),
+    )

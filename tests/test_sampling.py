@@ -106,3 +106,29 @@ def test_contamination_check_planted_overlap(spark):
                    contamination_check(corpus, bench, hash_fn=fn).collect()}
         assert 2 in flagged and flagged[2]["n_benchmark_docs_hit"] == 1
         assert 1 not in flagged and 3 not in flagged
+
+
+def test_rank_normalize_exact_percentiles(spark):
+    from rtsa_spark.operators.sampling import rank_normalize
+
+    rows = [("s", i, v) for i, v in enumerate([50, 10, 30, 20, 40])]
+    rows += [("t", 0, 7)]  # singleton key -> pr_e6 = 0
+    df = spark.createDataFrame(rows, "src string, id long, score long")
+    out = {(r["key"], r["id"]): r
+           for r in rank_normalize(df, "src", "id", "score").collect()}
+    assert out[("s", 1)]["pr_e6"] == 0          # lowest score
+    assert out[("s", 0)]["pr_e6"] == 1_000_000  # highest
+    assert out[("s", 2)]["pr_e6"] == 500_000    # median of 5
+    assert out[("t", 0)]["pr_e6"] == 0 and out[("t", 0)]["n"] == 1
+
+
+def test_rank_normalize_tie_break_on_id(spark):
+    from rtsa_spark.operators.sampling import rank_normalize
+
+    df = spark.createDataFrame(
+        [("s", 2, 5), ("s", 1, 5), ("s", 3, 5)],
+        "src string, id long, score long",
+    )
+    out = {r["id"]: r["rank"]
+           for r in rank_normalize(df, "src", "id", "score").collect()}
+    assert out == {1: 1, 2: 2, 3: 3}
