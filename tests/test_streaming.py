@@ -137,3 +137,49 @@ def test_stateful_source_state_across_batches(spark, tmp_path):
         assert final[s]["n_tok_sum"] == want[s]["n_tok_sum"]
         assert final[s]["last_ts"] == want[s]["last_ts"]
         assert final[s]["max_gap_s"] == gaps[s]
+
+
+def test_streaming_band_breach_matches_batch(spark, tiny_sequences, tmp_path):
+    """Stream-static envelope monitor: availableNow replay of the raw
+    events against the batch-computed hourly profile flags exactly the
+    rows the batch operator flags."""
+    from rtsa_spark.operators.monitor import phase_band_breach
+    from rtsa_spark.operators.sessionize import phase_profile
+    from rtsa_spark.streaming.rollup_stream import streaming_band_breach
+
+    src = str(tmp_path / "breach_src")
+    tiny_sequences.coalesce(2).write.mode("overwrite").parquet(src)
+    batch = spark.read.parquet(src)
+
+    profile = phase_profile(batch, "source", "ts", "n_tok", "hour").drop(
+        "n_buckets"
+    )
+    stream = spark.readStream.schema(batch.schema).parquet(src)
+    flagged = streaming_band_breach(
+        stream, profile, "source", "ts", "n_tok", "hour"
+    )
+
+    out = str(tmp_path / "breach_out")
+    q = (
+        flagged.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "breach_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    got = spark.read.parquet(out)
+    want = phase_band_breach(batch, "source", "ts", "n_tok", "hour")
+    assert got.count() == want.count()
+    assert got.where("above").count() == want.where("above").count()
+    assert (
+        got.select("key", "ts", "x", "below", "above")
+        .exceptAll(
+            want.select(
+                "key", F.col("bucket").alias("ts"), "x", "below", "above"
+            )
+        )
+        .count()
+        == 0
+    )
