@@ -4743,6 +4743,45 @@ FROM lastb
 """
 
 
+def q_interarrival_stats(spark, sf_dir):
+    """Ingest cadence per event type
+    (operators/sessionize.interarrival_stats): exact integer-second gap
+    stats via the sessionize lag construction; gap multiset is
+    permutation-invariant under timestamp ties so the oracle agrees."""
+    from rtsa_spark.operators.sessionize import interarrival_stats
+
+    out = interarrival_stats(_events(spark, sf_dir), ["event_type"], "ts")
+    return out.select(
+        F.col("event_type").alias("key"),
+        "n_events",
+        "n_gaps",
+        "gap_min_s",
+        "gap_max_s",
+        "gap_sum_s",
+        "gap_mean_e2",
+    )
+
+
+SQL_INTERARRIVAL = """
+WITH e AS MATERIALIZED (
+  -- floor-to-second epochs: matches Spark unix_timestamp truncation
+  SELECT event_type AS key, epoch_us(ts) // 1000000 AS ts_s FROM events
+), g AS (
+  SELECT key, ts_s - lag(ts_s) OVER (PARTITION BY key ORDER BY ts_s) AS gap
+  FROM e
+)
+SELECT key,
+  CAST(count(*) AS BIGINT) AS n_events,
+  CAST(count(gap) AS BIGINT) AS n_gaps,
+  CAST(min(gap) AS BIGINT) AS gap_min_s,
+  CAST(max(gap) AS BIGINT) AS gap_max_s,
+  CAST(sum(gap) AS BIGINT) AS gap_sum_s,
+  CASE WHEN count(gap) > 0
+       THEN CAST((100 * sum(gap)) // count(gap) AS BIGINT) END AS gap_mean_e2
+FROM g GROUP BY 1
+"""
+
+
 def q_rank_normalize(spark, sf_dir):
     """Per-source percent-rank of document length
     (operators/sampling.rank_normalize): the top-X%-per-source filter
@@ -5249,6 +5288,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stale_sources": q_stale_sources,
         "phase_band_breach": q_phase_band_breach,
         "rank_normalize": q_rank_normalize,
+        "interarrival_stats": q_interarrival_stats,
     }
 
 
@@ -5365,4 +5405,5 @@ def oracle_sql() -> dict[str, str]:
         "stale_sources": SQL_STALE_SOURCES,
         "phase_band_breach": SQL_PHASE_BAND_BREACH,
         "rank_normalize": SQL_RANK_NORMALIZE,
+        "interarrival_stats": SQL_INTERARRIVAL,
     }

@@ -140,3 +140,39 @@ def phase_profile(
         F.col(value_col).cast("bigint").alias("x"),
     )
     return tier_percentiles(base, value_col="x", key_col=["key", "phase"], ps=ps)
+
+
+def interarrival_stats(
+    df: DataFrame, key_cols: list[str], ts_col: str = "ts"
+) -> DataFrame:
+    """Inter-arrival gap statistics per key — the ingest-cadence read
+    that sits beside :func:`sessionize` (same lag construction, but
+    characterizing the gaps instead of cutting sessions): ``(key...,
+    n_events, n_gaps, gap_min_s, gap_max_s, gap_sum_s, gap_mean_e2)``
+    with ``gap_mean_e2 = (100 * gap_sum) div n_gaps`` — exact integer
+    seconds end to end (``unix_timestamp`` truncation, both engines).
+
+    Keys with a single event emit ``n_gaps = 0`` and NULL gap stats.
+
+    Scale shape: one lag window per key, then a map-side-combinable
+    groupBy — O(1) state per key, no list/sort state (use
+    :func:`tier_percentiles` on a rolled-up tier for gap quantiles)."""
+    proj = df.select(
+        *key_cols, F.unix_timestamp(F.col(ts_col)).alias("ts_s")
+    )
+    w = Window.partitionBy(*key_cols).orderBy("ts_s")
+    g = proj.withColumn("gap", F.col("ts_s") - F.lag("ts_s").over(w))
+    agg = g.groupBy(*key_cols).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.count("gap").cast("bigint").alias("n_gaps"),
+        F.min("gap").cast("bigint").alias("gap_min_s"),
+        F.max("gap").cast("bigint").alias("gap_max_s"),
+        F.sum("gap").cast("bigint").alias("gap_sum_s"),
+    )
+    return agg.withColumn(
+        "gap_mean_e2",
+        F.when(
+            F.col("n_gaps") > 0,
+            F.expr("(100 * gap_sum_s) div n_gaps"),
+        ).cast("bigint"),
+    )

@@ -159,3 +159,27 @@ def test_phase_profile_bad_phase(spark):
     )
     with _pytest.raises(ValueError):
         phase_profile(df, "key", "bucket_start", "x", "month")
+
+
+def test_interarrival_stats_exact(spark):
+    import datetime as dt
+
+    from rtsa_spark.operators.sessionize import interarrival_stats
+
+    t0 = dt.datetime(2024, 1, 1)
+    gaps = [10, 70, 5]  # ts at 0, 10, 80, 85 seconds
+    ts, rows = 0, []
+    rows.append(("k", t0))
+    for g in gaps:
+        ts += g
+        rows.append(("k", t0 + dt.timedelta(seconds=ts)))
+    rows.append(("solo", t0))
+    df = spark.createDataFrame(rows, "src string, ts timestamp")
+    out = {r["src"]: r for r in
+           interarrival_stats(df, ["src"], "ts").collect()}
+    k = out["k"]
+    assert (k["n_events"], k["n_gaps"]) == (4, 3)
+    assert (k["gap_min_s"], k["gap_max_s"], k["gap_sum_s"]) == (5, 70, 85)
+    assert k["gap_mean_e2"] == (100 * 85) // 3
+    s = out["solo"]
+    assert s["n_gaps"] == 0 and s["gap_mean_e2"] is None
