@@ -4743,6 +4743,66 @@ FROM lastb
 """
 
 
+def q_kmv_ladder(spark, sf_dir):
+    """Distinct-user sketches IN the retention ladder
+    (operators/sketch.kmv_bucket_sketch + kmv_merge_buckets): daily KMV
+    per event type, cascade-merged to monthly from day x k hash values —
+    never a raw re-scan.  The oracle computes the monthly level DIRECTLY
+    from raw distinct hashes, independently certifying the exact-merge
+    identity kmin_k(A∪B) = kmin_k(kmin_k(A) ∪ kmin_k(B))."""
+    from rtsa_spark.operators.sketch import (
+        kmv_bucket_sketch,
+        kmv_merge_buckets,
+    )
+
+    ev = _events(spark, sf_dir).select(
+        "event_type", F.date_trunc("day", "ts").alias("d"), "user_id"
+    )
+    daily = kmv_bucket_sketch(ev, ["event_type"], "d", "user_id", k=32)
+    monthly = kmv_merge_buckets(
+        daily, ["event_type"], F.date_trunc("month", F.col("bucket")), k=32
+    )
+    cols = ["event_type", "bucket", "k_used", "h_kth", "est_distinct"]
+    d = daily.select(F.lit("daily").alias("tier"), *cols)
+    m = monthly.select(F.lit("monthly").alias("tier"), *cols)
+    return d.unionByName(m).withColumnRenamed("event_type", "key")
+
+
+SQL_KMV_LADDER = """
+WITH dh AS MATERIALIZED (
+  SELECT DISTINCT event_type AS key, date_trunc('day', ts) AS bucket,
+         ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 12))::BIGINT AS h
+  FROM events
+), dr AS (
+  SELECT key, bucket, h,
+         row_number() OVER (PARTITION BY key, bucket ORDER BY h) AS rn
+  FROM dh
+), dsk AS (
+  SELECT 'daily' AS tier, key, bucket,
+         CAST(count(*) AS BIGINT) AS k_used, max(h) AS h_kth
+  FROM dr WHERE rn <= 32 GROUP BY 2, 3
+), mh AS MATERIALIZED (
+  -- direct monthly distinct hashes: certifies the Spark-side cascade
+  SELECT DISTINCT key, date_trunc('month', bucket) AS bucket, h FROM dh
+), mr AS (
+  SELECT key, bucket, h,
+         row_number() OVER (PARTITION BY key, bucket ORDER BY h) AS rn
+  FROM mh
+), msk AS (
+  SELECT 'monthly' AS tier, key, bucket,
+         CAST(count(*) AS BIGINT) AS k_used, max(h) AS h_kth
+  FROM mr WHERE rn <= 32 GROUP BY 2, 3
+), u AS (
+  SELECT * FROM dsk UNION ALL SELECT * FROM msk
+)
+SELECT tier, key, bucket, k_used, h_kth,
+  CASE WHEN k_used < 32 THEN k_used
+       ELSE (31 * 281474976710656) // greatest(h_kth, 1)
+  END AS est_distinct
+FROM u
+"""
+
+
 def q_interarrival_stats(spark, sf_dir):
     """Ingest cadence per event type
     (operators/sessionize.interarrival_stats): exact integer-second gap
@@ -5289,6 +5349,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phase_band_breach": q_phase_band_breach,
         "rank_normalize": q_rank_normalize,
         "interarrival_stats": q_interarrival_stats,
+        "kmv_ladder": q_kmv_ladder,
     }
 
 
@@ -5406,4 +5467,5 @@ def oracle_sql() -> dict[str, str]:
         "phase_band_breach": SQL_PHASE_BAND_BREACH,
         "rank_normalize": SQL_RANK_NORMALIZE,
         "interarrival_stats": SQL_INTERARRIVAL,
+        "kmv_ladder": SQL_KMV_LADDER,
     }

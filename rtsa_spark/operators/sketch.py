@@ -39,6 +39,8 @@ __all__ = [
     "gini_concentration",
     "value_histogram",
     "histogram_quantiles",
+    "kmv_bucket_sketch",
+    "kmv_merge_buckets",
     "KMV_HASH_RANGE",
 ]
 
@@ -196,4 +198,88 @@ def gini_concentration(
             " div (n_items * n_items)"
         ).alias("gini_e6"),
         F.expr("(1000 * n_items * n_items) div sum_c2").alias("eff_vocab_e3"),
+    )
+
+
+def kmv_bucket_sketch(
+    df: DataFrame,
+    key_cols: list[str],
+    bucket_col: str,
+    item_col: str,
+    k: int = 64,
+) -> DataFrame:
+    """Per-(key, bucket) KMV sketch as a mergeable column — the
+    distinct-count answer the rollup ladder cannot get from plain sums
+    (COUNT DISTINCT is not distributive; the k smallest hashes ARE:
+    kmin_k(A ∪ B) = kmin_k(kmin_k(A) ∪ kmin_k(B)), exactly).
+
+    Emits ``(keys..., bucket, kmv array<bigint> ascending, k_used,
+    h_kth, est_distinct)`` with the same estimator contract as
+    :func:`kmv_distinct` (exact below k).
+
+    Scale shape: distinct on (keys, bucket, h48) — one map-side-combined
+    shuffle — then a per-bucket window keeps only k rows before the
+    array materializes, so no unbounded collect ever happens; the
+    sketch column is ≤ k BIGINTs per bucket.
+    """
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    dist = df.select(
+        *key_cols,
+        F.col(bucket_col).alias("bucket"),
+        _h48(F.col(item_col)).alias("_h"),
+    ).distinct()
+    w = Window.partitionBy(*key_cols, "bucket").orderBy("_h")
+    sk = dist.withColumn("_rn", F.row_number().over(w)).where(
+        F.col("_rn") <= k
+    )
+    agg = sk.groupBy(*key_cols, "bucket").agg(
+        F.sort_array(F.collect_list("_h")).alias("kmv")
+    )
+    return _kmv_finish(agg, k)
+
+
+def kmv_merge_buckets(
+    sketches: DataFrame,
+    key_cols: list[str],
+    coarse_bucket: F.Column,
+    k: int = 64,
+) -> DataFrame:
+    """Cascade a bucketed KMV sketch to a coarser tier WITHOUT touching
+    raw data: union the fine sketches' hash sets, keep the k smallest.
+    Input is ``kmv_bucket_sketch`` output; ``coarse_bucket`` maps the
+    fine bucket to its coarse one (e.g. ``F.date_trunc('month',
+    F.col('bucket'))``).  Exact-merge identity: the result's ``h_kth``
+    and estimate equal a direct sketch over the combined span
+    (pytest-pinned), so monthly distincts cost days x k values, not a
+    raw re-scan.
+    """
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    ex = sketches.select(
+        *key_cols,
+        coarse_bucket.alias("bucket"),
+        F.explode("kmv").alias("_h"),
+    ).distinct()
+    w = Window.partitionBy(*key_cols, "bucket").orderBy("_h")
+    sk = ex.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") <= k)
+    agg = sk.groupBy(*key_cols, "bucket").agg(
+        F.sort_array(F.collect_list("_h")).alias("kmv")
+    )
+    return _kmv_finish(agg, k)
+
+
+def _kmv_finish(agg: DataFrame, k: int) -> DataFrame:
+    """Attach (k_used, h_kth, est_distinct) to a kmv array column."""
+    return agg.select(
+        "*",
+        F.size("kmv").cast("bigint").alias("k_used"),
+        F.element_at("kmv", F.size("kmv")).cast("bigint").alias("h_kth"),
+    ).withColumn(
+        "est_distinct",
+        F.when(F.col("k_used") < k, F.col("k_used"))
+        .otherwise(
+            F.expr(f"({k - 1} * {KMV_HASH_RANGE}) div greatest(h_kth, 1)")
+        )
+        .cast("bigint"),
     )

@@ -208,3 +208,48 @@ def test_distribution_drift_matches_python(spark):
         both = len(set(cp) & set(cc))
         assert r["n_both"] == both
         assert r["jaccard_e6"] == 1_000_000 * both // len(set(cp) | set(cc))
+
+
+def test_kmv_bucket_sketch_merge_identity(spark):
+    """kmin_k(A∪B) == kmin_k(kmin_k(A) ∪ kmin_k(B)) — the cascade merge
+    equals a direct sketch over the combined span, exactly."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from rtsa_spark.operators.sketch import (
+        kmv_bucket_sketch,
+        kmv_merge_buckets,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    for d in range(40):  # spans two months
+        for u in range(d % 17 + 3):
+            rows.append(("k", t0 + dt.timedelta(days=d), d * 100 + u))
+    df = spark.createDataFrame(rows, "g string, d timestamp, uid long")
+
+    daily = kmv_bucket_sketch(df, ["g"], "d", "uid", k=8)
+    merged = kmv_merge_buckets(
+        daily, ["g"], F.date_trunc("month", F.col("bucket")), k=8
+    )
+    direct = kmv_bucket_sketch(
+        df.select("g", F.date_trunc("month", "d").alias("m"), "uid"),
+        ["g"], "m", "uid", k=8,
+    )
+    a = {(r["bucket"], r["h_kth"], r["est_distinct"])
+         for r in merged.collect()}
+    b = {(r["bucket"], r["h_kth"], r["est_distinct"])
+         for r in direct.collect()}
+    assert a == b and len(a) == 2
+
+
+def test_kmv_bucket_sketch_exact_below_k(spark):
+    from rtsa_spark.operators.sketch import kmv_bucket_sketch
+
+    df = spark.createDataFrame(
+        [("k", 1, u) for u in (1, 2, 3, 2, 1)], "g string, d int, uid long"
+    )
+    [r] = kmv_bucket_sketch(df, ["g"], "d", "uid", k=8).collect()
+    assert r["k_used"] == 3 and r["est_distinct"] == 3
+    assert list(r["kmv"]) == sorted(r["kmv"])
