@@ -264,6 +264,22 @@ def main() -> int:
         tm_plan.count("Window") >= 2 and "EvalPython" not in tm_plan,
     )
 
+    # 14. bucketed KMV: distinct combines map-side BEFORE the per-bucket
+    #     window; the sketch array materializes only after the k-cap
+    from rtsa_spark.operators.sketch import kmv_bucket_sketch
+
+    kb_plan = plan_of(
+        kmv_bucket_sketch(
+            tier.select("source", "bucket_start", "x"),
+            ["source"], "bucket_start", "x", k=8,
+        )
+    )
+    ok &= check(
+        "kmv bucket sketch: map-side partial agg, no Python eval",
+        ("partial" in kb_plan.lower() or "HashAggregate" in kb_plan)
+        and "EvalPython" not in kb_plan,
+    )
+
     spark.stop()
     print("AUDIT", "PASS" if ok else "FAIL")
     return 0 if ok else 1
