@@ -4743,6 +4743,44 @@ FROM lastb
 """
 
 
+def q_bucket_derivative(spark, sf_dir):
+    """Gap-aware per-second rate of change on the daily tier
+    (operators/counters.bucket_derivative): sign-split abs-div so floor
+    semantics agree across engines on negative deltas."""
+    from rtsa_spark.operators.counters import bucket_derivative
+    from rtsa_spark.operators.rollup import rollup_series
+
+    daily = rollup_series(
+        _events(spark, sf_dir), "daily", ["event_type"], "ts", "value"
+    ).select(
+        "event_type", "bucket_start", _cents(F.col("v_sum")).alias("x")
+    )
+    return bucket_derivative(daily, "event_type", "bucket_start", "x")
+
+
+SQL_BUCKET_DERIVATIVE = """
+WITH d AS MATERIALIZED (
+  SELECT event_type AS key, date_trunc('day', ts) AS bucket,
+         CAST(round(sum(value) * 100) AS BIGINT) AS x
+  FROM events GROUP BY 1, 2
+), l AS (
+  SELECT key, bucket, x,
+         lag(x) OVER (PARTITION BY key ORDER BY bucket) AS prev_x,
+         epoch_us(bucket) // 1000000
+           - lag(epoch_us(bucket) // 1000000)
+             OVER (PARTITION BY key ORDER BY bucket) AS gap_s
+  FROM d
+)
+SELECT key, bucket, x, prev_x, CAST(gap_s AS BIGINT) AS gap_s,
+  CASE WHEN prev_x IS NOT NULL AND gap_s > 0 THEN
+    CAST(CASE WHEN x < prev_x
+         THEN -((1000000 * abs(x - prev_x)) // gap_s)
+         ELSE (1000000 * abs(x - prev_x)) // gap_s END AS BIGINT)
+  END AS rate_e6
+FROM l
+"""
+
+
 def q_kmv_ladder(spark, sf_dir):
     """Distinct-user sketches IN the retention ladder
     (operators/sketch.kmv_bucket_sketch + kmv_merge_buckets): daily KMV
@@ -5350,6 +5388,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rank_normalize": q_rank_normalize,
         "interarrival_stats": q_interarrival_stats,
         "kmv_ladder": q_kmv_ladder,
+        "bucket_derivative": q_bucket_derivative,
     }
 
 
@@ -5468,4 +5507,5 @@ def oracle_sql() -> dict[str, str]:
         "rank_normalize": SQL_RANK_NORMALIZE,
         "interarrival_stats": SQL_INTERARRIVAL,
         "kmv_ladder": SQL_KMV_LADDER,
+        "bucket_derivative": SQL_BUCKET_DERIVATIVE,
     }

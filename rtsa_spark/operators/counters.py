@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["counter_increase", "cusum_drift", "cohort_retention"]
+__all__ = ["counter_increase", "cusum_drift", "cohort_retention", "bucket_derivative"]
 
 
 def counter_increase(
@@ -143,4 +143,55 @@ def cohort_retention(
         F.expr("(1000000 * n_active) div n_cohort")
         .cast("bigint")
         .alias("retention_e6"),
+    )
+
+
+def bucket_derivative(
+    df: DataFrame,
+    key_col: str,
+    bucket_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Gap-aware discrete derivative between consecutive OBSERVED buckets:
+    ``rate_e6 = (1e6 * (x - prev_x)) div gap_s`` — the per-second rate of
+    change a dashboard plots from a tier, with spine gaps lengthening the
+    denominator instead of inventing a bucket (the irregular-spine
+    convention shared with the Mann-Kendall family).
+
+    Exact integers end to end: gap seconds from ``unix_timestamp``
+    truncation, one floor-divide into the e6 domain (floor, not
+    truncate-toward-zero — Spark ``div`` and DuckDB ``//`` agree only on
+    nonnegative operands, and deltas CAN be negative, so the division is
+    done on ``abs`` and the sign re-applied).  First bucket per key emits
+    NULLs.
+
+    Scale shape: one lag window per key over the tier — no join, no UDF.
+    """
+    w = Window.partitionBy("key").orderBy("bucket")
+    d = df.select(
+        F.col(key_col).alias("key"),
+        F.col(bucket_col).alias("bucket"),
+        F.col(value_col).cast("bigint").alias("x"),
+    ).select(
+        "key",
+        "bucket",
+        "x",
+        F.lag("x").over(w).alias("prev_x"),
+        (
+            F.unix_timestamp("bucket")
+            - F.lag(F.unix_timestamp("bucket")).over(w)
+        ).cast("bigint").alias("gap_s"),
+    )
+    delta = F.col("x") - F.col("prev_x")
+    mag = F.expr("(1000000 * abs(x - prev_x)) div gap_s")
+    rate = F.when(delta < 0, -mag).otherwise(mag)
+    return d.select(
+        "key",
+        "bucket",
+        "x",
+        "prev_x",
+        "gap_s",
+        F.when(
+            F.col("prev_x").isNotNull() & (F.col("gap_s") > 0), rate
+        ).cast("bigint").alias("rate_e6"),
     )

@@ -126,3 +126,29 @@ def test_cohort_retention_max_offset_and_guard(spark):
     assert cohort_retention(df, "user_id", "ts", max_offset=2).count() == 3
     with _pytest.raises(ValueError):
         cohort_retention(df, "user_id", "ts", day_s=0)
+
+
+def test_bucket_derivative_gap_aware(spark):
+    import datetime as dt
+
+    from rtsa_spark.operators.counters import bucket_derivative
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        ("k", t0, 100),
+        ("k", t0 + dt.timedelta(hours=1), 400),   # +300 over 3600s
+        ("k", t0 + dt.timedelta(hours=3), 100),   # -300 over 7200s (gap!)
+    ]
+    df = spark.createDataFrame(
+        rows, "key string, bucket timestamp, x long"
+    )
+    out = {r["bucket"]: r
+           for r in bucket_derivative(df, "key", "bucket", "x").collect()}
+    first = out[t0]
+    assert first["rate_e6"] is None and first["prev_x"] is None
+    up = out[t0 + dt.timedelta(hours=1)]
+    assert up["gap_s"] == 3600
+    assert up["rate_e6"] == (1_000_000 * 300) // 3600
+    down = out[t0 + dt.timedelta(hours=3)]
+    assert down["gap_s"] == 7200
+    assert down["rate_e6"] == -((1_000_000 * 300) // 7200)
