@@ -4743,6 +4743,46 @@ FROM lastb
 """
 
 
+def q_activity_heatmap(spark, sf_dir):
+    """Calendar heatmap matrix: event counts + exact cent-sums per
+    (event_type, day-of-week, hour-of-day) — the capacity-planning read;
+    phases from pure epoch integer arithmetic (Thursday epoch, UTC)."""
+    ev = _events(spark, sf_dir)
+    return (
+        ev.select(
+            F.col("event_type").alias("key"),
+            F.expr("pmod(unix_timestamp(ts) div 86400 + 4, 7)")
+            .cast("int")
+            .alias("dow"),
+            F.expr("pmod(unix_timestamp(ts) div 3600, 24)")
+            .cast("int")
+            .alias("hod"),
+            _cents(F.col("value")).alias("v"),
+        )
+        .groupBy("key", "dow", "hod")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum("v").cast("bigint").alias("v_sum_e2"),
+        )
+    )
+
+
+SQL_ACTIVITY_HEATMAP = """
+WITH e AS (
+  SELECT event_type AS key,
+         CAST(((epoch_us(ts) // 1000000) // 86400 + 4) % 7 AS INTEGER)
+           AS dow,
+         CAST(((epoch_us(ts) // 1000000) // 3600) % 24 AS INTEGER) AS hod,
+         CAST(round(value * 100) AS BIGINT) AS v
+  FROM events
+)
+SELECT key, dow, hod,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(v) AS BIGINT) AS v_sum_e2
+FROM e GROUP BY 1, 2, 3
+"""
+
+
 def q_bucket_derivative(spark, sf_dir):
     """Gap-aware per-second rate of change on the daily tier
     (operators/counters.bucket_derivative): sign-split abs-div so floor
@@ -5389,6 +5429,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interarrival_stats": q_interarrival_stats,
         "kmv_ladder": q_kmv_ladder,
         "bucket_derivative": q_bucket_derivative,
+        "activity_heatmap": q_activity_heatmap,
     }
 
 
@@ -5508,4 +5549,5 @@ def oracle_sql() -> dict[str, str]:
         "interarrival_stats": SQL_INTERARRIVAL,
         "kmv_ladder": SQL_KMV_LADDER,
         "bucket_derivative": SQL_BUCKET_DERIVATIVE,
+        "activity_heatmap": SQL_ACTIVITY_HEATMAP,
     }
