@@ -4743,6 +4743,58 @@ FROM lastb
 """
 
 
+def q_histogram_ladder(spark, sf_dir):
+    """The approximate-percentile cascade at tier scale
+    (operators/sketch.value_histogram + histogram_quantiles): per-day
+    fixed-width sketches of per-event cent values map-sum-merge to a
+    monthly sketch (bins are additive under union — the merge never
+    re-reads raw), then p50/p90/p99 read off the MERGED sketch.  The
+    oracle bins the raw events directly, independently certifying the
+    merge."""
+    from rtsa_spark.operators.sketch import histogram_quantiles
+
+    bw = 1000
+    ev = _events(spark, sf_dir).select(
+        F.col("event_type").alias("key"),
+        F.expr("unix_timestamp(ts) div 86400").alias("d"),
+        _cents(F.col("value")).alias("_v"),
+    )
+    binned = ev.select(
+        "key", "d",
+        F.expr(f"(_v - pmod(_v, {bw})) div {bw}").alias("bin"),
+    )
+    daily = binned.groupBy("key", "d", "bin").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    monthly = daily.groupBy("key", "bin").agg(F.sum("cnt").alias("cnt"))
+    return histogram_quantiles(monthly, [500, 900, 990], bw)
+
+
+SQL_HISTOGRAM_LADDER = """
+WITH b AS MATERIALIZED (
+  -- direct from raw: certifies the Spark-side daily->monthly map-sum
+  SELECT event_type AS key,
+         (v - ((v % 1000 + 1000) % 1000)) // 1000 AS bin
+  FROM (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS v
+        FROM events)
+), h AS (
+  SELECT key, bin, CAST(count(*) AS BIGINT) AS cnt FROM b GROUP BY 1, 2
+), c AS (
+  SELECT key, bin,
+         sum(cnt) OVER (PARTITION BY key ORDER BY bin) AS cum,
+         sum(cnt) OVER (PARTITION BY key) AS n
+  FROM h
+), x AS (
+  SELECT key, bin, cum, n, q.q_e3
+  FROM c CROSS JOIN (VALUES (500), (900), (990)) AS q(q_e3)
+  WHERE cum >= (q.q_e3 * n + 999) // 1000
+)
+SELECT key, CAST(q_e3 AS BIGINT) AS q_e3, CAST(n AS BIGINT) AS n,
+       CAST(min(bin) * 1000 AS BIGINT) AS bin_lo
+FROM x GROUP BY 1, 2, 3
+"""
+
+
 def q_activity_heatmap(spark, sf_dir):
     """Calendar heatmap matrix: event counts + exact cent-sums per
     (event_type, day-of-week, hour-of-day) — the capacity-planning read;
@@ -5430,6 +5482,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_ladder": q_kmv_ladder,
         "bucket_derivative": q_bucket_derivative,
         "activity_heatmap": q_activity_heatmap,
+        "histogram_ladder": q_histogram_ladder,
     }
 
 
@@ -5550,4 +5603,5 @@ def oracle_sql() -> dict[str, str]:
         "kmv_ladder": SQL_KMV_LADDER,
         "bucket_derivative": SQL_BUCKET_DERIVATIVE,
         "activity_heatmap": SQL_ACTIVITY_HEATMAP,
+        "histogram_ladder": SQL_HISTOGRAM_LADDER,
     }
