@@ -4743,6 +4743,36 @@ FROM lastb
 """
 
 
+def q_time_bucket_6h(spark, sf_dir):
+    """Arbitrary-width rollup (operators/rollup.time_bucket): 6-hour
+    buckets of events per type — the width the named-tier ladder can't
+    express; exact epoch boundaries, cents-exact aggregates."""
+    from rtsa_spark.operators.rollup import time_bucket
+
+    out = time_bucket(
+        _events(spark, sf_dir), 21600, ["event_type"], "ts", "value"
+    )
+    return out.select(
+        F.col("event_type").alias("key"),
+        F.unix_timestamp("bucket_start").cast("bigint").alias("bucket_epoch"),
+        F.col("n").cast("bigint").alias("n"),
+        _cents(F.col("v_sum")).alias("v_sum_e2"),
+        _cents(F.col("v_min")).alias("v_min_e2"),
+        _cents(F.col("v_max")).alias("v_max_e2"),
+    )
+
+
+SQL_TIME_BUCKET_6H = """
+SELECT event_type AS key,
+  ((epoch_us(ts) // 1000000) // 21600) * 21600 AS bucket_epoch,
+  CAST(count(*) AS BIGINT) AS n,
+  CAST(round(sum(value) * 100) AS BIGINT) AS v_sum_e2,
+  CAST(round(min(value) * 100) AS BIGINT) AS v_min_e2,
+  CAST(round(max(value) * 100) AS BIGINT) AS v_max_e2
+FROM events GROUP BY 1, 2
+"""
+
+
 def q_histogram_ladder(spark, sf_dir):
     """The approximate-percentile cascade at tier scale
     (operators/sketch.value_histogram + histogram_quantiles): per-day
@@ -5483,6 +5513,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bucket_derivative": q_bucket_derivative,
         "activity_heatmap": q_activity_heatmap,
         "histogram_ladder": q_histogram_ladder,
+        "time_bucket_6h": q_time_bucket_6h,
     }
 
 
@@ -5604,4 +5635,5 @@ def oracle_sql() -> dict[str, str]:
         "bucket_derivative": SQL_BUCKET_DERIVATIVE,
         "activity_heatmap": SQL_ACTIVITY_HEATMAP,
         "histogram_ladder": SQL_HISTOGRAM_LADDER,
+        "time_bucket_6h": SQL_TIME_BUCKET_6H,
     }

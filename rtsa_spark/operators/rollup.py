@@ -266,3 +266,44 @@ def merge_token_histograms(hist_df: DataFrame, to_tier: str) -> DataFrame:
             ).alias("tok_hist")
         )
     )
+
+
+def time_bucket(
+    df: DataFrame,
+    bucket_s: int,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    value_col: str = "value",
+    origin_s: int = 0,
+) -> DataFrame:
+    """Arbitrary-width bucket rollup — the Timescale-style ``time_bucket``
+    the named-tier ladder (hour/day/week/month) cannot express: any
+    integer bucket width in seconds (5-minute ops dashboards, 6-hour
+    shifts), optionally phase-shifted by ``origin_s``.
+
+    Bucket identity is pure epoch integer arithmetic — ``bucket_start =
+    origin + ((epoch - origin) div w) * w`` with ``unix_timestamp``
+    truncation — so any engine reproduces the boundaries exactly (no
+    calendar functions, UTC by construction; use the named tiers for
+    calendar-width months).  Output matches :func:`rollup_series`
+    (``n, v_sum, v_min, v_max, v_mean``) so the algebraic cascade
+    ``rollup_series_next`` composes on top when the coarser width is a
+    multiple of the finer one.
+
+    Scale shape: one map-side-combinable groupBy — identical to the
+    named-tier rollup.
+    """
+    if bucket_s <= 0:
+        raise ValueError(f"bucket_s must be > 0, got {bucket_s}")
+    w, o = int(bucket_s), int(origin_s)
+    bucket = F.timestamp_seconds(
+        F.expr(f"{o} + ((unix_timestamp({ts_col}) - {o}) div {w}) * {w}")
+    ).alias("bucket_start")
+    v = F.col(value_col)
+    return df.groupBy(*key_cols, bucket).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(v).alias("v_sum"),
+        F.min(v).alias("v_min"),
+        F.max(v).alias("v_max"),
+        F.avg(v).alias("v_mean"),
+    )
