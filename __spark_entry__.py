@@ -4743,6 +4743,50 @@ FROM lastb
 """
 
 
+def q_rollup_ohlc(spark, sf_dir):
+    """Daily candlesticks per event type (operators/rollup.rollup_ohlc):
+    open/close by deterministic (ts, event_id) order, cents-exact."""
+    from rtsa_spark.operators.rollup import rollup_ohlc
+
+    out = rollup_ohlc(
+        _events(spark, sf_dir), "daily", ["event_type"], "ts", "value",
+        id_col="event_id",
+    )
+    return out.select(
+        F.col("event_type").alias("key"),
+        "bucket_start",
+        F.col("n").cast("bigint").alias("n"),
+        _cents(F.col("open")).alias("open_e2"),
+        _cents(F.col("high")).alias("high_e2"),
+        _cents(F.col("low")).alias("low_e2"),
+        _cents(F.col("close")).alias("close_e2"),
+    )
+
+
+SQL_ROLLUP_OHLC = """
+WITH b AS MATERIALIZED (
+  SELECT event_type AS key, date_trunc('day', ts) AS bucket_start,
+         ts, event_id, value,
+         row_number() OVER (
+           PARTITION BY event_type, date_trunc('day', ts)
+           ORDER BY ts, event_id) AS ra,
+         row_number() OVER (
+           PARTITION BY event_type, date_trunc('day', ts)
+           ORDER BY ts DESC, event_id DESC) AS rd
+  FROM events
+)
+SELECT key, bucket_start,
+  CAST(count(*) AS BIGINT) AS n,
+  CAST(round(max(CASE WHEN ra = 1 THEN value END) * 100) AS BIGINT)
+    AS open_e2,
+  CAST(round(max(value) * 100) AS BIGINT) AS high_e2,
+  CAST(round(min(value) * 100) AS BIGINT) AS low_e2,
+  CAST(round(max(CASE WHEN rd = 1 THEN value END) * 100) AS BIGINT)
+    AS close_e2
+FROM b GROUP BY 1, 2
+"""
+
+
 def q_time_bucket_6h(spark, sf_dir):
     """Arbitrary-width rollup (operators/rollup.time_bucket): 6-hour
     buckets of events per type — the width the named-tier ladder can't
@@ -5514,6 +5558,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "activity_heatmap": q_activity_heatmap,
         "histogram_ladder": q_histogram_ladder,
         "time_bucket_6h": q_time_bucket_6h,
+        "rollup_ohlc": q_rollup_ohlc,
     }
 
 
@@ -5636,4 +5681,5 @@ def oracle_sql() -> dict[str, str]:
         "activity_heatmap": SQL_ACTIVITY_HEATMAP,
         "histogram_ladder": SQL_HISTOGRAM_LADDER,
         "time_bucket_6h": SQL_TIME_BUCKET_6H,
+        "rollup_ohlc": SQL_ROLLUP_OHLC,
     }

@@ -307,3 +307,55 @@ def time_bucket(
         F.max(v).alias("v_max"),
         F.avg(v).alias("v_mean"),
     )
+
+
+def rollup_ohlc(
+    df: DataFrame,
+    tier: str,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    value_col: str = "value",
+    id_col: str | None = None,
+) -> DataFrame:
+    """Open/high/low/close per (key, bucket) — the candlestick read every
+    tiered time-series store ships.  OPEN/CLOSE are the first/last value
+    by ``(ts, id)`` order — the id tiebreak makes simultaneous events
+    deterministic (engine-portable; bare ``min_by/arg_min`` tie behavior
+    is not), falling back to the value itself as the tiebreak when no id
+    column exists.  HIGH/LOW are plain min/max.
+
+    Scale shape: one window pass per (key, bucket) ranking both
+    directions, then a groupBy — two sorts of tier-partitioned data, no
+    join; at 10^12 rows use it per-tier, not on raw.
+    """
+    from pyspark.sql import Window
+
+    tie = F.col(id_col) if id_col else F.col(value_col)
+    bucket = F.date_trunc(BUCKET_OF[tier], F.col(ts_col)).alias("bucket_start")
+    base = df.select(
+        *key_cols,
+        bucket,
+        F.col(ts_col).alias("_ts"),
+        tie.alias("_tie"),
+        F.col(value_col).alias("v"),
+    )
+    wasc = Window.partitionBy(*key_cols, "bucket_start").orderBy(
+        "_ts", "_tie"
+    )
+    wdesc = Window.partitionBy(*key_cols, "bucket_start").orderBy(
+        F.desc("_ts"), F.desc("_tie")
+    )
+    ranked = base.select(
+        *key_cols,
+        "bucket_start",
+        "v",
+        F.row_number().over(wasc).alias("_ra"),
+        F.row_number().over(wdesc).alias("_rd"),
+    )
+    return ranked.groupBy(*key_cols, "bucket_start").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.max(F.when(F.col("_ra") == 1, F.col("v"))).alias("open"),
+        F.max("v").alias("high"),
+        F.min("v").alias("low"),
+        F.max(F.when(F.col("_rd") == 1, F.col("v"))).alias("close"),
+    )

@@ -150,3 +150,29 @@ def test_time_bucket_arbitrary_width_and_origin(spark):
     assert sum(r["v_sum"] for r in coarse) == sum(
         r["v_sum"] for r in out.values()
     )
+
+
+def test_rollup_ohlc_hand_case(spark):
+    import datetime as dt
+
+    from rtsa_spark.operators.rollup import rollup_ohlc
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        ("k", t0 + dt.timedelta(hours=1), 1, 50.0),
+        ("k", t0 + dt.timedelta(hours=2), 2, 90.0),
+        ("k", t0 + dt.timedelta(hours=3), 3, 10.0),
+        ("k", t0 + dt.timedelta(hours=4), 4, 70.0),
+        # simultaneous events at the close: id breaks the tie
+        ("k", t0 + dt.timedelta(hours=4), 5, 75.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "g string, ts timestamp, event_id long, value double"
+    )
+    [r] = rollup_ohlc(
+        df, "daily", ["g"], "ts", "value", id_col="event_id"
+    ).collect()
+    assert (r["open"], r["high"], r["low"], r["close"]) == (
+        50.0, 90.0, 10.0, 75.0,
+    )
+    assert r["n"] == 5
