@@ -4743,6 +4743,38 @@ FROM lastb
 """
 
 
+def q_weighted_sample(spark, sf_dir):
+    """Per-source deterministic Bernoulli resample
+    (operators/sampling.weighted_hash_sample): rates derived
+    deterministically from the source name, broadcast back, md5-bucket
+    keep decision — the op that applies temperature weights."""
+    from rtsa_spark.operators.sampling import weighted_hash_sample
+
+    docs = _documents(spark, sf_dir)
+    rates = (
+        docs.select("source")
+        .distinct()
+        .select(
+            "source",
+            (1000 * (1 + F.length("source") % 5)).cast("bigint").alias("rate_e4"),
+        )
+    )
+    kept = weighted_hash_sample(docs, rates, "source", "doc_id")
+    return kept.select("source", "doc_id")
+
+
+SQL_WEIGHTED_SAMPLE = """
+WITH r AS (
+  SELECT source, 1000 * (1 + length(source) % 5) AS rate_e4
+  FROM (SELECT DISTINCT source FROM documents)
+)
+SELECT d.source, d.doc_id
+FROM documents d JOIN r ON d.source = r.source
+WHERE ('0x' || substr(md5('wsample-v1|' || CAST(d.doc_id AS VARCHAR)), 1, 12))::BIGINT
+      % 10000 < r.rate_e4
+"""
+
+
 def q_rollup_ohlc(spark, sf_dir):
     """Daily candlesticks per event type (operators/rollup.rollup_ohlc):
     open/close by deterministic (ts, event_id) order, cents-exact."""
@@ -5559,6 +5591,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "histogram_ladder": q_histogram_ladder,
         "time_bucket_6h": q_time_bucket_6h,
         "rollup_ohlc": q_rollup_ohlc,
+        "weighted_sample": q_weighted_sample,
     }
 
 
@@ -5682,4 +5715,5 @@ def oracle_sql() -> dict[str, str]:
         "histogram_ladder": SQL_HISTOGRAM_LADDER,
         "time_bucket_6h": SQL_TIME_BUCKET_6H,
         "rollup_ohlc": SQL_ROLLUP_OHLC,
+        "weighted_sample": SQL_WEIGHTED_SAMPLE,
     }

@@ -298,3 +298,35 @@ def rank_normalize(
         .cast("bigint")
         .alias("pr_e6"),
     )
+
+
+def weighted_hash_sample(
+    df: DataFrame,
+    rates: DataFrame,
+    key_col: str = "source",
+    id_col: str = "doc_id",
+    rate_col: str = "rate_e4",
+    salt: str = "wsample-v1",
+) -> DataFrame:
+    """Per-key deterministic Bernoulli resampling — the op that APPLIES
+    :func:`domain_temperature_weights`: keep a row iff its salted hash
+    bucket falls below ITS KEY'S rate (``rates``: one ``(key, rate_e4)``
+    row per key, e4 shares like :func:`hash_sample`; rates above
+    ``BUCKETS`` clamp to keep-all — hash sampling cannot upsample).
+
+    Same invariants as :func:`hash_sample`: adding data later never
+    flips an existing row's fate (the decision depends only on the row's
+    own id + salt), and the expected kept fraction per key is exactly
+    ``rate_e4 / 10^4`` up to hash uniformity (~3.6e-11 bias).
+
+    Scale shape: the rates table is key-count-sized — broadcast join,
+    then a codegen'd filter; no shuffle of the fact table.
+    """
+    r = rates.select(
+        F.col(key_col).alias("_rk"),
+        F.least(F.col(rate_col).cast("bigint"), F.lit(BUCKETS)).alias("_rate"),
+    )
+    j = df.join(F.broadcast(r), df[key_col] == r["_rk"], "inner")
+    return j.where(hash_bucket(id_col, salt) < F.col("_rate")).drop(
+        "_rk", "_rate"
+    )

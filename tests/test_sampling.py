@@ -132,3 +132,39 @@ def test_rank_normalize_tie_break_on_id(spark):
     out = {r["id"]: r["rank"]
            for r in rank_normalize(df, "src", "id", "score").collect()}
     assert out == {1: 1, 2: 2, 3: 3}
+
+
+def test_weighted_hash_sample_rates_and_determinism(spark):
+    from rtsa_spark.operators.sampling import weighted_hash_sample
+
+    docs = spark.createDataFrame(
+        [(i, "hi" if i % 2 else "lo") for i in range(2000)],
+        "doc_id long, source string",
+    )
+    rates = spark.createDataFrame(
+        [("hi", 8000), ("lo", 1000)], "source string, rate_e4 long"
+    )
+    kept = weighted_hash_sample(docs, rates, "source", "doc_id")
+    counts = {r["source"]: r["cnt"] for r in
+              kept.groupBy("source").agg(__import__("pyspark").sql.functions.count("*").alias("cnt")).collect()}
+    # 1000 docs per source: expect ~800 and ~100, generous band
+    assert 650 <= counts["hi"] <= 950
+    assert 40 <= counts["lo"] <= 180
+    # determinism + growth invariance: the same doc_ids survive when the
+    # corpus doubles (new ids appended)
+    first = {r["doc_id"] for r in kept.collect()}
+    more = spark.createDataFrame(
+        [(i, "hi" if i % 2 else "lo") for i in range(4000)],
+        "doc_id long, source string",
+    )
+    second = {
+        r["doc_id"]
+        for r in weighted_hash_sample(more, rates, "source", "doc_id").collect()
+        if r["doc_id"] < 2000
+    }
+    assert first == second
+    # rate above BUCKETS clamps to keep-all
+    all_r = spark.createDataFrame(
+        [("hi", 99999), ("lo", 99999)], "source string, rate_e4 long"
+    )
+    assert weighted_hash_sample(docs, all_r, "source", "doc_id").count() == 2000

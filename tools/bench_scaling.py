@@ -83,7 +83,7 @@ of one arbitrary rep:
   min of reps 2-3), and `queries_median` reports the warm-rep median
   alongside the MIN so regressions can't hide behind one lucky rep.
 - correctness companion: `tools/check_correctness.py` must end
-  `0 failing` (116 driver queries at round-3 HEAD, each with a DuckDB
+  `0 failing` (117 driver queries at round-3 HEAD, each with a DuckDB
   value-hash oracle — no
   rows-only entries since round 3).
 """
