@@ -176,3 +176,14 @@ def test_rollup_ohlc_hand_case(spark):
         50.0, 90.0, 10.0, 75.0,
     )
     assert r["n"] == 5
+
+
+def test_register_views_sql_onramp(spark):
+    from rtsa_spark.session import register_views
+
+    got = register_views(spark, "/root/testdata/sf0.001")
+    assert "events" in got and "documents" in got
+    n = spark.sql("SELECT count(*) AS n FROM events").collect()[0]["n"]
+    assert n > 0
+    # missing files are skipped, not fatal
+    assert register_views(spark, "/nonexistent") == []
