@@ -159,11 +159,13 @@ def bucket_derivative(
     convention shared with the Mann-Kendall family).
 
     Exact integers end to end: gap seconds from ``unix_timestamp``
-    truncation, one floor-divide into the e6 domain (floor, not
-    truncate-toward-zero — Spark ``div`` and DuckDB ``//`` agree only on
-    nonnegative operands, and deltas CAN be negative, so the division is
-    done on ``abs`` and the sign re-applied).  First bucket per key emits
-    NULLs.
+    truncation, one divide into the e6 domain rounded TOWARD ZERO
+    (sign-magnitude: divide ``abs(delta)``, re-apply the sign — so a
+    negative delta rounds up toward zero, NOT floor).  Spark ``div`` and
+    DuckDB ``//`` agree only on nonnegative operands, which is why the
+    division runs on ``abs``; the oracle replays the identical
+    ``CASE WHEN x < prev_x THEN -((...)//gap_s)`` chain.  First bucket
+    per key emits NULLs.
 
     Scale shape: one lag window per key over the tier — no join, no UDF.
     """

@@ -174,13 +174,21 @@ def plan_compaction(stats: DataFrame, target_rows: int) -> DataFrame:
     w = Window.orderBy("bucket_min", "file").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
-    # group = floor(running_rows_before_this_file / (2*target)): prefix-sum
+    # group = running_rows_before_this_file div (2*target): prefix-sum
     # binning keeps every group's total under 2*target + one file's rows.
-    run = F.sum("n_rows").over(w) - F.col("n_rows")
+    # Integer `div` (operands nonnegative, so div == floor) — a float
+    # quotient would misbin once the BIGINT prefix sum passes 2^53.
+    run = (F.sum("n_rows").over(w) - F.col("n_rows")).alias("_run")
     return small.select(
         "file",
         "n_rows",
         "bucket_min",
         "bucket_max",
-        F.floor(run / (2 * target_rows)).cast("bigint").alias("group"),
+        run,
+    ).select(
+        "file",
+        "n_rows",
+        "bucket_min",
+        "bucket_max",
+        F.expr(f"_run div {2 * int(target_rows)}").cast("bigint").alias("group"),
     )

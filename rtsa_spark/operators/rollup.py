@@ -282,10 +282,13 @@ def time_bucket(
     shifts), optionally phase-shifted by ``origin_s``.
 
     Bucket identity is pure epoch integer arithmetic — ``bucket_start =
-    origin + ((epoch - origin) div w) * w`` with ``unix_timestamp``
-    truncation — so any engine reproduces the boundaries exactly (no
-    calendar functions, UTC by construction; use the named tiers for
-    calendar-width months).  Output matches :func:`rollup_series`
+    epoch - pmod(epoch - origin, w)`` with ``unix_timestamp`` truncation —
+    a true FLOOR for timestamps on either side of ``origin_s`` (``pmod``
+    is always nonnegative, unlike ``div`` which truncates toward zero and
+    would land pre-origin timestamps one width above themselves), so any
+    engine reproduces the boundaries exactly (no calendar functions, UTC
+    by construction; use the named tiers for calendar-width months).
+    Output matches :func:`rollup_series`
     (``n, v_sum, v_min, v_max, v_mean``) so the algebraic cascade
     ``rollup_series_next`` composes on top when the coarser width is a
     multiple of the finer one.
@@ -297,7 +300,10 @@ def time_bucket(
         raise ValueError(f"bucket_s must be > 0, got {bucket_s}")
     w, o = int(bucket_s), int(origin_s)
     bucket = F.timestamp_seconds(
-        F.expr(f"{o} + ((unix_timestamp({ts_col}) - {o}) div {w}) * {w}")
+        F.expr(
+            f"unix_timestamp({ts_col})"
+            f" - pmod(unix_timestamp({ts_col}) - {o}, {w})"
+        )
     ).alias("bucket_start")
     v = F.col(value_col)
     return df.groupBy(*key_cols, bucket).agg(

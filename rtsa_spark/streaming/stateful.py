@@ -141,7 +141,17 @@ def streaming_liveness(
             )
             last_ns = mx if last_ns is None else max(last_ns, mx)
         state.update((n, last_ns))
-        state.setTimeoutTimestamp(last_ns // 1_000_000 + max_age_ms)
+        # Clamp above the current watermark: flatMapGroupsWithState does
+        # not drop late INPUT rows, so a key whose newest event already
+        # trails the watermark by > max_age would otherwise hand
+        # setTimeoutTimestamp a stale instant (must be strictly later
+        # than the watermark) and kill the query.
+        state.setTimeoutTimestamp(
+            max(
+                last_ns // 1_000_000 + max_age_ms,
+                state.getCurrentWatermarkMs() + 1,
+            )
+        )
         yield pd.DataFrame(
             [
                 {

@@ -152,6 +152,33 @@ def test_time_bucket_arbitrary_width_and_origin(spark):
     )
 
 
+def test_time_bucket_floors_before_origin(spark):
+    """Timestamps EARLIER than origin_s must floor down to the bucket
+    below the origin, not truncate up onto it (pmod recipe, not div)."""
+    import datetime as dt
+
+    from rtsa_spark.operators.rollup import time_bucket
+
+    t0 = dt.datetime(2024, 1, 1)  # epoch 1704067200
+    origin = 1704067200
+    rows = [
+        ("k", t0 - dt.timedelta(minutes=10), 1.0),  # 600 s BEFORE origin
+        ("k", t0 + dt.timedelta(minutes=10), 2.0),  # 600 s after
+    ]
+    df = spark.createDataFrame(rows, "g string, ts timestamp, value double")
+    got = {
+        r["bucket_start"]: r["v_sum"]
+        for r in time_bucket(
+            df, 1800, ["g"], "ts", "value", origin_s=origin
+        ).collect()
+    }
+    # pre-origin event belongs to [origin-1800, origin), i.e. floor
+    assert got == {
+        t0 - dt.timedelta(seconds=1800): 1.0,
+        t0: 2.0,
+    }
+
+
 def test_rollup_ohlc_hand_case(spark):
     import datetime as dt
 
