@@ -2354,10 +2354,66 @@ def q_stl_stats(spark, sf_dir):
     )
 
 
+def q_stl_robust(spark, sf_dir):
+    """ROBUST STL — the reference's actual default (``stlplus::stlplus``
+    at ``R/rtsa.stl.R:360`` runs one Cleveland outer pass): bisquare
+    weights from ``6 * median|remainder|`` of the plain fit down-weight
+    outliers in a second rho-weighted pass. Closes the r3 verdict gap
+    "STL outer>=1 has no oracle"; ``rho_min_e4`` pins the weights
+    themselves. Same ladder shape as stl_stats: one shuffle on
+    event_type into an Arrow kernel."""
+    import pandas as pd
+
+    from rtsa_spark.functions.stl import stl_robust_deterministic_stats
+    from rtsa_spark.operators.rollup import rollup_series
+
+    daily = rollup_series(
+        _events(spark, sf_dir), "daily", ["event_type"], "ts", "value"
+    ).select("event_type", "bucket_start", _cents(F.col("v_sum")).alias("x"))
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("bucket_start")
+        x = pdf["x"].to_numpy("int64")
+        st = stl_robust_deterministic_stats(x, 7, s_window=15, outer=1)
+        return pd.DataFrame(
+            [
+                {
+                    "event_type": pdf["event_type"].iloc[0],
+                    "n_buckets": len(x),
+                    "x_sum": int(x.sum()),
+                    **st,
+                }
+            ]
+        ).astype(
+            {
+                c: "Int64"
+                for c in (
+                    "seas_amp_e4",
+                    "trend_first_e4",
+                    "trend_last_e4",
+                    "rho_min_e4",
+                )
+            }
+        )
+
+    return daily.groupBy("event_type").applyInPandas(
+        kernel,
+        "event_type string, n_buckets bigint, x_sum bigint,"
+        " seas_amp_e4 bigint, trend_first_e4 bigint, trend_last_e4 bigint,"
+        " rho_min_e4 bigint",
+    )
+
+
 def _sql_stl() -> str:
     from tools.gen_stl_sql import sql_stl
 
     return sql_stl()
+
+
+def _sql_stl_robust() -> str:
+    from tools.gen_stl_sql import sql_stl
+
+    return sql_stl(robust=True)
 
 
 def _sql_stl_seq() -> str:
@@ -5509,6 +5565,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seasonal_mk_stats": q_seasonal_mk_stats,
         # --- decomposition family ---
         "stl_stats": q_stl_stats,
+        "stl_robust": q_stl_robust,
         "x11_stats": q_x11_stats,
         "x11_yearly_amplitude": q_x11_yearly_amplitude,
         "decompose_components": q_decompose_components,
@@ -5520,7 +5577,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- streaming (§2.9) ---
         "streaming_batch_parity": q_streaming_batch_parity,
         "stateful_tracker": q_stateful_tracker,
-        "streaming_dedup": q_streaming_dedup,
         # --- sinks / publish / checkpoint (S3/S4) ---
         "pipeline_publish_audit": q_pipeline_publish_audit,
         "asof_tier_checkpoint": q_asof_tier_checkpoint,
@@ -5552,6 +5608,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "holt_winters": q_holt_winters,
         "distribution_drift": q_distribution_drift,
         # ---------- fold: entries below are outside the 50-query gate ----------
+        "streaming_dedup": q_streaming_dedup,
         "missing_ranges": q_missing_ranges,
         "rollup_monthly_cascade": q_rollup_monthly_cascade,
         "word_topk": q_word_topk,
@@ -5655,6 +5712,7 @@ def oracle_sql() -> dict[str, str]:
         "sequences_metrics": _sql_metrics_deterministic(),
         "x11_stats": _sql_x11(),
         "stl_stats": _sql_stl(),
+        "stl_robust": _sql_stl_robust(),
         "seasonal_mk_stats": SQL_SEASONAL_MK,
         "token_histogram_cascade": SQL_TOKEN_HIST,
         "eot_deterministic": _sql_eot_det(),

@@ -19,14 +19,22 @@ INNER = 2
 
 
 def _loess_ctes(tag: str, src_cte: str, lst: str, idx_expr: str,
-                evals_sql: str, w_expr: str) -> str:
+                evals_sql: str, w_expr: str,
+                rho_cte: str | None = None) -> str:
     """CTE chain computing a degree-1 loess; final CTE ``{tag}`` has
     (event_type, f list ordered by eval index).
 
     ``evals_sql``: SELECT emitting (event_type, n, i, xe, m [, ph]) eval
     rows. ``idx_expr``: 1-based index into ``{lst}`` for tap position
     ``lo + jj`` (may use e.ph). ``w_expr``: SQL int expr for the window
-    (may use m or n)."""
+    (may use m or n). ``rho_cte``: optional robustness-weight CTE
+    (event_type, rho list, same length/indexing as the source list); the
+    tap weight becomes ``((u*u)*u) * rho`` — one extra correctly-rounded
+    multiply, mirroring ``_loess1_det(rho=...)``; an all-zero window
+    (every tap a pure outlier) fits 0 like the production wsum clamp."""
+    rho_join = f"\n  JOIN {rho_cte} r USING (event_type)" if rho_cte else ""
+    rv = f",\n         r.rho[{idx_expr}] AS rv" if rho_cte else ""
+    w_sql = "((u * u) * u) * rv" if rho_cte else "(u * u) * u"
     return f"""
 {tag}_e AS MATERIALIZED (
   SELECT *, GREATEST(2, LEAST({w_expr}, m)) AS q
@@ -47,14 +55,14 @@ def _loess_ctes(tag: str, src_cte: str, lst: str, idx_expr: str,
   SELECT e.event_type, e.i, t.jj,
          CAST(e.lo + t.jj - e.xe AS DOUBLE) AS xc,
          s.{lst}[{idx_expr}] AS yv,
-         abs(CAST(e.lo + t.jj - e.xe AS DOUBLE)) / e.dmax AS tt
+         abs(CAST(e.lo + t.jj - e.xe AS DOUBLE)) / e.dmax AS tt{rv}
   FROM {tag}_e3 e
-  JOIN {src_cte} s USING (event_type),
+  JOIN {src_cte} s USING (event_type){rho_join},
        unnest(generate_series(0, CAST(e.q AS INTEGER) - 1)) AS t(jj)
 ), {tag}_t1 AS MATERIALIZED (
   SELECT *, GREATEST(1e0 - (tt * tt) * tt, 0e0) AS u FROM {tag}_t0
 ), {tag}_t AS MATERIALIZED (
-  SELECT *, (u * u) * u AS w FROM {tag}_t1
+  SELECT *, {w_sql} AS w FROM {tag}_t1
 ), {tag}_s AS MATERIALIZED (
   SELECT event_type, i,
          list_sum(list(w ORDER BY jj)) AS sw,
@@ -65,7 +73,8 @@ def _loess_ctes(tag: str, src_cte: str, lst: str, idx_expr: str,
   FROM {tag}_t GROUP BY 1, 2
 ), {tag} AS MATERIALIZED (
   SELECT event_type,
-         list(CASE WHEN abs(sw * sxx - sx * sx) < 1e-12 THEN sy / sw
+         list(CASE WHEN sw = 0e0 THEN 0e0
+              WHEN abs(sw * sxx - sx * sx) < 1e-12 THEN sy / sw
               ELSE (sxx * sy - sx * sxy) / (sw * sxx - sx * sx) END
               ORDER BY i) AS f
   FROM {tag}_s GROUP BY 1
@@ -90,9 +99,12 @@ def _ma_cte(tag: str, src_cte: str, lst: str, w: int, out_len: str) -> str:
 )"""
 
 
-def _iteration(it: int, detr_cte: str, detr_col: str) -> str:
+def _iteration(it: int, detr_cte: str, detr_col: str,
+               rho_cte: str | None = None) -> str:
     """One STL inner iteration: phase loess -> low pass -> seasonal ->
-    deseasonalize -> trend. Emits CTEs suffixed _{it}."""
+    deseasonalize -> trend. Emits CTEs suffixed _{it}. ``rho_cte``
+    weights the phase and trend loess (NOT the low pass — Cleveland 1990
+    robustness applies to the data smoothers only)."""
     p = PERIOD
     ni = "CAST(n AS INTEGER)"
     phase_evals = f"""
@@ -105,6 +117,7 @@ def _iteration(it: int, detr_cte: str, detr_col: str) -> str:
     c = _loess_ctes(
         f"c_{it}", detr_cte, detr_col,
         f"e.ph + {p} * (e.lo + t.jj) + 1", phase_evals, str(S_WIN),
+        rho_cte=rho_cte,
     )
     ma1 = _ma_cte(f"lpa_{it}", f"c_{it}", "f", p, f"l2.n + {p} + 1")
     ma2 = _ma_cte(f"lpb_{it}", f"lpa_{it}", "f", p, "l2.n + 2")
@@ -135,7 +148,7 @@ seas_{it} AS MATERIALIZED (
   FROM seas_{it}
 )"""
     tr = _loess_ctes(f"tr_{it}", f"des_{it}", "dd", "e.lo + t.jj + 1",
-                     tr_evals, twin)
+                     tr_evals, twin, rho_cte=rho_cte)
     return ",".join([c, ma1, ma2, ma3, lp, rest, tr])
 
 
@@ -146,11 +159,18 @@ DEFAULT_D_SQL = """d AS MATERIALIZED (
 )"""
 
 
-def sql_stl(d_sql: str | None = None, key_out: str = "event_type") -> str:
+def sql_stl(d_sql: str | None = None, key_out: str = "event_type",
+            robust: bool = False) -> str:
     """STL oracle over any daily tier: ``d_sql`` must be a complete CTE
     block ending in ``d(event_type, b, x)`` (the internal CTEs are keyed on
     the literal name ``event_type``); ``key_out`` renames the key column in
-    the final projection (e.g. ``source`` for the derived-sequences tier)."""
+    the final projection (e.g. ``source`` for the derived-sequences tier).
+
+    ``robust=True`` replays ``stl_robust_deterministic_stats`` (one
+    Cleveland outer pass, the stlplus default the reference invokes at
+    ``R/rtsa.stl.R:360``): after the plain two-iteration pass, bisquare
+    weights from ``6 * median|remainder|`` (explicit sorted-list median)
+    feed a second rho-weighted pass; the output adds ``rho_min_e4``."""
     if d_sql is None:
         d_sql = DEFAULT_D_SQL
     p = PERIOD
@@ -163,13 +183,77 @@ detr_2 AS MATERIALIZED (
   FROM lists l JOIN tr_1 t USING (event_type)
 )"""
     it2 = _iteration(2, "detr_2", "dt")
+    body = f"{it1},{detr2},{it2}"
+    final_seas, final_tr = "seas_2", "tr_2"
+    rho_cols = ""
+    rho_join = ""
+    if robust:
+        # bisquare weights from the pass-1 remainder: h = 6 * median|r|
+        # (sorted-list median: middle element, or mean of the two
+        # middles), u = min(|r|/h, 1), rho = (1-u*u)*(1-u*u) — each a
+        # fixed sequence of correctly-rounded double ops.
+        rho_ctes = f"""
+resid AS MATERIALIZED (
+  SELECT l.event_type, l.n,
+         list_transform(generate_series(1, CAST(l.n AS INTEGER)), k ->
+           abs(l.xs[k] - s.s[k] - t.f[k])) AS r,
+         list_max(list_transform(l.xs, v -> abs(v))) AS amax
+  FROM lists l
+  JOIN seas_2 s USING (event_type)
+  JOIN tr_2 t USING (event_type)
+), medr AS MATERIALIZED (
+  SELECT event_type, n, r, amax,
+         CASE WHEN n % 2 = 1
+              THEN list_sort(r)[(CAST(n AS INTEGER) + 1) // 2]
+              ELSE (list_sort(r)[CAST(n AS INTEGER) // 2]
+                    + list_sort(r)[CAST(n AS INTEGER) // 2 + 1]) / 2e0
+         END AS md
+  FROM resid
+), rhol AS MATERIALIZED (
+  SELECT event_type, n,
+         -- noise-scale remainder guard (twin: h <= 1e-9 * max|x|)
+         CASE WHEN 6e0 * md <= 1e-9 * amax THEN list_transform(r, v -> 1e0)
+              ELSE list_transform(r, v ->
+                CASE WHEN v / (6e0 * md) > 1e0 THEN 0e0
+                     ELSE (1e0 - (v / (6e0 * md)) * (v / (6e0 * md)))
+                          * (1e0 - (v / (6e0 * md)) * (v / (6e0 * md)))
+                END)
+         END AS rho
+  FROM medr
+)"""
+        detr3 = f"""
+detr_3 AS MATERIALIZED (
+  SELECT l.event_type, l.n, l.xs,
+         list_transform(generate_series(1, CAST(l.n AS INTEGER)), k ->
+           l.xs[k] - t.f[k]) AS dt
+  FROM lists l JOIN tr_2 t USING (event_type)
+)"""
+        it3 = _iteration(3, "detr_3", "dt", rho_cte="rhol")
+        detr4 = f"""
+detr_4 AS MATERIALIZED (
+  SELECT l.event_type, l.n, l.xs,
+         list_transform(generate_series(1, CAST(l.n AS INTEGER)), k ->
+           l.xs[k] - t.f[k]) AS dt
+  FROM lists l JOIN tr_3 t USING (event_type)
+)"""
+        it4 = _iteration(4, "detr_4", "dt", rho_cte="rhol")
+        body = f"{body},{rho_ctes},{detr3},{it3},{detr4},{it4}"
+        final_seas, final_tr = "seas_4", "tr_4"
+        rho_cols = f""",
+       CASE WHEN l.n >= {2 * p} THEN
+         CAST(floor(1e4 * list_min(rh.rho)) AS BIGINT)
+       ELSE 10000 END AS rho_min_e4"""
+        rho_join = (
+            f"\nLEFT JOIN rhol rh ON l.event_type = rh.event_type"
+            f" AND l.n >= {2 * p}"
+        )
     return f"""
 WITH {d_sql}, lists AS MATERIALIZED (
   SELECT event_type, CAST(count(*) AS BIGINT) AS n,
          CAST(sum(x) AS BIGINT) AS x_sum,
          list(x::DOUBLE ORDER BY b) AS xs
   FROM d GROUP BY 1
-),{it1},{detr2},{it2}
+),{body}
 SELECT l.event_type AS {key_out}, l.n AS n_buckets, l.x_sum,
        CASE WHEN l.n >= {2 * p} THEN
          CAST(floor(1e4 * (list_max(s2.s) - list_min(s2.s))) AS BIGINT)
@@ -179,10 +263,10 @@ SELECT l.event_type AS {key_out}, l.n AS n_buckets, l.x_sum,
        CASE WHEN l.n >= {2 * p} THEN
          CAST(floor(1e4 * t2.f[CAST(l.n AS INTEGER)]) AS BIGINT)
        ELSE CAST(floor(1e4 * l.xs[CAST(l.n AS INTEGER)]) AS BIGINT)
-       END AS trend_last_e4
+       END AS trend_last_e4{rho_cols}
 FROM lists l
-LEFT JOIN seas_2 s2 ON l.event_type = s2.event_type AND l.n >= {2 * p}
-LEFT JOIN tr_2 t2 ON l.event_type = t2.event_type AND l.n >= {2 * p}
+LEFT JOIN {final_seas} s2 ON l.event_type = s2.event_type AND l.n >= {2 * p}
+LEFT JOIN {final_tr} t2 ON l.event_type = t2.event_type AND l.n >= {2 * p}{rho_join}
 """
 
 
