@@ -2002,6 +2002,73 @@ def q_media_features(spark, sf_dir):
 # the exact function families other green oracles already exercise in the
 # driver's DuckDB. Spark's F.encode(text,'utf-8') byte stream satisfies
 # these identities exactly for any valid Unicode text.
+def q_media_decode(spark, sf_dir):
+    """REAL multimodal decode at the gate (closes the r3 verdict stub
+    gap): RTSM self-describing payloads are assembled in pure Catalyst
+    (hex header + md5-hex body, so DuckDB can rebuild the exact bytes),
+    then functions/multimodal.decode_media_digests PARSES the bytes —
+    magic/version check, kind/dims/units from the header, u8 pixels or
+    big-endian i16 PCM from the body — and folds exact-int sample
+    digests. Every field the decoder emits comes from the payload, not
+    from metadata columns."""
+    from rtsa_spark.functions.multimodal import decode_media_digests
+
+    docs = _documents(spark, sf_dir).where(F.length("text") > 0)
+    L = F.length("text")
+    kc = (F.pmod(L, F.lit(3)) + 1).cast("int")
+    reps = (F.pmod(L, F.lit(4)) + 1).cast("int")
+    width = (1 + F.pmod(L, F.lit(13))).cast("int")
+    height = (1 + F.pmod(L, F.lit(7))).cast("int")
+    rate = F.when(kc == 2, F.lit(16)).otherwise(F.lit(0)).cast("int")
+    header_hex = F.concat(
+        F.lit("5254534d"),
+        F.lit("01"),
+        F.lpad(F.hex(kc), 2, "0"),
+        F.lpad(F.hex(width), 4, "0"),
+        F.lpad(F.hex(height), 4, "0"),
+        F.lpad(F.hex(reps), 8, "0"),
+        F.lpad(F.hex(rate), 4, "0"),
+    )
+    body = F.encode(
+        F.repeat(F.md5(F.encode(F.col("text"), "utf-8")), reps), "utf-8"
+    )
+    media = docs.select(
+        F.col("doc_id"),
+        F.concat(F.to_binary(header_hex, F.lit("hex")), body).alias("payload"),
+    )
+    return decode_media_digests(media, id_col="doc_id")
+
+
+SQL_MEDIA_DECODE = """
+WITH base AS (
+  SELECT doc_id, length(text) AS L, md5(text) AS h
+  FROM documents WHERE length(text) > 0
+), built AS (
+  SELECT doc_id,
+    CAST(L % 3 + 1 AS INTEGER) AS kind_code,
+    CAST(1 + L % 13 AS INTEGER) AS width,
+    CAST(1 + L % 7 AS INTEGER) AS height,
+    CAST(L % 4 + 1 AS INTEGER) AS n_units,
+    repeat(h, CAST(L % 4 + 1 AS INTEGER)) AS body
+  FROM base
+), agg AS (
+  SELECT doc_id, kind_code, width, height, n_units,
+    CAST(CASE WHEN kind_code = 2 THEN 16 ELSE 0 END AS INTEGER) AS rate_khz,
+    CAST(length(body) AS BIGINT) AS blen,
+    CAST(list_sum(list_transform(generate_series(1, length(body)),
+         i -> unicode(substr(body, i, 1)))) AS BIGINT) AS bsum,
+    CAST(list_sum(list_transform(generate_series(1, length(body) // 2),
+         i -> 256 * unicode(substr(body, 2*i - 1, 1))
+              + unicode(substr(body, 2*i, 1)))) AS BIGINT) AS psum
+  FROM built
+)
+SELECT doc_id AS media_id, kind_code, width, height, n_units, rate_khz,
+  CASE WHEN kind_code = 2 THEN blen // 2 ELSE blen END AS n_samples,
+  CASE WHEN kind_code = 2 THEN psum ELSE bsum END AS sample_sum
+FROM agg
+"""
+
+
 SQL_MEDIA_FEATURES = """
 WITH cps AS MATERIALIZED (
   SELECT doc_id,
@@ -5601,14 +5668,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination_check": q_contamination_check,
         # --- multimodal ---
         "media_features": q_media_features,
+        "media_decode": q_media_decode,
         # --- tier analytics / monitoring ---
         "sessionize_events": q_sessionize_events,
-        "trailing_window": q_trailing_window,
         "m4_downsample": q_m4_downsample,
         "holt_winters": q_holt_winters,
         "distribution_drift": q_distribution_drift,
         # ---------- fold: entries below are outside the 50-query gate ----------
         "streaming_dedup": q_streaming_dedup,
+        "trailing_window": q_trailing_window,
         "missing_ranges": q_missing_ranges,
         "rollup_monthly_cascade": q_rollup_monthly_cascade,
         "word_topk": q_word_topk,
@@ -5708,6 +5776,7 @@ def oracle_sql() -> dict[str, str]:
         "langid_heuristic": SQL_LANGID,
         "token_stats": SQL_TOKEN_STATS,
         "media_features": SQL_MEDIA_FEATURES,
+        "media_decode": SQL_MEDIA_DECODE,
         "mk_stats": SQL_MK_STATS,
         "sequences_metrics": _sql_metrics_deterministic(),
         "x11_stats": _sql_x11(),

@@ -153,11 +153,64 @@ def test_multimodal_plumbing(spark):
         float_digest = math.floor(1e6 * sum(float(x) for x in r["feature"]))
         assert abs(d["feat_digest_e6"] - float_digest) <= 1  # float32 ulp slack
 
-    # decode without a real decoder must fail loudly, not silently
-    import pyspark.errors
+    # REAL decode (r3 verdict item 4: stub deleted): synth_media writes
+    # self-describing RTSM payloads; fake=False parses them for real
+    real = extract_features(media, fake=False).collect()
+    assert len(real) == 60
+    for r in real:
+        s = sum(float(v) for v in r["feature"])
+        assert abs(s - 1.0) < 1e-5  # density histogram sums to 1
 
-    with pytest.raises(Exception, match="NotImplementedError|media decoding"):
-        extract_features(media, fake=False).count()
+    # decode of a NON-RTSM payload must fail loudly, not silently
+    from pyspark.sql import functions as F
+
+    bad = spark.range(2).select(
+        F.format_string("b%d", "id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.lit(b"JUNKJUNKJUNKJUNKJUNK").alias("payload"),
+    )
+    with pytest.raises(Exception, match="RTSM magic|magic"):
+        extract_features(bad, fake=False).count()
+
+
+def test_rtsm_decode_hand_payload(spark):
+    """Byte-level decode contract: hand-built RTSM payloads for each kind
+    decode to exactly the expected header fields and sample digests
+    (image/video u8 bytes; audio big-endian i16 incl. negatives)."""
+    import struct
+
+    from pyspark.sql import functions as F
+
+    from rtsa_spark.functions.multimodal import decode_media_digests
+
+    def rtsm(kind_code, width, height, n_units, rate, body):
+        return (
+            b"RTSM" + bytes([1, kind_code])
+            + struct.pack(">HHIH", width, height, n_units, rate) + body
+        )
+
+    img_body = bytes([0, 1, 2, 250, 255])
+    aud_body = struct.pack(">hhh", -32768, 32767, -1)
+    vid_body = bytes([9] * 6)
+    rows = [
+        ("img", rtsm(1, 4, 3, 1, 0, img_body)),
+        ("aud", rtsm(2, 0, 0, 3, 16, aud_body)),
+        ("vid", rtsm(3, 2, 3, 2, 0, vid_body)),
+        ("aud_odd", rtsm(2, 0, 0, 1, 16, b"\x01\x02\x03")),  # dangling byte
+    ]
+    media = spark.createDataFrame(rows, "media_id string, payload binary")
+    got = {r["media_id"]: r for r in decode_media_digests(media).collect()}
+    assert got["img"]["kind_code"] == 1 and got["img"]["width"] == 4
+    assert got["img"]["n_samples"] == 5
+    assert got["img"]["sample_sum"] == 0 + 1 + 2 + 250 + 255
+    assert got["aud"]["kind_code"] == 2 and got["aud"]["rate_khz"] == 16
+    assert got["aud"]["n_samples"] == 3
+    assert got["aud"]["sample_sum"] == -32768 + 32767 - 1
+    assert got["vid"]["n_samples"] == 6 and got["vid"]["sample_sum"] == 54
+    assert got["vid"]["n_units"] == 2 and got["vid"]["height"] == 3
+    # dangling trailing byte never becomes a sample
+    assert got["aud_odd"]["n_samples"] == 1
+    assert got["aud_odd"]["sample_sum"] == 0x0102
 
 
 def test_lsh_ann_recall_gate(spark):
@@ -425,10 +478,31 @@ def test_resize_plan_and_media(spark):
         cps = [ord(c) for c in text]
         assert out[mid]["n_cp"] == len(cps)
         assert out[mid]["strided_cp_sum"] == sum(cps[::k])
-    with pytest.raises(Exception, match="NotImplementedError|imaging"):
+    # fake=False is the REAL RTSM decode path now: non-RTSM payloads
+    # fail loudly on the magic check
+    with pytest.raises(Exception, match="RTSM magic|magic"):
         resize_media(df, 224, fake=False).collect()
     with pytest.raises(ValueError):
         resize_plan(df, 0)
+
+    # and on real RTSM media it decodes + stride-samples the decoded
+    # stream: stride 1 keeps every sample, so the strided sum equals the
+    # full decoded sample_sum
+    from rtsa_spark.functions.multimodal import (
+        decode_media_digests,
+        synth_media,
+    )
+
+    media = synth_media(spark, 24, payload_bytes=64)
+    dig = {r["media_id"]: r for r in decode_media_digests(media).collect()}
+    rz = {
+        r["media_id"]: r
+        for r in resize_media(media, 10**6, fake=False).collect()
+    }
+    for mid, r in rz.items():
+        assert r["stride"] == 1
+        assert r["n_cp"] == dig[mid]["n_samples"]
+        assert r["strided_cp_sum"] == dig[mid]["sample_sum"]
 
 
 def test_repetition_stats_hand_case(spark):
