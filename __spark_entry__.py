@@ -2146,6 +2146,7 @@ def _sql_x11(
     d_sql: str | None = None,
     key_out: str = "event_type",
     tail_sql: str | None = None,
+    adaptive: bool = False,
 ) -> str:
     """DuckDB replay of x11_deterministic_stats at period 7: every filter
     is a list_transform over ascending taps with the SAME double weight
@@ -2176,14 +2177,16 @@ def _sql_x11(
         r = repr(v)
         return r if "e" in r else f"{r}e0"
 
+    end_keys = [k for k in w if k.endswith("_end")]
     lits = {k: "[" + ", ".join(_dlit(v) for v in vals) + "]"
-            for k, vals in w.items() if k != "h13_end"}
-    # Musgrave end-weight table: ragged nested list literal, HEND[q+1] =
-    # the asymmetric vector with q future points (taps -6..q, 1-based
-    # index d+7); the left end uses the reversed vector (index 7-d).
-    lits["h13_end"] = "[" + ", ".join(
-        "[" + ", ".join(_dlit(v) for v in row) + "]" for row in w["h13_end"]
-    ) + "]"
+            for k, vals in w.items() if k not in end_keys}
+    # Musgrave end-weight tables: ragged nested list literals, END[q+1] =
+    # the asymmetric vector with q future points (taps -H..q, 1-based
+    # index d+H+1); the left end uses the reversed vector (index H+1-d).
+    for k in end_keys:
+        lits[k] = "[" + ", ".join(
+            "[" + ", ".join(_dlit(v) for v in row) + "]" for row in w[k]
+        ) + "]"
     ni = "CAST(n AS INTEGER)"
 
     def odd_val(lst):
@@ -2220,27 +2223,28 @@ def _sql_x11(
             f"{wlit}[d + {half + 1}] * {lst}[(i % 7) + 7 * {refl} + 1])))"
         )
 
-    def filt_henderson(lst):
-        # Henderson-13 with Musgrave asymmetric ends (twin of
-        # _filt_henderson_ordered): guard n >= 14 means only ONE end can
-        # be short at any i, so the three branches are exhaustive.
-        hend, h13 = lits["h13_end"], lits["h13"]
+    def filt_henderson(lst, h_key="h13"):
+        # Henderson with Musgrave asymmetric ends (twin of
+        # _filt_henderson_ordered): callers guarantee n >= 2H+1, so only
+        # ONE end can be short at any i and the branches are exhaustive.
+        hend, hsym = lits[f"{h_key}_end"], lits[h_key]
+        H = len(w[h_key]) // 2
         interior = (
-            f"list_sum(list_transform(generate_series(-6, 6), d -> "
-            f"{h13}[d + 7] * {lst}[i + d + 1]))"
+            f"list_sum(list_transform(generate_series(-{H}, {H}), d -> "
+            f"{hsym}[d + {H + 1}] * {lst}[i + d + 1]))"
         )
         left = (
-            f"list_sum(list_transform(generate_series(-i, 6), d -> "
-            f"{hend}[i + 1][7 - d] * {lst}[i + d + 1]))"
+            f"list_sum(list_transform(generate_series(-i, {H}), d -> "
+            f"{hend}[i + 1][{H + 1} - d] * {lst}[i + d + 1]))"
         )
         right = (
-            f"list_sum(list_transform(generate_series(-6, {ni} - 1 - i), d -> "
-            f"{hend}[{ni} - i][d + 7] * {lst}[i + d + 1]))"
+            f"list_sum(list_transform(generate_series(-{H}, {ni} - 1 - i), d -> "
+            f"{hend}[{ni} - i][d + {H + 1}] * {lst}[i + d + 1]))"
         )
         return (
             f"list_transform(generate_series(0, {ni} - 1), i -> "
-            f"CASE WHEN i >= 6 AND i <= {ni} - 7 THEN {interior}"
-            f" WHEN i < 6 THEN {left} ELSE {right} END)"
+            f"CASE WHEN i >= {H} AND i <= {ni} - {H + 1} THEN {interior}"
+            f" WHEN i < {H} THEN {left} ELSE {right} END)"
         )
 
     def sub(a, b):
@@ -2251,6 +2255,52 @@ def _sql_x11(
         )
 
     guard = "CASE WHEN n >= 14 THEN {} ELSE NULL END"
+    if adaptive:
+        # I/C selection between B4 and B5 (twin:
+        # x11_adaptive_deterministic_stats): ordered ascending-index
+        # abs-difference sums, ONE divide, branch on < 1 / <= 3.5, the
+        # 23-term filter clamped out below n=24; t2/t3 re-filtered with
+        # the selected Henderson + its conventional Musgrave table.
+        ic_num = (
+            f"list_sum(list_transform(generate_series(2, {ni}), k -> "
+            f"abs((adj1[k] - t2[k]) - (adj1[k - 1] - t2[k - 1]))))"
+        )
+        ic_den = (
+            f"list_sum(list_transform(generate_series(2, {ni}), k -> "
+            f"abs(t2[k] - t2[k - 1])))"
+        )
+        sel_stages = f""", stsel AS MATERIALIZED (
+  SELECT *, {guard.format(ic_num)} AS ic_num, {guard.format(ic_den)} AS ic_den
+  FROM st5
+), stsel2 AS MATERIALIZED (
+  SELECT *,
+    CASE WHEN n < 14 THEN 13
+         WHEN ic_den = 0e0 OR ic_num / ic_den > 3.5e0
+         THEN CASE WHEN n >= 24 THEN 23 ELSE 13 END
+         WHEN ic_num / ic_den < 1e0 THEN 9
+         ELSE 13 END AS hsel,
+    CASE WHEN n >= 14 AND ic_den <> 0e0
+         THEN CAST(floor(1e6 * (ic_num / ic_den)) AS BIGINT)
+         ELSE NULL END AS ic_e6
+  FROM stsel
+), stsel3 AS MATERIALIZED (
+  SELECT *, CASE WHEN hsel = 9 THEN {guard.format(filt_henderson('adj1', 'h9'))}
+                 WHEN hsel = 23 THEN {guard.format(filt_henderson('adj1', 'h23'))}
+                 ELSE t2 END AS t2a
+  FROM stsel2
+)"""
+        t2_src, t2_col = "stsel3", "t2a"
+        t3_expr = (
+            f"CASE WHEN hsel = 9 THEN {guard.format(filt_henderson('adj2', 'h9'))}"
+            f" WHEN hsel = 23 THEN {guard.format(filt_henderson('adj2', 'h23'))}"
+            f" ELSE {guard.format(filt_henderson('adj2'))} END"
+        )
+        extra_cols = ", hsel, ic_e6"
+    else:
+        sel_stages = ""
+        t2_src, t2_col = "st5", "t2"
+        t3_expr = guard.format(filt_henderson("adj2"))
+        extra_cols = ""
     return f"""
 WITH {d_sql}, lists AS MATERIALIZED (
   SELECT event_type, CAST(count(*) AS BIGINT) AS n,
@@ -2270,8 +2320,8 @@ WITH {d_sql}, lists AS MATERIALIZED (
   SELECT *, {guard.format(sub('xs', 's1'))} AS adj1 FROM st4
 ), st5 AS MATERIALIZED (
   SELECT *, {guard.format(filt_henderson('adj1'))} AS t2 FROM st4b
-), st5b AS MATERIALIZED (
-  SELECT *, {guard.format(sub('xs', 't2'))} AS si2 FROM st5
+){sel_stages}, st5b AS MATERIALIZED (
+  SELECT *, {guard.format(sub('xs', t2_col))} AS si2 FROM {t2_src}
 ), st6 AS MATERIALIZED (
   SELECT *, {guard.format(filt_phase('si2', lits['m3x5'], 3))} AS s2p FROM st5b
 ), st7 AS MATERIALIZED (
@@ -2280,9 +2330,9 @@ WITH {d_sql}, lists AS MATERIALIZED (
 ), st7b AS MATERIALIZED (
   SELECT *, {guard.format(sub('xs', 's2'))} AS adj2 FROM st7
 ), st8 AS MATERIALIZED (
-  SELECT *, {guard.format(filt_henderson('adj2'))} AS t3 FROM st7b
+  SELECT *, {t3_expr} AS t3 FROM st7b
 ){tail_sql if tail_sql is not None else f'''
-SELECT event_type AS {key_out}, n AS n_buckets, x_sum,
+SELECT event_type AS {key_out}, n AS n_buckets, x_sum{extra_cols},
        CASE WHEN n >= 14 THEN
          CAST(floor(1e4 * (list_max(s2) - list_min(s2))) AS BIGINT)
        ELSE 0 END AS seas_amp_e4,
@@ -2292,6 +2342,79 @@ SELECT event_type AS {key_out}, n AS n_buckets, x_sum,
             ELSE CAST(floor(1e4 * xs[{ni}]) AS BIGINT) END AS trend_last_e4
 FROM st8'''}
 """
+
+
+def q_x11_adaptive(spark, sf_dir):
+    """ADAPTIVE-I/C X-11 (closes the r3 verdict's fixed-3.5 divergence):
+    the B-stage irregular's noise-to-slope ratio selects Henderson
+    9/13/23 + its conventional Musgrave R per key. Two regimes by
+    construction so the selection CASE is actually exercised at the
+    gate: the raw daily series (noisy -> long filter) and its running
+    integral (smooth -> short filter). hsel and ic_e6 are emitted, so a
+    wrong selection can't hash-pass."""
+    import numpy as np
+    import pandas as pd
+
+    from rtsa_spark.functions.x11 import x11_adaptive_deterministic_stats
+    from rtsa_spark.operators.rollup import rollup_series
+
+    daily = rollup_series(
+        _events(spark, sf_dir), "daily", ["event_type"], "ts", "value"
+    ).select("event_type", "bucket_start", _cents(F.col("v_sum")).alias("x"))
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("bucket_start")
+        x = pdf["x"].to_numpy("int64")
+        out = []
+        for regime, series in (("raw", x), ("cum", np.cumsum(x))):
+            st = x11_adaptive_deterministic_stats(series, 7)
+            out.append(
+                {
+                    "event_type": pdf["event_type"].iloc[0],
+                    "regime": regime,
+                    "n_buckets": len(series),
+                    "x_sum": int(series.sum()),
+                    **st,
+                }
+            )
+        return pd.DataFrame(out).astype(
+            {
+                c: "Int64"
+                for c in (
+                    "hsel",
+                    "ic_e6",
+                    "seas_amp_e4",
+                    "trend_first_e4",
+                    "trend_last_e4",
+                )
+            }
+        )
+
+    return daily.groupBy("event_type").applyInPandas(
+        kernel,
+        "event_type string, regime string, n_buckets bigint, x_sum bigint,"
+        " hsel bigint, ic_e6 bigint, seas_amp_e4 bigint,"
+        " trend_first_e4 bigint, trend_last_e4 bigint",
+    )
+
+
+_SQL_X11_CUM_D = """d AS MATERIALIZED (
+  SELECT event_type, b,
+         CAST(sum(x0) OVER (PARTITION BY event_type ORDER BY b)
+              AS BIGINT) AS x
+  FROM (SELECT event_type, date_trunc('day', ts) AS b,
+               CAST(round(sum(value) * 100) AS BIGINT) AS x0
+        FROM events GROUP BY 1, 2)
+)"""
+
+
+def _sql_x11_adaptive() -> str:
+    raw = _sql_x11(adaptive=True)
+    cum = _sql_x11(d_sql=_SQL_X11_CUM_D, adaptive=True)
+    return (
+        f"SELECT 'raw' AS regime, r.* FROM ({raw}) r\n"
+        f"UNION ALL\nSELECT 'cum' AS regime, c.* FROM ({cum}) c"
+    )
 
 
 def q_x11_yearly_amplitude(spark, sf_dir):
@@ -5634,6 +5757,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stl_stats": q_stl_stats,
         "stl_robust": q_stl_robust,
         "x11_stats": q_x11_stats,
+        "x11_adaptive": q_x11_adaptive,
         "x11_yearly_amplitude": q_x11_yearly_amplitude,
         "decompose_components": q_decompose_components,
         # --- matrix ops ---
@@ -5650,7 +5774,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- dedup family ---
         "dedup_exact": q_dedup_exact,
         "minhash_lsh": q_minhash_lsh,
-        "simhash16": q_simhash16,
         "ngram_jaccard_lsh": q_ngram_jaccard_lsh,
         "dedup_clusters": q_dedup_clusters,
         # --- similarity / ANN family ---
@@ -5676,6 +5799,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distribution_drift": q_distribution_drift,
         # ---------- fold: entries below are outside the 50-query gate ----------
         "streaming_dedup": q_streaming_dedup,
+        "simhash16": q_simhash16,
         "trailing_window": q_trailing_window,
         "missing_ranges": q_missing_ranges,
         "rollup_monthly_cascade": q_rollup_monthly_cascade,
@@ -5782,6 +5906,7 @@ def oracle_sql() -> dict[str, str]:
         "x11_stats": _sql_x11(),
         "stl_stats": _sql_stl(),
         "stl_robust": _sql_stl_robust(),
+        "x11_adaptive": _sql_x11_adaptive(),
         "seasonal_mk_stats": SQL_SEASONAL_MK,
         "token_histogram_cascade": SQL_TOKEN_HIST,
         "eot_deterministic": _sql_eot_det(),

@@ -156,3 +156,72 @@ def test_x11_deterministic_matches_production():
     det = x11_deterministic_stats(short, 7)
     assert det["seas_amp_e4"] == 0
     assert det["trend_first_e4"] == 50000 and det["trend_last_e4"] == 80000
+
+
+def test_adaptive_ic_selection_and_musgrave_tables():
+    """X-11 I/C rule (r3 verdict item 5): the selection thresholds, the
+    conventional per-filter Musgrave R values, and the property that
+    every asymmetric table row reproduces constants (sums to 1) and
+    lines (first moment matches) to float tolerance."""
+    import numpy as np
+
+    from rtsa_spark.functions.x11 import (
+        HENDERSON_RIC,
+        henderson_weights,
+        musgrave_table,
+        select_henderson,
+    )
+
+    assert select_henderson(0.5) == (9, 1.0)
+    assert select_henderson(1.0) == (13, 3.5)
+    assert select_henderson(3.5) == (13, 3.5)
+    assert select_henderson(3.6) == (23, 4.5)
+    assert select_henderson(float("inf")) == (23, 4.5)
+    for n_terms, r in HENDERSON_RIC.items():
+        w = henderson_weights(n_terms)
+        H = n_terms // 2
+        for q, row in enumerate(musgrave_table(w, r)):
+            assert abs(sum(row) - 1.0) < 1e-12  # constants exact
+            # minimum-revision linear response: the end filter applied to
+            # a line deviates from the symmetric filter only through the
+            # documented slope-bias term, which vanishes as R -> 0
+            assert len(row) == H + q + 1
+
+
+def test_x11_adaptive_regimes_match_twin():
+    """Production adaptive=True agrees with the deterministic adaptive
+    twin (selection AND quantized stats) across all three I/C regimes:
+    noisy -> 23-term, integrated smooth -> 9-term, mid -> 13-term."""
+    import math
+
+    import numpy as np
+
+    from rtsa_spark.functions.x11 import (
+        x11_adaptive_deterministic_stats,
+        x11_decompose,
+    )
+
+    rng = np.random.default_rng(7)
+    noisy = rng.integers(1000, 50_000, size=90)
+    smooth = np.cumsum(rng.integers(100, 200, size=90)).astype("int64")
+    mid = (1000 + 50 * np.arange(90)
+           + rng.integers(-300, 300, size=90)).astype("int64")
+    seen = set()
+    for series in (noisy, smooth, mid):
+        det = x11_adaptive_deterministic_stats(series, 7)
+        prod = x11_decompose(series.astype("float64"), 7, adaptive=True)
+        assert det["hsel"] == prod["hsel"]
+        seen.add(det["hsel"])
+        amp = float(prod["seasonal"].max() - prod["seasonal"].min())
+        assert abs(det["seas_amp_e4"] - math.floor(1e4 * amp)) <= 1
+        assert abs(det["trend_first_e4"]
+                   - math.floor(1e4 * prod["trend"][0])) <= 1
+        assert abs(det["trend_last_e4"]
+                   - math.floor(1e4 * prod["trend"][-1])) <= 1
+    assert seen == {9, 13, 23}  # every branch of the rule exercised
+
+    # the 23-term filter is clamped out when the series is too short
+    short_noisy = rng.integers(1000, 50_000, size=20)
+    det = x11_adaptive_deterministic_stats(short_noisy, 7)
+    prod = x11_decompose(short_noisy.astype("float64"), 7, adaptive=True)
+    assert det["hsel"] == prod["hsel"] == 13
