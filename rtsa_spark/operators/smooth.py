@@ -28,7 +28,12 @@ divergence.
 
 Scale shape: one ``collect_list`` per key (tier-bounded series), fold
 inside codegen, no UDFs; state per key is O(1) regardless of series
-length.
+length.  The collected array itself is the bound: a key's series must
+fit one task's memory, so both operators take ``max_points``
+(default 1,000,000 — a ~16 MB struct array, far above any real tier's
+bucket count) and FAIL LOUDLY via ``raise_error`` when a skewed key
+exceeds it, instead of OOM-ing an executor.  Feed coarser tiers or
+pre-chunk (e.g. per-year sub-keys) past that.
 """
 
 from __future__ import annotations
@@ -36,6 +41,25 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 __all__ = ["holt_smooth", "holt_winters"]
+
+
+def _guarded_size(max_points: int, fn_name: str):
+    """Plan-level state cap: size of the per-key collected array, or a
+    loud task failure when it exceeds ``max_points`` (the same
+    fail-don't-overflow pattern as the 2^53 guards). Kept inside the
+    projection so column pruning can never drop the check."""
+    return F.when(
+        F.size("_arr") > max_points,
+        F.raise_error(
+            F.format_string(
+                fn_name + ": key %s collected %s points > max_points="
+                + str(int(max_points))
+                + " — feed a coarser tier or pre-chunk the key",
+                F.col("k").cast("string"),
+                F.size("_arr").cast("string"),
+            )
+        ).cast("int"),
+    ).otherwise(F.size("_arr"))
 
 
 def _check_binary_rational(name: str, v: float) -> None:
@@ -55,17 +79,22 @@ def holt_smooth(
     alpha: float = 0.25,
     beta: float = 0.125,
     horizon: int = 24,
+    max_points: int = 1_000_000,
 ) -> DataFrame:
     """Per-key SES + Holt finals over the time-ordered integer series.
 
     Emits ``(key, n, ses_e6, level_e6, trend_e6, fc_e6)`` — all
     ``floor(1e6 * value)`` of the final SES level, Holt level, Holt
     trend, and the ``horizon``-step forecast ``l + horizon * b``.
+    A key whose series exceeds ``max_points`` fails the job loudly
+    (module docstring: the fold's state cap).
     """
     _check_binary_rational("alpha", alpha)
     _check_binary_rational("beta", beta)
     if horizon < 0:
         raise ValueError(f"horizon must be >= 0, got {horizon}")
+    if max_points < 1:
+        raise ValueError(f"max_points must be >= 1, got {max_points}")
     a, na, g, ng = (
         float(alpha),
         1.0 - float(alpha),
@@ -84,7 +113,9 @@ def holt_smooth(
     grouped = df.groupBy(F.col(key_col).alias("k")).agg(arr.alias("_arr"))
     xs = F.transform("_arr", lambda s: s["x"].cast("double"))
     with_xs = grouped.select(
-        "k", F.size("_arr").alias("n"), xs.alias("_xs")
+        "k",
+        _guarded_size(max_points, "holt_smooth").alias("n"),
+        xs.alias("_xs"),
     )
     tail = F.slice("_xs", 2, F.col("n") - 1)
 
@@ -136,6 +167,7 @@ def holt_winters(
     beta: float = 0.125,
     delta: float = 0.25,
     horizon: int = 24,
+    max_points: int = 1_000_000,
 ) -> DataFrame:
     """Additive Holt-Winters (Winters 1960) level/trend/seasonal finals
     per key, same IEEE-deterministic fold contract as :func:`holt_smooth`:
@@ -167,6 +199,8 @@ def holt_winters(
         raise ValueError(f"period must be >= 2, got {period}")
     if horizon < 1:
         raise ValueError(f"horizon must be >= 1, got {horizon}")
+    if max_points < 1:
+        raise ValueError(f"max_points must be >= 1, got {max_points}")
     p = int(period)
     a, na = float(alpha), 1.0 - float(alpha)
     g, ng = float(beta), 1.0 - float(beta)
@@ -182,7 +216,11 @@ def holt_winters(
     )
     grouped = df.groupBy(F.col(key_col).alias("k")).agg(arr.alias("_arr"))
     xs = F.transform("_arr", lambda s: s["x"].cast("double"))
-    with_xs = grouped.select("k", F.size("_arr").alias("n"), xs.alias("_xs"))
+    with_xs = grouped.select(
+        "k",
+        _guarded_size(max_points, "holt_winters").alias("n"),
+        xs.alias("_xs"),
+    )
 
     def step(acc, e):
         s1 = F.element_at(acc["s"], 1)

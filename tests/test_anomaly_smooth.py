@@ -282,3 +282,29 @@ def test_seasonal_zscore_composition(spark):
     }
     anom_t = t0 + dt.timedelta(days=30)
     assert flags[anom_t]
+
+
+def test_smooth_state_cap_fails_loudly(spark):
+    """The per-key collect_list fold is bounded by max_points (module
+    docstring state cap): a skewed key past the cap must raise, never
+    silently OOM; under the cap the same data folds fine."""
+    import datetime as dt
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from rtsa_spark.operators.smooth import holt_smooth, holt_winters
+
+    t0 = dt.datetime(2024, 1, 1)
+    df = spark.range(50).select(
+        F.lit("k").alias("key"),
+        (F.lit(t0) + F.make_interval(hours=F.col("id"))).alias("ts"),
+        (F.col("id") % 7 + 100).alias("v"),
+    )
+    with pytest.raises(Exception, match="max_points"):
+        holt_smooth(df, "key", "ts", "v", max_points=49).collect()
+    with pytest.raises(Exception, match="max_points"):
+        holt_winters(df, "key", "ts", "v", period=7, max_points=10).collect()
+    assert holt_smooth(df, "key", "ts", "v", max_points=50).count() == 1
+    with pytest.raises(ValueError, match="max_points"):
+        holt_smooth(df, "key", "ts", "v", max_points=0)
