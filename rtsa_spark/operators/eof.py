@@ -141,6 +141,18 @@ def _gramian_scratch(n_s: int) -> dict:
     return _SCRATCH
 
 
+def require_no_duplicates(vec_df: DataFrame) -> DataFrame:
+    """Weaker gate for the gappy/recursive path: duplicate (bucket, source)
+    cells are always invalid (two values for one matrix entry), but missing
+    cells are allowed — the pairwise covariance handles them."""
+    if vec_df.where(F.col("n_dup") != 0).limit(1).count() > 0:
+        raise ValueError(
+            "duplicate (bucket, source) cells: two values for one matrix "
+            "entry — dedupe or re-aggregate the tier first"
+        )
+    return vec_df
+
+
 def require_complete(vec_df: DataFrame) -> DataFrame:
     """Reference P2 semantics (``R/rtsa.eof.R:129-132``): every bucket must
     cover every source exactly once. Missing and duplicate cells are
@@ -246,6 +258,106 @@ def gramian(
     return g, n_t
 
 
+def _deflated_rows(pdf: pd.DataFrame, n_s: int, c: np.ndarray, s: np.ndarray,
+                   us: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Shared kernel step for the recursive path: stack a batch into the
+    dense (rows, n_s) matrix, center/scale, zero-fill missing, then subtract
+    each prior mode's signal (``z0 -= (z0 @ u) u^T``), re-zeroing missing
+    positions after every subtraction so deflation only ever touches
+    observed entries (Taylor et al. 2013 RSEOF). Returns ``(z0, obs)``
+    where obs is the 0/1 observation mask."""
+    z = (stack_vectors(pdf, n_s, scratch=True) - c) / s
+    miss = np.isnan(z)
+    z0 = np.nan_to_num(z, copy=False)
+    for u in us:
+        a = z0 @ u
+        z0 -= np.outer(a, u)
+        z0[miss] = 0.0
+    return z0, (~miss).astype(np.float64)
+
+
+def gappy_gramian(
+    vec_df: DataFrame,
+    n_s: int,
+    center: np.ndarray,
+    scale: np.ndarray,
+    us: np.ndarray,
+    want_pairs: bool = False,
+    force_distributed: bool = False,
+) -> tuple[np.ndarray, np.ndarray | None, int]:
+    """Zero-filled Gramian ``Z0^T Z0`` of the (centered/scaled, deflated)
+    gappy matrix, plus (optionally) the pairwise observation counts
+    ``N = V^T V`` (V the 0/1 mask). Same adaptive driver/distributed split
+    and chunked merge as :func:`gramian`; the distributed path ships
+    ``GRAMIAN_PARTIALS * (1 or 2) * n_s^2`` doubles regardless of bucket
+    count. ``us`` (k x n_s) are the already-extracted modes to deflate by
+    inside the kernel, so the deflated matrix is never materialized."""
+    c = np.asarray(center, dtype="float64")
+    s = np.where(np.asarray(scale, dtype="float64") == 0, 1.0, scale)
+    us = np.asarray(us, dtype="float64").reshape(-1, n_s)
+
+    n_buckets = vec_df.count()
+    if not force_distributed and n_buckets * n_s <= GRAMIAN_Z_DRIVER_LIMIT:
+        pdf = vec_df.select("idxs", "vals").toPandas()
+        z0, obs = _deflated_rows(pdf, n_s, c, s, us)
+        g = z0.T @ z0
+        npairs = obs.T @ obs if want_pairs else None
+        return g, npairs, n_buckets
+
+    n_chunks = (n_s + GRAMIAN_CHUNK - 1) // GRAMIAN_CHUNK
+
+    def partials(batches):
+        g = np.zeros((n_s, n_s))
+        pc = np.zeros((n_s, n_s)) if want_pairs else None
+        n = 0
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            z0, obs = _deflated_rows(pdf, n_s, c, s, us)
+            g += z0.T @ z0
+            if want_pairs:
+                pc += obs.T @ obs
+            n += len(pdf)
+        chunks = list(range(n_chunks))
+        idx = chunks + ([n_chunks + i for i in chunks] if want_pairs else []) + [-1]
+        part = [g[i * GRAMIAN_CHUNK : (i + 1) * GRAMIAN_CHUNK].ravel() for i in chunks]
+        if want_pairs:
+            part += [
+                pc[i * GRAMIAN_CHUNK : (i + 1) * GRAMIAN_CHUNK].ravel()
+                for i in chunks
+            ]
+        part += [np.array([float(n)])]
+        yield pd.DataFrame({"chunk_idx": idx, "part": part})
+
+    parts = vec_df.select("idxs", "vals").coalesce(GRAMIAN_PARTIALS).mapInPandas(
+        partials, "chunk_idx int, part array<double>"
+    )
+
+    def merge(pdf: pd.DataFrame) -> pd.DataFrame:
+        summed = np.stack(pdf["part"].to_numpy()).sum(axis=0)
+        return pd.DataFrame(
+            {"chunk_idx": [int(pdf["chunk_idx"].iloc[0])], "row": [summed]}
+        )
+
+    merged = parts.groupBy("chunk_idx").applyInPandas(
+        merge, "chunk_idx int, row array<double>"
+    ).toPandas()
+    g = np.zeros((n_s, n_s))
+    npairs = np.zeros((n_s, n_s)) if want_pairs else None
+    n_t = 0
+    for ci, row in zip(merged["chunk_idx"], merged["row"]):
+        ci = int(ci)
+        if ci == -1:
+            n_t = int(row[0])
+            continue
+        tgt, lo = (g, ci) if ci < n_chunks else (npairs, ci - n_chunks)
+        chunk = np.asarray(row)
+        tgt[lo * GRAMIAN_CHUNK : lo * GRAMIAN_CHUNK + len(chunk) // n_s] = (
+            chunk.reshape(-1, n_s)
+        )
+    return g, npairs, n_t
+
+
 def eof(
     spark: SparkSession,
     tier_df: DataFrame,
@@ -255,13 +367,29 @@ def eof(
     value_col: str = "n_tok_mean",
     key_col: str = "source",
     bucket_col: str = "bucket_start",
+    recursive: bool = False,
 ) -> dict:
     """EOF decomposition; returns {"modes": DataFrame, "ecs": DataFrame,
     "lambda": list, "explained_pct": list, "tot_var": float}.
 
     Fully distributed: per-source stats by groupBy, Gramian by
     per-partition outer products, expansion coefficients streamed back as
-    ``Z @ V`` per bucket. Driver holds only n_s-sized arrays."""
+    ``Z @ V`` per bucket. Driver holds only n_s-sized arrays.
+
+    ``recursive=True`` is the sinkr ``eof(..., recursive=TRUE)`` mode the
+    reference exposes (``/root/reference/R/rtsa.eof.R:246``): RSEOF —
+    recursively subtracted EOFs (Taylor, Losch, Wenzel & Schroeter 2013).
+    Modes are extracted one at a time from the PAIRWISE covariance
+    ``C_jk = (Z0^T Z0)_jk * n_t / N_jk`` (zero-filled cross-products scaled
+    by shared-observation counts), and each extracted mode's signal is
+    subtracted from the observed entries before the next is computed. This
+    tolerates gappy input (missing cells allowed; duplicate cells still
+    rejected) — on COMPLETE input it reduces to the simultaneous
+    decomposition exactly (N_jk == n_t makes C the plain Gramian, and
+    deflation then commutes with eigh; pytest asserts the parity). Costs
+    ``n_modes`` Gramian passes + one EC pass over the persisted vectors;
+    the deflated matrix itself is never materialized (deflation happens
+    inside the kernels from the broadcast mode list)."""
     sources = source_index(tier_df, key_col)
     n_s = len(sources)
     stats = {
@@ -284,6 +412,12 @@ def eof(
         else np.ones(n_s)
     )
     scale[scale == 0] = 1.0
+
+    if recursive:
+        return _eof_recursive(
+            spark, tier_df, sources, center, scale, n_modes,
+            value_col, key_col, bucket_col,
+        )
 
     # persist: the vectors feed completeness check, Gramian, and the EC
     # pass — one materialization instead of three
@@ -347,6 +481,108 @@ def eof(
         "modes": modes,
         "ecs": ecs,
         "lambda": [float(l) for l in lam[:n_modes]],
+        "explained_pct": explained,
+        "tot_var": tot_var,
+    }
+
+
+def _eof_recursive(
+    spark: SparkSession,
+    tier_df: DataFrame,
+    sources: list,
+    center: np.ndarray,
+    scale: np.ndarray,
+    n_modes: int,
+    value_col: str,
+    key_col: str,
+    bucket_col: str,
+) -> dict:
+    """RSEOF driver loop (see :func:`eof` ``recursive=True`` docstring).
+    Per mode: one :func:`gappy_gramian` pass (deflating by the modes found
+    so far inside the kernel), pairwise-scaled covariance, leading
+    eigenpair. One final pass streams the per-bucket expansion
+    coefficients for all modes."""
+    n_s = len(sources)
+    vecs = require_no_duplicates(
+        bucket_vectors(tier_df, sources, value_col, key_col, bucket_col)
+    ).persist()
+
+    us = np.zeros((0, n_s))
+    lams: list[float] = []
+    npairs = None
+    tot_var = 0.0
+    n_t = 0
+    for m in range(n_modes):
+        g0, npr, n_t = gappy_gramian(
+            vecs, n_s, center, scale, us, want_pairs=(m == 0)
+        )
+        if m == 0:
+            npairs = npr
+            n_modes = max(1, min(n_modes, min(n_t, n_s)))
+        cov = np.where(npairs > 0, g0 * (float(n_t) / np.maximum(npairs, 1)), 0.0)
+        cov = (cov + cov.T) / 2.0 / max(n_t - 1, 1)
+        if m == 0:
+            tot_var = float(np.trace(cov))
+        w, v = np.linalg.eigh(cov)
+        j = int(np.argmax(w))
+        u = v[:, j]
+        jmax = int(np.argmax(np.abs(u)))
+        if u[jmax] < 0:
+            u = -u
+        lams.append(max(float(w[j]), 0.0))
+        us = np.vstack([us, u])
+        if len(lams) >= n_modes:
+            break
+
+    n_k = len(lams)
+    explained = [100.0 * l / tot_var if tot_var else 0.0 for l in lams]
+
+    modes = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                key_col: np.repeat(np.array(sources, dtype=object), n_k),
+                "mode": np.tile(np.arange(1, n_k + 1), n_s),
+                "loading": us.T.ravel(),
+                "center": np.repeat(center, n_k),
+                "scale": np.repeat(scale, n_k),
+            }
+        ),
+        f"{key_col} string, mode int, loading double, center double, scale double",
+    )
+
+    c_arr, s_arr, us_k = center.copy(), scale.copy(), us.copy()
+
+    def ec_rows(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            z = (stack_vectors(pdf, n_s, scratch=True) - c_arr) / s_arr
+            miss = np.isnan(z)
+            z0 = np.nan_to_num(z, copy=False)
+            nb = len(pdf)
+            ec = np.empty((nb, n_k))
+            # progressive deflation: mode i's EC is the zero-filled
+            # projection of the residual after modes < i were removed
+            for i, u in enumerate(us_k):
+                a = z0 @ u
+                ec[:, i] = a
+                z0 -= np.outer(a, u)
+                z0[miss] = 0.0
+            yield pd.DataFrame(
+                {
+                    bucket_col: np.repeat(pdf[bucket_col].to_numpy(), n_k),
+                    "mode": np.tile(np.arange(1, n_k + 1), nb),
+                    "ec": ec.ravel(),
+                }
+            )
+
+    ecs = vecs.select(bucket_col, "idxs", "vals").mapInPandas(
+        ec_rows, f"{bucket_col} timestamp, mode int, ec double"
+    )
+    return {
+        "modes": modes,
+        "ecs": ecs,
+        "lambda": lams,
         "explained_pct": explained,
         "tot_var": tot_var,
     }

@@ -116,6 +116,134 @@ def test_require_complete_rejects_duplicates(spark):
         eof(spark, df)
 
 
+def test_eof_recursive_matches_simultaneous_on_complete_data(spark):
+    """sinkr eof(recursive=TRUE) parity (R/rtsa.eof.R:246): on complete
+    input the pairwise covariance IS the Gramian and one-at-a-time
+    deflation extracts the same eigenpairs as the simultaneous eigh."""
+    from rtsa_spark.operators.eof import eof
+
+    rng = np.random.default_rng(7)
+    mat = rng.normal(size=(60, 8)) + np.outer(
+        np.sin(np.linspace(0, 6 * np.pi, 60)), rng.normal(size=8) * 3
+    )
+    tier = _tier_from_matrix(spark, mat, [f"s{j}" for j in range(8)])
+    sim = eof(spark, tier, n_modes=3)
+    rec = eof(spark, tier, n_modes=3, recursive=True)
+
+    assert np.allclose(rec["lambda"], sim["lambda"], rtol=1e-8)
+    assert rec["tot_var"] == pytest.approx(sim["tot_var"], rel=1e-10)
+    for out in (sim, rec):
+        out["_m"] = {
+            (r["source"], r["mode"]): r["loading"]
+            for r in out["modes"].collect()
+        }
+    for k, v_sim in sim["_m"].items():
+        assert rec["_m"][k] == pytest.approx(v_sim, abs=1e-8)
+    ec_sim = {
+        (r["bucket_start"], r["mode"]): r["ec"] for r in sim["ecs"].collect()
+    }
+    for r in rec["ecs"].collect():
+        assert r["ec"] == pytest.approx(
+            ec_sim[(r["bucket_start"], r["mode"])], abs=1e-7
+        )
+
+
+def test_eof_recursive_tolerates_gappy_input(spark):
+    """The recursive path accepts missing cells (the simultaneous path
+    raises) and still recovers the dominant injected pattern through 10%
+    missingness via the pairwise-scaled covariance."""
+    from rtsa_spark.operators.eof import eof
+
+    rng = np.random.default_rng(11)
+    n_t, n_s = 120, 6
+    pattern = np.array([1.0, 0.7, 0.4, -0.3, -0.8, -1.1])
+    signal = np.sin(np.linspace(0, 10 * np.pi, n_t))
+    mat = np.outer(signal, pattern) + rng.normal(0, 0.05, (n_t, n_s))
+    sources = [f"s{j}" for j in range(n_s)]
+    tier = _tier_from_matrix(spark, mat, sources)
+    # knock out ~10% of cells (but keep every source/bucket represented)
+    gappy = tier.where(
+        "pmod(hash(source, bucket_start), 10) != 3 OR source = 's0'"
+    )
+    assert gappy.count() < n_t * n_s
+
+    out = eof(spark, gappy, n_modes=2, recursive=True)
+    m1 = {
+        r["source"]: r["loading"]
+        for r in out["modes"].where("mode = 1").collect()
+    }
+    loadings = np.array([m1[s] for s in sources])
+    cos = abs(loadings @ pattern) / (
+        np.linalg.norm(loadings) * np.linalg.norm(pattern)
+    )
+    assert cos > 0.98
+    assert out["explained_pct"][0] > 70
+    # EC series still tracks the temporal signal
+    ecs = out["ecs"].where("mode = 1").orderBy("bucket_start").collect()
+    ec = np.array([r["ec"] for r in ecs])
+    assert abs(np.corrcoef(ec, signal)[0, 1]) > 0.97
+
+
+def test_eof_recursive_rejects_duplicates(spark):
+    import datetime as dt
+
+    from rtsa_spark.operators.eof import eof
+
+    rows = [
+        ("a", dt.datetime(2024, 1, 1), 1.0),
+        ("a", dt.datetime(2024, 1, 1), 2.0),  # duplicate cell
+        ("b", dt.datetime(2024, 1, 2), 2.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "source string, bucket_start timestamp, n_tok_mean double"
+    )
+    with pytest.raises(ValueError, match="duplicate"):
+        eof(spark, df, recursive=True)
+
+
+def test_gappy_gramian_distributed_matches_driver(spark):
+    """The distributed gappy Gramian (chunked two-family merge) must agree
+    with the driver shortcut, including pair counts and deflation."""
+    from rtsa_spark.operators.eof import (
+        bucket_vectors,
+        gappy_gramian,
+        source_index,
+    )
+
+    rng = np.random.default_rng(5)
+    n_t, n_s = 40, 9
+    mat = rng.normal(size=(n_t, n_s))
+    mat[rng.random((n_t, n_s)) < 0.15] = np.nan
+    sources = [f"s{j}" for j in range(n_s)]
+    rows = [
+        (
+            sources[j],
+            dt.datetime(2024, 1, 1) + dt.timedelta(days=i),
+            float(mat[i, j]),
+        )
+        for i in range(n_t)
+        for j in range(n_s)
+        if not np.isnan(mat[i, j])
+    ]
+    tier = spark.createDataFrame(
+        rows, "source string, bucket_start timestamp, n_tok_mean double"
+    )
+    vecs = bucket_vectors(tier, source_index(tier)).persist()
+    u = rng.normal(size=n_s)
+    u /= np.linalg.norm(u)
+    c, s = np.zeros(n_s), np.ones(n_s)
+    g1, p1, n1 = gappy_gramian(vecs, n_s, c, s, u[None, :], want_pairs=True)
+    g2, p2, n2 = gappy_gramian(
+        vecs, n_s, c, s, u[None, :], want_pairs=True, force_distributed=True
+    )
+    assert n1 == n2 == n_t
+    assert float(np.abs(g1 - g2).max()) < 1e-9
+    assert np.array_equal(p1, p2)
+    # pair counts match the mask algebra
+    obs = (~np.isnan(mat)).astype(float)
+    assert np.array_equal(p1, obs.T @ obs)
+
+
 def test_scale_eof_custom_key_col(spark):
     from rtsa_spark.operators.eof import eof, scale_eof_modes
 
