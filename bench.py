@@ -29,22 +29,27 @@ N_SOURCES = 64
 
 
 def probe_effective_cores(threads: int = 8, secs: float = 0.6) -> float:
-    """Cheap host-capacity probe (same construction as
-    tools/bench_scaling.py's gate): parallel numpy matmul throughput over
-    single-thread throughput. Recorded in the output JSON so a round's
-    wall-clock numbers carry their weather context — this sandbox's
-    usable capacity swings between <1 and ~11 effective cores on minute
-    scales, and min-of-warm-reps cannot save a run where EVERY rep was
-    starved."""
+    """Cheap host-capacity probe (same kernel as tools/bench_scaling.py's
+    gate): parallel numpy SORT throughput over single-thread throughput.
+    Recorded in the output JSON so a round's wall-clock numbers carry
+    their weather context — this sandbox's usable capacity swings between
+    <1 and ~11 effective cores on minute scales, and min-of-warm-reps
+    cannot save a run where EVERY rep was starved.
+
+    The kernel must be GIL-releasing AND BLAS-free: concurrent matmul
+    calls from Python threads serialize on OpenBLAS's global worker-pool
+    lock (measured 8-thread/1-thread throughput ratio 0.9 on an
+    otherwise-idle 8-core window — the probe read "starved" on a healthy
+    host), while np.sort scales with the real capacity."""
     import numpy as np
     from concurrent.futures import ThreadPoolExecutor
 
     def burn(_):
-        a = np.random.rand(300, 300)
+        x = np.random.default_rng(1).random(200_000)
         t0 = time.time()
         n = 0
         while time.time() - t0 < secs:
-            a @ a
+            np.sort(x)
             n += 1
         return n
 
