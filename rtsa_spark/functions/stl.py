@@ -136,9 +136,11 @@ def stl_decompose(
     outliers in the seasonal and trend loess of the next pass.
     DIVERGENCE NOTE: the default here is ``outer=0`` (no robustness) while
     ``stlplus::stlplus`` — which the reference invokes at
-    ``R/rtsa.stl.R:360`` — defaults to one outer pass; outlier-heavy
-    series therefore differ from the reference unless ``outer>=1`` is
-    passed. The deterministic oracle twin covers ``outer=0`` only."""
+    ``R/rtsa.stl.R:360`` — defaults to one outer pass; pass ``outer>=1``
+    to match the reference on outlier-heavy series. Both regimes are
+    oracled: ``stl_stats`` pins ``outer=0`` and ``stl_robust`` pins the
+    ``outer=1`` bisquare pass bit-exactly
+    (:func:`stl_robust_deterministic_stats`)."""
     x = np.asarray(x, dtype="float64")
     n = len(x)
     if n < 2 * period or period < 2:
