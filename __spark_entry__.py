@@ -2715,22 +2715,7 @@ def q_token_histogram_cascade(spark, sf_dir):
         token_histogram,
     )
 
-    d = _documents(spark, sf_dir)
-    h = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 12), 16, 10).cast(
-        "bigint"
-    )
-    tokens = F.transform(
-        F.split(F.col("text"), " "),
-        lambda w: F.conv(F.substring(F.md5(w), 1, 4), 16, 10).cast("int"),
-    )
-    seq = d.select(
-        "source",
-        tokens.alias("tokens"),
-        F.timestamp_seconds(
-            F.lit(SEQ_EPOCH_S) + F.pmod(h, F.lit(SEQ_HORIZON_S))
-        ).alias("ts"),
-    )
-    daily = token_histogram(seq, "daily", top_k=5)
+    daily = token_histogram(_token_seq(spark, sf_dir), "daily", top_k=5)
     monthly = merge_token_histograms(daily, "monthly")
     return monthly.select(
         "source", "bucket_start", F.explode("tok_hist").alias("token", "cnt")
@@ -2755,6 +2740,93 @@ tok AS MATERIALIZED (
 SELECT source, date_trunc('month', b) AS bucket_start,
        token, CAST(sum(cnt) AS BIGINT) AS cnt
 FROM topk GROUP BY 1, 2, 3
+"""
+
+
+def _token_seq(spark, sf_dir):
+    """Shared base for the token-analytics queries: documents tokenized to
+    deterministic 16-bit md5 token ids with the md5-derived timestamp
+    (identical construction to q_token_histogram_cascade)."""
+    d = _documents(spark, sf_dir)
+    h = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 12), 16, 10).cast(
+        "bigint"
+    )
+    tokens = F.transform(
+        F.split(F.col("text"), " "),
+        lambda w: F.conv(F.substring(F.md5(w), 1, 4), 16, 10).cast("int"),
+    )
+    return d.select(
+        "source",
+        tokens.alias("tokens"),
+        F.timestamp_seconds(
+            F.lit(SEQ_EPOCH_S) + F.pmod(h, F.lit(SEQ_HORIZON_S))
+        ).alias("ts"),
+    )
+
+
+def q_token_diversity(spark, sf_dir):
+    """Per (source, day) token-diversity drift (rollup.token_diversity):
+    type-token ratio, Simpson collision concentration and top-token share
+    as exact-int e6 divs — the repetition / mode-collapse monitor over
+    time (the time-bucketed counterpart of the corpus-level token_gini)."""
+    from rtsa_spark.operators.rollup import token_diversity
+
+    return token_diversity(_token_seq(spark, sf_dir), "daily")
+
+
+SQL_TOKEN_DIVERSITY = f"""
+WITH {SQL_SEQ_CTE.replace("len(string_split(text, ' ')) AS n_tok", "text")},
+tok AS MATERIALIZED (
+  SELECT source, date_trunc('day', ts) AS b,
+         ('0x' || substr(md5(w), 1, 4))::INTEGER AS token
+  FROM (SELECT source, ts, unnest(string_split(text, ' ')) AS w FROM seq)
+), cnts AS (
+  SELECT source, b, token, count(*) AS cnt FROM tok GROUP BY 1, 2, 3
+), agg AS (
+  SELECT source, b,
+         CAST(sum(cnt) AS BIGINT) AS n_tok,
+         CAST(count(*) AS BIGINT) AS n_types,
+         CAST(sum(cnt * (cnt - 1)) AS BIGINT) AS coll,
+         CAST(max(cnt) AS BIGINT) AS topc
+  FROM cnts GROUP BY 1, 2
+)
+SELECT source, b AS bucket_start, n_tok, n_types,
+       CAST((1000000 * n_types) // n_tok AS BIGINT) AS ttr_e6,
+       CASE WHEN n_tok >= 2 THEN
+         CAST((1000000 * coll) // (n_tok * (n_tok - 1)) AS BIGINT)
+       END AS simpson_e6,
+       CAST((1000000 * topc) // n_tok AS BIGINT) AS top_share_e6
+FROM agg
+"""
+
+
+def q_vocab_growth(spark, sf_dir):
+    """Per (source, day) new-vocabulary accounting (rollup.vocab_growth):
+    tokens first seen in each bucket + the running vocabulary size — the
+    'is this stream still contributing novel content?' curve."""
+    from rtsa_spark.operators.rollup import vocab_growth
+
+    return vocab_growth(_token_seq(spark, sf_dir), "daily")
+
+
+SQL_VOCAB_GROWTH = f"""
+WITH {SQL_SEQ_CTE.replace("len(string_split(text, ' ')) AS n_tok", "text")},
+tok AS MATERIALIZED (
+  SELECT source, date_trunc('day', ts) AS b,
+         ('0x' || substr(md5(w), 1, 4))::INTEGER AS token
+  FROM (SELECT source, ts, unnest(string_split(text, ' ')) AS w FROM seq)
+), first_seen AS (
+  SELECT source, token, min(b) AS b FROM tok GROUP BY 1, 2
+), pb AS (
+  SELECT source, b, CAST(count(*) AS BIGINT) AS new_types
+  FROM first_seen GROUP BY 1, 2
+)
+SELECT source, b AS bucket_start, new_types,
+       CAST(sum(new_types) OVER (
+         PARTITION BY source ORDER BY b
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS BIGINT) AS vocab_cum
+FROM pb
 """
 
 
@@ -5868,6 +5940,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "time_bucket_6h": q_time_bucket_6h,
         "rollup_ohlc": q_rollup_ohlc,
         "weighted_sample": q_weighted_sample,
+        "token_diversity": q_token_diversity,
+        "vocab_growth": q_vocab_growth,
     }
 
 
@@ -5995,4 +6069,6 @@ def oracle_sql() -> dict[str, str]:
         "time_bucket_6h": SQL_TIME_BUCKET_6H,
         "rollup_ohlc": SQL_ROLLUP_OHLC,
         "weighted_sample": SQL_WEIGHTED_SAMPLE,
+        "token_diversity": SQL_TOKEN_DIVERSITY,
+        "vocab_growth": SQL_VOCAB_GROWTH,
     }

@@ -248,6 +248,111 @@ def token_histogram(
     )
 
 
+#: token_diversity refuses buckets with more tokens than this: past it the
+#: exact-int Simpson numerator ``1e6 * sum(c*(c-1))`` can exceed 2^63
+#: (ANSI would throw mid-stage with a generic overflow). At that volume
+#: use the sketch ladder (operators/sketch.py) instead of exact counts.
+DIVERSITY_TOKEN_CAP = 3_000_000
+
+
+def token_diversity(
+    df: DataFrame, tier: str = "raw", ts_col: str = "ts"
+) -> DataFrame:
+    """Per (source, bucket) token-diversity diagnostics — the repetition /
+    mode-collapse drift monitor for a training corpus over time:
+
+    - ``n_tok``: total tokens in the bucket; ``n_types``: distinct tokens;
+    - ``ttr_e6``: type-token ratio ``(1e6 * n_types) div n_tok``;
+    - ``simpson_e6``: Simpson concentration ``(1e6 * sum(c_i*(c_i-1))) div
+      (n_tok*(n_tok-1))`` — the probability two tokens drawn without
+      replacement collide (0 = all distinct, 1e6 = one token repeated);
+      NULL when n_tok < 2;
+    - ``top_share_e6``: ``(1e6 * max(c_i)) div n_tok`` — single-token
+      dominance.
+
+    Everything stays in the exact-int domain (one div each at the end), so
+    any engine reproduces the rows bit-for-bit. Shape: the same exploded
+    (source, bucket, token) triple shuffle as :func:`token_histogram`
+    (map-side combined) followed by one bucket-sized agg — no UDF, no
+    driver state. Buckets past ``DIVERSITY_TOKEN_CAP`` tokens fail loudly
+    at plan level (see the cap's note)."""
+    bucket = F.date_trunc(BUCKET_OF[tier], F.col(ts_col)).alias("bucket_start")
+    counts = (
+        df.select("source", bucket, F.explode("tokens").alias("token"))
+        .groupBy("source", "bucket_start", "token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    agg = counts.groupBy("source", "bucket_start").agg(
+        F.sum("cnt").alias("n_tok"),
+        F.count(F.lit(1)).alias("n_types"),
+        F.sum(F.col("cnt") * (F.col("cnt") - 1)).alias("_coll"),
+        F.max("cnt").alias("_top"),
+    )
+    n_tok_ok = F.when(
+        F.col("n_tok") > DIVERSITY_TOKEN_CAP,
+        F.raise_error(
+            F.format_string(
+                "token_diversity: bucket for source %s exceeds "
+                f"{DIVERSITY_TOKEN_CAP} tokens — use the sketch ladder",
+                F.col("source"),
+            )
+        ).cast("bigint"),
+    ).otherwise(F.col("n_tok"))
+    return agg.select(
+        "source",
+        "bucket_start",
+        n_tok_ok.alias("n_tok"),
+        "n_types",
+        F.expr("(1000000 * n_types) div n_tok").alias("ttr_e6"),
+        F.when(
+            F.col("n_tok") >= 2,
+            F.expr("(1000000 * _coll) div (n_tok * (n_tok - 1))"),
+        ).alias("simpson_e6"),
+        F.expr("(1000000 * _top) div n_tok").alias("top_share_e6"),
+    )
+
+
+def vocab_growth(
+    df: DataFrame, tier: str = "daily", ts_col: str = "ts"
+) -> DataFrame:
+    """Per (source, bucket) NEW-vocabulary accounting: how many token types
+    appear for the first time in each bucket, plus the running vocabulary
+    size — the "is this stream still contributing novel content?" curve a
+    corpus pipeline watches per source over time.
+
+    ``new_types`` = tokens whose FIRST occurrence (min bucket) lands here;
+    ``vocab_cum`` = cumulative distinct vocabulary through this bucket.
+    Buckets with no first-seen tokens simply have no row (join against the
+    tier spine or gap-fill to densify).
+
+    Shape: one map-side-combinable shuffle on (source, token) for the min
+    bucket, one bucket-sized count, and a per-source running-sum window
+    (partitions = sources, rows = buckets — tiny). Exact integers
+    throughout."""
+    bucket = F.date_trunc(BUCKET_OF[tier], F.col(ts_col)).alias("bucket_start")
+    first_seen = (
+        df.select("source", bucket, F.explode("tokens").alias("token"))
+        .groupBy("source", "token")
+        .agg(F.min("bucket_start").alias("bucket_start"))
+    )
+    per_bucket = first_seen.groupBy("source", "bucket_start").agg(
+        F.count(F.lit(1)).alias("new_types")
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("source")
+        .orderBy("bucket_start")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return per_bucket.select(
+        "source",
+        "bucket_start",
+        "new_types",
+        F.sum("new_types").over(w).alias("vocab_cum"),
+    )
+
+
 def merge_token_histograms(hist_df: DataFrame, to_tier: str) -> DataFrame:
     """Cascade histogram maps to a coarser tier: explode -> sum -> re-map.
 

@@ -214,3 +214,79 @@ def test_register_views_sql_onramp(spark):
     assert n > 0
     # missing files are skipped, not fatal
     assert register_views(spark, "/nonexistent") == []
+
+
+def test_token_diversity_hand_case(spark):
+    import datetime as dt
+
+    from rtsa_spark.operators.rollup import token_diversity
+
+    t0 = dt.datetime(2024, 1, 1, 10)
+    rows = [
+        # day 1: tokens 1,1,1,2 -> T=4, types=2, coll=3*2=6, top=3
+        ("a", t0, [1, 1, 1]),
+        ("a", t0 + dt.timedelta(hours=2), [2]),
+        # day 2: all distinct -> simpson 0
+        ("a", t0 + dt.timedelta(days=1), [5, 6, 7]),
+        # singleton bucket -> simpson NULL
+        ("b", t0, [9]),
+    ]
+    df = spark.createDataFrame(rows, "source string, ts timestamp, tokens array<int>")
+    got = {
+        (r["source"], r["bucket_start"].day): r
+        for r in token_diversity(df, "daily").collect()
+    }
+    d1 = got[("a", 1)]
+    assert (d1["n_tok"], d1["n_types"]) == (4, 2)
+    assert d1["ttr_e6"] == 500_000
+    assert d1["simpson_e6"] == (1_000_000 * 6) // (4 * 3)
+    assert d1["top_share_e6"] == 750_000
+    d2 = got[("a", 2)]
+    assert d2["simpson_e6"] == 0 and d2["ttr_e6"] == 1_000_000
+    b = got[("b", 1)]
+    assert b["simpson_e6"] is None and b["n_tok"] == 1
+
+
+def test_token_diversity_cap_raises(spark):
+    import datetime as dt
+
+    import pytest as _pytest
+
+    from rtsa_spark.operators import rollup as _r
+
+    old = _r.DIVERSITY_TOKEN_CAP
+    _r.DIVERSITY_TOKEN_CAP = 3
+    try:
+        df = spark.createDataFrame(
+            [("a", dt.datetime(2024, 1, 1), [1, 2, 3, 4])],
+            "source string, ts timestamp, tokens array<int>",
+        )
+        with _pytest.raises(Exception, match="token_diversity"):
+            _r.token_diversity(df, "daily").collect()
+    finally:
+        _r.DIVERSITY_TOKEN_CAP = old
+
+
+def test_vocab_growth_hand_case(spark):
+    import datetime as dt
+
+    from rtsa_spark.operators.rollup import vocab_growth
+
+    t0 = dt.datetime(2024, 1, 1, 8)
+    rows = [
+        ("a", t0, [1, 2, 2]),                          # day1: new {1,2}
+        ("a", t0 + dt.timedelta(days=1), [2, 3]),      # day2: new {3}
+        ("a", t0 + dt.timedelta(days=2), [1, 2]),      # day3: nothing new
+        ("a", t0 + dt.timedelta(days=3), [4, 5, 1]),   # day4: new {4,5}
+        ("b", t0 + dt.timedelta(days=1), [1]),         # independent per source
+    ]
+    df = spark.createDataFrame(rows, "source string, ts timestamp, tokens array<int>")
+    got = {
+        (r["source"], r["bucket_start"].day): (r["new_types"], r["vocab_cum"])
+        for r in vocab_growth(df, "daily").collect()
+    }
+    assert got[("a", 1)] == (2, 2)
+    assert got[("a", 2)] == (1, 3)
+    assert ("a", 3) not in got  # no first-seen tokens -> no row
+    assert got[("a", 4)] == (2, 5)
+    assert got[("b", 2)] == (1, 1)

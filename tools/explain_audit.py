@@ -280,6 +280,25 @@ def main() -> int:
         and "EvalPython" not in kb_plan,
     )
 
+    # 15. token analytics: the exploded triple shuffle partial-aggregates
+    #     map-side (the property that bounds wire volume by distinct
+    #     triples, not total tokens) and stays UDF-free
+    from rtsa_spark.operators.rollup import token_diversity, vocab_growth
+
+    td_plan = plan_of(token_diversity(seq, "daily"))
+    ok &= check(
+        "token diversity: map-side partial agg on triples, no Python eval",
+        ("partial" in td_plan.lower() or "HashAggregate" in td_plan)
+        and "EvalPython" not in td_plan,
+    )
+    vg_plan = plan_of(vocab_growth(seq, "daily"))
+    ok &= check(
+        "vocab growth: combinable min-bucket agg + window, no Python eval",
+        "HashAggregate" in vg_plan
+        and "Window" in vg_plan
+        and "EvalPython" not in vg_plan,
+    )
+
     spark.stop()
     print("AUDIT", "PASS" if ok else "FAIL")
     return 0 if ok else 1
