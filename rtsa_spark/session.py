@@ -48,6 +48,26 @@ def get_spark(
     if not external_master:
         n = cores or int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or "*"
         builder = builder.master(f"local[{n}]")
+        # Size JVM GC worker threads by the EXECUTOR core allocation, not
+        # by nproc: G1's default on a 32-CPU box is ~23 parallel GC
+        # threads, which taxes a local[4] JVM ~20% extra CPU on a
+        # quota-limited host (measured: 80M-row ladder 41.3s -> 34.8s at
+        # local[4] with the cap). This mirrors what YARN/K8s executors get
+        # anyway — GC threads sized to the container's cores — so local
+        # measurements extrapolate to cluster behavior. Only applied when
+        # WE launch the JVM (local mode) with an explicit core count, and
+        # never overrides caller-provided options.
+        if isinstance(n, int) and "ParallelGCThreads" not in os.environ.get(
+            "JAVA_TOOL_OPTIONS", ""
+        ):
+            gc_opts = (
+                f"-XX:ParallelGCThreads={max(2, n)}"
+                f" -XX:ConcGCThreads={max(1, n // 2)}"
+            )
+            prev = os.environ.get("JAVA_TOOL_OPTIONS", "")
+            os.environ["JAVA_TOOL_OPTIONS"] = (
+                f"{prev} {gc_opts}".strip() if prev else gc_opts
+            )
     if shuffle_partitions is None:
         env_cores = cores or int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or os.cpu_count() or 8
         shuffle_partitions = int(env_cores)

@@ -30,7 +30,13 @@ import sys
 import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-SCALING_ROWS = 20_000_000
+#: 80M rows makes the pair compute-dominant: at 20M the fixed job-latency
+#: floor of the coarse tiers (~1.5 s, identical in both legs) eats ~10% of
+#: the 4N wall and caps measurable efficiency at ~0.76 even when the raw
+#: tier scales at 0.84+. At 100 TB those floors are noise — the larger
+#: input is the representative regime (and matches the headroom table's
+#: observation that throughput per point RISES with input size).
+SCALING_ROWS = 80_000_000
 
 #: sections that must survive BASELINE.md regeneration (launch evidence,
 #: headroom run, per-round bench semantics) — appended to every rewrite.
@@ -240,6 +246,12 @@ pair counts only when the host demonstrably had >= {MIN_CAPACITY} effective
 cores immediately before AND after it. All attempts are logged in
 BENCH_scaling.json. Measurement note: {note}
 Measured at commit `{commit}`.
+
+Both legs size JVM GC worker threads to the executor core allocation
+(rtsa_spark/session.py) instead of G1's nproc-derived default (~23
+threads on this box), which taxed small-core legs ~20% CPU — the same
+per-container GC sizing a YARN/K8s executor gets, so local pairs
+extrapolate to cluster behavior.
 
 ## Wall-clock pair (N=1 -> 4N=4, steady-state: 2nd ladder pass in a warm JVM)
 
