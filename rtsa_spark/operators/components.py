@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from rtsa_spark.functions.decompose import decompose
 from rtsa_spark.operators.metrics import DEFAULT_PERIOD
@@ -85,6 +86,66 @@ def decompose_components(
         kernel,
         f"{key_col} string, {bucket_col} timestamp, value double,"
         " seasonal double, trend double, remainder double",
+    )
+
+
+def component_strength(comp_df: DataFrame, key_col: str = "source") -> DataFrame:
+    """Trend/seasonal strength per key over a deterministic component
+    table (Wang, Smith & Hyndman 2006; Hyndman & Athanasopoulos FPP3
+    §4.3): ``F_trend = max(0, 1 - Var(R)/Var(T+R))``, ``F_seasonal =
+    max(0, 1 - Var(R)/Var(S+R))`` — the single-number "does this series
+    have structure worth decomposing?" screen used to rank thousands of
+    sources before running the heavier STL/X-11/EOF analytics on them.
+
+    Input is the ``*_e4`` exact-int table from
+    :func:`decompose_components_deterministic`. Each component is
+    trunc-quantized to integer units (``div 10000`` — truncation toward
+    zero, matching DuckDB ``//``), so every multi-term sum (sums and
+    sums of squares) stays in the exact-int domain, and only a FIXED
+    final sequence of correctly-rounded double ops (two casts, divide,
+    subtract, clamp, scale, floor) produces each ``*_e6`` — bit-identical
+    on any IEEE engine (CLAUDE.md contract). Quantized values past ~3e6
+    would push n * sum-of-squares toward 2^63; ANSI mode then throws
+    loudly rather than wrapping — rescale the input tier (the same rule
+    as the decomposition twin's 2^53 guard).
+
+    NULL strength when the corresponding variance numerator is zero
+    (constant series — the ratio is undefined, not zero).
+
+    Shape: one map-side-combinable aggregation over the tier-sized
+    component table; output is key-count rows.
+    """
+    q = comp_df.select(
+        key_col,
+        F.expr("remainder_e4 div 10000").alias("r0"),
+        F.expr("(seasonal_e4 + remainder_e4) div 10000").alias("d0"),
+        F.expr("(trend_e4 + remainder_e4) div 10000").alias("t0"),
+    )
+    agg = q.groupBy(key_col).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("r0").alias("sr"),
+        F.sum(F.col("r0") * F.col("r0")).alias("srr"),
+        F.sum("d0").alias("sd"),
+        F.sum(F.col("d0") * F.col("d0")).alias("sdd"),
+        F.sum("t0").alias("st"),
+        F.sum(F.col("t0") * F.col("t0")).alias("stt"),
+    )
+    vr = F.col("n") * F.col("srr") - F.col("sr") * F.col("sr")
+    vd = F.col("n") * F.col("sdd") - F.col("sd") * F.col("sd")
+    vt = F.col("n") * F.col("stt") - F.col("st") * F.col("st")
+
+    def strength(v_rem, v_comp):
+        ratio = v_rem.cast("double") / v_comp.cast("double")
+        return F.when(
+            v_comp > 0,
+            F.floor(F.lit(1000000.0) * F.greatest(F.lit(0.0), F.lit(1.0) - ratio)),
+        ).cast("bigint")
+
+    return agg.select(
+        key_col,
+        "n",
+        strength(vr, vt).alias("f_trend_e6"),
+        strength(vr, vd).alias("f_seasonal_e6"),
     )
 
 

@@ -212,6 +212,83 @@ def trailing_window(
     return agg.withColumn("w_mean_e4", mean_e4.cast("bigint"))
 
 
+#: trailing_quantile refuses windows wider than this: the sorted-frame
+#: array is materialized per output row, so memory per row is O(window).
+#: Rolling quantiles over wider spans belong on a coarser tier (the same
+#: answer, orders of magnitude fewer buckets per window).
+QUANTILE_WINDOW_CAP = 4096
+
+
+def trailing_quantile(
+    tier_df: DataFrame,
+    window_buckets: int,
+    bucket_seconds: int,
+    key_cols: list[str],
+    value_col: str,
+    quantiles: dict[str, tuple[int, int]] | None = None,
+    bucket_col: str = "bucket_start",
+) -> DataFrame:
+    """EXACT trailing quantiles over a retention tier — the rolling
+    median / p90 band a monitoring pipeline draws around each source
+    (``trailing_window`` covers sum/min/max/mean; this covers the order
+    statistics, which no algebraic partial aggregate can).
+
+    ``quantiles`` maps output column names to RATIONAL quantiles, e.g.
+    ``{"w_p50": (1, 2), "w_p90": (9, 10)}`` (the default). Each is the
+    lower order statistic: 1-based rank ``(num*(n-1)) div den + 1`` in
+    the ascending frame — pure integer indexing into a sorted array, so
+    any engine reproduces it bit-for-bit (no interpolation-flavor
+    ambiguity between engines).
+
+    Same RANGE-over-epoch-seconds frame as :func:`trailing_window`
+    (missing buckets shorten the window; ``n_in_window`` reports
+    coverage). The frame array is materialized and sorted per output
+    row — O(window) memory/compute per row, capped by
+    ``QUANTILE_WINDOW_CAP``; the input is TIER-sized (bucket-count rows
+    per key), never raw, so at 10^12 raw rows this is a window pass over
+    the small table.
+    """
+    if window_buckets < 1 or bucket_seconds < 1:
+        raise ValueError("window_buckets and bucket_seconds must be >= 1")
+    if window_buckets > QUANTILE_WINDOW_CAP:
+        raise ValueError(
+            f"window_buckets={window_buckets} exceeds QUANTILE_WINDOW_CAP="
+            f"{QUANTILE_WINDOW_CAP}; compute on a coarser tier instead"
+        )
+    qs = quantiles or {"w_p50": (1, 2), "w_p90": (9, 10)}
+    for name, (num, den) in qs.items():
+        if not (0 <= num <= den) or den < 1:
+            raise ValueError(f"quantile {name}: need 0 <= num <= den, den >= 1")
+    from pyspark.sql import Window
+
+    span = (window_buckets - 1) * bucket_seconds
+    base = tier_df.select(
+        *key_cols,
+        bucket_col,
+        F.unix_timestamp(bucket_col).alias("_t"),
+        F.col(value_col).cast("bigint").alias("_v"),
+    )
+    w = Window.partitionBy(*key_cols).orderBy("_t").rangeBetween(-span, 0)
+    framed = base.select(
+        *key_cols,
+        bucket_col,
+        F.array_sort(F.collect_list("_v").over(w)).alias("_fr"),
+    )
+    cols = [
+        F.element_at(
+            "_fr",
+            F.expr(f"cast(({num} * (size(_fr) - 1)) div {den} as int) + 1"),
+        ).alias(name)
+        for name, (num, den) in qs.items()
+    ]
+    return framed.select(
+        *key_cols,
+        bucket_col,
+        F.size("_fr").alias("n_in_window"),
+        *cols,
+    )
+
+
 def token_histogram(
     df: DataFrame,
     tier: str = "raw",
@@ -350,6 +427,87 @@ def vocab_growth(
         "bucket_start",
         "new_types",
         F.sum("new_types").over(w).alias("vocab_cum"),
+    )
+
+
+def vocab_overlap(
+    df: DataFrame, tier: str = "monthly", ts_col: str = "ts"
+) -> DataFrame:
+    """Pairwise vocabulary similarity between sources per time bucket:
+    exact Jaccard and directional containment over the distinct-token
+    sets — the "are these two feeds the same corpus / is A a subset
+    mirror of B?" monitor a training-data pipeline runs before mixing
+    sources.
+
+    Emits one row per unordered source pair (``src_a < src_b``) per
+    bucket with at least one shared token: distinct-vocabulary sizes
+    ``n_types_a/b``, intersection ``n_common``, ``jaccard_e6 =
+    (1e6*common) div (a+b-common)`` and containments ``contain_a_e6 =
+    (1e6*common) div a`` (how much of A's vocabulary B covers) — all
+    exact-int, bit-reproducible on any engine. Zero-overlap pairs have
+    no row (join against the pair spine to densify).
+
+    Shape: distinct (source, bucket, token) first (one map-side-combined
+    shuffle bounds everything downstream by VOCABULARY size, not token
+    volume), then a token-keyed self-equi-join whose output is
+    sum_t S_t^2 rows for S_t = sources sharing token t — bounded by
+    (#sources)^2 per token, fine at catalog-scale source counts; at
+    thousands of sources per bucket switch to the KMV sketch ladder
+    (operators/sketch.py) for approximate overlap instead. Vocabulary
+    sizes re-enter via a broadcast (bucket x source rows — tiny)."""
+    bucket = F.date_trunc(BUCKET_OF[tier], F.col(ts_col)).alias("bucket_start")
+    vocab = df.select(
+        "source", bucket, F.explode("tokens").alias("token")
+    ).dropDuplicates(["source", "bucket_start", "token"])
+    sizes = vocab.groupBy("source", "bucket_start").agg(
+        F.count(F.lit(1)).alias("n_types")
+    )
+    a = vocab.select(
+        F.col("source").alias("src_a"), "bucket_start", "token"
+    )
+    b = vocab.select(
+        F.col("source").alias("src_b"), "bucket_start", "token"
+    )
+    inter = (
+        a.join(b, ["bucket_start", "token"])
+        .where(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b", "bucket_start")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sz_a = F.broadcast(
+        sizes.select(
+            F.col("source").alias("src_a"),
+            "bucket_start",
+            F.col("n_types").alias("n_types_a"),
+        )
+    )
+    sz_b = F.broadcast(
+        sizes.select(
+            F.col("source").alias("src_b"),
+            "bucket_start",
+            F.col("n_types").alias("n_types_b"),
+        )
+    )
+    return (
+        inter.join(sz_a, ["src_a", "bucket_start"])
+        .join(sz_b, ["src_b", "bucket_start"])
+        .select(
+            "src_a",
+            "src_b",
+            "bucket_start",
+            "n_types_a",
+            "n_types_b",
+            "n_common",
+            F.expr(
+                "(1000000 * n_common) div (n_types_a + n_types_b - n_common)"
+            ).alias("jaccard_e6"),
+            F.expr("(1000000 * n_common) div n_types_a").alias(
+                "contain_a_e6"
+            ),
+            F.expr("(1000000 * n_common) div n_types_b").alias(
+                "contain_b_e6"
+            ),
+        )
     )
 
 

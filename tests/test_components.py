@@ -75,6 +75,80 @@ def test_deterministic_twin_matches_float_path(spark, tiny_sequences):
         assert int(np.abs(diff).max()) <= 1, det_c
 
 
+def _tdiv(v: int, d: int) -> int:
+    """Truncation-toward-zero division (Spark `div` / DuckDB `//`)."""
+    return -((-v) // d) if v < 0 else v // d
+
+
+def test_component_strength_matches_replay(spark, tiny_sequences):
+    """Independent replay of the Wang-Smith-Hyndman strength definition
+    over the quantized components, in plain Python ints + IEEE doubles."""
+    import math
+
+    from rtsa_spark.operators.components import component_strength
+
+    daily = _daily(tiny_sequences)
+    comp = decompose_components_deterministic(
+        daily, "daily", value_col="n_tok_sum", period=7
+    )
+    pdf = comp.toPandas()
+    got = {r["source"]: r for r in component_strength(comp).collect()}
+    assert set(got) == set(pdf["source"].unique())
+    for src, g in pdf.groupby("source"):
+        r0 = [_tdiv(int(v), 10_000) for v in g["remainder_e4"]]
+        d0 = [
+            _tdiv(int(s) + int(r), 10_000)
+            for s, r in zip(g["seasonal_e4"], g["remainder_e4"])
+        ]
+        t0 = [
+            _tdiv(int(t) + int(r), 10_000)
+            for t, r in zip(g["trend_e4"], g["remainder_e4"])
+        ]
+
+        def varnum(xs):
+            n = len(xs)
+            return n * sum(x * x for x in xs) - sum(xs) ** 2
+
+        def strength(vc):
+            if vc <= 0:
+                return None
+            return math.floor(
+                1000000.0 * max(0.0, 1.0 - float(varnum(r0)) / float(vc))
+            )
+
+        row = got[src]
+        assert row["n"] == len(r0)
+        assert row["f_trend_e6"] == strength(varnum(t0)), src
+        assert row["f_seasonal_e6"] == strength(varnum(d0)), src
+
+
+def test_component_strength_regimes(spark):
+    """Planted regimes: a pure period-7 pattern is all seasonal strength;
+    a constant series has no defined strength (NULL, not zero)."""
+    import datetime as dt
+
+    from rtsa_spark.operators.components import component_strength
+
+    base = dt.datetime(2024, 1, 1)
+    season = [0, 300, 600, 900, 600, 300, 0]
+    rows = []
+    for d in range(35):
+        rows.append(("seasonal", base + dt.timedelta(days=d), 1000 + season[d % 7]))
+        rows.append(("flat", base + dt.timedelta(days=d), 5000))
+    df = spark.createDataFrame(
+        rows, "source string, bucket_start timestamp, x long"
+    )
+    comp = decompose_components_deterministic(df, "daily", value_col="x", period=7)
+    got = {r["source"]: r for r in component_strength(comp).collect()}
+    s = got["seasonal"]
+    assert s["f_seasonal_e6"] >= 990_000
+    # detrended variance dwarfs the remainder; trend+remainder is nearly
+    # flat so the trend strength clamps low
+    assert s["f_trend_e6"] is not None
+    flat = got["flat"]
+    assert flat["f_seasonal_e6"] is None and flat["f_trend_e6"] is None
+
+
 def test_degenerate_short_series(spark):
     rows = [("a", f"2024-01-{d:02d} 00:00:00", 10 + d) for d in range(1, 6)]
     df = spark.createDataFrame(rows, "source string, b string, x long").select(

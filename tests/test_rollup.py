@@ -290,3 +290,80 @@ def test_vocab_growth_hand_case(spark):
     assert ("a", 3) not in got  # no first-seen tokens -> no row
     assert got[("a", 4)] == (2, 5)
     assert got[("b", 2)] == (1, 1)
+
+
+def test_vocab_overlap_hand_case(spark):
+    import datetime as dt
+
+    from rtsa_spark.operators.rollup import vocab_overlap
+
+    t0 = dt.datetime(2024, 1, 5)
+    rows = [
+        # month 1: A={1,2,3,4} (dup 2 counts once), B={3,4,5}, C={9}
+        ("a", t0, [1, 2, 2, 3]),
+        ("a", t0 + dt.timedelta(days=3), [4]),
+        ("b", t0, [3, 4, 5]),
+        ("c", t0, [9]),
+        # month 2: A={1}, B={1} -> identical vocabularies
+        ("a", t0 + dt.timedelta(days=40), [1]),
+        ("b", t0 + dt.timedelta(days=40), [1]),
+    ]
+    df = spark.createDataFrame(rows, "source string, ts timestamp, tokens array<int>")
+    got = {
+        (r["src_a"], r["src_b"], r["bucket_start"].month): r
+        for r in vocab_overlap(df, "monthly").collect()
+    }
+    ab = got[("a", "b", 1)]
+    assert (ab["n_types_a"], ab["n_types_b"], ab["n_common"]) == (4, 3, 2)
+    assert ab["jaccard_e6"] == (1_000_000 * 2) // 5
+    assert ab["contain_a_e6"] == 500_000
+    assert ab["contain_b_e6"] == 666_666
+    # c shares nothing -> no rows with c
+    assert not [k for k in got if "c" in (k[0], k[1])]
+    ident = got[("a", "b", 2)]
+    assert ident["jaccard_e6"] == 1_000_000
+    assert len(got) == 2
+
+
+def test_trailing_quantile_hand_case(spark):
+    import datetime as dt
+
+    from rtsa_spark.operators.rollup import trailing_quantile
+
+    t0 = dt.datetime(2024, 1, 1)
+    # hourly buckets with a gap: values 10, 30, 20, [gap], 40
+    rows = [
+        ("a", t0, 10),
+        ("a", t0 + dt.timedelta(hours=1), 30),
+        ("a", t0 + dt.timedelta(hours=2), 20),
+        ("a", t0 + dt.timedelta(hours=5), 40),
+    ]
+    df = spark.createDataFrame(
+        rows, "source string, bucket_start timestamp, x long"
+    )
+    got = {
+        r["bucket_start"].hour: r
+        for r in trailing_quantile(
+            df, 3, 3600, ["source"], "x", {"w_p50": (1, 2), "w_max": (1, 1)}
+        ).collect()
+    }
+    # h0: frame [10]; h1: [10,30] -> p50 = lower = 10; h2: [10,20,30] -> 20
+    assert (got[0]["w_p50"], got[0]["n_in_window"]) == (10, 1)
+    assert got[1]["w_p50"] == 10 and got[1]["w_max"] == 30
+    assert got[2]["w_p50"] == 20 and got[2]["n_in_window"] == 3
+    # h5: the 3-bucket RANGE window covers h3..h5 -> only the h5 row
+    assert (got[5]["w_p50"], got[5]["n_in_window"]) == (40, 1)
+
+
+def test_trailing_quantile_validates(spark):
+    import pytest as _pytest
+
+    from rtsa_spark.operators.rollup import QUANTILE_WINDOW_CAP, trailing_quantile
+
+    df = spark.createDataFrame(
+        [("a",)], "source string"
+    )
+    with _pytest.raises(ValueError, match="QUANTILE_WINDOW_CAP"):
+        trailing_quantile(df, QUANTILE_WINDOW_CAP + 1, 3600, ["source"], "x")
+    with _pytest.raises(ValueError, match="quantile"):
+        trailing_quantile(df, 3, 3600, ["source"], "x", {"bad": (3, 2)})

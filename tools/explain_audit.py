@@ -299,6 +299,36 @@ def main() -> int:
         and "EvalPython" not in vg_plan,
     )
 
+    # 16. vocab overlap: the pair join is a token-keyed EQUI-join (never
+    #     cartesian), vocabulary sizes re-enter via broadcast, no UDF
+    from rtsa_spark.operators.rollup import vocab_overlap
+
+    vo_plan = plan_of(vocab_overlap(seq, "monthly"))
+    ok &= check(
+        "vocab overlap: equi pair join + broadcast sizes, no cartesian/UDF",
+        "BroadcastHashJoin" in vo_plan
+        and "Cartesian" not in vo_plan
+        and "EvalPython" not in vo_plan,
+    )
+
+    # 17. component strength: one map-side-combinable agg over the
+    #     component table (key-count output rows), no extra shuffle layers
+    from rtsa_spark.operators.components import (
+        component_strength,
+        decompose_components_deterministic,
+    )
+
+    from rtsa_spark.operators.rollup import rollup_next as _rn
+
+    comp = decompose_components_deterministic(
+        _rn(hr, "daily"), "daily", value_col="n_tok_sum", period=7
+    )
+    cs_plan = plan_of(component_strength(comp))
+    ok &= check(
+        "component strength: single hash agg over components, no join",
+        "HashAggregate" in cs_plan and "Join" not in cs_plan,
+    )
+
     spark.stop()
     print("AUDIT", "PASS" if ok else "FAIL")
     return 0 if ok else 1
