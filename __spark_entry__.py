@@ -1101,7 +1101,7 @@ def q_winnow_fingerprints(spark, sf_dir):
     )
 
 
-SQL_WINNOW = """
+_SQL_WINNOW_FP_CTE = """
 WITH words AS (
   SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents
 ), grams AS (
@@ -1119,8 +1119,38 @@ WITH words AS (
            generate_series(0, GREATEST(len(hh) - 4, 0)),
            i -> list_min(hh[i+1:i+4]))) AS fp
   FROM hs
-)
+)"""
+
+SQL_WINNOW = _SQL_WINNOW_FP_CTE + """
 SELECT doc_id, unnest(fp) AS fingerprint FROM fps
+"""
+
+
+def q_duplicate_spans(spark, sf_dir):
+    """Substring-level duplicated-span mass per document
+    (operators/dedup.duplicate_spans): share of a doc's winnowing
+    fingerprints carried by >= 2 documents, as exact-int ppm — the
+    Lee et al. 2022 substring-dedup decision metric. Two linear
+    shuffles (fingerprint index + per-doc agg), no pairwise join."""
+    from rtsa_spark.operators.dedup import duplicate_spans
+
+    return duplicate_spans(_documents(spark, sf_dir), k=4, w=4, hash_fn="md5")
+
+
+SQL_DUPLICATE_SPANS = _SQL_WINNOW_FP_CTE + """,
+fp AS MATERIALIZED (
+  SELECT doc_id, unnest(fp) AS fingerprint FROM fps
+), carriers AS (
+  SELECT fingerprint, count(*) AS n_docs FROM fp GROUP BY fingerprint
+)
+SELECT f.doc_id,
+       CAST(count(*) AS BIGINT) AS tot_fp,
+       CAST(sum(CASE WHEN c.n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS dup_fp,
+       CAST(sum(CASE WHEN c.n_docs >= 2 THEN 1 ELSE 0 END) * 1000000
+            // count(*) AS BIGINT) AS dup_ppm
+FROM fp f JOIN carriers c USING (fingerprint)
+GROUP BY f.doc_id
 """
 
 
@@ -6014,6 +6044,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sequences_eof": q_sequences_eof,
         "sequences_eot": q_sequences_eot,
         "winnow_fingerprints": q_winnow_fingerprints,
+        "duplicate_spans": q_duplicate_spans,
         "bpe_token_counts": q_bpe_token_counts,
         "media_resize": q_media_resize,
         "tier_percentiles": q_tier_percentiles,
@@ -6132,6 +6163,7 @@ def oracle_sql() -> dict[str, str]:
         "retention_ladder": SQL_RETENTION,
         "stateful_tracker": SQL_STATEFUL_TRACKER,
         "winnow_fingerprints": SQL_WINNOW,
+        "duplicate_spans": SQL_DUPLICATE_SPANS,
         "bpe_token_counts": SQL_BPE_TOKENS,
         "pipeline_publish_audit": SQL_PUBLISH_AUDIT,
         "corpus_build": SQL_CORPUS_BUILD,

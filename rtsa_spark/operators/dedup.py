@@ -454,3 +454,56 @@ def contamination_check(
             "n_benchmark_docs_hit"
         ),
     )
+
+
+def duplicate_spans(
+    df: DataFrame,
+    k: int = 4,
+    w: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Per-document duplicated-span mass: the fraction of a document's
+    winnowing fingerprints (Schleimer 2003; functions/text.py) that also
+    occur in at least one OTHER document. This is the substring-level
+    dedup decision input (Lee et al. 2022, "Deduplicating Training Data
+    Makes Language Models Better"): whole-doc and near-dup hashes miss a
+    boilerplate header pasted into thousands of otherwise-unique pages;
+    the winnowing guarantee makes any shared run of >= w+k-1 words raise
+    ``dup_ppm`` here.
+
+    Plan shape at 100 TB: fingerprint once (projection + explode, no
+    UDF), one map-side-combinable groupBy(fingerprint) to count carrier
+    docs (fingerprints are pre-deduped per doc, so ``count(*)`` is the
+    distinct-doc count), one fingerprint-keyed equi-join back, one
+    groupBy(doc). Two shuffles total, both on high-cardinality keys; no
+    pairwise blow-up — cost is linear in corpus fingerprints regardless
+    of how many documents share a span.
+
+    Returns ``(doc_id, tot_fp, dup_fp, dup_ppm)`` with ``dup_ppm =
+    floor(dup_fp * 1e6 / tot_fp)`` exact-int (tot_fp >= 1 always: even
+    an empty text yields one whole-text gram).
+    """
+    from ..functions.text import winnow_fingerprints
+
+    fps = winnow_fingerprints(
+        df, k=k, w=w, text_col=text_col, id_col=id_col, hash_fn=hash_fn
+    )
+    carriers = fps.groupBy("fingerprint").agg(
+        F.count("*").alias("n_docs")
+    )
+    return (
+        fps.join(carriers, "fingerprint")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("bigint").alias("tot_fp"),
+            F.sum(
+                F.when(F.col("n_docs") >= 2, F.lit(1)).otherwise(F.lit(0))
+            ).cast("bigint").alias("dup_fp"),
+        )
+        .withColumn(
+            "dup_ppm",
+            F.expr("dup_fp * 1000000L div tot_fp"),
+        )
+    )

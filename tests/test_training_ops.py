@@ -616,3 +616,42 @@ def test_term_lift_min_count_and_guard(spark):
     assert words == {"a"}  # 'b' suppressed by min_count
     with _pytest.raises(ValueError):
         term_lift_topk(df, "source", "text", 0)
+
+
+def test_duplicate_spans_planted_boilerplate(spark):
+    """A boilerplate run pasted into two docs raises their dup_ppm; a
+    disjoint-vocabulary doc stays at exactly 0; an exact clone pair is
+    100% duplicated (dup_ppm == 1_000_000); invariants 0 <= dup_fp <=
+    tot_fp hold and dup_ppm is the exact-int floor quotient."""
+    from rtsa_spark.operators.dedup import duplicate_spans
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    clone = "lorem ipsum dolor sit amet consectetur adipiscing elit sed do"
+    rows = [
+        ("a", "one two three " + shared + " four five six"),
+        ("b", "seven eight " + shared + " nine ten eleven twelve"),
+        ("c", "completely different words everywhere nothing matches here at all ok"),
+        ("d", clone),
+        ("e", clone),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    out = duplicate_spans(df, k=4, w=4).toPandas().set_index("doc_id")
+
+    assert set(out.index) == {"a", "b", "c", "d", "e"}
+    # winnowing guarantee: the 10-word shared run (>= w+k-1 = 7) plants
+    # at least one common fingerprint in both carriers
+    assert out.loc["a", "dup_fp"] >= 1
+    assert out.loc["b", "dup_fp"] >= 1
+    assert out.loc["c", "dup_fp"] == 0 and out.loc["c", "dup_ppm"] == 0
+    # exact clones: every fingerprint is shared
+    for d in ("d", "e"):
+        assert out.loc[d, "dup_fp"] == out.loc[d, "tot_fp"]
+        assert out.loc[d, "dup_ppm"] == 1_000_000
+    for d in out.index:
+        tot, dup, ppm = (
+            int(out.loc[d, "tot_fp"]),
+            int(out.loc[d, "dup_fp"]),
+            int(out.loc[d, "dup_ppm"]),
+        )
+        assert 0 <= dup <= tot and tot >= 1
+        assert ppm == dup * 1_000_000 // tot

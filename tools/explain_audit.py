@@ -116,6 +116,19 @@ def main() -> int:
         and "BroadcastNestedLoopJoin" not in jac_plan,
     )
 
+    # 7b. duplicate-spans: linear fingerprint index, never a pairwise
+    #     doc join — equi-join on fingerprint + map-side combined counts
+    from rtsa_spark.operators.dedup import duplicate_spans
+
+    ds_plan = plan_of(duplicate_spans(docs))
+    ok &= check(
+        "duplicate_spans joins on fingerprint only (no cartesian)",
+        "CartesianProduct" not in ds_plan
+        and "BroadcastNestedLoopJoin" not in ds_plan,
+    )
+    ok &= check("duplicate_spans carrier count combines map-side",
+                "partial_count" in ds_plan)
+
     # 8. analytics bucket vectors shuffle on the BUCKET, not the source —
     #    dominant sources cannot skew the Gramian exchange
     from rtsa_spark.operators.eof import bucket_vectors, source_index
