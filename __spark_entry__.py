@@ -2947,6 +2947,54 @@ FROM agg
 """
 
 
+def q_remainder_outliers(spark, sf_dir):
+    """Seasonal-ESD-shaped anomaly screen (the composition SURVEY §2.12
+    names): strip seasonality+trend with the deterministic component
+    twin, then run the exact-int k-sigma rule (anomaly.zscore_outliers,
+    k=3) on the trunc-quantized remainder — flags land on genuinely
+    aberrant buckets, not on seasonal peaks. Pure integer comparison
+    end to end; DuckDB replays component numerators and the
+    cross-multiplied flag bit-for-bit."""
+    from rtsa_spark.operators.anomaly import zscore_outliers
+    from rtsa_spark.operators.components import (
+        decompose_components_deterministic,
+    )
+
+    comp = decompose_components_deterministic(
+        _seq_daily_x(spark, sf_dir), "daily", value_col="x", period=7
+    )
+    rem = comp.select(
+        "source",
+        "bucket_start",
+        F.expr("remainder_e4 div 10000").alias("r0"),
+    )
+    return zscore_outliers(rem, "source", "bucket_start", "r0", k_num=3, k_den=1)
+
+
+def _sql_remainder_outliers() -> str:
+    z = "(s.n * r.x - s.s)"
+    return f"""
+WITH comp AS MATERIALIZED (
+{_sql_components_seq()}
+), r AS (
+  SELECT source AS key, bucket_start AS t,
+         CAST(remainder_e4 // 10000 AS BIGINT) AS x
+  FROM comp
+), s AS (
+  SELECT key, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS s, CAST(sum(x * x) AS BIGINT) AS q
+  FROM r GROUP BY 1
+)
+SELECT r.key, r.t, r.x, s.n,
+       CAST({z} AS BIGINT) AS z_num,
+       CASE WHEN s.n >= 2
+            THEN {z} * {z} * (s.n - 1)
+                 > 9 * (s.n * s.n * s.q - s.n * s.s * s.s)
+            ELSE FALSE END AS is_outlier
+FROM r JOIN s USING (key)
+"""
+
+
 # ------------------------- hard-oracle analytics over the events hourly tier
 #
 # The r1 verdict's top gap: EOF/EOT/DINEOF/spline rested on rows-only checks.
@@ -6098,6 +6146,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_overlap": q_vocab_overlap,
         "component_strength": q_component_strength,
         "trailing_quantile": q_trailing_quantile,
+        "remainder_outliers": q_remainder_outliers,
     }
 
 
@@ -6231,4 +6280,5 @@ def oracle_sql() -> dict[str, str]:
         "vocab_overlap": SQL_VOCAB_OVERLAP,
         "component_strength": _sql_component_strength(),
         "trailing_quantile": SQL_TRAILING_QUANTILE,
+        "remainder_outliers": _sql_remainder_outliers(),
     }

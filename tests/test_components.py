@@ -160,3 +160,50 @@ def test_degenerate_short_series(spark):
     assert (det["seasonal_e4"] == 0).all()
     assert (det["remainder_e4"] == 0).all()
     assert (det["trend_e4"] == 10_000 * det["x"]).all()
+
+
+def test_remainder_outliers_flags_spike_not_season(spark):
+    """Seasonal-ESD composition: on a strong period-7 series with one
+    planted spike, k-sigma on the DESEASONALIZED remainder flags exactly
+    the spiked bucket, while the same rule on the raw series flags the
+    seasonal peaks too (or misses the spike) — the reason to decompose
+    first."""
+    import datetime as dt
+
+    from rtsa_spark.operators.anomaly import zscore_outliers
+
+    base = dt.datetime(2024, 1, 1)
+    season = [0, 3000, 6000, 9000, 6000, 3000, 0]
+    spike_day = 17  # mid-series, not a seasonal peak phase (17 % 7 = 3 is
+    # the peak phase — pick a trough phase instead)
+    spike_day = 21  # 21 % 7 == 0: trough phase
+    rows = [
+        (
+            "s",
+            base + dt.timedelta(days=d),
+            10_000 + season[d % 7] + (8_000 if d == spike_day else 0),
+        )
+        for d in range(42)
+    ]
+    df = spark.createDataFrame(
+        rows, "source string, bucket_start timestamp, x long"
+    )
+    comp = decompose_components_deterministic(df, "daily", value_col="x", period=7)
+    rem = comp.select(
+        "source", "bucket_start", F.expr("remainder_e4 div 10000").alias("r0")
+    )
+    out = zscore_outliers(rem, "source", "bucket_start", "r0").toPandas()
+    flagged = set(
+        out[out["is_outlier"]]["t"].dt.to_pydatetime().tolist()
+    )
+    spike_ts = base + dt.timedelta(days=spike_day)
+    assert spike_ts in flagged
+    # decomposition absorbs the seasonal swing: nothing BUT the spike's
+    # neighborhood is flagged (reflect-padded MA smears the spike into at
+    # most the adjacent window, never onto seasonal peaks)
+    peak_ts = {base + dt.timedelta(days=d) for d in range(42) if d % 7 == 3}
+    assert not (flagged & peak_ts)
+    # control: raw k-sigma cannot isolate the spike from the seasonal swing
+    raw = zscore_outliers(df, "source", "bucket_start", "x").toPandas()
+    raw_flagged = set(raw[raw["is_outlier"]]["t"].dt.to_pydatetime().tolist())
+    assert raw_flagged != flagged
