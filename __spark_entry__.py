@@ -1960,6 +1960,73 @@ FROM ord GROUP BY source
 """
 
 
+def q_streaming_sessions(spark, sf_dir):
+    """Native Structured-Streaming session windows (SURVEY §2.9,
+    streaming/rollup_stream.streaming_sessions): availableNow replay of
+    the derived sequences through F.session_window (gap 7 days — mean
+    per-source inter-arrival is ~5 days, so sessions genuinely merge),
+    append mode + a 2099 sentinel so the watermark finalizes every real
+    session (the sentinel's own session stays open and is withheld).
+    DuckDB replays the islands construction with the engine's INCLUSIVE
+    boundary (delta > gap starts a new session — pinned by pytest;
+    session_end = last event + gap)."""
+    import tempfile
+
+    from rtsa_spark.streaming.rollup_stream import (
+        read_sequences_stream,
+        run_stream_to_parquet,
+        streaming_sessions,
+    )
+
+    work = tempfile.mkdtemp(prefix="rtsa_stream_sess_")
+    seq = _derived_sequences(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.expr("CAST(array() AS array<int>)").alias("tokens"),
+        F.col("n_tok").cast("int").alias("n_tok"),
+        "source",
+        "ts",
+    )
+    sentinel = seq.limit(1).withColumn(
+        "ts", F.lit("2099-01-01 00:00:00").cast("timestamp")
+    )
+    seq.unionByName(sentinel).coalesce(4).write.mode("overwrite").parquet(
+        f"{work}/in"
+    )
+    stream = read_sequences_stream(spark, f"{work}/in", max_files_per_trigger=None)
+    sess = streaming_sessions(stream, gap_s=604800, watermark="5 minutes")
+    q = run_stream_to_parquet(sess, f"{work}/out", f"{work}/ckpt")
+    q.awaitTermination(300)
+    return spark.read.parquet(f"{work}/out").select(
+        "source",
+        "session_start",
+        "session_end",
+        F.col("n_events").cast("bigint").alias("n_events"),
+        F.col("v_sum").cast("bigint").alias("v_sum"),
+    )
+
+
+SQL_STREAMING_SESSIONS = f"""
+WITH {SQL_SEQ_CTE}, flagged AS (
+  SELECT source, ts, n_tok,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch(ts) - epoch(lag(ts) OVER w) > 604800
+              THEN 1 ELSE 0 END AS is_new
+  FROM seq WINDOW w AS (PARTITION BY source ORDER BY ts)
+), ids AS (
+  SELECT source, ts, n_tok,
+         sum(is_new) OVER (PARTITION BY source ORDER BY ts
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM flagged
+)
+SELECT source,
+       min(ts) AS session_start,
+       max(ts) + INTERVAL 604800 SECOND AS session_end,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(n_tok) AS BIGINT) AS v_sum
+FROM ids GROUP BY source, sid
+"""
+
+
 def q_retention_ladder(spark, sf_dir):
     """Retention-policy audit over the derived tiers (the 'retention' in
     the north star): per-tier kept/dropped bucket-row counts under fixed
@@ -6071,6 +6138,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distribution_drift": q_distribution_drift,
         # ---------- fold: entries below are outside the 50-query gate ----------
         "streaming_dedup": q_streaming_dedup,
+        "streaming_sessions": q_streaming_sessions,
         "simhash16": q_simhash16,
         "trailing_window": q_trailing_window,
         "missing_ranges": q_missing_ranges,
@@ -6252,6 +6320,7 @@ def oracle_sql() -> dict[str, str]:
         "histogram_quantiles": SQL_HISTOGRAM_QUANTILES,
         "trailing_window": SQL_TRAILING_WINDOW,
         "streaming_dedup": SQL_STREAMING_DEDUP,
+        "streaming_sessions": SQL_STREAMING_SESSIONS,
         "rollup_weekly_branch": _SQL_ROLLUP_TEMPLATE.format(unit="week"),
         "benford_audit": SQL_BENFORD,
         "iqr_outliers": SQL_IQR_OUTLIERS,

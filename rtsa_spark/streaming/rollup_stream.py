@@ -106,6 +106,53 @@ def streaming_dedup(
     )
 
 
+def streaming_sessions(
+    stream: DataFrame,
+    gap_s: int = 600,
+    watermark: str = "10 minutes",
+    key_col: str = "source",
+    ts_col: str = "ts",
+    value_col: str = "n_tok",
+) -> DataFrame:
+    """Native Structured-Streaming session windows (``F.session_window``):
+    per-key sessions that close after ``gap_s`` seconds of inactivity —
+    the incremental twin of ``operators/sessionize.sessionize`` for the
+    live ingest path (burst detection, per-crawl-session accounting).
+
+    Engine semantics, pinned by tests: an event exactly ``gap_s`` after
+    its predecessor MERGES into the session (inclusive boundary — a new
+    event at the session's current end ``last_ts + gap_s`` extends it),
+    matching the batch operator's ``> gap_s`` split exactly, so batch
+    ``sessionize`` and this stream agree on every input.
+    ``session_end`` is always ``last event + gap_s``. Append mode emits
+    a session only once the watermark passes its end, so every emitted
+    row is final — no retraction handling downstream.
+
+    Scale shape: Spark's built-in session-window state store (merging
+    windows per key, watermark-evicted) — state is bounded by keys x
+    open sessions, never by history; no Python in the loop.
+    """
+    if gap_s <= 0:
+        raise ValueError("gap_s must be > 0")
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(
+            key_col, F.session_window(F.col(ts_col), f"{int(gap_s)} seconds")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum(value_col).cast("bigint").alias("v_sum"),
+        )
+        .select(
+            key_col,
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+            "v_sum",
+        )
+    )
+
+
 def run_stream_to_parquet(
     rollup_stream: DataFrame,
     out_path: str,

@@ -233,3 +233,66 @@ def test_streaming_liveness_event_time_timeout(spark, tmp_path):
     assert not [r for r in rows if r["source"] == "A" and r["stale"]]
     # heartbeats: every batch with data emitted a fresh row
     assert [r for r in rows if r["source"] == "A" and not r["stale"]]
+
+
+def test_streaming_sessions_boundary_and_merge(spark, tmp_path):
+    """Native session windows: an event exactly gap_s after its
+    predecessor MERGES into the session (inclusive boundary — matches
+    batch sessionize's > gap_s split); session_end == last event + gap;
+    the sentinel's open session is withheld by the watermark."""
+    import datetime as dt
+
+    from rtsa_spark.streaming.rollup_stream import streaming_sessions
+
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    gap = 60
+    rows = [
+        # source a: 30 s deltas merge; d4 exactly gap (60 s) after d3
+        # also merges (inclusive boundary pin); d5 at gap+1 s after d4
+        # starts a NEW session
+        ("d1", [], 10, "a", base),
+        ("d2", [], 11, "a", base + dt.timedelta(seconds=30)),
+        ("d3", [], 12, "a", base + dt.timedelta(seconds=60)),
+        ("d4", [], 13, "a", base + dt.timedelta(seconds=120)),
+        ("d4b", [], 14, "a", base + dt.timedelta(seconds=181)),
+        # source b: lone event
+        ("d5", [], 20, "b", base),
+        # sentinel far future: flushes the watermark, stays open itself
+        ("d6", [], 1, "a", dt.datetime(2099, 1, 1)),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id string, tokens array<int>, n_tok int, source string, ts timestamp"
+    )
+    inp = str(tmp_path / "in")
+    df.coalesce(1).write.mode("overwrite").parquet(inp)
+    from rtsa_spark.streaming.rollup_stream import (
+        read_sequences_stream,
+        run_stream_to_parquet,
+    )
+
+    stream = read_sequences_stream(spark, inp, max_files_per_trigger=None)
+    sess = streaming_sessions(stream, gap_s=gap, watermark="1 minute")
+    q = run_stream_to_parquet(
+        sess, str(tmp_path / "out"), str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(300)
+    out = spark.read.parquet(str(tmp_path / "out")).toPandas()
+    got = {
+        (r.source, r.session_start.to_pydatetime()): (r.n_events, r.v_sum,
+                                                      r.session_end.to_pydatetime())
+        for r in out.itertuples()
+    }
+    # a: [0, 30, 60, 120] one session — the 120 s event is exactly gap
+    # after 60 s and MERGES (inclusive); the 181 s event is gap+1 after
+    # 120 s and starts a new session
+    assert got[("a", base)] == (4, 46, base + dt.timedelta(seconds=120 + gap))
+    s2 = base + dt.timedelta(seconds=181)
+    assert got[("a", s2)] == (1, 14, s2 + dt.timedelta(seconds=gap))
+    assert got[("b", base)] == (1, 20, base + dt.timedelta(seconds=gap))
+    # the 2099 sentinel session is still open -> not emitted
+    assert len(got) == 3
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        streaming_sessions(stream, gap_s=0)
