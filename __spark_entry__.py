@@ -78,6 +78,31 @@ seq AS (
 )
 """
 
+# Same seq CTE but emitting the raw text (for the token-id analytics that
+# re-tokenize in SQL) — a first-class constant, not string surgery on
+# SQL_SEQ_CTE, so reformatting one can never silently break the other.
+SQL_SEQ_TEXT_CTE = f"""
+seq AS (
+  SELECT doc_id, source, text,
+         TIMESTAMP '2024-01-01 00:00:00'
+           + (('0x' || substr(md5(doc_id::VARCHAR), 1, 12))::BIGINT
+              % {SEQ_HORIZON_S}) * INTERVAL 1 SECOND AS ts
+  FROM documents
+)
+"""
+
+
+def _sql_tok_cte(unit: str, distinct: bool = False) -> str:
+    """Shared tokenizer CTE over SQL_SEQ_TEXT_CTE's ``seq``: one row per
+    (source, date_trunc bucket, 16-bit md5 token id) — the DuckDB twin of
+    ``_token_seq`` + explode. ``distinct`` collapses to the per-bucket
+    vocabulary (set semantics) for the overlap query."""
+    return f"""tok AS MATERIALIZED (
+  SELECT {"DISTINCT " if distinct else ""}source, date_trunc('{unit}', ts) AS b,
+         ('0x' || substr(md5(w), 1, 4))::INTEGER AS token
+  FROM (SELECT source, ts, unnest(string_split(text, ' ')) AS w FROM seq)
+)"""
+
 
 def _hourly_series(spark, sf_dir):
     """Shared base: hourly value series per event_type via the engine."""
@@ -2108,7 +2133,10 @@ def q_media_decode(spark, sf_dir):
     big-endian i16 PCM from the body — and folds exact-int sample
     digests. Every field the decoder emits comes from the payload, not
     from metadata columns."""
-    from rtsa_spark.functions.multimodal import decode_media_digests
+    from rtsa_spark.functions.multimodal import (
+        decode_media_digests,
+        rtsm_header_hex,
+    )
 
     docs = _documents(spark, sf_dir).where(F.length("text") > 0)
     L = F.length("text")
@@ -2117,15 +2145,7 @@ def q_media_decode(spark, sf_dir):
     width = (1 + F.pmod(L, F.lit(13))).cast("int")
     height = (1 + F.pmod(L, F.lit(7))).cast("int")
     rate = F.when(kc == 2, F.lit(16)).otherwise(F.lit(0)).cast("int")
-    header_hex = F.concat(
-        F.lit("5254534d"),
-        F.lit("01"),
-        F.lpad(F.hex(kc), 2, "0"),
-        F.lpad(F.hex(width), 4, "0"),
-        F.lpad(F.hex(height), 4, "0"),
-        F.lpad(F.hex(reps), 8, "0"),
-        F.lpad(F.hex(rate), 4, "0"),
-    )
+    header_hex = rtsm_header_hex(kc, width, height, reps, rate)
     body = F.encode(
         F.repeat(F.md5(F.encode(F.col("text"), "utf-8")), reps), "utf-8"
     )
@@ -2820,12 +2840,8 @@ def q_token_histogram_cascade(spark, sf_dir):
 
 
 SQL_TOKEN_HIST = f"""
-WITH {SQL_SEQ_CTE.replace("len(string_split(text, ' ')) AS n_tok", "text")},
-tok AS MATERIALIZED (
-  SELECT source, date_trunc('day', ts) AS b,
-         ('0x' || substr(md5(w), 1, 4))::INTEGER AS token
-  FROM (SELECT source, ts, unnest(string_split(text, ' ')) AS w FROM seq)
-), daily AS (
+WITH {SQL_SEQ_TEXT_CTE},
+{_sql_tok_cte("day")}, daily AS (
   SELECT source, b, token, count(*) AS cnt FROM tok GROUP BY 1, 2, 3
 ), topk AS (
   SELECT source, b, token, cnt FROM (
@@ -2872,12 +2888,8 @@ def q_token_diversity(spark, sf_dir):
 
 
 SQL_TOKEN_DIVERSITY = f"""
-WITH {SQL_SEQ_CTE.replace("len(string_split(text, ' ')) AS n_tok", "text")},
-tok AS MATERIALIZED (
-  SELECT source, date_trunc('day', ts) AS b,
-         ('0x' || substr(md5(w), 1, 4))::INTEGER AS token
-  FROM (SELECT source, ts, unnest(string_split(text, ' ')) AS w FROM seq)
-), cnts AS (
+WITH {SQL_SEQ_TEXT_CTE},
+{_sql_tok_cte("day")}, cnts AS (
   SELECT source, b, token, count(*) AS cnt FROM tok GROUP BY 1, 2, 3
 ), agg AS (
   SELECT source, b,
@@ -2907,12 +2919,8 @@ def q_vocab_growth(spark, sf_dir):
 
 
 SQL_VOCAB_GROWTH = f"""
-WITH {SQL_SEQ_CTE.replace("len(string_split(text, ' ')) AS n_tok", "text")},
-tok AS MATERIALIZED (
-  SELECT source, date_trunc('day', ts) AS b,
-         ('0x' || substr(md5(w), 1, 4))::INTEGER AS token
-  FROM (SELECT source, ts, unnest(string_split(text, ' ')) AS w FROM seq)
-), first_seen AS (
+WITH {SQL_SEQ_TEXT_CTE},
+{_sql_tok_cte("day")}, first_seen AS (
   SELECT source, token, min(b) AS b FROM tok GROUP BY 1, 2
 ), pb AS (
   SELECT source, b, CAST(count(*) AS BIGINT) AS new_types
@@ -2938,12 +2946,8 @@ def q_vocab_overlap(spark, sf_dir):
 
 
 SQL_VOCAB_OVERLAP = f"""
-WITH {SQL_SEQ_CTE.replace("len(string_split(text, ' ')) AS n_tok", "text")},
-tok AS MATERIALIZED (
-  SELECT DISTINCT source, date_trunc('month', ts) AS b,
-         ('0x' || substr(md5(w), 1, 4))::INTEGER AS token
-  FROM (SELECT source, ts, unnest(string_split(text, ' ')) AS w FROM seq)
-), sz AS MATERIALIZED (
+WITH {SQL_SEQ_TEXT_CTE},
+{_sql_tok_cte("month", distinct=True)}, sz AS MATERIALIZED (
   SELECT source, b, CAST(count(*) AS BIGINT) AS n_types FROM tok GROUP BY 1, 2
 ), pairs AS (
   SELECT ta.source AS src_a, tb.source AS src_b, ta.b AS b,

@@ -46,6 +46,22 @@ RTSM_HEADER_LEN = 16
 RTSM_KIND_CODES = {"image": 1, "audio": 2, "video": 3}
 
 
+def rtsm_header_hex(kind_code, width, height, n_units, rate_khz):
+    """Catalyst expression for the hex string of a 16-byte RTSM v1 header.
+    The ONE place that encodes the byte layout builder-side — synth_media
+    and any test/gate query that assembles payloads must use this, so the
+    field offsets can never drift from the numpy parser above."""
+    return F.concat(
+        F.lit("5254534d"),  # "RTSM"
+        F.lit("01"),  # version 1
+        F.lpad(F.hex(kind_code), 2, "0"),
+        F.lpad(F.hex(width), 4, "0"),
+        F.lpad(F.hex(height), 4, "0"),
+        F.lpad(F.hex(n_units), 8, "0"),
+        F.lpad(F.hex(rate_khz), 4, "0"),
+    )
+
+
 def synth_media(spark, n_rows: int, seed: int = 42, payload_bytes: int = 256) -> DataFrame:
     """Deterministic media table with REAL self-describing RTSM payloads:
     the 16-byte header is built field-by-field in Catalyst (hex-string
@@ -71,15 +87,7 @@ def synth_media(spark, n_rows: int, seed: int = 42, payload_bytes: int = 256) ->
         .otherwise(F.lit(1))
     ).cast("int")
     rate_khz = F.when(kc == 2, F.lit(16)).otherwise(F.lit(0))
-    header_hex = F.concat(
-        F.lit("5254534d"),  # "RTSM"
-        F.lit("01"),
-        F.lpad(F.hex(kc), 2, "0"),
-        F.lpad(F.hex(width), 4, "0"),
-        F.lpad(F.hex(height), 4, "0"),
-        F.lpad(F.hex(n_units), 8, "0"),
-        F.lpad(F.hex(rate_khz), 4, "0"),
-    )
+    header_hex = rtsm_header_hex(kc, width, height, n_units, rate_khz)
     chunks = F.transform(
         F.sequence(F.lit(0), F.lit(body_bytes // 8 - 1)),
         lambda i: F.lpad(F.hex(F.xxhash64(mid, i, F.lit(seed + 1))), 16, "0"),
@@ -135,16 +143,21 @@ def _rtsm_headers(payloads: "pd.Series") -> tuple:
     return lens, blob, off, kind_code, width, height, n_units, rate_khz
 
 
-def _rtsm_sample_stream(payloads: "pd.Series") -> tuple:
+def _rtsm_sample_stream(payloads: "pd.Series", parsed: tuple = None) -> tuple:
     """Decoded per-row sample stream of one batch: ``(values, row_ids,
     positions)`` where image/video samples are body u8 bytes and audio
     samples are big-endian i16 PCM (position = sample index within the
     row). Batch-vectorized: one mask over the concatenated blob, no
-    per-row Python."""
+    per-row Python. Pass ``parsed`` = the ``_rtsm_headers`` tuple when the
+    caller already parsed the batch — payloads dominate data volume, so
+    re-concatenating and re-validating them here would double the byte
+    traffic of the hot decode path."""
     import numpy as np
 
     nb = len(payloads)
-    lens, blob, off, kind_code, *_ = _rtsm_headers(payloads)
+    lens, blob, off, kind_code, *_ = (
+        parsed if parsed is not None else _rtsm_headers(payloads)
+    )
     blens = lens - RTSM_HEADER_LEN
     row_ids = np.repeat(np.arange(nb), blens)
     starts = off + RTSM_HEADER_LEN
@@ -174,10 +187,9 @@ def _parse_rtsm(payloads: "pd.Series") -> dict:
     import numpy as np
 
     nb = len(payloads)
-    lens, blob, off, kind_code, width, height, n_units, rate_khz = (
-        _rtsm_headers(payloads)
-    )
-    sval, srow, _ = _rtsm_sample_stream(payloads)
+    parsed = _rtsm_headers(payloads)
+    lens, blob, off, kind_code, width, height, n_units, rate_khz = parsed
+    sval, srow, _ = _rtsm_sample_stream(payloads, parsed=parsed)
     n_samples = np.bincount(srow, minlength=nb).astype(np.int64)
     sample_sum = np.bincount(srow, weights=sval, minlength=nb).astype(np.int64)
     bins = np.where(sval < 0, sval + 65536, sval)

@@ -352,7 +352,8 @@ def token_diversity(
     (source, bucket, token) triple shuffle as :func:`token_histogram`
     (map-side combined) followed by one bucket-sized agg — no UDF, no
     driver state. Buckets past ``DIVERSITY_TOKEN_CAP`` tokens fail loudly
-    at plan level (see the cap's note)."""
+    at plan level; the guard is threaded through ``n_tok`` into every
+    derived column, so it survives any downstream column pruning."""
     bucket = F.date_trunc(BUCKET_OF[tier], F.col(ts_col)).alias("bucket_start")
     counts = (
         df.select("source", bucket, F.explode("tokens").alias("token"))
@@ -375,10 +376,14 @@ def token_diversity(
             )
         ).cast("bigint"),
     ).otherwise(F.col("n_tok"))
-    return agg.select(
+    # Replace n_tok with the guarded expression BEFORE deriving the ratios:
+    # every output below then depends on the guard, so column pruning can
+    # never drop the cap check (selecting only simpson_e6 still fires it).
+    guarded = agg.withColumn("n_tok", n_tok_ok)
+    return guarded.select(
         "source",
         "bucket_start",
-        n_tok_ok.alias("n_tok"),
+        "n_tok",
         "n_types",
         F.expr("(1000000 * n_types) div n_tok").alias("ttr_e6"),
         F.when(

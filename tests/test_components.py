@@ -174,9 +174,7 @@ def test_remainder_outliers_flags_spike_not_season(spark):
 
     base = dt.datetime(2024, 1, 1)
     season = [0, 3000, 6000, 9000, 6000, 3000, 0]
-    spike_day = 17  # mid-series, not a seasonal peak phase (17 % 7 = 3 is
-    # the peak phase — pick a trough phase instead)
-    spike_day = 21  # 21 % 7 == 0: trough phase
+    spike_day = 21  # mid-series, at a seasonal trough phase (21 % 7 == 0)
     rows = [
         (
             "s",

@@ -263,6 +263,10 @@ def test_token_diversity_cap_raises(spark):
         )
         with _pytest.raises(Exception, match="token_diversity"):
             _r.token_diversity(df, "daily").collect()
+        # the guard must survive column pruning: selecting only a derived
+        # ratio (n_tok itself pruned from the output) still fires it
+        with _pytest.raises(Exception, match="token_diversity"):
+            _r.token_diversity(df, "daily").select("simpson_e6").collect()
     finally:
         _r.DIVERSITY_TOKEN_CAP = old
 
