@@ -7,7 +7,11 @@ next reads it, with a lineage ledger that makes re-runs idempotent:
   stages **partitioned by calendar month** (``p_month=YYYY-MM`` dirs), and
   appends a lineage row ``{run_id, stage, rows_in, rows_out, n_files,
   started_at, finished_at, status, fingerprint}`` to
-  ``<base>/lineage.jsonl``;
+  ``<base>/lineage.jsonl``, plus one PER-PARTITION manifest row
+  ``{run_id, stage, p_month, rows, n_files, bytes, status, finished_at}``
+  per published month dir to ``<base>/partition_lineage.jsonl`` (the
+  metrics rows of the north rule — what an Iceberg snapshot's manifest
+  entries record per partition);
 - a stage is SKIPPED on re-run when a SUCCESS lineage row exists whose
   input fingerprint matches. The fingerprint is a CONTENT hash
   (``count:bit_xor(xxhash64(*cols))``, order-independent, one cheap
@@ -107,6 +111,72 @@ class TierPipeline:
         with open(self._ledger_path, "a") as f:
             f.write(json.dumps(row) + "\n")
 
+    # ------------------------------------------- per-partition lineage
+    @property
+    def _partition_ledger_path(self) -> str:
+        return os.path.join(self.base, "partition_lineage.jsonl")
+
+    def _append_partition_rows(
+        self, stage: str, path: str, status: str, months: list[str] | None = None
+    ) -> int:
+        """Append one lineage row PER month partition of a published stage
+        (the parquet emulation of an Iceberg snapshot's per-partition
+        manifest entries): ``{run_id, stage, p_month, rows, n_files,
+        bytes, status, finished_at}``. ``months`` restricts accounting to
+        the refreshed partitions (partition-pruned scan). Non-partitioned
+        stages get a single row with ``p_month=None``. Returns the total
+        row count across the accounted partitions, so the caller's stage
+        row needs no second count job."""
+        df = self.spark.read.parquet(path)
+        partitioned = P_MONTH in df.columns
+        if partitioned:
+            if months is not None:
+                df = df.where(F.col(P_MONTH).isin(months))
+            counts = {
+                r[P_MONTH]: r["n"]
+                for r in df.groupBy(P_MONTH).agg(
+                    F.count(F.lit(1)).alias("n")
+                ).collect()
+            }
+        else:
+            counts = {None: df.count()}
+        now = time.time()
+        total = 0
+        for month, rows in sorted(counts.items(), key=lambda kv: str(kv[0])):
+            pdir = path if month is None else os.path.join(path, f"{P_MONTH}={month}")
+            n_files = n_bytes = 0
+            for root, _dirs, files in os.walk(pdir):
+                for fname in files:
+                    if fname.endswith(".parquet"):
+                        n_files += 1
+                        n_bytes += os.path.getsize(os.path.join(root, fname))
+            self._append_ledger_row(
+                self._partition_ledger_path,
+                {
+                    "run_id": self.run_id,
+                    "stage": stage,
+                    "p_month": month,
+                    "rows": rows,
+                    "n_files": n_files,
+                    "bytes": n_bytes,
+                    "status": status,
+                    "finished_at": now,
+                },
+            )
+            total += rows
+        return total
+
+    @staticmethod
+    def _append_ledger_row(ledger_path: str, row: dict) -> None:
+        with open(ledger_path, "a") as f:
+            f.write(json.dumps(row) + "\n")
+
+    def partition_lineage(self) -> DataFrame:
+        """Per-partition ledger as a DataFrame — the metrics-row twin of
+        :meth:`lineage` at month-partition grain (north rule: resumable
+        checkpoints with per-partition lineage + metrics rows)."""
+        return self.spark.read.json(self._partition_ledger_path)
+
     def _completed(self, stage: str, fingerprint: str) -> bool:
         return any(
             r["stage"] == stage
@@ -140,10 +210,11 @@ class TierPipeline:
         if "bucket_start" in df.columns:
             writer = self._with_month(df).write.mode("overwrite").partitionBy(P_MONTH)
         writer.parquet(tmp)
-        rows_out = self.spark.read.parquet(tmp).count()
         if os.path.exists(final):
             shutil.rmtree(final)
         os.rename(tmp, final)
+        # per-partition manifest rows double as the stage row count
+        rows_out = self._append_partition_rows(stage, final, "SUCCESS")
         n_files = sum(
             1
             for _root, _dirs, files in os.walk(final)
@@ -304,6 +375,7 @@ class TierPipeline:
             t0 = time.time()
             n_new = recomputed.count()
             _overwrite_months(recomputed, path)
+            self._append_partition_rows(stage, path, "REFRESH", months=months)
             self._append_ledger(
                 {
                     "run_id": self.run_id,
@@ -348,6 +420,7 @@ class TierPipeline:
                 else:
                     hist = token_histogram(affected_seq, tier, top_k=self.hist_top_k)
                 _overwrite_months(hist, hpath)
+                self._append_partition_rows(hstage, hpath, "REFRESH", months=months)
                 self._append_ledger(
                     {
                         "run_id": self.run_id,

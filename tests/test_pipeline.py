@@ -61,6 +61,64 @@ def test_lineage_table(spark, tiny_sequences, tmp_path):
     assert rows["rollup_monthly"]["rows_out"] <= rows["rollup_daily"]["rows_out"]
 
 
+def test_partition_lineage_manifest(spark, tiny_sequences, tmp_path):
+    """Every published stage gets per-month manifest rows whose row/file
+    counts reconcile with the stage ledger and the bytes on disk."""
+    import pyspark.sql.functions as F
+
+    d = str(tmp_path / "plin")
+    p = TierPipeline(spark, d, metrics_tiers=())
+    p.run(tiny_sequences)
+    stage_rows = {r["stage"]: r for r in p._ledger()}
+    parts = [r.asDict() for r in p.partition_lineage().collect()]
+    by_stage: dict[str, list[dict]] = {}
+    for r in parts:
+        by_stage.setdefault(r["stage"], []).append(r)
+
+    months = {
+        r["m"]
+        for r in tiny_sequences.select(
+            F.date_format("ts", "yyyy-MM").alias("m")
+        ).distinct().collect()
+    }
+    for stage, prs in by_stage.items():
+        # partition grain: one row per month dir, all carrying real sizes
+        assert {r["p_month"] for r in prs} == months, stage
+        assert sum(r["rows"] for r in prs) == stage_rows[stage]["rows_out"], stage
+        assert sum(r["n_files"] for r in prs) == stage_rows[stage]["n_files"], stage
+        assert all(r["bytes"] > 0 and r["n_files"] >= 1 for r in prs), stage
+    assert set(by_stage) == set(stage_rows)  # every stage has manifest rows
+
+
+def test_partition_lineage_refresh_scoped(spark, tiny_sequences, tmp_path):
+    """refresh_months appends REFRESH manifest rows ONLY for the refreshed
+    months of the partition-swapped tiers (derived stages are fully
+    rewritten and log SUCCESS rows)."""
+    import pyspark.sql.functions as F
+
+    import json
+
+    d = str(tmp_path / "plref")
+    p = TierPipeline(spark, d, gapfill_tiers=(), metrics_tiers=())
+    p.run(tiny_sequences)
+
+    def _rows():
+        with open(p._partition_ledger_path) as f:
+            return [json.loads(line) for line in f if line.strip()]
+
+    n_before = len(_rows())
+    month = tiny_sequences.select(
+        F.date_format("ts", "yyyy-MM").alias("m")
+    ).agg(F.min("m")).first()[0]
+    p.refresh_months(tiny_sequences, [month])
+    fresh = _rows()[n_before:]
+    refresh_rows = [r for r in fresh if r["status"] == "REFRESH"]
+    assert refresh_rows and all(r["p_month"] == month for r in refresh_rows)
+    assert {r["stage"] for r in refresh_rows} == {
+        f"rollup_{t}" for t in p.tiers
+    }
+
+
 def test_salted_rollup_equals_plain(spark, tiny_sequences):
     import pyspark.sql.functions as F
 
