@@ -342,6 +342,41 @@ def main() -> int:
         "HashAggregate" in cs_plan and "Join" not in cs_plan,
     )
 
+    # 18. seasonal-ESD composition (decompose -> k-sigma on remainders):
+    #     per-key moments re-enter via broadcast, nothing Python-side
+    from pyspark.sql import functions as F
+
+    from rtsa_spark.operators.anomaly import zscore_outliers
+
+    rem = comp.select(
+        "source", "bucket_start",
+        F.expr("remainder_e4 div 10000").alias("r0"),
+    )
+    esd_plan = plan_of(
+        zscore_outliers(rem, "source", "bucket_start", "r0", k_num=3, k_den=1)
+    )
+    ok &= check(
+        "seasonal-ESD: moment join broadcasts, no cartesian/Python eval",
+        "BroadcastHashJoin" in esd_plan
+        and "Cartesian" not in esd_plan
+        and "EvalPython" not in esd_plan,
+    )
+
+    # 19. exact trailing quantiles: one range-frame window pass over the
+    #     TIER table — no join, no shuffle beyond the window exchange,
+    #     no Python eval (the sort-in-frame is a codegen array expr)
+    from rtsa_spark.operators.rollup import trailing_quantile
+
+    tq_plan = plan_of(
+        trailing_quantile(hr, 24, 3600, ["source"], "n_tok_sum")
+    )
+    ok &= check(
+        "trailing quantiles: single window pass, no join/Python eval",
+        "Window" in tq_plan
+        and "Join" not in tq_plan
+        and "EvalPython" not in tq_plan,
+    )
+
     spark.stop()
     print("AUDIT", "PASS" if ok else "FAIL")
     return 0 if ok else 1
