@@ -1417,6 +1417,19 @@ def q_pipeline_publish_audit(spark, sf_dir):
         )
         cols = joined.columns
         rows = [tuple(r[c] for c in cols) for r in joined.collect()]
+        # per-partition manifest reconciliation: total manifest rows must
+        # equal the sum of all tier row counts, and the manifest must hold
+        # one row per (stage, month) partition
+        man = (
+            tp.partition_lineage()
+            .where(F.col("stage").startswith("rollup_"))
+            .agg(
+                F.sum("rows").alias("mr"), F.count(F.lit(1)).alias("mp")
+            )
+            .first()
+        )
+        manifest_rows_total = int(man["mr"])
+        manifest_partitions = int(man["mp"])
     finally:
         shutil.rmtree(base, ignore_errors=True)
     n_published = sum(1 for k in paths if k.startswith("rollup_"))
@@ -1424,8 +1437,16 @@ def q_pipeline_publish_audit(spark, sf_dir):
         f"{c} bigint" for c in cols if c != "source"
     )
     out = spark.createDataFrame(rows, schema)
-    return out.withColumn(
-        "stages_published", F.lit(int(n_published)).cast("bigint")
+    return (
+        out.withColumn(
+            "stages_published", F.lit(int(n_published)).cast("bigint")
+        )
+        .withColumn(
+            "manifest_rows_total", F.lit(manifest_rows_total).cast("bigint")
+        )
+        .withColumn(
+            "manifest_partitions", F.lit(manifest_partitions).cast("bigint")
+        )
     )
 
 
@@ -1442,7 +1463,14 @@ SELECT source,
        CAST(epoch(max(date_trunc('day', ts))) AS BIGINT) AS daily_last_s,
        CAST(count(DISTINCT date_trunc('month', ts)) AS BIGINT) AS n_monthly,
        CAST(sum(n_tok) AS BIGINT) AS tok_monthly,
-       CAST(4 AS BIGINT) AS stages_published
+       CAST(4 AS BIGINT) AS stages_published,
+       CAST(sum(count(DISTINCT date_trunc('minute', ts))
+                + count(DISTINCT date_trunc('hour', ts))
+                + count(DISTINCT date_trunc('day', ts))
+                + count(DISTINCT date_trunc('month', ts))) OVER ()
+            AS BIGINT) AS manifest_rows_total,
+       CAST((SELECT 4 * count(DISTINCT date_trunc('month', s2.ts))
+             FROM seq s2) AS BIGINT) AS manifest_partitions
 FROM seq GROUP BY 1
 """
 
