@@ -138,6 +138,11 @@ class TierPipeline:
                     F.count(F.lit(1)).alias("n")
                 ).collect()
             }
+            # a refreshed month the recomputation emptied out was DELETED —
+            # record it as a rows=0 manifest row, not a silent omission
+            if months is not None:
+                for m in months:
+                    counts.setdefault(m, 0)
         else:
             counts = {None: df.count()}
         now = time.time()

@@ -142,6 +142,21 @@ def test_refresh_removes_fully_deleted_month(spark, tiny_sequences, tmp_path):
     p.refresh_months(corrected, ["2024-02"])
     for tier in ("raw", "hourly", "daily", "monthly"):
         assert not os.path.exists(f"{base}/rollup_{tier}/p_month=2024-02"), tier
+    # the deletion is RECORDED in the partition manifest (rows=0), one row
+    # per rollup tier — never a silent omission
+    import json
+
+    with open(p._partition_ledger_path) as f:
+        zero = [
+            r
+            for line in f
+            if line.strip()
+            for r in [json.loads(line)]
+            if r["status"] == "REFRESH" and r["p_month"] == "2024-02"
+        ]
+    assert len(zero) == 4 and all(
+        r["rows"] == 0 and r["n_files"] == 0 and r["bytes"] == 0 for r in zero
+    )
     # and the tables now equal a from-scratch run on the corrected input
     truth = str(tmp_path / "del_truth")
     TierPipeline(spark, truth, gapfill_tiers=(), metrics_tiers=()).run(corrected)
