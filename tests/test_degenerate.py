@@ -204,3 +204,73 @@ def test_degenerate_round3_late_ops(spark):
     ).selectExpr("source", "to_timestamp(b) AS bucket_start", "x")
     assert top_movers(one_ts, "source", "bucket_start", "x").count() == 0
     assert missing_ranges(one_ts, "hourly").count() == 0
+
+
+def test_degenerate_round4_ops(spark):
+    """Empty and single-row probes for the round-4 operators (token
+    analytics, trailing quantiles, span dedup, component strength,
+    media decode) — every e6 div must survive n=0/n=1 under ANSI."""
+    from rtsa_spark.functions.multimodal import extract_features
+    from rtsa_spark.functions.text import winnow_fingerprints
+    from rtsa_spark.operators.components import (
+        component_strength,
+        decompose_components_deterministic,
+    )
+    from rtsa_spark.operators.dedup import duplicate_spans
+    from rtsa_spark.operators.rollup import (
+        token_diversity,
+        trailing_quantile,
+        vocab_growth,
+        vocab_overlap,
+    )
+
+    empty_seq = spark.createDataFrame(
+        [], "source string, ts timestamp, tokens array<int>"
+    )
+    assert token_diversity(empty_seq, "daily").count() == 0
+    assert vocab_growth(empty_seq, "daily").count() == 0
+    assert vocab_overlap(empty_seq, "monthly").count() == 0
+
+    empty_tier = spark.createDataFrame(
+        [], "source string, bucket_start timestamp, n_tok_sum long"
+    )
+    assert trailing_quantile(empty_tier, 4, 3600, ["source"], "n_tok_sum").count() == 0
+    comp = decompose_components_deterministic(empty_tier, "daily", period=7)
+    assert comp.count() == 0
+    assert component_strength(comp).count() == 0
+
+    empty_docs = spark.createDataFrame([], "doc_id string, text string")
+    assert duplicate_spans(empty_docs).count() == 0
+    assert winnow_fingerprints(empty_docs).count() == 0
+
+    empty_media = spark.createDataFrame(
+        [], "media_id string, kind string, payload binary"
+    )
+    assert extract_features(empty_media).count() == 0
+
+    # single row: one token (n_tok=1 -> simpson NULL, divs still defined),
+    # one bucket (trailing window of itself), doc shorter than one k-gram
+    one_seq = spark.createDataFrame(
+        [("s", "2024-01-01 00:00:00", [7])],
+        "source string, ts string, tokens array<int>",
+    ).selectExpr("source", "to_timestamp(ts) AS ts", "tokens")
+    [d] = token_diversity(one_seq, "daily").collect()
+    assert d["n_tok"] == 1 and d["simpson_e6"] is None
+    assert d["ttr_e6"] == 1_000_000 and d["top_share_e6"] == 1_000_000
+    [v] = vocab_growth(one_seq, "daily").collect()
+    assert v["new_types"] == 1 and v["vocab_cum"] == 1
+    assert vocab_overlap(one_seq, "monthly").count() == 0  # no pair
+
+    one_tier = spark.createDataFrame(
+        [("s", "2024-01-01 00:00:00", 5)],
+        "source string, b string, n_tok_sum long",
+    ).selectExpr("source", "to_timestamp(b) AS bucket_start", "n_tok_sum")
+    [tq] = trailing_quantile(one_tier, 4, 3600, ["source"], "n_tok_sum").collect()
+    assert tq["n_in_window"] == 1 and tq["w_p50"] == 5 and tq["w_p90"] == 5
+
+    short_doc = spark.createDataFrame(
+        [("d1", "ab")], "doc_id string, text string"
+    )  # shorter than k=4 words: falls back to one whole-text gram
+    assert winnow_fingerprints(short_doc).count() >= 1
+    [sp] = duplicate_spans(short_doc).collect()
+    assert sp["tot_fp"] >= 1 and sp["dup_fp"] == 0 and sp["dup_ppm"] == 0
