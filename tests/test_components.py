@@ -191,9 +191,7 @@ def test_remainder_outliers_flags_spike_not_season(spark):
         "source", "bucket_start", F.expr("remainder_e4 div 10000").alias("r0")
     )
     out = zscore_outliers(rem, "source", "bucket_start", "r0").toPandas()
-    flagged = set(
-        out[out["is_outlier"]]["t"].dt.to_pydatetime().tolist()
-    )
+    flagged = {x.to_pydatetime() for x in out[out["is_outlier"]]["t"]}
     spike_ts = base + dt.timedelta(days=spike_day)
     assert spike_ts in flagged
     # decomposition absorbs the seasonal swing: nothing BUT the spike's
@@ -203,5 +201,5 @@ def test_remainder_outliers_flags_spike_not_season(spark):
     assert not (flagged & peak_ts)
     # control: raw k-sigma cannot isolate the spike from the seasonal swing
     raw = zscore_outliers(df, "source", "bucket_start", "x").toPandas()
-    raw_flagged = set(raw[raw["is_outlier"]]["t"].dt.to_pydatetime().tolist())
+    raw_flagged = {x.to_pydatetime() for x in raw[raw["is_outlier"]]["t"]}
     assert raw_flagged != flagged
