@@ -98,6 +98,8 @@ def ensure_sequences(spark, sf: float, cache_root: str = "/tmp/rtsa_bench") -> s
 
 
 def run_bench(sf_dir: str, cores: int) -> dict:
+    from pyspark.sql import functions as F
+
     from rtsa_spark.operators.encode import encode_tier
     from rtsa_spark.operators.gapfill import gapfill_linear
     from rtsa_spark.operators.metrics import compute_metrics
@@ -209,6 +211,18 @@ def run_bench(sf_dir: str, cores: int) -> dict:
         "encode_hourly",
         lambda: encode_tier(hourly, partitions=min(cores, 16)).count(),
     )
+    # compression accounting (untimed): encoded payload bytes vs the raw
+    # 16 B/point (int64 ts + float64 value) the blocks replace
+    comp = (
+        encode_tier(hourly, partitions=min(cores, 16))
+        .agg(
+            F.sum(
+                F.octet_length("ts_dod") + F.octet_length("val_gorilla")
+            ).alias("enc_bytes"),
+            F.sum("n_points").alias("enc_points"),
+        )
+        .collect()[0]
+    )
     metrics_rows = timed_reps(
         "metrics_daily",
         lambda: compute_metrics(gapfill_linear(daily, "daily"), "daily").count(),
@@ -270,6 +284,10 @@ def run_bench(sf_dir: str, cores: int) -> dict:
         "cores": cores,
         "seq_rows": seq.count(),
         "encode_blocks": blocks,
+        "encoded_bytes": int(comp["enc_bytes"]),
+        "encoded_points": int(comp["enc_points"]),
+        "encode_bytes_per_point": round(comp["enc_bytes"] / comp["enc_points"], 3),
+        "encode_ratio_vs_raw16": round(comp["enc_bytes"] / (16 * comp["enc_points"]), 4),
         "metrics_rows": metrics_rows,
     }
     # CPU of the whole tree BEFORE stop: JVM utime+stime+children (python
