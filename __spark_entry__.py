@@ -1644,6 +1644,42 @@ FROM hourly GROUP BY 1, 2
 """
 
 
+def q_encode_pruned_read(spark, sf_dir):
+    """Block-pruned TSDB read path: encode the hourly tier's exact-int
+    ``n_tok_sum`` into Gorilla/DoD blocks, then ``read_points`` a one-month
+    window — only blocks whose [bucket_lo, bucket_hi] envelope intersects
+    the window are decoded (parquet min/max pruning shape; plan-asserted in
+    tests/test_gorilla.py). Values are exact ints < 2^53 carried through
+    float64, so the decoded window aggregates hash bit-identically."""
+    from rtsa_spark.operators.encode import encode_tier, read_points
+    from rtsa_spark.operators.rollup import rollup_next, rollup_raw
+
+    hourly = rollup_next(rollup_raw(_derived_sequences(spark, sf_dir)), "hourly")
+    pts = read_points(
+        encode_tier(hourly, value_col="n_tok_sum"),
+        start="2024-02-01 00:00:00",
+        end="2024-03-01 00:00:00",
+    )
+    return pts.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.sum(F.col("value").cast("long")).alias("tok_sum"),
+    )
+
+
+SQL_ENCODE_PRUNED_READ = f"""
+WITH {SQL_SEQ_CTE}, hourly AS (
+  SELECT source, date_trunc('hour', ts) AS b, CAST(sum(n_tok) AS BIGINT) AS x
+  FROM seq GROUP BY 1, 2
+)
+SELECT source, CAST(count(*) AS BIGINT) AS n_points,
+       CAST(sum(x) AS BIGINT) AS tok_sum
+FROM hourly
+WHERE b >= TIMESTAMP '2024-02-01 00:00:00'
+  AND b <  TIMESTAMP '2024-03-01 00:00:00'
+GROUP BY 1
+"""
+
+
 def _seq_daily_x(spark, sf_dir):
     """Derived-sequences daily tier (source, bucket_start, x = n_tok_sum)
     via the engine's rollup ladder — x is an exact int both engines agree
@@ -6182,6 +6218,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_norms": q_embedding_norms,
         "langid_heuristic": q_langid_heuristic,
         "sequences_encode_blocks": q_sequences_encode_blocks,
+        "encode_pruned_read": q_encode_pruned_read,
         "sequences_metrics": q_sequences_metrics,
         "stine_audit": q_stine_audit,
         "pchip_audit": q_pchip_audit,
@@ -6296,6 +6333,7 @@ def oracle_sql() -> dict[str, str]:
         "pchip_audit": SQL_SPLINE_AUDIT,
         "sequences_ladder": SQL_SEQ_LADDER,
         "sequences_encode_blocks": SQL_SEQ_ENCODE_BLOCKS,
+        "encode_pruned_read": SQL_ENCODE_PRUNED_READ,
         "encode_roundtrip_audit": SQL_ENCODE_AUDIT,
         # round-3: the formerly rows-only sequences_* entries, now
         # hard-oracled via the parameterized twin generators / audits

@@ -131,3 +131,42 @@ def decode_blocks(blocks: DataFrame) -> DataFrame:
                 )
 
     return blocks.mapInPandas(it, POINT_SCHEMA)
+
+
+def read_points(
+    blocks: DataFrame,
+    start=None,
+    end=None,
+    sources=None,
+) -> DataFrame:
+    """Pruned point read over the encoded-block table: decode only the
+    blocks whose ``[bucket_lo, bucket_hi]`` envelope intersects the
+    half-open time range ``[start, end)`` (and, optionally, only the
+    requested ``sources``).
+
+    The envelope predicate is a plain Catalyst filter on the block
+    manifest columns, so when ``blocks`` comes straight off parquet it is
+    pushed into the scan (row-group min/max stats skip whole blocks
+    without ever reading the bitstreams) — the TSDB chunk-pruning read
+    path, at block granularity. Surviving edge blocks that only partially
+    overlap are trimmed by a point-level filter after decode.
+
+    ``start`` / ``end`` accept datetimes or ISO strings; either side may
+    be None (unbounded). An empty or inverted range is valid and returns
+    zero rows.
+    """
+    pruned = blocks
+    if sources is not None:
+        pruned = pruned.where(F.col("source").isin(list(sources)))
+    if start is not None:
+        pruned = pruned.where(
+            F.col("bucket_hi") >= F.lit(start).cast("timestamp")
+        )
+    if end is not None:
+        pruned = pruned.where(F.col("bucket_lo") < F.lit(end).cast("timestamp"))
+    pts = decode_blocks(pruned)
+    if start is not None:
+        pts = pts.where(F.col("bucket_start") >= F.lit(start).cast("timestamp"))
+    if end is not None:
+        pts = pts.where(F.col("bucket_start") < F.lit(end).cast("timestamp"))
+    return pts

@@ -110,3 +110,56 @@ def test_spark_encode_decode_roundtrip(spark, tiny_sequences):
         F.sum(F.col("n_points") * 16).alias("raw"),
     ).first()
     assert agg["enc"] < agg["raw"]
+
+
+def test_read_points_pruned_window(spark, tiny_sequences, tmp_path):
+    from pyspark.sql import functions as F
+
+    from rtsa_spark.operators.encode import decode_blocks, encode_tier, read_points
+    from rtsa_spark.operators.rollup import rollup_next, rollup_raw
+
+    hourly = rollup_next(rollup_raw(tiny_sequences), "hourly")
+    path = str(tmp_path / "blocks")
+    encode_tier(hourly, value_col="n_tok_mean").write.parquet(path)
+    blocks = spark.read.parquet(path)
+    t0, t1 = "2024-02-01 00:00:00", "2024-03-01 00:00:00"
+    got = read_points(blocks, start=t0, end=t1)
+    # equivalence vs decode-everything-then-filter
+    want = decode_blocks(blocks).where(
+        (F.col("bucket_start") >= F.lit(t0).cast("timestamp"))
+        & (F.col("bucket_start") < F.lit(t1).cast("timestamp"))
+    )
+    n = got.count()
+    assert n == want.count() and n > 0
+    assert got.exceptAll(want).count() == 0
+    # block-level pruning is real: only the overlapping month's blocks
+    # survive the envelope filter (monthly blocks over a 4-month horizon)
+    surviving = blocks.where(
+        (F.col("bucket_hi") >= F.lit(t0).cast("timestamp"))
+        & (F.col("bucket_lo") < F.lit(t1).cast("timestamp"))
+    ).count()
+    assert 0 < surviving < blocks.count()
+    # the envelope predicate reaches the parquet scan (row-group min/max
+    # stats skip non-overlapping blocks without reading the bitstreams)
+    fmt = got._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert "PushedFilters" in fmt and "bucket_hi" in fmt
+
+
+def test_read_points_degenerate_ranges(spark, tiny_sequences):
+    from rtsa_spark.operators.encode import decode_blocks, encode_tier, read_points
+    from rtsa_spark.operators.rollup import rollup_next, rollup_raw
+
+    hourly = rollup_next(rollup_raw(tiny_sequences), "hourly")
+    blocks = encode_tier(hourly, value_col="n_tok_mean")
+    # inverted / empty window: valid, zero rows, no error
+    assert read_points(blocks, start="2025-01-01", end="2024-01-01").count() == 0
+    # unbounded on both sides == full decode
+    assert read_points(blocks).count() == decode_blocks(blocks).count()
+    # source restriction composes with the window
+    one = read_points(blocks, start="2024-02-01", end="2024-03-01",
+                      sources=["s001"])
+    assert one.select("source").distinct().collect() == [("s001",)]

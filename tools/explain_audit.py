@@ -377,6 +377,27 @@ def main() -> int:
         and "EvalPython" not in tq_plan,
     )
 
+    # 20. pruned encoded read: the [bucket_lo, bucket_hi] envelope filter
+    #     is pushed into the parquet scan of the block table (row-group
+    #     min/max stats skip whole blocks before any bitstream is read)
+    from rtsa_spark.operators.encode import encode_tier, read_points
+
+    blocks_path = "/tmp/rtsa_audit/encoded_blocks"
+    encode_tier(hr, value_col="n_tok_sum").write.mode("overwrite").parquet(
+        blocks_path
+    )
+    pr_plan = plan_of(
+        read_points(
+            spark.read.parquet(blocks_path),
+            start="2024-02-01 00:00:00",
+            end="2024-03-01 00:00:00",
+        )
+    )
+    ok &= check(
+        "pruned encoded read: envelope filter pushed to the block scan",
+        "PushedFilters: [" in pr_plan and "bucket_hi" in pr_plan,
+    )
+
     spark.stop()
     print("AUDIT", "PASS" if ok else "FAIL")
     return 0 if ok else 1
