@@ -12,6 +12,11 @@ next reads it, with a lineage ledger that makes re-runs idempotent:
   per published month dir to ``<base>/partition_lineage.jsonl`` (the
   metrics rows of the north rule — what an Iceberg snapshot's manifest
   entries record per partition);
+- optional stages per tier: gap-fill, token histograms, metrics, and
+  (opt-in via ``encode_tiers``) the Gorilla/DoD encoded-block stage
+  ``encoded_<tier>`` — month-partitioned on ``block_day``; blocks are
+  calendar-month groups by construction, so late-data refreshes re-encode
+  only the affected months' partitions like the tiers themselves;
 - a stage is SKIPPED on re-run when a SUCCESS lineage row exists whose
   input fingerprint matches. The fingerprint is a CONTENT hash
   (``count:bit_xor(xxhash64(*cols))``, order-independent, one cheap
@@ -46,6 +51,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import MapType
 
+from rtsa_spark.operators.encode import encode_tier
 from rtsa_spark.operators.gapfill import gapfill_linear
 from rtsa_spark.operators.metrics import compute_metrics
 from rtsa_spark.operators.rollup import TIER_ORDER, rollup_next, rollup_raw
@@ -84,6 +90,8 @@ class TierPipeline:
         metrics_tiers: tuple[str, ...] = ("daily",),
         hist_tiers: tuple[str, ...] = (),
         hist_top_k: int | None = 128,
+        encode_tiers: tuple[str, ...] = (),
+        encode_value_col: str = "n_tok_sum",
         run_id: str | None = None,
     ):
         self.spark = spark
@@ -93,6 +101,8 @@ class TierPipeline:
         self.metrics_tiers = metrics_tiers
         self.hist_tiers = hist_tiers
         self.hist_top_k = hist_top_k
+        self.encode_tiers = encode_tiers
+        self.encode_value_col = encode_value_col
         self.run_id = run_id or uuid.uuid4().hex[:12]
         os.makedirs(self.base, exist_ok=True)
 
@@ -199,9 +209,9 @@ class TierPipeline:
         return df.drop(P_MONTH) if P_MONTH in df.columns else df
 
     @staticmethod
-    def _with_month(df: DataFrame) -> DataFrame:
+    def _with_month(df: DataFrame, ts_col: str = "bucket_start") -> DataFrame:
         return df.withColumn(
-            P_MONTH, F.date_format(F.col("bucket_start"), "yyyy-MM")
+            P_MONTH, F.date_format(F.col(ts_col), "yyyy-MM")
         )
 
     def _write_stage(self, stage: str, df: DataFrame, fingerprint: str) -> str:
@@ -214,6 +224,14 @@ class TierPipeline:
         writer = df.write.mode("overwrite")
         if "bucket_start" in df.columns:
             writer = self._with_month(df).write.mode("overwrite").partitionBy(P_MONTH)
+        elif "block_day" in df.columns:
+            # encoded-block stages: blocks are calendar-month groups, so
+            # month partitioning keys on block_day and stays refresh-able
+            writer = (
+                self._with_month(df, "block_day")
+                .write.mode("overwrite")
+                .partitionBy(P_MONTH)
+            )
         writer.parquet(tmp)
         if os.path.exists(final):
             shutil.rmtree(final)
@@ -265,16 +283,31 @@ class TierPipeline:
             out[stage] = path
             if fail_after == stage:
                 raise RuntimeError(f"injected failure after {stage}")
+            # one fingerprint job per tier, shared by every dependent stage
+            # (gapfill / encode / next-tier completion check)
+            tier_fp = content_fingerprint(tier_df)
 
             if tier in self.gapfill_tiers:
                 gstage = f"gapfilled_{tier}"
                 gpath = self._stage_path(gstage)
-                tier_fp = content_fingerprint(tier_df)
                 if not (self._completed(gstage, tier_fp) and os.path.exists(gpath)):
                     self._write_stage(gstage, gapfill_linear(tier_df, tier), tier_fp)
                 out[gstage] = gpath
                 if fail_after == gstage:
                     raise RuntimeError(f"injected failure after {gstage}")
+
+            if tier in self.encode_tiers:
+                estage = f"encoded_{tier}"
+                epath = self._stage_path(estage)
+                if not (self._completed(estage, tier_fp) and os.path.exists(epath)):
+                    self._write_stage(
+                        estage,
+                        encode_tier(tier_df, value_col=self.encode_value_col),
+                        tier_fp,
+                    )
+                out[estage] = epath
+                if fail_after == estage:
+                    raise RuntimeError(f"injected failure after {estage}")
 
             if tier in self.hist_tiers:
                 from rtsa_spark.operators.rollup import (
@@ -312,7 +345,7 @@ class TierPipeline:
                 out[mstage] = mpath
 
             prev_df = tier_df
-            prev_fp = content_fingerprint(tier_df)
+            prev_fp = tier_fp
         return out
 
     def lineage(self) -> DataFrame:
@@ -348,13 +381,15 @@ class TierPipeline:
         seq_fp = content_fingerprint(sequences)
         prev_fp = seq_fp
 
-        def _overwrite_months(df: DataFrame, path: str) -> None:
+        def _overwrite_months(
+            df: DataFrame, path: str, ts_col: str = "bucket_start"
+        ) -> None:
             """Dynamic partition overwrite of the affected months, PLUS
             explicit removal of any requested month the recomputation
             produced no rows for — dynamic mode only touches partitions
             present in the frame, so a fully-deleted month would otherwise
             survive as a stale partition dir forever."""
-            with_m = self._with_month(df)
+            with_m = self._with_month(df, ts_col)
             written = {
                 r[P_MONTH] for r in with_m.select(P_MONTH).distinct().collect()
             }
@@ -443,11 +478,39 @@ class TierPipeline:
                 replaced[hstage] = -1  # partition-scoped; rows tracked above
 
             tier_df = self._read_stage(stage)
+            tier_fp = content_fingerprint(tier_df)
             if tier in self.gapfill_tiers:
                 gstage = f"gapfilled_{tier}"
-                tier_fp = content_fingerprint(tier_df)
                 self._write_stage(gstage, gapfill_linear(tier_df, tier), tier_fp)
                 replaced[gstage] = 0
+            if tier in self.encode_tiers:
+                # blocks are month-scoped by construction, so the encoded
+                # stage refreshes partition-scoped like the tiers: re-encode
+                # only the affected months' tier rows and swap those dirs
+                estage = f"encoded_{tier}"
+                epath = self._stage_path(estage)
+                t1 = time.time()
+                month_blocks = encode_tier(
+                    self.spark.read.parquet(path).where(in_months).drop(P_MONTH),
+                    value_col=self.encode_value_col,
+                )
+                _overwrite_months(month_blocks, epath, ts_col="block_day")
+                self._append_partition_rows(estage, epath, "REFRESH", months=months)
+                self._append_ledger(
+                    {
+                        "run_id": self.run_id,
+                        "stage": estage,
+                        "rows_in": None,
+                        "rows_out": self.spark.read.parquet(epath).count(),
+                        "n_files": None,
+                        "started_at": t1,
+                        "finished_at": time.time(),
+                        "status": "REFRESH",
+                        "fingerprint": tier_fp,
+                        "months": months,
+                    }
+                )
+                replaced[estage] = -1  # partition-scoped; rows tracked above
             if tier in self.metrics_tiers:
                 mstage = f"metrics_{tier}"
                 src = f"gapfilled_{tier}" if tier in self.gapfill_tiers else stage
@@ -460,5 +523,5 @@ class TierPipeline:
             prev_recomputed = (
                 self.spark.read.parquet(path).where(in_months).drop(P_MONTH)
             )
-            prev_fp = content_fingerprint(tier_df)
+            prev_fp = tier_fp
         return replaced

@@ -131,3 +131,72 @@ def test_salted_rollup_equals_plain(spark, tiny_sequences):
 def test_dominant_keys_finds_skewed_source(spark, tiny_sequences):
     keys = dominant_keys(tiny_sequences, sample_fraction=0.5)
     assert "s000" in keys  # synth gives s000 ~30% of rows
+
+
+def test_encoded_stage_publish_resume_refresh(spark, tiny_sequences, tmp_path):
+    """Opt-in encoded-block stage: published month-partitioned, decodes
+    back to the tier bit-exactly, resumes like any stage, and refreshes
+    partition-scoped (only the affected months' blocks are re-encoded)."""
+    import hashlib
+    import os
+
+    import pyspark.sql.functions as F
+
+    from rtsa_spark.operators.encode import decode_blocks
+
+    def _file_digests(root):
+        return {
+            os.path.relpath(os.path.join(dp, f), root): hashlib.md5(
+                open(os.path.join(dp, f), "rb").read()
+            ).hexdigest()
+            for dp, _dirs, files in os.walk(root)
+            for f in files
+            if f.endswith(".parquet")
+        }
+
+    base = str(tmp_path / "tiers")
+    kw = dict(
+        tiers=["raw", "hourly"], gapfill_tiers=(), metrics_tiers=(),
+        encode_tiers=("hourly",),
+    )
+    p = TierPipeline(spark, base, **kw)
+    out = p.run(tiny_sequences)
+    assert "encoded_hourly" in out
+    assert any(
+        d.startswith("p_month=") for d in os.listdir(out["encoded_hourly"])
+    )
+    # decoded content == the published hourly tier (exact ints via float64)
+    hourly = spark.read.parquet(out["rollup_hourly"]).drop("p_month")
+    pts = decode_blocks(spark.read.parquet(out["encoded_hourly"]).drop("p_month"))
+    want = hourly.select(
+        "source", "bucket_start", F.col("n_tok_sum").cast("double").alias("value")
+    )
+    assert pts.count() == want.count() > 0
+    assert pts.exceptAll(want).count() == 0
+    # resume: a fresh pipeline over the same input skips every stage
+    n_ledger = len(p._ledger())
+    TierPipeline(spark, base, **kw).run(tiny_sequences)
+    assert len(p._ledger()) == n_ledger
+    # late data in 2024-02: refresh re-encodes ONLY that month's blocks
+    before = _file_digests(os.path.join(base, "encoded_hourly"))
+    feb = F.date_format(F.col("ts"), "yyyy-MM") == "2024-02"
+    corrected = tiny_sequences.withColumn(
+        "n_tok", F.when(feb, F.col("n_tok") * 2).otherwise(F.col("n_tok"))
+    )
+    p.refresh_months(corrected, ["2024-02"])
+    after = _file_digests(os.path.join(base, "encoded_hourly"))
+    changed = {k for k in before if after.get(k) != before[k]}
+    assert changed and all("p_month=2024-02" in k for k in changed)
+    # refreshed blocks decode to the corrected hourly tier
+    hourly2 = spark.read.parquet(os.path.join(base, "rollup_hourly")).drop("p_month")
+    pts2 = decode_blocks(
+        spark.read.parquet(os.path.join(base, "encoded_hourly")).drop("p_month")
+    )
+    want2 = hourly2.select(
+        "source", "bucket_start", F.col("n_tok_sum").cast("double").alias("value")
+    )
+    assert pts2.exceptAll(want2).count() == 0
+    # and a run over the corrected input now skips the encoded stage too
+    n_ledger = len(p._ledger())
+    TierPipeline(spark, base, **kw).run(corrected)
+    assert len(p._ledger()) == n_ledger
