@@ -1680,6 +1680,81 @@ GROUP BY 1
 """
 
 
+def q_pipeline_encoded_audit(spark, sf_dir):
+    """Encoded-block PIPELINE stage audit: run the resumable TierPipeline
+    with ``encode_tiers=("hourly",)``, read the published month-partitioned
+    ``encoded_hourly`` stage BACK FROM DISK, decode it, and reconcile per
+    source — decoded point count (= hourly buckets), decoded token total
+    (values are exact-int n_tok_sum through float64), and block count
+    (= months with data). The per-partition manifest for the encoded stage
+    is reconciled globally: manifest row total == block rows, manifest
+    entries == month partitions. A wrong write, a lossy decode, or a
+    missing manifest row all hash-mismatch."""
+    import shutil
+    import tempfile
+
+    from rtsa_spark.operators.encode import decode_blocks
+    from rtsa_spark.pipeline import TierPipeline
+
+    seq = _derived_sequences(spark, sf_dir)
+    base = tempfile.mkdtemp(prefix="rtsa_encoded_audit_")
+    try:
+        tp = TierPipeline(
+            spark, base, tiers=["raw", "hourly"],
+            gapfill_tiers=(), metrics_tiers=(), hist_tiers=(),
+            encode_tiers=("hourly",),
+        )
+        paths = tp.run(seq)
+        blocks = spark.read.parquet(paths["encoded_hourly"]).drop("p_month")
+        per_src = (
+            decode_blocks(blocks)
+            .groupBy("source")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_points"),
+                F.sum(F.col("value").cast("long")).cast("bigint").alias("tok_total"),
+            )
+            .join(
+                blocks.groupBy("source").agg(
+                    F.count(F.lit(1)).cast("bigint").alias("n_blocks")
+                ),
+                "source",
+            )
+        )
+        cols = per_src.columns
+        rows = [tuple(r[c] for c in cols) for r in per_src.collect()]
+        man = (
+            tp.partition_lineage()
+            .where(F.col("stage") == "encoded_hourly")
+            .agg(F.sum("rows").alias("mr"), F.count(F.lit(1)).alias("mp"))
+            .first()
+        )
+        mr, mp = int(man["mr"]), int(man["mp"])
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    schema = "source string, " + ", ".join(
+        f"{c} bigint" for c in cols if c != "source"
+    )
+    out = spark.createDataFrame(rows, schema)
+    return (
+        out.withColumn("enc_manifest_rows", F.lit(mr).cast("bigint"))
+        .withColumn("enc_manifest_partitions", F.lit(mp).cast("bigint"))
+    )
+
+
+SQL_PIPELINE_ENCODED_AUDIT = f"""
+WITH {SQL_SEQ_CTE}
+SELECT source,
+       CAST(count(DISTINCT date_trunc('hour', ts)) AS BIGINT) AS n_points,
+       CAST(sum(n_tok) AS BIGINT) AS tok_total,
+       CAST(count(DISTINCT date_trunc('month', ts)) AS BIGINT) AS n_blocks,
+       CAST(sum(count(DISTINCT date_trunc('month', ts))) OVER ()
+            AS BIGINT) AS enc_manifest_rows,
+       CAST((SELECT count(DISTINCT date_trunc('month', s2.ts)) FROM seq s2)
+            AS BIGINT) AS enc_manifest_partitions
+FROM seq GROUP BY 1
+"""
+
+
 def _seq_daily_x(spark, sf_dir):
     """Derived-sequences daily tier (source, bucket_start, x = n_tok_sum)
     via the engine's rollup ladder — x is an exact int both engines agree
@@ -6219,6 +6294,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "langid_heuristic": q_langid_heuristic,
         "sequences_encode_blocks": q_sequences_encode_blocks,
         "encode_pruned_read": q_encode_pruned_read,
+        "pipeline_encoded_audit": q_pipeline_encoded_audit,
         "sequences_metrics": q_sequences_metrics,
         "stine_audit": q_stine_audit,
         "pchip_audit": q_pchip_audit,
@@ -6334,6 +6410,7 @@ def oracle_sql() -> dict[str, str]:
         "sequences_ladder": SQL_SEQ_LADDER,
         "sequences_encode_blocks": SQL_SEQ_ENCODE_BLOCKS,
         "encode_pruned_read": SQL_ENCODE_PRUNED_READ,
+        "pipeline_encoded_audit": SQL_PIPELINE_ENCODED_AUDIT,
         "encode_roundtrip_audit": SQL_ENCODE_AUDIT,
         # round-3: the formerly rows-only sequences_* entries, now
         # hard-oracled via the parameterized twin generators / audits
