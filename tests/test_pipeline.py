@@ -200,3 +200,37 @@ def test_encoded_stage_publish_resume_refresh(spark, tiny_sequences, tmp_path):
     n_ledger = len(p._ledger())
     TierPipeline(spark, base, **kw).run(corrected)
     assert len(p._ledger()) == n_ledger
+
+
+def test_encoded_stage_refresh_deletes_emptied_month(spark, tiny_sequences, tmp_path):
+    """A correction that removes every 2024-02 row must delete the encoded
+    stage's p_month=2024-02 dir (not leave a stale block partition), and
+    the surviving blocks must decode to the corrected hourly tier."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    from rtsa_spark.operators.encode import decode_blocks
+
+    base = str(tmp_path / "tiers")
+    p = TierPipeline(
+        spark, base, tiers=["raw", "hourly"], gapfill_tiers=(),
+        metrics_tiers=(), encode_tiers=("hourly",),
+    )
+    p.run(tiny_sequences)
+    feb_dir = os.path.join(base, "encoded_hourly", "p_month=2024-02")
+    assert os.path.exists(feb_dir)
+    corrected = tiny_sequences.where(
+        F.date_format(F.col("ts"), "yyyy-MM") != "2024-02"
+    )
+    p.refresh_months(corrected, ["2024-02"])
+    assert not os.path.exists(feb_dir)
+    hourly = spark.read.parquet(os.path.join(base, "rollup_hourly")).drop("p_month")
+    pts = decode_blocks(
+        spark.read.parquet(os.path.join(base, "encoded_hourly")).drop("p_month")
+    )
+    want = hourly.select(
+        "source", "bucket_start", F.col("n_tok_sum").cast("double").alias("value")
+    )
+    assert pts.count() == want.count() > 0
+    assert pts.exceptAll(want).count() == 0
