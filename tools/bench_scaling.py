@@ -39,8 +39,13 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 SCALING_ROWS = 80_000_000
 
 #: sections that must survive BASELINE.md regeneration (launch evidence,
-#: headroom run, per-round bench semantics) — appended to every rewrite.
-DURABLE_TAIL = """
+#: headroom run, per-round bench semantics). The LIVE source of truth is
+#: the existing BENCH/BASELINE.md — durable_tail() carries everything from
+#: its headroom section onward into the rewrite verbatim, so hand edits to
+#: those sections (new launch evidence, bench-field notes) are never
+#: clobbered by a scaling re-run. This frozen copy is only the fallback
+#: for a missing/corrupt file.
+_DURABLE_TAIL_FALLBACK = """
 ## Headroom: 5x the scaling input (100M rows, solo, warm rep 2)
 
 Re-measured round 3 at commit `cbf7733` (host ~6.2 effective cores);
@@ -93,6 +98,19 @@ of one arbitrary rep:
   value-hash oracle — no
   rows-only entries since round 3).
 """
+def durable_tail() -> str:
+    """Everything from '## Headroom:' onward in the CURRENT BASELINE.md —
+    preserved verbatim across regenerations (see _DURABLE_TAIL_FALLBACK)."""
+    path = os.path.join(REPO, "BENCH", "BASELINE.md")
+    try:
+        with open(path) as f:
+            text = f.read()
+    except OSError:
+        return _DURABLE_TAIL_FALLBACK
+    i = text.find("\n## Headroom:")
+    return text[i:] if i >= 0 else _DURABLE_TAIL_FALLBACK
+
+
 N, N4 = 1, 4
 MIN_CAPACITY = 5.5  # effective cores needed for an honest 1->4 pair
 #: wall-efficiency above this proves the single-thread leg was starved
@@ -286,7 +304,7 @@ Throughput at the reported pair: {pps:,} points/s at local[{N4}]
 At production scale the raw tier dominates the ladder (it processes
 sequence-count rows; every later tier processes bucket-count rows), so the
 raw-tier ratio is the number that predicts cluster behavior.
-""" + DURABLE_TAIL
+""" + durable_tail()
 
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     # Evidence policy (per-commit, not best-ever): a capacity-accepted pair
