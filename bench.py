@@ -207,22 +207,23 @@ def run_bench(sf_dir: str, cores: int) -> dict:
             record(name, dt)
         return result
 
-    blocks = timed_reps(
+    # compression accounting rides the SAME timed job (one agg over the
+    # encode output: block count + payload bytes vs the raw 16 B/point the
+    # blocks replace) — a separate accounting pass would re-run the whole
+    # encode stage a fourth time per bench round.
+    comp = timed_reps(
         "encode_hourly",
-        lambda: encode_tier(hourly, partitions=min(cores, 16)).count(),
-    )
-    # compression accounting (untimed): encoded payload bytes vs the raw
-    # 16 B/point (int64 ts + float64 value) the blocks replace
-    comp = (
-        encode_tier(hourly, partitions=min(cores, 16))
+        lambda: encode_tier(hourly, partitions=min(cores, 16))
         .agg(
+            F.count(F.lit(1)).alias("n_blocks"),
             F.sum(
                 F.octet_length("ts_dod") + F.octet_length("val_gorilla")
             ).alias("enc_bytes"),
             F.sum("n_points").alias("enc_points"),
         )
-        .collect()[0]
+        .collect()[0],
     )
+    blocks = int(comp["n_blocks"])
     metrics_rows = timed_reps(
         "metrics_daily",
         lambda: compute_metrics(gapfill_linear(daily, "daily"), "daily").count(),

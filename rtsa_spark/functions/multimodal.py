@@ -46,19 +46,40 @@ RTSM_HEADER_LEN = 16
 RTSM_KIND_CODES = {"image": 1, "audio": 2, "video": 3}
 
 
+def _rtsm_hex_field(col, nibbles: int, name: str):
+    """Fixed-width hex of an unsigned header field, failing LOUDLY when the
+    value doesn't fit: ``lpad`` silently SHORTENS a too-long hex string
+    (width 70000 -> '1117' -> decoder reads 4375 with no error), which
+    would violate the decode contract (real decoders fail loudly, never
+    silently)."""
+    limit = 1 << (4 * nibbles)
+    col = F.col(col) if isinstance(col, str) else col
+    return F.when(
+        (col < 0) | (col >= F.lit(limit)),
+        F.raise_error(
+            F.format_string(
+                f"RTSM {name} out of range [0, {limit}): %s",
+                col.cast("string"),
+            )
+        ),
+    ).otherwise(F.lpad(F.hex(col), nibbles, "0"))
+
+
 def rtsm_header_hex(kind_code, width, height, n_units, rate_khz):
     """Catalyst expression for the hex string of a 16-byte RTSM v1 header.
     The ONE place that encodes the byte layout builder-side — synth_media
     and any test/gate query that assembles payloads must use this, so the
-    field offsets can never drift from the numpy parser above."""
+    field offsets can never drift from the numpy parser above. Each field
+    is range-checked against its byte width (u8/u16/u32) and raises on
+    overflow rather than emitting a corrupt-but-parseable header."""
     return F.concat(
         F.lit("5254534d"),  # "RTSM"
         F.lit("01"),  # version 1
-        F.lpad(F.hex(kind_code), 2, "0"),
-        F.lpad(F.hex(width), 4, "0"),
-        F.lpad(F.hex(height), 4, "0"),
-        F.lpad(F.hex(n_units), 8, "0"),
-        F.lpad(F.hex(rate_khz), 4, "0"),
+        _rtsm_hex_field(kind_code, 2, "kind_code"),
+        _rtsm_hex_field(width, 4, "width"),
+        _rtsm_hex_field(height, 4, "height"),
+        _rtsm_hex_field(n_units, 8, "n_units"),
+        _rtsm_hex_field(rate_khz, 4, "rate_khz"),
     )
 
 

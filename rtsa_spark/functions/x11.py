@@ -466,8 +466,7 @@ def x11_adaptive_deterministic_stats(x, period: int = 7) -> dict:
     s1p = _phase_filt_ordered(sub(xs, t1), period, w["m3x3"])
     s1 = sub(s1p, _filt_ordered(s1p, w["ma_p"], odd=True))
     adj1 = sub(xs, s1)
-    t2 = (_filt_henderson_ordered(adj1, w["h13"], w["h13_end"])
-          if n >= 13 else None)
+    t2 = _filt_henderson_ordered(adj1, w["h13"], w["h13_end"])
     # I/C: ordered ascending-index abs-difference sums, one divide
     di = 0.0
     for k in range(1, n):

@@ -162,10 +162,13 @@ def bucket_derivative(
     truncation, one divide into the e6 domain rounded TOWARD ZERO
     (sign-magnitude: divide ``abs(delta)``, re-apply the sign — so a
     negative delta rounds up toward zero, NOT floor).  Spark ``div`` and
-    DuckDB ``//`` agree only on nonnegative operands, which is why the
-    division runs on ``abs``; the oracle replays the identical
-    ``CASE WHEN x < prev_x THEN -((...)//gap_s)`` chain.  First bucket
-    per key emits NULLs.
+    DuckDB ``//`` both already truncate toward zero on negatives (see
+    ``components.component_strength``, whose oracle relies on exactly
+    that); the ``abs``/sign split here is for spec clarity — it makes the
+    rounding direction explicit in both engines' query text rather than
+    leaning on each engine's signed-division convention.  The oracle
+    replays the identical ``CASE WHEN x < prev_x THEN -((...)//gap_s)``
+    chain.  First bucket per key emits NULLs.
 
     Scale shape: one lag window per key over the tier — no join, no UDF.
     """

@@ -118,8 +118,7 @@ class TierPipeline:
             return [json.loads(line) for line in f if line.strip()]
 
     def _append_ledger(self, row: dict) -> None:
-        with open(self._ledger_path, "a") as f:
-            f.write(json.dumps(row) + "\n")
+        self._append_ledger_row(self._ledger_path, row)
 
     # ------------------------------------------- per-partition lineage
     @property
@@ -373,6 +372,22 @@ class TierPipeline:
         Returns {stage: rows_replaced}.
         """
         replaced: dict[str, int] = {}
+        # Partition-scoped overwrite presupposes a prior full publish: a
+        # missing tier dir would make _overwrite_months create a dir holding
+        # ONLY the refreshed months while the ledger records the full-input
+        # fingerprint, so run() would skip the rebuild forever. Fail loudly
+        # instead (derived encode/hist stages fall back to a full build
+        # below — they may legitimately be enabled after the first run()).
+        missing = [
+            f"rollup_{t}"
+            for t in self.tiers
+            if not os.path.exists(self._stage_path(f"rollup_{t}"))
+        ]
+        if missing:
+            raise ValueError(
+                f"refresh_months requires a completed run() first; missing "
+                f"stage dirs: {missing}"
+            )
         affected_seq = sequences.where(
             F.date_format(F.col("ts"), "yyyy-MM").isin(months)
         )
@@ -450,31 +465,48 @@ class TierPipeline:
                      if t in self.hist_tiers),
                     None,
                 )
-                if finer and os.path.exists(self._stage_path(finer)):
-                    finer_months = (
-                        self.spark.read.parquet(self._stage_path(finer))
-                        .where(in_months)
-                        .drop(P_MONTH)
-                    )
-                    hist = merge_token_histograms(finer_months, tier)
+                if not os.path.exists(hpath):
+                    # hist enabled after the original run(): a partial
+                    # publish under seq_fp would hide every other month from
+                    # run() — build the whole stage instead (same fallback
+                    # as the encoded stage below).
+                    if finer and os.path.exists(self._stage_path(finer)):
+                        hist = merge_token_histograms(self._read_stage(finer), tier)
+                    else:
+                        hist = token_histogram(
+                            sequences, tier, top_k=self.hist_top_k
+                        )
+                    self._write_stage(hstage, hist, seq_fp)
                 else:
-                    hist = token_histogram(affected_seq, tier, top_k=self.hist_top_k)
-                _overwrite_months(hist, hpath)
-                self._append_partition_rows(hstage, hpath, "REFRESH", months=months)
-                self._append_ledger(
-                    {
-                        "run_id": self.run_id,
-                        "stage": hstage,
-                        "rows_in": None,
-                        "rows_out": self.spark.read.parquet(hpath).count(),
-                        "n_files": None,
-                        "started_at": t0,
-                        "finished_at": time.time(),
-                        "status": "REFRESH",
-                        "fingerprint": seq_fp,
-                        "months": months,
-                    }
-                )
+                    if finer and os.path.exists(self._stage_path(finer)):
+                        finer_months = (
+                            self.spark.read.parquet(self._stage_path(finer))
+                            .where(in_months)
+                            .drop(P_MONTH)
+                        )
+                        hist = merge_token_histograms(finer_months, tier)
+                    else:
+                        hist = token_histogram(
+                            affected_seq, tier, top_k=self.hist_top_k
+                        )
+                    _overwrite_months(hist, hpath)
+                    self._append_partition_rows(
+                        hstage, hpath, "REFRESH", months=months
+                    )
+                    self._append_ledger(
+                        {
+                            "run_id": self.run_id,
+                            "stage": hstage,
+                            "rows_in": None,
+                            "rows_out": self.spark.read.parquet(hpath).count(),
+                            "n_files": None,
+                            "started_at": t0,
+                            "finished_at": time.time(),
+                            "status": "REFRESH",
+                            "fingerprint": seq_fp,
+                            "months": months,
+                        }
+                    )
                 replaced[hstage] = -1  # partition-scoped; rows tracked above
 
             tier_df = self._read_stage(stage)
@@ -486,30 +518,43 @@ class TierPipeline:
             if tier in self.encode_tiers:
                 # blocks are month-scoped by construction, so the encoded
                 # stage refreshes partition-scoped like the tiers: re-encode
-                # only the affected months' tier rows and swap those dirs
+                # only the affected months' tier rows and swap those dirs.
+                # If the stage dir doesn't exist (encoding enabled after the
+                # original run()), a partial publish under the full-tier
+                # fingerprint would permanently hide every other month from
+                # run() — build the whole stage instead.
                 estage = f"encoded_{tier}"
                 epath = self._stage_path(estage)
-                t1 = time.time()
-                month_blocks = encode_tier(
-                    self.spark.read.parquet(path).where(in_months).drop(P_MONTH),
-                    value_col=self.encode_value_col,
-                )
-                _overwrite_months(month_blocks, epath, ts_col="block_day")
-                self._append_partition_rows(estage, epath, "REFRESH", months=months)
-                self._append_ledger(
-                    {
-                        "run_id": self.run_id,
-                        "stage": estage,
-                        "rows_in": None,
-                        "rows_out": self.spark.read.parquet(epath).count(),
-                        "n_files": None,
-                        "started_at": t1,
-                        "finished_at": time.time(),
-                        "status": "REFRESH",
-                        "fingerprint": tier_fp,
-                        "months": months,
-                    }
-                )
+                if not os.path.exists(epath):
+                    self._write_stage(
+                        estage,
+                        encode_tier(tier_df, value_col=self.encode_value_col),
+                        tier_fp,
+                    )
+                else:
+                    t1 = time.time()
+                    month_blocks = encode_tier(
+                        self.spark.read.parquet(path).where(in_months).drop(P_MONTH),
+                        value_col=self.encode_value_col,
+                    )
+                    _overwrite_months(month_blocks, epath, ts_col="block_day")
+                    self._append_partition_rows(
+                        estage, epath, "REFRESH", months=months
+                    )
+                    self._append_ledger(
+                        {
+                            "run_id": self.run_id,
+                            "stage": estage,
+                            "rows_in": None,
+                            "rows_out": self.spark.read.parquet(epath).count(),
+                            "n_files": None,
+                            "started_at": t1,
+                            "finished_at": time.time(),
+                            "status": "REFRESH",
+                            "fingerprint": tier_fp,
+                            "months": months,
+                        }
+                    )
                 replaced[estage] = -1  # partition-scoped; rows tracked above
             if tier in self.metrics_tiers:
                 mstage = f"metrics_{tier}"

@@ -12,6 +12,36 @@ import os
 from pyspark.sql import SparkSession
 
 
+def _size_gc_threads(n: int) -> None:
+    """Size JVM GC worker threads in ``JAVA_TOOL_OPTIONS`` for an ``n``-core
+    local JVM. Our own fragment is tagged ``-Drtsa.gc.auto`` so a later call
+    — in this process or a child that inherited the env — replaces it with
+    the new size instead of mistaking it for a caller-provided setting;
+    genuinely caller-provided ``ParallelGCThreads`` is never touched."""
+    import re
+
+    prev = os.environ.get("JAVA_TOOL_OPTIONS", "")
+    ours = re.search(
+        r"-Drtsa\.gc\.auto=\S+"
+        r"\s+-XX:ParallelGCThreads=\d+"
+        r"\s+-XX:ConcGCThreads=\d+",
+        prev,
+    )
+    if ours:
+        prev = (prev[: ours.start()] + prev[ours.end():]).strip()
+    if "ParallelGCThreads" in prev:
+        os.environ["JAVA_TOOL_OPTIONS"] = prev
+        return
+    gc_opts = (
+        f"-Drtsa.gc.auto={n}"
+        f" -XX:ParallelGCThreads={max(2, n)}"
+        f" -XX:ConcGCThreads={max(1, n // 2)}"
+    )
+    os.environ["JAVA_TOOL_OPTIONS"] = (
+        f"{prev} {gc_opts}".strip() if prev else gc_opts
+    )
+
+
 def get_spark(
     app_name: str = "rtsa_spark",
     cores: int | None = None,
@@ -55,19 +85,10 @@ def get_spark(
         # local[4] with the cap). This mirrors what YARN/K8s executors get
         # anyway — GC threads sized to the container's cores — so local
         # measurements extrapolate to cluster behavior. Only applied when
-        # WE launch the JVM (local mode) with an explicit core count, and
-        # never overrides caller-provided options.
-        if isinstance(n, int) and "ParallelGCThreads" not in os.environ.get(
-            "JAVA_TOOL_OPTIONS", ""
-        ):
-            gc_opts = (
-                f"-XX:ParallelGCThreads={max(2, n)}"
-                f" -XX:ConcGCThreads={max(1, n // 2)}"
-            )
-            prev = os.environ.get("JAVA_TOOL_OPTIONS", "")
-            os.environ["JAVA_TOOL_OPTIONS"] = (
-                f"{prev} {gc_opts}".strip() if prev else gc_opts
-            )
+        # WE launch the JVM (local mode) with an explicit core count; see
+        # _size_gc_threads for the caller-vs-auto distinction.
+        if isinstance(n, int):
+            _size_gc_threads(n)
     if shuffle_partitions is None:
         env_cores = cores or int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or os.cpu_count() or 8
         shuffle_partitions = int(env_cores)

@@ -193,3 +193,102 @@ def test_refresh_hist_matches_run_semantics(spark, tiny_sequences, tmp_path):
             "source", "bucket_start", F.to_json("tok_hist").alias("h")
         )
         assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0, stage
+
+
+def test_refresh_requires_prior_run(spark, tiny_sequences, tmp_path):
+    """Partition-scoped refresh over a base that never ran would publish a
+    partial tier under the full-input fingerprint (permanently hiding the
+    other months from run()) — it must refuse loudly instead."""
+    import pytest
+
+    p = TierPipeline(
+        spark, str(tmp_path / "fresh"), gapfill_tiers=(), metrics_tiers=()
+    )
+    with pytest.raises(ValueError, match="requires a completed run"):
+        p.refresh_months(tiny_sequences, ["2024-02"])
+
+
+def test_refresh_builds_encoded_stage_enabled_after_first_run(
+    spark, tiny_sequences, tmp_path
+):
+    """Encoding enabled only AFTER the original publish: refresh_months
+    must build the WHOLE encoded tier (all months), not just the refreshed
+    month — and a later run() must not skip past a partial stage."""
+    base = str(tmp_path / "tiers")
+    TierPipeline(spark, base, gapfill_tiers=(), metrics_tiers=()).run(
+        tiny_sequences
+    )
+
+    p = TierPipeline(
+        spark, base, gapfill_tiers=(), metrics_tiers=(),
+        encode_tiers=("hourly",),
+    )
+    feb = F.date_format(F.col("ts"), "yyyy-MM") == "2024-02"
+    corrected = tiny_sequences.withColumn(
+        "n_tok", F.when(feb, F.col("n_tok") * 2).otherwise(F.col("n_tok"))
+    )
+    p.refresh_months(corrected, ["2024-02"])
+
+    src_months = {
+        r["m"]
+        for r in corrected.select(
+            F.date_format("ts", "yyyy-MM").alias("m")
+        ).distinct().collect()
+    }
+    enc_months = {
+        r["m"]
+        for r in spark.read.parquet(f"{base}/encoded_hourly")
+        .select(F.date_format("block_day", "yyyy-MM").alias("m"))
+        .distinct()
+        .collect()
+    }
+    assert enc_months == src_months
+
+    # run() over the same corrected input must keep every month visible
+    p2 = TierPipeline(
+        spark, base, gapfill_tiers=(), metrics_tiers=(),
+        encode_tiers=("hourly",),
+    )
+    p2.run(corrected)
+    enc_after = {
+        r["m"]
+        for r in spark.read.parquet(f"{base}/encoded_hourly")
+        .select(F.date_format("block_day", "yyyy-MM").alias("m"))
+        .distinct()
+        .collect()
+    }
+    assert enc_after == src_months
+
+
+def test_refresh_builds_hist_stage_enabled_after_first_run(
+    spark, tiny_sequences, tmp_path
+):
+    """Same fallback for hist stages enabled after the original run()."""
+    base = str(tmp_path / "tiers")
+    TierPipeline(spark, base, gapfill_tiers=(), metrics_tiers=()).run(
+        tiny_sequences
+    )
+    p = TierPipeline(
+        spark, base, gapfill_tiers=(), metrics_tiers=(),
+        hist_tiers=("hourly",), hist_top_k=4,
+    )
+    feb = F.date_format(F.col("ts"), "yyyy-MM") == "2024-02"
+    corrected = tiny_sequences.withColumn(
+        "n_tok", F.when(feb, F.col("n_tok") * 2).otherwise(F.col("n_tok"))
+    )
+    p.refresh_months(corrected, ["2024-02"])
+
+    src_months = {
+        r["m"]
+        for r in corrected.select(
+            F.date_format("ts", "yyyy-MM").alias("m")
+        ).distinct().collect()
+    }
+    hist_months = {
+        r["m"]
+        for r in spark.read.parquet(f"{base}/hist_hourly")
+        .select(F.date_format("bucket_start", "yyyy-MM").alias("m"))
+        .distinct()
+        .collect()
+    }
+    assert hist_months == src_months

@@ -655,3 +655,30 @@ def test_duplicate_spans_planted_boilerplate(spark):
         )
         assert 0 <= dup <= tot and tot >= 1
         assert ppm == dup * 1_000_000 // tot
+
+
+def test_rtsm_header_hex_rejects_out_of_range(spark):
+    """Builder-side contract: a header field past its byte width must raise
+    (lpad would otherwise silently SHORTEN the hex string, producing a
+    corrupt-but-parseable header — width 70000 would decode as 4375)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from rtsa_spark.functions.multimodal import rtsm_header_hex
+
+    one = spark.range(1)
+    ok = one.select(
+        rtsm_header_hex(
+            F.lit(1), F.lit(65535), F.lit(0), F.lit(4294967295), F.lit(16)
+        ).alias("h")
+    ).first()["h"]
+    assert len(ok) == 32  # 16 bytes
+
+    for bad in (
+        rtsm_header_hex(F.lit(1), F.lit(70000), F.lit(0), F.lit(1), F.lit(0)),
+        rtsm_header_hex(F.lit(256), F.lit(1), F.lit(0), F.lit(1), F.lit(0)),
+        rtsm_header_hex(F.lit(1), F.lit(-1), F.lit(0), F.lit(1), F.lit(0)),
+        rtsm_header_hex(F.lit(1), F.lit(0), F.lit(0), F.lit(1 << 32), F.lit(0)),
+    ):
+        with pytest.raises(Exception, match="out of range"):
+            one.select(bad.alias("h")).collect()
