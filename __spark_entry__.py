@@ -1755,6 +1755,96 @@ FROM seq GROUP BY 1
 """
 
 
+def q_snapshot_time_travel(spark, sf_dir):
+    """Snapshot-checkpoint audit (the Iceberg half of the north rule's
+    "resumable from Iceberg snapshot checkpoints"): publish the hourly
+    tier into a :class:`rtsa_spark.snapshot.SnapshotStore`, then commit a
+    doubled-February refresh (snap 2), a February DELETION (snap 3), and
+    a metadata-only rollback to snap 1 (snap 4) — and read ALL FOUR
+    snapshots back as-of. The oracle recomputes every snapshot's
+    per-source bucket count and token total arithmetically from the
+    sequences CTE, so a refresh that leaks outside its months, a read
+    that resurrects a deleted month, a rollback that moves data, or any
+    time-travel read over the wrong version dirs all hash-mismatch.
+    Results are collected before the temp dir is removed (plain int
+    tuples — the driver harness runs Arrow-less)."""
+    import shutil
+    import tempfile
+
+    from rtsa_spark.operators.rollup import rollup_next, rollup_raw
+    from rtsa_spark.snapshot import SnapshotStore
+
+    hourly = rollup_next(rollup_raw(_derived_sequences(spark, sf_dir)), "hourly")
+    feb = F.date_format(F.col("bucket_start"), "yyyy-MM") == "2024-02"
+    base = tempfile.mkdtemp(prefix="rtsa_snapshot_audit_")
+    try:
+        st = SnapshotStore(spark, base)
+        st.publish(hourly)                                          # snap 1
+        st.refresh_months(
+            hourly.where(feb).withColumn(
+                "n_tok_sum", F.col("n_tok_sum") * 2
+            ),
+            ["2024-02"],
+        )                                                           # snap 2
+        st.refresh_months(hourly.where(F.lit(False)), ["2024-02"])  # snap 3
+        st.rollback(1)                                              # snap 4
+        per_snap = None
+        for sid in (1, 2, 3, 4):
+            agg = st.read(asof=sid).groupBy("source").agg(
+                F.count(F.lit(1)).cast("bigint").alias(f"n_s{sid}"),
+                F.sum("n_tok_sum").cast("bigint").alias(f"tok_s{sid}"),
+            )
+            # LEFT join from snap 1 (every source exists there): a source
+            # whose months were all deleted in a later snapshot reads back
+            # as 0/0, matching the oracle's COALESCEd arithmetic, instead
+            # of being dropped by an inner join.
+            per_snap = (
+                agg
+                if per_snap is None
+                else per_snap.join(agg, "source", "left")
+            )
+        per_snap = per_snap.select(
+            "source",
+            *[
+                F.coalesce(F.col(c), F.lit(0)).cast("bigint").alias(c)
+                for c in per_snap.columns
+                if c != "source"
+            ],
+        )
+        cols = per_snap.columns
+        rows = [tuple(r[c] for c in cols) for r in per_snap.collect()]
+        n_snapshots = int(st.current_snapshot())
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    schema = "source string, " + ", ".join(
+        f"{c} bigint" for c in cols if c != "source"
+    )
+    return spark.createDataFrame(rows, schema).withColumn(
+        "n_snapshots", F.lit(n_snapshots).cast("bigint")
+    )
+
+
+SQL_SNAPSHOT_TIME_TRAVEL = f"""
+WITH {SQL_SEQ_CTE}, hb AS MATERIALIZED (
+  SELECT source, date_trunc('hour', ts) AS b, sum(n_tok) AS t,
+         strftime(date_trunc('hour', ts), '%Y-%m') = '2024-02' AS is_feb
+  FROM seq GROUP BY 1, 2
+)
+SELECT source,
+       CAST(count(*) AS BIGINT)                                AS n_s1,
+       CAST(sum(t) AS BIGINT)                                  AS tok_s1,
+       CAST(count(*) AS BIGINT)                                AS n_s2,
+       CAST(sum(t) + COALESCE(sum(t) FILTER (is_feb), 0)
+            AS BIGINT)                                         AS tok_s2,
+       CAST(count(*) FILTER (NOT is_feb) AS BIGINT)            AS n_s3,
+       CAST(COALESCE(sum(t) FILTER (NOT is_feb), 0) AS BIGINT) AS tok_s3,
+       CAST(count(*) AS BIGINT)                                AS n_s4,
+       CAST(sum(t) AS BIGINT)                                  AS tok_s4,
+       CAST(4 AS BIGINT)                                       AS n_snapshots
+FROM hb GROUP BY 1
+"""
+
+
 def _seq_daily_x(spark, sf_dir):
     """Derived-sequences daily tier (source, bucket_start, x = n_tok_sum)
     via the engine's rollup ladder — x is an exact int both engines agree
@@ -6217,7 +6307,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- retention ladder / rollup core (north-star surface) ---
         "rollup_hourly": q_rollup_hourly,
         "rollup_daily_cascade": q_rollup_daily_cascade,
-        "rollup_hourly_salted": q_rollup_hourly_salted,
         "sequences_ladder": q_sequences_ladder,
         "retention_ladder": q_retention_ladder,
         "tier_match_check": q_tier_match_check,
@@ -6252,6 +6341,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stateful_tracker": q_stateful_tracker,
         # --- sinks / publish / checkpoint (S3/S4) ---
         "pipeline_publish_audit": q_pipeline_publish_audit,
+        "snapshot_time_travel": q_snapshot_time_travel,
         "asof_tier_checkpoint": q_asof_tier_checkpoint,
         # --- dedup family ---
         "dedup_exact": q_dedup_exact,
@@ -6282,6 +6372,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---------- fold: entries below are outside the 50-query gate ----------
         "streaming_dedup": q_streaming_dedup,
         "streaming_sessions": q_streaming_sessions,
+        "rollup_hourly_salted": q_rollup_hourly_salted,
         "simhash16": q_simhash16,
         "trailing_window": q_trailing_window,
         "missing_ranges": q_missing_ranges,
@@ -6430,6 +6521,7 @@ def oracle_sql() -> dict[str, str]:
         "duplicate_spans": SQL_DUPLICATE_SPANS,
         "bpe_token_counts": SQL_BPE_TOKENS,
         "pipeline_publish_audit": SQL_PUBLISH_AUDIT,
+        "snapshot_time_travel": SQL_SNAPSHOT_TIME_TRAVEL,
         "corpus_build": SQL_CORPUS_BUILD,
         "media_resize": SQL_MEDIA_RESIZE,
         "sessionize_events": SQL_SESSIONIZE,

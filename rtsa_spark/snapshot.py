@@ -1,0 +1,331 @@
+"""Snapshot store: Iceberg-style versioned month partitions + time travel.
+
+``TierPipeline`` publishes atomically and refreshes partition-scoped, but
+its overwrites are DESTRUCTIVE: once a late-data refresh swaps a
+``p_month`` dir, the month's previous contents are gone and no read can
+reproduce what a consumer saw before the correction.  The north rule's
+"resumable from Iceberg snapshot checkpoints" needs the other half of the
+Iceberg model too — snapshot isolation: every commit yields a snapshot id,
+any retained snapshot is readable AS OF, rollback is a metadata-only
+commit, and old versions die only when explicitly expired.
+
+``SnapshotStore`` is that half, as the sandbox parquet emulation
+(SURVEY.md §7 "Iceberg in sandbox" — real Iceberg is a config flip):
+
+- layout ``<base>/data/p_month=YYYY-MM/v=<version>/part-*.parquet``:
+  every commit writes NEW ``v=`` dirs in ``append`` mode and never touches
+  an existing file, so concurrent readers of older snapshots are never
+  torn (the Iceberg write path: new data files + manifest swap);
+- ``<base>/snapshots.jsonl`` is the catalog: one row per commit holding
+  the COMPLETE month->version mapping of that snapshot (months absent =
+  deleted).  A crash between data write and log append leaves an orphan
+  ``v=`` dir that no snapshot references — invisible to every read and
+  reaped by :meth:`expire`;
+- reads resolve the mapping and list EXACTLY the mapped version dirs
+  (manifest-driven file listing, O(selected partitions) — never a
+  recursive scan over all versions), so a store carrying 50 retained
+  snapshots reads at the same cost as one;
+- :meth:`rollback` re-commits an older snapshot's mapping under a new id
+  (Iceberg ``rollback_to_snapshot``): pure metadata, zero data movement;
+- :meth:`expire` retains the last N snapshots, deletes every version dir
+  none of them references, and marks the dropped ids so a later
+  ``read(asof=expired)`` fails loudly instead of resurrecting a partial
+  table from whatever files happen to survive.
+
+Scale shape (100 TB): commits append O(new files); the log row is
+O(months) — thousands of entries at a decade of months, trivially
+driver-side; reads open O(selected months) dirs; expiry is pure file
+deletion.  Single writer assumed (document of record: the production seam
+swaps the jsonl append for an Iceberg catalog's optimistic commit, reads
+for ``VERSION AS OF``, expiry for ``expire_snapshots``).
+
+The reference has no analog — it recomputes every result stack from
+scratch per call (``/root/reference/R/rtsa.stl.R:441-489``); checkpointed
+history is this engine's own surface.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+import uuid
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+__all__ = ["SnapshotStore"]
+
+P_MONTH = "p_month"
+V_COL = "v"
+#: commit ops that carry a month->version mapping (data commits); an
+#: "expire" row changes no mapping and never counts toward retention.
+_DATA_OPS = ("publish", "refresh", "rollback")
+
+
+class SnapshotStore:
+    """Versioned month-partitioned parquet table with snapshot isolation.
+
+    ``ts_col`` names the event-time column the month partitioning derives
+    from (``bucket_start`` for rollup tiers, ``block_day`` for encoded
+    blocks).  Input frames must NOT already carry ``p_month``/``v``
+    columns — those are the store's physical partition keys.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        base_dir: str,
+        ts_col: str = "bucket_start",
+    ):
+        self.spark = spark
+        self.base = base_dir
+        self.ts_col = ts_col
+        os.makedirs(self.base, exist_ok=True)
+
+    # ------------------------------------------------------------ paths
+    @property
+    def _data_dir(self) -> str:
+        return os.path.join(self.base, "data")
+
+    @property
+    def _log_path(self) -> str:
+        return os.path.join(self.base, "snapshots.jsonl")
+
+    @property
+    def _schema_path(self) -> str:
+        return os.path.join(self.base, "schema.json")
+
+    # -------------------------------------------------------------- log
+    def _log(self) -> list[dict]:
+        if not os.path.exists(self._log_path):
+            return []
+        with open(self._log_path) as f:
+            return [json.loads(line) for line in f if line.strip()]
+
+    def _append_log(self, row: dict) -> None:
+        with open(self._log_path, "a") as f:
+            f.write(json.dumps(row) + "\n")
+
+    def _data_commits(self) -> list[dict]:
+        return [r for r in self._log() if r["op"] in _DATA_OPS]
+
+    def _expired_ids(self) -> set[int]:
+        out: set[int] = set()
+        for r in self._log():
+            if r["op"] == "expire":
+                out.update(r["expired_snapshots"])
+        return out
+
+    def current_snapshot(self) -> int | None:
+        commits = self._data_commits()
+        return commits[-1]["snapshot_id"] if commits else None
+
+    def snapshot_log(self) -> DataFrame:
+        """The commit log as a DataFrame (the catalog's snapshot table)."""
+        return self.spark.read.json(self._log_path)
+
+    # ------------------------------------------------------------ schema
+    def _pin_schema(self, df: DataFrame) -> None:
+        logical = [f for f in df.schema.fields]
+        if os.path.exists(self._schema_path):
+            with open(self._schema_path) as f:
+                pinned = StructType.fromJson(json.load(f))
+            if StructType(logical) != pinned:
+                raise ValueError(
+                    "schema mismatch vs pinned store schema; this store "
+                    "does not do schema evolution (production seam: "
+                    "Iceberg handles it natively)"
+                )
+        else:
+            with open(self._schema_path, "w") as f:
+                json.dump(StructType(logical).jsonValue(), f)
+
+    def _pinned_schema(self) -> StructType:
+        with open(self._schema_path) as f:
+            return StructType.fromJson(json.load(f))
+
+    # ------------------------------------------------------------ commits
+    def _validate_input(self, df: DataFrame) -> None:
+        if self.ts_col not in df.columns:
+            raise ValueError(f"input lacks ts_col {self.ts_col!r}")
+        clash = {P_MONTH, V_COL} & set(df.columns)
+        if clash:
+            raise ValueError(
+                f"input must not carry store partition columns {sorted(clash)}"
+            )
+
+    def _write_version(self, df: DataFrame) -> tuple[str, list[str]]:
+        """Append ``df`` under a fresh version id; returns
+        ``(version, months_written)``.  One job: the distinct-months
+        accounting rides the write via a post-write listing of the version's
+        own dirs (no second scan of the input)."""
+        ver = uuid.uuid4().hex[:12]
+        (
+            df.withColumn(
+                P_MONTH, F.date_format(F.col(self.ts_col), "yyyy-MM")
+            )
+            .withColumn(V_COL, F.lit(ver))
+            .write.mode("append")
+            .partitionBy(P_MONTH, V_COL)
+            .parquet(self._data_dir)
+        )
+        months = sorted(
+            d.split("=", 1)[1]
+            for d in os.listdir(self._data_dir)
+            if d.startswith(f"{P_MONTH}=")
+            and os.path.isdir(os.path.join(self._data_dir, d, f"{V_COL}={ver}"))
+        )
+        return ver, months
+
+    def _commit(self, op: str, mapping: dict[str, str], **extra) -> int:
+        cur = self.current_snapshot()
+        sid = (cur or 0) + 1
+        self._append_log(
+            {
+                "snapshot_id": sid,
+                "parent": cur,
+                "op": op,
+                "committed_at": time.time(),
+                "months": mapping,
+                **extra,
+            }
+        )
+        return sid
+
+    def publish(self, df: DataFrame) -> int:
+        """Full-table publish: every month in ``df`` maps to the new
+        version; months present in the parent but absent from ``df`` are
+        deleted in the new snapshot (it IS the full table)."""
+        self._validate_input(df)
+        self._pin_schema(df)
+        ver, months = self._write_version(df)
+        return self._commit("publish", {m: ver for m in months})
+
+    def refresh_months(self, df: DataFrame, months: list[str]) -> int:
+        """Partition-scoped commit: re-publish ONLY ``months`` from ``df``
+        (defensively filtered to them); all other months keep the parent's
+        versions.  A requested month ``df`` has no rows for is DELETED in
+        the new snapshot — same degenerate-month semantics as
+        ``TierPipeline.refresh_months``."""
+        self._validate_input(df)
+        cur = self.current_snapshot()
+        if cur is None:
+            raise ValueError("refresh_months requires a prior publish()")
+        self._pin_schema(df)
+        scoped = df.where(
+            F.date_format(F.col(self.ts_col), "yyyy-MM").isin(months)
+        )
+        ver, written = self._write_version(scoped)
+        mapping = dict(self._snapshot_row(cur)["months"])
+        for m in months:
+            mapping.pop(m, None)
+        mapping.update({m: ver for m in written})
+        return self._commit("refresh", mapping, refreshed=sorted(months))
+
+    def rollback(self, snapshot_id: int) -> int:
+        """Metadata-only commit that restores ``snapshot_id``'s mapping
+        under a NEW snapshot id (history stays append-only, like Iceberg's
+        ``rollback_to_snapshot``).  The target must not be expired."""
+        row = self._snapshot_row(snapshot_id)
+        return self._commit(
+            "rollback", dict(row["months"]), rolled_back_to=snapshot_id
+        )
+
+    # -------------------------------------------------------------- reads
+    def _snapshot_row(self, snapshot_id: int) -> dict:
+        if snapshot_id in self._expired_ids():
+            raise ValueError(f"snapshot {snapshot_id} has been expired")
+        for r in self._data_commits():
+            if r["snapshot_id"] == snapshot_id:
+                return r
+        raise ValueError(f"unknown snapshot id {snapshot_id}")
+
+    def read(self, asof: int | None = None) -> DataFrame:
+        """The table AS OF ``asof`` (default: current snapshot).
+
+        Lists exactly the mapped ``p_month=…/v=…`` dirs — the
+        manifest-driven read: cost is O(months in the snapshot), never
+        O(versions retained).  Returns the logical schema (partition
+        columns dropped)."""
+        cur = self.current_snapshot()
+        if cur is None:
+            raise ValueError("store has no snapshots yet")
+        row = self._snapshot_row(asof if asof is not None else cur)
+        mapping: dict[str, str] = row["months"]
+        if not mapping:
+            return self.spark.createDataFrame([], self._pinned_schema())
+        dirs = [
+            os.path.join(self._data_dir, f"{P_MONTH}={m}", f"{V_COL}={v}")
+            for m, v in sorted(mapping.items())
+        ]
+        return (
+            self.spark.read.option("basePath", self._data_dir)
+            .parquet(*dirs)
+            .drop(P_MONTH, V_COL)
+        )
+
+    # -------------------------------------------------------------- expiry
+    def expire(self, keep_last: int = 2) -> dict:
+        """Retain the last ``keep_last`` data commits; physically delete
+        every ``v=`` dir no retained snapshot references (this also reaps
+        orphan versions from crashed writers, which no snapshot ever
+        referenced), and mark the dropped snapshot ids so time-travel to
+        them fails loudly.  Returns accounting
+        ``{expired_snapshots, deleted_dirs, freed_bytes}``."""
+        if keep_last < 1:
+            raise ValueError(f"keep_last must be >= 1, got {keep_last}")
+        commits = self._data_commits()
+        retained = commits[-keep_last:]
+        already = self._expired_ids()
+        dropped = [
+            r["snapshot_id"]
+            for r in commits[:-keep_last]
+            if r["snapshot_id"] not in already
+        ]
+        live: set[tuple[str, str]] = {
+            (m, v) for r in retained for m, v in r["months"].items()
+        }
+        deleted_dirs = 0
+        freed = 0
+        if os.path.isdir(self._data_dir):
+            for mdir in sorted(os.listdir(self._data_dir)):
+                if not mdir.startswith(f"{P_MONTH}="):
+                    continue
+                month = mdir.split("=", 1)[1]
+                mpath = os.path.join(self._data_dir, mdir)
+                for vdir in sorted(os.listdir(mpath)):
+                    if not vdir.startswith(f"{V_COL}="):
+                        continue
+                    ver = vdir.split("=", 1)[1]
+                    if (month, ver) in live:
+                        continue
+                    vpath = os.path.join(mpath, vdir)
+                    for root, _dirs, files in os.walk(vpath):
+                        freed += sum(
+                            os.path.getsize(os.path.join(root, fn))
+                            for fn in files
+                        )
+                    shutil.rmtree(vpath)
+                    deleted_dirs += 1
+                if not any(
+                    d.startswith(f"{V_COL}=") for d in os.listdir(mpath)
+                ):
+                    shutil.rmtree(mpath)
+        if dropped:
+            self._append_log(
+                {
+                    "op": "expire",
+                    "committed_at": time.time(),
+                    "expired_snapshots": dropped,
+                    "deleted_dirs": deleted_dirs,
+                    "freed_bytes": freed,
+                }
+            )
+        return {
+            "expired_snapshots": dropped,
+            "deleted_dirs": deleted_dirs,
+            "freed_bytes": freed,
+        }

@@ -1,0 +1,221 @@
+"""SnapshotStore: snapshot isolation, time travel, rollback, expiry.
+
+The properties under test are the Iceberg ones the north rule's
+"resumable from Iceberg snapshot checkpoints" implies: every commit is a
+readable snapshot, a refresh never mutates what an older snapshot reads,
+rollback is metadata-only, expiry deletes exactly the unreferenced
+version dirs and makes expired ids unreadable LOUDLY.
+"""
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from rtsa_spark.operators.rollup import rollup_raw
+from rtsa_spark.snapshot import SnapshotStore
+from rtsa_spark.synth import synth_sequences
+
+
+@pytest.fixture(scope="module")
+def tier(spark):
+    return rollup_raw(synth_sequences(spark, 4000, n_sources=4)).cache()
+
+
+def _totals(df):
+    return {
+        (r["source"], r["m"]): (r["n"], r["s"])
+        for r in df.groupBy(
+            "source", F.date_format("bucket_start", "yyyy-MM").alias("m")
+        )
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("n_tok_sum").alias("s"))
+        .collect()
+    }
+
+
+def test_publish_read_roundtrip(spark, tier, tmp_path):
+    st = SnapshotStore(spark, str(tmp_path / "st"))
+    sid = st.publish(tier)
+    assert sid == 1 and st.current_snapshot() == 1
+    got = st.read()
+    assert sorted(got.columns) == sorted(tier.columns)
+    assert _totals(got) == _totals(tier)
+
+
+def test_refresh_time_travel(spark, tier, tmp_path):
+    st = SnapshotStore(spark, str(tmp_path / "st"))
+    st.publish(tier)
+    feb = F.date_format(F.col("bucket_start"), "yyyy-MM") == "2024-02"
+    corrected = tier.withColumn(
+        "n_tok_sum", F.when(feb, F.col("n_tok_sum") * 2).otherwise(F.col("n_tok_sum"))
+    )
+    sid2 = st.refresh_months(corrected.where(feb), ["2024-02"])
+    assert sid2 == 2
+    # current sees the correction, snapshot 1 still reads the original
+    assert _totals(st.read()) == _totals(corrected)
+    assert _totals(st.read(asof=1)) == _totals(tier)
+
+
+def test_refresh_filters_out_of_scope_rows(spark, tier, tmp_path):
+    """Rows outside the requested months must not leak into the commit."""
+    st = SnapshotStore(spark, str(tmp_path / "st"))
+    st.publish(tier)
+    st.refresh_months(
+        tier.withColumn("n_tok_sum", F.col("n_tok_sum") + 1), ["2024-02"]
+    )
+    want = _totals(
+        tier.withColumn(
+            "n_tok_sum",
+            F.when(
+                F.date_format("bucket_start", "yyyy-MM") == "2024-02",
+                F.col("n_tok_sum") + 1,
+            ).otherwise(F.col("n_tok_sum")),
+        )
+    )
+    assert _totals(st.read()) == want
+
+
+def test_refresh_deletes_emptied_month_but_history_survives(
+    spark, tier, tmp_path
+):
+    st = SnapshotStore(spark, str(tmp_path / "st"))
+    st.publish(tier)
+    none_left = tier.where(F.lit(False))
+    st.refresh_months(none_left, ["2024-02"])
+    months_now = {
+        r["m"]
+        for r in st.read()
+        .select(F.date_format("bucket_start", "yyyy-MM").alias("m"))
+        .distinct()
+        .collect()
+    }
+    assert "2024-02" not in months_now and months_now
+    # time travel still sees the deleted month
+    months_then = {
+        r["m"]
+        for r in st.read(asof=1)
+        .select(F.date_format("bucket_start", "yyyy-MM").alias("m"))
+        .distinct()
+        .collect()
+    }
+    assert "2024-02" in months_then
+
+
+def test_rollback_is_metadata_only(spark, tier, tmp_path):
+    st = SnapshotStore(spark, str(tmp_path / "st"))
+    st.publish(tier)
+    st.refresh_months(
+        tier.withColumn("n_tok_sum", F.col("n_tok_sum") * 3), ["2024-02"]
+    )
+
+    def n_version_dirs():
+        data = os.path.join(str(tmp_path / "st"), "data")
+        return sum(
+            1
+            for m in os.listdir(data)
+            if m.startswith("p_month=")
+            for v in os.listdir(os.path.join(data, m))
+            if v.startswith("v=")
+        )
+
+    before = n_version_dirs()
+    sid3 = st.rollback(1)
+    assert sid3 == 3
+    assert n_version_dirs() == before  # zero data movement
+    assert _totals(st.read()) == _totals(tier)
+
+
+def test_manifest_driven_read_lists_only_mapped_dirs(spark, tier, tmp_path):
+    """The read must open EXACTLY the mapped version dirs — retained old
+    versions (and orphans) cost nothing at read time."""
+    st = SnapshotStore(spark, str(tmp_path / "st"))
+    st.publish(tier)
+    feb = F.date_format(F.col("bucket_start"), "yyyy-MM") == "2024-02"
+    st.refresh_months(tier.where(feb), ["2024-02"])
+    files = st.read().inputFiles()
+    mapping = st._snapshot_row(st.current_snapshot())["months"]
+    assert files
+    for f in files:
+        month = f.split("p_month=")[1].split("/")[0]
+        ver = f.split("v=")[1].split("/")[0]
+        assert mapping[month] == ver
+    # each mapped month appears, no unmapped version dir is listed
+    assert {f.split("p_month=")[1].split("/")[0] for f in files} == set(mapping)
+
+
+def test_expire_deletes_unreferenced_and_orphans(spark, tier, tmp_path):
+    st = SnapshotStore(spark, str(tmp_path / "st"))
+    st.publish(tier)
+    for k in (2, 3):
+        st.refresh_months(
+            tier.withColumn("n_tok_sum", F.col("n_tok_sum") + k), ["2024-02"]
+        )
+    # orphan: a crashed writer's version dir no snapshot references
+    data = os.path.join(str(tmp_path / "st"), "data")
+    orphan = os.path.join(data, "p_month=2024-02", "v=deadbeef0000")
+    os.makedirs(orphan)
+    with open(os.path.join(orphan, "part-junk.parquet"), "wb") as f:
+        f.write(b"x" * 128)
+
+    res = st.expire(keep_last=2)
+    assert res["expired_snapshots"] == [1]
+    assert res["deleted_dirs"] >= 2  # snapshot 1's feb version + orphan
+    assert res["freed_bytes"] > 0
+    assert not os.path.exists(orphan)
+    # retained snapshots still read correctly
+    assert _totals(st.read(asof=2)) == _totals(
+        tier.withColumn(
+            "n_tok_sum",
+            F.when(
+                F.date_format("bucket_start", "yyyy-MM") == "2024-02",
+                F.col("n_tok_sum") + 2,
+            ).otherwise(F.col("n_tok_sum")),
+        )
+    )
+    with pytest.raises(ValueError, match="expired"):
+        st.read(asof=1)
+    # idempotent: nothing further to drop
+    assert st.expire(keep_last=2)["expired_snapshots"] == []
+
+
+def test_expired_months_outside_refresh_survive(spark, tier, tmp_path):
+    """Months never refreshed keep their single shared version across all
+    retained snapshots — expire must not touch them."""
+    st = SnapshotStore(spark, str(tmp_path / "st"))
+    st.publish(tier)
+    st.refresh_months(
+        tier.withColumn("n_tok_sum", F.col("n_tok_sum") + 1), ["2024-02"]
+    )
+    st.expire(keep_last=1)
+    got = st.read()
+    assert _totals(got) == _totals(
+        tier.withColumn(
+            "n_tok_sum",
+            F.when(
+                F.date_format("bucket_start", "yyyy-MM") == "2024-02",
+                F.col("n_tok_sum") + 1,
+            ).otherwise(F.col("n_tok_sum")),
+        )
+    )
+
+
+def test_guards(spark, tier, tmp_path):
+    st = SnapshotStore(spark, str(tmp_path / "st"))
+    with pytest.raises(ValueError, match="no snapshots"):
+        st.read()
+    with pytest.raises(ValueError, match="prior publish"):
+        st.refresh_months(tier, ["2024-02"])
+    st.publish(tier)
+    with pytest.raises(ValueError, match="unknown snapshot"):
+        st.read(asof=99)
+    with pytest.raises(ValueError, match="partition columns"):
+        st.publish(tier.withColumn("v", F.lit("x")))
+    with pytest.raises(ValueError, match="schema mismatch"):
+        st.publish(tier.withColumn("extra", F.lit(1)))
+    with pytest.raises(ValueError, match="ts_col"):
+        SnapshotStore(spark, str(tmp_path / "st2")).publish(
+            tier.drop("bucket_start")
+        )
+    with pytest.raises(ValueError, match="keep_last"):
+        st.expire(keep_last=0)
