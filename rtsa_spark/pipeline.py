@@ -27,6 +27,14 @@ next reads it, with a lineage ledger that makes re-runs idempotent:
   check. Partition-scoped refreshes use dynamic partition overwrite and
   touch ONLY the affected ``p_month`` dirs.
 
+Opt-in ``snapshot_tiers`` stores those rollup tiers through
+:class:`rtsa_spark.snapshot.SnapshotStore` instead of a plain partitioned
+dir: every publish/refresh is an append-only snapshot commit, so
+``read_stage(stage, asof=...)`` time-travels to any retained checkpoint,
+refreshes never destroy what an earlier snapshot read, and
+``expire_snapshots`` reclaims history explicitly. Manifest rows for those
+stages carry the committing ``snapshot_id``.
+
 This is the parquet-backed emulation of Iceberg snapshot checkpoints
 (SURVEY.md §7 "Iceberg in sandbox"): the lineage row plays the snapshot
 commit, the atomic rename / per-partition swap plays the manifest swap. On
@@ -55,6 +63,7 @@ from rtsa_spark.operators.encode import encode_tier
 from rtsa_spark.operators.gapfill import gapfill_linear
 from rtsa_spark.operators.metrics import compute_metrics
 from rtsa_spark.operators.rollup import TIER_ORDER, rollup_next, rollup_raw
+from rtsa_spark.snapshot import SnapshotStore
 
 P_MONTH = "p_month"
 
@@ -92,6 +101,7 @@ class TierPipeline:
         hist_top_k: int | None = 128,
         encode_tiers: tuple[str, ...] = (),
         encode_value_col: str = "n_tok_sum",
+        snapshot_tiers: tuple[str, ...] = (),
         run_id: str | None = None,
     ):
         self.spark = spark
@@ -103,6 +113,15 @@ class TierPipeline:
         self.hist_top_k = hist_top_k
         self.encode_tiers = encode_tiers
         self.encode_value_col = encode_value_col
+        #: rollup tiers stored through :class:`SnapshotStore` instead of a
+        #: plain partitioned dir: every publish/refresh is an append-only
+        #: snapshot commit, so consumers can time-travel
+        #: (``read_stage(stage, asof=...)``) and refreshes never destroy
+        #: what an earlier checkpoint read. Downstream stages (gapfill /
+        #: encode / metrics) read the CURRENT snapshot and keep their
+        #: plain layout.
+        self.snapshot_tiers = snapshot_tiers
+        self._stores: dict[str, SnapshotStore] = {}
         self.run_id = run_id or uuid.uuid4().hex[:12]
         os.makedirs(self.base, exist_ok=True)
 
@@ -180,6 +199,61 @@ class TierPipeline:
             total += rows
         return total
 
+    def _append_partition_rows_snap(
+        self,
+        stage: str,
+        store: SnapshotStore,
+        status: str,
+        months: list[str] | None = None,
+    ) -> int:
+        """Snapshot-stage twin of :meth:`_append_partition_rows`: manifest
+        rows account the CURRENT snapshot's mapped version dirs (one row
+        per month; a refreshed month the commit deleted gets rows=0).
+        Returns total rows across the accounted months."""
+        sid = store.current_snapshot()
+        mapping = store.months()
+        df = store.read().select(
+            F.date_format(F.col("bucket_start"), "yyyy-MM").alias("m")
+        )
+        if months is not None:
+            df = df.where(F.col("m").isin(months))
+        counts = {
+            r["m"]: r["n"]
+            for r in df.groupBy("m").agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+        if months is not None:
+            for m in months:
+                counts.setdefault(m, 0)
+        now = time.time()
+        total = 0
+        for month, rows in sorted(counts.items()):
+            n_files = n_bytes = 0
+            if month in mapping:
+                vdir = os.path.join(
+                    store._data_dir, f"{P_MONTH}={month}", f"v={mapping[month]}"
+                )
+                for root, _dirs, files in os.walk(vdir):
+                    for fname in files:
+                        if fname.endswith(".parquet"):
+                            n_files += 1
+                            n_bytes += os.path.getsize(os.path.join(root, fname))
+            self._append_ledger_row(
+                self._partition_ledger_path,
+                {
+                    "run_id": self.run_id,
+                    "stage": stage,
+                    "p_month": month,
+                    "rows": rows,
+                    "n_files": n_files,
+                    "bytes": n_bytes,
+                    "status": status,
+                    "snapshot_id": sid,
+                    "finished_at": now,
+                },
+            )
+            total += rows
+        return total
+
     @staticmethod
     def _append_ledger_row(ledger_path: str, row: dict) -> None:
         with open(ledger_path, "a") as f:
@@ -203,9 +277,64 @@ class TierPipeline:
     def _stage_path(self, stage: str) -> str:
         return os.path.join(self.base, stage)
 
+    def _is_snapshot_stage(self, stage: str) -> bool:
+        return (
+            stage.startswith("rollup_")
+            and stage[len("rollup_"):] in self.snapshot_tiers
+        )
+
+    def _store(self, stage: str) -> SnapshotStore:
+        if stage not in self._stores:
+            self._stores[stage] = SnapshotStore(
+                self.spark, self._stage_path(stage)
+            )
+        return self._stores[stage]
+
+    def _stage_exists(self, stage: str) -> bool:
+        if self._is_snapshot_stage(stage):
+            return self._store(stage).current_snapshot() is not None
+        return os.path.exists(self._stage_path(stage))
+
     def _read_stage(self, stage: str) -> DataFrame:
+        if self._is_snapshot_stage(stage):
+            return self._store(stage).read()
         df = self.spark.read.parquet(self._stage_path(stage))
         return df.drop(P_MONTH) if P_MONTH in df.columns else df
+
+    def _read_stage_months(self, stage: str, months: list[str]) -> DataFrame:
+        """Month-filtered stage read: partition-pruned on ``p_month`` for
+        plain stages; snapshot stages filter the current snapshot on the
+        derived month (the store's own partition layout prunes the dirs)."""
+        if self._is_snapshot_stage(stage):
+            return self._store(stage).read().where(
+                F.date_format(F.col("bucket_start"), "yyyy-MM").isin(months)
+            )
+        return (
+            self.spark.read.parquet(self._stage_path(stage))
+            .where(F.col(P_MONTH).isin(months))
+            .drop(P_MONTH)
+        )
+
+    def read_stage(self, stage: str, asof: int | None = None) -> DataFrame:
+        """Public stage read. ``asof`` time-travels a snapshot-backed
+        stage to an earlier checkpoint; plain stages hold only the
+        current state and refuse it loudly."""
+        if asof is not None:
+            if not self._is_snapshot_stage(stage):
+                raise ValueError(
+                    f"stage {stage!r} is not snapshot-backed; add its tier "
+                    f"to snapshot_tiers for time travel"
+                )
+            return self._store(stage).read(asof=asof)
+        return self._read_stage(stage)
+
+    def expire_snapshots(self, keep_last: int = 2) -> dict[str, dict]:
+        """Expire old checkpoints on every snapshot-backed stage; returns
+        per-stage accounting from :meth:`SnapshotStore.expire`."""
+        return {
+            f"rollup_{t}": self._store(f"rollup_{t}").expire(keep_last)
+            for t in self.snapshot_tiers
+        }
 
     @staticmethod
     def _with_month(df: DataFrame, ts_col: str = "bucket_start") -> DataFrame:
@@ -216,8 +345,45 @@ class TierPipeline:
     def _write_stage(self, stage: str, df: DataFrame, fingerprint: str) -> str:
         """Compute + atomically publish one stage, ledger-logged.
         Bucket-bearing stages are written partitionBy(month) so late-data
-        refreshes can swap single partition dirs."""
+        refreshes can swap single partition dirs. Snapshot-backed stages
+        publish through their store instead: append-only version dirs +
+        snapshot-log commit play the tmp-write + atomic rename (a crash
+        between data write and log append leaves an orphan no read sees,
+        reaped by expire)."""
         final = self._stage_path(stage)
+        if self._is_snapshot_stage(stage):
+            st = self._store(stage)
+            t0 = time.time()
+            st.publish(df)
+            rows_out = self._append_partition_rows_snap(stage, st, "SUCCESS")
+            mapping = st.months()
+            n_files = sum(
+                1
+                for m, v in mapping.items()
+                for _root, _dirs, files in os.walk(
+                    os.path.join(st._data_dir, f"{P_MONTH}={m}", f"v={v}")
+                )
+                for f in files
+                if f.endswith(".parquet")
+            )
+            rows_in = (
+                int(fingerprint.split(":")[0]) if ":" in fingerprint else None
+            )
+            self._append_ledger(
+                {
+                    "run_id": self.run_id,
+                    "stage": stage,
+                    "rows_in": rows_in,
+                    "rows_out": rows_out,
+                    "n_files": n_files,
+                    "started_at": t0,
+                    "finished_at": time.time(),
+                    "status": "SUCCESS",
+                    "fingerprint": fingerprint,
+                    "snapshot_id": st.current_snapshot(),
+                }
+            )
+            return final
         tmp = final + f"._tmp_{self.run_id}"
         t0 = time.time()
         writer = df.write.mode("overwrite")
@@ -269,7 +435,7 @@ class TierPipeline:
         for tier in self.tiers:
             stage = f"rollup_{tier}"
             path = self._stage_path(stage)
-            if self._completed(stage, prev_fp) and os.path.exists(path):
+            if self._completed(stage, prev_fp) and self._stage_exists(stage):
                 tier_df = self._read_stage(stage)
             else:
                 computed = (
@@ -381,7 +547,7 @@ class TierPipeline:
         missing = [
             f"rollup_{t}"
             for t in self.tiers
-            if not os.path.exists(self._stage_path(f"rollup_{t}"))
+            if not self._stage_exists(f"rollup_{t}")
         ]
         if missing:
             raise ValueError(
@@ -429,20 +595,34 @@ class TierPipeline:
             )
             t0 = time.time()
             n_new = recomputed.count()
-            _overwrite_months(recomputed, path)
-            self._append_partition_rows(stage, path, "REFRESH", months=months)
+            if self._is_snapshot_stage(stage):
+                st = self._store(stage)
+                st.refresh_months(recomputed, months)
+                self._append_partition_rows_snap(
+                    stage, st, "REFRESH", months=months
+                )
+                rows_out = st.read().count()
+                snap_extra = {"snapshot_id": st.current_snapshot()}
+            else:
+                _overwrite_months(recomputed, path)
+                self._append_partition_rows(
+                    stage, path, "REFRESH", months=months
+                )
+                rows_out = self.spark.read.parquet(path).count()
+                snap_extra = {}
             self._append_ledger(
                 {
                     "run_id": self.run_id,
                     "stage": stage,
                     "rows_in": n_new,
-                    "rows_out": self.spark.read.parquet(path).count(),
+                    "rows_out": rows_out,
                     "n_files": None,
                     "started_at": t0,
                     "finished_at": time.time(),
                     "status": "REFRESH",
                     "fingerprint": prev_fp,
                     "months": months,
+                    **snap_extra,
                 }
             )
             replaced[stage] = n_new
@@ -534,7 +714,7 @@ class TierPipeline:
                 else:
                     t1 = time.time()
                     month_blocks = encode_tier(
-                        self.spark.read.parquet(path).where(in_months).drop(P_MONTH),
+                        self._read_stage_months(stage, months),
                         value_col=self.encode_value_col,
                     )
                     _overwrite_months(month_blocks, epath, ts_col="block_day")
@@ -565,8 +745,6 @@ class TierPipeline:
                 )
                 replaced[mstage] = 0
 
-            prev_recomputed = (
-                self.spark.read.parquet(path).where(in_months).drop(P_MONTH)
-            )
+            prev_recomputed = self._read_stage_months(stage, months)
             prev_fp = tier_fp
         return replaced

@@ -243,6 +243,16 @@ class SnapshotStore:
                 return r
         raise ValueError(f"unknown snapshot id {snapshot_id}")
 
+    def months(self, asof: int | None = None) -> dict[str, str]:
+        """The month->version mapping of ``asof`` (default current) — the
+        snapshot's manifest, for callers that account files per partition."""
+        cur = self.current_snapshot()
+        if cur is None:
+            raise ValueError("store has no snapshots yet")
+        return dict(
+            self._snapshot_row(asof if asof is not None else cur)["months"]
+        )
+
     def read(self, asof: int | None = None) -> DataFrame:
         """The table AS OF ``asof`` (default: current snapshot).
 

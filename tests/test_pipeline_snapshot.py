@@ -1,0 +1,178 @@
+"""TierPipeline x SnapshotStore: snapshot-backed rollup tiers.
+
+The properties: a snapshot-backed tier behaves identically to the plain
+layout for run/resume/refresh AND adds time travel (read_stage asof),
+non-destructive refreshes, per-partition manifest rows carrying the
+snapshot id, and explicit history expiry.
+"""
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from rtsa_spark.pipeline import TierPipeline
+from rtsa_spark.synth import synth_sequences
+
+
+@pytest.fixture(scope="module")
+def seqs(spark):
+    return synth_sequences(spark, 6000, n_sources=4).cache()
+
+
+def _mk(spark, base, **kw):
+    return TierPipeline(
+        spark,
+        base,
+        tiers=["raw", "hourly", "daily", "monthly"],
+        gapfill_tiers=(),
+        metrics_tiers=(),
+        snapshot_tiers=("hourly",),
+        **kw,
+    )
+
+
+def _totals(df):
+    return {
+        r["source"]: (r["n"], r["s"])
+        for r in df.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("n_tok_sum").alias("s"))
+        .collect()
+    }
+
+
+def test_run_matches_plain_layout_and_resumes(spark, seqs, tmp_path):
+    snap = _mk(spark, str(tmp_path / "snap"))
+    snap.run(seqs)
+    plain = TierPipeline(
+        spark, str(tmp_path / "plain"),
+        tiers=["raw", "hourly", "daily", "monthly"],
+        gapfill_tiers=(), metrics_tiers=(),
+    )
+    plain.run(seqs)
+    assert _totals(snap.read_stage("rollup_hourly")) == _totals(
+        plain.read_stage("rollup_hourly")
+    )
+    # resume: a second run() over identical input appends no ledger rows
+    n1 = len(snap._ledger())
+    _mk(spark, str(tmp_path / "snap")).run(seqs)
+    assert len(snap._ledger()) == n1
+
+
+def test_refresh_time_travels_and_downstream_cascades(spark, seqs, tmp_path):
+    base = str(tmp_path / "tiers")
+    p = _mk(spark, base)
+    p.run(seqs)
+    feb = F.date_format(F.col("ts"), "yyyy-MM") == "2024-02"
+    corrected = seqs.withColumn(
+        "n_tok", F.when(feb, F.col("n_tok") * 2).otherwise(F.col("n_tok"))
+    )
+    p.refresh_months(corrected, ["2024-02"])
+
+    # current snapshot reflects the correction; checkpoint 1 reads original
+    ref = TierPipeline(
+        spark, str(tmp_path / "ref"),
+        tiers=["raw", "hourly"], gapfill_tiers=(), metrics_tiers=(),
+    )
+    ref.run(corrected)
+    assert _totals(p.read_stage("rollup_hourly")) == _totals(
+        ref.read_stage("rollup_hourly")
+    )
+    tok_then = {
+        s: v[1] for s, v in _totals(p.read_stage("rollup_hourly", asof=1)).items()
+    }
+    tok_orig = {
+        r["source"]: r["s"]
+        for r in seqs.groupBy("source").agg(F.sum("n_tok").alias("s")).collect()
+    }
+    assert tok_then == tok_orig
+
+    # downstream plain tiers (daily/monthly) cascade from the refreshed
+    # current snapshot
+    tok_monthly = {
+        r["source"]: r["s"]
+        for r in p.read_stage("rollup_monthly")
+        .groupBy("source").agg(F.sum("n_tok_sum").alias("s")).collect()
+    }
+    tok_corrected = {
+        r["source"]: r["s"]
+        for r in corrected.groupBy("source")
+        .agg(F.sum("n_tok").alias("s")).collect()
+    }
+    assert tok_monthly == tok_corrected
+
+    # a subsequent run() over the corrected input skips every stage
+    n1 = len(p._ledger())
+    _mk(spark, base).run(corrected)
+    assert len(p._ledger()) == n1
+
+
+def test_manifest_rows_carry_snapshot_id(spark, seqs, tmp_path):
+    p = _mk(spark, str(tmp_path / "tiers"))
+    p.run(seqs)
+    feb = F.date_format(F.col("ts"), "yyyy-MM") == "2024-02"
+    p.refresh_months(
+        seqs.withColumn(
+            "n_tok", F.when(feb, F.col("n_tok") + 1).otherwise(F.col("n_tok"))
+        ),
+        ["2024-02"],
+    )
+    man = p.partition_lineage().where(F.col("stage") == "rollup_hourly")
+    sids = {
+        r["status"]: r["snapshot_id"]
+        for r in man.select("status", "snapshot_id").distinct().collect()
+    }
+    assert sids == {"SUCCESS": 1, "REFRESH": 2}
+    # refresh accounting is month-scoped
+    refreshed = man.where(F.col("status") == "REFRESH")
+    assert {r["p_month"] for r in refreshed.collect()} == {"2024-02"}
+
+
+def test_expire_snapshots_and_guards(spark, seqs, tmp_path):
+    p = _mk(spark, str(tmp_path / "tiers"))
+    p.run(seqs)
+    feb = F.date_format(F.col("ts"), "yyyy-MM") == "2024-02"
+    p.refresh_months(
+        seqs.withColumn(
+            "n_tok", F.when(feb, F.col("n_tok") + 1).otherwise(F.col("n_tok"))
+        ),
+        ["2024-02"],
+    )
+    res = p.expire_snapshots(keep_last=1)
+    assert res["rollup_hourly"]["expired_snapshots"] == [1]
+    with pytest.raises(ValueError, match="expired"):
+        p.read_stage("rollup_hourly", asof=1)
+    # current still reads
+    assert _totals(p.read_stage("rollup_hourly"))
+    # asof on a plain stage refuses loudly
+    with pytest.raises(ValueError, match="not snapshot-backed"):
+        p.read_stage("rollup_daily", asof=1)
+
+
+def test_encode_downstream_of_snapshot_tier(spark, seqs, tmp_path):
+    """The encoded stage refreshes from the snapshot tier's CURRENT
+    months — the month-filtered read goes through the store."""
+    base = str(tmp_path / "tiers")
+    p = _mk(spark, base, encode_tiers=("hourly",))
+    p.run(seqs)
+    feb = F.date_format(F.col("ts"), "yyyy-MM") == "2024-02"
+    corrected = seqs.withColumn(
+        "n_tok", F.when(feb, F.col("n_tok") * 2).otherwise(F.col("n_tok"))
+    )
+    p.refresh_months(corrected, ["2024-02"])
+    from rtsa_spark.operators.encode import decode_blocks
+
+    decoded = decode_blocks(
+        spark.read.parquet(f"{base}/encoded_hourly").drop("p_month")
+    )
+    tok_dec = {
+        r["source"]: r["s"]
+        for r in decoded.groupBy("source")
+        .agg(F.sum(F.col("value").cast("long")).alias("s"))
+        .collect()
+    }
+    tok_corrected = {
+        r["source"]: r["s"]
+        for r in corrected.groupBy("source")
+        .agg(F.sum("n_tok").alias("s")).collect()
+    }
+    assert tok_dec == tok_corrected
