@@ -2073,6 +2073,78 @@ FROM rk r JOIN bounds b USING (mode)
 """
 
 
+def q_streaming_snapshot_parity(spark, sf_dir):
+    """Streaming CONTINUOUS AGGREGATE into the snapshot store: replay the
+    derived sequences in four micro-batches (maxFilesPerTrigger=1 over a
+    repartition(4) write) through the merging foreachBatch sink
+    (streaming/snapshot_sink.py) maintaining the HOURLY tier in a
+    SnapshotStore. Hourly buckets split across micro-batches MERGE
+    algebraically (count+count, sum+sum, min/max), so the final snapshot
+    must equal the batch hourly tier EXACTLY — DuckDB recomputes it from
+    the seq CTE. No watermark, no sentinel: late rows merge into their
+    bucket whenever they arrive. The data-commit count rides along
+    (exactly 4 — one snapshot checkpoint per micro-batch). Results are
+    collected before the temp dir is removed."""
+    import shutil
+    import tempfile
+
+    from rtsa_spark.snapshot import SnapshotStore
+    from rtsa_spark.streaming.rollup_stream import read_sequences_stream
+    from rtsa_spark.streaming.snapshot_sink import stream_sequences_to_snapshot
+
+    work = tempfile.mkdtemp(prefix="rtsa_stream_snap_")
+    try:
+        seq = _derived_sequences(spark, sf_dir).select(
+            F.col("doc_id").cast("string").alias("doc_id"),
+            F.expr("CAST(array() AS array<int>)").alias("tokens"),
+            F.col("n_tok").cast("int").alias("n_tok"),
+            "source",
+            "ts",
+        )
+        seq.repartition(4).write.mode("overwrite").parquet(f"{work}/in")
+        store = SnapshotStore(spark, f"{work}/store")
+        q = stream_sequences_to_snapshot(
+            read_sequences_stream(spark, f"{work}/in", max_files_per_trigger=1),
+            store,
+            tier="hourly",
+            checkpoint=f"{work}/ckpt",
+        )
+        q.awaitTermination(300)
+        tier = store.read().select(
+            "source",
+            "bucket_start",
+            F.col("n_seq").cast("bigint").alias("n_seq"),
+            F.col("n_tok_sum").cast("bigint").alias("n_tok_sum"),
+            F.col("n_tok_min").cast("bigint").alias("n_tok_min"),
+            F.col("n_tok_max").cast("bigint").alias("n_tok_max"),
+        )
+        cols = tier.columns
+        rows = [tuple(r[c] for c in cols) for r in tier.collect()]
+        n_commits = len(store.data_commits())
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    schema = (
+        "source string, bucket_start timestamp, n_seq bigint, "
+        "n_tok_sum bigint, n_tok_min bigint, n_tok_max bigint"
+    )
+    return spark.createDataFrame(rows, schema).withColumn(
+        "n_commits", F.lit(n_commits).cast("bigint")
+    )
+
+
+SQL_STREAMING_SNAPSHOT_PARITY = f"""
+WITH {SQL_SEQ_CTE}
+SELECT source,
+       date_trunc('hour', ts) AS bucket_start,
+       CAST(count(*) AS BIGINT) AS n_seq,
+       CAST(sum(n_tok) AS BIGINT) AS n_tok_sum,
+       CAST(min(n_tok) AS BIGINT) AS n_tok_min,
+       CAST(max(n_tok) AS BIGINT) AS n_tok_max,
+       CAST(4 AS BIGINT) AS n_commits
+FROM seq GROUP BY 1, 2
+"""
+
+
 def q_streaming_batch_parity(spark, sf_dir):
     """Structured-Streaming raw-tier rollup (SURVEY §2.9) vs the batch
     oracle: write the derived sequences out, replay them through the
@@ -6371,6 +6443,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distribution_drift": q_distribution_drift,
         # ---------- fold: entries below are outside the 50-query gate ----------
         "streaming_dedup": q_streaming_dedup,
+        "streaming_snapshot_parity": q_streaming_snapshot_parity,
         "streaming_sessions": q_streaming_sessions,
         "rollup_hourly_salted": q_rollup_hourly_salted,
         "simhash16": q_simhash16,
@@ -6515,6 +6588,7 @@ def oracle_sql() -> dict[str, str]:
         "x11_yearly_amplitude": _sql_x11(tail_sql=_SQL_X11_YEARLY_TAIL),
         "scale_eof_modes": SQL_SCALE_EOF,
         "streaming_batch_parity": SQL_STREAMING_PARITY,
+        "streaming_snapshot_parity": SQL_STREAMING_SNAPSHOT_PARITY,
         "retention_ladder": SQL_RETENTION,
         "stateful_tracker": SQL_STATEFUL_TRACKER,
         "winnow_fingerprints": SQL_WINNOW,

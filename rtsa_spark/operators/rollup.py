@@ -103,6 +103,37 @@ def rollup_next(tier_df: DataFrame, to_tier: str) -> DataFrame:
     return _finalize(out).select(ROLLUP_COLS)
 
 
+def merge_rollup(existing: DataFrame, delta: DataFrame) -> DataFrame:
+    """SAME-tier algebraic merge: combine two sets of tier partials for
+    overlapping (source, bucket) keys — count+count, sum+sum, min(min),
+    max(max), mean re-finalized from the merged sums.  This is what makes
+    the tier a true continuous aggregate: an incremental delta (a
+    streaming micro-batch's rollup, a backfill slice) folds into the
+    stored tier without re-reading history beyond the touched buckets.
+
+    Gap-filled rows are excluded on BOTH sides (tier stores hold true
+    partials; interpolation is a read-side stage).
+
+    Scale shape: one union + one shuffle on (source, bucket) over
+    ``existing ∪ delta`` — callers pass only the affected months of the
+    stored tier (see streaming/snapshot_sink.py), so the merge cost is
+    delta-sized, not history-sized.
+    """
+    both = existing.select(ROLLUP_COLS).unionByName(delta.select(ROLLUP_COLS))
+    out = (
+        both.where(~F.col("gapfilled"))
+        .groupBy("source", "bucket_start")
+        .agg(
+            F.sum("n_seq").alias("n_seq"),
+            F.sum("n_tok_sum").alias("n_tok_sum"),
+            F.min("n_tok_min").alias("n_tok_min"),
+            F.max("n_tok_max").alias("n_tok_max"),
+        )
+        .withColumn("gapfilled", F.lit(False))
+    )
+    return _finalize(out).select(ROLLUP_COLS)
+
+
 def rollup_ladder(df: DataFrame, tiers: list[str] | None = None) -> dict[str, DataFrame]:
     """Full cascade. Returns {tier: DataFrame}; caller persists each tier
     (pipeline.py writes tier k before deriving k+1, so the cascade reads

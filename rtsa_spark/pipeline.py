@@ -303,12 +303,10 @@ class TierPipeline:
 
     def _read_stage_months(self, stage: str, months: list[str]) -> DataFrame:
         """Month-filtered stage read: partition-pruned on ``p_month`` for
-        plain stages; snapshot stages filter the current snapshot on the
-        derived month (the store's own partition layout prunes the dirs)."""
+        plain stages; snapshot stages restrict the manifest listing to the
+        requested months (pruned at the dir level, not post-hoc)."""
         if self._is_snapshot_stage(stage):
-            return self._store(stage).read().where(
-                F.date_format(F.col("bucket_start"), "yyyy-MM").isin(months)
-            )
+            return self._store(stage).read(months=months)
         return (
             self.spark.read.parquet(self._stage_path(stage))
             .where(F.col(P_MONTH).isin(months))

@@ -128,12 +128,18 @@ class SnapshotStore:
         return self.spark.read.json(self._log_path)
 
     # ------------------------------------------------------------ schema
+    @staticmethod
+    def _schema_key(schema: StructType) -> list[tuple[str, str]]:
+        """Name+type shape, ignoring nullability/metadata — aggregation
+        flips nullable flags (sum over non-null ints is nullable), and a
+        merge-then-refresh must not read as schema evolution."""
+        return [(f.name, f.dataType.simpleString()) for f in schema.fields]
+
     def _pin_schema(self, df: DataFrame) -> None:
-        logical = [f for f in df.schema.fields]
         if os.path.exists(self._schema_path):
             with open(self._schema_path) as f:
                 pinned = StructType.fromJson(json.load(f))
-            if StructType(logical) != pinned:
+            if self._schema_key(df.schema) != self._schema_key(pinned):
                 raise ValueError(
                     "schema mismatch vs pinned store schema; this store "
                     "does not do schema evolution (production seam: "
@@ -141,7 +147,7 @@ class SnapshotStore:
                 )
         else:
             with open(self._schema_path, "w") as f:
-                json.dump(StructType(logical).jsonValue(), f)
+                json.dump(df.schema.jsonValue(), f)
 
     def _pinned_schema(self) -> StructType:
         with open(self._schema_path) as f:
@@ -195,16 +201,25 @@ class SnapshotStore:
         )
         return sid
 
-    def publish(self, df: DataFrame) -> int:
+    def publish(self, df: DataFrame, extra: dict | None = None) -> int:
         """Full-table publish: every month in ``df`` maps to the new
         version; months present in the parent but absent from ``df`` are
-        deleted in the new snapshot (it IS the full table)."""
+        deleted in the new snapshot (it IS the full table).  ``extra``
+        rides along on the commit row (e.g. a streaming sink's batch id
+        for retry idempotence)."""
         self._validate_input(df)
         self._pin_schema(df)
         ver, months = self._write_version(df)
-        return self._commit("publish", {m: ver for m in months})
+        return self._commit("publish", {m: ver for m in months}, **(extra or {}))
 
-    def refresh_months(self, df: DataFrame, months: list[str]) -> int:
+    def data_commits(self) -> list[dict]:
+        """Data-commit rows (publish/refresh/rollback) in commit order —
+        driver-side metadata, O(commits)."""
+        return self._data_commits()
+
+    def refresh_months(
+        self, df: DataFrame, months: list[str], extra: dict | None = None
+    ) -> int:
         """Partition-scoped commit: re-publish ONLY ``months`` from ``df``
         (defensively filtered to them); all other months keep the parent's
         versions.  A requested month ``df`` has no rows for is DELETED in
@@ -223,7 +238,9 @@ class SnapshotStore:
         for m in months:
             mapping.pop(m, None)
         mapping.update({m: ver for m in written})
-        return self._commit("refresh", mapping, refreshed=sorted(months))
+        return self._commit(
+            "refresh", mapping, refreshed=sorted(months), **(extra or {})
+        )
 
     def rollback(self, snapshot_id: int) -> int:
         """Metadata-only commit that restores ``snapshot_id``'s mapping
@@ -253,18 +270,23 @@ class SnapshotStore:
             self._snapshot_row(asof if asof is not None else cur)["months"]
         )
 
-    def read(self, asof: int | None = None) -> DataFrame:
+    def read(
+        self, asof: int | None = None, months: list[str] | None = None
+    ) -> DataFrame:
         """The table AS OF ``asof`` (default: current snapshot).
 
         Lists exactly the mapped ``p_month=…/v=…`` dirs — the
         manifest-driven read: cost is O(months in the snapshot), never
-        O(versions retained).  Returns the logical schema (partition
-        columns dropped)."""
+        O(versions retained).  ``months`` restricts the listing to those
+        partitions (manifest-level pruning, not a post-hoc filter).
+        Returns the logical schema (partition columns dropped)."""
         cur = self.current_snapshot()
         if cur is None:
             raise ValueError("store has no snapshots yet")
         row = self._snapshot_row(asof if asof is not None else cur)
         mapping: dict[str, str] = row["months"]
+        if months is not None:
+            mapping = {m: v for m, v in mapping.items() if m in set(months)}
         if not mapping:
             return self.spark.createDataFrame([], self._pinned_schema())
         dirs = [
