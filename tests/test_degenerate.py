@@ -274,3 +274,49 @@ def test_degenerate_round4_ops(spark):
     assert winnow_fingerprints(short_doc).count() >= 1
     [sp] = duplicate_spans(short_doc).collect()
     assert sp["tot_fp"] >= 1 and sp["dup_fp"] == 0 and sp["dup_ppm"] == 0
+
+
+def test_degenerate_snapshot_surfaces(spark, tmp_path):
+    """Snapshot store + merging sink degenerate shapes: empty publish,
+    refresh of a month with no prior rows, empty-vs-empty merge, and an
+    empty micro-batch mid-stream (no commit, no crash)."""
+    import pyspark.sql.functions as F
+
+    from rtsa_spark.operators.rollup import merge_rollup, rollup_raw
+    from rtsa_spark.snapshot import SnapshotStore
+    from rtsa_spark.streaming.snapshot_sink import snapshot_rollup_sink
+    from rtsa_spark.synth import synth_sequences
+
+    empty_tier = rollup_raw(synth_sequences(spark, 0))
+    seq = synth_sequences(spark, 800, n_sources=2)
+    tier = rollup_raw(seq)
+
+    # empty FIRST publish: commits a mapping-less snapshot; read returns
+    # the pinned schema with zero rows
+    st = SnapshotStore(spark, str(tmp_path / "empty_first"))
+    sid = st.publish(empty_tier)
+    assert sid == 1 and st.read().count() == 0
+    assert st.read().columns == empty_tier.columns
+    # a later real publish on the same store works
+    st.publish(tier)
+    assert st.read().count() == tier.count()
+
+    # refresh a month that has no rows on either side: month stays absent,
+    # commit still appends (idempotent bookkeeping)
+    st.refresh_months(empty_tier, ["1999-12"])
+    assert st.read().count() == tier.count()
+
+    # empty-vs-empty and empty-delta merges
+    assert merge_rollup(empty_tier, empty_tier).count() == 0
+    assert merge_rollup(tier, empty_tier).exceptAll(tier).count() == 0
+
+    # empty micro-batch through the sink: no commit, later batch fine
+    st2 = SnapshotStore(spark, str(tmp_path / "sink"))
+    fold = snapshot_rollup_sink(st2, tier="raw")
+    fold(synth_sequences(spark, 0), 0)
+    assert st2.current_snapshot() is None
+    fold(seq, 1)
+    assert st2.current_snapshot() == 1
+    tok_store = st2.read().agg(F.sum("n_tok_sum")).first()[0]
+    tok_src = seq.agg(F.sum("n_tok")).first()[0]
+    assert tok_store == tok_src
