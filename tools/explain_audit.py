@@ -398,6 +398,49 @@ def main() -> int:
         "PushedFilters: [" in pr_plan and "bucket_hi" in pr_plan,
     )
 
+    # 21. same-tier merge (the continuous-aggregate fold): one shuffle
+    #     with map-side partial aggregation, no join, no Python eval —
+    #     the delta-sized cost the streaming snapshot sink depends on
+    from rtsa_spark.operators.rollup import merge_rollup
+
+    hr_path = "/tmp/rtsa_audit/hr_tier"
+    hr.write.mode("overwrite").parquet(hr_path)
+    hr_a = spark.read.parquet(hr_path)
+    mg_plan = plan_of(merge_rollup(hr_a, hr_a))
+    ok &= check(
+        "merge_rollup: partial-agg union fold, one shuffle, no join/Python eval",
+        "partial_sum" in mg_plan
+        and "Join" not in mg_plan
+        and "EvalPython" not in mg_plan
+        and mg_plan.count("hashpartitioning") == 1,
+    )
+
+    # 22. snapshot-store read: the manifest-driven listing scans ONLY the
+    #     mapped version dirs (no recursive scan over retained versions)
+    from rtsa_spark.snapshot import SnapshotStore
+
+    import shutil as _sh
+
+    snap_base = "/tmp/rtsa_audit/snap"
+    _sh.rmtree(snap_base, ignore_errors=True)
+    _st = SnapshotStore(spark, snap_base)
+    _st.publish(hr)
+    _st.refresh_months(
+        hr.where(F.date_format("bucket_start", "yyyy-MM") == "2024-02"),
+        ["2024-02"],
+    )
+    mapping = _st.months()
+    files = _st.read().inputFiles()
+    ok &= check(
+        "snapshot read: lists exactly the current snapshot's version dirs",
+        bool(files)
+        and all(
+            mapping[f.split("p_month=")[1].split("/")[0]]
+            == f.split("v=")[1].split("/")[0]
+            for f in files
+        ),
+    )
+
     spark.stop()
     print("AUDIT", "PASS" if ok else "FAIL")
     return 0 if ok else 1
