@@ -113,9 +113,16 @@ def durable_tail() -> str:
 
 N, N4 = 1, 4
 MIN_CAPACITY = 5.5  # effective cores needed for an honest 1->4 pair
-#: wall-efficiency above this proves the single-thread leg was starved
-#: (mild super-linearity from cache effects tops out well below this)
-SUPERLINEAR_MAX = 1.05
+#: wall-efficiency above this proves the single-thread leg was starved.
+#: Tightened 1.05 -> 1.0 after a gated window measured 1.023 (t2 varied
+#: 146 -> 175 s across same-run windows, so N-leg sag can inflate well
+#: past real cache effects): on this shuffle-bound job local[4] cannot
+#: honestly beat local[1] by MORE than 4x, so any eff > 1.0 is evidence
+#: of an N-leg starvation window, not engine scaling. The cost of the
+#: tighter gate is downward bias (true ~1.0 windows with positive noise
+#: get re-sampled), which is the conservative direction for a >= 0.8
+#: north rule.
+SUPERLINEAR_MAX = 1.0
 MAX_ATTEMPTS = 12
 
 
@@ -323,6 +330,11 @@ raw-tier ratio is the number that predicts cluster behavior.
     prior_acc = prior.get("accepted") or {}
     prior_eff = prior_acc.get("efficiency")
     prior_commit = prior_acc.get("commit", "unknown")
+    # a prior "accepted" pair above the (possibly since-tightened)
+    # superlinear gate is retroactively invalid evidence — never let it
+    # outrank an honest sub-1.0 window via the keep-the-better policy
+    if prior_eff is not None and prior_eff > SUPERLINEAR_MAX:
+        prior_eff = None
     new_eff = accepted["efficiency"] if accepted else None
 
     write = accepted is not None and (
