@@ -68,6 +68,16 @@ from rtsa_spark.snapshot import SnapshotStore
 P_MONTH = "p_month"
 
 
+def _hash_cols(df: DataFrame) -> list:
+    cols = []
+    for f in df.schema.fields:
+        c = F.col(f.name)
+        if isinstance(f.dataType, MapType):
+            c = F.to_json(c)
+        cols.append(c)
+    return cols
+
+
 def content_fingerprint(df: DataFrame) -> str:
     """Order-independent content hash of a DataFrame: ``rows:xor-hash``.
 
@@ -76,17 +86,49 @@ def content_fingerprint(df: DataFrame) -> str:
     is undefined in Spark). One columnar scan — at 100 TB the production
     seam replaces this with the Iceberg snapshot id, which is free.
     """
-    cols = []
-    for f in df.schema.fields:
-        c = F.col(f.name)
-        if isinstance(f.dataType, MapType):
-            c = F.to_json(c)
-        cols.append(c)
-    hashed = df.select(F.xxhash64(*cols).alias("h"))
+    hashed = df.select(F.xxhash64(*_hash_cols(df)).alias("h"))
     row = hashed.agg(
         F.count(F.lit(1)).alias("n"), F.expr("bit_xor(h)").alias("x")
     ).first()
     return f"{row['n']}:{row['x'] if row['x'] is not None else 0}"
+
+
+def month_fingerprints(df: DataFrame, ts_col: str = "ts") -> dict[str, str]:
+    """Per-calendar-month content fingerprints of an input table:
+    ``{YYYY-MM: "rows:xor-hash"}``.  Same hash construction as
+    :func:`content_fingerprint` and COMBINABLE into it (xor of month
+    hashes, sum of counts) because ``bit_xor`` is commutative across any
+    partitioning — so recording month-grain lineage costs the same single
+    scan the global fingerprint already paid.  This is what makes
+    late-data detection cheap: compare a corrected input's month map
+    against the published one and only the differing months recompute
+    (:meth:`TierPipeline.refresh_changed`).
+    """
+    hashed = df.select(
+        F.date_format(F.col(ts_col), "yyyy-MM").alias("m"),
+        F.xxhash64(*_hash_cols(df)).alias("h"),
+    )
+    rows = (
+        hashed.groupBy("m")
+        .agg(F.count(F.lit(1)).alias("n"), F.expr("bit_xor(h)").alias("x"))
+        .collect()
+    )
+    return {
+        r["m"]: f"{r['n']}:{r['x'] if r['x'] is not None else 0}"
+        for r in rows
+    }
+
+
+def combine_month_fingerprints(months: dict[str, str]) -> str:
+    """Fold a month-fingerprint map into the global
+    :func:`content_fingerprint` value (sum counts, xor hashes)."""
+    n = 0
+    x = 0
+    for v in months.values():
+        c, h = v.split(":")
+        n += int(c)
+        x ^= int(h)
+    return f"{n}:{x if months else 0}"
 
 
 class TierPipeline:
@@ -428,7 +470,11 @@ class TierPipeline:
         a crash after the named stage commits (resume testing)."""
         out: dict[str, str] = {}
         prev_df: DataFrame | None = None
-        prev_fp = content_fingerprint(sequences)
+        # month-grain fingerprints combine into the global one (same single
+        # scan), and publishing them is what lets refresh_changed() detect
+        # late data without the caller naming months
+        seq_months = month_fingerprints(sequences)
+        prev_fp = combine_month_fingerprints(seq_months)
         seq_fp = prev_fp
         for tier in self.tiers:
             stage = f"rollup_{tier}"
@@ -509,11 +555,66 @@ class TierPipeline:
 
             prev_df = tier_df
             prev_fp = tier_fp
+        # published-input month map, written only once every stage is
+        # committed: a crash mid-run leaves the previous map, so a later
+        # refresh_changed() at worst re-refreshes months run() already
+        # rebuilt (idempotent), never misses one
+        self._write_input_months(seq_months)
         return out
 
     def lineage(self) -> DataFrame:
         """Ledger as a DataFrame (the `lineage` table of SURVEY.md §7.0)."""
         return self.spark.read.json(self._ledger_path)
+
+    # ------------------------------------- late-data detection (month map)
+    @property
+    def _input_months_path(self) -> str:
+        return os.path.join(self.base, "input_months.json")
+
+    def _write_input_months(self, months: dict[str, str]) -> None:
+        tmp = self._input_months_path + f"._tmp_{self.run_id}"
+        with open(tmp, "w") as f:
+            json.dump(months, f, sort_keys=True)
+        os.replace(tmp, self._input_months_path)
+
+    def _read_input_months(self) -> dict[str, str] | None:
+        if not os.path.exists(self._input_months_path):
+            return None
+        with open(self._input_months_path) as f:
+            return json.load(f)
+
+    def detect_changed_months(self, sequences: DataFrame) -> dict[str, list[str]]:
+        """Diff ``sequences`` against the PUBLISHED input's month map:
+        ``{"changed": [...], "added": [...], "removed": [...]}`` (one scan
+        of the new input; the published side is stored metadata).  This is
+        the late-data seam of the north rule — on Iceberg the same diff
+        falls out of snapshot changelogs; here the month fingerprints
+        recorded at publish time play that role."""
+        published = self._read_input_months()
+        if published is None:
+            raise ValueError(
+                "no published input month map; run() must complete once "
+                "before late-data detection"
+            )
+        new = month_fingerprints(sequences)
+        return {
+            "changed": sorted(
+                m for m, fp in new.items()
+                if m in published and published[m] != fp
+            ),
+            "added": sorted(m for m in new if m not in published),
+            "removed": sorted(m for m in published if m not in new),
+        }
+
+    def refresh_changed(self, sequences: DataFrame) -> dict[str, int]:
+        """Detect months whose input content changed and refresh exactly
+        those (added months publish, emptied months delete).  No-op (empty
+        dict) when the input matches the published fingerprints."""
+        diff = self.detect_changed_months(sequences)
+        months = sorted(set(diff["changed"] + diff["added"] + diff["removed"]))
+        if not months:
+            return {}
+        return self.refresh_months(sequences, months)
 
     # ------------------------------------------ late-data partition refresh
     def refresh_months(self, sequences: DataFrame, months: list[str]) -> dict[str, int]:
@@ -557,7 +658,8 @@ class TierPipeline:
         )
         in_months = F.col(P_MONTH).isin(months)
         prev_recomputed: DataFrame | None = None
-        seq_fp = content_fingerprint(sequences)
+        seq_months = month_fingerprints(sequences)
+        seq_fp = combine_month_fingerprints(seq_months)
         prev_fp = seq_fp
 
         def _overwrite_months(
@@ -745,4 +847,15 @@ class TierPipeline:
 
             prev_recomputed = self._read_stage_months(stage, months)
             prev_fp = tier_fp
+        # Update ONLY the refreshed months' entries in the published month
+        # map (not the whole new map): if the caller named a subset of the
+        # months that really changed, the others keep their old published
+        # fingerprint and detect_changed_months still flags them later.
+        published = self._read_input_months() or {}
+        for m in months:
+            published.pop(m, None)
+        published.update(
+            {m: fp for m, fp in seq_months.items() if m in set(months)}
+        )
+        self._write_input_months(published)
         return replaced

@@ -292,3 +292,129 @@ def test_refresh_builds_hist_stage_enabled_after_first_run(
         .collect()
     }
     assert hist_months == src_months
+
+
+def test_month_fingerprints_combine_to_global(spark, tiny_sequences):
+    """Month-grain fingerprints must fold (sum counts, xor hashes) into
+    EXACTLY the global content fingerprint — recording month lineage is
+    then free, the same single scan the global hash already paid."""
+    from rtsa_spark.pipeline import (
+        combine_month_fingerprints,
+        content_fingerprint,
+        month_fingerprints,
+    )
+
+    months = month_fingerprints(tiny_sequences)
+    assert len(months) >= 2  # fixture spans multiple calendar months
+    assert combine_month_fingerprints(months) == content_fingerprint(
+        tiny_sequences
+    )
+    # empty-input degenerate: both sides agree on "0:0"
+    empty = tiny_sequences.where(F.lit(False))
+    assert combine_month_fingerprints(month_fingerprints(empty)) == "0:0"
+    assert content_fingerprint(empty) == "0:0"
+
+
+def test_detect_changed_months(spark, tiny_sequences, tmp_path):
+    """detect_changed_months diffs a new input against the PUBLISHED month
+    map: content edits -> changed, new months -> added, emptied -> removed,
+    identical input -> all empty."""
+    import pytest
+
+    base = str(tmp_path / "detect")
+    p = TierPipeline(spark, base, gapfill_tiers=(), metrics_tiers=())
+
+    # before any completed run there is no published map: loud refusal
+    with pytest.raises(ValueError, match="no published input month map"):
+        p.detect_changed_months(tiny_sequences)
+
+    p.run(tiny_sequences)
+    same = p.detect_changed_months(tiny_sequences)
+    assert same == {"changed": [], "added": [], "removed": []}
+
+    feb = F.date_format(F.col("ts"), "yyyy-MM") == "2024-02"
+    corrected = tiny_sequences.withColumn(
+        "n_tok", F.when(feb, F.col("n_tok") * 2).otherwise(F.col("n_tok"))
+    )
+    diff = p.detect_changed_months(corrected)
+    assert diff == {"changed": ["2024-02"], "added": [], "removed": []}
+
+    dropped = tiny_sequences.where(~feb)
+    diff = p.detect_changed_months(dropped)
+    assert diff == {"changed": [], "added": [], "removed": ["2024-02"]}
+
+    extended = tiny_sequences.unionByName(
+        tiny_sequences.limit(7).withColumn(
+            "ts", F.col("ts") + F.expr("INTERVAL 2000 DAYS")
+        )
+    )
+    diff = p.detect_changed_months(extended)
+    assert diff["changed"] == [] and diff["removed"] == []
+    assert len(diff["added"]) >= 1
+
+
+def test_refresh_changed_autodetects_and_matches_truth(
+    spark, tiny_sequences, tmp_path
+):
+    """refresh_changed: no-op on identical input; on a corrected input it
+    refreshes EXACTLY the differing months (other months' files stay
+    byte-identical) and the tiers equal a from-scratch run; afterwards the
+    published map is current so a second call is again a no-op."""
+    base = str(tmp_path / "auto")
+    p = TierPipeline(spark, base, gapfill_tiers=(), metrics_tiers=())
+    p.run(tiny_sequences)
+
+    assert p.refresh_changed(tiny_sequences) == {}
+
+    feb = F.date_format(F.col("ts"), "yyyy-MM") == "2024-02"
+    corrected = tiny_sequences.withColumn(
+        "n_tok", F.when(feb, F.col("n_tok") * 2).otherwise(F.col("n_tok"))
+    )
+    before = {
+        k: v
+        for k, v in _file_digests(f"{base}/rollup_daily").items()
+        if "p_month=2024-02" not in k
+    }
+    replaced = p.refresh_changed(corrected)
+    assert replaced["rollup_raw"] > 0
+    after = {
+        k: v
+        for k, v in _file_digests(f"{base}/rollup_daily").items()
+        if "p_month=2024-02" not in k
+    }
+    assert before == after  # untouched months byte-identical
+
+    truth = str(tmp_path / "auto_truth")
+    TierPipeline(spark, truth, gapfill_tiers=(), metrics_tiers=()).run(corrected)
+    for tier in ("raw", "hourly", "daily", "monthly"):
+        got = _tier_hash(spark, f"{base}/rollup_{tier}")
+        want = _tier_hash(spark, f"{truth}/rollup_{tier}")
+        assert got == want, tier
+
+    # map was updated: the same corrected input is now a no-op
+    assert p.refresh_changed(corrected) == {}
+
+
+def test_refresh_subset_keeps_unrefreshed_months_detectable(
+    spark, tiny_sequences, tmp_path
+):
+    """If a caller refresh_months() a SUBSET of the months that actually
+    changed, the published map must keep the old fingerprints for the
+    others so detect_changed_months still flags them later (writing the
+    whole new map would silently hide them)."""
+    base = str(tmp_path / "subset")
+    p = TierPipeline(spark, base, gapfill_tiers=(), metrics_tiers=())
+    p.run(tiny_sequences)
+
+    changed = F.date_format(F.col("ts"), "yyyy-MM").isin("2024-01", "2024-02")
+    corrected = tiny_sequences.withColumn(
+        "n_tok",
+        F.when(changed, F.col("n_tok") * 2).otherwise(F.col("n_tok")),
+    )
+    assert set(p.detect_changed_months(corrected)["changed"]) == {
+        "2024-01",
+        "2024-02",
+    }
+    p.refresh_months(corrected, ["2024-02"])  # caller under-names the set
+    diff = p.detect_changed_months(corrected)
+    assert diff == {"changed": ["2024-01"], "added": [], "removed": []}
