@@ -64,6 +64,7 @@ from rtsa_spark.operators.gapfill import gapfill_linear
 from rtsa_spark.operators.metrics import compute_metrics
 from rtsa_spark.operators.rollup import TIER_ORDER, rollup_next, rollup_raw
 from rtsa_spark.snapshot import SnapshotStore
+from rtsa_spark.storage import cluster_for_publish
 
 P_MONTH = "p_month"
 
@@ -428,12 +429,20 @@ class TierPipeline:
         t0 = time.time()
         writer = df.write.mode("overwrite")
         if "bucket_start" in df.columns:
-            writer = self._with_month(df).write.mode("overwrite").partitionBy(P_MONTH)
+            writer = (
+                cluster_for_publish(
+                    self._with_month(df), ("source", "bucket_start")
+                )
+                .write.mode("overwrite")
+                .partitionBy(P_MONTH)
+            )
         elif "block_day" in df.columns:
             # encoded-block stages: blocks are calendar-month groups, so
             # month partitioning keys on block_day and stays refresh-able
             writer = (
-                self._with_month(df, "block_day")
+                cluster_for_publish(
+                    self._with_month(df, "block_day"), ("source", "block_day")
+                )
                 .write.mode("overwrite")
                 .partitionBy(P_MONTH)
             )
@@ -675,7 +684,8 @@ class TierPipeline:
                 r[P_MONTH] for r in with_m.select(P_MONTH).distinct().collect()
             }
             (
-                with_m.write.mode("overwrite")
+                cluster_for_publish(with_m, ("source", ts_col))
+                .write.mode("overwrite")
                 .option("partitionOverwriteMode", "dynamic")
                 .partitionBy(P_MONTH)
                 .parquet(path)

@@ -56,6 +56,8 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import StructType
 
+from rtsa_spark.storage import cluster_for_publish
+
 __all__ = ["SnapshotStore"]
 
 P_MONTH = "p_month"
@@ -169,11 +171,13 @@ class SnapshotStore:
         accounting rides the write via a post-write listing of the version's
         own dirs (no second scan of the input)."""
         ver = uuid.uuid4().hex[:12]
+        with_cols = df.withColumn(
+            P_MONTH, F.date_format(F.col(self.ts_col), "yyyy-MM")
+        ).withColumn(V_COL, F.lit(ver))
+        # range-cluster + sort like the plain pipeline publish (V_COL is a
+        # constant, so clustering on month + keys is the whole layout)
         (
-            df.withColumn(
-                P_MONTH, F.date_format(F.col(self.ts_col), "yyyy-MM")
-            )
-            .withColumn(V_COL, F.lit(ver))
+            cluster_for_publish(with_cols, ("source", self.ts_col))
             .write.mode("append")
             .partitionBy(P_MONTH, V_COL)
             .parquet(self._data_dir)

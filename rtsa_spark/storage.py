@@ -46,11 +46,47 @@ assertion as audit #16.
 
 from __future__ import annotations
 
+import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
-__all__ = ["write_bucketed", "read_bucketed", "bucket_spec"]
+__all__ = ["write_bucketed", "read_bucketed", "bucket_spec", "cluster_for_publish"]
 
 DEFAULT_BUCKETS = 64
+
+
+def cluster_for_publish(
+    df: DataFrame, order_cols: tuple[str, ...], month_col: str = "p_month"
+) -> DataFrame:
+    """Range-cluster + sort rows ahead of a month-partitioned write —
+    the parquet-dir emulation of Iceberg's ``write.distribution-mode =
+    range`` + sort order.  Two effects that only matter once the table is
+    big, which is exactly when they dominate:
+
+    - **file-count control**: an unclustered write sprays every shuffle
+      partition into every month dir (``shuffle_partitions × months``
+      files per stage — the small-files explosion that kills a 100 TB
+      table's planning time).  Range partitioning on ``(month, *order)``
+      makes the month runs contiguous, so each write task lands in one
+      (boundary tasks: two) month dirs: total files ≈ shuffle partitions,
+      not the product.  Skew-safe where ``repartition(month_col)`` is
+      not — a dominant month simply spans several range partitions.
+    - **row-group stats**: ``sortWithinPartitions`` gives every parquet
+      row group a tight ``(source, bucket_start)`` min/max envelope, so
+      time-range and per-source reads prune row groups instead of
+      scanning the month (the block-pruned ``read_points`` and every
+      mask semi-join read benefit immediately).
+
+    Costs one extra range exchange per PUBLISH (never on the query path);
+    that is the trade every table format makes for sorted data files.
+    Columns absent from ``df`` are skipped, so one helper serves the
+    rollup (``bucket_start``), encoded (``block_day``) and histogram
+    stages alike.
+    """
+    cols = [month_col] + [c for c in order_cols if c in df.columns]
+    return df.repartitionByRange(*[F.col(c) for c in cols]).sortWithinPartitions(
+        *cols
+    )
+
 
 
 def write_bucketed(

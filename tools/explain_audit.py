@@ -441,6 +441,29 @@ def main() -> int:
         ),
     )
 
+    # 23. publish clustering: the pre-write frame is range-partitioned on
+    #     (month, source, bucket_start) with an in-partition sort — the
+    #     Iceberg write.distribution-mode=range shape that bounds files
+    #     per month and gives tight row-group stats (storage.py)
+    from rtsa_spark.storage import cluster_for_publish
+
+    pub = cluster_for_publish(
+        hr_a.withColumn(
+            "p_month", F.date_format("bucket_start", "yyyy-MM")
+        ),
+        ("source", "bucket_start"),
+    )
+    pub_plan = plan_of(pub)
+    ok &= check(
+        "publish clustering: rangepartitioning + local sort, no global sort",
+        "rangepartitioning(p_month" in pub_plan
+        # formatted explain: a LOCAL sort's args end ", false, 0"; a
+        # global sort would print ", true, 0" (and a 2nd range exchange)
+        and ", false, 0" in pub_plan
+        and ", true, 0" not in pub_plan
+        and pub_plan.count("rangepartitioning") == 1,
+    )
+
     spark.stop()
     print("AUDIT", "PASS" if ok else "FAIL")
     return 0 if ok else 1
