@@ -1475,6 +1475,88 @@ FROM seq GROUP BY 1
 """
 
 
+def q_pruned_range_read(spark, sf_dir):
+    """Pruned dashboard read over PUBLISHED tiers: run the TierPipeline,
+    then ``read_stage('rollup_daily', start, end, sources)`` — the time
+    range prunes ``p_month`` partitions at the directory level and the
+    row predicates hit the range-clustered sorted parquet
+    (storage.py::cluster_for_publish), so the 100 TB shape touches only
+    in-range month dirs and tight row groups. The oracle recomputes the
+    same half-open ``[start, end)`` daily-bucket window straight from the
+    derived sequences, so a pruning bug that drops or leaks a boundary
+    bucket, a source, or a whole partition hash-mismatches."""
+    import shutil
+    import tempfile
+
+    from rtsa_spark.pipeline import TierPipeline
+
+    seq = _derived_sequences(spark, sf_dir)
+    srcs = [
+        r["source"]
+        for r in seq.select("source")
+        .distinct()
+        .orderBy("source")
+        .limit(2)
+        .collect()
+    ]
+    base = tempfile.mkdtemp(prefix="rtsa_pruned_read_")
+    try:
+        tp = TierPipeline(
+            spark, base, tiers=["raw", "hourly", "daily"],
+            gapfill_tiers=(), metrics_tiers=(), hist_tiers=(),
+        )
+        tp.run(seq)
+        got = (
+            tp.read_stage(
+                "rollup_daily",
+                start="2024-02-10T00:00:00",
+                end="2024-03-20T00:00:00",
+                sources=srcs,
+            )
+            .groupBy("source")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_buckets"),
+                F.sum("n_tok_sum").cast("bigint").alias("tok_total"),
+                F.min(F.unix_timestamp("bucket_start"))
+                .cast("bigint")
+                .alias("first_s"),
+                F.max(F.unix_timestamp("bucket_start"))
+                .cast("bigint")
+                .alias("last_s"),
+            )
+        )
+        cols = got.columns
+        rows = [tuple(r[c] for c in cols) for r in got.collect()]
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    schema = "source string, " + ", ".join(
+        f"{c} bigint" for c in cols if c != "source"
+    )
+    return spark.createDataFrame(rows, schema)
+
+
+SQL_PRUNED_RANGE_READ = f"""
+WITH {SQL_SEQ_CTE},
+daily AS (
+  SELECT source, date_trunc('day', ts) AS bucket_start,
+         sum(n_tok) AS n_tok_sum
+  FROM seq
+  WHERE source IN (SELECT source FROM seq GROUP BY source
+                   ORDER BY source LIMIT 2)
+  GROUP BY 1, 2
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_buckets,
+       CAST(sum(n_tok_sum) AS BIGINT) AS tok_total,
+       CAST(epoch(min(bucket_start)) AS BIGINT) AS first_s,
+       CAST(epoch(max(bucket_start)) AS BIGINT) AS last_s
+FROM daily
+WHERE bucket_start >= TIMESTAMP '2024-02-10 00:00:00'
+  AND bucket_start <  TIMESTAMP '2024-03-20 00:00:00'
+GROUP BY 1
+"""
+
+
 def q_hash_split(spark, sf_dir):
     """Deterministic train/val/test splitting (operators/sampling.py):
     salted-md5 bucket per doc -> 98/1/1 split, summarized per
@@ -6524,6 +6606,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "component_strength": q_component_strength,
         "trailing_quantile": q_trailing_quantile,
         "remainder_outliers": q_remainder_outliers,
+        "pruned_range_read": q_pruned_range_read,
     }
 
 
@@ -6663,4 +6746,5 @@ def oracle_sql() -> dict[str, str]:
         "component_strength": _sql_component_strength(),
         "trailing_quantile": SQL_TRAILING_QUANTILE,
         "remainder_outliers": _sql_remainder_outliers(),
+        "pruned_range_read": SQL_PRUNED_RANGE_READ,
     }

@@ -54,6 +54,7 @@ import os
 import shutil
 import time
 import uuid
+from datetime import datetime, timedelta
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
@@ -67,6 +68,14 @@ from rtsa_spark.snapshot import SnapshotStore
 from rtsa_spark.storage import cluster_for_publish
 
 P_MONTH = "p_month"
+
+
+def _parse_ts(x):
+    """datetime | ISO string | None -> naive UTC datetime (engine
+    timestamps are UTC by construction, session tz pinned)."""
+    if x is None or isinstance(x, datetime):
+        return x
+    return datetime.fromisoformat(x)
 
 
 def _hash_cols(df: DataFrame) -> list:
@@ -356,18 +365,77 @@ class TierPipeline:
             .drop(P_MONTH)
         )
 
-    def read_stage(self, stage: str, asof: int | None = None) -> DataFrame:
+    def read_stage(
+        self,
+        stage: str,
+        asof: int | None = None,
+        start=None,
+        end=None,
+        sources: list[str] | None = None,
+    ) -> DataFrame:
         """Public stage read. ``asof`` time-travels a snapshot-backed
         stage to an earlier checkpoint; plain stages hold only the
-        current state and refuse it loudly."""
-        if asof is not None:
-            if not self._is_snapshot_stage(stage):
+        current state and refuse it loudly.
+
+        ``start``/``end`` (datetimes or ISO strings, half-open
+        ``[start, end)``) and ``sources`` prune the read at every level
+        the layout offers: the time range maps to an inclusive
+        ``p_month`` range — directory-level partition pruning on plain
+        stages, manifest-level dir listing on snapshot stages — and the
+        row predicates land on the parquet scan, where the
+        range-clustered sorted publish (:func:`cluster_for_publish`)
+        makes the row-group min/max envelopes tight.  Encoded-block
+        stages prune on the block ``[bucket_lo, bucket_hi]`` envelope
+        (decode of surviving blocks is the caller's step — see
+        ``operators.encode.read_points``).  A 3-day dashboard query over
+        a 10-year 100 TB tier touches 1-2 month dirs and, within them,
+        only the row groups covering the requested sources and days.
+        """
+        start, end = _parse_ts(start), _parse_ts(end)
+        m_lo = start.strftime("%Y-%m") if start is not None else None
+        m_hi = (
+            (end - timedelta(microseconds=1)).strftime("%Y-%m")
+            if end is not None
+            else None
+        )
+        if self._is_snapshot_stage(stage):
+            df = self._store(stage).read(
+                asof=asof, month_lo=m_lo, month_hi=m_hi
+            )
+        else:
+            if asof is not None:
                 raise ValueError(
                     f"stage {stage!r} is not snapshot-backed; add its tier "
                     f"to snapshot_tiers for time travel"
                 )
-            return self._store(stage).read(asof=asof)
-        return self._read_stage(stage)
+            df = self.spark.read.parquet(self._stage_path(stage))
+            if P_MONTH in df.columns:
+                if m_lo is not None:
+                    df = df.where(F.col(P_MONTH) >= m_lo)
+                if m_hi is not None:
+                    df = df.where(F.col(P_MONTH) <= m_hi)
+                df = df.drop(P_MONTH)
+        if start is not None or end is not None:
+            if "bucket_start" in df.columns:
+                if start is not None:
+                    df = df.where(F.col("bucket_start") >= F.lit(start))
+                if end is not None:
+                    df = df.where(F.col("bucket_start") < F.lit(end))
+            elif {"bucket_lo", "bucket_hi"} <= set(df.columns):
+                if start is not None:
+                    df = df.where(F.col("bucket_hi") >= F.lit(start))
+                if end is not None:
+                    df = df.where(F.col("bucket_lo") < F.lit(end))
+            else:
+                raise ValueError(
+                    f"stage {stage!r} has no time column; start/end do not "
+                    f"apply"
+                )
+        if sources is not None:
+            if "source" not in df.columns:
+                raise ValueError(f"stage {stage!r} has no source column")
+            df = df.where(F.col("source").isin(list(sources)))
+        return df
 
     def expire_snapshots(self, keep_last: int = 2) -> dict[str, dict]:
         """Expire old checkpoints on every snapshot-backed stage; returns

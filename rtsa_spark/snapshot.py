@@ -275,14 +275,20 @@ class SnapshotStore:
         )
 
     def read(
-        self, asof: int | None = None, months: list[str] | None = None
+        self,
+        asof: int | None = None,
+        months: list[str] | None = None,
+        month_lo: str | None = None,
+        month_hi: str | None = None,
     ) -> DataFrame:
         """The table AS OF ``asof`` (default: current snapshot).
 
         Lists exactly the mapped ``p_month=…/v=…`` dirs — the
         manifest-driven read: cost is O(months in the snapshot), never
         O(versions retained).  ``months`` restricts the listing to those
-        partitions (manifest-level pruning, not a post-hoc filter).
+        partitions; ``month_lo``/``month_hi`` restrict it to an INCLUSIVE
+        ``YYYY-MM`` range (lexicographic = chronological) — both are
+        manifest-level pruning, not a post-hoc filter.
         Returns the logical schema (partition columns dropped)."""
         cur = self.current_snapshot()
         if cur is None:
@@ -291,6 +297,10 @@ class SnapshotStore:
         mapping: dict[str, str] = row["months"]
         if months is not None:
             mapping = {m: v for m, v in mapping.items() if m in set(months)}
+        if month_lo is not None:
+            mapping = {m: v for m, v in mapping.items() if m >= month_lo}
+        if month_hi is not None:
+            mapping = {m: v for m, v in mapping.items() if m <= month_hi}
         if not mapping:
             return self.spark.createDataFrame([], self._pinned_schema())
         dirs = [

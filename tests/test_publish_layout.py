@@ -98,3 +98,96 @@ def test_snapshot_publish_is_sorted(spark, tiny_sequences, tmp_path):
     p.run(tiny_sequences)
     files = _parquet_files(f"{base}/rollup_hourly")
     _assert_sorted_files(files, ["source", "bucket_start"])
+
+
+def _scan_lines(df, marker):
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return [ln for ln in buf.getvalue().splitlines() if marker in ln]
+
+
+def test_read_stage_time_range_prunes_and_matches(
+    spark, tiny_sequences, tmp_path
+):
+    """read_stage(start, end, sources): content equals the manually
+    filtered full read (half-open [start, end)), the p_month range lands
+    as a PARTITION filter (directory pruning), and the row predicates are
+    pushed to the parquet scan (where the sorted layout makes row-group
+    stats tight)."""
+    base = str(tmp_path / "pruned")
+    p = TierPipeline(spark, base, gapfill_tiers=(), metrics_tiers=())
+    p.run(tiny_sequences)
+
+    start, end = "2024-02-10T00:00:00", "2024-03-05T00:00:00"
+    got = p.read_stage(
+        "rollup_hourly", start=start, end=end, sources=["s001", "s003"]
+    )
+    full = p.read_stage("rollup_hourly")
+    want = full.where(
+        (F.col("bucket_start") >= start)
+        & (F.col("bucket_start") < end)
+        & F.col("source").isin("s001", "s003")
+    )
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+    assert got.count() > 0
+
+    # half-open: a bucket exactly at `end` is excluded, at `start` included
+    assert (
+        got.where(F.col("bucket_start") == F.lit(end).cast("timestamp")).count()
+        == 0
+    )
+
+    part = _scan_lines(got, "PartitionFilters")
+    assert part and "p_month" in part[0], part
+    pushed = _scan_lines(got, "PushedFilters")
+    assert pushed and "bucket_start" in pushed[0] and "source" in pushed[0], (
+        pushed
+    )
+
+
+def test_read_stage_snapshot_manifest_prunes_months(
+    spark, tiny_sequences, tmp_path
+):
+    """Snapshot-backed stage: the time range prunes the MANIFEST listing —
+    only in-range month dirs are ever handed to the reader."""
+    base = str(tmp_path / "pruned_s")
+    p = TierPipeline(
+        spark,
+        base,
+        gapfill_tiers=(),
+        metrics_tiers=(),
+        snapshot_tiers=("daily",),
+    )
+    p.run(tiny_sequences)
+
+    got = p.read_stage(
+        "rollup_daily", start="2024-02-01T00:00:00", end="2024-03-01T00:00:00"
+    )
+    months = {f.split("p_month=")[1].split("/")[0] for f in got.inputFiles()}
+    assert months == {"2024-02"}
+    want = p.read_stage("rollup_daily").where(
+        F.date_format("bucket_start", "yyyy-MM") == "2024-02"
+    )
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+
+
+def test_read_stage_rejects_time_args_on_timeless_stage(
+    spark, tiny_sequences, tmp_path
+):
+    """metrics stages have no time column: start/end must refuse loudly,
+    not silently return the unfiltered table."""
+    import pytest
+
+    base = str(tmp_path / "pruned_m")
+    p = TierPipeline(
+        spark, base, gapfill_tiers=(), metrics_tiers=("daily",)
+    )
+    p.run(tiny_sequences)
+    with pytest.raises(ValueError, match="no time column"):
+        p.read_stage("metrics_daily", start="2024-02-01T00:00:00")
