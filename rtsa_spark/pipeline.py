@@ -937,3 +937,129 @@ class TierPipeline:
         )
         self._write_input_months(published)
         return replaced
+
+    # ------------------------------------------------- file maintenance
+    def compact_stage(
+        self,
+        stage: str,
+        target_rows: int,
+        months: list[str] | None = None,
+    ) -> dict[str, dict]:
+        """Execute the small-file compaction plan for a published stage —
+        the engine-owned half of Iceberg's ``rewrite_data_files`` that
+        :func:`operators.retention.plan_compaction` deliberately leaves to
+        the table owner.  Per month partition: sub-``target_rows`` files
+        are grouped by the plan, each group with >=2 files is rewritten as
+        ONE file re-sorted on ``(source, time)`` (preserving the
+        :func:`rtsa_spark.storage.cluster_for_publish` row-group-stats
+        invariant), untouched files are hard-linked, and the month dir is
+        swapped atomically — a reader never sees a half-compacted
+        partition, and a crash mid-rebuild leaves the live dir intact.
+
+        Content is bit-identical by construction (same rows, same
+        schema), so stage fingerprints, resume skips, and late-data month
+        maps are all unaffected; only the physical layout changes.  Each
+        compacted month appends a ``COMPACT`` row to the partition
+        manifest (rows unchanged, n_files/bytes shrink) — the operation
+        is auditable, never silent.  Single-file groups are skipped, so
+        re-running is a no-op (idempotent).
+
+        Snapshot-backed stages refuse: their files belong to immutable
+        version dirs; compact those by publishing a rewritten version
+        (``SnapshotStore.publish(store.read())``) so time travel stays
+        intact.  Returns ``{month: {"files_before": .., "files_after":
+        .., "groups": ..}}`` for the months that actually changed.
+        """
+        from rtsa_spark.operators.retention import file_stats, plan_compaction
+
+        if self._is_snapshot_stage(stage):
+            raise ValueError(
+                f"stage {stage!r} is snapshot-backed; compact it by "
+                f"publishing a rewritten version so time travel keeps "
+                f"working (store.publish(store.read()))"
+            )
+        path = self._stage_path(stage)
+        month_dirs = sorted(
+            d for d in os.listdir(path) if d.startswith(f"{P_MONTH}=")
+        )
+        if not month_dirs:
+            raise ValueError(
+                f"stage {stage!r} is not month-partitioned; compaction "
+                f"operates per partition"
+            )
+        want = set(months) if months is not None else None
+        out: dict[str, dict] = {}
+        for d in month_dirs:
+            m = d.split("=", 1)[1]
+            if want is not None and m not in want:
+                continue
+            mpath = os.path.join(path, d)
+            df = self.spark.read.parquet(mpath)
+            ts_col = "bucket_start" if "bucket_start" in df.columns else (
+                "block_day" if "block_day" in df.columns else None
+            )
+            if ts_col is None:
+                raise ValueError(f"stage {stage!r} has no time column")
+            plan = plan_compaction(file_stats(df, ts_col), target_rows)
+            groups: dict[int, list[str]] = {}
+            for r in plan.collect():  # file-count sized, never data
+                groups.setdefault(r["group"], []).append(r["file"])
+            # rewriting a lone small file gains nothing and would make
+            # compaction re-trigger forever; >=2-file groups only
+            groups = {g: fs for g, fs in groups.items() if len(fs) >= 2}
+            if not groups:
+                continue
+            order = [c for c in ("source", ts_col) if c in df.columns]
+            to_local = lambda f: f.removeprefix("file://") or "/"
+            grouped_files = {
+                to_local(f) for fs in groups.values() for f in fs
+            }
+            tmp = mpath + f"._compact_{self.run_id}"
+            shutil.rmtree(tmp, ignore_errors=True)
+            os.makedirs(tmp)
+            files_before = 0
+            for root, _dirs, files in os.walk(mpath):
+                for fname in files:
+                    if not fname.endswith(".parquet"):
+                        continue
+                    files_before += 1
+                    src = os.path.join(root, fname)
+                    if src not in grouped_files:
+                        os.link(src, os.path.join(tmp, fname))
+            for g, fs in sorted(groups.items()):
+                gtmp = tmp + f".g{g}"
+                (
+                    self.spark.read.parquet(*fs)
+                    .coalesce(1)
+                    .sortWithinPartitions(*order)
+                    .write.mode("overwrite")
+                    .parquet(gtmp)
+                )
+                parts = [
+                    f for f in os.listdir(gtmp) if f.endswith(".parquet")
+                ]
+                for i, f in enumerate(parts):
+                    os.rename(
+                        os.path.join(gtmp, f),
+                        os.path.join(
+                            tmp, f"compacted-g{g}-{i}-{self.run_id}.parquet"
+                        ),
+                    )
+                shutil.rmtree(gtmp)
+            old = mpath + f"._old_{self.run_id}"
+            os.rename(mpath, old)
+            os.rename(tmp, mpath)
+            shutil.rmtree(old)
+            self._append_partition_rows(stage, path, "COMPACT", months=[m])
+            files_after = sum(
+                1
+                for _root, _dirs, files in os.walk(mpath)
+                for f in files
+                if f.endswith(".parquet")
+            )
+            out[m] = {
+                "files_before": files_before,
+                "files_after": files_after,
+                "groups": len(groups),
+            }
+        return out

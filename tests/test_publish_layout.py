@@ -191,3 +191,113 @@ def test_read_stage_rejects_time_args_on_timeless_stage(
     p.run(tiny_sequences)
     with pytest.raises(ValueError, match="no time column"):
         p.read_stage("metrics_daily", start="2024-02-01T00:00:00")
+
+
+def test_compact_stage_preserves_content_and_shrinks_files(
+    spark, tiny_sequences, tmp_path
+):
+    """compact_stage: months with >=2 sub-target files collapse to one
+    file each, content is bit-identical, files stay sorted (row-group
+    stats preserved), the partition manifest records COMPACT rows, and a
+    second run is a no-op."""
+    base = str(tmp_path / "compact")
+    p = TierPipeline(spark, base, gapfill_tiers=(), metrics_tiers=())
+    p.run(tiny_sequences)
+
+    stage_dir = f"{base}/rollup_hourly"
+    # the clustered publish already writes ~1 file per month at tiny
+    # scale — FRAGMENT the tier first (6 unsorted files per month, the
+    # layout a long run of tiny late-data refreshes would accrete):
+    # materialize each month's splits to a side dir, then swap the files
+    # at the os level (writing a dir while reading it races the scan)
+    import shutil
+
+    for d in list(os.listdir(stage_dir)):
+        if not d.startswith("p_month="):
+            continue
+        mpath = os.path.join(stage_dir, d)
+        side = mpath + "_fragtmp"
+        spark.read.parquet(mpath).repartition(6).write.mode(
+            "overwrite"
+        ).parquet(side)
+        for f in _parquet_files(mpath):
+            os.remove(f)
+        for i, f in enumerate(sorted(os.listdir(side))):
+            if f.endswith(".parquet"):
+                os.rename(
+                    os.path.join(side, f),
+                    os.path.join(mpath, f"frag-{i}.parquet"),
+                )
+        shutil.rmtree(side)
+    df_before = spark.read.parquet(stage_dir).drop("p_month")
+    before = df_before.select(
+        F.count(F.lit(1)).alias("n"),
+        F.expr("bit_xor(xxhash64(source, bucket_start, n_tok_sum))").alias("x"),
+    ).first()
+    per_month_before = {}
+    for d in os.listdir(stage_dir):
+        if d.startswith("p_month="):
+            per_month_before[d] = len(
+                _parquet_files(os.path.join(stage_dir, d))
+            )
+    assert all(n >= 2 for n in per_month_before.values()), per_month_before
+
+    res = p.compact_stage("rollup_hourly", target_rows=10**9)
+    assert res, "expected at least one compacted month"
+    for m, acc in res.items():
+        assert acc["files_after"] == 1 and acc["files_before"] >= 2, (m, acc)
+
+    df_after = spark.read.parquet(stage_dir).drop("p_month")
+    after = df_after.select(
+        F.count(F.lit(1)).alias("n"),
+        F.expr("bit_xor(xxhash64(source, bucket_start, n_tok_sum))").alias("x"),
+    ).first()
+    assert before == after  # content bit-identical
+
+    _assert_sorted_files(_parquet_files(stage_dir), ["source", "bucket_start"])
+
+    # manifest records the compaction per month
+    import json
+
+    with open(p._partition_ledger_path) as f:
+        compacts = [
+            r
+            for line in f
+            if line.strip()
+            for r in [json.loads(line)]
+            if r["status"] == "COMPACT" and r["stage"] == "rollup_hourly"
+        ]
+    assert {r["p_month"] for r in compacts} == set(res)
+
+    # idempotent: everything is one file per month now, nothing to group
+    assert p.compact_stage("rollup_hourly", target_rows=10**9) == {}
+
+    # pruned read still works over the compacted layout
+    got = p.read_stage(
+        "rollup_hourly",
+        start="2024-02-01T00:00:00",
+        end="2024-03-01T00:00:00",
+    )
+    want = (
+        spark.read.parquet(stage_dir)
+        .drop("p_month")
+        .where(F.date_format("bucket_start", "yyyy-MM") == "2024-02")
+    )
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+
+
+def test_compact_stage_refuses_snapshot_stage(spark, tiny_sequences, tmp_path):
+    import pytest
+
+    base = str(tmp_path / "compact_s")
+    p = TierPipeline(
+        spark,
+        base,
+        gapfill_tiers=(),
+        metrics_tiers=(),
+        snapshot_tiers=("hourly",),
+    )
+    p.run(tiny_sequences)
+    with pytest.raises(ValueError, match="snapshot-backed"):
+        p.compact_stage("rollup_hourly", target_rows=10**9)
