@@ -1063,3 +1063,34 @@ class TierPipeline:
                 "groups": len(groups),
             }
         return out
+
+    def vacuum(self) -> list[str]:
+        """Remove orphans left by CRASHED runs — the parquet-dir analog of
+        Iceberg's ``remove_orphan_files``.  Every non-atomic moment in this
+        pipeline writes under a dotted marker first (``._tmp_<run>`` stage
+        builds and month-map swaps, ``._compact_<run>`` rebuilds,
+        ``._old_<run>`` pre-swap dirs): a crash between build and rename
+        leaves one behind, invisible to every reader (parquet discovery
+        skips dotted paths) but holding disk forever.  Deletes any such
+        entry under the base NOT owned by this live run and returns the
+        removed paths.  Safe concurrently with readers (the orphans are
+        unreferenced by construction); do not run two writers with the
+        same base at once — that is unsupported everywhere here."""
+        markers = ("._tmp_", "._compact_", "._old_")
+        mine = tuple(f"{m}{self.run_id}" for m in markers)
+        removed: list[str] = []
+        for dirpath, dirs, files in os.walk(self.base):
+            for name in list(dirs) + list(files):
+                if not any(m in name for m in markers):
+                    continue
+                if any(name.endswith(s) for s in mine):
+                    continue  # the live run's own in-flight build
+                full = os.path.join(dirpath, name)
+                if os.path.isdir(full):
+                    shutil.rmtree(full, ignore_errors=True)
+                    if name in dirs:
+                        dirs.remove(name)  # don't descend into removed dir
+                else:
+                    os.remove(full)
+                removed.append(full)
+        return sorted(removed)

@@ -301,3 +301,37 @@ def test_compact_stage_refuses_snapshot_stage(spark, tiny_sequences, tmp_path):
     p.run(tiny_sequences)
     with pytest.raises(ValueError, match="snapshot-backed"):
         p.compact_stage("rollup_hourly", target_rows=10**9)
+
+
+def test_vacuum_removes_crash_orphans_only(spark, tiny_sequences, tmp_path):
+    """vacuum(): orphan ._tmp_/._compact_/._old_ leftovers from dead runs
+    are removed; live data, ledgers, and the CURRENT run's own in-flight
+    dirs survive."""
+    base = str(tmp_path / "vac")
+    p = TierPipeline(spark, base, gapfill_tiers=(), metrics_tiers=())
+    p.run(tiny_sequences)
+
+    # fabricate crash debris from a "dead" run
+    dead = [
+        f"{base}/rollup_daily._tmp_deadbeef0000",
+        f"{base}/rollup_hourly/p_month=2024-02._compact_deadbeef0000",
+        f"{base}/rollup_hourly/p_month=2024-02._old_deadbeef0000",
+    ]
+    for d in dead:
+        os.makedirs(d)
+        open(os.path.join(d, "part-0.parquet"), "w").write("junk")
+    live_own = f"{base}/rollup_daily._tmp_{p.run_id}"
+    os.makedirs(live_own)
+
+    before = spark.read.parquet(f"{base}/rollup_daily").count()
+    removed = p.vacuum()
+    assert sorted(removed) == sorted(dead)
+    for d in dead:
+        assert not os.path.exists(d)
+    assert os.path.exists(live_own)  # current run's in-flight build kept
+    os.rmdir(live_own)
+
+    # tables and ledgers untouched
+    assert spark.read.parquet(f"{base}/rollup_daily").count() == before
+    assert os.path.exists(p._ledger_path)
+    assert p.vacuum() == []
