@@ -418,3 +418,38 @@ def test_refresh_subset_keeps_unrefreshed_months_detectable(
     p.refresh_months(corrected, ["2024-02"])  # caller under-names the set
     diff = p.detect_changed_months(corrected)
     assert diff == {"changed": ["2024-01"], "added": [], "removed": []}
+
+
+def test_refresh_changed_publishes_added_month(spark, tiny_sequences, tmp_path):
+    """A correction that APPENDS a brand-new month must publish that
+    month's partitions across every tier via refresh_changed (dynamic
+    overwrite creates the new dirs) and match a from-scratch run."""
+    import os
+
+    base = str(tmp_path / "added")
+    p = TierPipeline(spark, base, gapfill_tiers=(), metrics_tiers=())
+    p.run(tiny_sequences)
+
+    extended = tiny_sequences.unionByName(
+        tiny_sequences.limit(50).withColumn(
+            "ts", F.col("ts") + F.expr("INTERVAL 2000 DAYS")
+        )
+    )
+    diff = p.detect_changed_months(extended)
+    assert diff["changed"] == [] and diff["removed"] == []
+    added = diff["added"]
+    assert added
+
+    p.refresh_changed(extended)
+    for m in added:
+        assert os.path.exists(f"{base}/rollup_daily/p_month={m}"), m
+
+    truth = str(tmp_path / "added_truth")
+    TierPipeline(spark, truth, gapfill_tiers=(), metrics_tiers=()).run(extended)
+    for tier in ("raw", "hourly", "daily", "monthly"):
+        got = _tier_hash(spark, f"{base}/rollup_{tier}")
+        want = _tier_hash(spark, f"{truth}/rollup_{tier}")
+        assert got == want, tier
+
+    # map updated: same extended input is now a no-op
+    assert p.refresh_changed(extended) == {}
