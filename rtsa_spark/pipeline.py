@@ -693,6 +693,29 @@ class TierPipeline:
             return {}
         return self.refresh_months(sequences, months)
 
+    def sync(self, sequences: DataFrame) -> dict:
+        """Make the published tiers match ``sequences`` with the cheapest
+        correct action — the continuous-aggregate maintenance verb a
+        scheduler calls on every input snapshot without caring what
+        changed:
+
+        - never published (no input month map): full :meth:`run` —
+          which itself resumes past any stage whose content fingerprint
+          already matches, so re-``sync`` of a pre-month-map base costs
+          one fingerprint scan per stage, then records the map;
+        - published: :meth:`detect_changed_months` diff, then
+          :meth:`refresh_changed` over exactly the changed/added/removed
+          months (empty no-op when the input is unchanged).
+
+        Returns ``{"mode": "run", "stages": {...}}`` or ``{"mode":
+        "refresh", "replaced": {stage: rows}}``.  Cost is O(changed
+        months), never O(table) — at 100 TB the difference between a
+        nightly correction touching one month dir and a full recompute.
+        """
+        if self._read_input_months() is None:
+            return {"mode": "run", "stages": self.run(sequences)}
+        return {"mode": "refresh", "replaced": self.refresh_changed(sequences)}
+
     # ------------------------------------------ late-data partition refresh
     def refresh_months(self, sequences: DataFrame, months: list[str]) -> dict[str, int]:
         """Idempotent partition-scoped refresh for late/replayed data.

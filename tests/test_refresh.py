@@ -1,5 +1,7 @@
 from __future__ import annotations
 
+import os
+
 import pyspark.sql.functions as F
 
 from rtsa_spark.pipeline import TierPipeline
@@ -453,3 +455,39 @@ def test_refresh_changed_publishes_added_month(spark, tiny_sequences, tmp_path):
 
     # map updated: same extended input is now a no-op
     assert p.refresh_changed(extended) == {}
+
+
+def test_sync_picks_cheapest_correct_action(spark, tiny_sequences, tmp_path):
+    """sync(): full run on a fresh base, month-scoped refresh on a
+    corrected input, no-op on an unchanged one — and the result always
+    equals a from-scratch run on the same input."""
+    base = str(tmp_path / "sync")
+    p = TierPipeline(spark, base, gapfill_tiers=(), metrics_tiers=())
+
+    r1 = p.sync(tiny_sequences)
+    assert r1["mode"] == "run" and "rollup_monthly" in r1["stages"]
+
+    r2 = p.sync(tiny_sequences)
+    assert r2 == {"mode": "refresh", "replaced": {}}
+
+    feb = F.date_format(F.col("ts"), "yyyy-MM") == "2024-02"
+    corrected = tiny_sequences.withColumn(
+        "n_tok", F.when(feb, F.col("n_tok") * 2).otherwise(F.col("n_tok"))
+    )
+    r3 = p.sync(corrected)
+    assert r3["mode"] == "refresh" and r3["replaced"]["rollup_raw"] > 0
+
+    truth = str(tmp_path / "sync_truth")
+    TierPipeline(spark, truth, gapfill_tiers=(), metrics_tiers=()).run(corrected)
+    for tier in ("raw", "monthly"):
+        got = _tier_hash(spark, f"{base}/rollup_{tier}")
+        want = _tier_hash(spark, f"{truth}/rollup_{tier}")
+        assert got == want, tier
+
+    # pre-month-map base (map deleted): sync falls back to run(), which
+    # resumes via fingerprints (no stage rebuilt) and re-records the map
+    os.remove(p._input_months_path)
+    r4 = p.sync(corrected)
+    assert r4["mode"] == "run"
+    assert os.path.exists(p._input_months_path)
+    assert p.sync(corrected) == {"mode": "refresh", "replaced": {}}
