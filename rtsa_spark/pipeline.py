@@ -317,6 +317,34 @@ class TierPipeline:
         checkpoints with per-partition lineage + metrics rows)."""
         return self.spark.read.json(self._partition_ledger_path)
 
+    def table_status(self) -> DataFrame:
+        """CURRENT physical state of every published partition — the
+        ``DESCRIBE``/``SHOW PARTITIONS`` of this table format, answered
+        from the manifest alone (driver-side metadata, O(manifest rows),
+        zero data files touched — the same promise an Iceberg metadata
+        table makes).  Latest manifest row per (stage, p_month) wins
+        across SUCCESS / REFRESH / COMPACT history; months whose latest
+        row records ``rows = 0`` were deleted and are excluded.  Columns:
+        ``stage, p_month, rows, n_files, bytes, status, finished_at,
+        run_id`` (+ ``snapshot_id`` where the stage is snapshot-backed).
+        """
+        if not os.path.exists(self._partition_ledger_path):
+            raise ValueError(
+                "no partition manifest yet; run() must publish first"
+            )
+        from pyspark.sql import Window
+
+        man = self.partition_lineage()
+        w = Window.partitionBy("stage", "p_month").orderBy(
+            F.col("finished_at").desc()
+        )
+        return (
+            man.withColumn("_r", F.row_number().over(w))
+            .where((F.col("_r") == 1) & (F.col("rows") > 0))
+            .drop("_r")
+            .orderBy("stage", "p_month")
+        )
+
     def _completed(self, stage: str, fingerprint: str) -> bool:
         return any(
             r["stage"] == stage
@@ -551,6 +579,15 @@ class TierPipeline:
         # scan), and publishing them is what lets refresh_changed() detect
         # late data without the caller naming months
         seq_months = month_fingerprints(sequences)
+        if not seq_months:
+            # an all-empty input is almost always an upstream accident (a
+            # bad join, a wrong path); publishing it would wipe every tier.
+            # Refuse loudly — tearing down a table is an explicit rm of the
+            # base dir, never a side effect of a run.
+            raise ValueError(
+                "input is empty; refusing to publish empty tiers — remove "
+                "the base dir explicitly to tear the table down"
+            )
         prev_fp = combine_month_fingerprints(seq_months)
         seq_fp = prev_fp
         for tier in self.tiers:
@@ -759,6 +796,16 @@ class TierPipeline:
         in_months = F.col(P_MONTH).isin(months)
         prev_recomputed: DataFrame | None = None
         seq_months = month_fingerprints(sequences)
+        if not seq_months:
+            # same rail as run(): an all-empty "correction" deleting every
+            # published month is an upstream accident, not a refresh. A
+            # correction that empties SOME months (rows elsewhere) still
+            # deletes exactly those months, as tested.
+            raise ValueError(
+                "corrected input is empty; refusing a refresh that would "
+                "delete every published month — remove the base dir "
+                "explicitly to tear the table down"
+            )
         seq_fp = combine_month_fingerprints(seq_months)
         prev_fp = seq_fp
 
@@ -774,6 +821,20 @@ class TierPipeline:
             written = {
                 r[P_MONTH] for r in with_m.select(P_MONTH).distinct().collect()
             }
+            existing = {
+                d.split("=", 1)[1]
+                for d in os.listdir(path)
+                if d.startswith(f"{P_MONTH}=")
+            }
+            if not written and not (existing - set(months)):
+                # this refresh would delete every month dir the stage has
+                # and write nothing back — a stage with zero partitions is
+                # unreadable (no schema) and certainly an upstream accident
+                raise ValueError(
+                    f"refresh of {sorted(months)} would empty {path} "
+                    f"entirely; remove the base dir explicitly to tear "
+                    f"the table down"
+                )
             (
                 cluster_for_publish(with_m, ("source", ts_col))
                 .write.mode("overwrite")

@@ -491,3 +491,100 @@ def test_sync_picks_cheapest_correct_action(spark, tiny_sequences, tmp_path):
     assert r4["mode"] == "run"
     assert os.path.exists(p._input_months_path)
     assert p.sync(corrected) == {"mode": "refresh", "replaced": {}}
+
+
+def test_empty_input_rails(spark, tiny_sequences, tmp_path):
+    """An all-empty input must never wipe published tiers: run(), sync(),
+    refresh_months() and refresh_changed() all refuse loudly, the table
+    survives, and partial-month deletions (rows elsewhere) keep working."""
+    import pytest
+
+    base = str(tmp_path / "rails")
+    p = TierPipeline(spark, base, gapfill_tiers=(), metrics_tiers=())
+
+    empty = tiny_sequences.where(F.lit(False))
+    with pytest.raises(ValueError, match="input is empty"):
+        p.run(empty)
+
+    p.run(tiny_sequences)
+    rows = p.read_stage("rollup_daily").count()
+    for fn in (
+        lambda: p.sync(empty),
+        lambda: p.refresh_changed(empty),
+        lambda: p.refresh_months(empty, ["2024-01"]),
+    ):
+        with pytest.raises(ValueError, match="empty"):
+            fn()
+    assert p.read_stage("rollup_daily").count() == rows  # untouched
+
+    # a NON-empty correction naming every published month with no
+    # replacement rows in them would also empty the stage: same rail
+    published = sorted(p._read_input_months())
+    shifted = tiny_sequences.withColumn(
+        "ts", F.col("ts") + F.expr("INTERVAL 4000 DAYS")
+    )
+    with pytest.raises(ValueError, match="would empty"):
+        p.refresh_months(shifted, published)
+    assert p.read_stage("rollup_daily").count() == rows
+
+
+def test_read_stage_degenerate_ranges(spark, tiny_sequences, tmp_path):
+    """Inverted / half-open ranges and an empty source list return empty
+    or correctly filtered frames, never crash; compaction of a month that
+    does not exist is a no-op."""
+    base = str(tmp_path / "ranges")
+    p = TierPipeline(spark, base, gapfill_tiers=(), metrics_tiers=())
+    p.run(tiny_sequences)
+
+    assert (
+        p.read_stage(
+            "rollup_hourly",
+            start="2024-03-01T00:00:00",
+            end="2024-02-01T00:00:00",
+        ).count()
+        == 0
+    )
+    full = p.read_stage("rollup_hourly")
+    lo = p.read_stage("rollup_hourly", start="2024-03-01T00:00:00").count()
+    hi = p.read_stage("rollup_hourly", end="2024-03-01T00:00:00").count()
+    assert lo + hi == full.count() and lo > 0 and hi > 0
+    assert p.read_stage("rollup_hourly", sources=[]).count() == 0
+    assert p.compact_stage("rollup_hourly", 10**9, months=["2099-01"]) == {}
+
+
+def test_table_status_reflects_current_partitions(
+    spark, tiny_sequences, tmp_path
+):
+    """table_status(): one row per LIVE (stage, month) with the latest
+    manifest state — refreshed months show REFRESH, deleted months
+    disappear, and rows match the tables on disk. Metadata-only."""
+    base = str(tmp_path / "status")
+    p = TierPipeline(spark, base, gapfill_tiers=(), metrics_tiers=())
+    p.run(tiny_sequences)
+
+    corrected = tiny_sequences.where(
+        F.date_format(F.col("ts"), "yyyy-MM") != "2024-02"
+    )
+    p.refresh_months(corrected, ["2024-02"])
+
+    st = p.table_status().where(F.col("stage") == "rollup_daily").collect()
+    months = {r["p_month"]: r for r in st}
+    assert "2024-02" not in months  # deleted month gone from status
+    on_disk = {
+        r["m"]: r["n"]
+        for r in spark.read.parquet(f"{base}/rollup_daily")
+        .groupBy(F.col("p_month").alias("m"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert {m: r["rows"] for m, r in months.items()} == on_disk
+    assert months["2024-01"]["status"] in ("SUCCESS", "REFRESH")
+
+    # fresh pipeline object (no state carried): metadata alone answers
+    p2 = TierPipeline(spark, base, gapfill_tiers=(), metrics_tiers=())
+    assert p2.table_status().count() == p.table_status().count()
+
+    import pytest
+
+    with pytest.raises(ValueError, match="no partition manifest"):
+        TierPipeline(spark, str(tmp_path / "none")).table_status()
