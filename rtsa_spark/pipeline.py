@@ -1094,10 +1094,29 @@ class TierPipeline:
             if not groups:
                 continue
             order = [c for c in ("source", ts_col) if c in df.columns]
-            to_local = lambda f: f.removeprefix("file://") or "/"
+
+            def to_local(f: str) -> str:
+                # input_file_name() yields URIs ("file:///x", sometimes
+                # "file:/x"); os.walk yields plain paths. A mismatch here
+                # would treat a grouped file as untouched AND rewrite it —
+                # duplicated rows — so parse, never strip a fixed prefix.
+                from urllib.parse import unquote, urlparse
+
+                parsed = urlparse(f)
+                return unquote(parsed.path) if parsed.scheme else f
+
             grouped_files = {
                 to_local(f) for fs in groups.values() for f in fs
             }
+            n_grouped = sum(len(fs) for fs in groups.values())
+            if len(grouped_files) != n_grouped or not all(
+                os.path.exists(f) for f in grouped_files
+            ):
+                raise RuntimeError(
+                    f"file-URI normalization mismatch in {mpath}: plan "
+                    f"names {n_grouped} files, {len(grouped_files)} "
+                    f"resolved locally — refusing to compact"
+                )
             tmp = mpath + f"._compact_{self.run_id}"
             shutil.rmtree(tmp, ignore_errors=True)
             os.makedirs(tmp)
