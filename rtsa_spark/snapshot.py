@@ -64,7 +64,7 @@ P_MONTH = "p_month"
 V_COL = "v"
 #: commit ops that carry a month->version mapping (data commits); an
 #: "expire" row changes no mapping and never counts toward retention.
-_DATA_OPS = ("publish", "refresh", "rollback")
+_DATA_OPS = ("publish", "refresh", "rollback", "rewrite")
 
 
 class SnapshotStore:
@@ -215,6 +215,23 @@ class SnapshotStore:
         self._pin_schema(df)
         ver, months = self._write_version(df)
         return self._commit("publish", {m: ver for m in months}, **(extra or {}))
+
+    def rewrite(self) -> int:
+        """Layout-only compaction commit: republish the CURRENT table
+        contents as one fresh version per month (``op="rewrite"``) — the
+        snapshot-safe answer to small-file accretion that
+        ``TierPipeline.compact_stage`` refuses to do in place.  Data files
+        are append-only here, so the rewrite is a new snapshot whose
+        months all map to the new version: readers of older snapshots
+        keep their exact files, time travel stays intact, and
+        :meth:`expire` reclaims the fragmented versions once history
+        allows.  Content is bit-identical (same rows re-read through the
+        current snapshot); the clustered write path
+        (:func:`rtsa_spark.storage.cluster_for_publish`) re-sorts and
+        re-bins the copy, so each month lands in O(1) files with tight
+        row-group stats."""
+        ver, months = self._write_version(self.read())
+        return self._commit("rewrite", {m: ver for m in months})
 
     def data_commits(self) -> list[dict]:
         """Data-commit rows (publish/refresh/rollback) in commit order —

@@ -219,3 +219,38 @@ def test_guards(spark, tier, tmp_path):
         )
     with pytest.raises(ValueError, match="keep_last"):
         st.expire(keep_last=0)
+
+
+def test_rewrite_compacts_without_breaking_time_travel(spark, tmp_path):
+    """rewrite(): a layout-only commit — content identical, all months on
+    ONE fresh version, older snapshots still readable byte-for-byte, and
+    expire() reclaims the fragmented versions afterwards."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    from rtsa_spark.snapshot import SnapshotStore
+    from rtsa_spark.synth import synth_sequences
+
+    seq = synth_sequences(spark, 2000, n_sources=3, seed=11)
+    st = SnapshotStore(spark, str(tmp_path / "rw"), ts_col="ts")
+    st.publish(seq)
+    # fragment history: refresh one month twice (accretes versions)
+    feb = seq.where(F.date_format("ts", "yyyy-MM") == "2024-02")
+    st.refresh_months(feb.withColumn("n_tok", F.col("n_tok") + 1), ["2024-02"])
+    st.refresh_months(feb, ["2024-02"])
+    before = st.read().orderBy("doc_id").collect()
+    pre_rewrite = st.current_snapshot()
+
+    sid = st.rewrite()
+    assert sid == pre_rewrite + 1
+    assert st.read().orderBy("doc_id").collect() == before  # content same
+    assert len(set(st.months().values())) == 1  # one version everywhere
+
+    # time travel to the pre-rewrite snapshot still works
+    assert st.read(asof=pre_rewrite).orderBy("doc_id").collect() == before
+
+    # expire drops the fragmented versions' dirs
+    acc = st.expire(keep_last=1)
+    assert acc["deleted_dirs"] > 0 and acc["freed_bytes"] > 0
+    assert st.read().orderBy("doc_id").collect() == before
