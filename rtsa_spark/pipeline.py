@@ -1048,20 +1048,24 @@ class TierPipeline:
         is auditable, never silent.  Single-file groups are skipped, so
         re-running is a no-op (idempotent).
 
-        Snapshot-backed stages refuse: their files belong to immutable
-        version dirs; compact those by publishing a rewritten version
-        (``SnapshotStore.publish(store.read())``) so time travel stays
-        intact.  Returns ``{month: {"files_before": .., "files_after":
-        .., "groups": ..}}`` for the months that actually changed.
+        Snapshot-backed stages route through the snapshot log instead of
+        touching files (their version dirs are immutable):
+        :meth:`rtsa_spark.snapshot.SnapshotStore.rewrite` for a whole-
+        table compaction, or a month-scoped layout-only
+        ``refresh_months`` when ``months`` is given.  Either way time
+        travel stays intact and ``expire_snapshots`` later reclaims the
+        fragmented versions.  ``target_rows`` is ignored on this path —
+        a snapshot rewrite always re-clusters the whole month, so the
+        trigger is simply >=2 parquet files in a month's current version
+        dir (which also keeps re-running a no-op).
+
+        Returns ``{month: {"files_before": .., "files_after": ..,
+        "groups": ..}}`` for the months that actually changed.
         """
         from rtsa_spark.operators.retention import file_stats, plan_compaction
 
         if self._is_snapshot_stage(stage):
-            raise ValueError(
-                f"stage {stage!r} is snapshot-backed; compact it by "
-                f"publishing a rewritten version so time travel keeps "
-                f"working (store.publish(store.read()))"
-            )
+            return self._compact_snapshot_stage(stage, months)
         path = self._stage_path(stage)
         month_dirs = sorted(
             d for d in os.listdir(path) if d.startswith(f"{P_MONTH}=")
@@ -1166,6 +1170,61 @@ class TierPipeline:
                 "groups": len(groups),
             }
         return out
+
+    def _compact_snapshot_stage(
+        self, stage: str, months: list[str] | None
+    ) -> dict[str, dict]:
+        """Snapshot twin of :meth:`compact_stage`: never touches version
+        dirs in place.  Whole-table → :meth:`SnapshotStore.rewrite` (all
+        months land on ONE fresh clustered version, ``op="rewrite"``);
+        month-scoped → a layout-only ``refresh_months`` re-publishing the
+        CURRENT content of just the fragmented requested months (other
+        months keep their versions).  Content is bit-identical either
+        way; a COMPACT manifest row is appended per accounted month, and
+        months already at <=1 file are skipped so re-running is a no-op
+        (no empty snapshot commits)."""
+        store = self._store(stage)
+        mapping = store.months()
+
+        def n_files(month: str, mp: dict[str, str]) -> int:
+            vdir = os.path.join(
+                store._data_dir, f"{P_MONTH}={month}", f"v={mp[month]}"
+            )
+            return sum(
+                1
+                for _root, _dirs, files in os.walk(vdir)
+                for f in files
+                if f.endswith(".parquet")
+            )
+
+        want = (
+            sorted(mapping)
+            if months is None
+            else [m for m in months if m in mapping]
+        )
+        before = {m: n_files(m, mapping) for m in want}
+        frag = [m for m in want if before[m] >= 2]
+        if not frag:
+            return {}
+        if months is None:
+            store.rewrite()
+        else:
+            cur = store.read().where(
+                F.date_format(F.col(store.ts_col), "yyyy-MM").isin(frag)
+            )
+            store.refresh_months(cur, frag, extra={"reason": "compact"})
+        self._append_partition_rows_snap(
+            stage, store, "COMPACT", months=None if months is None else frag
+        )
+        after_map = store.months()
+        return {
+            m: {
+                "files_before": before[m],
+                "files_after": n_files(m, after_map),
+                "groups": 1,
+            }
+            for m in frag
+        }
 
     def vacuum(self) -> list[str]:
         """Remove orphans left by CRASHED runs — the parquet-dir analog of

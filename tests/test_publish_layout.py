@@ -287,8 +287,37 @@ def test_compact_stage_preserves_content_and_shrinks_files(
     assert want.exceptAll(got).count() == 0
 
 
-def test_compact_stage_refuses_snapshot_stage(spark, tiny_sequences, tmp_path):
-    import pytest
+def _fragment_snapshot_months(spark, store, months=None):
+    """Test fixture: split each current-version month dir into 4 unsorted
+    files (simulating fragmented historical writes) by os-level swap."""
+    import shutil
+
+    for month, ver in store.months().items():
+        if months is not None and month not in months:
+            continue
+        vdir = os.path.join(store._data_dir, f"p_month={month}", f"v={ver}")
+        side = vdir + "_fragtmp"
+        spark.read.parquet(vdir).repartition(4).write.mode(
+            "overwrite"
+        ).parquet(side)
+        for f in _parquet_files(vdir):
+            os.remove(f)
+        for i, f in enumerate(sorted(os.listdir(side))):
+            if f.endswith(".parquet"):
+                os.rename(
+                    os.path.join(side, f),
+                    os.path.join(vdir, f"frag-{i}.parquet"),
+                )
+        shutil.rmtree(side)
+
+
+def test_compact_stage_snapshot_rewrite(spark, tiny_sequences, tmp_path):
+    """Snapshot-backed stages compact through the snapshot log: a whole-
+    table rewrite commit (all months on one fresh clustered version),
+    content bit-identical, time travel to the fragmented snapshot intact,
+    COMPACT manifest rows carry the new snapshot_id, and re-running is a
+    no-op (no empty commits)."""
+    import json
 
     base = str(tmp_path / "compact_s")
     p = TierPipeline(
@@ -299,8 +328,60 @@ def test_compact_stage_refuses_snapshot_stage(spark, tiny_sequences, tmp_path):
         snapshot_tiers=("hourly",),
     )
     p.run(tiny_sequences)
-    with pytest.raises(ValueError, match="snapshot-backed"):
-        p.compact_stage("rollup_hourly", target_rows=10**9)
+    store = p._store("rollup_hourly")
+    _fragment_snapshot_months(spark, store)
+    digest = lambda df: df.select(  # noqa: E731
+        F.count(F.lit(1)).alias("n"),
+        F.expr("bit_xor(xxhash64(source, bucket_start, n_tok_sum))").alias("x"),
+    ).first()
+    before = digest(p.read_stage("rollup_hourly"))
+    pre = store.current_snapshot()
+
+    res = p.compact_stage("rollup_hourly", target_rows=10**9)
+    assert res and all(
+        a["files_before"] >= 2 and a["files_after"] < a["files_before"]
+        for a in res.values()
+    ), res
+    assert digest(p.read_stage("rollup_hourly")) == before
+    assert len(set(store.months().values())) == 1  # one version everywhere
+    # time travel to the fragmented snapshot still reads its exact files
+    assert digest(store.read(asof=pre)) == before
+    # sorted clustered files after the rewrite
+    cur_files = [
+        f
+        for m, v in store.months().items()
+        for f in _parquet_files(
+            os.path.join(store._data_dir, f"p_month={m}", f"v={v}")
+        )
+    ]
+    _assert_sorted_files(cur_files, ["source", "bucket_start"])
+    # manifest: COMPACT rows with the committing snapshot id
+    with open(p._partition_ledger_path) as f:
+        compacts = [
+            r
+            for line in f
+            if line.strip()
+            for r in [json.loads(line)]
+            if r["status"] == "COMPACT" and r["stage"] == "rollup_hourly"
+        ]
+    assert {r["p_month"] for r in compacts} == set(res)
+    assert all(r["snapshot_id"] == pre + 1 for r in compacts)
+    # idempotent: fresh clustered version has nothing to compact
+    assert p.compact_stage("rollup_hourly", target_rows=10**9) == {}
+    assert store.current_snapshot() == pre + 1  # no empty commit
+
+    # month-scoped: only the requested fragmented month gets a new
+    # version; the others keep theirs
+    _fragment_snapshot_months(spark, store, months=["2024-02"])
+    keep = {m: v for m, v in store.months().items() if m != "2024-02"}
+    res2 = p.compact_stage(
+        "rollup_hourly", target_rows=10**9, months=["2024-02"]
+    )
+    assert set(res2) == {"2024-02"}
+    after_map = store.months()
+    assert {m: v for m, v in after_map.items() if m != "2024-02"} == keep
+    assert after_map["2024-02"] not in keep.values()
+    assert digest(p.read_stage("rollup_hourly")) == before
 
 
 def test_vacuum_removes_crash_orphans_only(spark, tiny_sequences, tmp_path):
