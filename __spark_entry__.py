@@ -1927,6 +1927,100 @@ FROM hb GROUP BY 1
 """
 
 
+def q_snapshot_changelog(spark, sf_dir):
+    """Incremental-read (changelog) audit — Iceberg CDC semantics over
+    the snapshot store: publish the hourly tier (snap 1), commit a
+    +1-token February refresh (snap 2), delete February (snap 3), then
+    a layout-only rewrite (snap 4).  ``read_changes`` between each pair
+    must show the update as DELETE(old)+INSERT(new), the month deletion
+    as pure DELETEs, the SKIP-LEVEL diff 1→3 as exactly the original
+    February rows deleted (the intermediate correction cancels), and
+    the rewrite as an EMPTY changelog.  The oracle recomputes every
+    count/token total arithmetically from the sequences CTE; collected
+    to plain int tuples before the temp dir is removed."""
+    import shutil
+    import tempfile
+
+    from rtsa_spark.operators.rollup import rollup_next, rollup_raw
+    from rtsa_spark.snapshot import SnapshotStore
+
+    hourly = rollup_next(rollup_raw(_derived_sequences(spark, sf_dir)), "hourly")
+    feb = F.date_format(F.col("bucket_start"), "yyyy-MM") == "2024-02"
+    base = tempfile.mkdtemp(prefix="rtsa_changelog_audit_")
+    try:
+        st = SnapshotStore(spark, base)
+        st.publish(hourly)                                          # snap 1
+        st.refresh_months(
+            hourly.where(feb).withColumn(
+                "n_tok_sum", F.col("n_tok_sum") + 1
+            ),
+            ["2024-02"],
+        )                                                           # snap 2
+        st.refresh_months(hourly.where(F.lit(False)), ["2024-02"])  # snap 3
+        st.rewrite()                                                # snap 4
+
+        def agg(ch, tag):
+            ins = F.col("_change_type") == "INSERT"
+            return ch.groupBy("source").agg(
+                F.sum(ins.cast("bigint")).alias(f"ins_n_{tag}"),
+                F.sum(
+                    F.when(ins, F.col("n_tok_sum")).otherwise(F.lit(0))
+                ).cast("bigint").alias(f"ins_tok_{tag}"),
+                F.sum((~ins).cast("bigint")).alias(f"del_n_{tag}"),
+                F.sum(
+                    F.when(~ins, F.col("n_tok_sum")).otherwise(F.lit(0))
+                ).cast("bigint").alias(f"del_tok_{tag}"),
+            )
+        per_src = st.read(asof=1).select("source").distinct()
+        for pair, tag in (((1, 2), "12"), ((2, 3), "23"), ((1, 3), "13")):
+            per_src = per_src.join(
+                agg(st.read_changes(*pair), tag), "source", "left"
+            )
+        per_src = per_src.select(
+            "source",
+            *[
+                F.coalesce(F.col(c), F.lit(0)).cast("bigint").alias(c)
+                for c in per_src.columns
+                if c != "source"
+            ],
+        )
+        rw_changes = int(st.read_changes(3, 4).count())
+        cols = per_src.columns
+        rows = [tuple(r[c] for c in cols) for r in per_src.collect()]
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    schema = "source string, " + ", ".join(
+        f"{c} bigint" for c in cols if c != "source"
+    )
+    return spark.createDataFrame(rows, schema).withColumn(
+        "rewrite_changes", F.lit(rw_changes).cast("bigint")
+    )
+
+
+SQL_SNAPSHOT_CHANGELOG = f"""
+WITH {SQL_SEQ_CTE}, hb AS MATERIALIZED (
+  SELECT source, date_trunc('hour', ts) AS b, sum(n_tok) AS t,
+         strftime(date_trunc('hour', ts), '%Y-%m') = '2024-02' AS is_feb
+  FROM seq GROUP BY 1, 2
+)
+SELECT source,
+       CAST(count(*) FILTER (is_feb) AS BIGINT)                 AS ins_n_12,
+       CAST(COALESCE(sum(t + 1) FILTER (is_feb), 0) AS BIGINT)  AS ins_tok_12,
+       CAST(count(*) FILTER (is_feb) AS BIGINT)                 AS del_n_12,
+       CAST(COALESCE(sum(t) FILTER (is_feb), 0) AS BIGINT)      AS del_tok_12,
+       CAST(0 AS BIGINT)                                        AS ins_n_23,
+       CAST(0 AS BIGINT)                                        AS ins_tok_23,
+       CAST(count(*) FILTER (is_feb) AS BIGINT)                 AS del_n_23,
+       CAST(COALESCE(sum(t + 1) FILTER (is_feb), 0) AS BIGINT)  AS del_tok_23,
+       CAST(0 AS BIGINT)                                        AS ins_n_13,
+       CAST(0 AS BIGINT)                                        AS ins_tok_13,
+       CAST(count(*) FILTER (is_feb) AS BIGINT)                 AS del_n_13,
+       CAST(COALESCE(sum(t) FILTER (is_feb), 0) AS BIGINT)      AS del_tok_13,
+       CAST(0 AS BIGINT)                                        AS rewrite_changes
+FROM hb GROUP BY 1
+"""
+
+
 def _seq_daily_x(spark, sf_dir):
     """Derived-sequences daily tier (source, bucket_start, x = n_tok_sum)
     via the engine's rollup ladder — x is an exact int both engines agree
@@ -6607,6 +6701,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trailing_quantile": q_trailing_quantile,
         "remainder_outliers": q_remainder_outliers,
         "pruned_range_read": q_pruned_range_read,
+        "snapshot_changelog": q_snapshot_changelog,
     }
 
 
@@ -6747,4 +6842,5 @@ def oracle_sql() -> dict[str, str]:
         "trailing_quantile": SQL_TRAILING_QUANTILE,
         "remainder_outliers": _sql_remainder_outliers(),
         "pruned_range_read": SQL_PRUNED_RANGE_READ,
+        "snapshot_changelog": SQL_SNAPSHOT_CHANGELOG,
     }

@@ -465,6 +465,23 @@ class TierPipeline:
             df = df.where(F.col("source").isin(list(sources)))
         return df
 
+    def read_stage_changes(
+        self, stage: str, since: int, until: int | None = None
+    ) -> DataFrame:
+        """Incremental consumption of a snapshot-backed stage: the rows
+        that changed between checkpoint ``since`` and ``until`` (default
+        current), tagged ``_change_type`` ∈ {INSERT, DELETE} — see
+        :meth:`SnapshotStore.read_changes`.  A downstream consumer that
+        recorded the snapshot id it last processed re-reads only the
+        changed months' version dirs, O(changed months) never O(table).
+        Plain stages hold only current state and refuse loudly."""
+        if not self._is_snapshot_stage(stage):
+            raise ValueError(
+                f"stage {stage!r} is not snapshot-backed; add its tier to "
+                f"snapshot_tiers for changelog reads"
+            )
+        return self._store(stage).read_changes(since, until)
+
     def expire_snapshots(self, keep_last: int = 2) -> dict[str, dict]:
         """Expire old checkpoints on every snapshot-backed stage; returns
         per-stage accounting from :meth:`SnapshotStore.expire`."""

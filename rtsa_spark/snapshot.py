@@ -330,6 +330,70 @@ class SnapshotStore:
             .drop(P_MONTH, V_COL)
         )
 
+    def read_changes(self, since: int, until: int | None = None) -> DataFrame:
+        """Incremental (changelog) read: the rows that differ between
+        snapshot ``since`` and snapshot ``until`` (default: current),
+        tagged with ``_change_type`` ∈ {``INSERT``, ``DELETE``} — the
+        Iceberg incremental-consumption / changelog-table analog, so a
+        downstream consumer can process ONLY what changed instead of
+        re-reading the table.
+
+        The manifest does the heavy pruning: a month whose version is
+        identical in both snapshots is never listed or scanned, so cost
+        is O(changed months), never O(table).  Each changed month costs
+        a scan of its two version dirs plus a multiset ``exceptAll``
+        both ways (an updated row appears as one DELETE of the old
+        content and one INSERT of the new).  Cross-month cancellation
+        is impossible by construction — the partition month is a
+        function of ``ts_col``, so identical row content always lands
+        in the same month.  A row-identical rewrite commit (e.g.
+        :meth:`rewrite` compaction) therefore yields an EMPTY changelog,
+        exactly as a layout-only operation should.
+
+        Both snapshots must be unexpired data commits with
+        ``since <= until``; ``since == until`` returns an empty frame
+        with the changelog schema."""
+        cur = self.current_snapshot()
+        if cur is None:
+            raise ValueError("store has no snapshots yet")
+        if until is None:
+            until = cur
+        old = self.months(asof=since)  # validates since (expiry/unknown)
+        new = self.months(asof=until)
+        if since > until:
+            raise ValueError(
+                f"since={since} is after until={until}; changelog reads "
+                f"go forward"
+            )
+        schema = self._pinned_schema()
+        cols = [f.name for f in schema.fields]
+
+        def _subset(mapping: dict[str, str], months_: list[str]) -> DataFrame:
+            if not months_:
+                return self.spark.createDataFrame([], schema).select(cols)
+            dirs = [
+                os.path.join(
+                    self._data_dir, f"{P_MONTH}={m}", f"{V_COL}={mapping[m]}"
+                )
+                for m in months_
+            ]
+            return (
+                self.spark.read.option("basePath", self._data_dir)
+                .parquet(*dirs)
+                .drop(P_MONTH, V_COL)
+                .select(cols)
+            )
+
+        changed_new = sorted(m for m in new if old.get(m) != new[m])
+        changed_old = sorted(m for m in old if new.get(m) != old[m])
+        nd = _subset(new, changed_new)
+        od = _subset(old, changed_old)
+        return nd.exceptAll(od).withColumn(
+            "_change_type", F.lit("INSERT")
+        ).unionByName(
+            od.exceptAll(nd).withColumn("_change_type", F.lit("DELETE"))
+        )
+
     # -------------------------------------------------------------- expiry
     def expire(self, keep_last: int = 2) -> dict:
         """Retain the last ``keep_last`` data commits; physically delete

@@ -176,3 +176,42 @@ def test_encode_downstream_of_snapshot_tier(spark, seqs, tmp_path):
         .agg(F.sum("n_tok").alias("s")).collect()
     }
     assert tok_dec == tok_corrected
+
+
+def test_read_stage_changes_incremental_consumption(spark, seqs, tmp_path):
+    """read_stage_changes: a consumer holding the last-processed snapshot
+    id reads exactly the correction delta (DELETE old / INSERT new for
+    the refreshed month only); plain stages refuse loudly."""
+    base = str(tmp_path / "chg")
+    p = _mk(spark, base)
+    p.run(seqs)
+    pre = p._store("rollup_hourly").current_snapshot()
+    feb = F.date_format(F.col("ts"), "yyyy-MM") == "2024-02"
+    corrected = seqs.withColumn(
+        "n_tok", F.when(feb, F.col("n_tok") + 1).otherwise(F.col("n_tok"))
+    )
+    p.refresh_months(corrected, ["2024-02"])
+
+    ch = p.read_stage_changes("rollup_hourly", since=pre).cache()
+    months = {
+        r["m"]
+        for r in ch.select(
+            F.date_format("bucket_start", "yyyy-MM").alias("m")
+        ).distinct().collect()
+    }
+    assert months == {"2024-02"}  # only the refreshed month appears
+    # delta applied to the old tier == current tier, per source
+    ins = ch.where("_change_type = 'INSERT'")
+    dele = ch.where("_change_type = 'DELETE'")
+    old_t = _totals(p.read_stage("rollup_hourly", asof=pre))
+    cur_t = _totals(p.read_stage("rollup_hourly"))
+    ins_t = _totals(ins)
+    del_t = _totals(dele)
+    for src, (n, s) in cur_t.items():
+        n0, s0 = old_t[src]
+        ni, si = ins_t.get(src, (0, 0))
+        nd, sd = del_t.get(src, (0, 0))
+        assert (n, s) == (n0 + ni - nd, s0 + si - sd), src
+
+    with pytest.raises(ValueError, match="not snapshot-backed"):
+        p.read_stage_changes("rollup_daily", since=pre)

@@ -254,3 +254,60 @@ def test_rewrite_compacts_without_breaking_time_travel(spark, tmp_path):
     acc = st.expire(keep_last=1)
     assert acc["deleted_dirs"] > 0 and acc["freed_bytes"] > 0
     assert st.read().orderBy("doc_id").collect() == before
+
+
+def test_read_changes_changelog(spark, tier, tmp_path):
+    """read_changes: incremental consumption between two snapshots —
+    updates appear as DELETE(old)+INSERT(new), added months as INSERTs,
+    deleted months as DELETEs, unchanged months never scanned, a
+    layout-only rewrite yields an EMPTY changelog, and applying the
+    changelog to the old snapshot reproduces the new one exactly."""
+    st = SnapshotStore(spark, str(tmp_path / "cl"))
+    jan = tier.where(F.date_format("bucket_start", "yyyy-MM") == "2024-01")
+    feb = tier.where(F.date_format("bucket_start", "yyyy-MM") == "2024-02")
+    s1 = st.publish(jan.unionByName(feb))
+
+    # update feb (+1 token everywhere), delete jan, add mar
+    feb2 = feb.withColumn("n_tok_sum", F.col("n_tok_sum") + 1)
+    mar = tier.where(F.date_format("bucket_start", "yyyy-MM") == "2024-03")
+    s2 = st.refresh_months(
+        feb2.unionByName(mar), ["2024-01", "2024-02", "2024-03"]
+    )
+
+    # pruning: only the changed months' version dirs are listed (probe
+    # before cache() — the cache manager hides the scan leaves from
+    # inputFiles on any plan-identical frame afterwards)
+    scanned = {
+        f.split("p_month=")[1].split("/")[0]
+        for f in st.read_changes(s1, s2).inputFiles()
+    }
+    assert scanned == {"2024-01", "2024-02", "2024-03"}
+
+    ch = st.read_changes(s1, s2).cache()
+    n_feb, n_jan, n_mar = feb.count(), jan.count(), mar.count()
+    assert ch.where("_change_type = 'INSERT'").count() == n_feb + n_mar
+    assert ch.where("_change_type = 'DELETE'").count() == n_feb + n_jan
+
+    # applying the changelog to the s1 read reproduces the s2 read
+    cols = [c for c in ch.columns if c != "_change_type"]
+    applied = (
+        st.read(asof=s1)
+        .select(cols)
+        .exceptAll(ch.where("_change_type = 'DELETE'").select(cols))
+        .unionByName(ch.where("_change_type = 'INSERT'").select(cols))
+    )
+    assert applied.exceptAll(st.read(asof=s2)).count() == 0
+    assert st.read(asof=s2).exceptAll(applied).count() == 0
+
+    # layout-only rewrite -> empty changelog
+    s3 = st.rewrite()
+    assert st.read_changes(s2, s3).count() == 0
+    # since == until -> empty with the changelog schema
+    empty = st.read_changes(s2, s2)
+    assert empty.count() == 0 and "_change_type" in empty.columns
+
+    with pytest.raises(ValueError, match="forward"):
+        st.read_changes(s3, s2)
+    st.expire(keep_last=1)
+    with pytest.raises(ValueError, match="expired"):
+        st.read_changes(s1)
