@@ -402,8 +402,9 @@ class TierPipeline:
         sources: list[str] | None = None,
     ) -> DataFrame:
         """Public stage read. ``asof`` time-travels a snapshot-backed
-        stage to an earlier checkpoint; plain stages hold only the
-        current state and refuse it loudly.
+        stage to an earlier checkpoint — a snapshot id or a tag name
+        (``SnapshotStore.tag``); plain stages hold only the current
+        state and refuse it loudly.
 
         ``start``/``end`` (datetimes or ISO strings, half-open
         ``[start, end)``) and ``sources`` prune the read at every level

@@ -263,17 +263,73 @@ class SnapshotStore:
             "refresh", mapping, refreshed=sorted(months), **(extra or {})
         )
 
-    def rollback(self, snapshot_id: int) -> int:
+    def rollback(self, snapshot_id: int | str) -> int:
         """Metadata-only commit that restores ``snapshot_id``'s mapping
         under a NEW snapshot id (history stays append-only, like Iceberg's
-        ``rollback_to_snapshot``).  The target must not be expired."""
+        ``rollback_to_snapshot``).  The target must not be expired; a
+        string names a tag."""
         row = self._snapshot_row(snapshot_id)
         return self._commit(
-            "rollback", dict(row["months"]), rolled_back_to=snapshot_id
+            "rollback", dict(row["months"]),
+            rolled_back_to=row["snapshot_id"],
+        )
+
+    # -------------------------------------------------------------- tags
+    def tags(self) -> dict[str, int]:
+        """Current tag-name -> snapshot-id mapping (log replay; drops
+        win over earlier tags of the same name)."""
+        out: dict[str, int] = {}
+        for r in self._log():
+            if r["op"] == "tag":
+                out[r["name"]] = r["snapshot_id"]
+            elif r["op"] == "drop_tag":
+                out.pop(r["name"], None)
+        return out
+
+    def tag(self, name: str, snapshot_id: int | None = None) -> int:
+        """Name a snapshot (default: current) — Iceberg tag semantics: a
+        tagged snapshot is PINNED, :meth:`expire` never reclaims it (or
+        its version dirs) until :meth:`drop_tag` releases the name, and
+        every read accepting ``asof`` also accepts the tag name.  Names
+        are immutable while held (re-tagging requires an explicit drop —
+        a moved release label is a lie) and metadata-only: one log row,
+        zero data movement.  Returns the pinned snapshot id."""
+        if not isinstance(name, str) or not name:
+            raise ValueError(f"tag name must be a non-empty string: {name!r}")
+        if name in self.tags():
+            raise ValueError(
+                f"tag {name!r} already exists; drop_tag() it first"
+            )
+        cur = self.current_snapshot()
+        if cur is None:
+            raise ValueError("store has no snapshots yet")
+        row = self._snapshot_row(
+            snapshot_id if snapshot_id is not None else cur
+        )
+        sid = row["snapshot_id"]
+        self._append_log(
+            {"op": "tag", "name": name, "snapshot_id": sid,
+             "committed_at": time.time()}
+        )
+        return sid
+
+    def drop_tag(self, name: str) -> None:
+        """Release a tag (metadata-only).  The snapshot it pinned becomes
+        ordinary history — reclaimable by the next :meth:`expire` if it
+        falls outside ``keep_last``."""
+        if name not in self.tags():
+            raise ValueError(f"unknown tag {name!r}")
+        self._append_log(
+            {"op": "drop_tag", "name": name, "committed_at": time.time()}
         )
 
     # -------------------------------------------------------------- reads
-    def _snapshot_row(self, snapshot_id: int) -> dict:
+    def _snapshot_row(self, snapshot_id: int | str) -> dict:
+        if isinstance(snapshot_id, str):
+            tags = self.tags()
+            if snapshot_id not in tags:
+                raise ValueError(f"unknown tag {snapshot_id!r}")
+            snapshot_id = tags[snapshot_id]
         if snapshot_id in self._expired_ids():
             raise ValueError(f"snapshot {snapshot_id} has been expired")
         for r in self._data_commits():
@@ -281,7 +337,7 @@ class SnapshotStore:
                 return r
         raise ValueError(f"unknown snapshot id {snapshot_id}")
 
-    def months(self, asof: int | None = None) -> dict[str, str]:
+    def months(self, asof: int | str | None = None) -> dict[str, str]:
         """The month->version mapping of ``asof`` (default current) — the
         snapshot's manifest, for callers that account files per partition."""
         cur = self.current_snapshot()
@@ -293,7 +349,7 @@ class SnapshotStore:
 
     def read(
         self,
-        asof: int | None = None,
+        asof: int | str | None = None,
         months: list[str] | None = None,
         month_lo: str | None = None,
         month_hi: str | None = None,
@@ -330,7 +386,9 @@ class SnapshotStore:
             .drop(P_MONTH, V_COL)
         )
 
-    def read_changes(self, since: int, until: int | None = None) -> DataFrame:
+    def read_changes(
+        self, since: int | str, until: int | str | None = None
+    ) -> DataFrame:
         """Incremental (changelog) read: the rows that differ between
         snapshot ``since`` and snapshot ``until`` (default: current),
         tagged with ``_change_type`` ∈ {``INSERT``, ``DELETE``} — the
@@ -358,7 +416,10 @@ class SnapshotStore:
             raise ValueError("store has no snapshots yet")
         if until is None:
             until = cur
-        old = self.months(asof=since)  # validates since (expiry/unknown)
+        # resolve tag names (and validate expiry/unknown) before ordering
+        since = self._snapshot_row(since)["snapshot_id"]
+        until = self._snapshot_row(until)["snapshot_id"]
+        old = self.months(asof=since)
         new = self.months(asof=until)
         if since > until:
             raise ValueError(
@@ -396,21 +457,29 @@ class SnapshotStore:
 
     # -------------------------------------------------------------- expiry
     def expire(self, keep_last: int = 2) -> dict:
-        """Retain the last ``keep_last`` data commits; physically delete
-        every ``v=`` dir no retained snapshot references (this also reaps
-        orphan versions from crashed writers, which no snapshot ever
-        referenced), and mark the dropped snapshot ids so time-travel to
-        them fails loudly.  Returns accounting
+        """Retain the last ``keep_last`` data commits PLUS every tagged
+        snapshot (:meth:`tag` pins history exactly as Iceberg tags do);
+        physically delete every ``v=`` dir no retained snapshot
+        references (this also reaps orphan versions from crashed
+        writers, which no snapshot ever referenced), and mark the
+        dropped snapshot ids so time-travel to them fails loudly.
+        Returns accounting
         ``{expired_snapshots, deleted_dirs, freed_bytes}``."""
         if keep_last < 1:
             raise ValueError(f"keep_last must be >= 1, got {keep_last}")
         commits = self._data_commits()
-        retained = commits[-keep_last:]
+        pinned = set(self.tags().values())  # tags survive expiry (Iceberg)
+        retained = [
+            r
+            for i, r in enumerate(commits)
+            if i >= len(commits) - keep_last or r["snapshot_id"] in pinned
+        ]
         already = self._expired_ids()
         dropped = [
             r["snapshot_id"]
             for r in commits[:-keep_last]
             if r["snapshot_id"] not in already
+            and r["snapshot_id"] not in pinned
         ]
         live: set[tuple[str, str]] = {
             (m, v) for r in retained for m, v in r["months"].items()

@@ -311,3 +311,53 @@ def test_read_changes_changelog(spark, tier, tmp_path):
     st.expire(keep_last=1)
     with pytest.raises(ValueError, match="expired"):
         st.read_changes(s1)
+
+
+def test_tags_pin_history_and_resolve_reads(spark, tier, tmp_path):
+    """Tags: read/rollback/changelog accept the name; a tagged snapshot
+    (and its version dirs) survives expire(keep_last=1) until dropped;
+    after drop_tag the next expire reaps it; guards are loud."""
+    st = SnapshotStore(spark, str(tmp_path / "tg"))
+    st.publish(tier)
+    assert st.tag("v1.0") == 1
+    st.refresh_months(
+        tier.withColumn("n_tok_sum", F.col("n_tok_sum") + 1), ["2024-02"]
+    )
+    st.refresh_months(
+        tier.withColumn("n_tok_sum", F.col("n_tok_sum") + 2), ["2024-02"]
+    )
+
+    # name resolves everywhere an id does
+    assert _totals(st.read(asof="v1.0")) == _totals(tier)
+    assert st.months(asof="v1.0") == st.months(asof=1)
+    assert st.read_changes("v1.0", 2).count() > 0
+
+    # expire keeps the tagged snapshot alive past keep_last
+    acc = st.expire(keep_last=1)
+    assert 1 not in acc["expired_snapshots"]
+    assert 2 in acc["expired_snapshots"]
+    assert _totals(st.read(asof="v1.0")) == _totals(tier)
+
+    # rollback by tag is metadata-only and restores the tagged content
+    st.rollback("v1.0")
+    assert _totals(st.read()) == _totals(tier)
+
+    # drop releases the pin; the next expire reaps snapshot 1's dirs
+    st.drop_tag("v1.0")
+    acc2 = st.expire(keep_last=1)
+    assert 1 in acc2["expired_snapshots"]
+    with pytest.raises(ValueError, match="expired"):
+        st.read(asof=1)
+    with pytest.raises(ValueError, match="unknown tag"):
+        st.read(asof="v1.0")
+
+    # guards
+    st.tag("prod")
+    with pytest.raises(ValueError, match="already exists"):
+        st.tag("prod")
+    with pytest.raises(ValueError, match="unknown tag"):
+        st.drop_tag("nope")
+    with pytest.raises(ValueError, match="non-empty string"):
+        st.tag("")
+    with pytest.raises(ValueError, match="expired"):
+        st.tag("old", snapshot_id=1)
