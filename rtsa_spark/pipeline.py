@@ -483,6 +483,27 @@ class TierPipeline:
             )
         return self._store(stage).read_changes(since, until)
 
+    def tag_stage(
+        self, stage: str, name: str, snapshot_id: int | None = None
+    ) -> int:
+        """Pin a snapshot-backed stage's checkpoint under a name (default:
+        current) — readable as ``read_stage(stage, asof=name)`` and immune
+        to ``expire_snapshots`` until :meth:`drop_stage_tag` releases it.
+        See :meth:`SnapshotStore.tag`."""
+        if not self._is_snapshot_stage(stage):
+            raise ValueError(
+                f"stage {stage!r} is not snapshot-backed; add its tier to "
+                f"snapshot_tiers for tags"
+            )
+        return self._store(stage).tag(name, snapshot_id)
+
+    def drop_stage_tag(self, stage: str, name: str) -> None:
+        """Release a stage tag (metadata-only) — see
+        :meth:`SnapshotStore.drop_tag`."""
+        if not self._is_snapshot_stage(stage):
+            raise ValueError(f"stage {stage!r} is not snapshot-backed")
+        self._store(stage).drop_tag(name)
+
     def expire_snapshots(self, keep_last: int = 2) -> dict[str, dict]:
         """Expire old checkpoints on every snapshot-backed stage; returns
         per-stage accounting from :meth:`SnapshotStore.expire`."""

@@ -215,3 +215,27 @@ def test_read_stage_changes_incremental_consumption(spark, seqs, tmp_path):
 
     with pytest.raises(ValueError, match="not snapshot-backed"):
         p.read_stage_changes("rollup_daily", since=pre)
+
+
+def test_stage_tags_pin_and_read(spark, seqs, tmp_path):
+    """tag_stage/drop_stage_tag: a named checkpoint reads via asof=name,
+    survives expire_snapshots, and plain stages refuse."""
+    base = str(tmp_path / "tags")
+    p = _mk(spark, base)
+    p.run(seqs)
+    assert p.tag_stage("rollup_hourly", "baseline") == 1
+    feb = F.date_format(F.col("ts"), "yyyy-MM") == "2024-02"
+    corrected = seqs.withColumn(
+        "n_tok", F.when(feb, F.col("n_tok") + 1).otherwise(F.col("n_tok"))
+    )
+    p.refresh_months(corrected, ["2024-02"])
+    p.refresh_months(seqs, ["2024-02"])
+    orig = _totals(p.read_stage("rollup_hourly", asof=1))
+    p.expire_snapshots(keep_last=1)
+    assert _totals(p.read_stage("rollup_hourly", asof="baseline")) == orig
+    p.drop_stage_tag("rollup_hourly", "baseline")
+    p.expire_snapshots(keep_last=1)
+    with pytest.raises(ValueError, match="unknown tag"):
+        p.read_stage("rollup_hourly", asof="baseline")
+    with pytest.raises(ValueError, match="not snapshot-backed"):
+        p.tag_stage("rollup_daily", "x")
