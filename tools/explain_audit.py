@@ -441,6 +441,23 @@ def main() -> int:
         ),
     )
 
+    # 22b. changelog read: the incremental diff scans ONLY the changed
+    #      month's version dirs (both sides), and the plan is except/union
+    #      aggregation — no join, no cartesian, no Python eval
+    ch = _st.read_changes(1, 2)
+    ch_files = ch.inputFiles()
+    ch_plan = plan_of(ch)
+    ok &= check(
+        "changelog read: changed-month dirs only, no join/cartesian/Python",
+        bool(ch_files)
+        and all(
+            f.split("p_month=")[1].split("/")[0] == "2024-02"
+            for f in ch_files
+        )
+        and "Cartesian" not in ch_plan
+        and "EvalPython" not in ch_plan,
+    )
+
     # 23. publish clustering: the pre-write frame is range-partitioned on
     #     (month, source, bucket_start) with an in-partition sort — the
     #     Iceberg write.distribution-mode=range shape that bounds files
