@@ -137,23 +137,62 @@ class SnapshotStore:
         merge-then-refresh must not read as schema evolution."""
         return [(f.name, f.dataType.simpleString()) for f in schema.fields]
 
-    def _pin_schema(self, df: DataFrame) -> None:
-        if os.path.exists(self._schema_path):
-            with open(self._schema_path) as f:
-                pinned = StructType.fromJson(json.load(f))
-            if self._schema_key(df.schema) != self._schema_key(pinned):
-                raise ValueError(
-                    "schema mismatch vs pinned store schema; this store "
-                    "does not do schema evolution (production seam: "
-                    "Iceberg handles it natively)"
-                )
-        else:
-            with open(self._schema_path, "w") as f:
-                json.dump(df.schema.jsonValue(), f)
-
-    def _pinned_schema(self) -> StructType:
+    def _load_schemas(self) -> list[StructType]:
+        """Schema registry in registration order; index == schema_id.
+        Legacy stores (single pinned schema dict) read as ``[that]``."""
+        if not os.path.exists(self._schema_path):
+            return []
         with open(self._schema_path) as f:
-            return StructType.fromJson(json.load(f))
+            doc = json.load(f)
+        if isinstance(doc, dict) and "schemas" in doc:
+            return [StructType.fromJson(s) for s in doc["schemas"]]
+        return [StructType.fromJson(doc)]
+
+    def _save_schemas(self, schemas: list[StructType]) -> None:
+        with open(self._schema_path, "w") as f:
+            json.dump({"schemas": [s.jsonValue() for s in schemas]}, f)
+
+    def _pin_schema(self, df: DataFrame) -> int:
+        """Resolve ``df``'s schema against the registry; returns the
+        schema_id the commit should carry.
+
+        Evolution is ADDITIVE-ONLY (the safe core of Iceberg's
+        ``add_column``): a new schema must start with the current
+        schema's fields — same names, same types, same order — and only
+        APPEND new fields.  Files written under older schemas are never
+        rewritten; reads null-fill the added columns (Iceberg reads by
+        field id; the parquet emulation reads by name, which additive
+        evolution keeps unambiguous).  Renames, drops, type changes, and
+        reorders raise — those need real Iceberg field-id metadata to be
+        safe, and the production seam is exactly that config flip."""
+        schemas = self._load_schemas()
+        key = self._schema_key(df.schema)
+        if not schemas:
+            self._save_schemas([df.schema])
+            return 0
+        cur_id = len(schemas) - 1
+        cur_key = self._schema_key(schemas[cur_id])
+        if key == cur_key:
+            return cur_id
+        if len(key) > len(cur_key) and key[: len(cur_key)] == cur_key:
+            schemas.append(df.schema)
+            self._save_schemas(schemas)
+            return len(schemas) - 1
+        raise ValueError(
+            "schema mismatch vs current store schema and not an additive "
+            "evolution (existing columns must keep name/type/order; new "
+            f"columns append at the end): current={cur_key} got={key}"
+        )
+
+    def schema(self, asof: int | str | None = None) -> StructType:
+        """The logical table schema AS OF ``asof`` (default: current
+        snapshot) — schema travels with the snapshot, like Iceberg's
+        per-snapshot ``schema-id``."""
+        cur = self.current_snapshot()
+        if cur is None:
+            raise ValueError("store has no snapshots yet")
+        row = self._snapshot_row(asof if asof is not None else cur)
+        return self._load_schemas()[row.get("schema_id", 0)]
 
     # ------------------------------------------------------------ commits
     def _validate_input(self, df: DataFrame) -> None:
@@ -212,9 +251,12 @@ class SnapshotStore:
         rides along on the commit row (e.g. a streaming sink's batch id
         for retry idempotence)."""
         self._validate_input(df)
-        self._pin_schema(df)
+        schema_id = self._pin_schema(df)
         ver, months = self._write_version(df)
-        return self._commit("publish", {m: ver for m in months}, **(extra or {}))
+        return self._commit(
+            "publish", {m: ver for m in months},
+            schema_id=schema_id, **(extra or {}),
+        )
 
     def rewrite(self) -> int:
         """Layout-only compaction commit: republish the CURRENT table
@@ -229,9 +271,15 @@ class SnapshotStore:
         current snapshot); the clustered write path
         (:func:`rtsa_spark.storage.cluster_for_publish`) re-sorts and
         re-bins the copy, so each month lands in O(1) files with tight
-        row-group stats."""
-        ver, months = self._write_version(self.read())
-        return self._commit("rewrite", {m: ver for m in months})
+        row-group stats.  The copy is written under the CURRENT schema,
+        so a rewrite also materializes null-filled added columns into
+        the physical files (Iceberg rewrite_data_files does the same)."""
+        cur = self.read()
+        schema_id = self._pin_schema(cur)
+        ver, months = self._write_version(cur)
+        return self._commit(
+            "rewrite", {m: ver for m in months}, schema_id=schema_id
+        )
 
     def data_commits(self) -> list[dict]:
         """Data-commit rows (publish/refresh/rollback) in commit order —
@@ -250,7 +298,7 @@ class SnapshotStore:
         cur = self.current_snapshot()
         if cur is None:
             raise ValueError("refresh_months requires a prior publish()")
-        self._pin_schema(df)
+        schema_id = self._pin_schema(df)
         scoped = df.where(
             F.date_format(F.col(self.ts_col), "yyyy-MM").isin(months)
         )
@@ -260,18 +308,23 @@ class SnapshotStore:
             mapping.pop(m, None)
         mapping.update({m: ver for m in written})
         return self._commit(
-            "refresh", mapping, refreshed=sorted(months), **(extra or {})
+            "refresh", mapping, refreshed=sorted(months),
+            schema_id=schema_id, **(extra or {}),
         )
 
     def rollback(self, snapshot_id: int | str) -> int:
         """Metadata-only commit that restores ``snapshot_id``'s mapping
         under a NEW snapshot id (history stays append-only, like Iceberg's
         ``rollback_to_snapshot``).  The target must not be expired; a
-        string names a tag."""
+        string names a tag.  Schema does NOT revert — like Iceberg,
+        rollback restores the data mapping while the table keeps its
+        current schema (old files read null-filled for added columns)."""
         row = self._snapshot_row(snapshot_id)
+        cur_row = self._snapshot_row(self.current_snapshot())
         return self._commit(
             "rollback", dict(row["months"]),
             rolled_back_to=row["snapshot_id"],
+            schema_id=cur_row.get("schema_id", 0),
         )
 
     # -------------------------------------------------------------- tags
@@ -362,11 +415,14 @@ class SnapshotStore:
         partitions; ``month_lo``/``month_hi`` restrict it to an INCLUSIVE
         ``YYYY-MM`` range (lexicographic = chronological) — both are
         manifest-level pruning, not a post-hoc filter.
-        Returns the logical schema (partition columns dropped)."""
+        Returns the snapshot's logical schema (schema travels with the
+        snapshot; files written under an older additive schema read
+        null-filled for the added columns; partition columns dropped)."""
         cur = self.current_snapshot()
         if cur is None:
             raise ValueError("store has no snapshots yet")
         row = self._snapshot_row(asof if asof is not None else cur)
+        schema = self._load_schemas()[row.get("schema_id", 0)]
         mapping: dict[str, str] = row["months"]
         if months is not None:
             mapping = {m: v for m, v in mapping.items() if m in set(months)}
@@ -375,15 +431,16 @@ class SnapshotStore:
         if month_hi is not None:
             mapping = {m: v for m, v in mapping.items() if m <= month_hi}
         if not mapping:
-            return self.spark.createDataFrame([], self._pinned_schema())
+            return self.spark.createDataFrame([], schema)
         dirs = [
             os.path.join(self._data_dir, f"{P_MONTH}={m}", f"{V_COL}={v}")
             for m, v in sorted(mapping.items())
         ]
         return (
-            self.spark.read.option("basePath", self._data_dir)
+            self.spark.read.schema(schema)
+            .option("basePath", self._data_dir)
             .parquet(*dirs)
-            .drop(P_MONTH, V_COL)
+            .select([f.name for f in schema.fields])
         )
 
     def read_changes(
@@ -418,7 +475,8 @@ class SnapshotStore:
             until = cur
         # resolve tag names (and validate expiry/unknown) before ordering
         since = self._snapshot_row(since)["snapshot_id"]
-        until = self._snapshot_row(until)["snapshot_id"]
+        until_row = self._snapshot_row(until)
+        until = until_row["snapshot_id"]
         old = self.months(asof=since)
         new = self.months(asof=until)
         if since > until:
@@ -426,7 +484,11 @@ class SnapshotStore:
                 f"since={since} is after until={until}; changelog reads "
                 f"go forward"
             )
-        schema = self._pinned_schema()
+        # both sides read under the UNTIL snapshot's schema (the Iceberg
+        # changelog convention): files from the older snapshot null-fill
+        # any columns added between the two, so a row whose only change
+        # is a backfilled new column diffs as DELETE(old,null)+INSERT(new)
+        schema = self._load_schemas()[until_row.get("schema_id", 0)]
         cols = [f.name for f in schema.fields]
 
         def _subset(mapping: dict[str, str], months_: list[str]) -> DataFrame:
@@ -439,9 +501,9 @@ class SnapshotStore:
                 for m in months_
             ]
             return (
-                self.spark.read.option("basePath", self._data_dir)
+                self.spark.read.schema(schema)
+                .option("basePath", self._data_dir)
                 .parquet(*dirs)
-                .drop(P_MONTH, V_COL)
                 .select(cols)
             )
 

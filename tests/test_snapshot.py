@@ -212,7 +212,7 @@ def test_guards(spark, tier, tmp_path):
     with pytest.raises(ValueError, match="partition columns"):
         st.publish(tier.withColumn("v", F.lit("x")))
     with pytest.raises(ValueError, match="schema mismatch"):
-        st.publish(tier.withColumn("extra", F.lit(1)))
+        st.publish(tier.withColumnRenamed("n_tok_sum", "tok_total"))
     with pytest.raises(ValueError, match="ts_col"):
         SnapshotStore(spark, str(tmp_path / "st2")).publish(
             tier.drop("bucket_start")
@@ -361,3 +361,81 @@ def test_tags_pin_history_and_resolve_reads(spark, tier, tmp_path):
         st.tag("")
     with pytest.raises(ValueError, match="expired"):
         st.tag("old", snapshot_id=1)
+
+
+def test_schema_evolution_add_column(spark, tier, tmp_path):
+    st = SnapshotStore(spark, str(tmp_path / "st"))
+    st.publish(tier)
+    evolved = tier.withColumn(
+        "quality", (F.col("n_tok_sum") % F.lit(7)).cast("int")
+    )
+    feb = F.date_format(F.col("bucket_start"), "yyyy-MM") == "2024-02"
+    sid2 = st.refresh_months(evolved.where(feb), ["2024-02"])
+
+    # current schema gained the column; snapshot 1 keeps the old schema
+    assert "quality" in st.read().columns
+    assert "quality" not in st.read(asof=1).columns
+    assert [f.name for f in st.schema().fields][-1] == "quality"
+    assert "quality" not in [f.name for f in st.schema(asof=1).fields]
+
+    # old-version months null-fill; refreshed month carries real values
+    cur = st.read()
+    jan = cur.where(F.date_format("bucket_start", "yyyy-MM") != "2024-02")
+    febd = cur.where(F.date_format("bucket_start", "yyyy-MM") == "2024-02")
+    assert jan.where(F.col("quality").isNotNull()).count() == 0
+    assert febd.where(F.col("quality").isNull()).count() == 0
+    assert febd.count() > 0
+
+    # totals on the shared columns are untouched by evolution
+    assert _totals(cur) == _totals(tier)
+
+    # changelog reads under the until-schema: both sides carry `quality`
+    ch = st.read_changes(1, sid2)
+    assert "quality" in ch.columns
+    assert ch.where(F.col("_change_type") == "INSERT").count() > 0
+
+    # rollback keeps the evolved schema over the old mapping (Iceberg)
+    st.rollback(1)
+    rb = st.read()
+    assert "quality" in rb.columns
+    assert rb.where(F.col("quality").isNotNull()).count() == 0
+
+
+def test_schema_evolution_guards(spark, tier, tmp_path):
+    st = SnapshotStore(spark, str(tmp_path / "st"))
+    st.publish(tier)
+    # rename / drop / type change / reorder all refuse
+    with pytest.raises(ValueError, match="additive"):
+        st.publish(tier.withColumnRenamed("n_tok_sum", "tok_sum"))
+    with pytest.raises(ValueError, match="additive"):
+        st.publish(tier.drop("n_tok_max"))
+    with pytest.raises(ValueError, match="additive"):
+        st.publish(
+            tier.withColumn("n_tok_sum", F.col("n_tok_sum").cast("double"))
+        )
+    with pytest.raises(ValueError, match="additive"):
+        st.publish(tier.select(list(reversed(tier.columns))))
+    # a mid-schema insert is not additive either
+    cols = tier.columns
+    with pytest.raises(ValueError, match="additive"):
+        st.publish(
+            tier.withColumn("early", F.lit(1)).select(
+                cols[:1] + ["early"] + cols[1:]
+            )
+        )
+    # writers on the old schema refuse once the table has evolved
+    st.publish(tier.withColumn("quality", F.lit(1)))
+    with pytest.raises(ValueError, match="additive"):
+        st.publish(tier)
+
+
+def test_schema_evolution_rewrite_materializes_nulls(spark, tier, tmp_path):
+    st = SnapshotStore(spark, str(tmp_path / "st"))
+    st.publish(tier)
+    st.publish(tier.withColumn("quality", F.lit(2)))
+    st.rollback(1)  # old mapping, evolved schema
+    sid = st.rewrite()
+    got = st.read(asof=sid)
+    assert "quality" in got.columns
+    assert got.where(F.col("quality").isNotNull()).count() == 0
+    assert _totals(got) == _totals(tier)
