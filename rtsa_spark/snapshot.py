@@ -27,6 +27,10 @@ commit, and old versions die only when explicitly expired.
   snapshots reads at the same cost as one;
 - :meth:`rollback` re-commits an older snapshot's mapping under a new id
   (Iceberg ``rollback_to_snapshot``): pure metadata, zero data movement;
+- :meth:`tag` / :meth:`branch` are the Iceberg refs model: tags pin a
+  snapshot immutably, branches are mutable heads that commits can target
+  (``publish(df, branch="audit")``) for write-audit-publish staging,
+  landed on main via :meth:`fast_forward`;
 - :meth:`expire` retains the last N snapshots, deletes every version dir
   none of them references, and marks the dropped ids so a later
   ``read(asof=expired)`` fails loudly instead of resurrecting a partial
@@ -64,7 +68,8 @@ P_MONTH = "p_month"
 V_COL = "v"
 #: commit ops that carry a month->version mapping (data commits); an
 #: "expire" row changes no mapping and never counts toward retention.
-_DATA_OPS = ("publish", "refresh", "rollback", "rewrite")
+_DATA_OPS = ("publish", "refresh", "rollback", "rewrite", "fast_forward")
+MAIN = "main"
 
 
 class SnapshotStore:
@@ -111,8 +116,11 @@ class SnapshotStore:
         with open(self._log_path, "a") as f:
             f.write(json.dumps(row) + "\n")
 
-    def _data_commits(self) -> list[dict]:
-        return [r for r in self._log() if r["op"] in _DATA_OPS]
+    def _data_commits(self, branch: str | None = None) -> list[dict]:
+        rows = [r for r in self._log() if r["op"] in _DATA_OPS]
+        if branch is None:
+            return rows
+        return [r for r in rows if r.get("branch", MAIN) == branch]
 
     def _expired_ids(self) -> set[int]:
         out: set[int] = set()
@@ -121,9 +129,20 @@ class SnapshotStore:
                 out.update(r["expired_snapshots"])
         return out
 
-    def current_snapshot(self) -> int | None:
-        commits = self._data_commits()
+    def current_snapshot(self, branch: str = MAIN) -> int | None:
+        """Head snapshot of ``branch`` (default: main).  A branch with no
+        commits of its own heads at the snapshot it was created from."""
+        if branch != MAIN:
+            state = self._branch_state()
+            if branch not in state:
+                raise ValueError(f"unknown branch {branch!r}")
+            return state[branch]["head"]
+        commits = self._data_commits(MAIN)
         return commits[-1]["snapshot_id"] if commits else None
+
+    def _next_sid(self) -> int:
+        commits = self._data_commits()
+        return (commits[-1]["snapshot_id"] + 1) if commits else 1
 
     def snapshot_log(self) -> DataFrame:
         """The commit log as a DataFrame (the catalog's snapshot table)."""
@@ -229,14 +248,20 @@ class SnapshotStore:
         )
         return ver, months
 
-    def _commit(self, op: str, mapping: dict[str, str], **extra) -> int:
-        cur = self.current_snapshot()
-        sid = (cur or 0) + 1
+    def _commit(
+        self, op: str, mapping: dict[str, str], branch: str = MAIN, **extra
+    ) -> int:
+        """Append a data commit to ``branch``.  Snapshot ids are global
+        (monotone across all branches, like Iceberg's); ``parent`` is the
+        target branch's head, so each branch's history is a chain."""
+        cur = self.current_snapshot(branch)
+        sid = self._next_sid()
         self._append_log(
             {
                 "snapshot_id": sid,
                 "parent": cur,
                 "op": op,
+                "branch": branch,
                 "committed_at": time.time(),
                 "months": mapping,
                 **extra,
@@ -244,17 +269,26 @@ class SnapshotStore:
         )
         return sid
 
-    def publish(self, df: DataFrame, extra: dict | None = None) -> int:
+    def _validate_branch(self, branch: str) -> None:
+        if branch != MAIN and branch not in self._branch_state():
+            raise ValueError(f"unknown branch {branch!r}")
+
+    def publish(
+        self, df: DataFrame, extra: dict | None = None, branch: str = MAIN
+    ) -> int:
         """Full-table publish: every month in ``df`` maps to the new
         version; months present in the parent but absent from ``df`` are
         deleted in the new snapshot (it IS the full table).  ``extra``
         rides along on the commit row (e.g. a streaming sink's batch id
-        for retry idempotence)."""
+        for retry idempotence).  ``branch`` targets a ref created with
+        :meth:`branch` (write-audit-publish: stage on a branch, audit it,
+        :meth:`fast_forward` main)."""
         self._validate_input(df)
+        self._validate_branch(branch)
         schema_id = self._pin_schema(df)
         ver, months = self._write_version(df)
         return self._commit(
-            "publish", {m: ver for m in months},
+            "publish", {m: ver for m in months}, branch=branch,
             schema_id=schema_id, **(extra or {}),
         )
 
@@ -287,15 +321,21 @@ class SnapshotStore:
         return self._data_commits()
 
     def refresh_months(
-        self, df: DataFrame, months: list[str], extra: dict | None = None
+        self,
+        df: DataFrame,
+        months: list[str],
+        extra: dict | None = None,
+        branch: str = MAIN,
     ) -> int:
         """Partition-scoped commit: re-publish ONLY ``months`` from ``df``
         (defensively filtered to them); all other months keep the parent's
         versions.  A requested month ``df`` has no rows for is DELETED in
         the new snapshot — same degenerate-month semantics as
-        ``TierPipeline.refresh_months``."""
+        ``TierPipeline.refresh_months``.  ``branch`` targets a ref (the
+        branch's head is the parent the untouched months come from)."""
         self._validate_input(df)
-        cur = self.current_snapshot()
+        self._validate_branch(branch)
+        cur = self.current_snapshot(branch)
         if cur is None:
             raise ValueError("refresh_months requires a prior publish()")
         schema_id = self._pin_schema(df)
@@ -308,7 +348,7 @@ class SnapshotStore:
             mapping.pop(m, None)
         mapping.update({m: ver for m in written})
         return self._commit(
-            "refresh", mapping, refreshed=sorted(months),
+            "refresh", mapping, branch=branch, refreshed=sorted(months),
             schema_id=schema_id, **(extra or {}),
         )
 
@@ -353,6 +393,8 @@ class SnapshotStore:
             raise ValueError(
                 f"tag {name!r} already exists; drop_tag() it first"
             )
+        if name == MAIN or name in self._branch_state():
+            raise ValueError(f"ref name {name!r} already exists as a branch")
         cur = self.current_snapshot()
         if cur is None:
             raise ValueError("store has no snapshots yet")
@@ -376,13 +418,111 @@ class SnapshotStore:
             {"op": "drop_tag", "name": name, "committed_at": time.time()}
         )
 
+    # ----------------------------------------------------------- branches
+    def _branch_state(self) -> dict[str, dict]:
+        """Live branches from log replay: name -> {head, base}.  ``base``
+        is the snapshot the branch was created from (the fast-forward
+        anchor); ``head`` advances with each data commit on the branch."""
+        out: dict[str, dict] = {}
+        for r in self._log():
+            op = r["op"]
+            if op == "branch":
+                out[r["name"]] = {
+                    "head": r["from_snapshot"], "base": r["from_snapshot"]
+                }
+            elif op == "drop_branch":
+                out.pop(r["name"], None)
+            elif op in _DATA_OPS:
+                b = r.get("branch", MAIN)
+                if b in out:
+                    out[b]["head"] = r["snapshot_id"]
+        return out
+
+    def branches(self) -> dict[str, int]:
+        """Live branch-name -> head-snapshot-id mapping."""
+        return {n: s["head"] for n, s in self._branch_state().items()}
+
+    def branch(self, name: str, snapshot_id: int | str | None = None) -> int:
+        """Create a MUTABLE named ref at ``snapshot_id`` (default: main's
+        head) — the other half of the Iceberg refs model (:meth:`tag` is
+        the immutable half).  Commits with ``branch=name`` advance only
+        this ref; main never sees them until :meth:`fast_forward`.  The
+        write-audit-publish flow: ``branch("audit")`` ->
+        ``publish(df, branch="audit")`` -> validate ``read(asof="audit")``
+        -> ``fast_forward("audit")`` -> ``drop_branch("audit")``.  A live
+        branch pins its whole commit chain against :meth:`expire`.
+        Names share one namespace with tags (any ``asof`` resolves
+        either); ``main`` is reserved.  Returns the base snapshot id."""
+        if not isinstance(name, str) or not name:
+            raise ValueError(
+                f"branch name must be a non-empty string: {name!r}"
+            )
+        if name == MAIN or name in self._branch_state() or name in self.tags():
+            raise ValueError(f"ref name {name!r} already exists")
+        cur = self.current_snapshot()
+        if cur is None:
+            raise ValueError("store has no snapshots yet")
+        row = self._snapshot_row(
+            snapshot_id if snapshot_id is not None else cur
+        )
+        sid = row["snapshot_id"]
+        self._append_log(
+            {"op": "branch", "name": name, "from_snapshot": sid,
+             "committed_at": time.time()}
+        )
+        return sid
+
+    def drop_branch(self, name: str) -> None:
+        """Delete a branch ref (metadata-only).  Its commits become
+        ordinary unreferenced history: time travel by id still works
+        until the next :meth:`expire` reaps them."""
+        if name not in self._branch_state():
+            raise ValueError(f"unknown branch {name!r}")
+        self._append_log(
+            {"op": "drop_branch", "name": name, "committed_at": time.time()}
+        )
+
+    def fast_forward(self, name: str) -> int:
+        """Advance main to branch ``name``'s head (Iceberg
+        ``fast_forward``): a metadata-only commit on main carrying the
+        branch head's mapping and schema.  Refused unless main's head is
+        still the branch's base — if main advanced since the branch was
+        cut, the histories diverged and a blind copy would silently drop
+        main's commits (re-cut the branch instead).  The branch ref stays;
+        :meth:`drop_branch` releases it."""
+        state = self._branch_state()
+        if name not in state:
+            raise ValueError(f"unknown branch {name!r}")
+        base, head = state[name]["base"], state[name]["head"]
+        cur = self.current_snapshot()
+        if cur != base:
+            raise ValueError(
+                f"not a fast-forward: main is at {cur}, branch {name!r} "
+                f"was cut from {base}; re-create the branch from main's "
+                f"head and replay"
+            )
+        if head == base:
+            raise ValueError(f"branch {name!r} has no commits to publish")
+        row = self._snapshot_row(head)
+        return self._commit(
+            "fast_forward", dict(row["months"]),
+            schema_id=row.get("schema_id", 0),
+            from_branch=name, fast_forwarded_to=head,
+        )
+
     # -------------------------------------------------------------- reads
     def _snapshot_row(self, snapshot_id: int | str) -> dict:
         if isinstance(snapshot_id, str):
             tags = self.tags()
-            if snapshot_id not in tags:
-                raise ValueError(f"unknown tag {snapshot_id!r}")
-            snapshot_id = tags[snapshot_id]
+            if snapshot_id in tags:
+                snapshot_id = tags[snapshot_id]
+            else:
+                heads = self.branches()
+                if snapshot_id not in heads:
+                    raise ValueError(
+                        f"unknown tag or branch {snapshot_id!r}"
+                    )
+                snapshot_id = heads[snapshot_id]
         if snapshot_id in self._expired_ids():
             raise ValueError(f"snapshot {snapshot_id} has been expired")
         for r in self._data_commits():
@@ -398,6 +538,32 @@ class SnapshotStore:
             raise ValueError("store has no snapshots yet")
         return dict(
             self._snapshot_row(asof if asof is not None else cur)["months"]
+        )
+
+    def refs(self) -> DataFrame:
+        """Metadata view of every live ref (Iceberg ``table.refs``):
+        ``(name, type, snapshot_id)`` with main included as a branch."""
+        rows = [(MAIN, "branch", self.current_snapshot() or 0)]
+        rows += [(n, "branch", h) for n, h in sorted(self.branches().items())]
+        rows += [(n, "tag", s) for n, s in sorted(self.tags().items())]
+        return self.spark.createDataFrame(
+            rows, "name string, type string, snapshot_id long"
+        )
+
+    def files(self, asof: int | str | None = None) -> DataFrame:
+        """Metadata view of the data files a snapshot references (Iceberg
+        ``table.files``): ``(p_month, version, file, bytes)``.  Listing is
+        manifest-driven — only the mapped version dirs are walked, O(files
+        in the snapshot); driver-side, as metadata tables are."""
+        rows = []
+        for m, v in sorted(self.months(asof=asof).items()):
+            vdir = os.path.join(self._data_dir, f"{P_MONTH}={m}", f"{V_COL}={v}")
+            for fn in sorted(os.listdir(vdir)):
+                fp = os.path.join(vdir, fn)
+                if fn.endswith(".parquet") and os.path.isfile(fp):
+                    rows.append((m, v, fp, os.path.getsize(fp)))
+        return self.spark.createDataFrame(
+            rows, "p_month string, version string, file string, bytes long"
         )
 
     def read(
@@ -531,17 +697,27 @@ class SnapshotStore:
             raise ValueError(f"keep_last must be >= 1, got {keep_last}")
         commits = self._data_commits()
         pinned = set(self.tags().values())  # tags survive expiry (Iceberg)
-        retained = [
-            r
-            for i, r in enumerate(commits)
-            if i >= len(commits) - keep_last or r["snapshot_id"] in pinned
-        ]
+        live_branches = set(self._branch_state())
+        keep_main = {
+            r["snapshot_id"] for r in self._data_commits(MAIN)[-keep_last:]
+        }
+
+        def _keep(r: dict) -> bool:
+            # a live branch pins its whole chain; keep_last counts MAIN
+            # commits only, so parking work on a branch can't age main's
+            # history out of its retention window
+            return (
+                r["snapshot_id"] in keep_main
+                or r["snapshot_id"] in pinned
+                or r.get("branch", MAIN) in live_branches
+            )
+
+        retained = [r for r in commits if _keep(r)]
         already = self._expired_ids()
         dropped = [
             r["snapshot_id"]
-            for r in commits[:-keep_last]
-            if r["snapshot_id"] not in already
-            and r["snapshot_id"] not in pinned
+            for r in commits
+            if not _keep(r) and r["snapshot_id"] not in already
         ]
         live: set[tuple[str, str]] = {
             (m, v) for r in retained for m, v in r["months"].items()

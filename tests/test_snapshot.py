@@ -439,3 +439,112 @@ def test_schema_evolution_rewrite_materializes_nulls(spark, tier, tmp_path):
     assert "quality" in got.columns
     assert got.where(F.col("quality").isNotNull()).count() == 0
     assert _totals(got) == _totals(tier)
+
+
+def test_branch_write_audit_publish(spark, tier, tmp_path):
+    st = SnapshotStore(spark, str(tmp_path / "st"))
+    st.publish(tier)
+    base = st.branch("audit")
+    assert base == 1 and st.branches() == {"audit": 1}
+
+    corrected = tier.withColumn("n_tok_sum", F.col("n_tok_sum") * 2)
+    sid = st.publish(corrected, branch="audit")
+    # branch head advanced; main is untouched until fast-forward
+    assert st.current_snapshot() == 1
+    assert st.current_snapshot("audit") == sid
+    assert _totals(st.read()) == _totals(tier)
+    assert _totals(st.read(asof="audit")) == _totals(corrected)
+
+    ff = st.fast_forward("audit")
+    assert st.current_snapshot() == ff
+    assert _totals(st.read()) == _totals(corrected)
+
+    st.drop_branch("audit")
+    refs = {(r["name"], r["type"], r["snapshot_id"])
+            for r in st.refs().collect()}
+    assert refs == {("main", "branch", ff)}
+    with pytest.raises(ValueError, match="unknown tag or branch"):
+        st.read(asof="audit")
+
+
+def test_branch_guards_and_divergence(spark, tier, tmp_path):
+    st = SnapshotStore(spark, str(tmp_path / "st"))
+    st.publish(tier)
+    st.branch("wip")
+    st.publish(tier.withColumn("n_tok_sum", F.col("n_tok_sum") + 1),
+               branch="wip")
+    # main advances underneath -> the histories diverged, ff refuses
+    st.refresh_months(
+        tier.withColumn("n_tok_sum", F.col("n_tok_sum") + 5), ["2024-02"]
+    )
+    with pytest.raises(ValueError, match="not a fast-forward"):
+        st.fast_forward("wip")
+    # an empty branch has nothing to publish
+    st.branch("empty")
+    with pytest.raises(ValueError, match="no commits"):
+        st.fast_forward("empty")
+    # ref names share one namespace; main is reserved
+    st.tag("rel")
+    with pytest.raises(ValueError, match="already exists"):
+        st.branch("rel")
+    with pytest.raises(ValueError, match="already exists"):
+        st.branch("wip")
+    with pytest.raises(ValueError, match="already exists"):
+        st.branch("main")
+    with pytest.raises(ValueError, match="already exists"):
+        st.tag("wip")
+    with pytest.raises(ValueError, match="unknown branch"):
+        st.publish(tier, branch="nope")
+    with pytest.raises(ValueError, match="unknown branch"):
+        st.drop_branch("nope")
+    with pytest.raises(ValueError, match="unknown branch"):
+        st.fast_forward("nope")
+    with pytest.raises(ValueError, match="unknown branch"):
+        st.current_snapshot("nope")
+
+
+def test_branch_pins_chain_against_expiry(spark, tier, tmp_path):
+    st = SnapshotStore(spark, str(tmp_path / "st"))
+    st.publish(tier)  # 1
+    st.branch("stage")
+    # branch refresh shares the base's version dirs for untouched months
+    st.refresh_months(
+        tier.withColumn("n_tok_sum", F.col("n_tok_sum") * 3),
+        ["2024-02"], branch="stage",
+    )  # 2
+    st.publish(tier.withColumn("n_tok_sum", F.col("n_tok_sum") + 7))  # 3
+    st.publish(tier.withColumn("n_tok_sum", F.col("n_tok_sum") + 9))  # 4
+
+    stage_before = _totals(st.read(asof="stage"))
+    acc = st.expire(keep_last=1)
+    # main history outside the window goes; the live branch chain stays
+    assert 3 in acc["expired_snapshots"]
+    assert 2 not in acc["expired_snapshots"]
+    assert 1 in acc["expired_snapshots"]
+    # the branch still reads exactly, including months inherited from the
+    # expired base (their version dirs are pinned via the branch's row)
+    assert _totals(st.read(asof="stage")) == stage_before
+    with pytest.raises(ValueError, match="expired"):
+        st.read(asof=1)
+
+    # dropping the branch releases the chain for the next expire
+    st.drop_branch("stage")
+    acc2 = st.expire(keep_last=1)
+    assert 2 in acc2["expired_snapshots"]
+    assert acc2["deleted_dirs"] > 0
+
+
+def test_files_metadata_view(spark, tier, tmp_path):
+    st = SnapshotStore(spark, str(tmp_path / "st"))
+    st.publish(tier)
+    f = st.files().collect()
+    months = st.months()
+    assert {r["p_month"] for r in f} == set(months)
+    assert all(r["version"] == months[r["p_month"]] for r in f)
+    assert all(r["bytes"] > 0 and r["file"].endswith(".parquet") for r in f)
+    # the view is per-snapshot: a refresh changes only that month's rows
+    st.refresh_months(tier, ["2024-02"])
+    f2 = {(r["p_month"], r["version"]) for r in st.files().collect()}
+    f1 = {(r["p_month"], r["version"]) for r in st.files(asof=1).collect()}
+    assert (f2 - f1) and all(m == "2024-02" for m, _ in (f2 - f1))
+    assert {m for m, _ in f1 - f2} == {"2024-02"}
