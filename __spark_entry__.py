@@ -2021,6 +2021,104 @@ FROM hb GROUP BY 1
 """
 
 
+def q_snapshot_wap(spark, sf_dir):
+    """Write-audit-publish + schema-evolution audit over the snapshot
+    store (Iceberg branch/WAP semantics): publish the hourly tier
+    (snap 1 on main), cut a branch, stage a doubled-February refresh
+    that ALSO adds a ``quality`` column (additive schema evolution,
+    snap 2 on the branch), then land it on main via ``fast_forward``
+    (snap 3).  Before the fast-forward the query asserts main's head is
+    still snap 1 and its read lacks the evolved column — a branch commit
+    or schema leaking onto main fails loudly.  The oracle recomputes the
+    per-source bucket counts, token totals and quality sums of all three
+    states arithmetically from the sequences CTE, so a wrong branch
+    parent, a fast-forward that copies the wrong mapping, or null-fill
+    errors on the evolved read all hash-mismatch.  Collected to plain
+    int tuples before the temp dir is removed."""
+    import shutil
+    import tempfile
+
+    from rtsa_spark.operators.rollup import rollup_next, rollup_raw
+    from rtsa_spark.snapshot import SnapshotStore
+
+    hourly = rollup_next(rollup_raw(_derived_sequences(spark, sf_dir)), "hourly")
+    feb = F.date_format(F.col("bucket_start"), "yyyy-MM") == "2024-02"
+    base = tempfile.mkdtemp(prefix="rtsa_wap_audit_")
+    try:
+        st = SnapshotStore(spark, base)
+        st.publish(hourly)                                          # snap 1
+        st.branch("audit")
+        st.refresh_months(
+            hourly.where(feb)
+            .withColumn("n_tok_sum", F.col("n_tok_sum") * 2)
+            .withColumn(
+                "quality", (F.col("n_tok_sum") % F.lit(7)).cast("bigint")
+            ),
+            ["2024-02"],
+            branch="audit",
+        )                                                           # snap 2
+        if st.current_snapshot() != 1:
+            raise AssertionError("branch commit leaked onto main")
+        pre = st.read()
+        if "quality" in pre.columns:
+            raise AssertionError("evolved schema leaked onto pre-ff main")
+        a_main = pre.groupBy("source").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_main"),
+            F.sum("n_tok_sum").cast("bigint").alias("tok_main"),
+        )
+        a_stage = st.read(asof="audit").groupBy("source").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_stage"),
+            F.sum("n_tok_sum").cast("bigint").alias("tok_stage"),
+            F.sum(F.coalesce(F.col("quality"), F.lit(0)))
+            .cast("bigint").alias("q_stage"),
+        )
+        st.fast_forward("audit")                                    # snap 3
+        st.drop_branch("audit")
+        a_final = st.read().groupBy("source").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_final"),
+            F.sum("n_tok_sum").cast("bigint").alias("tok_final"),
+            F.sum(F.coalesce(F.col("quality"), F.lit(0)))
+            .cast("bigint").alias("q_final"),
+        )
+        out = a_main.join(a_stage, "source").join(a_final, "source")
+        cols = out.columns
+        rows = [tuple(r[c] for c in cols) for r in out.collect()]
+        n_snapshots = int(st.current_snapshot())
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    schema = "source string, " + ", ".join(
+        f"{c} bigint" for c in cols if c != "source"
+    )
+    return spark.createDataFrame(rows, schema).withColumn(
+        "n_snapshots", F.lit(n_snapshots).cast("bigint")
+    )
+
+
+SQL_SNAPSHOT_WAP = f"""
+WITH {SQL_SEQ_CTE}, hb AS MATERIALIZED (
+  SELECT source, date_trunc('hour', ts) AS b, sum(n_tok) AS t,
+         strftime(date_trunc('hour', ts), '%Y-%m') = '2024-02' AS is_feb
+  FROM seq GROUP BY 1, 2
+)
+SELECT source,
+       CAST(count(*) AS BIGINT)                                  AS n_main,
+       CAST(sum(t) AS BIGINT)                                    AS tok_main,
+       CAST(count(*) AS BIGINT)                                  AS n_stage,
+       CAST(sum(t) + COALESCE(sum(t) FILTER (is_feb), 0)
+            AS BIGINT)                                           AS tok_stage,
+       CAST(COALESCE(sum((2 * t) % 7) FILTER (is_feb), 0)
+            AS BIGINT)                                           AS q_stage,
+       CAST(count(*) AS BIGINT)                                  AS n_final,
+       CAST(sum(t) + COALESCE(sum(t) FILTER (is_feb), 0)
+            AS BIGINT)                                           AS tok_final,
+       CAST(COALESCE(sum((2 * t) % 7) FILTER (is_feb), 0)
+            AS BIGINT)                                           AS q_final,
+       CAST(3 AS BIGINT)                                         AS n_snapshots
+FROM hb GROUP BY 1
+"""
+
+
+
 def _seq_daily_x(spark, sf_dir):
     """Derived-sequences daily tier (source, bucket_start, x = n_tok_sum)
     via the engine's rollup ladder — x is an exact int both engines agree
@@ -6702,6 +6800,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "remainder_outliers": q_remainder_outliers,
         "pruned_range_read": q_pruned_range_read,
         "snapshot_changelog": q_snapshot_changelog,
+        "snapshot_wap": q_snapshot_wap,
     }
 
 
@@ -6843,4 +6942,5 @@ def oracle_sql() -> dict[str, str]:
         "remainder_outliers": _sql_remainder_outliers(),
         "pruned_range_read": SQL_PRUNED_RANGE_READ,
         "snapshot_changelog": SQL_SNAPSHOT_CHANGELOG,
+        "snapshot_wap": SQL_SNAPSHOT_WAP,
     }

@@ -504,6 +504,39 @@ class TierPipeline:
             raise ValueError(f"stage {stage!r} is not snapshot-backed")
         self._store(stage).drop_tag(name)
 
+    def stage_store(self, stage: str) -> SnapshotStore:
+        """The :class:`SnapshotStore` behind a snapshot-backed stage —
+        the on-ramp for store-level operations the pipeline doesn't wrap
+        (branch staging via ``publish(df, branch=...)``, ``read_changes``
+        between arbitrary refs, ``refs()``/``files()`` metadata views)."""
+        if not self._is_snapshot_stage(stage):
+            raise ValueError(
+                f"stage {stage!r} is not snapshot-backed; add its tier to "
+                f"snapshot_tiers"
+            )
+        return self._store(stage)
+
+    def branch_stage(
+        self, stage: str, name: str, snapshot_id: int | str | None = None
+    ) -> int:
+        """Cut a mutable branch ref on a snapshot-backed stage for
+        write-audit-publish staging — see :meth:`SnapshotStore.branch`.
+        Stage corrections onto it via
+        ``stage_store(stage).refresh_months(df, months, branch=name)``,
+        audit with ``read_stage(stage, asof=name)``, then land with
+        :meth:`fast_forward_stage`."""
+        return self.stage_store(stage).branch(name, snapshot_id)
+
+    def fast_forward_stage(self, stage: str, name: str) -> int:
+        """Land a staged branch on the stage's main history (metadata-only;
+        refused on divergence) — see :meth:`SnapshotStore.fast_forward`."""
+        return self.stage_store(stage).fast_forward(name)
+
+    def drop_stage_branch(self, stage: str, name: str) -> None:
+        """Delete a stage branch ref — see
+        :meth:`SnapshotStore.drop_branch`."""
+        self.stage_store(stage).drop_branch(name)
+
     def expire_snapshots(self, keep_last: int = 2) -> dict[str, dict]:
         """Expire old checkpoints on every snapshot-backed stage; returns
         per-stage accounting from :meth:`SnapshotStore.expire`."""

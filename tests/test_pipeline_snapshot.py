@@ -239,3 +239,32 @@ def test_stage_tags_pin_and_read(spark, seqs, tmp_path):
         p.read_stage("rollup_hourly", asof="baseline")
     with pytest.raises(ValueError, match="not snapshot-backed"):
         p.tag_stage("rollup_daily", "x")
+
+
+def test_stage_branch_write_audit_publish(spark, seqs, tmp_path):
+    pipe = _mk(spark, str(tmp_path / "wap"))
+    pipe.run(seqs)
+    before = _totals(pipe.read_stage("rollup_hourly"))
+
+    pipe.branch_stage("rollup_hourly", "audit")
+    store = pipe.stage_store("rollup_hourly")
+    hourly = pipe.read_stage("rollup_hourly")
+    feb = F.date_format("bucket_start", "yyyy-MM") == "2024-02"
+    store.refresh_months(
+        hourly.where(feb).withColumn("n_tok_sum", F.col("n_tok_sum") * 2),
+        ["2024-02"], branch="audit",
+    )
+    # main unchanged, branch auditable through the pipeline read
+    assert _totals(pipe.read_stage("rollup_hourly")) == before
+    staged = _totals(pipe.read_stage("rollup_hourly", asof="audit"))
+    assert staged != before
+
+    pipe.fast_forward_stage("rollup_hourly", "audit")
+    pipe.drop_stage_branch("rollup_hourly", "audit")
+    assert _totals(pipe.read_stage("rollup_hourly")) == staged
+
+    # plain stages refuse branch ops
+    with pytest.raises(ValueError, match="not snapshot-backed"):
+        pipe.branch_stage("rollup_daily", "x")
+    with pytest.raises(ValueError, match="not snapshot-backed"):
+        pipe.stage_store("rollup_daily")
