@@ -352,6 +352,66 @@ class SnapshotStore:
             schema_id=schema_id, **(extra or {}),
         )
 
+    def merge(
+        self,
+        delta: DataFrame,
+        keys: list[str] | None = None,
+        combine=None,
+        months: list[str] | None = None,
+        extra: dict | None = None,
+        branch: str = MAIN,
+    ) -> int:
+        """Month-pruned MERGE INTO analog: fold ``delta`` into the branch
+        head and commit, touching ONLY the months ``delta`` spans.
+
+        Exactly one of:
+
+        - ``keys``: upsert — a delta row REPLACES the head row with the
+          same key, non-matching head rows survive, unmatched delta rows
+          insert (``MERGE WHEN MATCHED THEN UPDATE WHEN NOT MATCHED THEN
+          INSERT``);
+        - ``combine``: ``callable(existing, delta) -> DataFrame`` for
+          algebraic folds where matched rows must MERGE rather than
+          replace (e.g. :func:`rtsa_spark.operators.rollup.merge_rollup`
+          count+count / sum+sum — the continuous-aggregate fold the
+          streaming sink commits per micro-batch).
+
+        ``months`` short-circuits the delta's month scan when the caller
+        already knows them.  Cost shape: one O(months) collect, a
+        manifest-pruned read of only those months, the fold (one shuffle
+        on the fold keys over existing∪delta — delta-sized, because the
+        read never lists unaffected months), and a month-scoped refresh
+        commit.  History-sized work never happens, which is what makes
+        late-data ingestion O(late months) at any table size."""
+        self._validate_input(delta)
+        self._validate_branch(branch)
+        if (keys is None) == (combine is None):
+            raise ValueError("pass exactly one of keys= or combine=")
+        if self.current_snapshot(branch) is None:
+            raise ValueError("merge requires a prior publish()")
+        if months is None:
+            months = sorted(
+                r["m"]
+                for r in delta.select(
+                    F.date_format(F.col(self.ts_col), "yyyy-MM").alias("m")
+                )
+                .distinct()
+                .collect()
+            )
+        if not months:
+            raise ValueError("empty delta: nothing to merge")
+        existing = self.read(asof=self.current_snapshot(branch), months=months)
+        if combine is not None:
+            merged = combine(existing, delta)
+        else:
+            missing = [k for k in keys if k not in delta.columns]
+            if missing:
+                raise ValueError(f"delta lacks merge key columns {missing}")
+            merged = existing.join(
+                delta.select(*keys).distinct(), list(keys), "left_anti"
+            ).unionByName(delta)
+        return self.refresh_months(merged, months, extra=extra, branch=branch)
+
     def rollback(self, snapshot_id: int | str) -> int:
         """Metadata-only commit that restores ``snapshot_id``'s mapping
         under a NEW snapshot id (history stays append-only, like Iceberg's

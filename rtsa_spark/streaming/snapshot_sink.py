@@ -86,8 +86,9 @@ def snapshot_rollup_sink(
         if store.current_snapshot() is None:
             store.publish(delta, extra=extra)
         else:
-            merged = merge_rollup(store.read(months=months), delta)
-            store.refresh_months(merged, months, extra=extra)
+            store.merge(
+                delta, combine=merge_rollup, months=months, extra=extra
+            )
 
     return _fold
 

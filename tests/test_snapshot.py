@@ -548,3 +548,80 @@ def test_files_metadata_view(spark, tier, tmp_path):
     f1 = {(r["p_month"], r["version"]) for r in st.files(asof=1).collect()}
     assert (f2 - f1) and all(m == "2024-02" for m, _ in (f2 - f1))
     assert {m for m, _ in f1 - f2} == {"2024-02"}
+
+
+def test_merge_upsert_by_key(spark, tier, tmp_path):
+    st = SnapshotStore(spark, str(tmp_path / "st"))
+    st.publish(tier)
+    feb = F.date_format("bucket_start", "yyyy-MM") == "2024-02"
+    # delta: corrected February rows for one source + brand-new rows for a
+    # source the table has never seen (same months)
+    corrected = tier.where(feb & (F.col("source") == "s000")).withColumn(
+        "n_tok_sum", F.col("n_tok_sum") * 10
+    )
+    fresh = tier.where(feb & (F.col("source") == "s001")).withColumn(
+        "source", F.lit("s_new")
+    )
+    sid = st.merge(
+        corrected.unionByName(fresh), keys=["source", "bucket_start"]
+    )
+
+    got = _totals(st.read())
+    want = _totals(
+        tier.withColumn(
+            "n_tok_sum",
+            F.when(
+                feb & (F.col("source") == "s000"), F.col("n_tok_sum") * 10
+            ).otherwise(F.col("n_tok_sum")),
+        ).unionByName(fresh)
+    )
+    assert got == want
+    # months outside the delta kept their version dirs (pruned commit)
+    before, after = st.months(asof=1), st.months(asof=sid)
+    assert {m for m in before if before[m] != after.get(m)} == {"2024-02"}
+    # history intact
+    assert _totals(st.read(asof=1)) == _totals(tier)
+
+
+def test_merge_combine_fold(spark, tier, tmp_path):
+    from rtsa_spark.operators.rollup import merge_rollup
+
+    st = SnapshotStore(spark, str(tmp_path / "st"))
+    st.publish(tier)
+    feb = F.date_format("bucket_start", "yyyy-MM") == "2024-02"
+    delta = tier.where(feb)  # same buckets again -> counts/sums double
+    st.merge(delta, combine=merge_rollup)
+    want = _totals(
+        tier.withColumn(
+            "n_seq", F.when(feb, F.col("n_seq") * 2).otherwise(F.col("n_seq"))
+        ).withColumn(
+            "n_tok_sum",
+            F.when(feb, F.col("n_tok_sum") * 2).otherwise(F.col("n_tok_sum")),
+        )
+    )
+    assert _totals(st.read()) == want
+
+
+def test_merge_guards_and_branch(spark, tier, tmp_path):
+    from rtsa_spark.operators.rollup import merge_rollup
+
+    st = SnapshotStore(spark, str(tmp_path / "st"))
+    st.publish(tier)
+    with pytest.raises(ValueError, match="exactly one"):
+        st.merge(tier)
+    with pytest.raises(ValueError, match="exactly one"):
+        st.merge(tier, keys=["source"], combine=merge_rollup)
+    with pytest.raises(ValueError, match="empty delta"):
+        st.merge(tier.where(F.lit(False)), keys=["source", "bucket_start"])
+    with pytest.raises(ValueError, match="merge key columns"):
+        st.merge(tier, keys=["nope"])
+    # merging onto a branch leaves main untouched until fast-forward
+    st.branch("stage")
+    st.merge(
+        tier.withColumn("n_tok_sum", F.col("n_tok_sum") + 1),
+        keys=["source", "bucket_start"], branch="stage",
+    )
+    assert _totals(st.read()) == _totals(tier)
+    assert _totals(st.read(asof="stage")) == _totals(
+        tier.withColumn("n_tok_sum", F.col("n_tok_sum") + 1)
+    )
