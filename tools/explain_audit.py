@@ -458,6 +458,33 @@ def main() -> int:
         and "EvalPython" not in ch_plan,
     )
 
+    # 22c. merge upsert: the existing-side read is manifest-pruned to the
+    #      delta's months only, and the fold is an equi anti-join + union
+    #      — no cartesian, no Python eval
+    delta = hr.where(
+        F.date_format("bucket_start", "yyyy-MM") == "2024-02"
+    ).withColumn("n_tok_sum", F.col("n_tok_sum") + 1)
+    head = _st.current_snapshot()
+    mg_read = _st.read(asof=head, months=["2024-02"])
+    mg_up = mg_read.join(
+        delta.select("source", "bucket_start").distinct(),
+        ["source", "bucket_start"],
+        "left_anti",
+    ).unionByName(delta)
+    up_files = mg_read.inputFiles()
+    up_plan = plan_of(mg_up)
+    ok &= check(
+        "merge upsert: delta-month dirs only, equi anti-join, no cartesian",
+        bool(up_files)
+        and all(
+            f.split("p_month=")[1].split("/")[0] == "2024-02"
+            for f in up_files
+        )
+        and "Cartesian" not in up_plan
+        and "LeftAnti" in up_plan
+        and "EvalPython" not in up_plan,
+    )
+
     # 23. publish clustering: the pre-write frame is range-partitioned on
     #     (month, source, bucket_start) with an in-partition sort — the
     #     Iceberg write.distribution-mode=range shape that bounds files
