@@ -39,9 +39,14 @@ commit, and old versions die only when explicitly expired.
 Scale shape (100 TB): commits append O(new files); the log row is
 O(months) — thousands of entries at a decade of months, trivially
 driver-side; reads open O(selected months) dirs; expiry is pure file
-deletion.  Single writer assumed (document of record: the production seam
-swaps the jsonl append for an Iceberg catalog's optimistic commit, reads
-for ``VERSION AS OF``, expiry for ``expire_snapshots``).
+deletion.  Concurrency is the Iceberg optimistic-commit model in
+miniature: data writes hold no lock; the metadata step serializes under
+a commit lock, re-reads the true head, and re-resolves the mapping
+there — disjoint-month writers both land, and read-modify-write ops
+(:meth:`merge`, :meth:`rewrite`) raise :class:`CommitConflict` instead
+of folding over stale data (production seam: the same protocol against
+an Iceberg catalog's atomic swap, reads via ``VERSION AS OF``, expiry
+via ``expire_snapshots``).
 
 The reference has no analog — it recomputes every result stack from
 scratch per call (``/root/reference/R/rtsa.stl.R:441-489``); checkpointed
@@ -50,11 +55,13 @@ history is this engine's own surface.
 
 from __future__ import annotations
 
+import fcntl
 import json
 import os
 import shutil
 import time
 import uuid
+from contextlib import contextmanager
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
@@ -62,7 +69,14 @@ from pyspark.sql.types import StructType
 
 from rtsa_spark.storage import cluster_for_publish
 
-__all__ = ["SnapshotStore"]
+__all__ = ["CommitConflict", "SnapshotStore"]
+
+
+class CommitConflict(RuntimeError):
+    """A concurrent commit invalidated this one: the months this
+    operation read were replaced before it could commit (serializable
+    validation on read-modify-write ops like :meth:`SnapshotStore.merge`).
+    Re-run the operation against the new head."""
 
 P_MONTH = "p_month"
 V_COL = "v"
@@ -183,25 +197,31 @@ class SnapshotStore:
         field id; the parquet emulation reads by name, which additive
         evolution keeps unambiguous).  Renames, drops, type changes, and
         reorders raise — those need real Iceberg field-id metadata to be
-        safe, and the production seam is exactly that config flip."""
-        schemas = self._load_schemas()
-        key = self._schema_key(df.schema)
-        if not schemas:
-            self._save_schemas([df.schema])
-            return 0
-        cur_id = len(schemas) - 1
-        cur_key = self._schema_key(schemas[cur_id])
-        if key == cur_key:
-            return cur_id
-        if len(key) > len(cur_key) and key[: len(cur_key)] == cur_key:
-            schemas.append(df.schema)
-            self._save_schemas(schemas)
-            return len(schemas) - 1
-        raise ValueError(
-            "schema mismatch vs current store schema and not an additive "
-            "evolution (existing columns must keep name/type/order; new "
-            f"columns append at the end): current={cur_key} got={key}"
-        )
+        safe, and the production seam is exactly that config flip.
+
+        The registry read-modify-write runs under the commit lock so two
+        concurrent evolvers can't clobber each other's entry (ids stay
+        stable because the registry is append-only)."""
+        with self._commit_lock():
+            schemas = self._load_schemas()
+            key = self._schema_key(df.schema)
+            if not schemas:
+                self._save_schemas([df.schema])
+                return 0
+            cur_id = len(schemas) - 1
+            cur_key = self._schema_key(schemas[cur_id])
+            if key == cur_key:
+                return cur_id
+            if len(key) > len(cur_key) and key[: len(cur_key)] == cur_key:
+                schemas.append(df.schema)
+                self._save_schemas(schemas)
+                return len(schemas) - 1
+            raise ValueError(
+                "schema mismatch vs current store schema and not an "
+                "additive evolution (existing columns must keep "
+                "name/type/order; new columns append at the end): "
+                f"current={cur_key} got={key}"
+            )
 
     def schema(self, asof: int | str | None = None) -> StructType:
         """The logical table schema AS OF ``asof`` (default: current
@@ -248,26 +268,50 @@ class SnapshotStore:
         )
         return ver, months
 
-    def _commit(
-        self, op: str, mapping: dict[str, str], branch: str = MAIN, **extra
-    ) -> int:
-        """Append a data commit to ``branch``.  Snapshot ids are global
-        (monotone across all branches, like Iceberg's); ``parent`` is the
-        target branch's head, so each branch's history is a chain."""
-        cur = self.current_snapshot(branch)
-        sid = self._next_sid()
-        self._append_log(
-            {
-                "snapshot_id": sid,
-                "parent": cur,
-                "op": op,
-                "branch": branch,
-                "committed_at": time.time(),
-                "months": mapping,
-                **extra,
-            }
-        )
-        return sid
+    @contextmanager
+    def _commit_lock(self):
+        """Exclusive inter-process lock serializing the metadata step of
+        every commit (the jsonl emulation of the Iceberg catalog's
+        atomic swap).  Data-file writes never hold it — only the cheap
+        driver-side read-head/resolve/append critical section does."""
+        with open(os.path.join(self.base, "commit.lock"), "w") as lk:
+            fcntl.flock(lk, fcntl.LOCK_EX)
+            try:
+                yield
+            finally:
+                fcntl.flock(lk, fcntl.LOCK_UN)
+
+    def _commit(self, op: str, prepare, branch: str = MAIN, **extra) -> int:
+        """Append a data commit to ``branch`` — OPTIMISTICALLY, the
+        Iceberg concurrency model: the expensive data write happened
+        outside any lock; under :meth:`_commit_lock` the branch head is
+        re-read and ``prepare(parent_row) -> (mapping, extra_fields)``
+        resolves the commit against the TRUE parent.  Two writers
+        refreshing disjoint months therefore BOTH land (the second
+        re-resolves over the first's mapping instead of clobbering it);
+        read-modify-write ops raise :class:`CommitConflict` from
+        ``prepare`` when validation against the true parent fails.
+        Snapshot ids are global (monotone across all branches, like
+        Iceberg's); ``parent`` is the target branch's head, so each
+        branch's history is a chain."""
+        with self._commit_lock():
+            cur = self.current_snapshot(branch)
+            parent_row = self._snapshot_row(cur) if cur is not None else None
+            mapping, more = prepare(parent_row)
+            sid = self._next_sid()
+            self._append_log(
+                {
+                    "snapshot_id": sid,
+                    "parent": cur,
+                    "op": op,
+                    "branch": branch,
+                    "committed_at": time.time(),
+                    "months": mapping,
+                    **extra,
+                    **more,
+                }
+            )
+            return sid
 
     def _validate_branch(self, branch: str) -> None:
         if branch != MAIN and branch not in self._branch_state():
@@ -288,8 +332,8 @@ class SnapshotStore:
         schema_id = self._pin_schema(df)
         ver, months = self._write_version(df)
         return self._commit(
-            "publish", {m: ver for m in months}, branch=branch,
-            schema_id=schema_id, **(extra or {}),
+            "publish", lambda parent: ({m: ver for m in months}, {}),
+            branch=branch, schema_id=schema_id, **(extra or {}),
         )
 
     def rewrite(self) -> int:
@@ -307,13 +351,25 @@ class SnapshotStore:
         re-bins the copy, so each month lands in O(1) files with tight
         row-group stats.  The copy is written under the CURRENT schema,
         so a rewrite also materializes null-filled added columns into
-        the physical files (Iceberg rewrite_data_files does the same)."""
+        the physical files (Iceberg rewrite_data_files does the same).
+        Read-modify-write: if any commit lands between the copy's read
+        and this commit, :class:`CommitConflict` is raised (the copy is
+        stale) and the orphaned copy is reaped by the next
+        :meth:`expire`."""
+        read_mapping = self.months()
         cur = self.read()
         schema_id = self._pin_schema(cur)
         ver, months = self._write_version(cur)
-        return self._commit(
-            "rewrite", {m: ver for m in months}, schema_id=schema_id
-        )
+
+        def prep(parent_row):
+            parent = dict(parent_row["months"]) if parent_row else {}
+            if parent != read_mapping:
+                raise CommitConflict(
+                    "table changed while rewriting; re-run rewrite()"
+                )
+            return {m: ver for m in months}, {}
+
+        return self._commit("rewrite", prep, schema_id=schema_id)
 
     def data_commits(self) -> list[dict]:
         """Data-commit rows (publish/refresh/rollback) in commit order —
@@ -326,13 +382,24 @@ class SnapshotStore:
         months: list[str],
         extra: dict | None = None,
         branch: str = MAIN,
+        expect_versions: dict[str, str | None] | None = None,
     ) -> int:
         """Partition-scoped commit: re-publish ONLY ``months`` from ``df``
         (defensively filtered to them); all other months keep the parent's
         versions.  A requested month ``df`` has no rows for is DELETED in
         the new snapshot — same degenerate-month semantics as
         ``TierPipeline.refresh_months``.  ``branch`` targets a ref (the
-        branch's head is the parent the untouched months come from)."""
+        branch's head is the parent the untouched months come from).
+
+        The untouched months resolve against the head AT COMMIT TIME
+        (under the commit lock), so two writers refreshing disjoint
+        months both land — optimistic concurrency, not last-write-wins.
+        ``expect_versions`` adds serializable validation for
+        read-modify-write callers (:meth:`merge`): ``{month:
+        version-or-None}`` the caller's read saw; a mismatch against the
+        true parent raises :class:`CommitConflict` instead of committing
+        a fold over stale data (the written files become orphans,
+        reaped by :meth:`expire`)."""
         self._validate_input(df)
         self._validate_branch(branch)
         cur = self.current_snapshot(branch)
@@ -343,12 +410,27 @@ class SnapshotStore:
             F.date_format(F.col(self.ts_col), "yyyy-MM").isin(months)
         )
         ver, written = self._write_version(scoped)
-        mapping = dict(self._snapshot_row(cur)["months"])
-        for m in months:
-            mapping.pop(m, None)
-        mapping.update({m: ver for m in written})
+
+        def prep(parent_row):
+            parent = dict(parent_row["months"]) if parent_row else {}
+            if expect_versions is not None:
+                stale = sorted(
+                    m
+                    for m, v in expect_versions.items()
+                    if parent.get(m) != v
+                )
+                if stale:
+                    raise CommitConflict(
+                        f"months {stale} changed since this operation read "
+                        f"them; re-run it against the new head"
+                    )
+            for m in months:
+                parent.pop(m, None)
+            parent.update({m: ver for m in written})
+            return parent, {}
+
         return self._commit(
-            "refresh", mapping, branch=branch, refreshed=sorted(months),
+            "refresh", prep, branch=branch, refreshed=sorted(months),
             schema_id=schema_id, **(extra or {}),
         )
 
@@ -382,12 +464,19 @@ class SnapshotStore:
         on the fold keys over existing∪delta — delta-sized, because the
         read never lists unaffected months), and a month-scoped refresh
         commit.  History-sized work never happens, which is what makes
-        late-data ingestion O(late months) at any table size."""
+        late-data ingestion O(late months) at any table size.
+
+        Merge is read-modify-write, so it commits with serializable
+        validation: if another writer replaces any of the read months
+        before this commit lands, :class:`CommitConflict` is raised
+        (never a silent fold over stale data) — catch it and re-run the
+        merge against the new head, exactly the Iceberg retry loop."""
         self._validate_input(delta)
         self._validate_branch(branch)
         if (keys is None) == (combine is None):
             raise ValueError("pass exactly one of keys= or combine=")
-        if self.current_snapshot(branch) is None:
+        head = self.current_snapshot(branch)
+        if head is None:
             raise ValueError("merge requires a prior publish()")
         if months is None:
             months = sorted(
@@ -400,7 +489,9 @@ class SnapshotStore:
             )
         if not months:
             raise ValueError("empty delta: nothing to merge")
-        existing = self.read(asof=self.current_snapshot(branch), months=months)
+        head_mapping = self.months(asof=head)
+        expected = {m: head_mapping.get(m) for m in months}
+        existing = self.read(asof=head, months=months)
         if combine is not None:
             merged = combine(existing, delta)
         else:
@@ -410,7 +501,10 @@ class SnapshotStore:
             merged = existing.join(
                 delta.select(*keys).distinct(), list(keys), "left_anti"
             ).unionByName(delta)
-        return self.refresh_months(merged, months, extra=extra, branch=branch)
+        return self.refresh_months(
+            merged, months, extra=extra, branch=branch,
+            expect_versions=expected,
+        )
 
     def rollback(self, snapshot_id: int | str) -> int:
         """Metadata-only commit that restores ``snapshot_id``'s mapping
@@ -420,12 +514,14 @@ class SnapshotStore:
         rollback restores the data mapping while the table keeps its
         current schema (old files read null-filled for added columns)."""
         row = self._snapshot_row(snapshot_id)
-        cur_row = self._snapshot_row(self.current_snapshot())
-        return self._commit(
-            "rollback", dict(row["months"]),
-            rolled_back_to=row["snapshot_id"],
-            schema_id=cur_row.get("schema_id", 0),
-        )
+
+        def prep(parent_row):
+            return dict(row["months"]), {
+                "rolled_back_to": row["snapshot_id"],
+                "schema_id": (parent_row or {}).get("schema_id", 0),
+            }
+
+        return self._commit("rollback", prep)
 
     # -------------------------------------------------------------- tags
     def tags(self) -> dict[str, int]:
@@ -549,26 +645,37 @@ class SnapshotStore:
         still the branch's base — if main advanced since the branch was
         cut, the histories diverged and a blind copy would silently drop
         main's commits (re-cut the branch instead).  The branch ref stays;
-        :meth:`drop_branch` releases it."""
-        state = self._branch_state()
-        if name not in state:
+        :meth:`drop_branch` releases it.  The divergence check re-runs
+        under the commit lock against the true main head, so a commit
+        racing the fast-forward makes it fail instead of landing a blind
+        copy."""
+        if name not in self._branch_state():
             raise ValueError(f"unknown branch {name!r}")
-        base, head = state[name]["base"], state[name]["head"]
-        cur = self.current_snapshot()
-        if cur != base:
-            raise ValueError(
-                f"not a fast-forward: main is at {cur}, branch {name!r} "
-                f"was cut from {base}; re-create the branch from main's "
-                f"head and replay"
-            )
-        if head == base:
-            raise ValueError(f"branch {name!r} has no commits to publish")
-        row = self._snapshot_row(head)
-        return self._commit(
-            "fast_forward", dict(row["months"]),
-            schema_id=row.get("schema_id", 0),
-            from_branch=name, fast_forwarded_to=head,
-        )
+
+        def prep(parent_row):
+            state = self._branch_state()
+            if name not in state:
+                raise ValueError(f"unknown branch {name!r}")
+            base, head = state[name]["base"], state[name]["head"]
+            cur = parent_row["snapshot_id"] if parent_row else None
+            if cur != base:
+                raise ValueError(
+                    f"not a fast-forward: main is at {cur}, branch "
+                    f"{name!r} was cut from {base}; re-create the branch "
+                    f"from main's head and replay"
+                )
+            if head == base:
+                raise ValueError(
+                    f"branch {name!r} has no commits to publish"
+                )
+            row = self._snapshot_row(head)
+            return dict(row["months"]), {
+                "schema_id": row.get("schema_id", 0),
+                "from_branch": name,
+                "fast_forwarded_to": head,
+            }
+
+        return self._commit("fast_forward", prep)
 
     # -------------------------------------------------------------- reads
     def _snapshot_row(self, snapshot_id: int | str) -> dict:

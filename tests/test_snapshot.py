@@ -625,3 +625,124 @@ def test_merge_guards_and_branch(spark, tier, tmp_path):
     assert _totals(st.read(asof="stage")) == _totals(
         tier.withColumn("n_tok_sum", F.col("n_tok_sum") + 1)
     )
+
+
+def _second_handle(spark, path):
+    return SnapshotStore(spark, path)
+
+
+def test_concurrent_disjoint_refreshes_both_land(spark, tier, tmp_path):
+    """Optimistic commits: writer A's untouched months resolve against
+    the head AT COMMIT TIME, so a commit B lands mid-flight is kept, not
+    clobbered (the lost-update hazard of resolve-at-read)."""
+    from rtsa_spark.snapshot import SnapshotStore as _SS
+
+    path = str(tmp_path / "st")
+    st_a = _SS(spark, path)
+    st_a.publish(tier)
+    st_b = _SS(spark, path)
+    m1, m2 = sorted(st_a.months())[:2]
+
+    plus = lambda k: tier.withColumn("n_tok_sum", F.col("n_tok_sum") + k)
+    orig = st_a._write_version
+
+    def hooked(df):  # B commits while A's write is done but uncommitted
+        out = orig(df)
+        st_a._write_version = orig
+        st_b.refresh_months(plus(100), [m2])
+        return out
+
+    st_a._write_version = hooked
+    st_a.refresh_months(plus(1), [m1])
+
+    month = F.date_format("bucket_start", "yyyy-MM")
+    want = _totals(
+        tier.withColumn(
+            "n_tok_sum",
+            F.when(month == m1, F.col("n_tok_sum") + 1)
+            .when(month == m2, F.col("n_tok_sum") + 100)
+            .otherwise(F.col("n_tok_sum")),
+        )
+    )
+    assert _totals(st_a.read()) == want
+
+
+def test_merge_conflict_raises_not_stale_fold(spark, tier, tmp_path):
+    """Merge is read-modify-write: a competing commit to a month it read
+    must raise CommitConflict, never silently fold over stale data."""
+    from rtsa_spark.snapshot import CommitConflict, SnapshotStore as _SS
+
+    path = str(tmp_path / "st")
+    st_a = _SS(spark, path)
+    st_a.publish(tier)
+    st_b = _SS(spark, path)
+    m = sorted(st_a.months())[0]
+    month = F.date_format("bucket_start", "yyyy-MM")
+
+    orig = st_a._write_version
+
+    def hooked(df):
+        out = orig(df)
+        st_a._write_version = orig
+        st_b.refresh_months(
+            tier.withColumn("n_tok_sum", F.col("n_tok_sum") + 100), [m]
+        )
+        return out
+
+    st_a._write_version = hooked
+    with pytest.raises(CommitConflict, match="changed since"):
+        st_a.merge(
+            tier.where(month == m).withColumn(
+                "n_tok_sum", F.col("n_tok_sum") * 2
+            ),
+            keys=["source", "bucket_start"],
+        )
+    # B's commit is the surviving head; the retry path then succeeds
+    want_b = _totals(
+        tier.withColumn(
+            "n_tok_sum",
+            F.when(month == m, F.col("n_tok_sum") + 100)
+            .otherwise(F.col("n_tok_sum")),
+        )
+    )
+    assert _totals(st_a.read()) == want_b
+    st_a.merge(
+        st_a.read().where(month == m).withColumn(
+            "n_tok_sum", F.col("n_tok_sum") * 2
+        ),
+        keys=["source", "bucket_start"],
+    )
+    want_retry = _totals(
+        tier.withColumn(
+            "n_tok_sum",
+            F.when(month == m, (F.col("n_tok_sum") + 100) * 2)
+            .otherwise(F.col("n_tok_sum")),
+        )
+    )
+    assert _totals(st_a.read()) == want_retry
+
+
+def test_rewrite_conflict_raises(spark, tier, tmp_path):
+    from rtsa_spark.snapshot import CommitConflict, SnapshotStore as _SS
+
+    path = str(tmp_path / "st")
+    st_a = _SS(spark, path)
+    st_a.publish(tier)
+    st_b = _SS(spark, path)
+    m = sorted(st_a.months())[0]
+
+    orig = st_a._write_version
+
+    def hooked(df):
+        out = orig(df)
+        st_a._write_version = orig
+        st_b.refresh_months(
+            tier.withColumn("n_tok_sum", F.col("n_tok_sum") + 1), [m]
+        )
+        return out
+
+    st_a._write_version = hooked
+    with pytest.raises(CommitConflict, match="changed while rewriting"):
+        st_a.rewrite()
+    # the stale copy never became a snapshot; expire reaps its orphan dirs
+    assert st_a.expire(keep_last=2)["deleted_dirs"] > 0
