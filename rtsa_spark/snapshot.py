@@ -697,6 +697,24 @@ class SnapshotStore:
                 return r
         raise ValueError(f"unknown snapshot id {snapshot_id}")
 
+    def snapshot_as_of_ts(self, ts: float, branch: str = MAIN) -> int:
+        """The snapshot id current on ``branch`` at wall-clock time ``ts``
+        (unix seconds) — Iceberg ``TIMESTAMP AS OF``: the LAST data commit
+        with ``committed_at <= ts``.  Raises if the branch had no commits
+        yet at ``ts`` or the resolved snapshot has been expired."""
+        rows = [
+            r
+            for r in self._data_commits(branch)
+            if r["committed_at"] <= ts
+        ]
+        if not rows:
+            raise ValueError(
+                f"no snapshot on branch {branch!r} as of ts={ts}"
+            )
+        sid = rows[-1]["snapshot_id"]
+        self._snapshot_row(sid)  # loud if expired
+        return sid
+
     def months(self, asof: int | str | None = None) -> dict[str, str]:
         """The month->version mapping of ``asof`` (default current) — the
         snapshot's manifest, for callers that account files per partition."""
@@ -739,6 +757,7 @@ class SnapshotStore:
         months: list[str] | None = None,
         month_lo: str | None = None,
         month_hi: str | None = None,
+        asof_ts: float | None = None,
     ) -> DataFrame:
         """The table AS OF ``asof`` (default: current snapshot).
 
@@ -747,13 +766,19 @@ class SnapshotStore:
         O(versions retained).  ``months`` restricts the listing to those
         partitions; ``month_lo``/``month_hi`` restrict it to an INCLUSIVE
         ``YYYY-MM`` range (lexicographic = chronological) — both are
-        manifest-level pruning, not a post-hoc filter.
+        manifest-level pruning, not a post-hoc filter.  ``asof_ts``
+        resolves a wall-clock time instead of an id/ref (Iceberg
+        ``TIMESTAMP AS OF``; mutually exclusive with ``asof``).
         Returns the snapshot's logical schema (schema travels with the
         snapshot; files written under an older additive schema read
         null-filled for the added columns; partition columns dropped)."""
         cur = self.current_snapshot()
         if cur is None:
             raise ValueError("store has no snapshots yet")
+        if asof_ts is not None:
+            if asof is not None:
+                raise ValueError("pass at most one of asof= / asof_ts=")
+            asof = self.snapshot_as_of_ts(asof_ts)
         row = self._snapshot_row(asof if asof is not None else cur)
         schema = self._load_schemas()[row.get("schema_id", 0)]
         mapping: dict[str, str] = row["months"]

@@ -43,7 +43,7 @@ from rtsa_spark.operators.rollup import (
     rollup_next,
     rollup_raw,
 )
-from rtsa_spark.snapshot import SnapshotStore
+from rtsa_spark.snapshot import MAIN, CommitConflict, SnapshotStore
 
 
 def _batch_to_tier(batch_df: DataFrame, tier: str) -> DataFrame:
@@ -56,11 +56,22 @@ def _batch_to_tier(batch_df: DataFrame, tier: str) -> DataFrame:
 
 
 def snapshot_rollup_sink(
-    store: SnapshotStore, tier: str = "raw"
+    store: SnapshotStore,
+    tier: str = "raw",
+    branch: str = MAIN,
+    max_retries: int = 3,
 ) -> Callable[[DataFrame, int], None]:
     """foreachBatch function maintaining ``tier`` incrementally in
     ``store``: rollup the micro-batch, merge it with the stored tier's
-    affected months, commit month-scoped.  Retried batch ids no-op."""
+    affected months, commit month-scoped.  Retried batch ids no-op.
+
+    ``branch`` stages the stream onto a ref instead of main (streaming
+    write-audit-publish: audit ``read(asof=branch)`` mid-stream, land
+    with ``fast_forward`` when the batch window validates).  The merge
+    is read-modify-write, so a concurrent writer to the same months
+    raises :class:`CommitConflict` — retried here up to ``max_retries``
+    times against the fresh head (the Iceberg commit-retry loop); the
+    batch-id guard makes the retries as idempotent as the original."""
     if tier not in TIER_ORDER:
         raise ValueError(f"unknown tier {tier!r}")
 
@@ -83,12 +94,19 @@ def snapshot_rollup_sink(
         if not months:
             return  # empty micro-batch: nothing to commit
         extra = {"stream_batch_id": batch_id}
-        if store.current_snapshot() is None:
-            store.publish(delta, extra=extra)
-        else:
-            store.merge(
-                delta, combine=merge_rollup, months=months, extra=extra
-            )
+        if store.current_snapshot(branch) is None:
+            store.publish(delta, extra=extra, branch=branch)
+            return
+        for attempt in range(max_retries):
+            try:
+                store.merge(
+                    delta, combine=merge_rollup, months=months,
+                    extra=extra, branch=branch,
+                )
+                return
+            except CommitConflict:
+                if attempt == max_retries - 1:
+                    raise
 
     return _fold
 
@@ -99,11 +117,14 @@ def stream_sequences_to_snapshot(
     tier: str = "raw",
     checkpoint: str | None = None,
     available_now: bool = True,
+    branch: str = MAIN,
 ):
     """Wire a sequences stream into :func:`snapshot_rollup_sink` and
     start it.  ``checkpoint`` gives Spark's offset tracking; the sink's
     batch-id skip makes replays after a checkpoint restore idempotent."""
-    writer = stream.writeStream.foreachBatch(snapshot_rollup_sink(store, tier))
+    writer = stream.writeStream.foreachBatch(
+        snapshot_rollup_sink(store, tier, branch=branch)
+    )
     if checkpoint is not None:
         writer = writer.option("checkpointLocation", checkpoint)
     if available_now:

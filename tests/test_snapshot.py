@@ -746,3 +746,29 @@ def test_rewrite_conflict_raises(spark, tier, tmp_path):
         st_a.rewrite()
     # the stale copy never became a snapshot; expire reaps its orphan dirs
     assert st_a.expire(keep_last=2)["deleted_dirs"] > 0
+
+
+def test_timestamp_as_of(spark, tier, tmp_path):
+    import time as _time
+
+    st = SnapshotStore(spark, str(tmp_path / "st"))
+    t0 = _time.time()
+    st.publish(tier)
+    _time.sleep(0.05)
+    t1 = _time.time()
+    _time.sleep(0.05)
+    st.refresh_months(
+        tier.withColumn("n_tok_sum", F.col("n_tok_sum") + 1), ["2024-02"]
+    )
+    assert st.snapshot_as_of_ts(t1) == 1
+    assert st.snapshot_as_of_ts(_time.time()) == 2
+    assert _totals(st.read(asof_ts=t1)) == _totals(tier)
+    with pytest.raises(ValueError, match="no snapshot"):
+        st.snapshot_as_of_ts(t0)
+    with pytest.raises(ValueError, match="at most one"):
+        st.read(asof=1, asof_ts=t1)
+    # expired targets resolve loudly
+    st.refresh_months(tier, ["2024-02"])
+    st.expire(keep_last=1)
+    with pytest.raises(ValueError, match="expired"):
+        st.read(asof_ts=t1)

@@ -105,3 +105,36 @@ def test_sink_guards(spark, tmp_path):
     store = SnapshotStore(spark, str(tmp_path / "store"))
     with pytest.raises(ValueError, match="unknown tier"):
         snapshot_rollup_sink(store, tier="decade")
+
+
+def test_stream_stages_onto_branch_then_fast_forwards(spark, tmp_path):
+    """Streaming write-audit-publish: micro-batches land on a branch,
+    main stays at the pre-stream state until fast_forward."""
+    seq = synth_sequences(spark, 3000, n_sources=3)
+    early = seq.where(F.pmod(F.xxhash64("doc_id"), F.lit(4)) == 0)
+    late = seq.exceptAll(early)
+    src = str(tmp_path / "src")
+    late.coalesce(2).write.mode("overwrite").parquet(src)
+
+    store = SnapshotStore(spark, str(tmp_path / "store"))
+    store.publish(rollup_next(rollup_raw(early), "hourly"))
+    store.branch("ingest")
+
+    q = stream_sequences_to_snapshot(
+        read_sequences_stream(spark, src, max_files_per_trigger=1),
+        store,
+        tier="hourly",
+        checkpoint=str(tmp_path / "ckpt"),
+        branch="ingest",
+    )
+    q.awaitTermination(300)
+
+    want_all = rollup_next(rollup_raw(seq), "hourly")
+    want_early = rollup_next(rollup_raw(early), "hourly")
+    # main untouched mid-stream; the branch holds the converged fold
+    assert _tier_totals(store.read()) == _tier_totals(want_early)
+    assert _tier_totals(store.read(asof="ingest")) == _tier_totals(want_all)
+
+    store.fast_forward("ingest")
+    store.drop_branch("ingest")
+    assert _tier_totals(store.read()) == _tier_totals(want_all)
