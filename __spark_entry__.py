@@ -2118,6 +2118,116 @@ FROM hb GROUP BY 1
 """
 
 
+def q_snapshot_merge(spark, sf_dir):
+    """MERGE INTO audit over the snapshot store: publish the hourly tier
+    (snap 1), then commit one month-pruned UPSERT merge (snap 2) whose
+    delta both CORRECTS February's buckets (doubled tokens — matched
+    keys replaced) and INSERTS a brand-new source cloned from s000's
+    February buckets (unmatched keys inserted), then one algebraic
+    COMBINE merge (snap 3) replaying the original February buckets so
+    counts and sums fold (+n, +tok for every source with February data).
+    The oracle recomputes all three states per source arithmetically
+    from the sequences CTE; a merge that drops unmatched head rows,
+    leaks outside its months, folds instead of replacing (or vice
+    versa), or touches history all hash-mismatch.  Collected to plain
+    int tuples before the temp dir is removed."""
+    import shutil
+    import tempfile
+
+    from rtsa_spark.operators.rollup import (
+        merge_rollup,
+        rollup_next,
+        rollup_raw,
+    )
+    from rtsa_spark.snapshot import SnapshotStore
+
+    hourly = rollup_next(rollup_raw(_derived_sequences(spark, sf_dir)), "hourly")
+    feb = F.date_format(F.col("bucket_start"), "yyyy-MM") == "2024-02"
+    base = tempfile.mkdtemp(prefix="rtsa_merge_audit_")
+    try:
+        st = SnapshotStore(spark, base)
+        st.publish(hourly)                                          # snap 1
+        corrected = hourly.where(feb).withColumn(
+            "n_tok_sum", F.col("n_tok_sum") * 2
+        )
+        cloned = hourly.where(feb & (F.col("source") == "s000")).withColumn(
+            "source", F.lit("s_clone")
+        )
+        st.merge(
+            corrected.unionByName(cloned),
+            keys=["source", "bucket_start"],
+        )                                                           # snap 2
+        st.merge(hourly.where(feb), combine=merge_rollup)           # snap 3
+
+        def agg(df, tag):
+            return df.groupBy("source").agg(
+                F.count(F.lit(1)).cast("bigint").alias(f"n_{tag}"),
+                F.sum("n_seq").cast("bigint").alias(f"seq_{tag}"),
+                F.sum("n_tok_sum").cast("bigint").alias(f"tok_{tag}"),
+            )
+
+        per_src = st.read(asof=3).select("source").distinct()
+        for sid, tag in ((1, "s1"), (2, "s2"), (3, "s3")):
+            per_src = per_src.join(agg(st.read(asof=sid), tag), "source", "left")
+        per_src = per_src.select(
+            "source",
+            *[
+                F.coalesce(F.col(c), F.lit(0)).cast("bigint").alias(c)
+                for c in per_src.columns
+                if c != "source"
+            ],
+        )
+        cols = per_src.columns
+        rows = [tuple(r[c] for c in cols) for r in per_src.collect()]
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    schema = "source string, " + ", ".join(
+        f"{c} bigint" for c in cols if c != "source"
+    )
+    return spark.createDataFrame(rows, schema)
+
+
+SQL_SNAPSHOT_MERGE = f"""
+WITH {SQL_SEQ_CTE}, hb AS MATERIALIZED (
+  SELECT source, date_trunc('hour', ts) AS b, count(*) AS n_seq,
+         sum(n_tok) AS t,
+         strftime(date_trunc('hour', ts), '%Y-%m') = '2024-02' AS is_feb
+  FROM seq GROUP BY 1, 2
+), real AS MATERIALIZED (
+  SELECT source,
+         CAST(count(*) AS BIGINT)      AS n_s1,
+         CAST(sum(n_seq) AS BIGINT)    AS seq_s1,
+         CAST(sum(t) AS BIGINT)        AS tok_s1,
+         CAST(count(*) AS BIGINT)      AS n_s2,
+         CAST(sum(n_seq) AS BIGINT)    AS seq_s2,
+         CAST(sum(t) + COALESCE(sum(t) FILTER (is_feb), 0)
+              AS BIGINT)               AS tok_s2,
+         CAST(count(*) AS BIGINT)      AS n_s3,
+         CAST(sum(n_seq) + COALESCE(sum(n_seq) FILTER (is_feb), 0)
+              AS BIGINT)               AS seq_s3,
+         CAST(sum(t) + COALESCE(sum(t) FILTER (is_feb), 0)
+              + COALESCE(sum(t) FILTER (is_feb), 0)
+              AS BIGINT)               AS tok_s3
+  FROM hb GROUP BY 1
+), clone AS MATERIALIZED (
+  SELECT 's_clone' AS source,
+         CAST(0 AS BIGINT)                       AS n_s1,
+         CAST(0 AS BIGINT)                       AS seq_s1,
+         CAST(0 AS BIGINT)                       AS tok_s1,
+         CAST(count(*) AS BIGINT)                AS n_s2,
+         CAST(sum(n_seq) AS BIGINT)              AS seq_s2,
+         CAST(sum(t) AS BIGINT)                  AS tok_s2,
+         CAST(count(*) AS BIGINT)                AS n_s3,
+         CAST(sum(n_seq) AS BIGINT)              AS seq_s3,
+         CAST(sum(t) AS BIGINT)                  AS tok_s3
+  FROM hb WHERE is_feb AND source = 's000'
+  HAVING count(*) > 0
+)
+SELECT * FROM real UNION ALL SELECT * FROM clone
+"""
+
+
+
 
 def _seq_daily_x(spark, sf_dir):
     """Derived-sequences daily tier (source, bucket_start, x = n_tok_sum)
@@ -6801,6 +6911,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pruned_range_read": q_pruned_range_read,
         "snapshot_changelog": q_snapshot_changelog,
         "snapshot_wap": q_snapshot_wap,
+        "snapshot_merge": q_snapshot_merge,
     }
 
 
@@ -6943,4 +7054,5 @@ def oracle_sql() -> dict[str, str]:
         "pruned_range_read": SQL_PRUNED_RANGE_READ,
         "snapshot_changelog": SQL_SNAPSHOT_CHANGELOG,
         "snapshot_wap": SQL_SNAPSHOT_WAP,
+        "snapshot_merge": SQL_SNAPSHOT_MERGE,
     }
