@@ -876,15 +876,17 @@ class SnapshotStore:
         )
 
     # -------------------------------------------------------------- expiry
-    def expire(self, keep_last: int = 2) -> dict:
+    def expire(self, keep_last: int = 2, older_than: float | None = None) -> dict:
         """Retain the last ``keep_last`` data commits PLUS every tagged
         snapshot (:meth:`tag` pins history exactly as Iceberg tags do);
         physically delete every ``v=`` dir no retained snapshot
         references (this also reaps orphan versions from crashed
         writers, which no snapshot ever referenced), and mark the
         dropped snapshot ids so time-travel to them fails loudly.
-        Returns accounting
-        ``{expired_snapshots, deleted_dirs, freed_bytes}``."""
+        ``older_than`` (unix seconds) additionally retains every commit
+        younger than it — Iceberg's ``expire_snapshots(older_than=...)``
+        age policy; the two compose as retain-if-either.  Returns
+        accounting ``{expired_snapshots, deleted_dirs, freed_bytes}``."""
         if keep_last < 1:
             raise ValueError(f"keep_last must be >= 1, got {keep_last}")
         commits = self._data_commits()
@@ -902,6 +904,7 @@ class SnapshotStore:
                 r["snapshot_id"] in keep_main
                 or r["snapshot_id"] in pinned
                 or r.get("branch", MAIN) in live_branches
+                or (older_than is not None and r["committed_at"] > older_than)
             )
 
         retained = [r for r in commits if _keep(r)]

@@ -772,3 +772,28 @@ def test_timestamp_as_of(spark, tier, tmp_path):
     st.expire(keep_last=1)
     with pytest.raises(ValueError, match="expired"):
         st.read(asof_ts=t1)
+
+
+def test_expire_older_than_age_policy(spark, tier, tmp_path):
+    import time as _time
+
+    st = SnapshotStore(spark, str(tmp_path / "st"))
+    st.publish(tier)                                            # 1
+    st.refresh_months(
+        tier.withColumn("n_tok_sum", F.col("n_tok_sum") + 1), ["2024-02"]
+    )                                                           # 2
+    _time.sleep(0.05)
+    cutoff = _time.time()
+    _time.sleep(0.05)
+    st.refresh_months(
+        tier.withColumn("n_tok_sum", F.col("n_tok_sum") + 2), ["2024-02"]
+    )                                                           # 3
+    st.refresh_months(
+        tier.withColumn("n_tok_sum", F.col("n_tok_sum") + 3), ["2024-02"]
+    )                                                           # 4
+    # keep_last=1 alone would drop 2 and 3; the age policy keeps 3
+    acc = st.expire(keep_last=1, older_than=cutoff)
+    assert acc["expired_snapshots"] == [1, 2]
+    assert _totals(st.read(asof=3)) is not None
+    with pytest.raises(ValueError, match="expired"):
+        st.read(asof=2)
