@@ -892,6 +892,10 @@ class SnapshotStore:
         commits = self._data_commits()
         pinned = set(self.tags().values())  # tags survive expiry (Iceberg)
         live_branches = set(self._branch_state())
+        # a branch with no commits of its own heads at its base — a MAIN
+        # commit the branch clause below wouldn't keep; pin it explicitly
+        # so a freshly-cut branch never dangles
+        pinned |= set(self.branches().values())
         keep_main = {
             r["snapshot_id"] for r in self._data_commits(MAIN)[-keep_last:]
         }

@@ -797,3 +797,18 @@ def test_expire_older_than_age_policy(spark, tier, tmp_path):
     assert _totals(st.read(asof=3)) is not None
     with pytest.raises(ValueError, match="expired"):
         st.read(asof=2)
+
+
+def test_empty_branch_base_survives_expiry(spark, tier, tmp_path):
+    """A freshly-cut branch with no commits heads at its base (a main
+    commit); expire must pin that base or the ref would dangle."""
+    st = SnapshotStore(spark, str(tmp_path / "st"))
+    st.publish(tier)                                            # 1
+    st.branch("fresh")                                          # head = 1
+    st.publish(tier.withColumn("n_tok_sum", F.col("n_tok_sum") + 1))  # 2
+    st.publish(tier.withColumn("n_tok_sum", F.col("n_tok_sum") + 2))  # 3
+    acc = st.expire(keep_last=1)
+    assert 1 not in acc["expired_snapshots"]
+    assert _totals(st.read(asof="fresh")) == _totals(tier)
+    st.drop_branch("fresh")
+    assert 1 in st.expire(keep_last=1)["expired_snapshots"]
