@@ -6802,10 +6802,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- dedup family ---
         "dedup_exact": q_dedup_exact,
         "minhash_lsh": q_minhash_lsh,
-        "ngram_jaccard_lsh": q_ngram_jaccard_lsh,
+        "snapshot_wap": q_snapshot_wap,
         "dedup_clusters": q_dedup_clusters,
         # --- similarity / ANN family ---
-        "ann_cosine_topk": q_ann_cosine_topk,
+        "snapshot_merge": q_snapshot_merge,
         "ann_cosine_lsh": q_ann_cosine_lsh,
         "ann_cosine_ivf": q_ann_cosine_ivf,
         "embedding_dedup": q_embedding_dedup,
@@ -6910,8 +6910,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "remainder_outliers": q_remainder_outliers,
         "pruned_range_read": q_pruned_range_read,
         "snapshot_changelog": q_snapshot_changelog,
-        "snapshot_wap": q_snapshot_wap,
-        "snapshot_merge": q_snapshot_merge,
+        "ngram_jaccard_lsh": q_ngram_jaccard_lsh,
+        "ann_cosine_topk": q_ann_cosine_topk,
     }
 
 
