@@ -1284,7 +1284,15 @@ class TierPipeline:
             cur = store.read().where(
                 F.date_format(F.col(store.ts_col), "yyyy-MM").isin(frag)
             )
-            store.refresh_months(cur, frag, extra={"reason": "compact"})
+            # layout-only read-modify-write: pin the versions the copy was
+            # read from so a concurrent merge/refresh into a fragmented
+            # month raises CommitConflict instead of being overwritten
+            # with the pre-merge copy (rewrite() self-validates the same
+            # way on the whole-table path)
+            store.refresh_months(
+                cur, frag, extra={"reason": "compact"},
+                expect_versions={m: mapping[m] for m in frag},
+            )
         self._append_partition_rows_snap(
             stage, store, "COMPACT", months=None if months is None else frag
         )

@@ -121,10 +121,21 @@ class SnapshotStore:
 
     # -------------------------------------------------------------- log
     def _log(self) -> list[dict]:
+        """Parsed commit log, cached on (mtime_ns, size) — one operation
+        consults the log many times (head, expiry set, refs, schema);
+        the stat check keeps the cache multi-process-safe while cutting
+        the re-parse cost from O(calls) to O(log changes)."""
         if not os.path.exists(self._log_path):
             return []
+        st = os.stat(self._log_path)
+        key = (st.st_mtime_ns, st.st_size)
+        cached = getattr(self, "_log_cache", None)
+        if cached is not None and cached[0] == key:
+            return cached[1]
         with open(self._log_path) as f:
-            return [json.loads(line) for line in f if line.strip()]
+            rows = [json.loads(line) for line in f if line.strip()]
+        self._log_cache = (key, rows)
+        return rows
 
     def _append_log(self, row: dict) -> None:
         with open(self._log_path, "a") as f:
@@ -266,6 +277,15 @@ class SnapshotStore:
             if d.startswith(f"{P_MONTH}=")
             and os.path.isdir(os.path.join(self._data_dir, d, f"{V_COL}={ver}"))
         )
+        if "__HIVE_DEFAULT_PARTITION__" in months:
+            # rows with a null ts_col land in Hive's default partition —
+            # a bogus "month" that would corrupt range pruning ('_' sorts
+            # above every digit).  Refuse before the commit; the written
+            # version dirs are unreferenced orphans, reaped by expire().
+            raise ValueError(
+                f"input has rows with null {self.ts_col!r}; month "
+                f"partitioning is undefined for them (no commit was made)"
+            )
         return ver, months
 
     @contextmanager
@@ -281,7 +301,10 @@ class SnapshotStore:
             finally:
                 fcntl.flock(lk, fcntl.LOCK_UN)
 
-    def _commit(self, op: str, prepare, branch: str = MAIN, **extra) -> int:
+    def _commit(
+        self, op: str, prepare, branch: str = MAIN,
+        extra: dict | None = None,
+    ) -> int:
         """Append a data commit to ``branch`` — OPTIMISTICALLY, the
         Iceberg concurrency model: the expensive data write happened
         outside any lock; under :meth:`_commit_lock` the branch head is
@@ -294,10 +317,30 @@ class SnapshotStore:
         Snapshot ids are global (monotone across all branches, like
         Iceberg's); ``parent`` is the target branch's head, so each
         branch's history is a chain."""
+        extra = dict(extra or {})
+        reserved = {
+            "snapshot_id", "parent", "op", "branch", "committed_at", "months"
+        }
+        bad = reserved & set(extra)
+        if bad:
+            raise ValueError(
+                f"extra metadata must not use reserved commit fields "
+                f"{sorted(bad)}"
+            )
         with self._commit_lock():
             cur = self.current_snapshot(branch)
             parent_row = self._snapshot_row(cur) if cur is not None else None
             mapping, more = prepare(parent_row)
+            fields = {**extra, **more}
+            if "schema_id" in fields and parent_row is not None:
+                # a racing additive evolution may have advanced the table
+                # schema between this writer's pin and its commit; the
+                # registry is append-only and additive, so the LATER id is
+                # always a superset — re-resolve to it so the head's
+                # visible schema never regresses
+                fields["schema_id"] = max(
+                    fields["schema_id"], parent_row.get("schema_id", 0)
+                )
             sid = self._next_sid()
             self._append_log(
                 {
@@ -307,8 +350,7 @@ class SnapshotStore:
                     "branch": branch,
                     "committed_at": time.time(),
                     "months": mapping,
-                    **extra,
-                    **more,
+                    **fields,
                 }
             )
             return sid
@@ -333,7 +375,7 @@ class SnapshotStore:
         ver, months = self._write_version(df)
         return self._commit(
             "publish", lambda parent: ({m: ver for m in months}, {}),
-            branch=branch, schema_id=schema_id, **(extra or {}),
+            branch=branch, extra={"schema_id": schema_id, **(extra or {})},
         )
 
     def rewrite(self) -> int:
@@ -369,7 +411,7 @@ class SnapshotStore:
                 )
             return {m: ver for m in months}, {}
 
-        return self._commit("rewrite", prep, schema_id=schema_id)
+        return self._commit("rewrite", prep, extra={"schema_id": schema_id})
 
     def data_commits(self) -> list[dict]:
         """Data-commit rows (publish/refresh/rollback) in commit order —
@@ -430,8 +472,12 @@ class SnapshotStore:
             return parent, {}
 
         return self._commit(
-            "refresh", prep, branch=branch, refreshed=sorted(months),
-            schema_id=schema_id, **(extra or {}),
+            "refresh", prep, branch=branch,
+            extra={
+                "refreshed": sorted(months),
+                "schema_id": schema_id,
+                **(extra or {}),
+            },
         )
 
     def merge(
@@ -479,14 +525,20 @@ class SnapshotStore:
         if head is None:
             raise ValueError("merge requires a prior publish()")
         if months is None:
-            months = sorted(
+            raw_months = [
                 r["m"]
                 for r in delta.select(
                     F.date_format(F.col(self.ts_col), "yyyy-MM").alias("m")
                 )
                 .distinct()
                 .collect()
-            )
+            ]
+            if None in raw_months:
+                raise ValueError(
+                    f"delta has rows with null {self.ts_col!r}; month "
+                    f"partitioning is undefined for them"
+                )
+            months = sorted(raw_months)
         if not months:
             raise ValueError("empty delta: nothing to merge")
         head_mapping = self.months(asof=head)
@@ -498,6 +550,20 @@ class SnapshotStore:
             missing = [k for k in keys if k not in delta.columns]
             if missing:
                 raise ValueError(f"delta lacks merge key columns {missing}")
+            # SQL/Iceberg MERGE errors on multiple source matches; a
+            # multi-row key here would silently insert duplicates forever
+            # (one delta-sized agg, cheap next to the commit itself)
+            if (
+                delta.groupBy(*keys)
+                .count()
+                .where(F.col("count") > 1)
+                .limit(1)
+                .count()
+            ):
+                raise ValueError(
+                    f"delta has multiple rows for one merge key {keys}; "
+                    f"pre-aggregate it (MERGE requires unique source keys)"
+                )
             merged = existing.join(
                 delta.select(*keys).distinct(), list(keys), "left_anti"
             ).unionByName(delta)
@@ -516,6 +582,12 @@ class SnapshotStore:
         row = self._snapshot_row(snapshot_id)
 
         def prep(parent_row):
+            # re-validate under the commit lock: a racing expire() may
+            # have reclaimed the target between resolution and commit
+            if row["snapshot_id"] in self._expired_ids():
+                raise ValueError(
+                    f"snapshot {row['snapshot_id']} has been expired"
+                )
             return dict(row["months"]), {
                 "rolled_back_to": row["snapshot_id"],
                 "schema_id": (parent_row or {}).get("schema_id", 0),
@@ -545,34 +617,38 @@ class SnapshotStore:
         zero data movement.  Returns the pinned snapshot id."""
         if not isinstance(name, str) or not name:
             raise ValueError(f"tag name must be a non-empty string: {name!r}")
-        if name in self.tags():
-            raise ValueError(
-                f"tag {name!r} already exists; drop_tag() it first"
+        with self._commit_lock():  # check-then-append must be atomic
+            if name in self.tags():
+                raise ValueError(
+                    f"tag {name!r} already exists; drop_tag() it first"
+                )
+            if name == MAIN or name in self._branch_state():
+                raise ValueError(
+                    f"ref name {name!r} already exists as a branch"
+                )
+            cur = self.current_snapshot()
+            if cur is None:
+                raise ValueError("store has no snapshots yet")
+            row = self._snapshot_row(
+                snapshot_id if snapshot_id is not None else cur
             )
-        if name == MAIN or name in self._branch_state():
-            raise ValueError(f"ref name {name!r} already exists as a branch")
-        cur = self.current_snapshot()
-        if cur is None:
-            raise ValueError("store has no snapshots yet")
-        row = self._snapshot_row(
-            snapshot_id if snapshot_id is not None else cur
-        )
-        sid = row["snapshot_id"]
-        self._append_log(
-            {"op": "tag", "name": name, "snapshot_id": sid,
-             "committed_at": time.time()}
-        )
-        return sid
+            sid = row["snapshot_id"]
+            self._append_log(
+                {"op": "tag", "name": name, "snapshot_id": sid,
+                 "committed_at": time.time()}
+            )
+            return sid
 
     def drop_tag(self, name: str) -> None:
         """Release a tag (metadata-only).  The snapshot it pinned becomes
         ordinary history — reclaimable by the next :meth:`expire` if it
         falls outside ``keep_last``."""
-        if name not in self.tags():
-            raise ValueError(f"unknown tag {name!r}")
-        self._append_log(
-            {"op": "drop_tag", "name": name, "committed_at": time.time()}
-        )
+        with self._commit_lock():
+            if name not in self.tags():
+                raise ValueError(f"unknown tag {name!r}")
+            self._append_log(
+                {"op": "drop_tag", "name": name, "committed_at": time.time()}
+            )
 
     # ----------------------------------------------------------- branches
     def _branch_state(self) -> dict[str, dict]:
@@ -613,30 +689,37 @@ class SnapshotStore:
             raise ValueError(
                 f"branch name must be a non-empty string: {name!r}"
             )
-        if name == MAIN or name in self._branch_state() or name in self.tags():
-            raise ValueError(f"ref name {name!r} already exists")
-        cur = self.current_snapshot()
-        if cur is None:
-            raise ValueError("store has no snapshots yet")
-        row = self._snapshot_row(
-            snapshot_id if snapshot_id is not None else cur
-        )
-        sid = row["snapshot_id"]
-        self._append_log(
-            {"op": "branch", "name": name, "from_snapshot": sid,
-             "committed_at": time.time()}
-        )
-        return sid
+        with self._commit_lock():  # check-then-append must be atomic
+            if (
+                name == MAIN
+                or name in self._branch_state()
+                or name in self.tags()
+            ):
+                raise ValueError(f"ref name {name!r} already exists")
+            cur = self.current_snapshot()
+            if cur is None:
+                raise ValueError("store has no snapshots yet")
+            row = self._snapshot_row(
+                snapshot_id if snapshot_id is not None else cur
+            )
+            sid = row["snapshot_id"]
+            self._append_log(
+                {"op": "branch", "name": name, "from_snapshot": sid,
+                 "committed_at": time.time()}
+            )
+            return sid
 
     def drop_branch(self, name: str) -> None:
         """Delete a branch ref (metadata-only).  Its commits become
         ordinary unreferenced history: time travel by id still works
         until the next :meth:`expire` reaps them."""
-        if name not in self._branch_state():
-            raise ValueError(f"unknown branch {name!r}")
-        self._append_log(
-            {"op": "drop_branch", "name": name, "committed_at": time.time()}
-        )
+        with self._commit_lock():
+            if name not in self._branch_state():
+                raise ValueError(f"unknown branch {name!r}")
+            self._append_log(
+                {"op": "drop_branch", "name": name,
+                 "committed_at": time.time()}
+            )
 
     def fast_forward(self, name: str) -> int:
         """Advance main to branch ``name``'s head (Iceberg
@@ -876,19 +959,40 @@ class SnapshotStore:
         )
 
     # -------------------------------------------------------------- expiry
-    def expire(self, keep_last: int = 2, older_than: float | None = None) -> dict:
+    def expire(
+        self,
+        keep_last: int = 2,
+        older_than: float | None = None,
+        orphan_grace_s: float = 3600.0,
+    ) -> dict:
         """Retain the last ``keep_last`` data commits PLUS every tagged
         snapshot (:meth:`tag` pins history exactly as Iceberg tags do);
         physically delete every ``v=`` dir no retained snapshot
-        references (this also reaps orphan versions from crashed
-        writers, which no snapshot ever referenced), and mark the
-        dropped snapshot ids so time-travel to them fails loudly.
-        ``older_than`` (unix seconds) additionally retains every commit
-        younger than it — Iceberg's ``expire_snapshots(older_than=...)``
-        age policy; the two compose as retain-if-either.  Returns
-        accounting ``{expired_snapshots, deleted_dirs, freed_bytes}``."""
+        references, and mark the dropped snapshot ids so time-travel to
+        them fails loudly.  ``older_than`` (unix seconds) additionally
+        retains every commit younger than it — Iceberg's
+        ``expire_snapshots(older_than=...)`` age policy; the two compose
+        as retain-if-either.
+
+        Version dirs NO commit has ever referenced are either crash
+        debris or an in-flight writer's not-yet-committed data (writes
+        hold no lock by design); they are reaped only once older than
+        ``orphan_grace_s`` — the ``remove_orphan_files(older_than=)``
+        threshold; pass 0 to force-reap known debris.  Runs under the
+        commit lock so its view of the log is a consistent snapshot.
+        Returns accounting
+        ``{expired_snapshots, deleted_dirs, freed_bytes}``."""
         if keep_last < 1:
             raise ValueError(f"keep_last must be >= 1, got {keep_last}")
+        with self._commit_lock():
+            return self._expire_locked(keep_last, older_than, orphan_grace_s)
+
+    def _expire_locked(
+        self,
+        keep_last: int,
+        older_than: float | None,
+        orphan_grace_s: float,
+    ) -> dict:
         commits = self._data_commits()
         pinned = set(self.tags().values())  # tags survive expiry (Iceberg)
         live_branches = set(self._branch_state())
@@ -921,6 +1025,16 @@ class SnapshotStore:
         live: set[tuple[str, str]] = {
             (m, v) for r in retained for m, v in r["months"].items()
         }
+        # dirs some commit referenced at some point: once unretained they
+        # are history and safe to delete NOW.  A dir NO commit has ever
+        # referenced is either crash debris or an IN-FLIGHT write whose
+        # commit hasn't landed (data writes hold no lock by design) — only
+        # reap those past ``orphan_grace_s``, the remove_orphan_files
+        # older_than threshold.
+        referenced_ever: set[tuple[str, str]] = {
+            (m, v) for r in commits for m, v in r["months"].items()
+        }
+        now = time.time()
         deleted_dirs = 0
         freed = 0
         if os.path.isdir(self._data_dir):
@@ -936,6 +1050,10 @@ class SnapshotStore:
                     if (month, ver) in live:
                         continue
                     vpath = os.path.join(mpath, vdir)
+                    if (month, ver) not in referenced_ever and (
+                        now - os.path.getmtime(vpath) < orphan_grace_s
+                    ):
+                        continue  # possibly an uncommitted in-flight write
                     for root, _dirs, files in os.walk(vpath):
                         freed += sum(
                             os.path.getsize(os.path.join(root, fn))

@@ -151,14 +151,24 @@ def test_expire_deletes_unreferenced_and_orphans(spark, tier, tmp_path):
         st.refresh_months(
             tier.withColumn("n_tok_sum", F.col("n_tok_sum") + k), ["2024-02"]
         )
-    # orphan: a crashed writer's version dir no snapshot references
+    # orphan: a crashed writer's version dir no snapshot references.
+    # Backdate its mtime past the in-flight grace window — a FRESH
+    # never-referenced dir must survive (it may be an uncommitted write)
     data = os.path.join(str(tmp_path / "st"), "data")
     orphan = os.path.join(data, "p_month=2024-02", "v=deadbeef0000")
     os.makedirs(orphan)
     with open(os.path.join(orphan, "part-junk.parquet"), "wb") as f:
         f.write(b"x" * 128)
+    fresh = os.path.join(data, "p_month=2024-02", "v=feedface0000")
+    os.makedirs(fresh)
+    import time as _time
+
+    old = _time.time() - 7200
+    os.utime(orphan, (old, old))
 
     res = st.expire(keep_last=2)
+    assert os.path.exists(fresh)  # fresh unreferenced dir: grace-protected
+    os.rmdir(fresh)
     assert res["expired_snapshots"] == [1]
     assert res["deleted_dirs"] >= 2  # snapshot 1's feb version + orphan
     assert res["freed_bytes"] > 0
@@ -744,8 +754,9 @@ def test_rewrite_conflict_raises(spark, tier, tmp_path):
     st_a._write_version = hooked
     with pytest.raises(CommitConflict, match="changed while rewriting"):
         st_a.rewrite()
-    # the stale copy never became a snapshot; expire reaps its orphan dirs
-    assert st_a.expire(keep_last=2)["deleted_dirs"] > 0
+    # the stale copy never became a snapshot; expire reaps its orphan
+    # dirs once past the in-flight grace (forced here with grace 0)
+    assert st_a.expire(keep_last=2, orphan_grace_s=0)["deleted_dirs"] > 0
 
 
 def test_timestamp_as_of(spark, tier, tmp_path):
@@ -812,3 +823,29 @@ def test_empty_branch_base_survives_expiry(spark, tier, tmp_path):
     assert _totals(st.read(asof="fresh")) == _totals(tier)
     st.drop_branch("fresh")
     assert 1 in st.expire(keep_last=1)["expired_snapshots"]
+
+
+def test_hardening_guards(spark, tier, tmp_path):
+    """Round-4 review batch: reserved commit fields, null ts_col rows,
+    duplicate merge keys all refuse loudly."""
+    st = SnapshotStore(spark, str(tmp_path / "st"))
+    st.publish(tier)
+    with pytest.raises(ValueError, match="reserved commit fields"):
+        st.publish(tier, extra={"op": "ingest"})
+    with pytest.raises(ValueError, match="null 'bucket_start'"):
+        st.publish(
+            tier.withColumn(
+                "bucket_start",
+                F.when(F.lit(False), F.col("bucket_start")),
+            )
+        )
+    dup = tier.limit(1).unionByName(tier.limit(1))
+    with pytest.raises(ValueError, match="multiple rows for one merge key"):
+        st.merge(dup, keys=["source", "bucket_start"])
+    with pytest.raises(ValueError, match="null 'bucket_start'"):
+        st.merge(
+            tier.limit(5).withColumn(
+                "bucket_start", F.when(F.lit(False), F.col("bucket_start"))
+            ),
+            keys=["source", "bucket_start"],
+        )
