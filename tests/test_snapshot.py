@@ -849,3 +849,64 @@ def test_hardening_guards(spark, tier, tmp_path):
             ),
             keys=["source", "bucket_start"],
         )
+
+
+def test_model_based_random_walk(spark, tier, tmp_path):
+    """Seeded random walk over the commit verbs vs a pure-Python model of
+    per-(source, month) totals: after every op the live read, and a
+    random historical as-of read, must match the model exactly."""
+    import random
+
+    from rtsa_spark.operators.rollup import merge_rollup
+
+    rng = random.Random(20260819)
+    st = SnapshotStore(spark, str(tmp_path / "st"))
+
+    base = _totals(tier)  # {(source, month): (n, tok)}
+    all_months = sorted({m for _, m in base})
+
+    def model_apply(model, months, k):
+        """Model a refresh of `months` from tier shifted by +k tokens."""
+        out = dict(model)
+        for (s, m), (n, t) in base.items():
+            if m in months:
+                out[(s, m)] = (n, t + k * n)
+        return out
+
+    st.publish(tier)
+    model = dict(base)
+    history = {1: dict(model)}
+
+    for step in range(14):
+        op = rng.choice(["refresh", "merge_combine", "rollback", "noop_read"])
+        if op == "refresh":
+            m = rng.choice(all_months)
+            k = rng.randint(1, 9)
+            sid = st.refresh_months(
+                tier.withColumn("n_tok_sum", F.col("n_tok_sum") + k), [m]
+            )
+            model = model_apply(model, {m}, k)
+            history[sid] = dict(model)
+        elif op == "merge_combine":
+            m = rng.choice(all_months)
+            feb = F.date_format("bucket_start", "yyyy-MM") == m
+            sid = st.merge(tier.where(feb), combine=merge_rollup)
+            # the fold MERGES overlapping buckets: row count unchanged,
+            # tokens gain the replayed base month's sums
+            model = {
+                (s, mm): ((n, t + base[(s, mm)][1]) if mm == m else (n, t))
+                for (s, mm), (n, t) in model.items()
+            }
+            history[sid] = dict(model)
+        elif op == "rollback":
+            target = rng.choice(sorted(history))
+            sid = st.rollback(target)
+            model = dict(history[target])
+            history[sid] = dict(model)
+        # live read matches the model after every op
+        assert _totals(st.read()) == model, f"step {step} op {op}"
+        # a random retained snapshot still reads its recorded state
+        probe = rng.choice(sorted(history))
+        assert _totals(st.read(asof=probe)) == history[probe], (
+            f"step {step} asof {probe}"
+        )
