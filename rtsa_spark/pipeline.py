@@ -400,11 +400,13 @@ class TierPipeline:
         start=None,
         end=None,
         sources: list[str] | None = None,
+        asof_ts: float | None = None,
     ) -> DataFrame:
         """Public stage read. ``asof`` time-travels a snapshot-backed
-        stage to an earlier checkpoint — a snapshot id or a tag name
-        (``SnapshotStore.tag``); plain stages hold only the current
-        state and refuse it loudly.
+        stage to an earlier checkpoint — a snapshot id or a tag/branch
+        name (``SnapshotStore.tag``/``branch``); ``asof_ts`` resolves a
+        wall-clock time instead (``SnapshotStore.snapshot_as_of_ts``);
+        plain stages hold only the current state and refuse both loudly.
 
         ``start``/``end`` (datetimes or ISO strings, half-open
         ``[start, end)``) and ``sources`` prune the read at every level
@@ -429,10 +431,10 @@ class TierPipeline:
         )
         if self._is_snapshot_stage(stage):
             df = self._store(stage).read(
-                asof=asof, month_lo=m_lo, month_hi=m_hi
+                asof=asof, month_lo=m_lo, month_hi=m_hi, asof_ts=asof_ts
             )
         else:
-            if asof is not None:
+            if asof is not None or asof_ts is not None:
                 raise ValueError(
                     f"stage {stage!r} is not snapshot-backed; add its tier "
                     f"to snapshot_tiers for time travel"

@@ -268,3 +268,20 @@ def test_stage_branch_write_audit_publish(spark, seqs, tmp_path):
         pipe.branch_stage("rollup_daily", "x")
     with pytest.raises(ValueError, match="not snapshot-backed"):
         pipe.stage_store("rollup_daily")
+
+
+def test_read_stage_timestamp_as_of(spark, seqs, tmp_path):
+    import time as _time
+
+    pipe = _mk(spark, str(tmp_path / "ts"))
+    pipe.run(seqs)
+    before = _totals(pipe.read_stage("rollup_hourly"))
+    _time.sleep(0.05)
+    t_mid = _time.time()
+    _time.sleep(0.05)
+    corrected = seqs.withColumn("n_tok", F.col("n_tok") + 1)
+    pipe.refresh_months(corrected, ["2024-02"])
+    assert _totals(pipe.read_stage("rollup_hourly", asof_ts=t_mid)) == before
+    assert _totals(pipe.read_stage("rollup_hourly")) != before
+    with pytest.raises(ValueError, match="not snapshot-backed"):
+        pipe.read_stage("rollup_daily", asof_ts=t_mid)
