@@ -2227,6 +2227,79 @@ SELECT * FROM real UNION ALL SELECT * FROM clone
 """
 
 
+def q_snapshot_sync_next(spark, sf_dir):
+    """Changelog-driven incremental tier maintenance audit
+    (rtsa_spark/sync.py): publish the hourly tier into a source store,
+    sync_next materializes the daily tier into a destination store
+    (full publish), then a doubled-February source refresh syncs
+    INCREMENTALLY — only the affected daily buckets recompute, pinned
+    by expect_versions.  The query returns the destination head's
+    per-source day counts and totals, which the oracle recomputes
+    arithmetically from the sequences CTE; a sync that misses affected
+    buckets, leaks unaffected ones, or folds stale data hash-mismatches.
+    Collected to plain int tuples before the temp dir is removed."""
+    import shutil
+    import tempfile
+
+    from rtsa_spark.operators.rollup import rollup_next, rollup_raw
+    from rtsa_spark.snapshot import SnapshotStore
+    from rtsa_spark.sync import sync_next
+
+    hourly = rollup_next(rollup_raw(_derived_sequences(spark, sf_dir)), "hourly")
+    feb = F.date_format(F.col("bucket_start"), "yyyy-MM") == "2024-02"
+    base = tempfile.mkdtemp(prefix="rtsa_sync_audit_")
+    try:
+        src = SnapshotStore(spark, base + "/src")
+        dst = SnapshotStore(spark, base + "/dst")
+        src.publish(hourly)
+        sync_next(src, dst, "daily")                  # full materialize
+        src.refresh_months(
+            hourly.where(feb).withColumn(
+                "n_tok_sum", F.col("n_tok_sum") * 2
+            ),
+            ["2024-02"],
+        )
+        sid = sync_next(src, dst, "daily")            # incremental fold
+        changed = sorted(
+            m
+            for m, v in dst.months(asof=sid).items()
+            if dst.months(asof=1).get(m) != v
+        )
+        if changed != ["2024-02"]:
+            raise AssertionError(
+                f"incremental sync touched months {changed}, not just Feb"
+            )
+        out = dst.read().groupBy("source").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_days"),
+            F.sum("n_seq").cast("bigint").alias("seq_total"),
+            F.sum("n_tok_sum").cast("bigint").alias("tok_total"),
+        )
+        cols = out.columns
+        rows = [tuple(r[c] for c in cols) for r in out.collect()]
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    schema = "source string, " + ", ".join(
+        f"{c} bigint" for c in cols if c != "source"
+    )
+    return spark.createDataFrame(rows, schema)
+
+
+SQL_SNAPSHOT_SYNC_NEXT = f"""
+WITH {SQL_SEQ_CTE}, db AS MATERIALIZED (
+  SELECT source, date_trunc('day', ts) AS b, count(*) AS n_seq,
+         sum(n_tok) AS t,
+         strftime(date_trunc('day', ts), '%Y-%m') = '2024-02' AS is_feb
+  FROM seq GROUP BY 1, 2
+)
+SELECT source,
+       CAST(count(*) AS BIGINT)                                 AS n_days,
+       CAST(sum(n_seq) AS BIGINT)                               AS seq_total,
+       CAST(sum(t) + COALESCE(sum(t) FILTER (is_feb), 0)
+            AS BIGINT)                                          AS tok_total
+FROM db GROUP BY 1
+"""
+
+
 
 
 def _seq_daily_x(spark, sf_dir):
@@ -6912,6 +6985,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_changelog": q_snapshot_changelog,
         "ngram_jaccard_lsh": q_ngram_jaccard_lsh,
         "ann_cosine_topk": q_ann_cosine_topk,
+        "snapshot_sync_next": q_snapshot_sync_next,
     }
 
 
@@ -7055,4 +7129,5 @@ def oracle_sql() -> dict[str, str]:
         "snapshot_changelog": SQL_SNAPSHOT_CHANGELOG,
         "snapshot_wap": SQL_SNAPSHOT_WAP,
         "snapshot_merge": SQL_SNAPSHOT_MERGE,
+        "snapshot_sync_next": SQL_SNAPSHOT_SYNC_NEXT,
     }
