@@ -122,3 +122,41 @@ def test_sync_guards(spark, hourly, tmp_path):
     sid = sync_next(src, dst, "daily", since=1)
     assert sid is not None
     assert _totals(dst.read()) == _totals(rollup_next(src.read(), "daily"))
+
+
+def test_stream_then_sync_chain(spark, tmp_path):
+    """The full continuous-aggregate chain: micro-batches fold into the
+    hourly store (merging sink), then sync_next maintains the daily tier
+    from the hourly changelog — end state equals the batch truth."""
+    from rtsa_spark.streaming.rollup_stream import read_sequences_stream
+    from rtsa_spark.streaming.snapshot_sink import (
+        stream_sequences_to_snapshot,
+    )
+
+    seq = synth_sequences(spark, 4000, n_sources=3)
+    src_dir = str(tmp_path / "in")
+    seq.coalesce(3).write.mode("overwrite").parquet(src_dir)
+
+    hourly_store = SnapshotStore(spark, str(tmp_path / "hr"))
+    daily_store = SnapshotStore(spark, str(tmp_path / "dy"))
+
+    q = stream_sequences_to_snapshot(
+        read_sequences_stream(spark, src_dir, max_files_per_trigger=1),
+        hourly_store,
+        tier="hourly",
+        checkpoint=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(300)
+    # sync after the stream drains; then replay late data and re-sync
+    sync_next(hourly_store, daily_store, "daily")
+    want = rollup_next(rollup_next(rollup_raw(seq), "hourly"), "daily")
+    assert _totals(daily_store.read()) == _totals(want)
+
+    late = seq.limit(200)
+    hourly_store.merge(
+        rollup_next(rollup_raw(late), "hourly"), combine=merge_rollup
+    )
+    sync_next(hourly_store, daily_store, "daily")
+    assert _totals(daily_store.read()) == _totals(
+        rollup_next(hourly_store.read(), "daily")
+    )
