@@ -539,6 +539,23 @@ class TierPipeline:
         :meth:`SnapshotStore.drop_branch`."""
         self.stage_store(stage).drop_branch(name)
 
+    def sync_stage_next(
+        self, from_tier: str, to_tier: str, since: int | None = None
+    ) -> int | None:
+        """CDC-driven incremental maintenance between two snapshot-backed
+        tiers: fold ``rollup_<from_tier>``'s changelog since the last sync
+        into ``rollup_<to_tier>``, recomputing only the affected coarser
+        buckets — see :func:`rtsa_spark.sync.sync_next`.  Both tiers must
+        be in ``snapshot_tiers``."""
+        from rtsa_spark.sync import sync_next
+
+        return sync_next(
+            self.stage_store(f"rollup_{from_tier}"),
+            self.stage_store(f"rollup_{to_tier}"),
+            to_tier,
+            since=since,
+        )
+
     def expire_snapshots(self, keep_last: int = 2) -> dict[str, dict]:
         """Expire old checkpoints on every snapshot-backed stage; returns
         per-stage accounting from :meth:`SnapshotStore.expire`."""

@@ -285,3 +285,26 @@ def test_read_stage_timestamp_as_of(spark, seqs, tmp_path):
     assert _totals(pipe.read_stage("rollup_hourly")) != before
     with pytest.raises(ValueError, match="not snapshot-backed"):
         pipe.read_stage("rollup_daily", asof_ts=t_mid)
+
+
+def test_sync_stage_next_maintains_daily_from_hourly(spark, seqs, tmp_path):
+    from rtsa_spark.operators.rollup import rollup_next
+
+    pipe = TierPipeline(
+        spark, str(tmp_path / "cdc"),
+        tiers=["raw", "hourly"], gapfill_tiers=(), metrics_tiers=(),
+        snapshot_tiers=("hourly", "daily"),
+    )
+    pipe.run(seqs)
+    assert pipe.sync_stage_next("hourly", "daily") is not None
+    want = rollup_next(pipe.read_stage("rollup_hourly"), "daily")
+    assert _totals(pipe.read_stage("rollup_daily")) == _totals(want)
+
+    # a pipeline-level correction flows: hourly refresh -> CDC sync
+    corrected = seqs.withColumn("n_tok", F.col("n_tok") + 1)
+    pipe.refresh_months(corrected, ["2024-02"])
+    assert pipe.sync_stage_next("hourly", "daily") is not None
+    want2 = rollup_next(pipe.read_stage("rollup_hourly"), "daily")
+    assert _totals(pipe.read_stage("rollup_daily")) == _totals(want2)
+    # and a no-change re-sync is a no-op
+    assert pipe.sync_stage_next("hourly", "daily") is None
