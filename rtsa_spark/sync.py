@@ -5,26 +5,22 @@ month recomputes wholesale downstream.  This module is the finer,
 Iceberg-native shape the north rule's "continuous aggregates" implies:
 given a SOURCE tier held in a :class:`~rtsa_spark.snapshot.SnapshotStore`
 (e.g. the hourly tier a streaming sink maintains), fold its CDC delta
-(:meth:`SnapshotStore.read_changes`) into the NEXT tier's store by
-recomputing ONLY the coarser buckets the delta touched — incremental
-materialized-view maintenance, cost O(changed buckets + their months),
+(:meth:`SnapshotStore.read_changes`): the changelog names the months
+that changed, and ONLY those months of the next tier recompute —
+incremental materialized-view maintenance, cost O(changed months),
 never O(table).
 
-Why recompute affected buckets instead of applying +/- deltas directly:
-count and sum ARE incrementally maintainable under DELETEs, but min/max
-are not (removing the row that held the minimum needs the remaining
-rows).  Recomputing just the affected (source, bucket) groups from the
-source head is exact for every aggregate, and the source read is
-manifest-pruned to the affected months — a day bucket never spans a
-month boundary, so the pruned read always contains every source row the
-recompute needs.
+Why recompute instead of applying +/- deltas directly: count and sum
+ARE incrementally maintainable under DELETEs, but min/max are not
+(removing the row that held the minimum needs the remaining rows).
+Recomputing the changed months from the source head is exact for every
+aggregate; the recompute derives purely from the source (no destination
+read), so there is no stale-fold hazard, and the destination refresh is
+month-scoped so untouched months ride through as metadata.
 
 Resumability: each sync commit records ``synced_from`` = the source
 snapshot it consumed up to; the next :func:`sync_next` resumes from
-there automatically.  The destination commit pins ``expect_versions``
-on the months it read, so a concurrent writer to the destination raises
-:class:`~rtsa_spark.snapshot.CommitConflict` instead of being folded
-over (retry re-reads both sides).
+there automatically.
 
 The reference recomputes every result stack per call
 (``/root/reference/R/rtsa.stl.R:441-489``); incremental maintenance of
@@ -62,12 +58,11 @@ def sync_next(
     First call (empty ``dst``): publishes the full ``rollup_next`` of the
     source head and records the watermark.  Afterwards: reads the source
     changelog ``(since, head]`` — manifest-pruned to changed months —
-    derives the DISTINCT affected coarser buckets, recomputes exactly
-    those groups from the source head (read pruned to their months),
-    and commits a month-scoped refresh of the destination where
-    untouched buckets ride through unchanged and an emptied month is
-    deleted.  ``since`` overrides the recorded watermark (e.g. to replay
-    after a destination rollback)."""
+    recomputes exactly those months from the source head, and commits a
+    month-scoped refresh of the destination where untouched months ride
+    through unchanged and an emptied month is deleted.  ``since``
+    overrides the recorded watermark (e.g. to replay after a destination
+    rollback)."""
     if to_tier not in BUCKET_OF or to_tier == "raw":
         raise ValueError(f"bad target tier: {to_tier}")
     until = src.current_snapshot()
@@ -89,19 +84,11 @@ def sync_next(
     if since == until:
         return None
 
-    unit = BUCKET_OF[to_tier]
     changes = src.read_changes(since, until)
-    affected = (
-        changes.select(
-            "source",
-            F.date_trunc(unit, F.col(src.ts_col)).alias("bucket_start"),
-        )
-        .distinct()
-    )
     months = sorted(
         r["m"]
-        for r in affected.select(
-            F.date_format("bucket_start", "yyyy-MM").alias("m")
+        for r in changes.select(
+            F.date_format(F.col(src.ts_col), "yyyy-MM").alias("m")
         )
         .distinct()
         .collect()
@@ -110,31 +97,14 @@ def sync_next(
         # a layout-only source commit (rewrite) yields an empty changelog
         return None
 
-    # recompute exactly the affected coarser buckets from the source head;
-    # a bucket never spans months, so the month-pruned read is complete.
-    # `affected` is bucket-count-sized — broadcast the semi-join.
-    keys = affected.withColumnRenamed("source", "_s").withColumnRenamed(
-        "bucket_start", "_b"
-    )
-    pruned = src.read(months=months)
-    selected = pruned.join(
-        F.broadcast(keys),
-        (pruned["source"] == keys["_s"])
-        & (F.date_trunc(unit, pruned[src.ts_col]) == keys["_b"]),
-        "left_semi",
-    )
-    recomputed = rollup_next(selected, to_tier)
-
-    dst_head = dst.current_snapshot()
-    dst_months = dst.months(asof=dst_head)
-    expect = {m: dst_months.get(m) for m in months}
-    keep = dst.read(asof=dst_head, months=months).join(
-        affected, ["source", "bucket_start"], "left_anti"
-    )
-    merged = keep.unionByName(recomputed)
+    # recompute the changed months wholesale from the source head and let
+    # the month-scoped refresh replace them.  Finer (per-bucket) precision
+    # buys nothing here: the destination commit is month-granular anyway,
+    # the source scan is month-pruned either way, and this shape needs no
+    # destination read, no broadcast, and no keep/anti-join — the whole
+    # sync is one pruned scan + one aggregation, derived purely from the
+    # source (so there is no stale-fold hazard to validate against).
+    recomputed = rollup_next(src.read(months=months), to_tier)
     return dst.refresh_months(
-        merged,
-        months,
-        extra={"synced_from": until},
-        expect_versions=expect,
+        recomputed, months, extra={"synced_from": until}
     )
