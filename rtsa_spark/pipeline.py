@@ -265,7 +265,7 @@ class TierPipeline:
         sid = store.current_snapshot()
         mapping = store.months()
         df = store.read().select(
-            F.date_format(F.col("bucket_start"), "yyyy-MM").alias("m")
+            F.date_format(F.col(store.ts_col), "yyyy-MM").alias("m")
         )
         if months is not None:
             df = df.where(F.col("m").isin(months))
@@ -358,15 +358,24 @@ class TierPipeline:
         return os.path.join(self.base, stage)
 
     def _is_snapshot_stage(self, stage: str) -> bool:
+        # the snapshot policy follows the tier: if a tier checkpoints
+        # through the store, its encoded-block stage does too (same time
+        # travel / refresh semantics, keyed on block_day)
         return (
             stage.startswith("rollup_")
             and stage[len("rollup_"):] in self.snapshot_tiers
+        ) or (
+            stage.startswith("encoded_")
+            and stage[len("encoded_"):] in self.snapshot_tiers
         )
 
     def _store(self, stage: str) -> SnapshotStore:
         if stage not in self._stores:
+            ts_col = (
+                "block_day" if stage.startswith("encoded_") else "bucket_start"
+            )
             self._stores[stage] = SnapshotStore(
-                self.spark, self._stage_path(stage)
+                self.spark, self._stage_path(stage), ts_col=ts_col
             )
         return self._stores[stage]
 
@@ -557,12 +566,15 @@ class TierPipeline:
         )
 
     def expire_snapshots(self, keep_last: int = 2) -> dict[str, dict]:
-        """Expire old checkpoints on every snapshot-backed stage; returns
-        per-stage accounting from :meth:`SnapshotStore.expire`."""
-        return {
-            f"rollup_{t}": self._store(f"rollup_{t}").expire(keep_last)
+        """Expire old checkpoints on every snapshot-backed stage (rollup
+        tiers and, when their tier encodes, the encoded-block stages);
+        returns per-stage accounting from :meth:`SnapshotStore.expire`."""
+        stages = [f"rollup_{t}" for t in self.snapshot_tiers] + [
+            f"encoded_{t}"
             for t in self.snapshot_tiers
-        }
+            if t in self.encode_tiers and self._stage_exists(f"encoded_{t}")
+        ]
+        return {s: self._store(s).expire(keep_last) for s in stages}
 
     @staticmethod
     def _with_month(df: DataFrame, ts_col: str = "bucket_start") -> DataFrame:
@@ -1058,7 +1070,7 @@ class TierPipeline:
                 # run() — build the whole stage instead.
                 estage = f"encoded_{tier}"
                 epath = self._stage_path(estage)
-                if not os.path.exists(epath):
+                if not self._stage_exists(estage):
                     self._write_stage(
                         estage,
                         encode_tier(tier_df, value_col=self.encode_value_col),
@@ -1070,16 +1082,25 @@ class TierPipeline:
                         self._read_stage_months(stage, months),
                         value_col=self.encode_value_col,
                     )
-                    _overwrite_months(month_blocks, epath, ts_col="block_day")
-                    self._append_partition_rows(
-                        estage, epath, "REFRESH", months=months
-                    )
+                    if self._is_snapshot_stage(estage):
+                        est = self._store(estage)
+                        est.refresh_months(month_blocks, months)
+                        self._append_partition_rows_snap(
+                            estage, est, "REFRESH", months=months
+                        )
+                    else:
+                        _overwrite_months(
+                            month_blocks, epath, ts_col="block_day"
+                        )
+                        self._append_partition_rows(
+                            estage, epath, "REFRESH", months=months
+                        )
                     self._append_ledger(
                         {
                             "run_id": self.run_id,
                             "stage": estage,
                             "rows_in": None,
-                            "rows_out": self.spark.read.parquet(epath).count(),
+                            "rows_out": self._read_stage(estage).count(),
                             "n_files": None,
                             "started_at": t1,
                             "finished_at": time.time(),

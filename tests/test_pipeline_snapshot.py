@@ -161,9 +161,9 @@ def test_encode_downstream_of_snapshot_tier(spark, seqs, tmp_path):
     p.refresh_months(corrected, ["2024-02"])
     from rtsa_spark.operators.encode import decode_blocks
 
-    decoded = decode_blocks(
-        spark.read.parquet(f"{base}/encoded_hourly").drop("p_month")
-    )
+    # the encoded stage is snapshot-backed now (policy follows the tier):
+    # read through the stage API, not the raw dir layout
+    decoded = decode_blocks(p.read_stage("encoded_hourly"))
     tok_dec = {
         r["source"]: r["s"]
         for r in decoded.groupBy("source")
@@ -308,3 +308,45 @@ def test_sync_stage_next_maintains_daily_from_hourly(spark, seqs, tmp_path):
     assert _totals(pipe.read_stage("rollup_daily")) == _totals(want2)
     # and a no-change re-sync is a no-op
     assert pipe.sync_stage_next("hourly", "daily") is None
+
+
+def test_encoded_stage_snapshot_backed(spark, seqs, tmp_path):
+    """When a tier checkpoints through the snapshot store, its encoded
+    block stage does too: publish -> snapshot 1, partition-scoped refresh
+    -> snapshot 2, with time travel across both and the version diff
+    scoped to the refreshed month."""
+    pipe = TierPipeline(
+        spark, str(tmp_path / "es"),
+        tiers=["raw", "hourly"], gapfill_tiers=(), metrics_tiers=(),
+        snapshot_tiers=("hourly",), encode_tiers=("hourly",),
+    )
+    pipe.run(seqs)
+    est = pipe.stage_store("encoded_hourly")
+    assert est.current_snapshot() == 1
+    enc1_rows = pipe.read_stage("encoded_hourly").count()
+    assert enc1_rows > 0
+
+    corrected = seqs.withColumn("n_tok", F.col("n_tok") + 1)
+    pipe.refresh_months(corrected, ["2024-02"])
+    assert est.current_snapshot() == 2
+    # history intact; version diff scoped to the refreshed month
+    assert pipe.read_stage("encoded_hourly", asof=1).count() == enc1_rows
+    before, after = est.months(asof=1), est.months(asof=2)
+    assert {m for m in before if before[m] != after.get(m)} == {"2024-02"}
+
+    # the current encoded stage decodes to the refreshed tier exactly
+    from rtsa_spark.operators.encode import decode_blocks
+
+    dec = decode_blocks(pipe.read_stage("encoded_hourly"))
+    hr = pipe.read_stage("rollup_hourly")
+    assert dec.count() == hr.count()
+    assert (
+        dec.agg(F.sum("value")).collect()[0][0]
+        == hr.agg(F.sum("n_tok_sum")).collect()[0][0]
+    )
+
+    # expiry covers the encoded stage
+    acc = pipe.expire_snapshots(keep_last=1)
+    assert "encoded_hourly" in acc
+    with pytest.raises(ValueError, match="expired"):
+        pipe.read_stage("encoded_hourly", asof=1)
