@@ -159,6 +159,17 @@ class TierPipeline:
         self.spark = spark
         self.base = base_dir
         self.tiers = tiers or list(TIER_ORDER)
+        # month-nested tiers only: a weekly bucket straddles month
+        # boundaries (rollup.py documents it as a non-cascadable side
+        # branch), so a month-scoped refresh could overwrite a neighbor
+        # month's partition with a partial straddling bucket
+        bad_tiers = [t for t in self.tiers if t not in TIER_ORDER]
+        if bad_tiers:
+            raise ValueError(
+                f"tiers must be month-nested cascade tiers {TIER_ORDER}; "
+                f"got {bad_tiers} (weekly is a read-side rollup, not a "
+                f"pipeline tier)"
+            )
         self.gapfill_tiers = gapfill_tiers
         self.metrics_tiers = metrics_tiers
         self.hist_tiers = hist_tiers
@@ -725,7 +736,13 @@ class TierPipeline:
             if tier in self.encode_tiers:
                 estage = f"encoded_{tier}"
                 epath = self._stage_path(estage)
-                if not (self._completed(estage, tier_fp) and os.path.exists(epath)):
+                # _stage_exists, not os.path.exists: a snapshot-backed
+                # stage's dir exists as soon as its store object is built,
+                # with no committed snapshot behind it
+                if not (
+                    self._completed(estage, tier_fp)
+                    and self._stage_exists(estage)
+                ):
                     self._write_stage(
                         estage,
                         encode_tier(tier_df, value_col=self.encode_value_col),
@@ -910,7 +927,22 @@ class TierPipeline:
                 "explicitly to tear the table down"
             )
         seq_fp = combine_month_fingerprints(seq_months)
-        prev_fp = seq_fp
+        # the TRUTHFUL post-refresh fingerprint: the published month map
+        # with only the refreshed months replaced.  Recording seq_fp (the
+        # full corrected input) on a SUBSET refresh would make a later
+        # run(corrected) skip stages whose other months are still stale.
+        published_now = self._read_input_months()
+        if published_now:
+            truthful = dict(published_now)
+            for m in months:
+                truthful.pop(m, None)
+            truthful.update(
+                {m: fp for m, fp in seq_months.items() if m in set(months)}
+            )
+            truthful_fp = combine_month_fingerprints(truthful)
+        else:
+            truthful_fp = seq_fp  # pre-month-map table: best available
+        prev_fp = truthful_fp
 
         def _overwrite_months(
             df: DataFrame, path: str, ts_col: str = "bucket_start"
@@ -920,7 +952,12 @@ class TierPipeline:
             produced no rows for — dynamic mode only touches partitions
             present in the frame, so a fully-deleted month would otherwise
             survive as a stale partition dir forever."""
-            with_m = self._with_month(df, ts_col)
+            # defensive scope to the requested months (same rail as
+            # SnapshotStore.refresh_months): a recomputed frame must never
+            # overwrite a neighbor month's partition with partial content
+            with_m = self._with_month(df, ts_col).where(
+                F.col(P_MONTH).isin(months)
+            )
             written = {
                 r[P_MONTH] for r in with_m.select(P_MONTH).distinct().collect()
             }
@@ -959,22 +996,27 @@ class TierPipeline:
                 else rollup_next(prev_recomputed, tier)
             )
             t0 = time.time()
+            # the recomputed plan is consumed by the count, the write, and
+            # (plain path) the distinct-months probe — persist once so the
+            # aggregation DAG runs once, not three times
+            recomputed = recomputed.persist()
             n_new = recomputed.count()
             if self._is_snapshot_stage(stage):
                 st = self._store(stage)
                 st.refresh_months(recomputed, months)
-                self._append_partition_rows_snap(
+                # manifest append returns the month-scoped row total —
+                # no whole-table count on a month-scoped refresh
+                rows_out = self._append_partition_rows_snap(
                     stage, st, "REFRESH", months=months
                 )
-                rows_out = st.read().count()
                 snap_extra = {"snapshot_id": st.current_snapshot()}
             else:
                 _overwrite_months(recomputed, path)
-                self._append_partition_rows(
+                rows_out = self._append_partition_rows(
                     stage, path, "REFRESH", months=months
                 )
-                rows_out = self.spark.read.parquet(path).count()
                 snap_extra = {}
+            recomputed.unpersist()
             self._append_ledger(
                 {
                     "run_id": self.run_id,
@@ -1023,6 +1065,7 @@ class TierPipeline:
                         )
                     self._write_stage(hstage, hist, seq_fp)
                 else:
+                    t_h = time.time()
                     if finer and os.path.exists(self._stage_path(finer)):
                         finer_months = (
                             self.spark.read.parquet(self._stage_path(finer))
@@ -1035,7 +1078,7 @@ class TierPipeline:
                             affected_seq, tier, top_k=self.hist_top_k
                         )
                     _overwrite_months(hist, hpath)
-                    self._append_partition_rows(
+                    h_rows = self._append_partition_rows(
                         hstage, hpath, "REFRESH", months=months
                     )
                     self._append_ledger(
@@ -1043,12 +1086,12 @@ class TierPipeline:
                             "run_id": self.run_id,
                             "stage": hstage,
                             "rows_in": None,
-                            "rows_out": self.spark.read.parquet(hpath).count(),
+                            "rows_out": h_rows,
                             "n_files": None,
-                            "started_at": t0,
+                            "started_at": t_h,
                             "finished_at": time.time(),
                             "status": "REFRESH",
-                            "fingerprint": seq_fp,
+                            "fingerprint": truthful_fp,
                             "months": months,
                         }
                     )
@@ -1321,9 +1364,8 @@ class TierPipeline:
         if months is None:
             store.rewrite()
         else:
-            cur = store.read().where(
-                F.date_format(F.col(store.ts_col), "yyyy-MM").isin(frag)
-            )
+            # manifest-pruned read: only the fragmented months' dirs list
+            cur = store.read(months=frag)
             # layout-only read-modify-write: pin the versions the copy was
             # read from so a concurrent merge/refresh into a fragmented
             # month raises CommitConflict instead of being overwritten
@@ -1355,7 +1397,12 @@ class TierPipeline:
         leaves one behind, invisible to every reader (parquet discovery
         skips dotted paths) but holding disk forever.  Deletes any such
         entry under the base NOT owned by this live run and returns the
-        removed paths.  Safe concurrently with readers (the orphans are
+        removed paths.  One healing exception: a ``._old_`` dir whose live
+        path is MISSING is not an orphan — it is the surviving copy from a
+        crash inside ``compact_stage``'s two-rename swap (old moved aside,
+        replacement not yet renamed in).  Vacuum RESTORES it instead of
+        deleting it, so the month's only remaining data is never reaped.
+        Safe concurrently with readers (the orphans are
         unreferenced by construction); do not run two writers with the
         same base at once — that is unsupported everywhere here."""
         markers = ("._tmp_", "._compact_", "._old_")
@@ -1368,6 +1415,13 @@ class TierPipeline:
                 if any(name.endswith(s) for s in mine):
                     continue  # the live run's own in-flight build
                 full = os.path.join(dirpath, name)
+                if "._old_" in name and os.path.isdir(full):
+                    live = os.path.join(dirpath, name.split("._old_")[0])
+                    if not os.path.exists(live):
+                        os.rename(full, live)  # heal the interrupted swap
+                        if name in dirs:
+                            dirs.remove(name)
+                        continue
                 if os.path.isdir(full):
                     shutil.rmtree(full, ignore_errors=True)
                     if name in dirs:

@@ -416,3 +416,29 @@ def test_vacuum_removes_crash_orphans_only(spark, tiny_sequences, tmp_path):
     assert spark.read.parquet(f"{base}/rollup_daily").count() == before
     assert os.path.exists(p._ledger_path)
     assert p.vacuum() == []
+
+
+def test_vacuum_heals_interrupted_compaction_swap(
+    spark, tiny_sequences, tmp_path
+):
+    """A crash inside compact_stage's two-rename swap leaves the month's
+    ONLY copy under p_month=M._old_<dead-run>; vacuum must RESTORE it,
+    never reap it (that would be silent month loss the fingerprint skip
+    would then propagate forever)."""
+    base = str(tmp_path / "heal")
+    p = TierPipeline(spark, base, gapfill_tiers=(), metrics_tiers=())
+    p.run(tiny_sequences)
+
+    mdir = f"{base}/rollup_hourly/p_month=2024-02"
+    before = spark.read.parquet(f"{base}/rollup_hourly").count()
+    # simulate the crash window: live dir moved aside, replacement missing
+    os.rename(mdir, mdir + "._old_deadbeef0000")
+    removed = p.vacuum()
+    # healed, not deleted: the live path is back and reads are whole again
+    assert os.path.exists(mdir)
+    assert not os.path.exists(mdir + "._old_deadbeef0000")
+    assert mdir + "._old_deadbeef0000" not in removed
+    assert spark.read.parquet(f"{base}/rollup_hourly").count() == before
+    # an ._old_ whose live dir EXISTS is still ordinary debris
+    os.makedirs(mdir + "._old_deadbeef0001")
+    assert mdir + "._old_deadbeef0001" in p.vacuum()

@@ -588,3 +588,44 @@ def test_table_status_reflects_current_partitions(
 
     with pytest.raises(ValueError, match="no partition manifest"):
         TierPipeline(spark, str(tmp_path / "none")).table_status()
+
+
+def test_subset_refresh_does_not_mask_other_stale_months(
+    spark, tmp_path
+):
+    """A refresh naming a SUBSET of the truly-changed months must record
+    the truthful published fingerprint, so a later run(corrected)
+    recomputes the months the subset call skipped."""
+    from rtsa_spark.pipeline import TierPipeline
+    from rtsa_spark.synth import synth_sequences
+    from pyspark.sql import functions as F
+
+    seqs = synth_sequences(spark, 6000, n_sources=4).cache()
+    base = str(tmp_path / "subset")
+    p = TierPipeline(spark, base, gapfill_tiers=(), metrics_tiers=())
+    p.run(seqs)
+
+    # correction touches BOTH January and February
+    corrected = seqs.withColumn("n_tok", F.col("n_tok") + 1)
+    p.refresh_months(corrected, ["2024-01"])  # subset: Feb still stale
+
+    # a later full run over the corrected input must NOT skip: it has to
+    # recompute the stale February
+    p2 = TierPipeline(
+        spark, base, gapfill_tiers=(), metrics_tiers=(), run_id="second"
+    )
+    p2.run(corrected)
+    want = {
+        r["source"]: r["s"]
+        for r in corrected.groupBy("source")
+        .agg(F.sum("n_tok").alias("s"))
+        .collect()
+    }
+    got = {
+        r["source"]: r["s"]
+        for r in p2.read_stage("rollup_monthly")
+        .groupBy("source")
+        .agg(F.sum("n_tok_sum").alias("s"))
+        .collect()
+    }
+    assert got == want
