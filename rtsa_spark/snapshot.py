@@ -360,7 +360,11 @@ class SnapshotStore:
             raise ValueError(f"unknown branch {branch!r}")
 
     def publish(
-        self, df: DataFrame, extra: dict | None = None, branch: str = MAIN
+        self,
+        df: DataFrame,
+        extra: dict | None = None,
+        branch: str = MAIN,
+        expect_empty: bool = False,
     ) -> int:
         """Full-table publish: every month in ``df`` maps to the new
         version; months present in the parent but absent from ``df`` are
@@ -368,13 +372,26 @@ class SnapshotStore:
         rides along on the commit row (e.g. a streaming sink's batch id
         for retry idempotence).  ``branch`` targets a ref created with
         :meth:`branch` (write-audit-publish: stage on a branch, audit it,
-        :meth:`fast_forward` main)."""
+        :meth:`fast_forward` main).  ``expect_empty=True`` makes the
+        commit validate under the lock that the branch STILL has no
+        snapshots — the bootstrap guard for publish-if-absent callers
+        (a full publish otherwise silently replaces whatever a racing
+        writer landed first); raises :class:`CommitConflict`."""
         self._validate_input(df)
         self._validate_branch(branch)
         schema_id = self._pin_schema(df)
         ver, months = self._write_version(df)
+
+        def prep(parent_row):
+            if expect_empty and parent_row is not None:
+                raise CommitConflict(
+                    "branch gained a snapshot while this bootstrap publish "
+                    "was writing; fold into the existing head instead"
+                )
+            return {m: ver for m in months}, {}
+
         return self._commit(
-            "publish", lambda parent: ({m: ver for m in months}, {}),
+            "publish", prep,
             branch=branch, extra={"schema_id": schema_id, **(extra or {})},
         )
 
@@ -413,10 +430,11 @@ class SnapshotStore:
 
         return self._commit("rewrite", prep, extra={"schema_id": schema_id})
 
-    def data_commits(self) -> list[dict]:
-        """Data-commit rows (publish/refresh/rollback) in commit order —
-        driver-side metadata, O(commits)."""
-        return self._data_commits()
+    def data_commits(self, branch: str | None = None) -> list[dict]:
+        """Data-commit rows (publish/refresh/rollback/rewrite/
+        fast_forward) in commit order — driver-side metadata, O(commits).
+        ``branch`` filters to one ref's chain."""
+        return self._data_commits(branch)
 
     def refresh_months(
         self,

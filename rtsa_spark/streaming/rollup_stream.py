@@ -94,11 +94,13 @@ def streaming_dedup(
     on time-ordered input.
     """
     content_cols = content_cols or ["tokens"]
-    h = F.md5(
-        F.concat_ws(
-            "|", *[F.col(c).cast("string") for c in content_cols]
-        )
-    )
+    if len(content_cols) == 1:
+        h = F.md5(F.col(content_cols[0]).cast("string"))
+    else:
+        # multi-column content must be framed, not delimiter-joined:
+        # concat_ws('|') collides ('x|y','z') with ('x','y|z') and skips
+        # NULLs entirely; a JSON struct is null-safe and unambiguous
+        h = F.md5(F.to_json(F.struct(*[F.col(c) for c in content_cols])))
     return (
         stream.withColumn("content_md5", h)
         .withWatermark(ts_col, watermark)
@@ -211,7 +213,10 @@ def streaming_band_breach(
         ph.cast("int").alias("phase"),
         F.col(value_col).cast("bigint").alias("x"),
     )
-    j = tagged.join(F.broadcast(profile), ["key", "phase"])
+    # LEFT join: an event from a key/phase the profile hasn't covered yet
+    # (new source before the next batch refresh) must stay VISIBLE with
+    # null bands + unprofiled=true, not silently vanish from the monitor
+    j = tagged.join(F.broadcast(profile), ["key", "phase"], "left")
     return j.select(
         "key",
         "ts",
@@ -221,4 +226,5 @@ def streaming_band_breach(
         hi.alias(f"p{hi_p}_e2"),
         (100 * F.col("x") < lo).alias("below"),
         (100 * F.col("x") > hi).alias("above"),
+        lo.isNull().alias("unprofiled"),
     )

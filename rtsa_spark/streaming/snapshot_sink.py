@@ -70,43 +70,66 @@ def snapshot_rollup_sink(
     with ``fast_forward`` when the batch window validates).  The merge
     is read-modify-write, so a concurrent writer to the same months
     raises :class:`CommitConflict` — retried here up to ``max_retries``
-    times against the fresh head (the Iceberg commit-retry loop); the
-    batch-id guard makes the retries as idempotent as the original."""
+    times against the fresh head (the Iceberg commit-retry loop), and the
+    branch-scoped batch-id guard is RE-CHECKED before every retry so a
+    zombie writer that committed the same micro-batch during the race
+    can never be folded twice.  One stream per (store, branch): the guard
+    is branch-scoped, so independent branches carry independent streams,
+    but two queries writing the same branch would trip each other's ids."""
     if tier not in TIER_ORDER:
         raise ValueError(f"unknown tier {tier!r}")
 
-    def _fold(batch_df: DataFrame, batch_id: int) -> None:
-        done = max(
-            (r.get("stream_batch_id", -1) for r in store.data_commits()),
+    def _committed_through() -> int:
+        # branch-scoped: another branch's (or another stream's) batch ids
+        # must not mask this stream's commits
+        return max(
+            (
+                r.get("stream_batch_id", -1)
+                for r in store.data_commits(branch)
+            ),
             default=-1,
         )
-        if batch_id <= done:
+
+    def _fold(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_id <= _committed_through():
             return  # retried micro-batch: already committed
-        delta = _batch_to_tier(batch_df, tier)
-        months = [
-            r["m"]
-            for r in delta.select(
-                F.date_format("bucket_start", "yyyy-MM").alias("m")
-            )
-            .distinct()
-            .collect()
-        ]
-        if not months:
-            return  # empty micro-batch: nothing to commit
-        extra = {"stream_batch_id": batch_id}
-        if store.current_snapshot(branch) is None:
-            store.publish(delta, extra=extra, branch=branch)
-            return
-        for attempt in range(max_retries):
-            try:
-                store.merge(
-                    delta, combine=merge_rollup, months=months,
-                    extra=extra, branch=branch,
+        delta = _batch_to_tier(batch_df, tier).persist()
+        try:
+            months = [
+                r["m"]
+                for r in delta.select(
+                    F.date_format("bucket_start", "yyyy-MM").alias("m")
                 )
-                return
-            except CommitConflict:
-                if attempt == max_retries - 1:
-                    raise
+                .distinct()
+                .collect()
+            ]
+            if not months:
+                return  # empty micro-batch: nothing to commit
+            extra = {"stream_batch_id": batch_id}
+            if store.current_snapshot(branch) is None:
+                try:
+                    store.publish(
+                        delta, extra=extra, branch=branch, expect_empty=True
+                    )
+                    return
+                except CommitConflict:
+                    pass  # another writer bootstrapped first: fold instead
+            for attempt in range(max_retries):
+                try:
+                    store.merge(
+                        delta, combine=merge_rollup, months=months,
+                        extra=extra, branch=branch,
+                    )
+                    return
+                except CommitConflict:
+                    # the conflicting commit may BE this micro-batch
+                    # (zombie driver): folding again would double it
+                    if batch_id <= _committed_through():
+                        return
+                    if attempt == max_retries - 1:
+                        raise
+        finally:
+            delta.unpersist()
 
     return _fold
 

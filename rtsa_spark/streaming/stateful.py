@@ -51,6 +51,10 @@ def streaming_source_state(
         # chunk boundaries
         chunks = []
         for pdf in pdfs:
+            # the schema allows nulls: a null value would crash the int64
+            # view, a null ts (NaT -> INT64_MIN) would permanently corrupt
+            # the monotone max_gap_s — drop such rows, count the rest
+            pdf = pdf.dropna(subset=[ts_col, value_col])
             if len(pdf) == 0:
                 continue
             n += len(pdf)
@@ -61,7 +65,11 @@ def streaming_source_state(
             seq = ts if last_ns is None else np.concatenate(([last_ns], ts))
             if len(seq) > 1:
                 mg = max(mg, int(np.diff(seq).max() // 1_000_000_000))
-            last_ns = int(ts[-1])
+            # never regress on a late/out-of-order micro-batch: a backward
+            # last_ts would fabricate a giant (and unrecoverable) next gap
+            last_ns = (
+                int(ts[-1]) if last_ns is None else max(last_ns, int(ts[-1]))
+            )
         state.update((n, s, last_ns, mg))
         yield pd.DataFrame(
             [
@@ -105,8 +113,6 @@ def streaming_liveness(
     on the EVENT clock (replay-safe, backfill gives identical flags),
     not the processing clock. Requires the watermark on ``ts_col``.
     """
-    import datetime as dt
-
     max_age_ms = int(pd.Timedelta(max_age).total_seconds() * 1000)
 
     def fn(key, pdfs, state: GroupState):
@@ -133,6 +139,7 @@ def streaming_liveness(
             return
         n, last_ns = state.get if state.exists else (0, None)
         for pdf in pdfs:
+            pdf = pdf.dropna(subset=[ts_col])  # NaT would poison last_ts
             if len(pdf) == 0:
                 continue
             n += len(pdf)
@@ -140,6 +147,8 @@ def streaming_liveness(
                 pdf[ts_col].to_numpy("datetime64[ns]").view("int64").max()
             )
             last_ns = mx if last_ns is None else max(last_ns, mx)
+        if last_ns is None:
+            return  # fresh group whose only rows had null ts: nothing yet
         state.update((n, last_ns))
         # Clamp above the current watermark: flatMapGroupsWithState does
         # not drop late INPUT rows, so a key whose newest event already
