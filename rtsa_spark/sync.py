@@ -20,7 +20,20 @@ month-scoped so untouched months ride through as metadata.
 
 Resumability: each sync commit records ``synced_from`` = the source
 snapshot it consumed up to; the next :func:`sync_next` resumes from
-there automatically.
+there automatically.  All source reads pin ``asof=`` that snapshot, so
+a source commit racing the sync cannot leak data the watermark does not
+cover (the racer's months re-sync next call instead of silently riding
+an understated watermark).
+
+Weekly is the one tier whose buckets do not nest in months
+(``date_trunc("week")`` is the week's Monday, which can fall in the
+previous month), so the incremental path works in TARGET-bucket space:
+the affected destination months are the months of the changed rows'
+*truncated* bucket starts, the source read widens one month forward (a
+week starting month-end spills into the next month), and the recompute
+filters to exactly the affected buckets' months — boundary weeks
+re-aggregate from both their months and untouched weeks sharing a
+refreshed month are recomputed rather than dropped.
 
 The reference recomputes every result stack per call
 (``/root/reference/R/rtsa.stl.R:441-489``); incremental maintenance of
@@ -35,6 +48,13 @@ from rtsa_spark.operators.rollup import BUCKET_OF, rollup_next
 from rtsa_spark.snapshot import MAIN, SnapshotStore
 
 __all__ = ["sync_next"]
+
+
+def _next_month(m: str) -> str:
+    """``"YYYY-MM"`` one month forward (``"2024-12"`` -> ``"2025-01"``)."""
+    y, mo = int(m[:4]), int(m[5:7])
+    y, mo = (y + 1, 1) if mo == 12 else (y, mo + 1)
+    return f"{y:04d}-{mo:02d}"
 
 
 def _last_synced(dst: SnapshotStore) -> int | None:
@@ -71,7 +91,8 @@ def sync_next(
 
     if dst.current_snapshot() is None:
         return dst.publish(
-            rollup_next(src.read(), to_tier), extra={"synced_from": until}
+            rollup_next(src.read(asof=until), to_tier),
+            extra={"synced_from": until},
         )
 
     if since is None:
@@ -84,27 +105,43 @@ def sync_next(
     if since == until:
         return None
 
+    # affected DESTINATION months: months of the changed rows' truncated
+    # bucket starts.  For hourly/daily/monthly the truncation nests, so
+    # this equals the changed source months; for weekly a row in the first
+    # days of a month can belong to a week starting in the previous month.
     changes = src.read_changes(since, until)
+    bucket_month = F.date_format(
+        F.date_trunc(BUCKET_OF[to_tier], F.col(src.ts_col)), "yyyy-MM"
+    )
     months = sorted(
         r["m"]
-        for r in changes.select(
-            F.date_format(F.col(src.ts_col), "yyyy-MM").alias("m")
-        )
-        .distinct()
-        .collect()
+        for r in changes.select(bucket_month.alias("m")).distinct().collect()
     )
     if not months:
         # a layout-only source commit (rewrite) yields an empty changelog
         return None
 
-    # recompute the changed months wholesale from the source head and let
-    # the month-scoped refresh replace them.  Finer (per-bucket) precision
-    # buys nothing here: the destination commit is month-granular anyway,
-    # the source scan is month-pruned either way, and this shape needs no
-    # destination read, no broadcast, and no keep/anti-join — the whole
-    # sync is one pruned scan + one aggregation, derived purely from the
-    # source (so there is no stale-fold hazard to validate against).
-    recomputed = rollup_next(src.read(months=months), to_tier)
+    # recompute the affected destination months wholesale from the source
+    # head and let the month-scoped refresh replace them.  Finer
+    # (per-bucket) precision buys nothing here: the destination commit is
+    # month-granular anyway, the source scan is month-pruned either way,
+    # and this shape needs no destination read, no broadcast, and no
+    # keep/anti-join — the whole sync is one pruned scan + one
+    # aggregation, derived purely from the source (so there is no
+    # stale-fold hazard to validate against).  The refresh replaces whole
+    # destination months, so the recompute must carry EVERY bucket whose
+    # start falls in them: for weekly the source read widens one month
+    # forward (a week starting month-end spills rows into the next month)
+    # and the filter keeps exactly those buckets; the month-nesting tiers
+    # read the affected months as-is.
+    if BUCKET_OF[to_tier] == "week":
+        read_months = sorted({*months, *(_next_month(m) for m in months)})
+        src_rows = src.read(asof=until, months=read_months).where(
+            bucket_month.isin(months)
+        )
+    else:
+        src_rows = src.read(asof=until, months=months)
+    recomputed = rollup_next(src_rows, to_tier)
     return dst.refresh_months(
         recomputed, months, extra={"synced_from": until}
     )

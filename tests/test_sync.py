@@ -103,6 +103,53 @@ def test_sync_noop_on_layout_only_rewrite(spark, hourly, tmp_path):
     assert sync_next(src, dst, "daily") is None
 
 
+def test_weekly_sync_exact_across_month_boundary(spark, hourly, tmp_path):
+    """Weekly buckets do not nest in months (date_trunc("week") is the
+    week's Monday, possibly in the previous month): a change in the first
+    days of february belongs to the week of 2024-01-29, so the sync must
+    refresh JANUARY's destination month and re-aggregate that week from
+    both its months — the regression this test pins was an undercounted
+    boundary week plus a stale destination row."""
+    from rtsa_spark.sync import _next_month
+
+    assert _next_month("2024-12") == "2025-01"
+    assert _next_month("2024-02") == "2024-03"
+
+    src, dst = _stores(spark, tmp_path, hourly)
+    sync_next(src, dst, "weekly")
+    assert _totals(dst.read()) == _totals(rollup_next(hourly, "weekly"))
+
+    # double ONLY the first three february days (Thu-Sat of the week
+    # starting Monday 2024-01-29) via a whole-month source refresh
+    first_days = F.date_format("bucket_start", "yyyy-MM-dd").between(
+        "2024-02-01", "2024-02-03"
+    )
+    feb = F.date_format("bucket_start", "yyyy-MM") == "2024-02"
+    src.refresh_months(
+        hourly.where(feb).withColumn(
+            "n_tok_sum",
+            F.when(first_days, F.col("n_tok_sum") * 2).otherwise(
+                F.col("n_tok_sum")
+            ),
+        ),
+        ["2024-02"],
+    )
+    before = dst.months()
+    sid = sync_next(src, dst, "weekly")
+    assert sid is not None
+    # exactness: dst == from-scratch weekly rollup of the source head
+    assert _totals(dst.read()) == _totals(rollup_next(src.read(), "weekly"))
+    # minimality: only JANUARY's destination month changed (the affected
+    # week starts 2024-01-29; february's weekly rows were untouched)
+    after = dst.months(asof=sid)
+    changed = {
+        m
+        for m in set(before) | set(after)
+        if before.get(m) != after.get(m)
+    }
+    assert changed == {"2024-01"}
+
+
 def test_sync_guards(spark, hourly, tmp_path):
     src = SnapshotStore(spark, str(tmp_path / "src"))
     dst = SnapshotStore(spark, str(tmp_path / "dst"))
