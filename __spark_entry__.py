@@ -2227,6 +2227,81 @@ SELECT * FROM real UNION ALL SELECT * FROM clone
 """
 
 
+def q_snapshot_delete(spark, sf_dir):
+    """Row-level DELETE audit over the snapshot store
+    (rtsa_spark/snapshot.py delete_where): publish the hourly tier
+    (snap 1), then one copy-on-write month-pruned DELETE of src1's
+    February buckets (snap 2).  The query returns per-source bucket
+    counts and totals at BOTH snapshots; the oracle recomputes them
+    arithmetically from the sequences CTE — a delete that removes the
+    wrong rows, leaks outside its months, or rewrites history
+    hash-mismatches.  A no-match predicate commits nothing, so at an SF
+    where src1 has no February buckets both states coincide on both
+    engines.  Collected to plain int tuples before the temp dir is
+    removed."""
+    import shutil
+    import tempfile
+
+    from rtsa_spark.operators.rollup import rollup_next, rollup_raw
+    from rtsa_spark.snapshot import SnapshotStore
+
+    hourly = rollup_next(rollup_raw(_derived_sequences(spark, sf_dir)), "hourly")
+    feb = F.date_format(F.col("bucket_start"), "yyyy-MM") == "2024-02"
+    base = tempfile.mkdtemp(prefix="rtsa_delete_audit_")
+    try:
+        st = SnapshotStore(spark, base)
+        st.publish(hourly)                                          # snap 1
+        sid = st.delete_where(feb & (F.col("source") == "src1"))    # snap 2
+        if sid is None:  # degenerate SF: nothing matched, no commit
+            sid = st.current_snapshot()
+
+        def agg(df, tag):
+            return df.groupBy("source").agg(
+                F.count(F.lit(1)).cast("bigint").alias(f"n_{tag}"),
+                F.sum("n_seq").cast("bigint").alias(f"seq_{tag}"),
+                F.sum("n_tok_sum").cast("bigint").alias(f"tok_{tag}"),
+            )
+
+        per_src = st.read(asof=1).select("source").distinct()
+        for s, tag in ((1, "s1"), (sid, "s2")):
+            per_src = per_src.join(agg(st.read(asof=s), tag), "source", "left")
+        per_src = per_src.select(
+            "source",
+            *[
+                F.coalesce(F.col(c), F.lit(0)).cast("bigint").alias(c)
+                for c in per_src.columns
+                if c != "source"
+            ],
+        )
+        cols = per_src.columns
+        rows = [tuple(r[c] for c in cols) for r in per_src.collect()]
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    schema = "source string, " + ", ".join(
+        f"{c} bigint" for c in cols if c != "source"
+    )
+    return spark.createDataFrame(rows, schema)
+
+
+SQL_SNAPSHOT_DELETE = f"""
+WITH {SQL_SEQ_CTE}, hb AS MATERIALIZED (
+  SELECT source, date_trunc('hour', ts) AS b, count(*) AS n_seq,
+         sum(n_tok) AS t,
+         strftime(date_trunc('hour', ts), '%Y-%m') = '2024-02'
+           AND source = 'src1' AS is_hit
+  FROM seq GROUP BY 1, 2
+)
+SELECT source,
+       CAST(count(*) AS BIGINT)   AS n_s1,
+       CAST(sum(n_seq) AS BIGINT) AS seq_s1,
+       CAST(sum(t) AS BIGINT)     AS tok_s1,
+       CAST(count(*) FILTER (NOT is_hit) AS BIGINT)                AS n_s2,
+       CAST(COALESCE(sum(n_seq) FILTER (NOT is_hit), 0) AS BIGINT) AS seq_s2,
+       CAST(COALESCE(sum(t) FILTER (NOT is_hit), 0) AS BIGINT)     AS tok_s2
+FROM hb GROUP BY 1
+"""
+
+
 def q_snapshot_sync_next(spark, sf_dir):
     """Changelog-driven incremental tier maintenance audit
     (rtsa_spark/sync.py): publish the hourly tier into a source store,
@@ -6986,6 +7061,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_lsh": q_ngram_jaccard_lsh,
         "ann_cosine_topk": q_ann_cosine_topk,
         "snapshot_sync_next": q_snapshot_sync_next,
+        "snapshot_delete": q_snapshot_delete,
     }
 
 
@@ -7130,4 +7206,5 @@ def oracle_sql() -> dict[str, str]:
         "snapshot_wap": SQL_SNAPSHOT_WAP,
         "snapshot_merge": SQL_SNAPSHOT_MERGE,
         "snapshot_sync_next": SQL_SNAPSHOT_SYNC_NEXT,
+        "snapshot_delete": SQL_SNAPSHOT_DELETE,
     }

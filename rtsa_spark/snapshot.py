@@ -582,11 +582,68 @@ class SnapshotStore:
                     f"delta has multiple rows for one merge key {keys}; "
                     f"pre-aggregate it (MERGE requires unique source keys)"
                 )
+            lacking = [c for c in existing.columns if c not in delta.columns]
+            if lacking:
+                raise ValueError(
+                    f"delta lacks table columns {lacking}; an upsert "
+                    f"delta must carry every current column (it may "
+                    f"APPEND new ones — additive schema evolution)"
+                )
+            # allowMissingColumns: a delta carrying appended columns
+            # (additive evolution) null-fills the surviving head rows;
+            # refresh_months pins the evolved schema at commit
             merged = existing.join(
                 delta.select(*keys).distinct(), list(keys), "left_anti"
-            ).unionByName(delta)
+            ).unionByName(delta, allowMissingColumns=True)
         return self.refresh_months(
             merged, months, extra=extra, branch=branch,
+            expect_versions=expected,
+        )
+
+    def delete_where(
+        self,
+        condition,
+        months: list[str] | None = None,
+        extra: dict | None = None,
+        branch: str = MAIN,
+    ) -> int | None:
+        """Row-level DELETE (copy-on-write, month-pruned): commit a
+        snapshot where rows matching ``condition`` (a boolean Column) are
+        gone, touching ONLY the months that actually contain matches —
+        the Iceberg ``DELETE FROM ... WHERE`` analog next to
+        :meth:`publish` / :meth:`refresh_months` / :meth:`merge`.
+
+        ``months`` pre-prunes the match scan when the caller knows the
+        predicate's time range (otherwise the scan reads the whole head —
+        one pass, manifest-pruned reads thereafter).  Rows where the
+        predicate evaluates to NULL are KEPT (SQL DELETE semantics:
+        only TRUE deletes).  Returns the commit id, or ``None`` when
+        nothing matched (no empty commits).  Read-modify-write: commits
+        with serializable validation, so a writer replacing any affected
+        month first raises :class:`CommitConflict` — re-run against the
+        new head."""
+        self._validate_branch(branch)
+        head = self.current_snapshot(branch)
+        if head is None:
+            raise ValueError("delete_where requires a prior publish()")
+        hit = F.coalesce(condition, F.lit(False))
+        hit_months = sorted(
+            r["m"]
+            for r in self.read(asof=head, months=months)
+            .where(hit)
+            .select(
+                F.date_format(F.col(self.ts_col), "yyyy-MM").alias("m")
+            )
+            .distinct()
+            .collect()
+        )
+        if not hit_months:
+            return None
+        head_mapping = self.months(asof=head)
+        expected = {m: head_mapping.get(m) for m in hit_months}
+        kept = self.read(asof=head, months=hit_months).where(~hit)
+        return self.refresh_months(
+            kept, hit_months, extra=extra, branch=branch,
             expect_versions=expected,
         )
 

@@ -612,6 +612,69 @@ def test_merge_combine_fold(spark, tier, tmp_path):
     assert _totals(st.read()) == want
 
 
+def test_delete_where_row_level(spark, tier, tmp_path):
+    st = SnapshotStore(spark, str(tmp_path / "st"))
+    st.publish(tier)
+    feb = F.date_format("bucket_start", "yyyy-MM") == "2024-02"
+    cond = feb & (F.col("source") == "s001")
+    sid = st.delete_where(cond)
+    assert sid is not None
+    # exactness: rows matching the predicate are gone, everything else
+    # survives bit-for-bit; history intact
+    assert _totals(st.read()) == _totals(tier.where(~cond))
+    assert _totals(st.read(asof=1)) == _totals(tier)
+    # minimality: only the month containing matches changed versions
+    before, after = st.months(asof=1), st.months(asof=sid)
+    assert {m for m in before if before[m] != after.get(m)} == {"2024-02"}
+    # no-match delete commits nothing (no empty commits)
+    head = st.current_snapshot()
+    assert st.delete_where(F.col("source") == "nope") is None
+    assert st.current_snapshot() == head
+    # NULL predicate rows are KEPT (SQL DELETE semantics: only TRUE
+    # deletes) — a null-yielding comparison must not wipe the table
+    null_cond = F.lit(None).cast("boolean") | (
+        feb & (F.col("source") == "s002")
+    )
+    st.delete_where(null_cond)
+    assert _totals(st.read()) == _totals(
+        tier.where(~cond).where(
+            ~F.coalesce(feb & (F.col("source") == "s002"), F.lit(False))
+        )
+    )
+    # deleting every row of a month removes the month from the mapping
+    jan = F.date_format("bucket_start", "yyyy-MM") == "2024-01"
+    sid3 = st.delete_where(jan)
+    assert "2024-01" not in st.months(asof=sid3)
+    # guard: empty store
+    empty = SnapshotStore(spark, str(tmp_path / "empty"))
+    with pytest.raises(ValueError, match="prior publish"):
+        empty.delete_where(feb)
+
+
+def test_merge_upsert_with_additive_schema_evolution(spark, tier, tmp_path):
+    st = SnapshotStore(spark, str(tmp_path / "st"))
+    st.publish(tier)
+    feb = F.date_format("bucket_start", "yyyy-MM") == "2024-02"
+    # delta carries an APPENDED column: surviving head rows null-fill it,
+    # the table schema evolves at the commit
+    delta = tier.where(feb & (F.col("source") == "s000")).withColumn(
+        "quality", F.lit(7).cast("int")
+    )
+    st.merge(delta, keys=["source", "bucket_start"])
+    got = st.read()
+    assert got.schema["quality"].dataType.simpleString() == "int"
+    assert (
+        got.where(F.col("quality").isNotNull()).count() == delta.count()
+    )
+    assert _totals(got) == _totals(tier)  # values untouched by the column
+    # a delta MISSING current columns is refused (no silent null updates)
+    with pytest.raises(ValueError, match="lacks table columns"):
+        st.merge(
+            tier.where(feb).drop("n_tok_sum"),
+            keys=["source", "bucket_start"],
+        )
+
+
 def test_merge_guards_and_branch(spark, tier, tmp_path):
     from rtsa_spark.operators.rollup import merge_rollup
 
