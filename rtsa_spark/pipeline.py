@@ -530,7 +530,8 @@ class TierPipeline:
         """The :class:`SnapshotStore` behind a snapshot-backed stage —
         the on-ramp for store-level operations the pipeline doesn't wrap
         (branch staging via ``publish(df, branch=...)``, ``read_changes``
-        between arbitrary refs, ``refs()``/``files()`` metadata views)."""
+        between arbitrary refs, row-level ``delete_where``,
+        ``refs()``/``files()`` metadata views)."""
         if not self._is_snapshot_stage(stage):
             raise ValueError(
                 f"stage {stage!r} is not snapshot-backed; add its tier to "

@@ -927,6 +927,7 @@ def test_model_based_random_walk(spark, tier, tmp_path):
 
     base = _totals(tier)  # {(source, month): (n, tok)}
     all_months = sorted({m for _, m in base})
+    all_sources = sorted({s for s, _ in base})
 
     def model_apply(model, months, k):
         """Model a refresh of `months` from tier shifted by +k tokens."""
@@ -940,8 +941,10 @@ def test_model_based_random_walk(spark, tier, tmp_path):
     model = dict(base)
     history = {1: dict(model)}
 
-    for step in range(14):
-        op = rng.choice(["refresh", "merge_combine", "rollback", "noop_read"])
+    for step in range(18):
+        op = rng.choice(
+            ["refresh", "merge_combine", "rollback", "delete", "noop_read"]
+        )
         if op == "refresh":
             m = rng.choice(all_months)
             k = rng.randint(1, 9)
@@ -966,6 +969,18 @@ def test_model_based_random_walk(spark, tier, tmp_path):
             sid = st.rollback(target)
             model = dict(history[target])
             history[sid] = dict(model)
+        elif op == "delete":
+            m = rng.choice(all_months)
+            s = rng.choice(all_sources)
+            sid = st.delete_where(
+                (F.date_format("bucket_start", "yyyy-MM") == m)
+                & (F.col("source") == s)
+            )
+            if sid is not None:
+                model = {k: v for k, v in model.items() if k != (s, m)}
+                history[sid] = dict(model)
+            else:  # nothing matched: no commit, model unchanged
+                assert (s, m) not in model, f"step {step} delete missed"
         # live read matches the model after every op
         assert _totals(st.read()) == model, f"step {step} op {op}"
         # a random retained snapshot still reads its recorded state
