@@ -1151,6 +1151,74 @@ SELECT doc_id, unnest(fp) AS fingerprint FROM fps
 """
 
 
+def q_strip_duplicate_spans(spark, sf_dir):
+    """Substring-level dedup REWRITE (operators/dedup.
+    strip_duplicate_spans — the remove step of Lee et al. 2022): every
+    winnowing window whose fingerprint occurs in >= 2 documents is
+    removed from all docs except the min-doc_id owner; rewritten text,
+    word counts and removed counts are value-hashed, so a wrong window
+    span, wrong owner pick, or a mangled reconstruction all mismatch."""
+    from rtsa_spark.operators.dedup import strip_duplicate_spans
+
+    return strip_duplicate_spans(
+        _documents(spark, sf_dir), k=4, w=4, hash_fn="md5"
+    )
+
+
+SQL_STRIP_DUP_SPANS = """
+WITH words AS MATERIALIZED (
+  SELECT doc_id, text, string_split(text, ' ') AS ows,
+         string_split(lower(text), ' ') AS ws
+  FROM documents
+), hs AS (
+  SELECT doc_id,
+         list_transform(
+           list_transform(generate_series(0, GREATEST(len(ws) - 4, 0)),
+                          i -> array_to_string(ws[i+1:i+4], ' ')),
+           g -> ('0x' || substr(md5(g), 1, 12))::BIGINT) AS hh
+  FROM words
+), w2 AS MATERIALIZED (
+  SELECT doc_id, wj['j'] AS j, wj['fp'] AS fingerprint
+  FROM (
+    SELECT doc_id,
+           unnest(list_transform(
+             generate_series(0, GREATEST(len(hh) - 4, 0)),
+             j -> {'j': j, 'fp': list_min(hh[j+1:j+4])})) AS wj
+    FROM hs
+  )
+), carriers AS MATERIALIZED (
+  SELECT fingerprint, min(doc_id) AS owner
+  FROM (SELECT DISTINCT doc_id, fingerprint FROM w2)
+  GROUP BY 1 HAVING count(*) >= 2
+), kp AS MATERIALIZED (
+  SELECT DISTINCT k.doc_id,
+         unnest(generate_series(k.j, LEAST(k.j + 6, len(w.ows) - 1))) AS pos
+  FROM (
+    SELECT w2.doc_id, w2.j
+    FROM w2 JOIN carriers c USING (fingerprint)
+    WHERE w2.doc_id <> c.owner
+  ) k JOIN words w USING (doc_id)
+), kd AS MATERIALIZED (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_removed, list(pos) AS kills
+  FROM kp GROUP BY doc_id
+)
+SELECT w.doc_id,
+       CAST(len(w.ows) AS BIGINT) AS n_words,
+       COALESCE(kd.n_removed, 0) AS n_removed,
+       CASE WHEN kd.doc_id IS NULL THEN w.text
+            -- array_to_string([]) is NULL in DuckDB; a fully-killed
+            -- document must rebuild to the empty string like Spark's
+            ELSE COALESCE(array_to_string(
+              list_transform(
+                list_filter(generate_series(0, len(w.ows) - 1),
+                            i -> NOT list_contains(kd.kills, i)),
+                i -> w.ows[i + 1]),
+              ' '), '')
+       END AS text_out
+FROM words w LEFT JOIN kd USING (doc_id)
+"""
+
+
 def q_duplicate_spans(spark, sf_dir):
     """Substring-level duplicated-span mass per document
     (operators/dedup.duplicate_spans): share of a doc's winnowing
@@ -7062,6 +7130,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": q_ann_cosine_topk,
         "snapshot_sync_next": q_snapshot_sync_next,
         "snapshot_delete": q_snapshot_delete,
+        "strip_duplicate_spans": q_strip_duplicate_spans,
     }
 
 
@@ -7207,4 +7276,5 @@ def oracle_sql() -> dict[str, str]:
         "snapshot_merge": SQL_SNAPSHOT_MERGE,
         "snapshot_sync_next": SQL_SNAPSHOT_SYNC_NEXT,
         "snapshot_delete": SQL_SNAPSHOT_DELETE,
+        "strip_duplicate_spans": SQL_STRIP_DUP_SPANS,
     }

@@ -507,3 +507,135 @@ def duplicate_spans(
             F.expr("dup_fp * 1000000L div tot_fp"),
         )
     )
+
+
+def strip_duplicate_spans(
+    df: DataFrame,
+    k: int = 4,
+    w: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Substring-level dedup REWRITE (Lee et al. 2022 "Deduplicating
+    Training Data Makes Language Models Better" — the remove step their
+    suffix-array pipeline performs, here on the winnowing index that
+    :func:`duplicate_spans` already measures): every winnowing window
+    whose fingerprint occurs in >= 2 documents is removed from all
+    documents EXCEPT one canonical owner (min ``id_col`` per
+    fingerprint), so exactly one copy of each duplicated span survives
+    the corpus.  Windows cover ``w + k - 1`` words, matching the
+    winnowing guarantee (any shared run of >= w+k-1 words shares a
+    fingerprint), so removals track real shared substrings, not single
+    words.
+
+    Fully deterministic and engine-replayable: lowercased words hash
+    (same stream as :func:`~rtsa_spark.functions.text.winnow_fingerprints`;
+    ``hash_fn="md5"`` for the DuckDB oracle), reconstruction keeps the
+    original-case words outside the killed positions joined by single
+    spaces.  Documents with no duplicated spans pass through with their
+    text byte-identical (never split-rejoined).
+
+    Plan shape at 100 TB: fingerprint windows are one projection +
+    explode (no UDF); the carrier index is one map-side-combinable
+    groupBy(fingerprint); kill windows come back via one
+    fingerprint-keyed equi-join (never pairwise).  Only documents that
+    actually contain a non-canonical duplicated span are word-exploded
+    and reassembled — the rewrite cost is proportional to the duplicated
+    subset, untouched documents never leave columnar form.
+
+    Returns ``(id_col, n_words, n_removed, text_out)`` — exact BIGINT
+    counts; ``n_removed`` is the number of word positions dropped.
+    """
+    span = w + k - 1
+    words = F.split(F.col(text_col), " ")
+    lw = F.split(F.lower(F.col(text_col)), " ")
+    if hash_fn == "md5":
+        def h(g):
+            return F.conv(F.substring(F.md5(g), 1, 12), 16, 10).cast("bigint")
+    elif hash_fn == "xxhash64":
+        def h(g):
+            return F.xxhash64(g)
+    else:
+        raise ValueError("hash_fn must be 'xxhash64' or 'md5'")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(lw) - k, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(lw, i + 1, k)),
+    )
+    hashes = F.transform(grams, h)
+    wins = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(hashes) - w, F.lit(0))),
+        lambda j: F.struct(
+            j.alias("j"), F.array_min(F.slice(hashes, j + 1, w)).alias("fp")
+        ),
+    )
+    base = df.select(
+        F.col(id_col), F.col(text_col), F.size(words).alias("_n")
+    )
+    w2 = base.select(
+        id_col, "_n", F.explode(wins).alias("_w")
+    ).select(
+        id_col, "_n", F.col("_w.j").alias("j"), F.col("_w.fp").alias("fp")
+    )
+    carriers = (
+        w2.select(id_col, "fp")
+        .distinct()
+        .groupBy("fp")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min(id_col).alias("_owner"),
+        )
+        .where(F.col("n_docs") >= 2)
+    )
+    kill_pos = (
+        w2.join(carriers, "fp")
+        .where(F.col(id_col) != F.col("_owner"))
+        .select(
+            id_col,
+            F.explode(
+                F.sequence(
+                    F.col("j"),
+                    F.least(F.col("j") + F.lit(span - 1), F.col("_n") - 1),
+                )
+            ).alias("pos"),
+        )
+        .distinct()
+    )
+    removed = kill_pos.groupBy(id_col).agg(
+        F.count("*").cast("bigint").alias("n_removed")
+    )
+    # rebuild ONLY the touched documents; everyone else passes through
+    touched = base.join(removed, id_col)
+    rebuilt = (
+        touched.select(
+            id_col, F.posexplode(words).alias("pos", "_word")
+        )
+        .join(kill_pos, [id_col, "pos"], "left_anti")
+        .groupBy(id_col)
+        .agg(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "_word"))),
+                    lambda s: s["_word"],
+                ),
+            ).alias("_text_out")
+        )
+    )
+    out_touched = (
+        touched.join(rebuilt, id_col, "left")
+        .select(
+            id_col,
+            F.col("_n").cast("bigint").alias("n_words"),
+            "n_removed",
+            # a fully-killed document rebuilds to the empty string
+            F.coalesce(F.col("_text_out"), F.lit("")).alias("text_out"),
+        )
+    )
+    out_clean = base.join(removed, id_col, "left_anti").select(
+        id_col,
+        F.col("_n").cast("bigint").alias("n_words"),
+        F.lit(0).cast("bigint").alias("n_removed"),
+        F.col(text_col).alias("text_out"),
+    )
+    return out_clean.unionByName(out_touched)

@@ -22,3 +22,38 @@ def test_connected_components_chain_olog_convergence(spark):
     assert len(rows) == n
     assert {r["cluster_id"] for r in rows} == {"n000000"}  # one component,
     # canonically labeled by its minimum member
+
+
+def test_strip_duplicate_spans_hand_case(spark):
+    """The Lee-et-al remove step: the owner (min doc_id) keeps every
+    word; a doc embedding the shared 9-word span loses exactly that
+    span; a doc that IS the span empties; unique and empty docs pass
+    through byte-identical."""
+    from rtsa_spark.operators.dedup import strip_duplicate_spans
+
+    span = "the quick brown fox jumps over the lazy dog"
+    rows = [
+        (1, span + " and runs far away"),
+        (2, "intro words here " + span + " closing remark"),
+        (3, "completely unique text with no overlap whatsoever in any span"),
+        (4, span),
+        (5, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_words"], r["n_removed"], r["text_out"])
+        for r in strip_duplicate_spans(df, k=4, w=4).collect()
+    }
+    assert got[1] == (13, 0, span + " and runs far away")  # owner untouched
+    assert got[2] == (14, 9, "intro words here closing remark")
+    assert got[3] == (10, 0, rows[2][1])
+    assert got[4] == (9, 9, "")  # whole doc was the duplicated span
+    assert got[5] == (1, 0, "")
+    # removal is conservative: only cross-doc spans die, so a doc
+    # repeating ITS OWN phrase keeps it
+    solo = spark.createDataFrame(
+        [(7, "abc def ghi jkl mno pqr abc def ghi jkl mno pqr")],
+        "doc_id long, text string",
+    )
+    out = strip_duplicate_spans(solo, k=4, w=4).collect()[0]
+    assert out["n_removed"] == 0 and out["text_out"] == solo.collect()[0]["text"]
