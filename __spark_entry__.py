@@ -1219,6 +1219,64 @@ FROM words w LEFT JOIN kd USING (doc_id)
 """
 
 
+def q_line_dedup(spark, sf_dir):
+    """Exact line-level corpus dedup (operators/dedup.line_dedup — the
+    C4/Dolma keep-first-occurrence paragraph rule). The flat documents
+    table has no newlines, so both engines first rebuild the SAME
+    deterministic multi-line text (4-word chunks joined by \\n — 341 of
+    ~7k lines are corpus-duplicated at sf0.01, so the kill path is truly
+    exercised); the rewritten text is value-hashed, catching a wrong
+    owner pick, a killed empty line, or a mangled reassembly."""
+    from rtsa_spark.operators.dedup import line_dedup
+
+    d = _documents(spark, sf_dir).selectExpr(
+        "doc_id",
+        "array_join(transform(sequence(0, (size(split(text, ' ')) - 1) div 4),"
+        " i -> array_join(slice(split(text, ' '), i * 4 + 1, 4), ' ')),"
+        " '\\n') AS text",
+    )
+    return line_dedup(d, hash_fn="md5")
+
+
+SQL_LINE_DEDUP = """
+WITH src AS MATERIALIZED (
+  SELECT doc_id,
+         array_to_string(list_transform(generate_series(0, (len(ws)-1)//4),
+            i -> array_to_string(ws[i*4+1:i*4+4], ' ')), chr(10)) AS text
+  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+), lines AS MATERIALIZED (
+  SELECT doc_id, string_split(text, chr(10)) AS ls, text FROM src
+), occ AS MATERIALIZED (
+  SELECT doc_id, pos,
+         ('0x' || substr(md5(ls[pos+1]), 1, 12))::BIGINT AS lh,
+         doc_id * 1000000 + pos AS okey
+  FROM (SELECT doc_id, ls,
+               unnest(generate_series(0, len(ls)-1)) AS pos FROM lines)
+  WHERE ls[pos+1] <> ''
+), dup AS MATERIALIZED (
+  SELECT lh, min(okey) AS owner FROM occ GROUP BY lh HAVING count(*) >= 2
+), kp AS MATERIALIZED (
+  SELECT o.doc_id, o.pos FROM occ o JOIN dup d USING (lh)
+  WHERE o.okey <> d.owner
+), kd AS MATERIALIZED (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_removed, list(pos) AS kills
+  FROM kp GROUP BY doc_id
+)
+SELECT l.doc_id, CAST(len(l.ls) AS BIGINT) AS n_lines,
+       COALESCE(kd.n_removed, 0) AS n_removed,
+       CASE WHEN kd.doc_id IS NULL THEN l.text
+            -- array_to_string([]) is NULL; an all-duplicate doc is ''
+            ELSE COALESCE(array_to_string(
+              list_transform(
+                list_filter(generate_series(0, len(l.ls)-1),
+                            i -> NOT list_contains(kd.kills, i)),
+                i -> l.ls[i+1]),
+              chr(10)), '')
+       END AS text_out
+FROM lines l LEFT JOIN kd USING (doc_id)
+"""
+
+
 def q_duplicate_spans(spark, sf_dir):
     """Substring-level duplicated-span mass per document
     (operators/dedup.duplicate_spans): share of a doc's winnowing
@@ -7131,6 +7189,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_sync_next": q_snapshot_sync_next,
         "snapshot_delete": q_snapshot_delete,
         "strip_duplicate_spans": q_strip_duplicate_spans,
+        "line_dedup": q_line_dedup,
     }
 
 
@@ -7277,4 +7336,5 @@ def oracle_sql() -> dict[str, str]:
         "snapshot_sync_next": SQL_SNAPSHOT_SYNC_NEXT,
         "snapshot_delete": SQL_SNAPSHOT_DELETE,
         "strip_duplicate_spans": SQL_STRIP_DUP_SPANS,
+        "line_dedup": SQL_LINE_DEDUP,
     }

@@ -509,6 +509,21 @@ def duplicate_spans(
     )
 
 
+def _hash64(hash_fn: str):
+    """Column -> BIGINT hash chooser shared by the rewrite operators:
+    ``xxhash64`` is the production fast path; ``md5`` (first 12 hex chars
+    as BIGINT) is the cross-engine stream every ANSI-SQL oracle replays."""
+    if hash_fn == "md5":
+        return lambda g: F.conv(F.substring(F.md5(g), 1, 12), 16, 10).cast(
+            "bigint"
+        )
+    if hash_fn == "xxhash64":
+        # wrapped: the bare varargs builtin is rejected as a higher-order
+        # function lambda (transform needs fixed arity)
+        return lambda g: F.xxhash64(g)
+    raise ValueError("hash_fn must be 'xxhash64' or 'md5'")
+
+
 def strip_duplicate_spans(
     df: DataFrame,
     k: int = 4,
@@ -550,14 +565,7 @@ def strip_duplicate_spans(
     span = w + k - 1
     words = F.split(F.col(text_col), " ")
     lw = F.split(F.lower(F.col(text_col)), " ")
-    if hash_fn == "md5":
-        def h(g):
-            return F.conv(F.substring(F.md5(g), 1, 12), 16, 10).cast("bigint")
-    elif hash_fn == "xxhash64":
-        def h(g):
-            return F.xxhash64(g)
-    else:
-        raise ValueError("hash_fn must be 'xxhash64' or 'md5'")
+    h = _hash64(hash_fn)
     grams = F.transform(
         F.sequence(F.lit(0), F.greatest(F.size(lw) - k, F.lit(0))),
         lambda i: F.concat_ws(" ", F.slice(lw, i + 1, k)),
@@ -635,6 +643,117 @@ def strip_duplicate_spans(
     out_clean = base.join(removed, id_col, "left_anti").select(
         id_col,
         F.col("_n").cast("bigint").alias("n_words"),
+        F.lit(0).cast("bigint").alias("n_removed"),
+        F.col(text_col).alias("text_out"),
+    )
+    return out_clean.unionByName(out_touched)
+
+
+LINE_POS_CAP = 1_000_000
+
+
+def line_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = "\n",
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Exact line/paragraph-level corpus deduplication (the C4 "we
+    deduplicated three-sentence spans" / Dolma "exact paragraph dedup"
+    step, Raffel et al. 2020 §2.2, Soldaini et al. 2024): every line
+    that occurs more than once IN THE WHOLE CORPUS keeps only its first
+    occurrence (lexicographic min of ``(id_col, line position)``); all
+    later occurrences — in other documents or repeated inside the same
+    document — are dropped. Empty lines are never treated as duplicates
+    and always pass through. ``sep`` is a literal separator (regex
+    metacharacters are escaped before Spark's regex ``split``).
+
+    Plan shape at 100 TB: split + posexplode is a projection; duplicated
+    lines are found by one map-side-combinable groupBy on the line hash
+    (only the BIGINT hash shuffles, never line text); kill positions come
+    back via one hash-keyed equi-join against that (much smaller)
+    duplicate index. Only documents that actually lose a line are
+    re-assembled — clean documents pass through byte-identical without a
+    split/rejoin. Line positions are guarded < ``LINE_POS_CAP`` so the
+    ``doc_id * CAP + pos`` owner key stays exact BIGINT (requires
+    ``doc_id < 2^53 / CAP``; a longer document raises loudly).
+
+    Returns ``(id_col, n_lines, n_removed, text_out)`` — exact BIGINT
+    counts; removed lines leave no separator behind.
+    """
+    import re
+
+    h = _hash64(hash_fn)
+    lines = F.split(F.col(text_col), re.escape(sep))
+    base = df.select(
+        F.col(id_col), F.col(text_col), F.size(lines).alias("_n")
+    )
+    # guard lives INSIDE the owner-key expression so column pruning can
+    # never drop it: pos < n_lines, so capping pos caps the line count
+    okey = F.when(
+        F.col("pos") >= LINE_POS_CAP,
+        F.raise_error(
+            F.format_string(
+                f"line_dedup: document %s has >= {LINE_POS_CAP} lines — "
+                "raise LINE_POS_CAP (and check the 2^53 doc_id bound)",
+                F.col(id_col).cast("string"),
+            )
+        ).cast("bigint"),
+    ).otherwise(F.col(id_col) * F.lit(LINE_POS_CAP) + F.col("pos"))
+    occ = (
+        base.select(
+            id_col,
+            F.posexplode(F.split(F.col(text_col), re.escape(sep))).alias(
+                "pos", "_line"
+            ),
+        )
+        .where(F.col("_line") != "")
+        .select(id_col, "pos", h(F.col("_line")).alias("lh"), okey.alias("_okey"))
+    )
+    dup_index = (
+        occ.groupBy("lh")
+        .agg(F.count("*").alias("n_occ"), F.min("_okey").alias("_owner"))
+        .where(F.col("n_occ") >= 2)
+    )
+    kill_pos = (
+        occ.join(dup_index, "lh")
+        .where(F.col("_okey") != F.col("_owner"))
+        .select(id_col, "pos")
+    )
+    removed = kill_pos.groupBy(id_col).agg(
+        F.count("*").cast("bigint").alias("n_removed")
+    )
+    touched = base.join(removed, id_col)
+    rebuilt = (
+        touched.select(
+            id_col,
+            F.posexplode(F.split(F.col(text_col), re.escape(sep))).alias(
+                "pos", "_line"
+            ),
+        )
+        .join(kill_pos, [id_col, "pos"], "left_anti")
+        .groupBy(id_col)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "_line"))),
+                    lambda s: s["_line"],
+                ),
+                sep,
+            ).alias("_text_out")
+        )
+    )
+    out_touched = touched.join(rebuilt, id_col, "left").select(
+        id_col,
+        F.col("_n").cast("bigint").alias("n_lines"),
+        "n_removed",
+        # a document whose every line was a later duplicate rebuilds empty
+        F.coalesce(F.col("_text_out"), F.lit("")).alias("text_out"),
+    )
+    out_clean = base.join(removed, id_col, "left_anti").select(
+        id_col,
+        F.col("_n").cast("bigint").alias("n_lines"),
         F.lit(0).cast("bigint").alias("n_removed"),
         F.col(text_col).alias("text_out"),
     )

@@ -57,3 +57,35 @@ def test_strip_duplicate_spans_hand_case(spark):
     )
     out = strip_duplicate_spans(solo, k=4, w=4).collect()[0]
     assert out["n_removed"] == 0 and out["text_out"] == solo.collect()[0]["text"]
+
+
+def test_line_dedup_keep_first_occurrence(spark):
+    """Corpus-wide exact line dedup keeps only the global first
+    occurrence — ordered by (doc_id, position) — of every duplicated
+    line, including repeats INSIDE one document; empty lines and clean
+    docs pass through byte-identical."""
+    from rtsa_spark.operators.dedup import line_dedup
+
+    rows = [
+        (1, "alpha line\nshared boilerplate\nalpha tail"),
+        (2, "shared boilerplate\nunique middle\nshared boilerplate"),
+        (3, "totally unique\n\nwith an empty line kept"),
+        (4, "shared boilerplate"),
+        (5, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_lines"], r["n_removed"], r["text_out"])
+        for r in line_dedup(df).collect()
+    }
+    assert got[1] == (3, 0, rows[0][1])  # owner of the boilerplate
+    assert got[2] == (3, 2, "unique middle")  # both copies die
+    assert got[3] == (3, 0, rows[2][1])  # empty line untouched
+    assert got[4] == (1, 1, "")  # doc was nothing but the dup line
+    assert got[5] == (1, 0, "")
+    # within-doc repeat with no cross-doc copy: first kept, second dropped
+    solo = spark.createDataFrame(
+        [(9, "repeat me\nmiddle\nrepeat me")], "doc_id long, text string"
+    )
+    out = line_dedup(solo).collect()[0]
+    assert (out["n_removed"], out["text_out"]) == (1, "repeat me\nmiddle")
