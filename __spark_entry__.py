@@ -1277,6 +1277,72 @@ FROM lines l LEFT JOIN kd USING (doc_id)
 """
 
 
+_PLANT_PII_SPARK = (
+    "concat(text,"
+    " CASE WHEN doc_id % 3 = 0 THEN concat(' contact user',"
+    "   cast(doc_id AS string), '@example.com') ELSE '' END,"
+    " CASE WHEN doc_id % 4 = 0 THEN concat(' node 10.0.',"
+    "   cast(doc_id % 256 AS string), '.', cast(doc_id % 100 AS string))"
+    "   ELSE '' END,"
+    " CASE WHEN doc_id % 5 = 0 THEN ' call 555-867-5309' ELSE '' END,"
+    " CASE WHEN doc_id % 7 = 0 THEN concat(' cc ', cast(doc_id AS string),"
+    "   '-555-0199@mail.org') ELSE '' END) AS text"
+)
+
+
+def q_redact_pii(spark, sf_dir):
+    """PII masking (functions/text.redact_pii — Dolma §2.3-style email /
+    IPv4 / phone sentinel replacement, pure Catalyst regex). The word-
+    salad documents text carries no PII, so both engines first plant the
+    SAME deterministic addresses keyed off doc_id (every doc_id % 3/4/5/7
+    residue class gets a different category; doc_id % 7 plants a
+    phone-shaped digit run INSIDE an email so the rule-order precedence
+    is exercised at the gate); redacted text is value-hashed, catching a
+    regex-semantics divergence, a wrong rule order, or a double count."""
+    from rtsa_spark.functions.text import redact_pii
+
+    d = _documents(spark, sf_dir).selectExpr("doc_id", _PLANT_PII_SPARK)
+    return redact_pii(d)
+
+
+SQL_REDACT_PII = r"""
+WITH planted AS MATERIALIZED (
+  SELECT doc_id, text ||
+    CASE WHEN doc_id % 3 = 0 THEN ' contact user' ||
+      CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END ||
+    CASE WHEN doc_id % 4 = 0 THEN ' node 10.0.' ||
+      CAST(doc_id % 256 AS VARCHAR) || '.' ||
+      CAST(doc_id % 100 AS VARCHAR) ELSE '' END ||
+    CASE WHEN doc_id % 5 = 0 THEN ' call 555-867-5309' ELSE '' END ||
+    CASE WHEN doc_id % 7 = 0 THEN ' cc ' || CAST(doc_id AS VARCHAR) ||
+      '-555-0199@mail.org' ELSE '' END AS text
+  FROM documents
+), r1 AS MATERIALIZED (
+  SELECT doc_id,
+    CAST(len(regexp_extract_all(text,
+      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+      AS n_email,
+    regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+      '|||EMAIL_ADDRESS|||', 'g') AS t
+  FROM planted
+), r2 AS MATERIALIZED (
+  SELECT doc_id, n_email,
+    CAST(len(regexp_extract_all(t,
+      '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS BIGINT)
+      AS n_ipv4,
+    regexp_replace(t, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b',
+      '|||IP_ADDRESS|||', 'g') AS t
+  FROM r1
+)
+SELECT doc_id, n_email, n_ipv4,
+  CAST(len(regexp_extract_all(t, '\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b'))
+    AS BIGINT) AS n_phone,
+  regexp_replace(t, '\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b',
+    '|||PHONE_NUMBER|||', 'g') AS text_out
+FROM r2
+"""
+
+
 def q_duplicate_spans(spark, sf_dir):
     """Substring-level duplicated-span mass per document
     (operators/dedup.duplicate_spans): share of a doc's winnowing
@@ -7190,6 +7256,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_delete": q_snapshot_delete,
         "strip_duplicate_spans": q_strip_duplicate_spans,
         "line_dedup": q_line_dedup,
+        "redact_pii": q_redact_pii,
     }
 
 
@@ -7337,4 +7404,5 @@ def oracle_sql() -> dict[str, str]:
         "snapshot_delete": SQL_SNAPSHOT_DELETE,
         "strip_duplicate_spans": SQL_STRIP_DUP_SPANS,
         "line_dedup": SQL_LINE_DEDUP,
+        "redact_pii": SQL_REDACT_PII,
     }

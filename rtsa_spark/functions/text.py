@@ -307,3 +307,50 @@ def term_lift_topk(
         .where(F.col("rank") <= k)
         .select("key", "word", "cnt", "c_w", "lift_e6", "rank")
     )
+
+
+#: PII masking rules applied IN ORDER (Dolma-style tokens; Soldaini et
+#: al. 2024 §2.3 "PII masking" / CCNet pipeline convention). Each rule
+#: is (name, regex, replacement). The regexes deliberately use only the
+#: portable subset identical under Java regex (Spark) and RE2 (DuckDB,
+#: Go): explicit character classes, bounded repetition, ASCII `\b` —
+#: no lookaround, no non-capturing groups, no alternation whose
+#: leftmost-first vs leftmost-longest semantics could diverge. Order
+#: matters and is part of the spec: emails are masked before IPv4 /
+#: phone so a digit run inside an address is consumed by the email rule
+#: (counts are taken on the progressively-redacted stream).
+PII_RULES = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+     "|||EMAIL_ADDRESS|||"),
+    ("ipv4", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b",
+     "|||IP_ADDRESS|||"),
+    ("phone", r"\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b", "|||PHONE_NUMBER|||"),
+)
+
+
+def redact_pii(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """PII masking for training corpora: emails, IPv4 addresses and
+    NNN-NNN-NNNN phone numbers replaced by Dolma-style sentinel tokens,
+    with exact per-category match counts. Pure Catalyst
+    ``regexp_count`` + ``regexp_replace`` — whole-stage-codegen'd JVM
+    regex at scan speed, no UDF, no shuffle: at 100 TB this is a
+    projection that runs as fast as the parquet scan feeding it.
+
+    Counts are computed on the progressively-redacted text (email count
+    on the raw text, IPv4 count after emails are masked, phone count
+    after IPv4) so a digit run consumed by an earlier rule is never
+    double-counted; any ANSI engine replays the same three-step
+    fold exactly (see ``SQL_REDACT_PII`` in ``__spark_entry__``).
+
+    Returns ``(id_col, n_email, n_ipv4, n_phone, text_out)``.
+    """
+    cur = F.col(text_col)
+    counts = []
+    for name, pat, rep in PII_RULES:
+        counts.append(
+            F.regexp_count(cur, F.lit(pat)).cast("bigint").alias(f"n_{name}")
+        )
+        cur = F.regexp_replace(cur, pat, rep)
+    return df.select(F.col(id_col), *counts, cur.alias("text_out"))

@@ -682,3 +682,33 @@ def test_rtsm_header_hex_rejects_out_of_range(spark):
     ):
         with pytest.raises(Exception, match="out of range"):
             one.select(bad.alias("h")).collect()
+
+
+def test_redact_pii_masks_and_counts(spark):
+    """Emails, IPv4s and phones are masked with Dolma-style tokens; the
+    per-category counts are taken on the progressively-redacted stream
+    (a phone-shaped digit run inside an email is consumed by the email
+    rule, never double-counted); clean docs pass through byte-identical."""
+    from rtsa_spark.functions.text import redact_pii
+
+    rows = [
+        (1, "mail a@b.org or c.d+x@e-f.co.uk today"),
+        (2, "node 10.0.0.255 peer 192.168.1.1."),
+        (3, "call 555-867-5309 now"),
+        (4, "reach 555-123-4567@example.com"),  # email eats the phone run
+        (5, "nothing sensitive here"),
+        (6, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_email"], r["n_ipv4"], r["n_phone"], r["text_out"])
+        for r in redact_pii(df).collect()
+    }
+    assert got[1] == (2, 0, 0,
+                      "mail |||EMAIL_ADDRESS||| or |||EMAIL_ADDRESS||| today")
+    assert got[2] == (0, 2, 0,
+                      "node |||IP_ADDRESS||| peer |||IP_ADDRESS|||.")
+    assert got[3] == (0, 0, 1, "call |||PHONE_NUMBER||| now")
+    assert got[4] == (1, 0, 0, "reach |||EMAIL_ADDRESS|||")
+    assert got[5] == (0, 0, 0, rows[4][1])
+    assert got[6] == (0, 0, 0, "")
