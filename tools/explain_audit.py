@@ -129,6 +129,33 @@ def main() -> int:
     ok &= check("duplicate_spans carrier count combines map-side",
                 "partial_count" in ds_plan)
 
+    # 7c. line dedup: duplicate index is a hash-only groupBy (map-side
+    #     combined), kill positions come back via equi-joins — never a
+    #     cartesian, never Python
+    from rtsa_spark.operators.dedup import line_dedup
+
+    ld_plan = plan_of(line_dedup(docs))
+    ok &= check(
+        "line_dedup equi-joins only (no cartesian/BNLJ)",
+        "CartesianProduct" not in ld_plan
+        and "BroadcastNestedLoopJoin" not in ld_plan,
+    )
+    ok &= check("line_dedup duplicate index combines map-side",
+                "partial_count" in ld_plan and "partial_min" in ld_plan)
+    ok &= check("line_dedup stays JVM-side (no Python eval)",
+                "EvalPython" not in ld_plan and "InPandas" not in ld_plan)
+
+    # 7d. PII redaction is a pure projection: no shuffle, no Python —
+    #     runs at scan speed inside whole-stage codegen
+    from rtsa_spark.functions.text import redact_pii
+
+    rp_plan = plan_of(redact_pii(docs))
+    ok &= check("redact_pii has no shuffle", "Exchange" not in rp_plan)
+    ok &= check("redact_pii stays JVM-side (no Python eval)",
+                "EvalPython" not in rp_plan and "InPandas" not in rp_plan)
+    ok &= check("redact_pii whole-stage codegen",
+                "[codegen id :" in rp_plan)
+
     # 8. analytics bucket vectors shuffle on the BUCKET, not the source —
     #    dominant sources cannot skew the Gramian exchange
     from rtsa_spark.operators.eof import bucket_vectors, source_index
