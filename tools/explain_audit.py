@@ -156,6 +156,21 @@ def main() -> int:
     ok &= check("redact_pii whole-stage codegen",
                 "[codegen id :" in rp_plan)
 
+    # 7e. hashed-linear quality classifier is likewise a pure projection:
+    #     split once, weights folded inside the row (no explode/shuffle)
+    from rtsa_spark.functions.text import quality_classifier
+
+    qc_plan = plan_of(quality_classifier(docs))
+    ok &= check("quality_classifier has no shuffle", "Exchange" not in qc_plan)
+    ok &= check("quality_classifier has no explode", "Generate" not in qc_plan)
+    ok &= check("quality_classifier stays JVM-side (no Python eval)",
+                "EvalPython" not in qc_plan and "InPandas" not in qc_plan)
+    # (split appears twice in the Project text — size() + transform() —
+    # but runtime subexpression elimination CSEs it inside the codegen'd
+    # stage, so assert codegen rather than a textual split count)
+    ok &= check("quality_classifier whole-stage codegen",
+                "[codegen id :" in qc_plan)
+
     # 8. analytics bucket vectors shuffle on the BUCKET, not the source —
     #    dominant sources cannot skew the Gramian exchange
     from rtsa_spark.operators.eof import bucket_vectors, source_index
