@@ -3967,6 +3967,38 @@ FROM agg
 """
 
 
+def q_unigram_surprisal(spark, sf_dir):
+    """Per (source, day) mean unigram surprisal in whole bits
+    (rollup.unigram_surprisal): each token occurrence scored
+    floor(log2(N/c)) against the corpus unigram model via the exact
+    integer identity len(bin(N div c)) - 1 — the LM-flavored novelty /
+    mode-collapse drift monitor, bit-exact on any engine (no float log)."""
+    from rtsa_spark.operators.rollup import unigram_surprisal
+
+    return unigram_surprisal(_token_seq(spark, sf_dir), "daily")
+
+
+SQL_UNIGRAM_SURPRISAL = f"""
+WITH {SQL_SEQ_TEXT_CTE},
+{_sql_tok_cte("day")}, cnts AS MATERIALIZED (
+  SELECT source, b, token, count(*)::BIGINT AS cnt FROM tok GROUP BY 1, 2, 3
+), vocab AS MATERIALIZED (
+  SELECT token, sum(cnt)::BIGINT AS c FROM cnts GROUP BY 1
+), model AS (
+  SELECT token,
+         CAST(length(format('{{:b}}', (SELECT sum(c)::BIGINT FROM vocab) // c))
+              - 1 AS BIGINT) AS bits
+  FROM vocab
+)
+SELECT source, b AS bucket_start,
+       sum(cnt)::BIGINT AS n_tok,
+       sum(cnt * bits)::BIGINT AS sum_bits,
+       CAST((1000000 * sum(cnt * bits)) // sum(cnt) AS BIGINT) AS mean_bits_e6
+FROM cnts JOIN model USING (token)
+GROUP BY 1, 2
+"""
+
+
 def q_vocab_growth(spark, sf_dir):
     """Per (source, day) new-vocabulary accounting (rollup.vocab_growth):
     tokens first seen in each bucket + the running vocabulary size — the
@@ -7291,6 +7323,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedup": q_line_dedup,
         "redact_pii": q_redact_pii,
         "quality_classifier": q_quality_classifier,
+        "unigram_surprisal": q_unigram_surprisal,
     }
 
 
@@ -7440,4 +7473,5 @@ def oracle_sql() -> dict[str, str]:
         "line_dedup": SQL_LINE_DEDUP,
         "redact_pii": SQL_REDACT_PII,
         "quality_classifier": _sql_quality_classifier(),
+        "unigram_surprisal": SQL_UNIGRAM_SURPRISAL,
     }

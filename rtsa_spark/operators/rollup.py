@@ -425,6 +425,63 @@ def token_diversity(
     )
 
 
+def unigram_surprisal(
+    df: DataFrame, tier: str = "raw", ts_col: str = "ts"
+) -> DataFrame:
+    """Per (source, bucket) mean unigram surprisal in WHOLE BITS — the
+    LM-flavored content-novelty monitor over time (cross-entropy data
+    selection à la Moore & Lewis 2010, reduced to the unigram model and
+    the exactly-reproducible integer-bit grain).
+
+    Each token occurrence contributes its Shannon information content
+    rounded down to whole bits against the corpus-wide unigram model:
+    ``bits(t) = floor(log2(N / c_t))`` with ``N`` = total token
+    occurrences and ``c_t`` the token's corpus count. The identity
+    ``floor(log2(N / c)) == len(bin(N div c)) - 1`` (2^k <= N/c implies
+    2^k <= N div c, both sides < 2^(k+1)) keeps the whole computation in
+    exact-int string/length ops — any engine reproduces every row
+    bit-for-bit, no float log anywhere. Low mean = repetitive/common
+    tokens (mode collapse, boilerplate floods); high mean = rare-heavy
+    novel content (or encoding garbage) — both drift directions a corpus
+    pipeline wants flagged per source over time.
+
+    Shape: the same exploded (source, bucket, token) map-side-combined
+    triple shuffle as :func:`token_diversity`; the unigram model is one
+    vocab-sized re-agg of those triples (never a second scan of the
+    input); ``N`` re-enters as a broadcast single-row join and the
+    per-token bits come back via a vocab equi-join (token-id vocab —
+    AQE broadcasts it when small). Outputs ``n_tok``, ``sum_bits``,
+    ``mean_bits_e6 = (1e6 * sum_bits) div n_tok``.
+    """
+    bucket = F.date_trunc(BUCKET_OF[tier], F.col(ts_col)).alias("bucket_start")
+    triples = (
+        df.select("source", bucket, F.explode("tokens").alias("token"))
+        .groupBy("source", "bucket_start", "token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    vocab = triples.groupBy("token").agg(F.sum("cnt").alias("c"))
+    total = vocab.agg(F.sum("c").alias("n_total"))
+    bits = (
+        F.length(F.bin(F.expr("n_total div c"))).cast("bigint") - 1
+    ).alias("bits")
+    model = vocab.crossJoin(F.broadcast(total)).select("token", bits)
+    per_bucket = (
+        triples.join(model, "token")
+        .groupBy("source", "bucket_start")
+        .agg(
+            F.sum("cnt").alias("n_tok"),
+            F.sum(F.col("cnt") * F.col("bits")).alias("sum_bits"),
+        )
+    )
+    return per_bucket.select(
+        "source",
+        "bucket_start",
+        "n_tok",
+        "sum_bits",
+        F.expr("(1000000 * sum_bits) div n_tok").alias("mean_bits_e6"),
+    )
+
+
 def vocab_growth(
     df: DataFrame, tier: str = "daily", ts_col: str = "ts"
 ) -> DataFrame:

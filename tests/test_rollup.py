@@ -371,3 +371,39 @@ def test_trailing_quantile_validates(spark):
         trailing_quantile(df, QUANTILE_WINDOW_CAP + 1, 3600, ["source"], "x")
     with _pytest.raises(ValueError, match="quantile"):
         trailing_quantile(df, 3, 3600, ["source"], "x", {"bad": (3, 2)})
+
+
+def test_unigram_surprisal_hand_case(spark):
+    """bits(t) = floor(log2(N / c_t)) via the integer bin-length identity;
+    per-bucket mean is the exact-int e6 div. Fixture: N=8 occurrences,
+    c(1)=4 -> 1 bit, c(2)=2 -> 2 bits, c(3)=1 -> 3 bits, c(4)=1 -> 3 bits."""
+    import datetime as dt
+
+    from rtsa_spark.operators.rollup import unigram_surprisal
+
+    t0 = dt.datetime(2024, 1, 1, 10)
+    rows = [
+        ("a", t0, [1, 1, 1, 2]),                       # day 1: bits 1+1+1+2 = 5
+        ("a", t0 + dt.timedelta(days=1), [1, 2, 3, 4]),  # day 2: 1+2+3+3 = 9
+    ]
+    df = spark.createDataFrame(rows, "source string, ts timestamp, tokens array<int>")
+    got = {
+        r["bucket_start"].day: r for r in unigram_surprisal(df, "daily").collect()
+    }
+    assert (got[1]["n_tok"], got[1]["sum_bits"]) == (4, 5)
+    assert got[1]["mean_bits_e6"] == (1_000_000 * 5) // 4
+    assert (got[2]["n_tok"], got[2]["sum_bits"]) == (4, 9)
+    assert got[2]["mean_bits_e6"] == 2_250_000
+
+    # degenerate: single token type -> N div c = 1 -> 0 bits everywhere
+    solo = spark.createDataFrame(
+        [("s", t0, [7, 7, 7])], "source string, ts timestamp, tokens array<int>"
+    )
+    [r] = unigram_surprisal(solo, "daily").collect()
+    assert (r["sum_bits"], r["mean_bits_e6"]) == (0, 0)
+
+    # degenerate: empty input -> no rows (no div-by-zero under ANSI)
+    empty = spark.createDataFrame(
+        [], "source string, ts timestamp, tokens array<int>"
+    )
+    assert unigram_surprisal(empty, "daily").count() == 0

@@ -171,6 +171,31 @@ def main() -> int:
     ok &= check("quality_classifier whole-stage codegen",
                 "[codegen id :" in qc_plan)
 
+    # 7f. unigram surprisal: triple counts combine map-side, the unigram
+    #     model re-enters via an equi-join (the only nested-loop join is
+    #     the deliberate single-row N broadcast), and nothing evaluates
+    #     in Python
+    from rtsa_spark.operators.rollup import unigram_surprisal
+
+    seq8 = synth_sequences(spark, 4000, n_sources=4)
+    us_plan = plan_of(unigram_surprisal(seq8))
+    ok &= check("unigram_surprisal has no cartesian product",
+                "CartesianProduct" not in us_plan)
+    ok &= check("unigram_surprisal counts combine map-side",
+                "partial_count" in us_plan or "partial_sum" in us_plan)
+    ok &= check("unigram_surprisal stays JVM-side (no Python eval)",
+                "EvalPython" not in us_plan and "InPandas" not in us_plan)
+    # formatted explain prints each node twice (tree line + detail
+    # section), so ONE nested-loop node == two textual occurrences
+    ok &= check(
+        "unigram_surprisal nested-loop join only for the 1-row total",
+        us_plan.count("BroadcastNestedLoopJoin") <= 2,
+    )
+    ok &= check(
+        "unigram_surprisal model joins back as a broadcast hash equi-join",
+        "BroadcastHashJoin" in us_plan or "SortMergeJoin" in us_plan,
+    )
+
     # 8. analytics bucket vectors shuffle on the BUCKET, not the source —
     #    dominant sources cannot skew the Gramian exchange
     from rtsa_spark.operators.eof import bucket_vectors, source_index
