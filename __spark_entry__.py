@@ -3999,6 +3999,50 @@ GROUP BY 1, 2
 """
 
 
+def q_token_contamination(spark, sf_dir):
+    """Token-level 8-gram decontamination (dedup.token_ngram_contamination
+    — the GPT-3/PaLM-published token-overlap method, vs the word-level
+    winnowing contamination_check): per-sequence share of token 8-grams
+    occurring in the benchmark subset (doc_id % 83), exact-int e6.
+    Benchmark docs self-report 1e6 (verbatim leak); short docs NULL."""
+    from rtsa_spark.operators.dedup import token_ngram_contamination
+
+    d = _documents(spark, sf_dir)
+    toks = F.transform(
+        F.split(F.col("text"), " "),
+        lambda w: F.conv(F.substring(F.md5(w), 1, 4), 16, 10).cast("int"),
+    )
+    seq = d.select("doc_id", toks.alias("tokens"))
+    return token_ngram_contamination(seq, seq.where("doc_id % 83 = 0"), n=8)
+
+
+SQL_TOKEN_CONTAMINATION = """
+WITH toks AS MATERIALIZED (
+  SELECT doc_id, list_transform(string_split(text, ' '),
+    w -> (('0x' || substr(md5(w), 1, 4))::INTEGER)::VARCHAR) AS t
+  FROM documents
+), grams AS MATERIALIZED (
+  SELECT doc_id, md5(array_to_string(t[i : i + 7], ',')) AS g
+  FROM toks, unnest(generate_series(1, len(t) - 7)) AS u(i)
+  WHERE len(t) >= 8
+), bgrams AS MATERIALIZED (
+  SELECT DISTINCT g FROM grams WHERE doc_id % 83 = 0
+), agg AS (
+  SELECT doc_id, count(*)::BIGINT AS n_grams,
+         sum(CASE WHEN g IN (SELECT g FROM bgrams) THEN 1 ELSE 0 END)::BIGINT
+           AS n_dirty
+  FROM grams GROUP BY 1
+)
+SELECT t.doc_id,
+       coalesce(a.n_grams, 0)::BIGINT AS n_grams,
+       coalesce(a.n_dirty, 0)::BIGINT AS n_dirty,
+       CASE WHEN a.n_grams > 0
+            THEN CAST((1000000 * a.n_dirty) // a.n_grams AS BIGINT)
+       END AS dirty_e6
+FROM toks t LEFT JOIN agg a USING (doc_id)
+"""
+
+
 def q_vocab_growth(spark, sf_dir):
     """Per (source, day) new-vocabulary accounting (rollup.vocab_growth):
     tokens first seen in each bucket + the running vocabulary size — the
@@ -7324,6 +7368,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "redact_pii": q_redact_pii,
         "quality_classifier": q_quality_classifier,
         "unigram_surprisal": q_unigram_surprisal,
+        "token_contamination": q_token_contamination,
     }
 
 
@@ -7474,4 +7519,5 @@ def oracle_sql() -> dict[str, str]:
         "redact_pii": SQL_REDACT_PII,
         "quality_classifier": _sql_quality_classifier(),
         "unigram_surprisal": SQL_UNIGRAM_SURPRISAL,
+        "token_contamination": SQL_TOKEN_CONTAMINATION,
     }

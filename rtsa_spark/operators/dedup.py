@@ -456,6 +456,75 @@ def contamination_check(
     )
 
 
+def token_ngram_contamination(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    id_col: str = "doc_id",
+    tokens_col: str = "tokens",
+) -> DataFrame:
+    """Token-level n-gram decontamination — the published method run on
+    pre-tokenized corpora (GPT-3 used 13-gram, PaLM / Llama-style
+    pipelines 8-gram token overlap vs eval sets): for every corpus
+    sequence, the share of its consecutive token n-grams that also occur
+    anywhere in the benchmark set. The word-level winnowing variant is
+    :func:`contamination_check`; this one operates on the token-id
+    arrays themselves (the north-rule table's payload) and reports the
+    contamination FRACTION so a pipeline can apply the usual
+    "drop if > X% dirty" rule rather than any-hit flagging.
+
+    Grams are md5 over the comma-joined token window — engine-portable,
+    built in one codegen projection (``transform`` over an index
+    ``sequence``; the slice never leaves the row). Plan shape at 100 TB:
+    the benchmark gram set is tiny and BROADCAST; the corpus side
+    explodes its grams and left-joins map-side (scan speed, no shuffle
+    on content), then one map-side-combinable count per sequence id.
+    Sequences shorter than ``n`` have no grams: ``n_grams = 0`` and a
+    NULL ``dirty_e6`` (never a div-by-zero under ANSI).
+
+    Returns one row per corpus sequence:
+    ``(id_col, n_grams, n_dirty, dirty_e6)`` with
+    ``dirty_e6 = (1e6 * n_dirty) div n_grams`` — 1e6 means every window
+    is benchmark material (a verbatim eval leak).
+    """
+    from pyspark.sql.functions import broadcast
+
+    def grams_of(col):
+        strs = F.transform(col, lambda x: x.cast("string"))
+        return F.when(
+            F.size(col) >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size(col) - n + 1),
+                lambda i: F.md5(F.array_join(F.slice(strs, i, n), ",")),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    bench_grams = (
+        benchmark.select(
+            F.explode(grams_of(F.col(tokens_col))).alias("gram")
+        )
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    corp = corpus.select(
+        F.col(id_col),
+        F.explode_outer(grams_of(F.col(tokens_col))).alias("gram"),
+    )
+    joined = corp.join(broadcast(bench_grams), "gram", "left")
+    agg = joined.groupBy(id_col).agg(
+        F.count("gram").cast("bigint").alias("n_grams"),
+        F.count("_hit").cast("bigint").alias("n_dirty"),
+    )
+    return agg.select(
+        id_col,
+        "n_grams",
+        "n_dirty",
+        F.when(
+            F.col("n_grams") > 0, F.expr("(1000000 * n_dirty) div n_grams")
+        ).alias("dirty_e6"),
+    )
+
+
 def duplicate_spans(
     df: DataFrame,
     k: int = 4,

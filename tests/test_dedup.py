@@ -89,3 +89,31 @@ def test_line_dedup_keep_first_occurrence(spark):
     )
     out = line_dedup(solo).collect()[0]
     assert (out["n_removed"], out["text_out"]) == (1, "repeat me\nmiddle")
+
+
+def test_token_ngram_contamination_hand_case(spark):
+    """Planted 8-gram overlap: embedded benchmark window counts once,
+    verbatim leak reports 1e6, clean doc 0, short doc NULL fraction."""
+    from rtsa_spark.operators.dedup import token_ngram_contamination
+
+    bench_rows = [(100, list(range(1, 11)))]  # grams: [1-8],[2-9],[3-10]
+    corpus_rows = [
+        (1, [99, 1, 2, 3, 4, 5, 6, 7, 8, 98]),  # middle window matches
+        (2, [41, 42, 43, 44, 45, 46, 47, 48]),  # clean, exactly one gram
+        (3, list(range(1, 11))),                # verbatim benchmark leak
+        (4, [1, 2, 3]),                         # shorter than n
+    ]
+    schema = "doc_id long, tokens array<int>"
+    out = {
+        r["doc_id"]: (r["n_grams"], r["n_dirty"], r["dirty_e6"])
+        for r in token_ngram_contamination(
+            spark.createDataFrame(corpus_rows, schema),
+            spark.createDataFrame(bench_rows, schema),
+            n=8,
+        ).collect()
+    }
+    assert out[1] == (3, 1, 333_333)
+    assert out[2] == (1, 0, 0)
+    assert out[3] == (3, 3, 1_000_000)
+    assert out[4] == (0, 0, None)
+    assert set(out) == {1, 2, 3, 4}  # every corpus doc reports

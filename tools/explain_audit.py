@@ -196,6 +196,24 @@ def main() -> int:
         "BroadcastHashJoin" in us_plan or "SortMergeJoin" in us_plan,
     )
 
+    # 7g. token-level decontamination: the benchmark gram set is the
+    #     BROADCAST side, the corpus side joins map-side — no cartesian,
+    #     no Python, counts combine map-side
+    from rtsa_spark.operators.dedup import token_ngram_contamination
+
+    tc_plan = plan_of(
+        token_ngram_contamination(seq8, seq8.where("source = 's000'"))
+    )
+    ok &= check("token_contamination has no cartesian product",
+                "CartesianProduct" not in tc_plan
+                and "BroadcastNestedLoopJoin" not in tc_plan)
+    ok &= check("token_contamination benchmark grams broadcast",
+                "BroadcastHashJoin" in tc_plan)
+    ok &= check("token_contamination counts combine map-side",
+                "partial_count" in tc_plan)
+    ok &= check("token_contamination stays JVM-side (no Python eval)",
+                "EvalPython" not in tc_plan and "InPandas" not in tc_plan)
+
     # 8. analytics bucket vectors shuffle on the BUCKET, not the source —
     #    dominant sources cannot skew the Gramian exchange
     from rtsa_spark.operators.eof import bucket_vectors, source_index
