@@ -415,22 +415,24 @@ def test_winnow_fingerprints_guarantee(spark):
 
 
 def test_connected_components_long_path(spark):
-    """A 50-node path graph converges within max_iter=20 ONLY because of
-    pointer jumping (plain min-label propagation needs ~50 hops) — the
-    O(log diameter) claim, exercised."""
+    """A diameter-1000 path graph converges within max_iter=11 ONLY
+    because of pointer jumping (plain min-label propagation needs ~1000
+    hops; path halving needs ceil(log2(d)) + 1 = 11 including the final
+    no-change detection pass) — the O(log diameter) claim, exercised at
+    a depth where the fallback would raise."""
     from rtsa_spark.operators.dedup import connected_components
 
-    n = 50
+    n = 1000
     pairs = spark.createDataFrame(
-        [(f"a{i:02d}", f"a{i+1:02d}") for i in range(n - 1)],
+        [(f"a{i:04d}", f"a{i+1:04d}") for i in range(n - 1)],
         "doc_a string, doc_b string",
     )
     nodes = spark.createDataFrame(
-        [(f"a{i:02d}",) for i in range(n)], "doc_id string"
+        [(f"a{i:04d}",) for i in range(n)], "doc_id string"
     )
-    comp = connected_components(pairs, nodes, max_iter=20).collect()
+    comp = connected_components(pairs, nodes, max_iter=11).collect()
     assert len(comp) == n
-    assert {r["cluster_id"] for r in comp} == {"a00"}
+    assert {r["cluster_id"] for r in comp} == {"a0000"}
 
 
 def test_bpe_token_counts(spark):
