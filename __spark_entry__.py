@@ -788,11 +788,15 @@ IVF_ITER = 2
 IVF_NPROBE = 3
 
 
-def _sql_ann_ivf() -> str:
-    """DuckDB replay of cosine_topk_ivf: identical exact-int k-means
+def _sql_ivf_chain() -> tuple[str, str, str]:
+    """Shared DuckDB replay of ivf_index: identical exact-int k-means
     (seeds by md5 order, (sum,count) centroids, n^2-scaled integer
-    distances, (dist, cid) tie-break), identical probe set, and the same
-    ascending-index cosine re-rank as SQL_ANN_COSINE."""
+    distances, (dist, cid) tie-break). Returns ``(prefix, dist, cent)``:
+    ``prefix`` is the CTE chain from ``q`` through the final assignment
+    ``asg_f(vid, qv, cid)``; ``dist`` the integer distance expression over
+    aliases ``t``/``c``; ``cent`` the name of the final centroid CTE.
+    One source of truth so ann_cosine_ivf and semantic_dedup can never
+    drift apart."""
     dist = (
         "list_sum(list_transform(generate_series(1, 64), d ->"
         " (c.n * t.qv[d] - c.s[d]) * (c.n * t.qv[d] - c.s[d])))"
@@ -826,8 +830,7 @@ def _sql_ann_ivf() -> str:
         steps.append(update_cte(cent, f"asg_{i}"))
     steps.append(assign_cte("asg_f", cent))
     chain = ",\n".join(steps)
-    return f"""
-WITH q AS MATERIALIZED (
+    prefix = f"""q AS MATERIALIZED (
   SELECT vec_id AS vid,
          list_transform(embedding, e -> CAST(floor(e::DOUBLE * 256e0) AS BIGINT)) AS qv
   FROM embeddings
@@ -839,7 +842,17 @@ WITH q AS MATERIALIZED (
     FROM q ORDER BY h LIMIT {IVF_CENTROIDS}
   ) seeds
 ),
-{chain},
+{chain}"""
+    return prefix, dist, cent
+
+
+def _sql_ann_ivf() -> str:
+    """DuckDB replay of cosine_topk_ivf: the shared _sql_ivf_chain index,
+    identical probe set, and the same ascending-index cosine re-rank as
+    SQL_ANN_COSINE."""
+    prefix, dist, cent = _sql_ivf_chain()
+    return f"""
+WITH {prefix},
 probes AS MATERIALIZED (
   SELECT vid AS query_id, cid FROM (
     SELECT t.vid, c.cid,
@@ -870,6 +883,55 @@ probes AS MATERIALIZED (
 SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank,
        CAST(floor(cos * 1e6) AS BIGINT) AS cos_e6
 FROM ranked WHERE rank <= 5
+"""
+
+
+SEMANTIC_DEDUP_MIN_COS_E6 = 400_000
+
+
+def q_semantic_dedup(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023): IVF-cluster the embeddings with the
+    same exact-int k-means as ann_cosine_ivf, score exact cosine on
+    within-cluster pairs only, drop every vector with a smaller-id near
+    neighbor in its cluster. One row per vector: (vec_id, cluster_id,
+    keep, dup_of). Oracle replays the identical index + greedy rule."""
+    from rtsa_spark.operators.similarity import semantic_dedup
+
+    return semantic_dedup(
+        _embeddings(spark, sf_dir),
+        min_cos_e6=SEMANTIC_DEDUP_MIN_COS_E6,
+        n_centroids=IVF_CENTROIDS,
+        n_iter=IVF_ITER,
+    )
+
+
+def _sql_semantic_dedup() -> str:
+    prefix, _dist, _cent = _sql_ivf_chain()
+    return f"""
+WITH {prefix},
+pairs AS (
+  SELECT a.vid AS id_a, b.vid AS id_b
+  FROM asg_f a JOIN asg_f b USING (cid)
+  WHERE a.vid < b.vid
+), scored AS (
+  SELECT id_a, id_b,
+         list_sum(list_transform(generate_series(1, 64),
+                                 i -> va.embedding[i]::DOUBLE * vb.embedding[i]::DOUBLE))
+         / (sqrt(list_sum(list_transform(generate_series(1, 64),
+                  i -> va.embedding[i]::DOUBLE * va.embedding[i]::DOUBLE)))
+          * sqrt(list_sum(list_transform(generate_series(1, 64),
+                  i -> vb.embedding[i]::DOUBLE * vb.embedding[i]::DOUBLE)))) AS cos
+  FROM pairs
+  JOIN embeddings va ON va.vec_id = pairs.id_a
+  JOIN embeddings vb ON vb.vec_id = pairs.id_b
+), dup AS (
+  SELECT id_b, min(id_a) AS dup_of
+  FROM scored WHERE CAST(floor(cos * 1e6) AS BIGINT) >= {SEMANTIC_DEDUP_MIN_COS_E6}
+  GROUP BY id_b
+)
+SELECT a.vid AS vec_id, a.cid AS cluster_id,
+       d.dup_of IS NULL AS keep, d.dup_of
+FROM asg_f a LEFT JOIN dup d ON d.id_b = a.vid
 """
 
 
@@ -7369,6 +7431,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_classifier": q_quality_classifier,
         "unigram_surprisal": q_unigram_surprisal,
         "token_contamination": q_token_contamination,
+        "semantic_dedup": q_semantic_dedup,
     }
 
 
@@ -7520,4 +7583,5 @@ def oracle_sql() -> dict[str, str]:
         "quality_classifier": _sql_quality_classifier(),
         "unigram_surprisal": SQL_UNIGRAM_SURPRISAL,
         "token_contamination": SQL_TOKEN_CONTAMINATION,
+        "semantic_dedup": _sql_semantic_dedup(),
     }

@@ -470,3 +470,60 @@ def cosine_topk_ivf(
             F.floor(F.col("cos") * 1e6).cast("bigint").alias("cos_e6"),
         )
     )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    min_cos_e6: int = 900_000,
+    n_centroids: int = 8,
+    n_iter: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication by clustering embeddings with the exact-int IVF k-means
+    quantizer, scoring exact cosine on within-cluster pairs only, and
+    dropping every vector that has a smaller-id near neighbor
+    (``cos_e6 >= min_cos_e6``) in its cluster. The keep rule is the
+    deterministic greedy variant of the paper's one-per-group rule:
+    smallest id in a near-dup group always survives; a chain a~b~c keeps
+    only a (b and c each see an earlier near neighbor).
+
+    Output: one row per input vector —
+    ``(vec_id, cluster_id, keep boolean, dup_of)`` where ``dup_of`` is the
+    smallest-id near neighbor (NULL for kept rows).
+
+    Scale shape: the index costs ``n_iter`` corpus passes (exact-int
+    partial sums, k x dim driver state — same ceiling as MLlib k-means);
+    pair scoring is one cid equi-join, so work is sum over clusters of
+    (cluster size)^2 — the SemDeDup design point: grow ``n_centroids``
+    with the corpus so cluster size stays bounded, never all-pairs.
+    """
+    asg, cent = ivf_index(df, n_centroids, n_iter, id_col, vec_col)
+    a = asg.select(F.col("vid").alias("id_a"), "cid")
+    b = asg.select(F.col("vid").alias("id_b"), "cid")
+    pairs = a.join(b, "cid").where(F.col("id_a") < F.col("id_b"))
+    va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    cos = _dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb")))
+    dup = (
+        pairs.join(va, "id_a")
+        .join(vb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.floor(cos * 1e6).cast("bigint").alias("cos_e6"),
+        )
+        .where(F.col("cos_e6") >= int(min_cos_e6))
+        .groupBy("id_b")
+        .agg(F.min("id_a").alias("dup_of"))
+    )
+    return (
+        asg.join(dup, asg["vid"] == dup["id_b"], "left")
+        .select(
+            F.col("vid").alias(id_col),
+            F.col("cid").alias("cluster_id"),
+            F.col("dup_of").isNull().alias("keep"),
+            "dup_of",
+        )
+    )

@@ -290,6 +290,33 @@ def test_embedding_near_dup_finds_planted_dups(spark):
         assert exact[k] == v  # verify stage is exact
 
 
+def test_semantic_dedup_planted_dups(spark):
+    """SemDeDup greedy rule: exact/near duplicates are dropped in favor of
+    the smallest-id copy in their cluster; distinct vectors keep."""
+    from rtsa_spark.operators.similarity import semantic_dedup
+
+    rng = np.random.default_rng(21)
+    base = rng.normal(size=(60, 64)).astype("float32")
+    base[50] = base[0] + 0.001 * rng.normal(size=64).astype("float32")
+    base[51] = base[1]  # exact dup
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in base[i]]) for i in range(60)],
+        "vec_id long, embedding array<float>",
+    ).cache()
+    rows = {r["vec_id"]: r for r in semantic_dedup(
+        df, min_cos_e6=990_000, n_centroids=4, n_iter=2
+    ).collect()}
+    assert len(rows) == 60  # one verdict per input vector
+    # exact dup shares its source's cluster and is dropped toward it
+    assert rows[51]["cluster_id"] == rows[1]["cluster_id"]
+    assert not rows[51]["keep"] and rows[51]["dup_of"] == 1
+    assert rows[50]["cluster_id"] == rows[0]["cluster_id"]
+    assert not rows[50]["keep"] and rows[50]["dup_of"] == 0
+    # originals survive; no other vector was dropped at this threshold
+    kept = {v for v, r in rows.items() if r["keep"]}
+    assert kept == set(range(60)) - {50, 51}
+
+
 def test_connected_components_chain(spark):
     """Min-label + pointer-jumping components: a chain a-b-c merges
     transitively to min-id 'a'; isolated nodes are their own cluster."""

@@ -242,6 +242,17 @@ def main() -> int:
         and "BroadcastNestedLoopJoin" not in nd_plan,
     )
 
+    # 9b. semantic dedup: within-cluster pairs come from a cid equi-join
+    #     (the SemDeDup design point — never all-pairs across clusters)
+    from rtsa_spark.operators.similarity import semantic_dedup
+
+    sd_plan = plan_of(semantic_dedup(emb, min_cos_e6=0, n_centroids=2, n_iter=1))
+    ok &= check(
+        "semantic_dedup pairs via cid equi-join (no cartesian)",
+        "CartesianProduct" not in sd_plan
+        and "BroadcastNestedLoopJoin" not in sd_plan,
+    )
+
     # 10. distribution/sketch family (round 3): still pure Catalyst
     from rtsa_spark.operators.distribution import ks_two_sample, spearman_corr
     from rtsa_spark.operators.rollup import trailing_window
