@@ -4105,6 +4105,106 @@ FROM toks t LEFT JOIN agg a USING (doc_id)
 """
 
 
+BPE_N_MERGES = 12
+
+
+def q_bpe_vocab_learn(spark, sf_dir):
+    """BPE tokenizer-vocabulary training (Sennrich et al. 2016): learn the
+    first BPE_N_MERGES merges from the documents corpus over the
+    distinct-word frequency table. Output = the merge table (rank, left,
+    right, merged, pair_count) in learning order; oracle replays every
+    round as an unrolled CTE chain with the identical
+    (count DESC, left, right) tie-break."""
+    from rtsa_spark.operators.bpe import bpe_learn
+
+    return bpe_learn(_documents(spark, sf_dir), n_merges=BPE_N_MERGES)
+
+
+def q_bpe_encode_tokens(spark, sf_dir):
+    """Apply the learned BPE merge list (rank order) and count resulting
+    tokens per source — the encode half of the tokenizer round-trip. The
+    application is a static fold of literal replaces (pure codegen);
+    oracle re-learns the same merges in SQL and applies them with the
+    same left-to-right replace semantics."""
+    from rtsa_spark.operators.bpe import bpe_encode_counts, bpe_learn
+
+    docs = _documents(spark, sf_dir)
+    merges = [
+        (r["left"], r["right"])
+        for r in bpe_learn(docs, n_merges=BPE_N_MERGES)
+        .orderBy("rank")
+        .collect()
+    ]
+    return bpe_encode_counts(docs, merges).withColumnRenamed("key", "source")
+
+
+def _sql_bpe_chain(n_merges: int) -> str:
+    """DuckDB replay of bpe_learn: word-freq table, double-space symbol
+    states, then one (pair-count -> argmax -> replace) CTE triple per
+    round — the same unroll pattern as _sql_ivf_chain. Every CTE is
+    MATERIALIZED (each is referenced at least twice; DuckDB would inline
+    and re-evaluate the whole chain per reference otherwise)."""
+    parts = [
+        """wf AS MATERIALIZED (
+  SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM (
+    SELECT unnest(string_split(text, ' ')) AS word FROM documents
+  ) WHERE word <> '' GROUP BY word
+), st_0 AS MATERIALIZED (
+  SELECT rtrim(regexp_replace(word, '(.)', '\\1  ', 'g')) AS state, cnt FROM wf
+)"""
+    ]
+    for k in range(1, n_merges + 1):
+        prev = f"st_{k - 1}"
+        parts.append(
+            f"""pc_{k} AS MATERIALIZED (
+  SELECT arr[g.i] AS l, arr[g.i + 1] AS r, CAST(sum(cnt) AS BIGINT) AS pair_count
+  FROM (SELECT string_split(state, '  ') AS arr, cnt FROM {prev}) s,
+       unnest(generate_series(1, len(s.arr) - 1)) AS g(i)
+  GROUP BY 1, 2
+), best_{k} AS MATERIALIZED (
+  SELECT {k} AS rank, l, r, l || r AS merged, pair_count
+  FROM pc_{k} ORDER BY pair_count DESC, l, r LIMIT 1
+), st_{k} AS MATERIALIZED (
+  SELECT replace(state, (SELECT l || '  ' || r FROM best_{k}),
+                        (SELECT merged FROM best_{k})) AS state, cnt
+  FROM {prev}
+)"""
+        )
+    return ",\n".join(parts)
+
+
+def _sql_bpe_vocab_learn() -> str:
+    union = "\nUNION ALL\n".join(
+        f"SELECT * FROM best_{k}" for k in range(1, BPE_N_MERGES + 1)
+    )
+    return f"""
+WITH {_sql_bpe_chain(BPE_N_MERGES)}
+SELECT CAST(rank AS INTEGER) AS rank, l AS "left", r AS "right",
+       merged, pair_count
+FROM ({union})
+"""
+
+
+def _sql_bpe_encode_tokens() -> str:
+    # fold the learned replaces over the double-space-expanded raw text;
+    # word boundaries are triple spaces so merges never cross words
+    expr = "rtrim(regexp_replace(text, '(\\S)', '\\1  ', 'g'))"
+    for k in range(1, BPE_N_MERGES + 1):
+        expr = (
+            f"replace({expr}, (SELECT l || '  ' || r FROM best_{k}),"
+            f" (SELECT merged FROM best_{k}))"
+        )
+    return f"""
+WITH {_sql_bpe_chain(BPE_N_MERGES)},
+enc AS MATERIALIZED (
+  SELECT source, unnest(string_split({expr}, ' ')) AS tok FROM documents
+)
+SELECT source, CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(count(DISTINCT tok) AS BIGINT) AS n_distinct_tokens
+FROM enc WHERE tok <> '' GROUP BY source
+"""
+
+
 def q_vocab_growth(spark, sf_dir):
     """Per (source, day) new-vocabulary accounting (rollup.vocab_growth):
     tokens first seen in each bucket + the running vocabulary size — the
@@ -7432,6 +7532,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_surprisal": q_unigram_surprisal,
         "token_contamination": q_token_contamination,
         "semantic_dedup": q_semantic_dedup,
+        "bpe_vocab_learn": q_bpe_vocab_learn,
+        "bpe_encode_tokens": q_bpe_encode_tokens,
     }
 
 
@@ -7584,4 +7686,6 @@ def oracle_sql() -> dict[str, str]:
         "unigram_surprisal": SQL_UNIGRAM_SURPRISAL,
         "token_contamination": SQL_TOKEN_CONTAMINATION,
         "semantic_dedup": _sql_semantic_dedup(),
+        "bpe_vocab_learn": _sql_bpe_vocab_learn(),
+        "bpe_encode_tokens": _sql_bpe_encode_tokens(),
     }

@@ -775,3 +775,74 @@ def test_quality_classifier_exact_score(spark):
         assert got[doc_id] == (len(words), s, milli, milli >= 0)
 
     assert got[4][2] == -222667  # true floor, not truncate-toward-zero
+
+
+def test_bpe_learn_hand_case(spark):
+    """Classic word-level BPE on a corpus small enough to merge by hand:
+    (a,a) wins round 1 on count, (a,b) follows, then the vocabulary runs
+    out of pairs and learning stops early."""
+    from rtsa_spark.operators.bpe import bpe_learn
+
+    df = spark.createDataFrame(
+        [(1, "aa ab aa"), (2, "aa b")], "doc_id long, text string"
+    )
+    merges = [tuple(r) for r in bpe_learn(df, n_merges=5).orderBy("rank").collect()]
+    assert merges == [
+        (1, "a", "a", "aa", 3),
+        (2, "a", "b", "ab", 1),
+    ]
+
+
+def test_bpe_learn_greedy_run_semantics(spark):
+    """'aaa' under merge (a,a) tokenizes left-to-right greedy — (aa, a) —
+    so round 2 learns (aa, a), never a phantom overlapping (a, a)."""
+    from rtsa_spark.operators.bpe import bpe_learn
+
+    df = spark.createDataFrame([(1, "aaa aaa")], "doc_id long, text string")
+    merges = [tuple(r) for r in bpe_learn(df, n_merges=3).orderBy("rank").collect()]
+    assert merges[0] == (1, "a", "a", "aa", 4)   # two pairs per 'aaa', 2 words
+    assert merges[1] == (2, "aa", "a", "aaa", 2)
+    assert len(merges) == 2  # then nothing left
+
+
+def test_bpe_learn_tiebreak_and_empty(spark):
+    """Equal counts break lexicographically on (left, right); a corpus of
+    single-char words yields an empty merge table, not an error."""
+    from rtsa_spark.operators.bpe import bpe_learn
+
+    df = spark.createDataFrame([(1, "ba dc")], "doc_id long, text string")
+    first = bpe_learn(df, n_merges=1).collect()[0]
+    assert (first["left"], first["right"]) == ("b", "a")
+
+    empty = bpe_learn(
+        spark.createDataFrame([(1, "x y z")], "doc_id long, text string"),
+        n_merges=3,
+    )
+    assert empty.count() == 0
+
+
+def test_bpe_encode_counts_roundtrip(spark):
+    """Applying the learned merges shrinks token counts by exactly the
+    number of merge events; unmerged text is char-tokenized."""
+    from rtsa_spark.operators.bpe import bpe_encode_counts, bpe_learn
+
+    df = spark.createDataFrame(
+        [("s1", "aa ab aa"), ("s2", "aa b")], "source string, text string"
+    )
+    merges = [
+        (r["left"], r["right"])
+        for r in bpe_learn(df, n_merges=5).orderBy("rank").collect()
+    ]
+    got = {
+        r["key"]: (r["n_tokens"], r["n_distinct_tokens"])
+        for r in bpe_encode_counts(df, merges, key_col="source").collect()
+    }
+    # s1: 'aa','ab','aa' fully merged -> 3 tokens, 2 distinct
+    # s2: 'aa','b' -> 2 tokens, 2 distinct
+    assert got == {"s1": (3, 2), "s2": (2, 2)}
+    # no merges: pure character tokens
+    raw = {
+        r["key"]: r["n_tokens"]
+        for r in bpe_encode_counts(df, [], key_col="source").collect()
+    }
+    assert raw == {"s1": 6, "s2": 3}

@@ -242,6 +242,31 @@ def main() -> int:
         and "BroadcastNestedLoopJoin" not in nd_plan,
     )
 
+    # 9a. BPE vocabulary learning: the per-round pair count must partial-
+    #     aggregate map-side (it runs n_merges times), and the encode fold
+    #     must be a pure codegen projection (no Python, no shuffle)
+    from rtsa_spark.operators.bpe import (
+        _initial_state,
+        _pair_counts,
+        bpe_encode_counts,
+        word_frequencies,
+    )
+
+    docs_txt = spark.createDataFrame(
+        [(1, "s1", "aa ab aa"), (2, "s2", "aa b")],
+        "doc_id long, source string, text string",
+    )
+    pc_plan = plan_of(_pair_counts(_initial_state(word_frequencies(docs_txt))))
+    ok &= check(
+        "bpe pair count partial-aggregates map-side",
+        "partial_sum" in pc_plan and "CartesianProduct" not in pc_plan,
+    )
+    enc_plan = plan_of(bpe_encode_counts(docs_txt, [("a", "a"), ("a", "b")]))
+    ok &= check(
+        "bpe encode fold has no Python/Arrow eval node",
+        "BatchEvalPython" not in enc_plan and "ArrowEvalPython" not in enc_plan,
+    )
+
     # 9b. semantic dedup: within-cluster pairs come from a cid equi-join
     #     (the SemDeDup design point — never all-pairs across clusters)
     from rtsa_spark.operators.similarity import semantic_dedup
