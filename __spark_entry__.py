@@ -7419,10 +7419,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_merge": q_snapshot_merge,
         "ann_cosine_lsh": q_ann_cosine_lsh,
         "ann_cosine_ivf": q_ann_cosine_ivf,
-        "embedding_dedup": q_embedding_dedup,
-        # --- text analysis ---
+        # (embedding_dedup shares its LSH machinery with ann_cosine_lsh
+        #  above; the gate slot goes to the SemDeDup family instead)
+        "semantic_dedup": q_semantic_dedup,
+        # --- text analysis / tokenizer ---
         "text_quality": q_text_quality,
-        "token_stats": q_token_stats,
+        "bpe_vocab_learn": q_bpe_vocab_learn,
         # --- corpus assembly ---
         "corpus_build": q_corpus_build,
         "hash_split": q_hash_split,
@@ -7437,6 +7439,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "holt_winters": q_holt_winters,
         "distribution_drift": q_distribution_drift,
         # ---------- fold: entries below are outside the 50-query gate ----------
+        "embedding_dedup": q_embedding_dedup,
+        "token_stats": q_token_stats,
         "streaming_dedup": q_streaming_dedup,
         "streaming_snapshot_parity": q_streaming_snapshot_parity,
         "streaming_sessions": q_streaming_sessions,
@@ -7531,8 +7535,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_classifier": q_quality_classifier,
         "unigram_surprisal": q_unigram_surprisal,
         "token_contamination": q_token_contamination,
-        "semantic_dedup": q_semantic_dedup,
-        "bpe_vocab_learn": q_bpe_vocab_learn,
         "bpe_encode_tokens": q_bpe_encode_tokens,
     }
 
