@@ -2727,6 +2727,53 @@ _SQL_SEQ_DENSE_H = f"""{SQL_SEQ_CTE}, sp AS MATERIALIZED (
 )"""
 
 
+MP_M = 7  # matrix-profile window (one week of daily buckets)
+MP_EXCL = MP_M // 2
+
+
+def q_matrix_profile(spark, sf_dir):
+    """Exact-int matrix profile (Yeh et al. 2016) over the dense daily
+    tier: per (source, window) the nearest non-trivial neighbor window
+    and their exact squared Euclidean distance — motif/discord discovery
+    in the repo's exact-int contract (no z-normalized float chains).
+    Tie-break: smallest neighbor position; exclusion |i-j| >= m//2."""
+    from rtsa_spark.operators.motif import matrix_profile
+
+    return matrix_profile(
+        _seq_daily_dense(spark, sf_dir), "source", "bucket_start", "x",
+        m=MP_M, excl=MP_EXCL,
+    )
+
+
+SQL_MATRIX_PROFILE = f"""
+WITH {_SQL_SEQ_DENSE_H},
+arrs AS MATERIALIZED (
+  SELECT k, list(x ORDER BY b) AS v, list(b ORDER BY b) AS bs,
+         CAST(count(*) AS BIGINT) AS n
+  FROM h GROUP BY k
+), wins AS MATERIALIZED (
+  SELECT k, g.i AS i FROM arrs, unnest(generate_series(0, n - {MP_M})) AS g(i)
+), scored AS MATERIALIZED (
+  SELECT p.k, p.i, p.j,
+         list_sum(list_transform(generate_series(1, {MP_M}),
+           t -> (ar.v[p.i + t] - ar.v[p.j + t]) * (ar.v[p.i + t] - ar.v[p.j + t])))
+           AS d2
+  FROM (
+    SELECT a.k, a.i, b2.i AS j FROM wins a JOIN wins b2 USING (k)
+    WHERE abs(a.i - b2.i) >= {MP_EXCL}
+  ) p JOIN arrs ar ON ar.k = p.k
+), mp AS (
+  SELECT k, i, j, d2,
+         row_number() OVER (PARTITION BY k, i ORDER BY d2, j) AS rk
+  FROM scored
+)
+SELECT mp.k AS source, ar.bs[mp.i + 1] AS w_start, ar.bs[mp.j + 1] AS nn_start,
+       CAST(mp.d2 AS BIGINT) AS d2
+FROM mp JOIN arrs ar ON ar.k = mp.k
+WHERE rk = 1
+"""
+
+
 def q_sequences_gapfill_spline(spark, sf_dir):
     """Spline gap-fill (reference W4 'spline') over the derived daily tier's
     NATURAL sparsity (~23 of 120 days observed per source), pinned to a
@@ -7536,6 +7583,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_surprisal": q_unigram_surprisal,
         "token_contamination": q_token_contamination,
         "bpe_encode_tokens": q_bpe_encode_tokens,
+        "matrix_profile": q_matrix_profile,
     }
 
 
@@ -7690,4 +7738,5 @@ def oracle_sql() -> dict[str, str]:
         "semantic_dedup": _sql_semantic_dedup(),
         "bpe_vocab_learn": _sql_bpe_vocab_learn(),
         "bpe_encode_tokens": _sql_bpe_encode_tokens(),
+        "matrix_profile": SQL_MATRIX_PROFILE,
     }

@@ -267,6 +267,24 @@ def main() -> int:
         "BatchEvalPython" not in enc_plan and "ArrowEvalPython" not in enc_plan,
     )
 
+    # 9c. matrix profile: exactly one shuffle (hash on the key into the
+    #     Arrow kernel), no join at all
+    from pyspark.sql import functions as F
+
+    from rtsa_spark.operators.motif import matrix_profile
+
+    mp_in = spark.createDataFrame(
+        [("a", i, i % 3) for i in range(20)], "source string, b long, x long"
+    ).select("source", F.timestamp_seconds(F.col("b") * 86400).alias("b"), "x")
+    mp_plan = plan_of(matrix_profile(mp_in, "source", "b", "x", m=3))
+    # formatted mode prints each node twice (tree + details): one == 2
+    ok &= check(
+        "matrix_profile: one key shuffle, no join",
+        mp_plan.count("Exchange") == 2
+        and "hashpartitioning(k" in mp_plan
+        and "Join" not in mp_plan,
+    )
+
     # 9b. semantic dedup: within-cluster pairs come from a cid equi-join
     #     (the SemDeDup design point — never all-pairs across clusters)
     from rtsa_spark.operators.similarity import semantic_dedup
