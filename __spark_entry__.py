@@ -4252,6 +4252,60 @@ FROM enc WHERE tok <> '' GROUP BY source
 """
 
 
+def q_perplexity_partition(spark, sf_dir):
+    """CCNet head/middle/tail perplexity partitioning (Wenzek 2020) over
+    documents: whole-bit unigram surprisal vs the doc_id % 83 reference
+    slice, exact-int tercile thresholds from the per-language score
+    histogram (scale-correct two-pass — no per-language doc sort)."""
+    from rtsa_spark.operators.sampling import perplexity_partition
+
+    return perplexity_partition(_documents(spark, sf_dir))
+
+
+SQL_PERPLEXITY_PARTITION = """
+WITH toks AS MATERIALIZED (
+  SELECT doc_id, lang, token FROM (
+    SELECT doc_id, lang, unnest(string_split(text, ' ')) AS token
+    FROM documents
+  ) WHERE token <> ''
+), ref AS MATERIALIZED (
+  SELECT token, count(*)::BIGINT AS c FROM toks WHERE doc_id % 83 = 0 GROUP BY 1
+), tot AS MATERIALIZED (SELECT sum(c)::BIGINT AS n_total FROM ref),
+model AS MATERIALIZED (
+  SELECT token,
+         CAST(length(format('{:b}', (SELECT n_total FROM tot) // c)) - 1
+              AS BIGINT) AS bits
+  FROM ref
+), scored AS MATERIALIZED (
+  SELECT t.doc_id, any_value(t.lang) AS lang, count(*)::BIGINT AS n_tok,
+         CAST((1000000 * sum(coalesce(m.bits,
+             length(format('{:b}', (SELECT n_total FROM tot))))))
+            // count(*) AS BIGINT) AS mean_bits_e6
+  FROM toks t LEFT JOIN model m USING (token)
+  GROUP BY t.doc_id
+), hist AS MATERIALIZED (
+  SELECT lang, mean_bits_e6, count(*)::BIGINT AS h
+  FROM scored GROUP BY 1, 2
+), cum AS MATERIALIZED (
+  SELECT lang, mean_bits_e6,
+         sum(h) OVER (PARTITION BY lang ORDER BY mean_bits_e6
+                      ROWS UNBOUNDED PRECEDING) AS cum,
+         sum(h) OVER (PARTITION BY lang) AS n
+  FROM hist
+), thr AS MATERIALIZED (
+  SELECT lang,
+         min(CASE WHEN 3 * cum >= n THEN mean_bits_e6 END) AS t1,
+         min(CASE WHEN 3 * cum >= 2 * n THEN mean_bits_e6 END) AS t2
+  FROM cum GROUP BY 1
+)
+SELECT s.doc_id, s.lang, s.n_tok, s.mean_bits_e6,
+       CASE WHEN s.mean_bits_e6 > t.t2 THEN 'tail'
+            WHEN s.mean_bits_e6 > t.t1 THEN 'middle'
+            ELSE 'head' END AS ppl_bucket
+FROM scored s JOIN thr t USING (lang)
+"""
+
+
 def q_vocab_growth(spark, sf_dir):
     """Per (source, day) new-vocabulary accounting (rollup.vocab_growth):
     tokens first seen in each bucket + the running vocabulary size — the
@@ -7584,6 +7638,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_contamination": q_token_contamination,
         "bpe_encode_tokens": q_bpe_encode_tokens,
         "matrix_profile": q_matrix_profile,
+        "perplexity_partition": q_perplexity_partition,
     }
 
 
@@ -7739,4 +7794,5 @@ def oracle_sql() -> dict[str, str]:
         "bpe_vocab_learn": _sql_bpe_vocab_learn(),
         "bpe_encode_tokens": _sql_bpe_encode_tokens(),
         "matrix_profile": SQL_MATRIX_PROFILE,
+        "perplexity_partition": SQL_PERPLEXITY_PARTITION,
     }

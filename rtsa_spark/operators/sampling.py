@@ -330,3 +330,106 @@ def weighted_hash_sample(
     return j.where(hash_bucket(id_col, salt) < F.col("_rate")).drop(
         "_rk", "_rate"
     )
+
+
+def perplexity_partition(
+    df: DataFrame,
+    ref_mod: int = 83,
+    by_col: str = "lang",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """CCNet-style perplexity partitioning (Wenzek et al. 2020,
+    arXiv:1911.00359): score every document by its mean unigram surprisal
+    in WHOLE BITS against a reference-slice language model, then split
+    each language into head / middle / tail terciles — the classic
+    quality-stratification step before temperature-sampling a web corpus.
+
+    The reference model is the corpus slice ``id % ref_mod == 0`` (the
+    same deterministic benchmark-slice convention as
+    ``dedup.contamination_check``); per-token bits use the exact-int
+    identity ``floor(log2(N / c)) == bitlength(N div c) - 1`` of
+    ``rollup.unigram_surprisal`` — no float log anywhere, so both engines
+    agree on every score bit-for-bit. Out-of-vocabulary tokens cost
+    ``bitlength(N)`` bits (strictly worse than any in-vocab token).
+
+    Tercile assignment is the SCALE-CORRECT two-pass form, not a
+    per-language global sort: pass 1 reduces docs to a per-(lang, score)
+    histogram and finds the exact tercile thresholds on the cumulative
+    counts (``t1`` = smallest score with ``3 * cum >= n``, ``t2`` with
+    ``3 * cum >= 2n``); pass 2 assigns by broadcast comparison. Equal
+    scores land in one bucket (threshold docs are never split), and no
+    partition ever holds a whole language's documents. Head = lowest
+    surprisal (most reference-like), the CCNet orientation.
+
+    Output: ``(id, by, n_tok, mean_bits_e6, ppl_bucket)`` — one row per
+    document with at least one token.
+    """
+    if ref_mod < 1:
+        raise ValueError(f"ref_mod must be >= 1, got {ref_mod}")
+    toks = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(by_col).alias("_by"),
+        F.explode(F.split(F.col(text_col), " ")).alias("token"),
+    ).where(F.col("token") != "")
+    ref = (
+        toks.where(F.col("_id") % ref_mod == 0)
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    total = ref.agg(F.sum("c").alias("n_total"))
+    model = ref.crossJoin(F.broadcast(total)).select(
+        "token",
+        (F.length(F.bin(F.expr("n_total div c"))) - 1).cast("bigint").alias("bits"),
+    )
+    oov = total.select(
+        F.length(F.bin(F.col("n_total"))).cast("bigint").alias("_oov_bits")
+    )
+    scored = (
+        toks.join(model, "token", "left")
+        .crossJoin(F.broadcast(oov))
+        .groupBy("_id", "_by")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tok"),
+            F.sum(F.coalesce(F.col("bits"), F.col("_oov_bits")))
+            .cast("bigint")
+            .alias("sum_bits"),
+        )
+        .select(
+            "_id",
+            "_by",
+            "n_tok",
+            F.expr("(1000000 * sum_bits) div n_tok").alias("mean_bits_e6"),
+        )
+    )
+    hist = scored.groupBy("_by", "mean_bits_e6").agg(
+        F.count(F.lit(1)).cast("bigint").alias("h")
+    )
+    wcum = (
+        Window.partitionBy("_by")
+        .orderBy("mean_bits_e6")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = hist.select(
+        "_by",
+        "mean_bits_e6",
+        F.sum("h").over(wcum).alias("cum"),
+        F.sum("h").over(Window.partitionBy("_by")).alias("n"),
+    )
+    thr = cum.groupBy("_by").agg(
+        F.min(F.when(3 * F.col("cum") >= F.col("n"), F.col("mean_bits_e6"))).alias("_t1"),
+        F.min(F.when(3 * F.col("cum") >= 2 * F.col("n"), F.col("mean_bits_e6"))).alias("_t2"),
+    )
+    return (
+        scored.join(F.broadcast(thr), "_by")
+        .select(
+            F.col("_id").alias(id_col),
+            F.col("_by").alias(by_col),
+            "n_tok",
+            "mean_bits_e6",
+            F.when(F.col("mean_bits_e6") > F.col("_t2"), F.lit("tail"))
+            .when(F.col("mean_bits_e6") > F.col("_t1"), F.lit("middle"))
+            .otherwise(F.lit("head"))
+            .alias("ppl_bucket"),
+        )
+    )

@@ -846,3 +846,48 @@ def test_bpe_encode_counts_roundtrip(spark):
         for r in bpe_encode_counts(df, [], key_col="source").collect()
     }
     assert raw == {"s1": 6, "s2": 3}
+
+
+def test_perplexity_partition_scores_and_terciles(spark):
+    """Whole-bit surprisal vs the ref slice, OOV penalty, and exact
+    histogram terciles — replayed in Python."""
+    from rtsa_spark.operators.sampling import perplexity_partition
+
+    rows = [
+        (0, "a a a a b", "en"),      # ref doc (0 % 2 == 0)
+        (2, "a a b b", "en"),        # ref doc
+        (1, "a a a", "en"),
+        (3, "b b b", "en"),
+        (5, "zz zz", "en"),          # all OOV
+        (7, "a b zz", "en"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    got = {
+        r["doc_id"]: r
+        for r in perplexity_partition(df, ref_mod=2).collect()
+    }
+    # ref model: tokens of docs 0 and 2 -> a:6, b:3, N=9
+    # bits(a) = bitlen(9 div 6) - 1 = 0; bits(b) = bitlen(3) - 1 = 1
+    # OOV = bitlen(9) = 4
+    exp_score = {
+        0: (5, (1_000_000 * (4 * 0 + 1)) // 5),
+        2: (4, (1_000_000 * 2) // 4),
+        1: (3, 0),
+        3: (3, 1_000_000),
+        5: (2, 4_000_000),
+        7: (3, (1_000_000 * 5) // 3),
+    }
+    for d, (n_tok, s) in exp_score.items():
+        assert (got[d]["n_tok"], got[d]["mean_bits_e6"]) == (n_tok, s), d
+    # terciles over scores [0, 200000, 500000, 1000000, 1666666, 4000000]:
+    # t1 = 200000 (cum 2 of 6), t2 = 1000000 (cum 4 of 6)
+    exp_bucket = {1: "head", 0: "head", 2: "middle", 3: "middle",
+                  7: "tail", 5: "tail"}
+    assert {d: got[d]["ppl_bucket"] for d in exp_bucket} == exp_bucket
+    # per-language isolation: a second lang with one doc is all 'head'
+    df2 = spark.createDataFrame(
+        rows + [(9, "qq qq qq", "de")], "doc_id long, text string, lang string"
+    )
+    got2 = {r["doc_id"]: r for r in perplexity_partition(df2, ref_mod=2).collect()}
+    assert got2[9]["ppl_bucket"] == "head"
+    assert got2[3]["ppl_bucket"] == "middle"  # en terciles unchanged

@@ -267,6 +267,23 @@ def main() -> int:
         "BatchEvalPython" not in enc_plan and "ArrowEvalPython" not in enc_plan,
     )
 
+    # 9d. perplexity partition: model and thresholds broadcast, never a
+    #     per-language doc sort (no Sort above the scored-doc exchange
+    #     other than inside the bounded histogram window)
+    from rtsa_spark.operators.sampling import perplexity_partition
+
+    pp_in = spark.createDataFrame(
+        [(i, "a b c", "en") for i in range(6)],
+        "doc_id long, text string, lang string",
+    )
+    pp_plan = plan_of(perplexity_partition(pp_in, ref_mod=2))
+    ok &= check(
+        "perplexity_partition broadcasts model + thresholds",
+        pp_plan.count("BroadcastExchange") >= 2
+        and "CartesianProduct" not in pp_plan
+        and "BatchEvalPython" not in pp_plan,
+    )
+
     # 9c. matrix profile: exactly one shuffle (hash on the key into the
     #     Arrow kernel), no join at all
     from pyspark.sql import functions as F
