@@ -253,6 +253,15 @@ def run_bench(sf_dir: str, cores: int) -> dict:
         "ann_cosine_topk",
         "text_quality",
     ]
+    # stages first benched in round 4 — subtract these from "value" when
+    # comparing total wall against BENCH_r03 and earlier
+    new_r4 = [
+        "semantic_dedup",
+        "bpe_vocab_learn",
+        "matrix_profile",
+        "perplexity_partition",
+    ]
+    headline = headline + new_r4
     if E is not None:
         qs = E.queries()
         from rtsa_spark.operators.dedup import minhash_lsh_buckets
@@ -290,6 +299,7 @@ def run_bench(sf_dir: str, cores: int) -> dict:
         "encode_bytes_per_point": round(comp["enc_bytes"] / comp["enc_points"], 3),
         "encode_ratio_vs_raw16": round(comp["enc_bytes"] / (16 * comp["enc_points"]), 4),
         "metrics_rows": metrics_rows,
+        "new_stages_r4": new_r4,
     }
     # CPU of the whole tree BEFORE stop: JVM utime+stime+children (python
     # workers) from /proc (py4j does not reap the JVM into rusage)
