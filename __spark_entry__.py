@@ -4306,6 +4306,54 @@ FROM scored s JOIN thr t USING (lang)
 """
 
 
+def q_contrastive_selection(spark, sf_dir):
+    """Moore-Lewis cross-entropy difference selection (ACL 2010): keep
+    documents the doc_id % 83 target model scores easier than the whole-
+    corpus model. Division-free — keep compares two exact BIGINT bit
+    sums, so no rounding convention exists to drift."""
+    from rtsa_spark.operators.sampling import contrastive_selection
+
+    return contrastive_selection(_documents(spark, sf_dir))
+
+
+SQL_CONTRASTIVE_SELECTION = """
+WITH toks AS MATERIALIZED (
+  SELECT doc_id, token FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+  ) WHERE token <> ''
+), cin AS MATERIALIZED (
+  SELECT token, count(*)::BIGINT AS c FROM toks WHERE doc_id % 83 = 0 GROUP BY 1
+), tin AS MATERIALIZED (SELECT sum(c)::BIGINT AS n FROM cin),
+min_ AS MATERIALIZED (
+  SELECT token, CAST(length(format('{:b}', (SELECT n FROM tin) // c)) - 1
+                AS BIGINT) AS bits_in
+  FROM cin
+), cout AS MATERIALIZED (
+  SELECT token, count(*)::BIGINT AS c FROM toks GROUP BY 1
+), tout AS MATERIALIZED (SELECT sum(c)::BIGINT AS n FROM cout),
+mout AS MATERIALIZED (
+  SELECT token, CAST(length(format('{:b}', (SELECT n FROM tout) // c)) - 1
+                AS BIGINT) AS bits_out
+  FROM cout
+)
+SELECT t.doc_id, count(*)::BIGINT AS n_tok,
+       CAST(sum(coalesce(mi.bits_in,
+            length(format('{:b}', (SELECT n FROM tin))))) AS BIGINT) AS sum_bits_in,
+       CAST(sum(coalesce(mo.bits_out,
+            length(format('{:b}', (SELECT n FROM tout))))) AS BIGINT) AS sum_bits_out,
+       CAST(sum(coalesce(mi.bits_in, length(format('{:b}', (SELECT n FROM tin)))))
+          - sum(coalesce(mo.bits_out, length(format('{:b}', (SELECT n FROM tout)))))
+          AS BIGINT) AS diff_bits,
+       sum(coalesce(mi.bits_in, length(format('{:b}', (SELECT n FROM tin)))))
+         < sum(coalesce(mo.bits_out, length(format('{:b}', (SELECT n FROM tout)))))
+         AS keep
+FROM toks t
+LEFT JOIN min_ mi USING (token)
+LEFT JOIN mout mo USING (token)
+GROUP BY t.doc_id
+"""
+
+
 def q_vocab_growth(spark, sf_dir):
     """Per (source, day) new-vocabulary accounting (rollup.vocab_growth):
     tokens first seen in each bucket + the running vocabulary size — the
@@ -7639,6 +7687,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_encode_tokens": q_bpe_encode_tokens,
         "matrix_profile": q_matrix_profile,
         "perplexity_partition": q_perplexity_partition,
+        "contrastive_selection": q_contrastive_selection,
     }
 
 
@@ -7795,4 +7844,5 @@ def oracle_sql() -> dict[str, str]:
         "bpe_encode_tokens": _sql_bpe_encode_tokens(),
         "matrix_profile": SQL_MATRIX_PROFILE,
         "perplexity_partition": SQL_PERPLEXITY_PARTITION,
+        "contrastive_selection": SQL_CONTRASTIVE_SELECTION,
     }

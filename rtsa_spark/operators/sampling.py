@@ -433,3 +433,90 @@ def perplexity_partition(
             .alias("ppl_bucket"),
         )
     )
+
+
+def contrastive_selection(
+    df: DataFrame,
+    ref_mod: int = 83,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Moore-Lewis cross-entropy difference selection (ACL 2010,
+    "Intelligent Selection of Language Model Training Data"): keep the
+    documents the TARGET model finds easier than the GENERAL model —
+    ``H_in(doc) < H_out(doc)``. The standard domain-adaptation filter for
+    assembling a task-shaped corpus from a web dump.
+
+    Both models are whole-bit unigram models (the exact-int
+    ``bitlength(N div c) - 1`` identity shared with
+    :func:`perplexity_partition`): the in-domain model from the
+    ``id % ref_mod == 0`` reference slice, the out-domain model from the
+    whole corpus. OOV under a model costs ``bitlength(N_model)`` bits.
+    The decision needs NO division — ``keep = sum_bits_in <
+    sum_bits_out`` compares two exact BIGINT sums over the same tokens,
+    so the score stays engine-portable with zero rounding conventions.
+
+    Output: one row per document with >= 1 token —
+    ``(id, n_tok, sum_bits_in, sum_bits_out, diff_bits, keep)`` with
+    ``diff_bits = sum_bits_in - sum_bits_out`` (negative = target-like).
+    ``keep`` is the textbook strict threshold-0 rule; with a very small
+    reference slice it can keep nothing (every token scores worse under
+    a sparse model) — the practical move is fraction-based selection,
+    ranking ``-diff_bits`` through :func:`rank_normalize` and keeping
+    the top X%.
+
+    Scale shape: one token explode feeds both models; each model is a
+    vocab-sized agg joined back broadcast-style (AQE); one doc-level agg.
+    No sorts, no windows, no Python.
+    """
+    if ref_mod < 1:
+        raise ValueError(f"ref_mod must be >= 1, got {ref_mod}")
+    toks = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(F.split(F.col(text_col), " ")).alias("token"),
+    ).where(F.col("token") != "")
+
+    def model(token_df, tag):
+        cnt = token_df.groupBy("token").agg(
+            F.count(F.lit(1)).cast("bigint").alias("c")
+        )
+        tot = cnt.agg(F.sum("c").alias("n_total"))
+        bits = cnt.crossJoin(F.broadcast(tot)).select(
+            "token",
+            (F.length(F.bin(F.expr("n_total div c"))) - 1)
+            .cast("bigint")
+            .alias(f"bits_{tag}"),
+        )
+        oov = tot.select(
+            F.length(F.bin(F.col("n_total")))
+            .cast("bigint")
+            .alias(f"_oov_{tag}")
+        )
+        return bits, oov
+
+    bits_in, oov_in = model(toks.where(F.col("_id") % ref_mod == 0), "in")
+    bits_out, oov_out = model(toks, "out")
+    scored = (
+        toks.join(bits_in, "token", "left")
+        .join(bits_out, "token", "left")
+        .crossJoin(F.broadcast(oov_in))
+        .crossJoin(F.broadcast(oov_out))
+        .groupBy("_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tok"),
+            F.sum(F.coalesce(F.col("bits_in"), F.col("_oov_in")))
+            .cast("bigint")
+            .alias("sum_bits_in"),
+            F.sum(F.coalesce(F.col("bits_out"), F.col("_oov_out")))
+            .cast("bigint")
+            .alias("sum_bits_out"),
+        )
+    )
+    return scored.select(
+        F.col("_id").alias(id_col),
+        "n_tok",
+        "sum_bits_in",
+        "sum_bits_out",
+        (F.col("sum_bits_in") - F.col("sum_bits_out")).alias("diff_bits"),
+        (F.col("sum_bits_in") < F.col("sum_bits_out")).alias("keep"),
+    )

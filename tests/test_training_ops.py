@@ -891,3 +891,58 @@ def test_perplexity_partition_scores_and_terciles(spark):
     got2 = {r["doc_id"]: r for r in perplexity_partition(df2, ref_mod=2).collect()}
     assert got2[9]["ppl_bucket"] == "head"
     assert got2[3]["ppl_bucket"] == "middle"  # en terciles unchanged
+
+
+def test_contrastive_selection_hand_case(spark):
+    """Moore-Lewis keep rule replayed by hand: docs made of ref-slice
+    vocabulary score easier under the target model and keep; OOV-heavy
+    docs are penalized under BOTH models but relatively more under the
+    smaller target model, and drop."""
+    from rtsa_spark.operators.sampling import contrastive_selection
+
+    rows = [
+        (0, "a a a b"),   # ref doc
+        (2, "a b b b"),   # ref doc
+        (1, "a a b"),     # in-vocab only
+        (3, "zz zz zz"),  # fully OOV to both models
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in contrastive_selection(df, ref_mod=2).collect()}
+
+    def bits(n, c):
+        return (n // c).bit_length() - 1
+
+    # in model (docs 0, 2): a:4, b:4, N=8; out model (all): a:6, b:5, zz:3, N=14
+    bi = {"a": bits(8, 4), "b": bits(8, 4)}
+    bo = {"a": bits(14, 6), "b": bits(14, 5), "zz": bits(14, 3)}
+    oov_in, oov_out = (8).bit_length(), (14).bit_length()
+    for d, text in rows:
+        words = text.split(" ")
+        sin = sum(bi.get(w, oov_in) for w in words)
+        sout = sum(bo.get(w, oov_out) for w in words)
+        r = got[d]
+        assert (r["n_tok"], r["sum_bits_in"], r["sum_bits_out"]) == (
+            len(words), sin, sout), d
+        assert r["diff_bits"] == sin - sout and r["keep"] == (sin < sout), d
+    # doc 1 ("a a b") TIES: 3 bits under both models -> strict < drops it
+    assert got[1]["diff_bits"] == 0 and not got[1]["keep"]
+    assert got[3]["diff_bits"] > 0 and not got[3]["keep"]  # OOV-heavy drops
+    # ref doc 0 ("a a a b"): 4 bits in-model vs 4 out-model -> tie, drops;
+    # make one genuinely target-like doc to see keep fire
+    df2 = spark.createDataFrame(
+        rows + [(5, "c c c c c")], "doc_id long, text string"
+    )
+    # now in model (0, 2) unchanged; out model gains c:5 (N=19) ->
+    # bits_out(a)=bits(19//6)=1, (b)=1, (c)=1, oov_in=4 ... c-doc still
+    # OOV in-model: still drops. Instead shrink the out model's fit for
+    # b: doc 4 floods b so out bits for OTHER tokens rise.
+    df3 = spark.createDataFrame(
+        rows + [(5, "b b b b b b b b b b b b b b b b")],
+        "doc_id long, text string",
+    )
+    got3 = {
+        r["doc_id"]: r for r in contrastive_selection(df3, ref_mod=2).collect()
+    }
+    # out model now: N=30, a:6 -> bits(30//6)=2; in model unchanged (a: 1)
+    # doc 1 "a a b": sin=3, sout = 2+2+bits(30//21 = 1)=0 -> 4 -> keep
+    assert got3[1]["keep"] and got3[1]["sum_bits_in"] < got3[1]["sum_bits_out"]
