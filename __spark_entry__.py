@@ -4354,6 +4354,67 @@ GROUP BY t.doc_id
 """
 
 
+def q_dsir_select(spark, sf_dir):
+    """DSIR importance-resampling selection (Xie et al. 2023,
+    sampling.dsir_select): hashed unigram+bigram bag models (m=4096
+    md5-prefix buckets, Laplace +1) for the doc_id % 83 target slice vs
+    the whole corpus; per-doc log importance weight in exact whole bits;
+    deterministic top-quarter keep via the cumulative-histogram
+    threshold. Value-hashes every doc's (n_feat, logw_bits, keep), so a
+    wrong bigram window, hash stream, smoothing constant, or threshold
+    tie-rule all mismatch."""
+    from rtsa_spark.operators.sampling import dsir_select
+
+    return dsir_select(_documents(spark, sf_dir))
+
+
+SQL_DSIR_SELECT = """
+WITH toks AS MATERIALIZED (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+  FROM documents
+  WHERE len(list_filter(string_split(text, ' '), x -> x <> '')) >= 1
+), feats AS MATERIALIZED (
+  SELECT doc_id,
+         ('0x' || substr(md5(feature), 1, 12))::BIGINT % 4096 AS b
+  FROM (
+    SELECT doc_id, unnest(t) AS feature FROM toks
+    UNION ALL
+    SELECT doc_id, t[i] || ' ' || t[i + 1] AS feature
+    FROM toks, unnest(generate_series(1, len(t) - 1)) AS u(i)
+  )
+), cr AS MATERIALIZED (
+  SELECT b, count(*)::BIGINT AS c_r FROM feats GROUP BY 1
+), ct AS MATERIALIZED (
+  SELECT b, count(*)::BIGINT AS c_t FROM feats WHERE doc_id % 83 = 0 GROUP BY 1
+), nr AS MATERIALIZED (SELECT sum(c_r)::BIGINT + 4096 AS n FROM cr),
+nt AS MATERIALIZED (SELECT coalesce(sum(c_t)::BIGINT, 0) + 4096 AS n FROM ct),
+w AS MATERIALIZED (
+  SELECT cr.b,
+         CAST(length(format('{:b}', (coalesce(ct.c_t, 0) + 1) * (SELECT n FROM nr)))
+            - length(format('{:b}', (cr.c_r + 1) * (SELECT n FROM nt)))
+            AS BIGINT) AS w_bits
+  FROM cr LEFT JOIN ct USING (b)
+), scored AS MATERIALIZED (
+  SELECT f.doc_id, count(*)::BIGINT AS n_feat, sum(w.w_bits)::BIGINT AS logw_bits
+  FROM feats f JOIN w USING (b)
+  GROUP BY 1
+), hist AS MATERIALIZED (
+  SELECT logw_bits, count(*)::BIGINT AS h FROM scored GROUP BY 1
+), cum AS MATERIALIZED (
+  SELECT logw_bits,
+         sum(h) OVER (ORDER BY logw_bits DESC
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         sum(h) OVER () AS n
+  FROM hist
+), thr AS MATERIALIZED (
+  SELECT max(CASE WHEN 4 * cum >= 1 * n THEN logw_bits END) AS t FROM cum
+)
+SELECT doc_id, n_feat, logw_bits,
+       logw_bits >= (SELECT t FROM thr) AS keep
+FROM scored
+"""
+
+
 def q_vocab_growth(spark, sf_dir):
     """Per (source, day) new-vocabulary accounting (rollup.vocab_growth):
     tokens first seen in each bucket + the running vocabulary size — the
@@ -7688,6 +7749,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "matrix_profile": q_matrix_profile,
         "perplexity_partition": q_perplexity_partition,
         "contrastive_selection": q_contrastive_selection,
+        "dsir_select": q_dsir_select,
     }
 
 
@@ -7845,4 +7907,5 @@ def oracle_sql() -> dict[str, str]:
         "matrix_profile": SQL_MATRIX_PROFILE,
         "perplexity_partition": SQL_PERPLEXITY_PARTITION,
         "contrastive_selection": SQL_CONTRASTIVE_SELECTION,
+        "dsir_select": SQL_DSIR_SELECT,
     }

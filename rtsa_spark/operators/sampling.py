@@ -520,3 +520,150 @@ def contrastive_selection(
         (F.col("sum_bits_in") - F.col("sum_bits_out")).alias("diff_bits"),
         (F.col("sum_bits_in") < F.col("sum_bits_out")).alias("keep"),
     )
+
+
+def dsir_select(
+    df: DataFrame,
+    ref_mod: int = 83,
+    m: int = 4096,
+    keep_num: int = 1,
+    keep_den: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """DSIR — Data Selection via Importance Resampling (Xie et al. 2023,
+    arXiv:2302.03169): score every document by the log importance weight
+    ``log p_target(features) - log p_raw(features)`` under bag-of-hashed-
+    n-gram models and keep the highest-weight ``keep_num / keep_den``
+    fraction of the corpus. The modern pretraining-corpus counterpart of
+    Moore-Lewis (:func:`contrastive_selection`): where Moore-Lewis
+    contrasts two token-level LMs, DSIR hashes unigrams AND bigrams into
+    ``m`` buckets so the model is a fixed-size vector that fits in one
+    broadcast regardless of corpus vocabulary.
+
+    Determinism contract: the hash is the module's portable md5-prefix
+    stream (module docstring), the target slice is ``id % ref_mod == 0``
+    (the benchmark-slice convention shared with
+    ``dedup.contamination_check``), both bucket models are Laplace +1
+    smoothed, and the per-bucket log ratio is kept in WHOLE BITS via the
+    exact-int identity ``floor(log2(z)) + 1 == bitlength(z)``::
+
+        w[b] = bitlength((c_t[b] + 1) * (N_r + m))
+             - bitlength((c_r[b] + 1) * (N_t + m))
+
+    a signed integer within 1 bit of ``log2(p_t[b] / p_r[b])`` — no float
+    log, no division, so both engines agree on every score exactly. The
+    paper's Gumbel-noise resampling step is intentionally replaced by the
+    deterministic top-fraction rule (threshold found by the same two-pass
+    cumulative-histogram scan as :func:`perplexity_partition`: no global
+    sort, ties at the threshold all kept, so reruns and engines agree).
+
+    Scale shape: one feature explode feeds both models; each model is at
+    most ``m`` rows (broadcast join back); doc scores are one groupBy;
+    the keep threshold is a histogram over distinct scores. No windows
+    over the corpus, no sorts, no Python. BIGINT headroom: the products
+    need ``(max_count + 1) * (N + m) < 2^63``, i.e. fine through ~3e9
+    feature occurrences per slice; shard the corpus (or widen to
+    DECIMAL(38,0)) past that.
+
+    Output: one row per document with >= 1 token —
+    ``(id, n_feat, logw_bits, keep)``, ``logw_bits`` descending =
+    most target-like first.
+    """
+    if ref_mod < 1:
+        raise ValueError(f"ref_mod must be >= 1, got {ref_mod}")
+    if m < 2:
+        raise ValueError(f"m must be >= 2, got {m}")
+    if not (0 < keep_num <= keep_den):
+        raise ValueError(
+            f"keep fraction must be in (0, 1], got {keep_num}/{keep_den}"
+        )
+    toks = df.select(
+        F.col(id_col).alias("_id"),
+        F.expr(f"filter(split({text_col}, ' '), x -> x != '')").alias("_t"),
+    ).where(F.size("_t") >= 1)
+    feats = toks.select(
+        "_id",
+        F.explode(
+            F.concat(
+                F.col("_t"),
+                F.when(
+                    F.size("_t") >= 2,
+                    F.expr(
+                        "transform(sequence(0, size(_t) - 2),"
+                        " i -> concat(_t[i], ' ', _t[i + 1]))"
+                    ),
+                ).otherwise(F.expr("array()")),
+            )
+        ).alias("feature"),
+    ).select(
+        "_id",
+        (
+            F.conv(F.substring(F.md5("feature"), 1, 12), 16, 10).cast("bigint")
+            % m
+        ).alias("b"),
+    )
+
+    def bucket_model(feat_df, tag):
+        cnt = feat_df.groupBy("b").agg(
+            F.count(F.lit(1)).cast("bigint").alias(f"c_{tag}")
+        )
+        tot = cnt.agg((F.sum(f"c_{tag}") + m).alias(f"n_{tag}"))
+        return cnt, tot
+
+    cnt_t, tot_t = bucket_model(feats.where(F.col("_id") % ref_mod == 0), "t")
+    cnt_r, tot_r = bucket_model(feats, "r")
+    weights = (
+        cnt_r.join(cnt_t, "b", "left")
+        .crossJoin(F.broadcast(tot_t))
+        .crossJoin(F.broadcast(tot_r))
+        .select(
+            "b",
+            (
+                F.length(F.bin((F.coalesce("c_t", F.lit(0)) + 1) * F.col("n_r")))
+                - F.length(F.bin((F.col("c_r") + 1) * F.col("n_t")))
+            )
+            .cast("bigint")
+            .alias("w_bits"),
+        )
+    )
+    scored = (
+        feats.join(F.broadcast(weights), "b")
+        .groupBy("_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_feat"),
+            F.sum("w_bits").cast("bigint").alias("logw_bits"),
+        )
+    )
+    hist = scored.groupBy("logw_bits").agg(
+        F.count(F.lit(1)).cast("bigint").alias("h")
+    )
+    wcum = Window.orderBy(F.desc("logw_bits")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    thr = (
+        hist.select(
+            "logw_bits",
+            F.sum("h").over(wcum).alias("cum"),
+            F.sum("h").over(
+                Window.rowsBetween(
+                    Window.unboundedPreceding, Window.unboundedFollowing
+                )
+            ).alias("n"),
+        )
+        .groupBy()
+        .agg(
+            F.max(
+                F.when(
+                    keep_den * F.col("cum") >= keep_num * F.col("n"),
+                    F.col("logw_bits"),
+                )
+            ).alias("_thr")
+        )
+    )
+    return scored.crossJoin(F.broadcast(thr)).select(
+        F.col("_id").alias(id_col),
+        "n_feat",
+        "logw_bits",
+        (F.col("logw_bits") >= F.col("_thr")).alias("keep"),
+    )

@@ -946,3 +946,84 @@ def test_contrastive_selection_hand_case(spark):
     # out model now: N=30, a:6 -> bits(30//6)=2; in model unchanged (a: 1)
     # doc 1 "a a b": sin=3, sout = 2+2+bits(30//21 = 1)=0 -> 4 -> keep
     assert got3[1]["keep"] and got3[1]["sum_bits_in"] < got3[1]["sum_bits_out"]
+
+
+def test_dsir_select_hand_replay(spark):
+    """DSIR replayed end-to-end in pure Python: identical md5-prefix
+    hashed unigram+bigram buckets, Laplace +1 bucket models, whole-bit
+    signed log ratio, and the top-fraction histogram threshold with
+    ties kept. Any drift in hash stream, bigram window, smoothing, or
+    tie rule mismatches some doc's row."""
+    import hashlib
+
+    from rtsa_spark.operators.sampling import dsir_select
+
+    rows = [
+        (0, "the cat sat"),
+        (1, "dog dog dog runs"),
+        (2, "the cat ran far"),
+        (3, "zz yy xx"),
+        (4, "the the cat"),
+        (5, "dog cat"),
+    ]
+    m, ref_mod = 64, 2
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r
+        for r in dsir_select(df, ref_mod=ref_mod, m=m).collect()
+    }
+
+    def bucket(f):
+        return int(hashlib.md5(f.encode()).hexdigest()[:12], 16) % m
+
+    def feats(text):
+        t = [w for w in text.split(" ") if w]
+        return [bucket(f) for f in t + [
+            f"{t[i]} {t[i + 1]}" for i in range(len(t) - 1)
+        ]]
+
+    c_r, c_t = {}, {}
+    for d, text in rows:
+        for b in feats(text):
+            c_r[b] = c_r.get(b, 0) + 1
+            if d % ref_mod == 0:
+                c_t[b] = c_t.get(b, 0) + 1
+    n_r, n_t = sum(c_r.values()) + m, sum(c_t.values()) + m
+    w = {
+        b: ((c_t.get(b, 0) + 1) * n_r).bit_length()
+        - ((c_r[b] + 1) * n_t).bit_length()
+        for b in c_r
+    }
+    scores = {d: sum(w[b] for b in feats(text)) for d, text in rows}
+    n = len(scores)
+    thr = max(
+        s for s in scores.values()
+        if 4 * sum(1 for v in scores.values() if v >= s) >= n
+    )
+    assert len(got) == n
+    for d, text in rows:
+        r = got[d]
+        assert r["n_feat"] == len(feats(text)), d
+        assert r["logw_bits"] == scores[d], d
+        assert r["keep"] == (scores[d] >= thr), d
+    # target-slice docs score better than the OOV-ish doc 3
+    assert scores[0] > scores[3] and got[3]["keep"] is False
+    # half-keep widens the kept set monotonically
+    got_half = {
+        r["doc_id"]: r["keep"]
+        for r in dsir_select(df, ref_mod=ref_mod, m=m, keep_den=2).collect()
+    }
+    assert sum(got_half.values()) >= sum(r["keep"] for r in got.values())
+    for d in got:
+        assert got_half[d] or not got[d]["keep"]
+
+
+def test_dsir_select_validation(spark):
+    import pytest as _pytest
+
+    from rtsa_spark.operators.sampling import dsir_select
+
+    df = spark.createDataFrame([(0, "a b")], "doc_id long, text string")
+    for kw in ({"ref_mod": 0}, {"m": 1}, {"keep_num": 0}, {"keep_num": 3, "keep_den": 2}):
+        with _pytest.raises(ValueError):
+            dsir_select(df, **kw)
