@@ -4415,6 +4415,75 @@ FROM scored
 """
 
 
+def q_zorder_skip_audit(spark, sf_dir):
+    """Z-order vs linear file-layout skipping audit
+    (storage.zorder_skip_audit): lay the events table out as 64 equal
+    files under ORDER BY (hour, user) and under the Morton z-curve key,
+    compute each file's min/max stats envelope, and count files/rows a
+    box predicate (hour in [200,300], user in [10,20]) must scan under
+    each layout. Value-hashes both layout rows, so a wrong interleave
+    constant, file split, or envelope rule all mismatch."""
+    import pyspark.sql.functions as F
+
+    from rtsa_spark.storage import zorder_skip_audit
+
+    ev = _events(spark, sf_dir).select(
+        (F.expr("unix_timestamp(ts) div 3600") - 473352).alias("hx"),
+        F.col("user_id").alias("uy"),
+    )
+    return zorder_skip_audit(ev, "hx", "uy", 64, (200, 300), (10, 20))
+
+
+def _duck_spread(col: str) -> str:
+    """DuckDB twin of storage._spread_expr (16-bit Morton bit spread)."""
+    e = f"CAST({col} AS BIGINT)"
+    for sh, m in ((8, 0x00FF00FF), (4, 0x0F0F0F0F), (2, 0x33333333), (1, 0x55555555)):
+        e = f"((({e}) | (({e}) << {sh})) & {m})"
+    return e
+
+
+SQL_ZORDER_SKIP_AUDIT = f"""
+WITH base AS MATERIALIZED (
+  SELECT CAST(floor(epoch(ts)) AS BIGINT) // 3600 - 473352 AS x,
+         user_id::BIGINT AS y
+  FROM events
+), keyed AS MATERIALIZED (
+  SELECT x, y, ({_duck_spread('x')} | ({_duck_spread('y')} << 1)) AS zk
+  FROM base
+), lin AS MATERIALIZED (
+  SELECT x, y,
+         (64 * (row_number() OVER (ORDER BY x, y) - 1))
+           // (count(*) OVER ()) AS file
+  FROM keyed
+), zo AS MATERIALIZED (
+  SELECT x, y,
+         (64 * (row_number() OVER (ORDER BY zk, x, y) - 1))
+           // (count(*) OVER ()) AS file
+  FROM keyed
+), stats AS MATERIALIZED (
+  SELECT 'linear' AS layout, file, min(x) AS min_x, max(x) AS max_x,
+         min(y) AS min_y, max(y) AS max_y, count(*)::BIGINT AS rows_,
+         sum(CASE WHEN x BETWEEN 200 AND 300 AND y BETWEEN 10 AND 20
+                  THEN 1 ELSE 0 END)::BIGINT AS matched
+  FROM lin GROUP BY 1, 2
+  UNION ALL
+  SELECT 'zorder' AS layout, file, min(x), max(x), min(y), max(y),
+         count(*)::BIGINT,
+         sum(CASE WHEN x BETWEEN 200 AND 300 AND y BETWEEN 10 AND 20
+                  THEN 1 ELSE 0 END)::BIGINT
+  FROM zo GROUP BY 1, 2
+)
+SELECT layout, count(*)::BIGINT AS n_files,
+       sum(CASE WHEN NOT (max_x < 200 OR min_x > 300 OR max_y < 10 OR min_y > 20)
+                THEN 1 ELSE 0 END)::BIGINT AS files_scanned,
+       sum(CASE WHEN NOT (max_x < 200 OR min_x > 300 OR max_y < 10 OR min_y > 20)
+                THEN rows_ ELSE 0 END)::BIGINT AS rows_scanned,
+       sum(matched)::BIGINT AS rows_matched
+FROM stats
+GROUP BY layout
+"""
+
+
 def q_vocab_growth(spark, sf_dir):
     """Per (source, day) new-vocabulary accounting (rollup.vocab_growth):
     tokens first seen in each bucket + the running vocabulary size — the
@@ -7750,6 +7819,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "perplexity_partition": q_perplexity_partition,
         "contrastive_selection": q_contrastive_selection,
         "dsir_select": q_dsir_select,
+        "zorder_skip_audit": q_zorder_skip_audit,
     }
 
 
@@ -7908,4 +7978,5 @@ def oracle_sql() -> dict[str, str]:
         "perplexity_partition": SQL_PERPLEXITY_PARTITION,
         "contrastive_selection": SQL_CONTRASTIVE_SELECTION,
         "dsir_select": SQL_DSIR_SELECT,
+        "zorder_skip_audit": SQL_ZORDER_SKIP_AUDIT,
     }
