@@ -4484,6 +4484,63 @@ GROUP BY layout
 """
 
 
+def q_sax_words(spark, sf_dir):
+    """SAX symbolic words (Lin et al. 2007, motif.sax_words) over the
+    dense daily tier: PAA frames of 2 days as exact scaled-int means,
+    per-source equal-depth 4-symbol alphabet from a cumulative
+    histogram, sliding 4-symbol words. Value-hashes every (source,
+    frame, paa_e6, sym, word) row, so a wrong frame split, threshold
+    rule, symbol order, or word window all mismatch."""
+    from rtsa_spark.operators.motif import sax_words
+
+    return sax_words(
+        _seq_daily_dense(spark, sf_dir), "source", "bucket_start", "x",
+        paa=2, word=4, alphabet=4,
+    )
+
+
+SQL_SAX_WORDS = f"""
+WITH {_SQL_SEQ_DENSE_H},
+framed AS MATERIALIZED (
+  SELECT k, (row_number() OVER (PARTITION BY k ORDER BY b) - 1) // 2 AS frame, x
+  FROM h
+), frames AS MATERIALIZED (
+  SELECT k, frame, (1000000 * sum(x)) // count(*) AS paa_e6
+  FROM framed GROUP BY 1, 2
+  HAVING count(*) = 2
+), hist AS MATERIALIZED (
+  SELECT k, paa_e6, count(*)::BIGINT AS hh FROM frames GROUP BY 1, 2
+), cum AS MATERIALIZED (
+  SELECT k, paa_e6,
+         sum(hh) OVER (PARTITION BY k ORDER BY paa_e6
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         sum(hh) OVER (PARTITION BY k) AS n
+  FROM hist
+), thr AS MATERIALIZED (
+  SELECT k,
+         min(CASE WHEN 4 * cum >= 1 * n THEN paa_e6 END) AS t1,
+         min(CASE WHEN 4 * cum >= 2 * n THEN paa_e6 END) AS t2,
+         min(CASE WHEN 4 * cum >= 3 * n THEN paa_e6 END) AS t3
+  FROM cum GROUP BY 1
+), symed AS MATERIALIZED (
+  SELECT f.k, f.frame, f.paa_e6,
+         CASE WHEN f.paa_e6 > t.t3 THEN 'd'
+              WHEN f.paa_e6 > t.t2 THEN 'c'
+              WHEN f.paa_e6 > t.t1 THEN 'b'
+              ELSE 'a' END AS sym
+  FROM frames f JOIN thr t USING (k)
+), worded AS MATERIALIZED (
+  SELECT k, frame, paa_e6, sym,
+         sym || lead(sym, 1) OVER w || lead(sym, 2) OVER w
+             || lead(sym, 3) OVER w AS word,
+         lead(sym, 3) OVER w AS last_
+  FROM symed WINDOW w AS (PARTITION BY k ORDER BY frame)
+)
+SELECT k AS source, frame, paa_e6, sym, word
+FROM worded WHERE last_ IS NOT NULL
+"""
+
+
 def q_vocab_growth(spark, sf_dir):
     """Per (source, day) new-vocabulary accounting (rollup.vocab_growth):
     tokens first seen in each bucket + the running vocabulary size — the
@@ -7820,6 +7877,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contrastive_selection": q_contrastive_selection,
         "dsir_select": q_dsir_select,
         "zorder_skip_audit": q_zorder_skip_audit,
+        "sax_words": q_sax_words,
     }
 
 
@@ -7979,4 +8037,5 @@ def oracle_sql() -> dict[str, str]:
         "contrastive_selection": SQL_CONTRASTIVE_SELECTION,
         "dsir_select": SQL_DSIR_SELECT,
         "zorder_skip_audit": SQL_ZORDER_SKIP_AUDIT,
+        "sax_words": SQL_SAX_WORDS,
     }

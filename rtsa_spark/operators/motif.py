@@ -32,7 +32,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 _INT_CAP = 1 << 62
@@ -144,4 +144,128 @@ def motif_topk(mp_df: DataFrame, key_col: str, k: int = 3) -> DataFrame:
         mp_df.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select(key_col, "rank", "w_start", "nn_start", "d2")
+    )
+
+
+def sax_words(
+    df: DataFrame,
+    key_col: str,
+    time_col: str,
+    value_col: str,
+    paa: int = 2,
+    word: int = 4,
+    alphabet: int = 4,
+) -> DataFrame:
+    """SAX — Symbolic Aggregate approXimation (Lin, Keogh, Wei & Lonardi
+    2007, "Experiencing SAX", DMKD 15) over tier series: reduce each
+    key's bucket-ordered values to PAA frames of ``paa`` buckets, map
+    each frame to one of ``alphabet`` symbols, and emit every sliding
+    ``word``-symbol word — the discretization that turns motif counting,
+    novelty detection and indexing into plain string group-bys
+    (:func:`matrix_profile`'s cheap symbolic sibling).
+
+    Two deliberate exact-int adaptations of the paper (documented, both
+    engine-portable where the originals are not):
+
+    - PAA means are scaled integers ``(10^6 * frame_sum) div paa`` —
+      exact BIGINTs, no float division.
+    - Breakpoints are the key's own EQUAL-DEPTH quantiles (the adaptive-
+      breakpoint SAX variant) computed exactly from a cumulative
+      histogram — symbol ``j`` covers frames past the ``j/alphabet``
+      cumulative threshold — instead of Gaussian breakpoints on a
+      z-normalized series (whose mean/sd float chain cannot be replayed
+      bit-exactly). Equal depth also needs no stationarity assumption.
+
+    Frames are positional over observed buckets (gap-fill first if
+    calendar frames matter); trailing partial frames are dropped, as are
+    trailing windows shorter than ``word``.
+
+    Scale shape: one shuffle on the key (frame agg on (key, frame)),
+    a per-key threshold histogram (broadcast back), one per-key window
+    for the word concat. No global windows, no Python; per-key state is
+    bounded by buckets-per-key, the tier cap. ``10^6 * frame_sum`` must
+    stay under 2^63 (loud ANSI overflow otherwise).
+
+    Output: ``(key, frame, paa_e6, sym, word)`` — one row per word
+    start; ``frame`` is the 0-based PAA frame index of the word's first
+    symbol.
+    """
+    if paa < 1:
+        raise ValueError(f"paa must be >= 1, got {paa}")
+    if word < 1:
+        raise ValueError(f"word must be >= 1, got {word}")
+    if not (2 <= alphabet <= 26):
+        raise ValueError(f"alphabet must be in [2, 26], got {alphabet}")
+    frames = (
+        df.select(
+            F.col(key_col).alias("k"),
+            F.col(value_col).cast("bigint").alias("v"),
+            (F.row_number().over(
+                Window.partitionBy(key_col).orderBy(time_col)
+            ) - 1).alias("_i"),
+        )
+        .select("k", "v", F.expr(f"_i div {paa}").alias("frame"))
+        .groupBy("k", "frame")
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.expr("(1000000 * sum(v)) div count(*)").alias("paa_e6"),
+        )
+        .where(F.col("_n") == paa)
+        .drop("_n")
+    )
+    hist = frames.groupBy("k", "paa_e6").agg(
+        F.count(F.lit(1)).cast("bigint").alias("h")
+    )
+    wcum = (
+        Window.partitionBy("k")
+        .orderBy("paa_e6")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = hist.select(
+        "k",
+        "paa_e6",
+        F.sum("h").over(wcum).alias("cum"),
+        F.sum("h").over(Window.partitionBy("k")).alias("n"),
+    )
+    thr = cum.groupBy("k").agg(
+        *[
+            F.min(
+                F.when(
+                    alphabet * F.col("cum") >= j * F.col("n"), F.col("paa_e6")
+                )
+            ).alias(f"_t{j}")
+            for j in range(1, alphabet)
+        ]
+    )
+    sym = F.when(
+        F.col("paa_e6") > F.col(f"_t{alphabet - 1}"),
+        F.lit(chr(96 + alphabet)),
+    )
+    for j in range(alphabet - 2, 0, -1):
+        sym = sym.when(F.col("paa_e6") > F.col(f"_t{j}"), F.lit(chr(97 + j)))
+    sym = sym.otherwise(F.lit("a"))
+    symed = frames.join(thr, "k").select(
+        "k", "frame", "paa_e6", sym.alias("sym")
+    )
+    wf = Window.partitionBy("k").orderBy("frame")
+    parts = [F.col("sym")] + [
+        F.lead("sym", i).over(wf) for i in range(1, word)
+    ]
+    return (
+        symed.select(
+            "k",
+            "frame",
+            "paa_e6",
+            "sym",
+            F.concat_ws("", *parts).alias("word"),
+            F.lead("sym", word - 1).over(wf).alias("_last"),
+        )
+        .where(F.col("_last").isNotNull())
+        .select(
+            F.col("k").alias(key_col),
+            "frame",
+            "paa_e6",
+            "sym",
+            "word",
+        )
     )

@@ -88,3 +88,83 @@ def test_matrix_profile_guards(spark):
         matrix_profile(big, "source", "b", "x", m=4).collect()
     # short series (n < m) emits nothing rather than erroring
     assert matrix_profile(df, "source", "b", "x", m=5).count() == 0
+
+
+def _sax_replay(values, paa, word, alphabet):
+    """Pure-Python SAX twin: scaled-int PAA, equal-depth thresholds from
+    the cumulative histogram, sliding words."""
+    frames = []
+    for f in range(len(values) // paa):
+        frames.append((1_000_000 * sum(values[f * paa:(f + 1) * paa])) // paa)
+    n = len(frames)
+    uniq = sorted(set(frames))
+    cum = {}
+    c = 0
+    for v in uniq:
+        c += frames.count(v)
+        cum[v] = c
+    thr = [
+        min(v for v in uniq if alphabet * cum[v] >= j * n)
+        for j in range(1, alphabet)
+    ]
+    syms = []
+    for v in frames:
+        s = 0
+        for j, t in enumerate(thr):
+            if v > t:
+                s = j + 1
+        syms.append(chr(97 + s))
+    out = []
+    for i in range(n - word + 1):
+        out.append((i, frames[i], syms[i], "".join(syms[i:i + word])))
+    return out
+
+
+def test_sax_words_hand_replay(spark):
+    from rtsa_spark.operators.motif import sax_words
+
+    values = [1, 2, 3, 4, 10, 11, 12, 13, 1, 2, 3, 4, 10, 11, 12, 13, 5, 6, 7]
+    rows = [("s", i, v) for i, v in enumerate(values)]
+    df = spark.createDataFrame(rows, "source string, t long, x long")
+    got = sorted(
+        (r["frame"], r["paa_e6"], r["sym"], r["word"])
+        for r in sax_words(
+            df, "source", "t", "x", paa=2, word=3, alphabet=4
+        ).collect()
+    )
+    exp = sorted(_sax_replay(values, 2, 3, 4))
+    assert got == exp
+    # the repeated [1..4, 10..13] shape shows up as a repeated word
+    words = [w for *_ , w in got]
+    assert any(words.count(w) >= 2 for w in set(words))
+
+
+def test_sax_words_multi_key_and_params(spark):
+    """Keys get independent breakpoints (a flat key is all-'a'); paa=1
+    degenerates to raw symbolization; alphabet size changes the symbol
+    range."""
+    from rtsa_spark.operators.motif import sax_words
+
+    rows = [("up", i, i) for i in range(8)] + [("flat", i, 5) for i in range(8)]
+    df = spark.createDataFrame(rows, "source string, t long, x long")
+    got = sax_words(df, "source", "t", "x", paa=1, word=2, alphabet=2).collect()
+    by_key = {}
+    for r in got:
+        by_key.setdefault(r["source"], []).append(r)
+    # flat key: every frame equals the single threshold -> all 'a'
+    assert all(r["sym"] == "a" for r in by_key["flat"])
+    # rising key: first half 'a', second half 'b' (equal depth)
+    ups = sorted(by_key["up"], key=lambda r: r["frame"])
+    assert [r["sym"] for r in ups] == ["a"] * 4 + ["b"] * 3
+    assert ups[3]["word"] == "ab"
+
+
+def test_sax_words_validation(spark):
+    import pytest as _pytest
+
+    from rtsa_spark.operators.motif import sax_words
+
+    df = spark.createDataFrame([("s", 0, 1)], "source string, t long, x long")
+    for kw in ({"paa": 0}, {"word": 0}, {"alphabet": 1}, {"alphabet": 27}):
+        with _pytest.raises(ValueError):
+            sax_words(df, "source", "t", "x", **kw)
