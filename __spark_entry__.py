@@ -7719,7 +7719,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "encode_roundtrip_audit": q_encode_roundtrip_audit,
         # --- gap-fill / interpolation ---
         "gapfill_hourly_linear": q_gapfill_hourly_linear,
-        "spline_audit": q_spline_audit,
+        # --- data layout (z-order skipping) ---
+        "zorder_skip_audit": q_zorder_skip_audit,
         # --- masks ---
         "mask_min_obs": q_mask_min_obs,
         "mask_complete_profile": q_mask_complete_profile,
@@ -7795,6 +7796,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "encode_pruned_read": q_encode_pruned_read,
         "pipeline_encoded_audit": q_pipeline_encoded_audit,
         "sequences_metrics": q_sequences_metrics,
+        "spline_audit": q_spline_audit,
         "stine_audit": q_stine_audit,
         "pchip_audit": q_pchip_audit,
         "sequences_stl": q_sequences_stl,
@@ -7876,7 +7878,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "perplexity_partition": q_perplexity_partition,
         "contrastive_selection": q_contrastive_selection,
         "dsir_select": q_dsir_select,
-        "zorder_skip_audit": q_zorder_skip_audit,
         "sax_words": q_sax_words,
     }
 
