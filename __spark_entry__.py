@@ -4541,6 +4541,169 @@ FROM worded WHERE last_ IS NOT NULL
 """
 
 
+BM25_TERMS = ("dup", "window", "merge")
+
+
+def q_bm25_topk(spark, sf_dir):
+    """BM25 lexical top-15 (retrieval.bm25_topk) for a fixed 3-term
+    query: quarter-bit exact-int idf (fourth-power bitlength with the
+    shared downscale shift), rational k1=6/5 b=3/4 tf saturation as one
+    floor division per (term, doc). Value-hashes (doc, n_hit, score_e6,
+    rank), so a wrong idf resolution, saturation constant, avgdl floor,
+    or tie-break all mismatch."""
+    from rtsa_spark.operators.retrieval import bm25_topk
+
+    return bm25_topk(_documents(spark, sf_dir), list(BM25_TERMS), k=15)
+
+
+SQL_BM25_TOPK = f"""
+WITH toks AS MATERIALIZED (
+  SELECT doc_id, token FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+  ) WHERE token <> ''
+), dl AS MATERIALIZED (
+  SELECT doc_id, count(*)::BIGINT AS dl FROM toks GROUP BY 1
+), corpus AS MATERIALIZED (
+  SELECT count(*)::BIGINT AS n_docs,
+         (sum(dl) // count(*))::BIGINT AS avg_dl
+  FROM dl
+), tf AS MATERIALIZED (
+  SELECT doc_id, token, count(*)::BIGINT AS tf FROM toks
+  WHERE token IN {BM25_TERMS!r} GROUP BY 1, 2
+), dfq AS MATERIALIZED (
+  SELECT token, count(*)::BIGINT AS df FROM tf GROUP BY 1
+), idf AS MATERIALIZED (
+  SELECT token,
+         CAST(length(format('{{:b}}', (ns * ns * ns * ns) // (ds * ds * ds * ds)))
+              - 1 AS BIGINT) AS idf_q
+  FROM (
+    SELECT token,
+           (2 * (SELECT n_docs FROM corpus) + 2) >> s AS ns,
+           greatest(1, (2 * df + 1) >> s) AS ds
+    FROM (
+      SELECT token, df,
+             greatest(0, length(format('{{:b}}',
+                 2 * (SELECT n_docs FROM corpus) + 2)) - 15) AS s
+      FROM dfq
+    )
+  )
+), scored AS MATERIALIZED (
+  SELECT t.doc_id, count(*)::BIGINT AS n_hit,
+         sum((1000000 * i.idf_q * 22 * c.avg_dl * t.tf)
+             // (4 * (10 * c.avg_dl * t.tf + 3 * c.avg_dl + 9 * d.dl)))::BIGINT
+           AS score_e6
+  FROM tf t
+  JOIN idf i USING (token)
+  JOIN dl d USING (doc_id)
+  CROSS JOIN corpus c
+  GROUP BY 1
+)
+SELECT doc_id, n_hit, score_e6,
+       CAST(row_number() OVER (ORDER BY score_e6 DESC, doc_id) AS BIGINT) AS rank
+FROM scored
+ORDER BY score_e6 DESC, doc_id
+LIMIT 15
+"""
+
+
+def q_hybrid_rrf(spark, sf_dir):
+    """Hybrid search: fuse the BM25 lexical top-15 with the dense cosine
+    top-15 of query vector 0 by reciprocal rank fusion
+    (retrieval.rrf_fuse, k=60, exact 10^9-scaled reciprocals). The
+    standard two-tower corpus-search merge; value-hashes the fused
+    (doc, lists_hit, rrf_e9, rank) list."""
+    import pyspark.sql.functions as F
+
+    from rtsa_spark.operators.retrieval import bm25_topk, rrf_fuse
+    from rtsa_spark.operators.similarity import cosine_topk
+
+    lex = bm25_topk(_documents(spark, sf_dir), list(BM25_TERMS), k=15)
+    emb = _embeddings(spark, sf_dir)
+    dense = cosine_topk(emb.where("vec_id < 1"), emb, k=15).select(
+        F.col("neighbor_id").alias("doc_id"), "rank"
+    )
+    return rrf_fuse([lex.select("doc_id", "rank"), dense], k=60)
+
+
+SQL_HYBRID_RRF = f"""
+WITH toks AS MATERIALIZED (
+  SELECT doc_id, token FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+  ) WHERE token <> ''
+), dl AS MATERIALIZED (
+  SELECT doc_id, count(*)::BIGINT AS dl FROM toks GROUP BY 1
+), corpus AS MATERIALIZED (
+  SELECT count(*)::BIGINT AS n_docs,
+         (sum(dl) // count(*))::BIGINT AS avg_dl
+  FROM dl
+), tf AS MATERIALIZED (
+  SELECT doc_id, token, count(*)::BIGINT AS tf FROM toks
+  WHERE token IN {BM25_TERMS!r} GROUP BY 1, 2
+), dfq AS MATERIALIZED (
+  SELECT token, count(*)::BIGINT AS df FROM tf GROUP BY 1
+), idf AS MATERIALIZED (
+  SELECT token,
+         CAST(length(format('{{:b}}', (ns * ns * ns * ns) // (ds * ds * ds * ds)))
+              - 1 AS BIGINT) AS idf_q
+  FROM (
+    SELECT token,
+           (2 * (SELECT n_docs FROM corpus) + 2) >> s AS ns,
+           greatest(1, (2 * df + 1) >> s) AS ds
+    FROM (
+      SELECT token, df,
+             greatest(0, length(format('{{:b}}',
+                 2 * (SELECT n_docs FROM corpus) + 2)) - 15) AS s
+      FROM dfq
+    )
+  )
+), lex_scored AS MATERIALIZED (
+  SELECT t.doc_id, sum((1000000 * i.idf_q * 22 * c.avg_dl * t.tf)
+             // (4 * (10 * c.avg_dl * t.tf + 3 * c.avg_dl + 9 * d.dl)))::BIGINT
+           AS score_e6
+  FROM tf t
+  JOIN idf i USING (token)
+  JOIN dl d USING (doc_id)
+  CROSS JOIN corpus c
+  GROUP BY 1
+), lex AS MATERIALIZED (
+  SELECT doc_id, CAST(row_number() OVER (ORDER BY score_e6 DESC, doc_id)
+                 AS BIGINT) AS rank
+  FROM lex_scored
+  ORDER BY score_e6 DESC, doc_id
+  LIMIT 15
+), qv AS (SELECT embedding AS qe FROM embeddings WHERE vec_id < 1),
+cv AS (SELECT vec_id AS doc_id, embedding AS ce FROM embeddings WHERE vec_id >= 1),
+cos_scored AS MATERIALIZED (
+  SELECT doc_id,
+         list_sum(list_transform(generate_series(1, 64),
+                                 i -> qe[i]::DOUBLE * ce[i]::DOUBLE))
+         / (sqrt(list_sum(list_transform(generate_series(1, 64),
+                                         i -> qe[i]::DOUBLE * qe[i]::DOUBLE)))
+          * sqrt(list_sum(list_transform(generate_series(1, 64),
+                                         i -> ce[i]::DOUBLE * ce[i]::DOUBLE))))
+           AS cos
+  FROM qv, cv
+), dense AS MATERIALIZED (
+  SELECT doc_id, CAST(row_number() OVER (ORDER BY cos DESC, doc_id)
+                 AS BIGINT) AS rank
+  FROM cos_scored
+  ORDER BY cos DESC, doc_id
+  LIMIT 15
+), unioned AS (
+  SELECT doc_id, rank FROM lex
+  UNION ALL
+  SELECT doc_id, rank FROM dense
+), fused AS MATERIALIZED (
+  SELECT doc_id, count(*)::BIGINT AS lists_hit,
+         sum(1000000000 // (60 + rank))::BIGINT AS rrf_e9
+  FROM unioned GROUP BY 1
+)
+SELECT doc_id, lists_hit, rrf_e9,
+       CAST(row_number() OVER (ORDER BY rrf_e9 DESC, doc_id) AS BIGINT) AS rank
+FROM fused
+"""
+
+
 def q_vocab_growth(spark, sf_dir):
     """Per (source, day) new-vocabulary accounting (rollup.vocab_growth):
     tokens first seen in each bucket + the running vocabulary size — the
@@ -7879,6 +8042,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contrastive_selection": q_contrastive_selection,
         "dsir_select": q_dsir_select,
         "sax_words": q_sax_words,
+        "bm25_topk": q_bm25_topk,
+        "hybrid_rrf": q_hybrid_rrf,
     }
 
 
@@ -8039,4 +8204,6 @@ def oracle_sql() -> dict[str, str]:
         "dsir_select": SQL_DSIR_SELECT,
         "zorder_skip_audit": SQL_ZORDER_SKIP_AUDIT,
         "sax_words": SQL_SAX_WORDS,
+        "bm25_topk": SQL_BM25_TOPK,
+        "hybrid_rrf": SQL_HYBRID_RRF,
     }
