@@ -4704,6 +4704,105 @@ FROM fused
 """
 
 
+def q_kmv_vocab_overlap(spark, sf_dir):
+    """Theta-style KMV intersection (sketch.kmv_intersect): pairwise
+    per-source vocabulary overlap estimated from the k=64 KMV sketches
+    alone — union sample, exact-int Jaccard and intersection estimates.
+    The sketch-scale path of the exact rollup.vocab_overlap join;
+    value-hashes every (pair, sample_n, matches, est_union, jaccard_e6,
+    est_intersect) row."""
+    from rtsa_spark.operators.sketch import kmv_bucket_sketch, kmv_intersect
+
+    words = _documents(spark, sf_dir).select(
+        "source", F.explode(F.split("text", " ")).alias("word")
+    )
+    sk = kmv_bucket_sketch(words, [], "source", "word", k=64)
+    return kmv_intersect(sk.select(F.col("bucket").alias("source"), "kmv"),
+                         "source", k=64)
+
+
+SQL_KMV_VOCAB_OVERLAP = """
+WITH w AS MATERIALIZED (
+  SELECT DISTINCT source, ('0x' || substr(md5(word), 1, 12))::BIGINT AS h
+  FROM (SELECT source, unnest(string_split(text, ' ')) AS word
+        FROM documents)
+), r AS (
+  SELECT source, h, row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+  FROM w
+), sk AS MATERIALIZED (
+  SELECT source, list(h ORDER BY h) AS kmv, count(*)::BIGINT AS n
+  FROM r WHERE rn <= 64 GROUP BY 1
+), pairs AS MATERIALIZED (
+  SELECT a.source AS g1, b.source AS g2, a.kmv AS kmv1, b.kmv AS kmv2,
+         a.n AS n1, b.n AS n2
+  FROM sk a JOIN sk b ON a.source < b.source
+), s AS MATERIALIZED (
+  SELECT g1, g2, n1, n2, kmv1, kmv2,
+         list_slice(list_sort(list_distinct(list_concat(kmv1, kmv2))), 1, 64)
+           AS su
+  FROM pairs
+), m AS MATERIALIZED (
+  SELECT g1, g2, CAST(len(su) AS BIGINT) AS sample_n,
+         CAST(len(list_filter(su,
+              x -> list_contains(kmv1, x) AND list_contains(kmv2, x)))
+           AS BIGINT) AS matches,
+         su[len(su)] AS theta,
+         (n1 < 64 AND n2 < 64 AND len(su) < 64) AS exact_
+  FROM s
+), e AS (
+  SELECT g1, g2, sample_n, matches,
+         CASE WHEN exact_ THEN sample_n
+              ELSE (63 * 281474976710656) // greatest(theta, 1)
+         END AS est_union
+  FROM m
+)
+SELECT g1, g2, sample_n, matches, est_union,
+       (1000000 * matches) // sample_n AS jaccard_e6,
+       (matches * est_union) // sample_n AS est_intersect
+FROM e
+"""
+
+
+def q_apportion_tokens(spark, sf_dir):
+    """Largest-remainder (Hamilton) apportionment
+    (sampling.apportion_budget): per-source token counts as weights, a
+    prime 1,000,003-token budget so fractional remainders are
+    exercised; allocations sum exactly to the budget. Value-hashes
+    (source, weight, base_alloc, alloc)."""
+    from rtsa_spark.operators.sampling import apportion_budget
+
+    weights = (
+        _documents(spark, sf_dir)
+        .select("source", F.explode(F.split("text", " ")).alias("w"))
+        .where(F.col("w") != "")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("weight"))
+    )
+    return apportion_budget(weights, 1_000_003)
+
+
+SQL_APPORTION_TOKENS = """
+WITH weights AS MATERIALIZED (
+  SELECT source, count(*)::BIGINT AS weight FROM (
+    SELECT source, unnest(string_split(text, ' ')) AS w FROM documents
+  ) WHERE w <> '' GROUP BY 1
+), tot AS MATERIALIZED (SELECT sum(weight)::BIGINT AS ws FROM weights),
+q AS MATERIALIZED (
+  SELECT source, weight,
+         (1000003 * weight) // (SELECT ws FROM tot) AS base_alloc,
+         (1000003 * weight) % (SELECT ws FROM tot) AS rem
+  FROM weights
+), lo AS MATERIALIZED (
+  SELECT 1000003 - sum(base_alloc)::BIGINT AS leftover FROM q
+)
+SELECT source, weight, base_alloc,
+       CAST(base_alloc + CASE WHEN row_number()
+              OVER (ORDER BY rem DESC, source) <= (SELECT leftover FROM lo)
+            THEN 1 ELSE 0 END AS BIGINT) AS alloc
+FROM q
+"""
+
+
 def q_vocab_growth(spark, sf_dir):
     """Per (source, day) new-vocabulary accounting (rollup.vocab_growth):
     tokens first seen in each bucket + the running vocabulary size — the
@@ -8044,6 +8143,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sax_words": q_sax_words,
         "bm25_topk": q_bm25_topk,
         "hybrid_rrf": q_hybrid_rrf,
+        "kmv_vocab_overlap": q_kmv_vocab_overlap,
+        "apportion_tokens": q_apportion_tokens,
     }
 
 
@@ -8206,4 +8307,6 @@ def oracle_sql() -> dict[str, str]:
         "sax_words": SQL_SAX_WORDS,
         "bm25_topk": SQL_BM25_TOPK,
         "hybrid_rrf": SQL_HYBRID_RRF,
+        "kmv_vocab_overlap": SQL_KMV_VOCAB_OVERLAP,
+        "apportion_tokens": SQL_APPORTION_TOKENS,
     }

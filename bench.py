@@ -261,7 +261,15 @@ def run_bench(sf_dir: str, cores: int) -> dict:
         "matrix_profile",
         "perplexity_partition",
     ]
-    headline = headline + new_r4
+    # second late-round-4 batch, same subtraction rule vs earlier rounds
+    new_r4b = [
+        "dsir_select",
+        "zorder_skip_audit",
+        "sax_words",
+        "bm25_topk",
+        "hybrid_rrf",
+    ]
+    headline = headline + new_r4 + new_r4b
     if E is not None:
         qs = E.queries()
         from rtsa_spark.operators.dedup import minhash_lsh_buckets
@@ -300,6 +308,7 @@ def run_bench(sf_dir: str, cores: int) -> dict:
         "encode_ratio_vs_raw16": round(comp["enc_bytes"] / (16 * comp["enc_points"]), 4),
         "metrics_rows": metrics_rows,
         "new_stages_r4": new_r4,
+        "new_stages_r4b": new_r4b,
     }
     # CPU of the whole tree BEFORE stop: JVM utime+stime+children (python
     # workers) from /proc (py4j does not reap the JVM into rusage)

@@ -667,3 +667,73 @@ def dsir_select(
         "logw_bits",
         (F.col("logw_bits") >= F.col("_thr")).alias("keep"),
     )
+
+
+def apportion_budget(
+    df: DataFrame,
+    total: int,
+    key_col: str = "source",
+    weight_col: str = "weight",
+) -> DataFrame:
+    """Integer apportionment of a token/document budget across domains by
+    the largest-remainder (Hamilton) method: every key gets
+    ``floor(total * w / W)``, and the ``total - sum(floors)`` leftover
+    units go one each to the largest fractional remainders. The exact
+    counterpart of multiplying mixture weights by a budget and rounding —
+    guaranteeing the allocations SUM EXACTLY to ``total``, which naive
+    per-key rounding does not (the classic off-by-a-few that breaks
+    "pack exactly N tokens" contracts downstream;
+    :func:`domain_temperature_weights` produces the weights, this turns
+    them into consumable integer quotas for :func:`token_budget_pack`).
+
+    Deterministic and engine-exact: quotas are BIGINT ``div``/``pmod``
+    (``total * w`` must stay < 2^63), remainder ties break to the
+    smaller key. Zero-weight keys get 0. ``W = sum(weights)`` must be
+    > 0.
+
+    Scale shape: one agg for W (broadcast back), one projection, one
+    rank window over keys (domains — thousands, not rows).
+
+    Output: ``(key, weight, base_alloc, alloc)`` with
+    ``sum(alloc) == total`` (pytest-pinned).
+    """
+    if total < 0:
+        raise ValueError(f"total must be >= 0, got {total}")
+    wsum = df.agg(F.sum(F.col(weight_col)).cast("bigint").alias("_w"))
+    quotas = (
+        df.select(
+            F.col(key_col).alias("_k"),
+            F.col(weight_col).cast("bigint").alias("weight"),
+        )
+        .crossJoin(F.broadcast(wsum))
+        .select(
+            "_k",
+            "weight",
+            F.expr(f"({total} * weight) div _w").alias("base_alloc"),
+            F.expr(f"pmod({total} * weight, _w)").alias("_rem"),
+        )
+    )
+    leftover = quotas.agg(
+        (F.lit(total) - F.sum("base_alloc")).cast("bigint").alias("_left")
+    )
+    w = Window.orderBy(F.desc("_rem"), F.asc("_k"))
+    return (
+        quotas.crossJoin(F.broadcast(leftover))
+        .select(
+            "_k",
+            "weight",
+            "base_alloc",
+            (
+                F.col("base_alloc")
+                + F.when(
+                    F.row_number().over(w) <= F.col("_left"), F.lit(1)
+                ).otherwise(F.lit(0))
+            ).cast("bigint").alias("alloc"),
+        )
+        .select(
+            F.col("_k").alias(key_col),
+            "weight",
+            F.col("base_alloc").cast("bigint").alias("base_alloc"),
+            "alloc",
+        )
+    )

@@ -283,3 +283,94 @@ def _kmv_finish(agg: DataFrame, k: int) -> DataFrame:
         )
         .cast("bigint"),
     )
+
+
+def kmv_intersect(
+    sketches: DataFrame,
+    group_col: str,
+    k: int = 64,
+) -> DataFrame:
+    """Pairwise set-overlap estimation straight from KMV sketches — the
+    theta-sketch intersection move (Dasgupta et al. 2016, "Theta-Sketch
+    Framework"): for groups A, B with k-min-value sketches, the k
+    smallest hashes of the UNION are a uniform sample of A ∪ B, so the
+    fraction of that sample present in BOTH sketches estimates Jaccard,
+    and ``jaccard * est_union`` estimates the intersection size. The
+    sketch counterpart of ``rollup.vocab_overlap``'s exact join: at
+    100 TB the exact path re-shuffles the full vocabularies, this one
+    joins k-BIGINT arrays per group pair.
+
+    All arithmetic is exact-int on the shared 48-bit md5 hash space:
+    ``est_union = (k-1) * 2^48 div theta`` (``theta`` = k-th union
+    hash), ``jaccard_e6 = 10^6 * matches div |S|``, ``est_intersect =
+    matches * est_union div |S|``. When the union sample holds fewer
+    than k hashes both estimates are EXACT (the sketches saw every
+    element). Pairs are emitted once (``g1 < g2``).
+
+    Scale shape: one row per group (already sketched) → one
+    self-join over group pairs (G^2 rows of 2k BIGINTs — groups are
+    sources/domains, thousands at most) with pure JVM array ops.
+    """
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    a = sketches.select(
+        F.col(group_col).alias("g1"), F.col("kmv").alias("kmv1")
+    )
+    b = sketches.select(
+        F.col(group_col).alias("g2"), F.col("kmv").alias("kmv2")
+    )
+    pairs = a.join(b, F.col("g1") < F.col("g2"))
+    return (
+        pairs.select(
+            "g1",
+            "g2",
+            F.expr(
+                f"slice(array_sort(array_union(kmv1, kmv2)), 1, {k})"
+            ).alias("_s"),
+            "kmv1",
+            "kmv2",
+            F.size("kmv1").alias("_n1"),
+            F.size("kmv2").alias("_n2"),
+        )
+        .select(
+            "g1",
+            "g2",
+            F.size("_s").cast("bigint").alias("sample_n"),
+            F.size(
+                F.array_intersect(F.array_intersect("_s", "kmv1"), "kmv2")
+            ).cast("bigint").alias("matches"),
+            F.element_at("_s", F.size("_s")).cast("bigint").alias("theta"),
+            # union is exact while BOTH sides' sketches are exact (< k)
+            # and their union fits the sample
+            (
+                (F.col("_n1") < k) & (F.col("_n2") < k)
+                & (F.size("_s") < k)
+            ).alias("_exact"),
+        )
+        .select(
+            "g1",
+            "g2",
+            "sample_n",
+            "matches",
+            F.when(F.col("_exact"), F.col("sample_n"))
+            .otherwise(
+                F.expr(f"({k - 1} * {KMV_HASH_RANGE}) div greatest(theta, 1)")
+            )
+            .cast("bigint")
+            .alias("est_union"),
+            F.expr("(1000000 * matches) div sample_n")
+            .cast("bigint")
+            .alias("jaccard_e6"),
+        )
+        .select(
+            "g1",
+            "g2",
+            "sample_n",
+            "matches",
+            "est_union",
+            "jaccard_e6",
+            F.expr("(matches * est_union) div sample_n")
+            .cast("bigint")
+            .alias("est_intersect"),
+        )
+    )

@@ -253,3 +253,61 @@ def test_kmv_bucket_sketch_exact_below_k(spark):
     [r] = kmv_bucket_sketch(df, ["g"], "d", "uid", k=8).collect()
     assert r["k_used"] == 3 and r["est_distinct"] == 3
     assert list(r["kmv"]) == sorted(r["kmv"])
+
+
+def test_kmv_intersect_exact_below_k(spark):
+    """With fewer than k distinct items per group the sketch holds the
+    whole hash set, so est_union / est_intersect are EXACT and
+    jaccard_e6 is the exact floor-scaled Jaccard."""
+    from rtsa_spark.operators.sketch import kmv_bucket_sketch, kmv_intersect
+    import pyspark.sql.functions as F
+
+    rows = (
+        [("a", f"t{i}") for i in range(20)]
+        + [("b", f"t{i}") for i in range(10, 30)]
+        + [("c", f"t{i}") for i in range(25, 30)]
+    )
+    df = spark.createDataFrame(rows, "g string, item string")
+    sk = kmv_bucket_sketch(df, [], "g", "item", k=64).select(
+        F.col("bucket").alias("g"), "kmv"
+    )
+    got = {(r["g1"], r["g2"]): r for r in kmv_intersect(sk, "g", k=64).collect()}
+    sets = {
+        "a": set(range(20)),
+        "b": set(range(10, 30)),
+        "c": set(range(25, 30)),
+    }
+    for (g1, g2), r in got.items():
+        inter = len(sets[g1] & sets[g2])
+        union = len(sets[g1] | sets[g2])
+        assert r["est_union"] == union, (g1, g2)
+        assert r["matches"] == inter and r["est_intersect"] == inter
+        assert r["jaccard_e6"] == (1_000_000 * inter) // union
+    assert set(got) == {("a", "b"), ("a", "c"), ("b", "c")}
+
+
+def test_kmv_intersect_estimates_at_scale(spark):
+    """Past k the estimate is within a loose band of truth (k=64 -> ~12%
+    std error) and the identical-set pair estimates Jaccard ~ 1."""
+    from rtsa_spark.operators.sketch import kmv_bucket_sketch, kmv_intersect
+    import pyspark.sql.functions as F
+    import pytest as _pytest
+
+    rows = (
+        [("x", f"i{i}") for i in range(3000)]
+        + [("y", f"i{i}") for i in range(1000, 4000)]
+        + [("z", f"i{i}") for i in range(3000)]
+    )
+    df = spark.createDataFrame(rows, "g string, item string")
+    sk = kmv_bucket_sketch(df, [], "g", "item", k=64).select(
+        F.col("bucket").alias("g"), "kmv"
+    )
+    got = {(r["g1"], r["g2"]): r for r in kmv_intersect(sk, "g", k=64).collect()}
+    xy = got[("x", "y")]
+    assert 2500 < xy["est_union"] < 5600  # true 4000
+    assert xy["jaccard_e6"] < 900_000  # true 0.5
+    xz = got[("x", "z")]
+    assert xz["jaccard_e6"] == 1_000_000  # identical sets, identical sketches
+    assert xz["matches"] == xz["sample_n"]
+    with _pytest.raises(ValueError):
+        kmv_intersect(sk, "g", k=1)

@@ -168,3 +168,30 @@ def test_weighted_hash_sample_rates_and_determinism(spark):
         [("hi", 99999), ("lo", 99999)], "source string, rate_e4 long"
     )
     assert weighted_hash_sample(docs, all_r, "source", "doc_id").count() == 2000
+
+
+def test_apportion_budget_hand_and_sum(spark):
+    from rtsa_spark.operators.sampling import apportion_budget
+    import pytest as _pytest
+
+    rows = [("a", 5), ("b", 3), ("c", 1), ("d", 0)]
+    df = spark.createDataFrame(rows, "source string, weight long")
+    got = {r["source"]: r for r in apportion_budget(df, 10).collect()}
+    # quotas: a=50/9=5 r5, b=30/9=3 r3, c=10/9=1 r1, d=0; leftover=1 -> a
+    assert (got["a"]["base_alloc"], got["a"]["alloc"]) == (5, 6)
+    assert (got["b"]["base_alloc"], got["b"]["alloc"]) == (3, 3)
+    assert got["c"]["alloc"] == 1 and got["d"]["alloc"] == 0
+    assert sum(r["alloc"] for r in got.values()) == 10
+    # exact-sum property holds for awkward totals and tie remainders
+    df2 = spark.createDataFrame(
+        [(f"s{i:02d}", 7) for i in range(13)], "source string, weight long"
+    )
+    out = apportion_budget(df2, 1_000_003).collect()
+    assert sum(r["alloc"] for r in out) == 1_000_003
+    # equal weights + tie remainders: the extra units go to smallest keys
+    allocs = {r["source"]: r["alloc"] for r in out}
+    base = min(allocs.values())
+    extras = sorted(s for s, a in allocs.items() if a == base + 1)
+    assert extras == sorted(allocs)[: len(extras)]
+    with _pytest.raises(ValueError):
+        apportion_budget(df, -1)
