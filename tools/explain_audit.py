@@ -664,6 +664,63 @@ def main() -> int:
         and pub_plan.count("rangepartitioning") == 1,
     )
 
+    # 24. DSIR: both bucket models join back broadcast (tiny m-row dims),
+    #     no Python eval, one token explode feeding everything
+    from rtsa_spark.operators.sampling import dsir_select
+
+    dsir_plan = plan_of(dsir_select(docs, ref_mod=2, m=64))
+    ok &= check(
+        "dsir: bucket-model joins broadcast, no Python",
+        "BroadcastHashJoin" in dsir_plan
+        and "CartesianProduct" not in dsir_plan
+        and "EvalPython" not in dsir_plan,
+    )
+
+    # 25. BM25: query terms + idf join broadcast; top-k plans as
+    #     TakeOrderedAndProject (distributed partial top-k), never a
+    #     global sort of all matched docs
+    from rtsa_spark.operators.retrieval import bm25_topk
+
+    bm_plan = plan_of(bm25_topk(docs, ["alpha", "beta"], k=3))
+    ok &= check(
+        "bm25: broadcast dims + TakeOrderedAndProject top-k",
+        "BroadcastHashJoin" in bm_plan
+        and "TakeOrderedAndProject" in bm_plan
+        and "EvalPython" not in bm_plan,
+    )
+
+    # 26. z-order clustering: one range exchange on the Morton key with a
+    #     local (not global) sort — same publish shape as audit #23 —
+    #     and the key is pure JVM bit arithmetic (no Python)
+    from rtsa_spark.storage import cluster_zorder
+
+    z_in = spark.createDataFrame(
+        [(i % 7, i % 5) for i in range(40)], "x long, y long"
+    )
+    z_plan = plan_of(cluster_zorder(z_in, "x", "y"))
+    ok &= check(
+        "zorder publish: rangepartitioning + local sort, no Python",
+        "rangepartitioning(_zk" in z_plan
+        and ", false, 0" in z_plan
+        and ", true, 0" not in z_plan
+        and "EvalPython" not in z_plan,
+    )
+
+    # 27. SAX: pure window algebra — key-partitioned windows only (no
+    #     global/empty-partition window) and no Python eval node
+    from rtsa_spark.operators.motif import sax_words
+
+    sax_plan = plan_of(
+        sax_words(seq.select("source", "ts", "n_tok"), "source", "ts", "n_tok")
+    )
+    ok &= check(
+        "sax: key-partitioned windows only, no Python",
+        "EvalPython" not in sax_plan
+        # all windows partition by the key: a global window would add a
+        # SinglePartition exchange
+        and "SinglePartition" not in sax_plan,
+    )
+
     spark.stop()
     print("AUDIT", "PASS" if ok else "FAIL")
     return 0 if ok else 1
