@@ -4803,6 +4803,66 @@ FROM q
 """
 
 
+GOPHER_STOPS = ("the", "filter", "group", "order")
+
+
+def q_gopher_filter(spark, sf_dir):
+    """Composite Gopher document-quality rules (Rae et al. 2021,
+    functions/text.gopher_filter): word count, mean word length, alpha
+    fraction, distinct-stopword gate (corpus-tuned list so both
+    outcomes fire), bigram repetition ceilings — every rule verdict and
+    the conjunction per document, all scaled-int thresholds.
+    Value-hashes every doc's full rule row."""
+    from rtsa_spark.functions.text import gopher_filter
+
+    return gopher_filter(_documents(spark, sf_dir), stopwords=GOPHER_STOPS)
+
+
+SQL_GOPHER_FILTER = """
+WITH base AS MATERIALIZED (
+  SELECT doc_id,
+         list_filter(string_split(lower(text), ' '), x -> x <> '') AS w
+  FROM documents
+  WHERE len(list_filter(string_split(lower(text), ' '), x -> x <> '')) >= 1
+), scalar AS MATERIALIZED (
+  SELECT doc_id, CAST(len(w) AS BIGINT) AS n_words,
+         CAST((10 * list_sum(list_transform(w, x -> length(x)))) // len(w)
+              AS BIGINT) AS mean_wlen_e1,
+         CAST((10000 * len(list_filter(w, x -> regexp_matches(x, '[a-z]'))))
+              // len(w) AS BIGINT) AS alpha_frac_e4,
+         CAST(len(list_intersect(list_distinct(w),
+              ['the', 'filter', 'group', 'order'])) AS BIGINT) AS stop_hits
+  FROM base
+), grams AS MATERIALIZED (
+  SELECT doc_id, w[i] || ' ' || w[i + 1] AS g
+  FROM base, unnest(generate_series(1, len(w) - 1)) AS u(i)
+), gc AS MATERIALIZED (
+  SELECT doc_id, g, count(*)::BIGINT AS c FROM grams GROUP BY 1, 2
+), rep AS MATERIALIZED (
+  SELECT doc_id,
+         CAST((10000 * max(c)) // sum(c) AS BIGINT) AS top2,
+         CAST((10000 * sum(CASE WHEN c > 1 THEN c ELSE 0 END)) // sum(c)
+              AS BIGINT) AS dup2
+  FROM gc GROUP BY 1
+)
+SELECT s.doc_id, s.n_words, s.mean_wlen_e1, s.alpha_frac_e4, s.stop_hits,
+       coalesce(r.top2, 0) AS top2_frac_e4,
+       coalesce(r.dup2, 0) AS dup2_frac_e4,
+       (s.n_words >= 50 AND s.n_words <= 100000) AS r_wc,
+       (s.mean_wlen_e1 >= 30 AND s.mean_wlen_e1 <= 100) AS r_wlen,
+       (s.alpha_frac_e4 >= 8000) AS r_alpha,
+       (s.stop_hits >= 2) AS r_stop,
+       (coalesce(r.top2, 0) <= 2000 AND coalesce(r.dup2, 0) <= 2000) AS r_rep,
+       ((s.n_words >= 50 AND s.n_words <= 100000)
+        AND (s.mean_wlen_e1 >= 30 AND s.mean_wlen_e1 <= 100)
+        AND (s.alpha_frac_e4 >= 8000)
+        AND (s.stop_hits >= 2)
+        AND (coalesce(r.top2, 0) <= 2000 AND coalesce(r.dup2, 0) <= 2000))
+         AS keep
+FROM scalar s LEFT JOIN rep r USING (doc_id)
+"""
+
+
 def q_vocab_growth(spark, sf_dir):
     """Per (source, day) new-vocabulary accounting (rollup.vocab_growth):
     tokens first seen in each bucket + the running vocabulary size — the
@@ -8145,6 +8205,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_rrf": q_hybrid_rrf,
         "kmv_vocab_overlap": q_kmv_vocab_overlap,
         "apportion_tokens": q_apportion_tokens,
+        "gopher_filter": q_gopher_filter,
     }
 
 
@@ -8309,4 +8370,5 @@ def oracle_sql() -> dict[str, str]:
         "hybrid_rrf": SQL_HYBRID_RRF,
         "kmv_vocab_overlap": SQL_KMV_VOCAB_OVERLAP,
         "apportion_tokens": SQL_APPORTION_TOKENS,
+        "gopher_filter": SQL_GOPHER_FILTER,
     }

@@ -417,3 +417,125 @@ def quality_classifier(
         milli.alias("score_milli"),
         (milli >= threshold_milli).alias("keep"),
     )
+
+
+#: Gopher's English stop-word gate (Rae et al. 2021, appendix A1): a doc
+#: must contain >= 2 DISTINCT words from this list. Parameterized in
+#: :func:`gopher_filter` because a domain corpus needs a domain list.
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_filter(
+    df: DataFrame,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_wlen_e1: int = 30,
+    max_wlen_e1: int = 100,
+    alpha_min_e4: int = 8000,
+    stopwords: tuple[str, ...] = GOPHER_STOPWORDS,
+    stop_min: int = 2,
+    top2_max_e4: int = 2000,
+    dup2_max_e4: int = 2000,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document Gopher quality rules (Rae et al. 2021, "Scaling
+    Language Models: ... Gopher", appendix A1) as one composite filter —
+    the document-level companion of the per-source
+    :func:`repetition_stats` rollup, emitting every rule verdict plus
+    the conjunction, Dolma-tagger style (flags first, mixing later), so
+    a pipeline can both audit WHY documents die and apply ``keep``.
+
+    The five rule families, each exact-int (scaled floors, no float
+    thresholds): word count in ``[min_words, max_words]``; mean word
+    length ``(10 * char_sum) div n_words`` in ``[min_wlen_e1,
+    max_wlen_e1]``; fraction of words containing a letter ``>=
+    alpha_min_e4`` (e4 floor); at least ``stop_min`` DISTINCT words from
+    ``stopwords``; and the repetition gates — the top bigram's share and
+    the duplicated-bigram share of all bigram occurrences, both ``<=``
+    their e4 ceilings (docs with a single word have no bigrams: both
+    shares are 0, the pass-through Gopher applies to short docs before
+    the word-count rule kills them anyway).
+
+    Scale shape: the scalar rules are ONE projection (array functions
+    over the split — no explode, no shuffle); the bigram shares are the
+    ``repetition_stats`` per-doc aggregation (shuffle keyed on
+    (doc, gram) then doc — high-cardinality, skew-free) joined back on
+    the doc id. Documents with zero words are dropped (no verdict).
+
+    Output: ``(id, n_words, mean_wlen_e1, alpha_frac_e4, stop_hits,
+    top2_frac_e4, dup2_frac_e4, r_wc, r_wlen, r_alpha, r_stop, r_rep,
+    keep)``.
+    """
+    if not stopwords:
+        raise ValueError("stopwords must be non-empty")
+    if min_words < 1 or max_words < min_words:
+        raise ValueError(
+            f"need 1 <= min_words <= max_words, got {min_words}, {max_words}"
+        )
+    words = F.expr(f"filter(split(lower({text_col}), ' '), x -> x != '')")
+    base = df.select(
+        F.col(id_col).alias("_id"), words.alias("_w")
+    ).where(F.size("_w") >= 1)
+    stop_arr = F.array(*[F.lit(s) for s in stopwords])
+    scalar = base.select(
+        "_id",
+        F.size("_w").cast("bigint").alias("n_words"),
+        F.expr(
+            "(10 * aggregate(_w, 0L, (acc, x) -> acc + length(x)))"
+            " div size(_w)"
+        ).alias("mean_wlen_e1"),
+        F.expr(
+            "(10000 * size(filter(_w, x -> x rlike '[a-z]'))) div size(_w)"
+        ).alias("alpha_frac_e4"),
+        F.size(F.array_intersect(F.array_distinct("_w"), stop_arr))
+        .cast("bigint")
+        .alias("stop_hits"),
+        F.when(
+            F.size("_w") >= 2,
+            F.expr(
+                "transform(sequence(0, size(_w) - 2),"
+                " i -> concat(_w[i], ' ', _w[i + 1]))"
+            ),
+        )
+        .otherwise(F.expr("array()"))
+        .alias("_bg"),
+    )
+    grams = scalar.select("_id", F.explode("_bg").alias("g"))
+    gcnt = grams.groupBy("_id", "g").agg(F.count(F.lit(1)).alias("c"))
+    rep = gcnt.groupBy("_id").agg(
+        F.sum("c").alias("_tot"),
+        F.max("c").alias("_top"),
+        F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0)).alias("_dup"),
+    ).select(
+        "_id",
+        F.expr("(10000 * _top) div _tot").alias("top2_frac_e4"),
+        F.expr("(10000 * _dup) div _tot").alias("dup2_frac_e4"),
+    )
+    out = scalar.drop("_bg").join(rep, "_id", "left").select(
+        "*",
+        F.coalesce("top2_frac_e4", F.lit(0)).alias("_t2"),
+        F.coalesce("dup2_frac_e4", F.lit(0)).alias("_d2"),
+    )
+    r_wc = (F.col("n_words") >= min_words) & (F.col("n_words") <= max_words)
+    r_wlen = (F.col("mean_wlen_e1") >= min_wlen_e1) & (
+        F.col("mean_wlen_e1") <= max_wlen_e1
+    )
+    r_alpha = F.col("alpha_frac_e4") >= alpha_min_e4
+    r_stop = F.col("stop_hits") >= stop_min
+    r_rep = (F.col("_t2") <= top2_max_e4) & (F.col("_d2") <= dup2_max_e4)
+    return out.select(
+        F.col("_id").alias(id_col),
+        "n_words",
+        "mean_wlen_e1",
+        "alpha_frac_e4",
+        "stop_hits",
+        F.col("_t2").cast("bigint").alias("top2_frac_e4"),
+        F.col("_d2").cast("bigint").alias("dup2_frac_e4"),
+        r_wc.alias("r_wc"),
+        r_wlen.alias("r_wlen"),
+        r_alpha.alias("r_alpha"),
+        r_stop.alias("r_stop"),
+        r_rep.alias("r_rep"),
+        (r_wc & r_wlen & r_alpha & r_stop & r_rep).alias("keep"),
+    )

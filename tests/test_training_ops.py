@@ -1027,3 +1027,71 @@ def test_dsir_select_validation(spark):
     for kw in ({"ref_mod": 0}, {"m": 1}, {"keep_num": 0}, {"keep_num": 3, "keep_den": 2}):
         with _pytest.raises(ValueError):
             dsir_select(df, **kw)
+
+
+def test_gopher_filter_rule_isolation(spark):
+    """Each Gopher rule family fires in isolation on a hand corpus, and
+    every emitted stat matches a Python replay of the same exact-int
+    floors (scaled-int mean word length, alpha fraction, bigram shares)."""
+    from rtsa_spark.functions.text import gopher_filter
+
+    rows = [
+        (1, "the cat sat on the mat and ran"),   # passes everything
+        (2, "the cat the cat the cat the cat"),  # repetition kill
+        (3, "the and"),                          # word-count kill
+        (4, "12 34 56 the and 99"),              # alpha-fraction kill
+        (5, "a b c d e the and"),                # mean-word-length kill
+        (6, "lonely"),                           # single word: no bigrams
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in gopher_filter(
+            df,
+            min_words=3,
+            max_words=100,
+            min_wlen_e1=20,
+            max_wlen_e1=100,
+            stopwords=("the", "and", "cat"),
+        ).collect()
+    }
+    assert set(got) == {1, 2, 3, 4, 5, 6}
+
+    stops = {"the", "and", "cat"}
+    for doc_id, text in rows:
+        w = [x for x in text.lower().split(" ") if x]
+        bg = [f"{a} {b}" for a, b in zip(w, w[1:])]
+        cnt = {}
+        for g in bg:
+            cnt[g] = cnt.get(g, 0) + 1
+        tot = sum(cnt.values())
+        r = got[doc_id]
+        assert r["n_words"] == len(w), doc_id
+        assert r["mean_wlen_e1"] == (10 * sum(len(x) for x in w)) // len(w)
+        assert r["alpha_frac_e4"] == (
+            10000 * sum(1 for x in w if any(c.isalpha() for c in x))
+        ) // len(w)
+        assert r["stop_hits"] == len(set(w) & stops), doc_id
+        assert r["top2_frac_e4"] == (
+            (10000 * max(cnt.values())) // tot if tot else 0
+        ), doc_id
+        assert r["dup2_frac_e4"] == (
+            (10000 * sum(c for c in cnt.values() if c > 1)) // tot if tot else 0
+        ), doc_id
+        assert r["keep"] == (
+            r["r_wc"] and r["r_wlen"] and r["r_alpha"]
+            and r["r_stop"] and r["r_rep"]
+        ), doc_id
+
+    assert got[1]["keep"] is True
+    assert got[2]["r_rep"] is False and got[2]["r_stop"] is True
+    assert got[3]["r_wc"] is False
+    assert got[4]["r_alpha"] is False and got[4]["r_stop"] is True
+    assert got[5]["r_wlen"] is False
+    # single word: coalesced zero shares pass the repetition gate
+    assert got[6]["r_rep"] is True and got[6]["r_wc"] is False
+
+    with pytest.raises(ValueError):
+        gopher_filter(df, stopwords=())
+    with pytest.raises(ValueError):
+        gopher_filter(df, min_words=0)
