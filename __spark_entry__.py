@@ -4863,6 +4863,136 @@ FROM scalar s LEFT JOIN rep r USING (doc_id)
 """
 
 
+def q_curation_funnel(spark, sf_dir):
+    """End-to-end curation-funnel accounting (operators/curation.py):
+    lang gate -> exact dedup -> Gopher quality rules -> DSIR importance
+    selection, one row per stage with exact-int docs/tokens and
+    e4-floored survival percentages vs ingest. Proves the four curation
+    primitives COMPOSE (each stage consumes the previous survivors —
+    the DSIR bucket models are built from the quality-stage output) and
+    value-hashes the whole funnel report."""
+    from rtsa_spark.operators.curation import curation_funnel
+
+    return curation_funnel(
+        _documents(spark, sf_dir), gopher_kwargs={"stopwords": GOPHER_STOPS}
+    )
+
+
+SQL_CURATION_FUNNEL = """
+WITH base AS MATERIALIZED (
+  SELECT doc_id, lang, text,
+         CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+              AS BIGINT) AS n_tok
+  FROM documents
+), lang_ok AS MATERIALIZED (
+  SELECT * FROM base WHERE lang = 'en'
+), surv AS MATERIALIZED (
+  SELECT min(doc_id) AS doc_id FROM lang_ok GROUP BY md5(text)
+), dd AS MATERIALIZED (
+  SELECT b.* FROM lang_ok b JOIN surv USING (doc_id)
+), gw AS MATERIALIZED (
+  SELECT doc_id,
+         list_filter(string_split(lower(text), ' '), x -> x <> '') AS w
+  FROM dd
+  WHERE len(list_filter(string_split(lower(text), ' '), x -> x <> '')) >= 1
+), gsc AS MATERIALIZED (
+  SELECT doc_id, CAST(len(w) AS BIGINT) AS n_words,
+         CAST((10 * list_sum(list_transform(w, x -> length(x)))) // len(w)
+              AS BIGINT) AS mean_wlen_e1,
+         CAST((10000 * len(list_filter(w, x -> regexp_matches(x, '[a-z]'))))
+              // len(w) AS BIGINT) AS alpha_frac_e4,
+         CAST(len(list_intersect(list_distinct(w),
+              ['the', 'filter', 'group', 'order'])) AS BIGINT) AS stop_hits
+  FROM gw
+), ggr AS MATERIALIZED (
+  SELECT doc_id, w[i] || ' ' || w[i + 1] AS g
+  FROM gw, unnest(generate_series(1, len(w) - 1)) AS u(i)
+), ggc AS MATERIALIZED (
+  SELECT doc_id, g, count(*)::BIGINT AS c FROM ggr GROUP BY 1, 2
+), grep AS MATERIALIZED (
+  SELECT doc_id,
+         CAST((10000 * max(c)) // sum(c) AS BIGINT) AS top2,
+         CAST((10000 * sum(CASE WHEN c > 1 THEN c ELSE 0 END)) // sum(c)
+              AS BIGINT) AS dup2
+  FROM ggc GROUP BY 1
+), gkeep AS MATERIALIZED (
+  SELECT s.doc_id
+  FROM gsc s LEFT JOIN grep r USING (doc_id)
+  WHERE s.n_words >= 50 AND s.n_words <= 100000
+    AND s.mean_wlen_e1 >= 30 AND s.mean_wlen_e1 <= 100
+    AND s.alpha_frac_e4 >= 8000
+    AND s.stop_hits >= 2
+    AND coalesce(r.top2, 0) <= 2000 AND coalesce(r.dup2, 0) <= 2000
+), qd AS MATERIALIZED (
+  SELECT d.* FROM dd d JOIN gkeep USING (doc_id)
+), toks AS MATERIALIZED (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+  FROM qd
+  WHERE len(list_filter(string_split(text, ' '), x -> x <> '')) >= 1
+), feats AS MATERIALIZED (
+  SELECT doc_id,
+         ('0x' || substr(md5(feature), 1, 12))::BIGINT % 4096 AS b
+  FROM (
+    SELECT doc_id, unnest(t) AS feature FROM toks
+    UNION ALL
+    SELECT doc_id, t[i] || ' ' || t[i + 1] AS feature
+    FROM toks, unnest(generate_series(1, len(t) - 1)) AS u(i)
+  )
+), cr AS MATERIALIZED (
+  SELECT b, count(*)::BIGINT AS c_r FROM feats GROUP BY 1
+), ct AS MATERIALIZED (
+  SELECT b, count(*)::BIGINT AS c_t FROM feats WHERE doc_id % 83 = 0 GROUP BY 1
+), nr AS MATERIALIZED (SELECT sum(c_r)::BIGINT + 4096 AS n FROM cr),
+nt AS MATERIALIZED (SELECT coalesce(sum(c_t)::BIGINT, 0) + 4096 AS n FROM ct),
+wts AS MATERIALIZED (
+  SELECT cr.b,
+         CAST(length(format('{:b}',
+                (coalesce(ct.c_t, 0) + 1) * (SELECT n FROM nr)))
+            - length(format('{:b}', (cr.c_r + 1) * (SELECT n FROM nt)))
+            AS BIGINT) AS w_bits
+  FROM cr LEFT JOIN ct USING (b)
+), scored AS MATERIALIZED (
+  SELECT f.doc_id, sum(w.w_bits)::BIGINT AS logw_bits
+  FROM feats f JOIN wts w USING (b) GROUP BY 1
+), hist AS MATERIALIZED (
+  SELECT logw_bits, count(*)::BIGINT AS h FROM scored GROUP BY 1
+), cum AS MATERIALIZED (
+  SELECT logw_bits,
+         sum(h) OVER (ORDER BY logw_bits DESC
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         sum(h) OVER () AS n
+  FROM hist
+), thr AS MATERIALIZED (
+  SELECT max(CASE WHEN 4 * cum >= 1 * n THEN logw_bits END) AS t FROM cum
+), skeep AS MATERIALIZED (
+  SELECT doc_id FROM scored WHERE logw_bits >= (SELECT t FROM thr)
+), sd AS MATERIALIZED (
+  SELECT q.* FROM qd q JOIN skeep USING (doc_id)
+), stages AS MATERIALIZED (
+  SELECT 0 AS stage_ord, 'ingest' AS stage, count(*)::BIGINT AS docs,
+         coalesce(sum(n_tok), 0)::BIGINT AS tokens FROM base
+  UNION ALL SELECT 1, 'lang', count(*)::BIGINT,
+         coalesce(sum(n_tok), 0)::BIGINT FROM lang_ok
+  UNION ALL SELECT 2, 'dedup', count(*)::BIGINT,
+         coalesce(sum(n_tok), 0)::BIGINT FROM dd
+  UNION ALL SELECT 3, 'quality', count(*)::BIGINT,
+         coalesce(sum(n_tok), 0)::BIGINT FROM qd
+  UNION ALL SELECT 4, 'select', count(*)::BIGINT,
+         coalesce(sum(n_tok), 0)::BIGINT FROM sd
+), ing AS MATERIALIZED (
+  SELECT docs AS d0, tokens AS t0 FROM stages WHERE stage_ord = 0
+)
+SELECT CAST(stage_ord AS BIGINT) AS stage_ord, stage, docs, tokens,
+       CAST(CASE WHEN (SELECT d0 FROM ing) > 0
+                 THEN (10000 * docs) // (SELECT d0 FROM ing)
+                 ELSE 0 END AS BIGINT) AS docs_pct_e4,
+       CAST(CASE WHEN (SELECT t0 FROM ing) > 0
+                 THEN (10000 * tokens) // (SELECT t0 FROM ing)
+                 ELSE 0 END AS BIGINT) AS tokens_pct_e4
+FROM stages
+"""
+
+
 def q_vocab_growth(spark, sf_dir):
     """Per (source, day) new-vocabulary accounting (rollup.vocab_growth):
     tokens first seen in each bucket + the running vocabulary size — the
@@ -8086,7 +8216,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_vocab_learn": q_bpe_vocab_learn,
         # --- corpus assembly ---
         "corpus_build": q_corpus_build,
-        "hash_split": q_hash_split,
+        "curation_funnel": q_curation_funnel,
         "token_budget_pack": q_token_budget_pack,
         "contamination_check": q_contamination_check,
         # --- multimodal ---
@@ -8206,6 +8336,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_vocab_overlap": q_kmv_vocab_overlap,
         "apportion_tokens": q_apportion_tokens,
         "gopher_filter": q_gopher_filter,
+        "hash_split": q_hash_split,
     }
 
 
@@ -8371,4 +8502,5 @@ def oracle_sql() -> dict[str, str]:
         "kmv_vocab_overlap": SQL_KMV_VOCAB_OVERLAP,
         "apportion_tokens": SQL_APPORTION_TOKENS,
         "gopher_filter": SQL_GOPHER_FILTER,
+        "curation_funnel": SQL_CURATION_FUNNEL,
     }

@@ -608,7 +608,11 @@ def dsir_select(
         cnt = feat_df.groupBy("b").agg(
             F.count(F.lit(1)).cast("bigint").alias(f"c_{tag}")
         )
-        tot = cnt.agg((F.sum(f"c_{tag}") + m).alias(f"n_{tag}"))
+        # empty slice (no doc hits the target rule): sum is NULL, and the
+        # Laplace total must still be m — matches the oracle's coalesce
+        tot = cnt.agg(
+            (F.coalesce(F.sum(f"c_{tag}"), F.lit(0)) + m).alias(f"n_{tag}")
+        )
         return cnt, tot
 
     cnt_t, tot_t = bucket_model(feats.where(F.col("_id") % ref_mod == 0), "t")

@@ -1095,3 +1095,64 @@ def test_gopher_filter_rule_isolation(spark):
         gopher_filter(df, stopwords=())
     with pytest.raises(ValueError):
         gopher_filter(df, min_words=0)
+
+
+def test_curation_funnel_stage_accounting(spark):
+    """Hand corpus where each funnel stage visibly bites: non-en docs die
+    at lang, an exact duplicate dies at dedup, a too-short doc dies at
+    quality; with keep=1/1 the select stage passes quality through, and
+    every docs/tokens/pct cell matches a Python replay."""
+    from rtsa_spark.operators.curation import curation_funnel
+
+    good = "the cat sat on the mat and ran far " * 2  # 18 words, passes
+    rows = [
+        (1, good.strip(), "en"),
+        (2, good.strip(), "en"),          # exact duplicate of 1
+        (3, "the and tiny", "en"),        # dies at quality (word count)
+        (4, good.strip() + " x", "en"),   # distinct survivor
+        (5, good.strip(), "fr"),          # dies at lang
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    kwargs = dict(
+        gopher_kwargs=dict(
+            min_words=10, min_wlen_e1=10,
+            stopwords=("the", "and", "cat"),
+            top2_max_e4=3000, dup2_max_e4=9500,
+        ),
+        dsir_kwargs=dict(keep_num=1, keep_den=1),
+    )
+    got = {
+        r["stage"]: r.asDict()
+        for r in curation_funnel(df, **kwargs).collect()
+    }
+    ntok = {d: len(t.split(" ")) for d, t, _ in rows}
+    exp_docs = {
+        "ingest": {1, 2, 3, 4, 5},
+        "lang": {1, 2, 3, 4},
+        "dedup": {1, 3, 4},     # min-id survivor of the dup pair
+        "quality": {1, 4},
+        "select": {1, 4},       # keep=1/1 passes quality through
+    }
+    for ordi, (stage, ids) in enumerate(exp_docs.items()):
+        r = got[stage]
+        toks = sum(ntok[d] for d in ids)
+        assert r["stage_ord"] == ordi, stage
+        assert r["docs"] == len(ids), stage
+        assert r["tokens"] == toks, stage
+        assert r["docs_pct_e4"] == (10000 * len(ids)) // 5, stage
+        assert r["tokens_pct_e4"] == (10000 * toks) // sum(ntok.values())
+
+    # a tighter keep fraction only shrinks the select stage
+    sel_half = {
+        r["stage"]: r["docs"]
+        for r in curation_funnel(
+            df, **{**kwargs, "dsir_kwargs": dict(keep_num=1, keep_den=2)}
+        ).collect()
+    }
+    assert sel_half["quality"] == 2 and sel_half["select"] <= 2
+
+    # empty input: all-zero rows, no division error
+    zero = curation_funnel(df.where("doc_id < 0"), **kwargs).collect()
+    assert len(zero) == 5 and all(
+        r["docs"] == 0 and r["docs_pct_e4"] == 0 for r in zero
+    )
