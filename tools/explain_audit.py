@@ -721,6 +721,26 @@ def main() -> int:
         and "SinglePartition" not in sax_plan,
     )
 
+    # 28. curation funnel: the whole 5-stage cascade is one Catalyst plan
+    #     with hash equi-joins between stages; the only nested-loop join
+    #     is the broadcast of the ONE-ROW ingest total, and nothing
+    #     evaluates in Python
+    from rtsa_spark.operators.curation import curation_funnel
+
+    cf_docs = spark.createDataFrame(
+        [(i, "the alpha beta gamma " * 20, "en") for i in range(4)],
+        "doc_id long, text string, lang string",
+    )
+    cf_plan = plan_of(curation_funnel(cf_docs))
+    ok &= check(
+        "curation funnel: hash joins between stages, no cartesian/Python",
+        "CartesianProduct" not in cf_plan
+        and "EvalPython" not in cf_plan
+        and ("BroadcastHashJoin" in cf_plan or "SortMergeJoin" in cf_plan)
+        # the ingest-total denominator is a broadcast of one aggregate row
+        and "BroadcastNestedLoopJoin" in cf_plan,
+    )
+
     spark.stop()
     print("AUDIT", "PASS" if ok else "FAIL")
     return 0 if ok else 1
