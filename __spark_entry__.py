@@ -4993,6 +4993,102 @@ FROM stages
 """
 
 
+def q_cm_frequency_ladder(spark, sf_dir):
+    """Count-min frequency sketches IN the retention ladder
+    (operators/sketch.cm_bucket_sketch + cm_merge_buckets +
+    cm_estimate): daily d=4 x w=16 sketches of word frequencies per
+    source, cell-wise cascade-merged to source level (the merge is
+    EXACT, so the coarse tier never re-scans raw tokens), then
+    point-queried for a deterministic hash-sample of the vocabulary
+    (md5 48-bit prefix % 3 == 0) against the true counts. The width is
+    deliberately SMALLER than the vocabulary so hash collisions occur
+    and the classic one-sided bound shows up in the data:
+    est_count >= exact_count always, overcount >= 0."""
+    from rtsa_spark.operators.sketch import (
+        cm_bucket_sketch,
+        cm_estimate,
+        cm_merge_buckets,
+        _h48,
+    )
+
+    seq = _derived_sequences(spark, sf_dir).drop("n_tok")
+    txt = _documents(spark, sf_dir).select("doc_id", "text")
+    tok = (
+        seq.join(txt, "doc_id")
+        .select(
+            "source",
+            F.date_trunc("day", "ts").alias("d"),
+            F.explode(F.split("text", " ")).alias("word"),
+        )
+    )
+    daily = cm_bucket_sketch(
+        tok, ["source"], "d", "word", d_rows=4, w_cols=16
+    )
+    merged = cm_merge_buckets(
+        daily, ["source"], F.lit("all"), w_cols=16
+    )
+    probes = (
+        tok.select("word").distinct().where(_h48(F.col("word")) % 3 == 0)
+    )
+    est = cm_estimate(
+        merged.drop("bucket"), probes, d_rows=4, w_cols=16, probe_col="word"
+    )
+    exact = tok.groupBy("source", "word").agg(
+        F.count(F.lit(1)).cast("bigint").alias("exact_count")
+    )
+    return (
+        est.join(exact, ["source", "word"], "left")
+        .select(
+            "source",
+            F.col("word").alias("token"),
+            "est_count",
+            F.coalesce("exact_count", F.lit(0)).cast("bigint").alias(
+                "exact_count"
+            ),
+            (
+                F.col("est_count")
+                - F.coalesce("exact_count", F.lit(0))
+            ).cast("bigint").alias("overcount"),
+        )
+    )
+
+
+SQL_CM_FREQUENCY_LADDER = f"""
+WITH {SQL_SEQ_TEXT_CTE.strip()},
+tok AS MATERIALIZED (
+  SELECT source, unnest(string_split(text, ' ')) AS word FROM seq
+), wc AS MATERIALIZED (
+  SELECT source, word, count(*)::BIGINT AS cnt FROM tok GROUP BY 1, 2
+), cells AS MATERIALIZED (
+  SELECT source, r.r,
+         ('0x' || substr(md5(r.r::VARCHAR || ':' || word), 1, 12))::BIGINT
+           % 16 AS c,
+         sum(cnt)::BIGINT AS n
+  FROM wc, range(4) AS r(r)
+  GROUP BY 1, 2, 3
+), probes AS MATERIALIZED (
+  SELECT DISTINCT word FROM tok
+  WHERE ('0x' || substr(md5(word), 1, 12))::BIGINT % 3 = 0
+), probe_cells AS MATERIALIZED (
+  SELECT p.word, r.r,
+         ('0x' || substr(md5(r.r::VARCHAR || ':' || p.word), 1, 12))::BIGINT
+           % 16 AS c
+  FROM probes p, range(4) AS r(r)
+), est AS MATERIALIZED (
+  SELECT s.source, pc.word, min(coalesce(cl.n, 0))::BIGINT AS est_count
+  FROM (SELECT DISTINCT source FROM tok) s
+  CROSS JOIN probe_cells pc
+  LEFT JOIN cells cl ON cl.source = s.source AND cl.r = pc.r AND cl.c = pc.c
+  GROUP BY 1, 2
+)
+SELECT e.source, e.word AS token, e.est_count,
+       coalesce(w.cnt, 0)::BIGINT AS exact_count,
+       (e.est_count - coalesce(w.cnt, 0))::BIGINT AS overcount
+FROM est e
+LEFT JOIN wc w ON w.source = e.source AND w.word = e.word
+"""
+
+
 def q_vocab_growth(spark, sf_dir):
     """Per (source, day) new-vocabulary accounting (rollup.vocab_growth):
     tokens first seen in each bucket + the running vocabulary size — the
@@ -8337,6 +8433,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "apportion_tokens": q_apportion_tokens,
         "gopher_filter": q_gopher_filter,
         "hash_split": q_hash_split,
+        "cm_frequency_ladder": q_cm_frequency_ladder,
     }
 
 
@@ -8503,4 +8600,5 @@ def oracle_sql() -> dict[str, str]:
         "apportion_tokens": SQL_APPORTION_TOKENS,
         "gopher_filter": SQL_GOPHER_FILTER,
         "curation_funnel": SQL_CURATION_FUNNEL,
+        "cm_frequency_ladder": SQL_CM_FREQUENCY_LADDER,
     }

@@ -41,6 +41,9 @@ __all__ = [
     "histogram_quantiles",
     "kmv_bucket_sketch",
     "kmv_merge_buckets",
+    "cm_bucket_sketch",
+    "cm_merge_buckets",
+    "cm_estimate",
     "KMV_HASH_RANGE",
 ]
 
@@ -373,4 +376,165 @@ def kmv_intersect(
             .cast("bigint")
             .alias("est_intersect"),
         )
+    )
+
+
+def _cm_cell(row: int, item: F.Column, w_cols: int) -> F.Column:
+    """Count-min column index for hash row ``row``: the portable 48-bit
+    md5 prefix of ``"<row>:<item>"`` mod the sketch width. Both engines
+    concatenate and hash the same string, so cells agree exactly."""
+    return F.pmod(
+        _h48(F.concat_ws(":", F.lit(row).cast("string"), item.cast("string"))),
+        F.lit(w_cols),
+    ).cast("int")
+
+
+def cm_bucket_sketch(
+    df: DataFrame,
+    key_cols: list[str],
+    bucket_col: str,
+    item_col: str,
+    d_rows: int = 4,
+    w_cols: int = 256,
+) -> DataFrame:
+    """Per-(key, bucket) count-min sketch (Cormode & Muthukrishnan 2005)
+    as one mergeable ``array<bigint>`` of ``d_rows * w_cols`` cells —
+    the FREQUENCY companion of :func:`kmv_bucket_sketch` (distinct
+    counts) and ``value_histogram`` (quantiles): point-queryable
+    "how often did token X appear in this bucket" with the classic
+    one-sided guarantee ``estimate >= true count`` (collisions only ADD).
+
+    Deterministic contract: cell ``(r, c)`` counts items whose
+    :func:`_cm_cell` hash for row ``r`` is ``c`` — integer counts, md5
+    cells, no randomness, so two engines build bit-identical sketches.
+
+    Scale shape: items aggregate to (keys, bucket, item) counts FIRST
+    (one map-side-combined shuffle over the raw stream); only the
+    distinct items fan out x ``d_rows`` (vocabulary-bounded, not
+    stream-bounded); the array materializes from at most
+    ``d_rows * w_cols`` cells per bucket via a bounded map lookup —
+    no unbounded collect.
+
+    Output: ``(keys..., bucket, cm array<bigint>[d*w], n_items)`` where
+    ``n_items`` is the exact total item count (every row of ``cm``
+    sums to it — the standard sketch sanity invariant).
+    """
+    if d_rows < 1:
+        raise ValueError(f"d_rows must be >= 1, got {d_rows}")
+    if w_cols < 2:
+        raise ValueError(f"w_cols must be >= 2, got {w_cols}")
+    cnt = df.select(
+        *key_cols,
+        F.col(bucket_col).alias("bucket"),
+        F.col(item_col).alias("_item"),
+    ).groupBy(*key_cols, "bucket", "_item").agg(
+        F.count(F.lit(1)).cast("bigint").alias("_c")
+    )
+    cells = None
+    for r in range(d_rows):
+        part = cnt.select(
+            *key_cols,
+            "bucket",
+            (_cm_cell(r, F.col("_item"), w_cols) + r * w_cols).alias("_pos"),
+            "_c",
+        )
+        cells = part if cells is None else cells.unionByName(part)
+    agg = cells.groupBy(*key_cols, "bucket", "_pos").agg(
+        F.sum("_c").alias("_v")
+    )
+    maps = agg.groupBy(*key_cols, "bucket").agg(
+        F.map_from_arrays(
+            F.collect_list("_pos"), F.collect_list("_v")
+        ).alias("_m")
+    )
+    n_cells = d_rows * w_cols
+    return maps.select(
+        *key_cols,
+        "bucket",
+        F.expr(
+            f"transform(sequence(0, {n_cells - 1}),"
+            " i -> coalesce(element_at(_m, i), 0L))"
+        ).alias("cm"),
+        F.expr(
+            f"aggregate(slice(transform(sequence(0, {n_cells - 1}),"
+            " i -> coalesce(element_at(_m, i), 0L)),"
+            f" 1, {w_cols}), 0L, (a, x) -> a + x)"
+        ).cast("bigint").alias("n_items"),
+    )
+
+
+def cm_merge_buckets(
+    sketches: DataFrame,
+    key_cols: list[str],
+    coarse_bucket: F.Column,
+    w_cols: int = 256,
+) -> DataFrame:
+    """Cascade count-min sketches to a coarser tier: cell-wise BIGINT
+    sum — the merge is EXACT (a merged sketch equals the sketch built
+    directly from the union stream, pytest-pinned), so monthly token
+    frequencies cost days x d*w cells, never a raw re-scan.
+
+    Scale shape: posexplode to (keys, coarse, pos, val) — bounded by
+    fan-in x d*w, map-side combinable — then the same bounded map
+    reassembly as :func:`cm_bucket_sketch`.
+    """
+    ex = sketches.select(
+        *key_cols,
+        coarse_bucket.alias("bucket"),
+        F.posexplode("cm").alias("_pos", "_v"),
+    )
+    agg = ex.groupBy(*key_cols, "bucket", "_pos").agg(
+        F.sum("_v").alias("_v")
+    )
+    maps = agg.groupBy(*key_cols, "bucket").agg(
+        F.map_from_arrays(F.collect_list("_pos"), F.collect_list("_v")).alias(
+            "_m"
+        ),
+        (F.max("_pos") + 1).cast("int").alias("_n"),
+    )
+    return maps.select(
+        *key_cols,
+        "bucket",
+        F.expr(
+            "transform(sequence(0, _n - 1),"
+            " i -> coalesce(element_at(_m, i), 0L))"
+        ).alias("cm"),
+    ).withColumn(
+        "n_items",
+        F.expr(
+            f"aggregate(slice(cm, 1, {w_cols}), 0L, (a, x) -> a + x)"
+        ).cast("bigint"),
+    )
+
+
+def cm_estimate(
+    sketches: DataFrame,
+    probes: DataFrame,
+    d_rows: int = 4,
+    w_cols: int = 256,
+    probe_col: str = "item",
+) -> DataFrame:
+    """Point-query a count-min sketch for each probe item: the estimate
+    is the MIN over the ``d_rows`` hashed cells — never below the true
+    count (one-sided error; the pytest pins ``est >= exact`` and exact
+    equality when the width avoids collisions).
+
+    ``probes`` is a small DataFrame (one row per item to query) —
+    broadcast against the sketch rows, so the join is shuffle-free.
+
+    Output: sketch keys + ``(item, est_count)``.
+    """
+    cols = [
+        F.element_at(
+            "cm", _cm_cell(r, F.col(probe_col), w_cols) + r * w_cols + 1
+        )
+        for r in range(d_rows)
+    ]
+    est = cols[0] if d_rows == 1 else F.least(*cols)
+    return sketches.crossJoin(
+        F.broadcast(probes.select(F.col(probe_col).alias(probe_col)))
+    ).select(
+        *[c for c in sketches.columns if c not in ("cm", "n_items")],
+        probe_col,
+        est.cast("bigint").alias("est_count"),
     )

@@ -311,3 +311,81 @@ def test_kmv_intersect_estimates_at_scale(spark):
     assert xz["matches"] == xz["sample_n"]
     with _pytest.raises(ValueError):
         kmv_intersect(sk, "g", k=1)
+
+
+def test_cm_sketch_exact_when_wide(spark):
+    """With width >> vocabulary no cells collide: every estimate equals
+    the true count (and unseen probes estimate 0); n_items equals the
+    stream length (each sketch row sums to it)."""
+    import pyspark.sql.functions as F
+
+    from rtsa_spark.operators.sketch import cm_bucket_sketch, cm_estimate
+
+    rows = [("s1", 0, w) for w in "a a a b c a b".split()]
+    df = spark.createDataFrame(rows, "g string, d long, item string")
+    sk = cm_bucket_sketch(df, ["g"], "d", "item", d_rows=3, w_cols=512)
+    r = sk.collect()[0]
+    assert r["n_items"] == 7
+    arr = r["cm"]
+    for rr in range(3):
+        assert sum(arr[rr * 512:(rr + 1) * 512]) == 7  # row-sum invariant
+    probes = spark.createDataFrame(
+        [("a",), ("b",), ("c",), ("zz",)], "item string"
+    )
+    got = {
+        x["item"]: x["est_count"]
+        for x in cm_estimate(sk, probes, d_rows=3, w_cols=512).collect()
+    }
+    assert got == {"a": 4, "b": 2, "c": 1, "zz": 0}
+
+
+def test_cm_sketch_one_sided_under_collisions(spark):
+    """Width 2 forces collisions: estimates may overshoot but NEVER
+    undershoot the true count, for present and absent probes alike."""
+    from rtsa_spark.operators.sketch import cm_bucket_sketch, cm_estimate
+
+    words = ("alpha beta gamma delta epsilon zeta eta theta " * 3).split()
+    df = spark.createDataFrame(
+        [("s1", 0, w) for w in words], "g string, d long, item string"
+    )
+    sk = cm_bucket_sketch(df, ["g"], "d", "item", d_rows=2, w_cols=2)
+    probes = spark.createDataFrame(
+        [(w,) for w in set(words) | {"missing"}], "item string"
+    )
+    exact = {w: words.count(w) for w in set(words)}
+    exact["missing"] = 0
+    for r in cm_estimate(sk, probes, d_rows=2, w_cols=2).collect():
+        assert r["est_count"] >= exact[r["item"]], r["item"]
+
+
+def test_cm_merge_equals_direct_sketch(spark):
+    """Cell-wise merge of per-day sketches is EXACTLY the sketch built
+    from the union stream — the cascade identity that lets coarse tiers
+    skip the raw re-scan."""
+    import pyspark.sql.functions as F
+
+    from rtsa_spark.operators.sketch import cm_bucket_sketch, cm_merge_buckets
+
+    rows = []
+    for d, ws in [(1, "a a b"), (2, "b c c c"), (3, "a d")]:
+        rows += [("s1", d, w) for w in ws.split()]
+    df = spark.createDataFrame(rows, "g string, d long, item string")
+    daily = cm_bucket_sketch(df, ["g"], "d", "item", d_rows=4, w_cols=8)
+    merged = cm_merge_buckets(daily, ["g"], F.lit(0), w_cols=8).collect()[0]
+    direct = cm_bucket_sketch(
+        df.withColumn("z", F.lit(0)), ["g"], "z", "item", d_rows=4, w_cols=8
+    ).collect()[0]
+    assert merged["cm"] == direct["cm"]
+    assert merged["n_items"] == direct["n_items"] == 9
+
+
+def test_cm_sketch_validation(spark):
+    import pytest as _pytest
+
+    from rtsa_spark.operators.sketch import cm_bucket_sketch
+
+    df = spark.createDataFrame([("s", 0, "a")], "g string, d long, item string")
+    with _pytest.raises(ValueError):
+        cm_bucket_sketch(df, ["g"], "d", "item", d_rows=0)
+    with _pytest.raises(ValueError):
+        cm_bucket_sketch(df, ["g"], "d", "item", w_cols=1)

@@ -741,6 +741,25 @@ def main() -> int:
         and "BroadcastNestedLoopJoin" in cf_plan,
     )
 
+    # 29. count-min sketch: the raw stream collapses to (key, bucket,
+    #     item) counts with a map-side partial agg before the d-row
+    #     fan-out, and the whole build stays JVM-side
+    from rtsa_spark.operators.sketch import cm_bucket_sketch
+
+    cm_plan = plan_of(
+        cm_bucket_sketch(
+            docs.selectExpr(
+                "doc_id % 2 as g", "doc_id % 3 as b",
+                "explode(split(text, ' ')) as w"
+            ),
+            ["g"], "b", "w",
+        )
+    )
+    ok &= check(
+        "count-min: map-side partial count before d-row fan-out, no Python",
+        "partial_count" in cm_plan and "EvalPython" not in cm_plan,
+    )
+
     spark.stop()
     print("AUDIT", "PASS" if ok else "FAIL")
     return 0 if ok else 1
