@@ -5089,6 +5089,116 @@ LEFT JOIN wc w ON w.source = e.source AND w.word = e.word
 """
 
 
+def q_bloom_incremental_dedup(spark, sf_dir):
+    """Bloom-gated incremental dedup (operators/sketch.bloom_bucket_sketch
+    + bloom_maybe_contains): the 100 TB pattern for dedup-ing a NEW batch
+    against a historical corpus without re-shuffling history — build one
+    Bloom filter over the historical content fingerprints (mergeable
+    bit_or words, so it cascades with the tiers), broadcast it, and let
+    only the "maybe seen" survivors pay the exact verify join.
+
+    The corpus splits deterministically on the doc_id hash (1-in-5 docs
+    are the "new batch"); the filter is deliberately NARROW (1024 bits,
+    2 hashes, ~400 history fingerprints) so real false positives appear
+    in the output and the classic contract is visible in the data:
+    every exact duplicate is flagged maybe (NO false negatives, the
+    bound that makes the pre-filter safe), while false_positive marks
+    the extra work the exact join absorbs."""
+    from rtsa_spark.operators.sketch import (
+        _h48,
+        bloom_bucket_sketch,
+        bloom_maybe_contains,
+    )
+
+    m_bits, k_hash = 1024, 2
+    docs = _documents(spark, sf_dir).select(
+        "doc_id",
+        F.md5(F.regexp_replace(F.lower(F.col("text")), " ", "")).alias("fp"),
+        (_h48(F.col("doc_id")) % 5 == 0).alias("is_new"),
+    )
+    hist = docs.where(~F.col("is_new"))
+    # the corpus has no natural exact duplicates, so re-arrival is
+    # modeled explicitly: a deterministic 1-in-9 slice of history
+    # re-enters with the new batch (a re-crawled page) — these MUST
+    # read maybe_seen=1 (the no-false-negative contract) and
+    # exact_dup=1 (the verify join confirms).
+    replay = hist.where(
+        _h48(F.concat_ws(":", F.lit("replay"), F.col("doc_id").cast("string")))
+        % 9 == 0
+    )
+    new = docs.where("is_new").unionByName(replay)
+    sk = bloom_bucket_sketch(
+        hist.withColumn("b", F.lit("hist")),
+        [], "b", "fp", m_bits=m_bits, k_hash=k_hash,
+    )
+    probe = bloom_maybe_contains(
+        sk, new.select("fp").distinct(), m_bits=m_bits, k_hash=k_hash,
+        probe_col="fp",
+    ).select("fp", "maybe")
+    hist_fps = hist.select("fp").distinct().withColumn("_seen", F.lit(1))
+    return (
+        new.join(probe, "fp")
+        .join(hist_fps, "fp", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("maybe"), 1).otherwise(0).cast("bigint").alias(
+                "maybe_seen"
+            ),
+            F.when(F.col("_seen").isNotNull(), 1).otherwise(0).cast(
+                "bigint"
+            ).alias("exact_dup"),
+            F.when(
+                F.col("maybe") & F.col("_seen").isNull(), 1
+            ).otherwise(0).cast("bigint").alias("false_positive"),
+        )
+    )
+
+
+SQL_BLOOM_INCREMENTAL_DEDUP = """
+WITH docs AS MATERIALIZED (
+  SELECT doc_id, md5(replace(lower(text), ' ', '')) AS fp,
+         ('0x' || substr(md5(doc_id::VARCHAR), 1, 12))::BIGINT % 5 = 0
+           AS is_new
+  FROM documents
+), hist AS MATERIALIZED (
+  SELECT DISTINCT fp FROM docs WHERE NOT is_new
+), bits AS MATERIALIZED (
+  SELECT pos // 32 AS w, bit_or(1::BIGINT << (pos % 32)::INT) AS v
+  FROM (
+    SELECT ('0x' || substr(md5(r.r::VARCHAR || ':' || fp), 1, 12))::BIGINT
+             % 1024 AS pos
+    FROM hist, range(2) AS r(r)
+  )
+  GROUP BY 1
+), newdocs AS MATERIALIZED (
+  SELECT doc_id, fp FROM docs WHERE is_new
+  UNION ALL
+  SELECT doc_id, fp FROM docs
+  WHERE NOT is_new
+    AND ('0x' || substr(md5('replay:' || doc_id::VARCHAR), 1, 12))::BIGINT
+          % 9 = 0
+), pcells AS MATERIALIZED (
+  SELECT n.doc_id, n.fp,
+         ('0x' || substr(md5(r.r::VARCHAR || ':' || n.fp), 1, 12))::BIGINT
+           % 1024 AS pos
+  FROM newdocs n, range(2) AS r(r)
+), probe AS MATERIALIZED (
+  SELECT pc.doc_id, pc.fp,
+         bool_and(
+           (coalesce(b.v, 0) & (1::BIGINT << (pc.pos % 32)::INT)) <> 0
+         ) AS maybe
+  FROM pcells pc LEFT JOIN bits b ON b.w = pc.pos // 32
+  GROUP BY 1, 2
+)
+SELECT p.doc_id,
+       (CASE WHEN p.maybe THEN 1 ELSE 0 END)::BIGINT AS maybe_seen,
+       (CASE WHEN h.fp IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS exact_dup,
+       (CASE WHEN p.maybe AND h.fp IS NULL THEN 1 ELSE 0 END)::BIGINT
+         AS false_positive
+FROM probe p LEFT JOIN hist h ON h.fp = p.fp
+"""
+
+
 def q_vocab_growth(spark, sf_dir):
     """Per (source, day) new-vocabulary accounting (rollup.vocab_growth):
     tokens first seen in each bucket + the running vocabulary size — the
@@ -8434,6 +8544,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_filter": q_gopher_filter,
         "hash_split": q_hash_split,
         "cm_frequency_ladder": q_cm_frequency_ladder,
+        "bloom_incremental_dedup": q_bloom_incremental_dedup,
     }
 
 
@@ -8601,4 +8712,5 @@ def oracle_sql() -> dict[str, str]:
         "gopher_filter": SQL_GOPHER_FILTER,
         "curation_funnel": SQL_CURATION_FUNNEL,
         "cm_frequency_ladder": SQL_CM_FREQUENCY_LADDER,
+        "bloom_incremental_dedup": SQL_BLOOM_INCREMENTAL_DEDUP,
     }

@@ -44,7 +44,11 @@ __all__ = [
     "cm_bucket_sketch",
     "cm_merge_buckets",
     "cm_estimate",
+    "bloom_bucket_sketch",
+    "bloom_merge_buckets",
+    "bloom_maybe_contains",
     "KMV_HASH_RANGE",
+    "BLOOM_WORD_BITS",
 ]
 
 #: Hash range of the portable 48-bit md5-prefix hash (exclusive upper bound).
@@ -537,4 +541,187 @@ def cm_estimate(
         *[c for c in sketches.columns if c not in ("cm", "n_items")],
         probe_col,
         est.cast("bigint").alias("est_count"),
+    )
+
+#: Bits stored per BIGINT word of a bloom sketch.  32 (not 64) so the
+#: per-word mask stays strictly positive in BOTH engines' signed 64-bit
+#: integers — ``1 << 63`` would flip sign in Spark and DuckDB alike and
+#: make the bitwise-AND probe engine-dependent.
+BLOOM_WORD_BITS = 32
+
+
+def _bloom_pos(r: int, item: F.Column, m_bits: int) -> F.Column:
+    """Bloom bit position for hash row ``r``: the portable 48-bit md5
+    prefix of ``"<r>:<item>"`` mod the filter width — same derivation
+    seam as :func:`_cm_cell`, so both engines light the same bits."""
+    return F.pmod(
+        _h48(F.concat_ws(":", F.lit(r).cast("string"), item.cast("string"))),
+        F.lit(m_bits),
+    ).cast("int")
+
+
+def bloom_bucket_sketch(
+    df: DataFrame,
+    key_cols: list[str],
+    bucket_col: str,
+    item_col: str,
+    m_bits: int = 4096,
+    k_hash: int = 3,
+) -> DataFrame:
+    """Per-(key, bucket) Bloom filter (Bloom 1970) as one mergeable
+    ``array<bigint>`` of ``m_bits / 32`` words — the MEMBERSHIP
+    companion of :func:`kmv_bucket_sketch` (distinct counts) and
+    :func:`cm_bucket_sketch` (frequencies): "was item X ever seen in
+    this bucket", with the classic guarantee of NO false negatives
+    (absent items may collide to a spurious yes; present items never
+    read no).
+
+    This is the incremental-dedup primitive at 100 TB: a new day's
+    batch probes a broadcast bloom of the historical corpus'
+    fingerprints and only the "maybe seen" survivors pay the exact
+    verify join — the alternative is shuffling the full historical
+    fingerprint set against every batch.
+
+    Deterministic contract: bit positions come from the portable md5
+    prefix (:func:`_bloom_pos`), words accumulate with ``bit_or`` —
+    order-free and exactly associative, so two engines (and any merge
+    order) build bit-identical filters.
+
+    Scale shape: items dedup to (keys, bucket, item) FIRST (map-side
+    partial distinct), fan out x ``k_hash`` bounded by the vocabulary,
+    ``bit_or`` per word is map-side combinable, and the array
+    materializes from at most ``m_bits / 32`` words per bucket via a
+    bounded map lookup — no unbounded collect.
+
+    Output: ``(keys..., bucket, bloom array<bigint>[m/32], n_distinct)``
+    where ``n_distinct`` is the EXACT distinct-item count (free from the
+    dedup pass; feeds the standard ``(1 - e^{-kn/m})^k`` FP-rate read).
+    """
+    if m_bits < BLOOM_WORD_BITS or m_bits % BLOOM_WORD_BITS != 0:
+        raise ValueError(
+            f"m_bits must be a positive multiple of {BLOOM_WORD_BITS},"
+            f" got {m_bits}"
+        )
+    if k_hash < 1:
+        raise ValueError(f"k_hash must be >= 1, got {k_hash}")
+    n_words = m_bits // BLOOM_WORD_BITS
+    dist = df.select(
+        *key_cols,
+        F.col(bucket_col).alias("bucket"),
+        F.col(item_col).alias("_item"),
+    ).distinct()
+    bits = None
+    for r in range(k_hash):
+        pos = _bloom_pos(r, F.col("_item"), m_bits)
+        part = dist.select(
+            *key_cols,
+            "bucket",
+            (pos / BLOOM_WORD_BITS).cast("int").alias("_w"),
+            F.call_function(
+                "shiftleft", F.lit(1).cast("bigint"), pos % BLOOM_WORD_BITS
+            ).alias("_m"),
+            F.lit(1 if r == 0 else 0).cast("bigint").alias("_d"),
+        )
+        bits = part if bits is None else bits.unionByName(part)
+    # n_distinct rides the same aggregation (each item contributes its
+    # _d=1 tag to exactly one word via hash row 0) — no second pass, and
+    # no join that could degrade to a cartesian on a constant bucket.
+    agg = bits.groupBy(*key_cols, "bucket", "_w").agg(
+        F.bit_or("_m").alias("_v"), F.sum("_d").alias("_dw")
+    )
+    maps = agg.groupBy(*key_cols, "bucket").agg(
+        F.map_from_arrays(
+            F.collect_list("_w"), F.collect_list("_v")
+        ).alias("_m"),
+        F.sum("_dw").cast("bigint").alias("n_distinct"),
+    )
+    return maps.select(
+        *key_cols,
+        "bucket",
+        F.expr(
+            f"transform(sequence(0, {n_words - 1}),"
+            " i -> coalesce(element_at(_m, i), 0L))"
+        ).alias("bloom"),
+        "n_distinct",
+    )
+
+
+def bloom_merge_buckets(
+    sketches: DataFrame,
+    key_cols: list[str],
+    coarse_bucket: F.Column,
+) -> DataFrame:
+    """Cascade Bloom filters to a coarser tier: word-wise ``bit_or`` —
+    the merge is EXACT (a merged filter equals the filter built directly
+    from the union stream, pytest-pinned), so "seen anywhere this
+    month" costs days x m/32 words, never a raw re-scan.
+
+    ``n_distinct`` does NOT survive a bit-or merge (buckets may share
+    items), so the merged output drops it — read cardinality off the
+    KMV cascade instead.
+
+    Scale shape: posexplode to (keys, coarse, word, val) — bounded by
+    fan-in x m/32, map-side combinable ``bit_or`` — then the same
+    bounded map reassembly as the build.
+    """
+    ex = sketches.select(
+        *key_cols,
+        coarse_bucket.alias("bucket"),
+        F.posexplode("bloom").alias("_w", "_v"),
+    )
+    agg = ex.groupBy(*key_cols, "bucket", "_w").agg(
+        F.bit_or("_v").alias("_v")
+    )
+    maps = agg.groupBy(*key_cols, "bucket").agg(
+        F.map_from_arrays(F.collect_list("_w"), F.collect_list("_v")).alias(
+            "_m"
+        ),
+        (F.max("_w") + 1).cast("int").alias("_n"),
+    )
+    return maps.select(
+        *key_cols,
+        "bucket",
+        F.expr(
+            "transform(sequence(0, _n - 1),"
+            " i -> coalesce(element_at(_m, i), 0L))"
+        ).alias("bloom"),
+    )
+
+
+def bloom_maybe_contains(
+    sketches: DataFrame,
+    probes: DataFrame,
+    m_bits: int = 4096,
+    k_hash: int = 3,
+    probe_col: str = "item",
+) -> DataFrame:
+    """Membership-probe a Bloom filter: ``maybe`` is true iff ALL
+    ``k_hash`` hashed bits are set — never false for a present item
+    (the pytest pins zero false negatives under forced collisions).
+
+    ``probes`` is broadcast against the sketch rows (shuffle-free); in
+    the incremental-dedup composition the roles invert — ONE sketch row
+    broadcasts against a large probe batch, same plan shape either way.
+
+    Output: sketch keys + ``(item, maybe boolean)``.
+    """
+    checks = []
+    for r in range(k_hash):
+        pos = _bloom_pos(r, F.col(probe_col), m_bits)
+        word = F.element_at(
+            "bloom", (pos / BLOOM_WORD_BITS).cast("int") + 1
+        )
+        mask = F.call_function(
+            "shiftleft", F.lit(1).cast("bigint"), pos % BLOOM_WORD_BITS
+        )
+        checks.append(word.bitwiseAND(mask) != 0)
+    maybe = checks[0]
+    for c in checks[1:]:
+        maybe = maybe & c
+    return sketches.crossJoin(
+        F.broadcast(probes.select(F.col(probe_col).alias(probe_col)))
+    ).select(
+        *[c for c in sketches.columns if c not in ("bloom", "n_distinct")],
+        probe_col,
+        maybe.alias("maybe"),
     )

@@ -389,3 +389,87 @@ def test_cm_sketch_validation(spark):
         cm_bucket_sketch(df, ["g"], "d", "item", d_rows=0)
     with _pytest.raises(ValueError):
         cm_bucket_sketch(df, ["g"], "d", "item", w_cols=1)
+
+
+def test_bloom_no_false_negatives_and_exact_cardinality(spark):
+    """Every inserted item probes maybe=True even at a width that forces
+    collisions; n_distinct is the exact distinct count; unused high bits
+    (>= 2^32) never light up."""
+    from rtsa_spark.operators.sketch import (
+        bloom_bucket_sketch,
+        bloom_maybe_contains,
+    )
+
+    words = ("alpha beta gamma delta epsilon zeta eta theta " * 2).split()
+    df = spark.createDataFrame(
+        [("s1", 0, w) for w in words], "g string, d long, item string"
+    )
+    sk = bloom_bucket_sketch(df, ["g"], "d", "item", m_bits=32, k_hash=2)
+    r = sk.collect()[0]
+    assert r["n_distinct"] == 8
+    assert all(0 <= w_ < (1 << 32) for w_ in r["bloom"])
+    probes = spark.createDataFrame([(w,) for w in set(words)], "item string")
+    got = bloom_maybe_contains(sk, probes, m_bits=32, k_hash=2).collect()
+    assert all(x["maybe"] for x in got)
+
+
+def test_bloom_absent_items_mostly_false_when_wide(spark):
+    """With a wide filter, absent probes read False (and a forced-narrow
+    filter shows at least the guarantee direction: no False for present)."""
+    from rtsa_spark.operators.sketch import (
+        bloom_bucket_sketch,
+        bloom_maybe_contains,
+    )
+
+    df = spark.createDataFrame(
+        [("s1", 0, w) for w in ["a", "b", "c"]],
+        "g string, d long, item string",
+    )
+    sk = bloom_bucket_sketch(df, ["g"], "d", "item", m_bits=4096, k_hash=3)
+    probes = spark.createDataFrame(
+        [(f"absent_{i}",) for i in range(50)] + [("a",)], "item string"
+    )
+    got = {
+        x["item"]: x["maybe"]
+        for x in bloom_maybe_contains(sk, probes, m_bits=4096, k_hash=3).collect()
+    }
+    assert got["a"] is True
+    # 3 items in 4096 bits: P(false positive) ~ (3*3/4096)^3 ~ 1e-8 per
+    # probe — all 50 absent probes must read False.
+    assert sum(v for k_, v in got.items() if k_ != "a") == 0
+
+
+def test_bloom_merge_equals_direct_sketch(spark):
+    """Word-wise bit_or merge of per-day filters is EXACTLY the filter
+    built from the union stream."""
+    import pyspark.sql.functions as F
+
+    from rtsa_spark.operators.sketch import (
+        bloom_bucket_sketch,
+        bloom_merge_buckets,
+    )
+
+    rows = []
+    for d, ws in [(1, "a a b"), (2, "b c c c"), (3, "a d")]:
+        rows += [("s1", d, w) for w in ws.split()]
+    df = spark.createDataFrame(rows, "g string, d long, item string")
+    daily = bloom_bucket_sketch(df, ["g"], "d", "item", m_bits=64, k_hash=4)
+    merged = bloom_merge_buckets(daily, ["g"], F.lit(0)).collect()[0]
+    direct = bloom_bucket_sketch(
+        df.withColumn("z", F.lit(0)), ["g"], "z", "item", m_bits=64, k_hash=4
+    ).collect()[0]
+    assert merged["bloom"] == direct["bloom"]
+
+
+def test_bloom_validation(spark):
+    import pytest as _pytest
+
+    from rtsa_spark.operators.sketch import bloom_bucket_sketch
+
+    df = spark.createDataFrame([("s", 0, "a")], "g string, d long, item string")
+    with _pytest.raises(ValueError):
+        bloom_bucket_sketch(df, ["g"], "d", "item", m_bits=100)
+    with _pytest.raises(ValueError):
+        bloom_bucket_sketch(df, ["g"], "d", "item", m_bits=0)
+    with _pytest.raises(ValueError):
+        bloom_bucket_sketch(df, ["g"], "d", "item", k_hash=0)

@@ -760,6 +760,32 @@ def main() -> int:
         "partial_count" in cm_plan and "EvalPython" not in cm_plan,
     )
 
+    # 30. bloom incremental dedup: the membership probe is a broadcast
+    #     (never a shuffle of the probe batch against the filter), the
+    #     filter build bit_ors map-side, and everything stays JVM-side
+    from rtsa_spark.operators.sketch import (
+        bloom_bucket_sketch,
+        bloom_maybe_contains,
+    )
+
+    bl_sk = bloom_bucket_sketch(
+        docs.selectExpr("'h' as b", "md5(text) as fp"), [], "b", "fp",
+        m_bits=1024, k_hash=2,
+    )
+    bl_plan = plan_of(
+        bloom_maybe_contains(
+            bl_sk, docs.selectExpr("md5(text) as fp").limit(100),
+            m_bits=1024, k_hash=2, probe_col="fp",
+        )
+    )
+    ok &= check(
+        "bloom: map-side partial bit_or build, broadcast probe, no Python",
+        "partial_bit_or" in bl_plan
+        and "BroadcastNestedLoopJoin" in bl_plan
+        and "CartesianProduct" not in bl_plan
+        and "EvalPython" not in bl_plan,
+    )
+
     spark.stop()
     print("AUDIT", "PASS" if ok else "FAIL")
     return 0 if ok else 1
