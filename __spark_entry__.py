@@ -5199,6 +5199,96 @@ FROM probe p LEFT JOIN hist h ON h.fp = p.fp
 """
 
 
+def q_mg_heavy_hitters(spark, sf_dir):
+    """Misra-Gries heavy hitters THROUGH the retention cascade
+    (operators/sketch.mg_bucket_sketch + mg_merge_buckets): daily k=8
+    summaries of word frequencies per source, merged to source level by
+    counter-sum + re-prune (NOT stream-exact, unlike the count-min
+    cascade — the oracle replays the daily prune and the merge prune
+    verbatim), then joined against the true counts so the classic
+    undercount-only contract is visible in the data:
+    w_lo <= exact_count <= w_lo + slack on every surviving token."""
+    from rtsa_spark.operators.sketch import mg_bucket_sketch, mg_merge_buckets
+
+    seq = _derived_sequences(spark, sf_dir).drop("n_tok")
+    txt = _documents(spark, sf_dir).select("doc_id", "text")
+    tok = (
+        seq.join(txt, "doc_id")
+        .select(
+            "source",
+            F.date_trunc("day", "ts").alias("d"),
+            F.explode(F.split("text", " ")).alias("word"),
+        )
+    )
+    daily = mg_bucket_sketch(tok, ["source"], "d", "word", k=8)
+    merged = mg_merge_buckets(daily, ["source"], F.lit("all"), k=8)
+    exact = tok.groupBy("source", "word").agg(
+        F.count(F.lit(1)).cast("bigint").alias("exact_count")
+    )
+    return (
+        merged.where(F.col("item").isNotNull())
+        .select("source", F.col("item").alias("word"), "w", "slack")
+        .join(exact, ["source", "word"])
+        .select(
+            "source",
+            F.col("word").alias("token"),
+            F.col("w").cast("bigint").alias("w_lo"),
+            F.col("slack").cast("bigint").alias("slack"),
+            "exact_count",
+            (F.col("exact_count") - F.col("w")).cast("bigint").alias(
+                "undercount"
+            ),
+        )
+    )
+
+
+SQL_MG_HEAVY_HITTERS = f"""
+WITH {SQL_SEQ_TEXT_CTE.strip()},
+tok AS MATERIALIZED (
+  SELECT source, date_trunc('day', ts) AS d,
+         unnest(string_split(text, ' ')) AS word
+  FROM seq
+), wc AS MATERIALIZED (
+  SELECT source, d, word, count(*)::BIGINT AS c FROM tok GROUP BY 1, 2, 3
+), ranked AS MATERIALIZED (
+  SELECT source, d, word, c,
+         row_number() OVER (PARTITION BY source, d
+                            ORDER BY c DESC, word) AS rn
+  FROM wc
+), vd AS MATERIALIZED (
+  SELECT source, d, max(CASE WHEN rn = 9 THEN c ELSE 0 END)::BIGINT AS v
+  FROM ranked GROUP BY 1, 2
+), daily AS MATERIALIZED (
+  SELECT r.source, r.word, (r.c - v.v)::BIGINT AS w
+  FROM ranked r JOIN vd v ON v.source = r.source AND v.d = r.d
+  WHERE r.c > v.v
+), slack1 AS MATERIALIZED (
+  SELECT source, sum(v)::BIGINT AS s FROM vd GROUP BY 1
+), m1 AS MATERIALIZED (
+  SELECT source, word, sum(w)::BIGINT AS c FROM daily GROUP BY 1, 2
+), mr AS MATERIALIZED (
+  SELECT source, word, c,
+         row_number() OVER (PARTITION BY source ORDER BY c DESC, word) AS rn
+  FROM m1
+), mv AS MATERIALIZED (
+  SELECT source, max(CASE WHEN rn = 9 THEN c ELSE 0 END)::BIGINT AS v
+  FROM mr GROUP BY 1
+), merged AS MATERIALIZED (
+  SELECT mr.source, mr.word, (mr.c - mv.v)::BIGINT AS w,
+         (mv.v + s.s)::BIGINT AS slack
+  FROM mr JOIN mv ON mv.source = mr.source
+          JOIN slack1 s ON s.source = mr.source
+  WHERE mr.c > mv.v
+), exact AS MATERIALIZED (
+  SELECT source, word, count(*)::BIGINT AS exact_count
+  FROM tok GROUP BY 1, 2
+)
+SELECT m.source, m.word AS token, m.w AS w_lo, m.slack,
+       e.exact_count, (e.exact_count - m.w)::BIGINT AS undercount
+FROM merged m JOIN exact e ON e.source = m.source AND e.word = m.word
+"""
+
+
 def q_vocab_growth(spark, sf_dir):
     """Per (source, day) new-vocabulary accounting (rollup.vocab_growth):
     tokens first seen in each bucket + the running vocabulary size — the
@@ -8545,6 +8635,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_split": q_hash_split,
         "cm_frequency_ladder": q_cm_frequency_ladder,
         "bloom_incremental_dedup": q_bloom_incremental_dedup,
+        "mg_heavy_hitters": q_mg_heavy_hitters,
     }
 
 
@@ -8713,4 +8804,5 @@ def oracle_sql() -> dict[str, str]:
         "curation_funnel": SQL_CURATION_FUNNEL,
         "cm_frequency_ladder": SQL_CM_FREQUENCY_LADDER,
         "bloom_incremental_dedup": SQL_BLOOM_INCREMENTAL_DEDUP,
+        "mg_heavy_hitters": SQL_MG_HEAVY_HITTERS,
     }

@@ -47,6 +47,8 @@ __all__ = [
     "bloom_bucket_sketch",
     "bloom_merge_buckets",
     "bloom_maybe_contains",
+    "mg_bucket_sketch",
+    "mg_merge_buckets",
     "KMV_HASH_RANGE",
     "BLOOM_WORD_BITS",
 ]
@@ -725,3 +727,156 @@ def bloom_maybe_contains(
         probe_col,
         maybe.alias("maybe"),
     )
+
+
+def mg_bucket_sketch(
+    df: DataFrame,
+    key_cols: list[str],
+    bucket_col: str,
+    item_col: str,
+    k: int = 8,
+) -> DataFrame:
+    """Per-(key, bucket) Misra-Gries heavy-hitters summary (Misra &
+    Gries 1982; mergeable batch form per Agarwal et al. 2012,
+    "Mergeable Summaries"): at most ``k`` surviving counters per bucket
+    with the UNDERCOUNT-ONLY guarantee ``w <= true <= w + slack`` —
+    the bounded answer to "which tokens dominate this bucket" when the
+    vocabulary is too large to keep exact per-item counts at the coarse
+    tiers.  Completes the sketch quartet: KMV (how many distinct),
+    count-min (how often is X, overcount-only), Bloom (was X seen),
+    Misra-Gries (which X dominate, undercount-only).
+
+    Batch form: exact (keys, bucket, item) counts first (one map-side-
+    combined shuffle), then subtract the (k+1)-th largest count ``v``
+    from every counter and keep the strictly positive residuals — at
+    most k survive, any item with count > n/(k+1) ALWAYS survives
+    (pytest-pinned).  Deterministic: ``v`` is a count VALUE (order
+    among tied items cannot change it), all arithmetic exact-int.
+
+    Output rows per bucket: one SENTINEL row (``item`` NULL, ``w`` 0)
+    that always exists and carries the bucket's ``slack`` (= total
+    decrement so far — the undercount bound, also the bound for items
+    NOT in the sketch: true <= slack), plus <= k item rows
+    ``(item, w=residual, slack)``.  The sentinel is what keeps the
+    bound sound through merges of buckets whose sketches pruned to
+    empty.
+
+    Scale shape: one shuffle to counts, two windows per bucket (rank,
+    then v) — no joins, no Python, vocabulary-bounded intermediates.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    cnt = df.select(
+        *key_cols,
+        F.col(bucket_col).alias("bucket"),
+        F.col(item_col).alias("item"),
+    ).groupBy(*key_cols, "bucket", "item").agg(
+        F.count(F.lit(1)).cast("bigint").alias("_c")
+    )
+    return _mg_prune(cnt, key_cols, k, slack_in=F.lit(0).cast("bigint"))
+
+
+def mg_merge_buckets(
+    sketches: DataFrame,
+    key_cols: list[str],
+    coarse_bucket: F.Column,
+    k: int = 8,
+) -> DataFrame:
+    """Cascade Misra-Gries summaries to a coarser tier: sum surviving
+    counters per item across fine buckets, sum the fine buckets'
+    slacks (each sentinel row contributes its bucket's slack exactly
+    once), then re-prune with the same (k+1)-th-value rule.  The merged
+    bound is ``w <= true <= w + slack`` with
+    ``slack = sum(fine slacks) + v_merge`` — monthly heavy hitters from
+    daily summaries, never a raw re-scan (pytest pins the bound against
+    exact counts from the union stream).
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    tagged = sketches.select(
+        *key_cols, coarse_bucket.alias("bucket"), "item", "w", "slack",
+        F.col("bucket").alias("_fine"),
+    )
+    items = tagged.where(F.col("item").isNotNull()).groupBy(
+        *key_cols, "bucket", "item"
+    ).agg(F.sum("w").alias("_c"))
+    slacks = (
+        tagged.select(*key_cols, "bucket", "_fine", "slack")
+        .distinct()
+        .groupBy(*key_cols, "bucket")
+        .agg(F.sum("slack").cast("bigint").alias("_s"))
+    )
+    pruned = _mg_prune(items, key_cols, k, slack_in=None)
+    # attach the carried slack as two broadcast joins (an outer join
+    # cannot broadcast its preserved side): surviving counters inner-join
+    # the per-bucket slack scalar; the sentinel re-emits from the slack
+    # rows themselves so a bucket whose merge pruned to empty (or whose
+    # fine sketches were all sentinel-only) still carries its bound.
+    on = [*key_cols, "bucket"]
+    item_rows = (
+        pruned.where(F.col("item").isNotNull())
+        .join(F.broadcast(slacks), on)
+        .select(
+            *on,
+            "item",
+            F.col("w").cast("bigint").alias("w"),
+            (F.col("_vsub") + F.col("_s")).cast("bigint").alias("slack"),
+        )
+    )
+    sent = (
+        slacks.join(
+            F.broadcast(
+                pruned.where(F.col("item").isNull()).select(*on, "_vsub")
+            ),
+            on,
+            "left",
+        )
+        .select(
+            *on,
+            F.lit(None).cast(item_rows.schema["item"].dataType).alias("item"),
+            F.lit(0).cast("bigint").alias("w"),
+            (F.coalesce("_vsub", F.lit(0)) + F.col("_s")).cast(
+                "bigint"
+            ).alias("slack"),
+        )
+    )
+    return item_rows.unionByName(sent)
+
+
+def _mg_prune(
+    cnt: DataFrame, key_cols: list[str], k: int, slack_in
+) -> DataFrame:
+    """Shared prune: subtract the (k+1)-th largest count value per
+    bucket, keep positive residuals + the slack-bearing sentinel.
+    Emits ``(keys..., bucket, item, w, slack, _vsub)`` — ``_vsub`` (the
+    decrement applied at THIS step) stays internal to the merge path.
+    """
+    wb = Window.partitionBy(*(*key_cols, "bucket"))
+    wr = wb.orderBy(F.col("_c").desc(), F.col("item"))
+    ranked = cnt.withColumn("_rn", F.row_number().over(wr))
+    vd = ranked.withColumn(
+        "_v",
+        F.max(F.when(F.col("_rn") == k + 1, F.col("_c")).otherwise(0)).over(
+            wb
+        ),
+    )
+    item_rows = vd.where(F.col("_c") > F.col("_v")).select(
+        *key_cols,
+        "bucket",
+        "item",
+        (F.col("_c") - F.col("_v")).cast("bigint").alias("w"),
+        F.col("_v").cast("bigint").alias("_vsub"),
+    )
+    sentinel = vd.where(F.col("_rn") == 1).select(
+        *key_cols,
+        "bucket",
+        F.lit(None).cast(item_rows.schema["item"].dataType).alias("item"),
+        F.lit(0).cast("bigint").alias("w"),
+        F.col("_v").cast("bigint").alias("_vsub"),
+    )
+    out = item_rows.unionByName(sentinel)
+    if slack_in is not None:
+        out = out.withColumn("slack", (slack_in + F.col("_vsub")).cast("bigint"))
+    else:
+        out = out.withColumn("slack", F.col("_vsub"))
+    return out.select(*key_cols, "bucket", "item", "w", "slack", "_vsub")

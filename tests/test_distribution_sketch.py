@@ -473,3 +473,106 @@ def test_bloom_validation(spark):
         bloom_bucket_sketch(df, ["g"], "d", "item", m_bits=0)
     with _pytest.raises(ValueError):
         bloom_bucket_sketch(df, ["g"], "d", "item", k_hash=0)
+
+
+def test_mg_exact_when_few_items(spark):
+    """With <= k distinct items nothing is decremented: weights are the
+    exact counts, slack 0, and a sentinel row still marks the bucket."""
+    from rtsa_spark.operators.sketch import mg_bucket_sketch
+
+    rows = [("s1", 0, w) for w in "a a a b c a b".split()]
+    df = spark.createDataFrame(rows, "g string, d long, item string")
+    got = mg_bucket_sketch(df, ["g"], "d", "item", k=8).collect()
+    items = {r["item"]: (r["w"], r["slack"]) for r in got if r["item"]}
+    assert items == {"a": (4, 0), "b": (2, 0), "c": (1, 0)}
+    assert sum(1 for r in got if r["item"] is None) == 1  # sentinel
+
+
+def test_mg_bounds_and_heavy_survivor(spark):
+    """k=2 over a skewed stream: every surviving weight w satisfies
+    w <= true <= w + slack; absent items satisfy true <= slack; and the
+    dominant item (count > n/(k+1)) always survives."""
+    from rtsa_spark.operators.sketch import mg_bucket_sketch
+
+    words = ("x " * 30 + "y " * 9 + "p q r s t u v w " * 2).split()
+    exact = {w: words.count(w) for w in set(words)}
+    df = spark.createDataFrame(
+        [("s1", 0, w) for w in words], "g string, d long, item string"
+    )
+    got = mg_bucket_sketch(df, ["g"], "d", "item", k=2).collect()
+    slack = [r["slack"] for r in got if r["item"] is None][0]
+    surv = {r["item"]: r["w"] for r in got if r["item"]}
+    assert len(surv) <= 2
+    assert "x" in surv  # 30 > 55/3, must survive
+    for it, w in surv.items():
+        assert w <= exact[it] <= w + slack, (it, w, slack)
+    for it, c in exact.items():
+        if it not in surv:
+            assert c <= slack, (it, c, slack)
+
+
+def test_mg_merge_bound_vs_union_stream(spark):
+    """Merging daily summaries keeps the undercount bound against exact
+    counts of the UNION stream, sums the fine slacks, and the dominant
+    item survives the cascade."""
+    import pyspark.sql.functions as F
+
+    from rtsa_spark.operators.sketch import mg_bucket_sketch, mg_merge_buckets
+
+    days = {
+        1: ("hot " * 20 + "a b c d e f " * 2).split(),
+        2: ("hot " * 15 + "b c d e f g h " * 2).split(),
+        3: ("hot " * 25 + "a c e g i k " * 3).split(),
+    }
+    rows = [("s1", d, w) for d, ws in days.items() for w in ws]
+    exact = {}
+    for ws in days.values():
+        for w in ws:
+            exact[w] = exact.get(w, 0) + 1
+    df = spark.createDataFrame(rows, "g string, d long, item string")
+    daily = mg_bucket_sketch(df, ["g"], "d", "item", k=3)
+    merged = mg_merge_buckets(daily, ["g"], F.lit(0), k=3).collect()
+    slack = [r["slack"] for r in merged if r["item"] is None][0]
+    surv = {r["item"]: r["w"] for r in merged if r["item"]}
+    assert "hot" in surv and len(surv) <= 3
+    for it, w in surv.items():
+        assert w <= exact[it] <= w + slack, (it, w, slack)
+    for it, c in exact.items():
+        if it not in surv:
+            assert c <= slack, (it, c, slack)
+    # all sentinel slacks are identical per bucket (denormalized scalar)
+    assert len({r["slack"] for r in merged}) == 1
+
+
+def test_mg_empty_fine_sketch_keeps_slack(spark):
+    """A fine bucket whose sketch prunes to sentinel-only still
+    contributes its slack to the merge (the bound survives)."""
+    import pyspark.sql.functions as F
+
+    from rtsa_spark.operators.sketch import mg_bucket_sketch, mg_merge_buckets
+
+    # day 1: four items with equal counts, k=1 -> v equals every count,
+    # all residuals 0 -> sentinel-only sketch with slack 3
+    rows = [("s1", 1, w) for w in ("a a a b b b c c c d d d").split()]
+    rows += [("s1", 2, w) for w in ("z z z z z a").split()]
+    df = spark.createDataFrame(rows, "g string, d long, item string")
+    daily = mg_bucket_sketch(df, ["g"], "d", "item", k=1)
+    d1 = [r for r in daily.collect() if r["d" if False else "bucket"] == 1]
+    assert all(r["item"] is None for r in d1) and d1[0]["slack"] == 3
+    merged = mg_merge_buckets(daily, ["g"], F.lit(0), k=1).collect()
+    slack = [r["slack"] for r in merged if r["item"] is None][0]
+    exact = {"a": 4, "b": 3, "c": 3, "d": 3, "z": 5}
+    surv = {r["item"]: r["w"] for r in merged if r["item"]}
+    for it, c in exact.items():
+        w = surv.get(it, 0)
+        assert w <= c <= w + slack, (it, w, c, slack)
+
+
+def test_mg_validation(spark):
+    import pytest as _pytest
+
+    from rtsa_spark.operators.sketch import mg_bucket_sketch
+
+    df = spark.createDataFrame([("s", 0, "a")], "g string, d long, item string")
+    with _pytest.raises(ValueError):
+        mg_bucket_sketch(df, ["g"], "d", "item", k=0)

@@ -786,6 +786,32 @@ def main() -> int:
         and "EvalPython" not in bl_plan,
     )
 
+    # 31. Misra-Gries cascade: build is one map-side-combined count +
+    #     key-partitioned windows (no join); the merge's only join is
+    #     the broadcast of the per-bucket slack scalar — never a
+    #     cartesian, never Python
+    from rtsa_spark.operators.sketch import mg_bucket_sketch, mg_merge_buckets
+
+    mg_daily = mg_bucket_sketch(
+        docs.selectExpr(
+            "doc_id % 2 as g", "doc_id % 3 as b",
+            "explode(split(text, ' ')) as w"
+        ),
+        ["g"], "b", "w", k=4,
+    )
+    mg_build_plan = plan_of(mg_daily)
+    import pyspark.sql.functions as _F
+
+    mg_merge_plan = plan_of(mg_merge_buckets(mg_daily, ["g"], _F.lit(0), k=4))
+    ok &= check(
+        "misra-gries: partial count build, broadcast-only merge join, no Python",
+        "partial_count" in mg_build_plan
+        and "Join" not in mg_build_plan
+        and "BroadcastHashJoin" in mg_merge_plan
+        and "CartesianProduct" not in mg_merge_plan
+        and "EvalPython" not in mg_build_plan + mg_merge_plan,
+    )
+
     spark.stop()
     print("AUDIT", "PASS" if ok else "FAIL")
     return 0 if ok else 1
