@@ -269,7 +269,13 @@ def run_bench(sf_dir: str, cores: int) -> dict:
         "bm25_topk",
         "hybrid_rrf",
     ]
-    headline = headline + new_r4 + new_r4b
+    # third late-round-4 batch (sketch quartet completion), same rule
+    new_r4c = [
+        "cm_frequency_ladder",
+        "bloom_incremental_dedup",
+        "mg_heavy_hitters",
+    ]
+    headline = headline + new_r4 + new_r4b + new_r4c
     if E is not None:
         qs = E.queries()
         from rtsa_spark.operators.dedup import minhash_lsh_buckets
@@ -309,6 +315,7 @@ def run_bench(sf_dir: str, cores: int) -> dict:
         "metrics_rows": metrics_rows,
         "new_stages_r4": new_r4,
         "new_stages_r4b": new_r4b,
+        "new_stages_r4c": new_r4c,
     }
     # CPU of the whole tree BEFORE stop: JVM utime+stime+children (python
     # workers) from /proc (py4j does not reap the JVM into rusage)
