@@ -8496,7 +8496,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_time_travel": q_snapshot_time_travel,
         "asof_tier_checkpoint": q_asof_tier_checkpoint,
         # --- dedup family ---
-        "dedup_exact": q_dedup_exact,
+        "bloom_incremental_dedup": q_bloom_incremental_dedup,
         "minhash_lsh": q_minhash_lsh,
         "snapshot_wap": q_snapshot_wap,
         "dedup_clusters": q_dedup_clusters,
@@ -8634,7 +8634,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_filter": q_gopher_filter,
         "hash_split": q_hash_split,
         "cm_frequency_ladder": q_cm_frequency_ladder,
-        "bloom_incremental_dedup": q_bloom_incremental_dedup,
+        "dedup_exact": q_dedup_exact,
         "mg_heavy_hitters": q_mg_heavy_hitters,
     }
 
