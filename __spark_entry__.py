@@ -5289,6 +5289,109 @@ FROM merged m JOIN exact e ON e.source = m.source AND e.word = m.word
 """
 
 
+def q_certified_topk(spark, sf_dir):
+    """Certified exact top-5 tokens per source from the daily tier
+    (operators/sketch.mg_certified_topk): daily exact counts prune to
+    k=16 Misra-Gries summaries, merge up, and only the surviving
+    candidates are re-counted (broadcast semi-join back into the fine
+    tier — never a full-vocabulary coarse re-aggregation). The MG bound
+    becomes a per-source certificate: absent items have true count <=
+    slack, so kth_exact >= slack proves the returned rows are a valid
+    top-5. The oracle replays prune, merge, recount, and certificate."""
+    from rtsa_spark.operators.sketch import mg_certified_topk
+
+    seq = _derived_sequences(spark, sf_dir).drop("n_tok")
+    txt = _documents(spark, sf_dir).select("doc_id", "text")
+    tok = (
+        seq.join(txt, "doc_id")
+        .select(
+            "source",
+            F.date_trunc("day", "ts").alias("bucket"),
+            F.explode(F.split("text", " ")).alias("word"),
+        )
+    )
+    fine = tok.groupBy("source", "bucket", "word").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    out = mg_certified_topk(
+        fine, ["source"], F.lit("all"), topk=5, mg_k=16,
+        item_col="word", count_col="c",
+    )
+    return out.select(
+        "source",
+        F.col("item").alias("token"),
+        "exact_c",
+        F.col("rank").cast("bigint").alias("rank"),
+        "slack",
+        F.when(F.col("certified"), 1).otherwise(0).cast("bigint").alias(
+            "certified"
+        ),
+    )
+
+
+SQL_CERTIFIED_TOPK = f"""
+WITH {SQL_SEQ_TEXT_CTE.strip()},
+tok AS MATERIALIZED (
+  SELECT source, date_trunc('day', ts) AS d,
+         unnest(string_split(text, ' ')) AS word
+  FROM seq
+), wc AS MATERIALIZED (
+  SELECT source, d, word, count(*)::BIGINT AS c FROM tok GROUP BY 1, 2, 3
+), ranked AS MATERIALIZED (
+  SELECT source, d, word, c,
+         row_number() OVER (PARTITION BY source, d
+                            ORDER BY c DESC, word) AS rn
+  FROM wc
+), vd AS MATERIALIZED (
+  SELECT source, d, max(CASE WHEN rn = 17 THEN c ELSE 0 END)::BIGINT AS v
+  FROM ranked GROUP BY 1, 2
+), daily AS MATERIALIZED (
+  SELECT r.source, r.word, (r.c - v.v)::BIGINT AS w
+  FROM ranked r JOIN vd v ON v.source = r.source AND v.d = r.d
+  WHERE r.c > v.v
+), slack1 AS MATERIALIZED (
+  SELECT source, sum(v)::BIGINT AS s FROM vd GROUP BY 1
+), m1 AS MATERIALIZED (
+  SELECT source, word, sum(w)::BIGINT AS c FROM daily GROUP BY 1, 2
+), mr AS MATERIALIZED (
+  SELECT source, word, c,
+         row_number() OVER (PARTITION BY source ORDER BY c DESC, word) AS rn
+  FROM m1
+), mv AS MATERIALIZED (
+  SELECT source, max(CASE WHEN rn = 17 THEN c ELSE 0 END)::BIGINT AS v
+  FROM mr GROUP BY 1
+), sl AS MATERIALIZED (
+  SELECT mv.source, (mv.v + s.s)::BIGINT AS slack
+  FROM mv JOIN slack1 s ON s.source = mv.source
+), cand AS MATERIALIZED (
+  SELECT mr.source, mr.word
+  FROM mr JOIN mv ON mv.source = mr.source
+  WHERE mr.c > mv.v
+), excand AS MATERIALIZED (
+  SELECT w.source, w.word, sum(w.c)::BIGINT AS exact_c
+  FROM wc w JOIN cand cd ON cd.source = w.source AND cd.word = w.word
+  GROUP BY 1, 2
+), rk AS MATERIALIZED (
+  SELECT source, word, exact_c,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY exact_c DESC, word) AS rank
+  FROM excand
+), top AS MATERIALIZED (
+  SELECT * FROM rk WHERE rank <= 5
+), cert AS MATERIALIZED (
+  SELECT source, min(exact_c)::BIGINT AS kth, count(*)::BIGINT AS nc
+  FROM top GROUP BY 1
+)
+SELECT t.source, t.word AS token, t.exact_c, t.rank::BIGINT AS rank,
+       s.slack,
+       (CASE WHEN (c.nc >= 5 AND c.kth >= s.slack) OR s.slack = 0
+             THEN 1 ELSE 0 END)::BIGINT AS certified
+FROM top t
+JOIN cert c ON c.source = t.source
+JOIN sl s ON s.source = t.source
+"""
+
+
 def q_vocab_growth(spark, sf_dir):
     """Per (source, day) new-vocabulary accounting (rollup.vocab_growth):
     tokens first seen in each bucket + the running vocabulary size — the
@@ -8636,6 +8739,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cm_frequency_ladder": q_cm_frequency_ladder,
         "dedup_exact": q_dedup_exact,
         "mg_heavy_hitters": q_mg_heavy_hitters,
+        "certified_topk": q_certified_topk,
     }
 
 
@@ -8805,4 +8909,5 @@ def oracle_sql() -> dict[str, str]:
         "cm_frequency_ladder": SQL_CM_FREQUENCY_LADDER,
         "bloom_incremental_dedup": SQL_BLOOM_INCREMENTAL_DEDUP,
         "mg_heavy_hitters": SQL_MG_HEAVY_HITTERS,
+        "certified_topk": SQL_CERTIFIED_TOPK,
     }

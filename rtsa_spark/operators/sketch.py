@@ -49,6 +49,7 @@ __all__ = [
     "bloom_maybe_contains",
     "mg_bucket_sketch",
     "mg_merge_buckets",
+    "mg_certified_topk",
     "KMV_HASH_RANGE",
     "BLOOM_WORD_BITS",
 ]
@@ -880,3 +881,89 @@ def _mg_prune(
     else:
         out = out.withColumn("slack", F.col("_vsub"))
     return out.select(*key_cols, "bucket", "item", "w", "slack", "_vsub")
+
+
+def mg_certified_topk(
+    fine_counts: DataFrame,
+    key_cols: list[str],
+    coarse_bucket: F.Column,
+    topk: int = 10,
+    mg_k: int = 64,
+    item_col: str = "item",
+    count_col: str = "c",
+) -> DataFrame:
+    """CERTIFIED exact top-k at a coarse tier from fine-tier exact
+    counts, without re-aggregating the full vocabulary: prune each fine
+    bucket to a Misra-Gries summary (vocabulary-bounded), merge the
+    summaries up (:func:`mg_merge_buckets`), then re-count ONLY the
+    surviving candidates via a broadcast semi-join back into the fine
+    counts.  The MG guarantee turns into a certificate: any item absent
+    from the merged summary has true coarse count <= slack, so when the
+    k-th candidate's EXACT count >= slack the returned rows are provably
+    a valid top-k (ties at exactly ``slack`` may admit other equally-
+    ranked sets; strict > certifies uniqueness of the cutoff).
+
+    At 100 TB this is the difference between shuffling the full
+    (source x vocabulary) space to rank a month and shuffling
+    ``mg_k`` counters per day plus <= ``mg_k`` re-counted candidates.
+
+    ``fine_counts`` schema: ``(key_cols..., bucket, item_col,
+    count_col)`` — exactly what the tier ladder materializes per bucket.
+    Output: ``(keys..., bucket, item, exact_c, rank, slack,
+    certified)`` with ``rank <= topk`` rows per coarse bucket.  Fewer
+    than ``topk`` candidates (or none at all, when every fine summary
+    pruned to its sentinel) come back short/empty with
+    ``certified=false`` — the honest "raise mg_k and retry" signal,
+    pytest-pinned.
+    """
+    if topk < 1:
+        raise ValueError(f"topk must be >= 1, got {topk}")
+    if mg_k < topk:
+        raise ValueError(f"mg_k must be >= topk, got {mg_k} < {topk}")
+    fc = fine_counts.select(
+        *key_cols,
+        "bucket",
+        F.col(item_col).alias("item"),
+        F.col(count_col).cast("bigint").alias("_c"),
+    )
+    daily = _mg_prune(fc, key_cols, mg_k, slack_in=F.lit(0).cast("bigint"))
+    merged = mg_merge_buckets(
+        daily.drop("_vsub"), key_cols, coarse_bucket, mg_k
+    )
+    cand = merged.where(F.col("item").isNotNull()).select(
+        *key_cols, F.col("bucket").alias("_cb"), "item"
+    )
+    slacks = merged.where(F.col("item").isNull()).select(
+        *key_cols, F.col("bucket").alias("_cb"), "slack"
+    )
+    exact = (
+        fc.withColumn("_cb", coarse_bucket)
+        .join(F.broadcast(cand), [*key_cols, "_cb", "item"], "left_semi")
+        .groupBy(*key_cols, "_cb", "item")
+        .agg(F.sum("_c").alias("exact_c"))
+    )
+    wr = Window.partitionBy(*key_cols, "_cb").orderBy(
+        F.col("exact_c").desc(), F.col("item")
+    )
+    ranked = exact.withColumn("rank", F.row_number().over(wr)).where(
+        F.col("rank") <= topk
+    )
+    wb = Window.partitionBy(*key_cols, "_cb")
+    certify = (
+        ranked.withColumn("_kth", F.min("exact_c").over(wb))
+        .withColumn("_nc", F.count(F.lit(1)).over(wb))
+        .join(F.broadcast(slacks), [*key_cols, "_cb"])
+        .select(
+            *key_cols,
+            F.col("_cb").alias("bucket"),
+            "item",
+            "exact_c",
+            "rank",
+            "slack",
+            (
+                (F.col("_nc") >= topk) & (F.col("_kth") >= F.col("slack"))
+                | (F.col("slack") == 0)
+            ).alias("certified"),
+        )
+    )
+    return certify

@@ -576,3 +576,90 @@ def test_mg_validation(spark):
     df = spark.createDataFrame([("s", 0, "a")], "g string, d long, item string")
     with _pytest.raises(ValueError):
         mg_bucket_sketch(df, ["g"], "d", "item", k=0)
+
+
+def _brute_topk(counts, k):
+    return sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+
+
+def test_mg_certified_topk_matches_bruteforce_when_certified(spark):
+    """Skewed daily counts, generous mg_k: the cascade's top-k is
+    certified and equals the brute-force exact top-k item for item."""
+    import pyspark.sql.functions as F
+
+    from rtsa_spark.operators.sketch import mg_certified_topk
+
+    days = {
+        1: {"hot": 40, "warm": 20, "a": 2, "b": 1, "c": 1},
+        2: {"hot": 35, "warm": 25, "mild": 10, "d": 1},
+        3: {"hot": 50, "mild": 15, "warm": 5, "e": 2},
+    }
+    rows = [("s1", d, it, c) for d, cs in days.items() for it, c in cs.items()]
+    fc = spark.createDataFrame(rows, "g string, bucket long, item string, c long")
+    got = mg_certified_topk(
+        fc, ["g"], F.lit(0), topk=3, mg_k=8
+    ).orderBy("rank").collect()
+    total = {}
+    for cs in days.values():
+        for it, c in cs.items():
+            total[it] = total.get(it, 0) + c
+    want = _brute_topk(total, 3)
+    assert [(r["item"], r["exact_c"]) for r in got] == want
+    assert all(r["certified"] for r in got)
+    # exact_c really is the exact coarse count, not the MG residual
+    assert got[0]["exact_c"] == total["hot"]
+
+
+def test_mg_certified_topk_refuses_when_slack_dominates(spark):
+    """mg_k barely above topk on a flat distribution: slack swamps the
+    k-th count, so the certificate must come back False."""
+    import pyspark.sql.functions as F
+
+    from rtsa_spark.operators.sketch import mg_certified_topk
+
+    rows = []
+    for d in range(1, 4):
+        rows.append(("s1", d, "hot", 10))  # survives every daily prune
+        for i in range(12):
+            rows.append(("s1", d, f"it{i:02d}", 3 + (i + d) % 2))
+    fc = spark.createDataFrame(rows, "g string, bucket long, item string, c long")
+    got = mg_certified_topk(fc, ["g"], F.lit(0), topk=2, mg_k=2).collect()
+    assert got and not any(r["certified"] for r in got)
+    # a fully-pruned cascade (no flat item survives any day) yields an
+    # EMPTY result — nothing certifiable, documented behavior
+    flat = spark.createDataFrame(
+        [r for r in rows if r[2] != "hot"],
+        "g string, bucket long, item string, c long",
+    )
+    assert mg_certified_topk(flat, ["g"], F.lit(0), topk=2, mg_k=2).count() == 0
+
+
+def test_mg_certified_topk_exact_small_vocab(spark):
+    """Vocabulary under mg_k: slack is 0, everything is certified, and
+    fewer-than-topk rows come back when the vocab is smaller than topk."""
+    import pyspark.sql.functions as F
+
+    from rtsa_spark.operators.sketch import mg_certified_topk
+
+    rows = [("s1", 1, "x", 5), ("s1", 2, "x", 2), ("s1", 2, "y", 4)]
+    fc = spark.createDataFrame(rows, "g string, bucket long, item string, c long")
+    got = mg_certified_topk(fc, ["g"], F.lit(0), topk=5, mg_k=6).orderBy(
+        "rank"
+    ).collect()
+    assert [(r["item"], r["exact_c"], r["slack"]) for r in got] == [
+        ("x", 7, 0), ("y", 4, 0)
+    ]
+    assert all(r["certified"] for r in got)
+
+
+def test_mg_certified_topk_validation(spark):
+    import pytest as _pytest
+
+    from rtsa_spark.operators.sketch import mg_certified_topk
+
+    df = spark.createDataFrame([("s", 1, "a", 1)], "g string, bucket long, item string, c long")
+    import pyspark.sql.functions as F
+    with _pytest.raises(ValueError):
+        mg_certified_topk(df, ["g"], F.lit(0), topk=0)
+    with _pytest.raises(ValueError):
+        mg_certified_topk(df, ["g"], F.lit(0), topk=5, mg_k=3)
