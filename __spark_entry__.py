@@ -5392,6 +5392,94 @@ JOIN sl s ON s.source = t.source
 """
 
 
+def q_streaming_sketch_parity(spark, sf_dir):
+    """Incremental count-min maintenance on the live path
+    (streaming/sketch_stream.py) vs the batch oracle: replay the derived
+    sequences through a file-source stream one file per microbatch into
+    the foreachBatch state loop (delta sketch -> touched-partition-only
+    merge -> ledger), then point-query the final state. Because the CM
+    merge is EXACT, the state after the whole backlog must be cell-
+    identical to a single direct build — so DuckDB simply rebuilds the
+    sketch from all rows at once and answers the same probes."""
+    import tempfile
+
+    from rtsa_spark.operators.sketch import _h48, cm_estimate
+    from rtsa_spark.streaming.sketch_stream import (
+        read_cm_state,
+        streaming_cm_state,
+    )
+
+    work = tempfile.mkdtemp(prefix="rtsa_sketch_state_")
+    seq = _derived_sequences(spark, sf_dir).select(
+        "source",
+        F.date_trunc("day", "ts").alias("b"),
+        (F.col("n_tok") % 97).cast("string").alias("item"),
+    )
+    # 4 files -> 4 microbatches; the split keys on the row content so
+    # every batch touches several buckets (real interleaving, not one
+    # bucket per batch)
+    for i in range(4):
+        seq.where(_h48(F.concat_ws(":", "item", "b")) % 4 == i).coalesce(
+            1
+        ).write.mode("append").parquet(f"{work}/in")
+    stream = (
+        spark.readStream.schema("source string, b timestamp, item string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{work}/in")
+    )
+    q = streaming_cm_state(
+        stream, f"{work}/state", f"{work}/ckpt", ["source"], "b", "item",
+        d_rows=3, w_cols=32,
+    )
+    q.awaitTermination(300)
+    state = read_cm_state(spark, f"{work}/state")
+    probes = spark.createDataFrame(
+        [(str(v),) for v in range(0, 97, 5)], "item string"
+    )
+    est = cm_estimate(state, probes, d_rows=3, w_cols=32)
+    return est.select(
+        "source",
+        F.col("bucket").alias("day"),
+        F.col("item").alias("token"),
+        "est_count",
+    )
+
+
+SQL_STREAMING_SKETCH_PARITY = f"""
+WITH {SQL_SEQ_CTE.strip()},
+ev AS MATERIALIZED (
+  SELECT source, date_trunc('day', ts) AS day,
+         (n_tok % 97)::VARCHAR AS item
+  FROM seq
+), wc AS MATERIALIZED (
+  SELECT source, day, item, count(*)::BIGINT AS cnt
+  FROM ev GROUP BY 1, 2, 3
+), cells AS MATERIALIZED (
+  SELECT source, day, r.r,
+         ('0x' || substr(md5(r.r::VARCHAR || ':' || item), 1, 12))::BIGINT
+           % 32 AS c,
+         sum(cnt)::BIGINT AS n
+  FROM wc, range(3) AS r(r)
+  GROUP BY 1, 2, 3, 4
+), probes AS MATERIALIZED (
+  SELECT (v * 5)::VARCHAR AS item FROM range(20) AS t(v)
+), pc AS MATERIALIZED (
+  SELECT p.item, r.r,
+         ('0x' || substr(md5(r.r::VARCHAR || ':' || p.item), 1, 12))::BIGINT
+           % 32 AS c
+  FROM probes p, range(3) AS r(r)
+)
+SELECT sd.source, sd.day, pc.item AS token,
+       min(coalesce(cl.n, 0))::BIGINT AS est_count
+FROM (SELECT DISTINCT source, day FROM ev) sd
+CROSS JOIN pc
+LEFT JOIN cells cl
+  ON cl.source = sd.source AND cl.day = sd.day
+ AND cl.r = pc.r AND cl.c = pc.c
+GROUP BY 1, 2, 3
+"""
+
+
 def q_vocab_growth(spark, sf_dir):
     """Per (source, day) new-vocabulary accounting (rollup.vocab_growth):
     tokens first seen in each bucket + the running vocabulary size — the
@@ -8740,6 +8828,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "mg_heavy_hitters": q_mg_heavy_hitters,
         "certified_topk": q_certified_topk,
+        "streaming_sketch_parity": q_streaming_sketch_parity,
     }
 
 
@@ -8910,4 +8999,5 @@ def oracle_sql() -> dict[str, str]:
         "bloom_incremental_dedup": SQL_BLOOM_INCREMENTAL_DEDUP,
         "mg_heavy_hitters": SQL_MG_HEAVY_HITTERS,
         "certified_topk": SQL_CERTIFIED_TOPK,
+        "streaming_sketch_parity": SQL_STREAMING_SKETCH_PARITY,
     }

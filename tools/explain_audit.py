@@ -812,6 +812,28 @@ def main() -> int:
         and "EvalPython" not in mg_build_plan + mg_merge_plan,
     )
 
+    # 32. certified top-k: the candidate recount prunes the fine tier
+    #     with a broadcast LEFT SEMI join (never a full-vocabulary
+    #     coarse re-aggregation feeding the rank), no cartesian/Python
+    from rtsa_spark.operators.sketch import mg_certified_topk
+
+    ct_plan = plan_of(
+        mg_certified_topk(
+            docs.selectExpr(
+                "doc_id % 2 as g", "doc_id % 3 as bucket",
+                "explode(split(text, ' ')) as item", "1 as c"
+            ),
+            ["g"], _F.lit(0), topk=2, mg_k=4,
+        )
+    )
+    ok &= check(
+        "certified top-k: broadcast semi-join recount, no cartesian/Python",
+        "LeftSemi" in ct_plan
+        and "BroadcastHashJoin" in ct_plan
+        and "CartesianProduct" not in ct_plan
+        and "EvalPython" not in ct_plan,
+    )
+
     spark.stop()
     print("AUDIT", "PASS" if ok else "FAIL")
     return 0 if ok else 1
