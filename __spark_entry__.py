@@ -5480,6 +5480,83 @@ GROUP BY 1, 2, 3
 """
 
 
+def q_streaming_bloom_dedup(spark, sf_dir):
+    """Unbounded-history streaming exact dedup
+    (streaming/sketch_stream.streaming_bloom_dedup) vs the batch
+    contract: every document re-arrives 90 days later under a new id
+    (far beyond any watermark horizon — the case ``streaming_dedup``'s
+    bounded state cannot catch), the union replays through three
+    time-ordered microbatches, and the admitted set must be exactly the
+    global first occurrence per content fingerprint. The filter is
+    deliberately narrow (2048 bits for ~500 fingerprints) so real Bloom
+    false positives hit the exact verify join — more work, same answer.
+    The ntile-3 batch assignment is test harness plumbing (how the
+    backlog splits into files), replayed identically in SQL."""
+    import tempfile
+
+    from pyspark.sql import Window
+
+    from rtsa_spark.streaming.sketch_stream import streaming_bloom_dedup
+
+    work = tempfile.mkdtemp(prefix="rtsa_bloom_dedup_")
+    seq = _derived_sequences(spark, sf_dir).select("doc_id", "ts")
+    txt = _documents(spark, sf_dir).select("doc_id", "text")
+    orig = seq.join(txt, "doc_id")
+    replay = orig.select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"),
+        (F.col("ts") + F.expr("INTERVAL 90 DAYS")).alias("ts"),
+        "text",
+    )
+    allrows = orig.unionByName(replay).withColumn(
+        "batch",
+        F.ntile(3).over(Window.orderBy("ts", "doc_id")) - 1,
+    )
+    for b in range(3):
+        allrows.where(F.col("batch") == b).drop("batch").coalesce(
+            1
+        ).write.mode("append").parquet(f"{work}/in")
+    stream = (
+        spark.readStream.schema("doc_id bigint, ts timestamp, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{work}/in")
+    )
+    q = streaming_bloom_dedup(
+        stream, f"{work}/state", f"{work}/out", f"{work}/ckpt",
+        content_col="text", order_cols=["ts", "doc_id"],
+        m_bits=2048, k_hash=2,
+    )
+    q.awaitTermination(300)
+    out = spark.read.parquet(f"{work}/out")
+    return out.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.col("batch").cast("bigint").alias("kept_batch"),
+    )
+
+
+SQL_STREAMING_BLOOM_DEDUP = f"""
+WITH {SQL_SEQ_CTE.strip()},
+orig AS MATERIALIZED (
+  SELECT s.doc_id, s.ts, d.text
+  FROM seq s JOIN documents d ON d.doc_id = s.doc_id
+), allrows AS MATERIALIZED (
+  SELECT doc_id, ts, text,
+         ntile(3) OVER (ORDER BY ts, doc_id) - 1 AS batch
+  FROM (
+    SELECT doc_id, ts, text FROM orig
+    UNION ALL
+    SELECT doc_id + 10000000, ts + INTERVAL 90 DAY, text FROM orig
+  )
+), firsts AS MATERIALIZED (
+  SELECT doc_id, batch,
+         row_number() OVER (PARTITION BY md5(text)
+                            ORDER BY ts, doc_id) AS rn
+  FROM allrows
+)
+SELECT doc_id::BIGINT AS doc_id, batch::BIGINT AS kept_batch
+FROM firsts WHERE rn = 1
+"""
+
+
 def q_vocab_growth(spark, sf_dir):
     """Per (source, day) new-vocabulary accounting (rollup.vocab_growth):
     tokens first seen in each bucket + the running vocabulary size — the
@@ -8829,6 +8906,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mg_heavy_hitters": q_mg_heavy_hitters,
         "certified_topk": q_certified_topk,
         "streaming_sketch_parity": q_streaming_sketch_parity,
+        "streaming_bloom_dedup": q_streaming_bloom_dedup,
     }
 
 
@@ -9000,4 +9078,5 @@ def oracle_sql() -> dict[str, str]:
         "mg_heavy_hitters": SQL_MG_HEAVY_HITTERS,
         "certified_topk": SQL_CERTIFIED_TOPK,
         "streaming_sketch_parity": SQL_STREAMING_SKETCH_PARITY,
+        "streaming_bloom_dedup": SQL_STREAMING_BLOOM_DEDUP,
     }

@@ -103,3 +103,81 @@ def test_cm_state_replay_skipped_and_partition_scoped(spark, tmp_path):
         if x["bucket"] == 2
     ][0]
     assert r["n_items"] == 7
+
+
+def test_bloom_dedup_stream_equals_global_first_occurrence(spark, tmp_path):
+    """Three time-ordered microbatches with cross-batch re-crawls: the
+    admitted set equals a global first-occurrence dedup, re-arrivals are
+    dropped across batch boundaries (beyond any watermark horizon)."""
+    from rtsa_spark.streaming.sketch_stream import streaming_bloom_dedup
+
+    rows = []
+    texts = [f"content {i}" for i in range(40)]
+    # batch files in time order; later files re-send earlier content
+    batches = [
+        [(f"d{i:03d}", i, texts[i]) for i in range(20)],
+        [(f"d{i:03d}", i, texts[i - 20]) for i in range(20, 30)]  # all dups
+        + [(f"d{i:03d}", i, texts[i - 10]) for i in range(30, 40)],  # fresh
+        [(f"d{i:03d}", i, texts[(i * 7) % 30]) for i in range(40, 55)],
+    ]
+    in_path = str(tmp_path / "in")
+    import os as _os
+    for ws in batches:
+        df = spark.createDataFrame(ws, "doc_id string, ts long, text string")
+        df.coalesce(1).write.mode("append").parquet(in_path)
+        rows += ws
+    stream = (
+        spark.readStream.schema("doc_id string, ts long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_path)
+    )
+    q = streaming_bloom_dedup(
+        stream, str(tmp_path / "state"), str(tmp_path / "out"),
+        str(tmp_path / "ckpt"), content_col="text",
+        order_cols=["ts", "doc_id"], m_bits=4096, k_hash=3,
+    )
+    q.awaitTermination(300)
+    got = sorted(
+        r["doc_id"]
+        for r in spark.read.parquet(str(tmp_path / "out")).collect()
+    )
+    seen, want = set(), []
+    for d, _, t in sorted(rows, key=lambda r: (r[1], r[0])):
+        if t not in seen:
+            seen.add(t)
+            want.append(d)
+    assert got == sorted(want)
+
+
+def test_bloom_dedup_replay_is_structurally_idempotent(spark, tmp_path):
+    """Replaying a batch AFTER its writes but BEFORE its ledger row
+    (the crash window) rewrites the same per-batch directories and keeps
+    the same admitted set — correctness does not depend on the ledger."""
+    import os as _os
+
+    from rtsa_spark.streaming.sketch_stream import bloom_dedup_update
+
+    state, out = str(tmp_path / "state"), str(tmp_path / "out")
+    b0 = spark.createDataFrame(
+        [("a", 1, "x"), ("b", 2, "y"), ("c", 3, "x")],
+        "doc_id string, ts long, text string",
+    )
+    assert bloom_dedup_update(spark, b0, 0, state, out, m_bits=512) == 2
+    b1 = spark.createDataFrame(
+        [("d", 4, "y"), ("e", 5, "z")], "doc_id string, ts long, text string"
+    )
+    assert bloom_dedup_update(spark, b1, 1, state, out, m_bits=512) == 1
+    before = sorted(
+        r["doc_id"] for r in spark.read.parquet(out).collect()
+    )
+    assert before == ["a", "b", "e"]
+    # simulate the crash window: drop batch 1's ledger row, replay it
+    lp = _os.path.join(state, "_sketch_ledger.jsonl")
+    lines = open(lp).read().strip().splitlines()
+    with open(lp, "w") as f:
+        f.write(lines[0] + "\n")
+    assert bloom_dedup_update(spark, b1, 1, state, out, m_bits=512) == 1
+    after = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
+    assert after == before
+    # and a ledgered replay is the fast-path no-op
+    assert bloom_dedup_update(spark, b1, 1, state, out, m_bits=512) == -1
