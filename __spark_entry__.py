@@ -591,6 +591,34 @@ SELECT doc_id, {bit_terms} AS simhash FROM hashed GROUP BY doc_id
 """
 
 
+def q_simhash_near_dup(spark, sf_dir):
+    """SimHash near-dup pairs within Hamming distance 3
+    (operators/dedup.simhash_hamming_pairs — Manku 2007 pigeonhole block
+    index: 4 contiguous blocks of the 16-bit code, equi-join per block,
+    exact bit_count(xor) verify; completeness guaranteed because a
+    <=3-distance pair must agree on at least one block). The oracle is
+    the honest all-pairs scan — feasible at sf0.01, which independently
+    certifies the block index misses nothing."""
+    from rtsa_spark.operators.dedup import simhash16, simhash_hamming_pairs
+
+    sh = simhash16(_documents(spark, sf_dir))
+    return simhash_hamming_pairs(sh, max_dist=3).select(
+        F.col("id_a").cast("bigint").alias("id_a"),
+        F.col("id_b").cast("bigint").alias("id_b"),
+        "dist",
+    )
+
+
+def _sql_simhash_near_dup():
+    return f"""
+WITH sh AS MATERIALIZED ({_sql_simhash().strip()})
+SELECT a.doc_id::BIGINT AS id_a, b.doc_id::BIGINT AS id_b,
+       bit_count(xor(a.simhash::BIGINT, b.simhash::BIGINT))::BIGINT AS dist
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash::BIGINT, b.simhash::BIGINT)) <= 3
+"""
+
+
 def q_ngram_jaccard(spark, sf_dir):
     """Word-set Jaccard for candidate pairs sharing a 1-perm minhash bucket
     (exact integer intersection/union arithmetic)."""
@@ -8907,6 +8935,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "certified_topk": q_certified_topk,
         "streaming_sketch_parity": q_streaming_sketch_parity,
         "streaming_bloom_dedup": q_streaming_bloom_dedup,
+        "simhash_near_dup": q_simhash_near_dup,
     }
 
 
@@ -9079,4 +9108,5 @@ def oracle_sql() -> dict[str, str]:
         "certified_topk": SQL_CERTIFIED_TOPK,
         "streaming_sketch_parity": SQL_STREAMING_SKETCH_PARITY,
         "streaming_bloom_dedup": SQL_STREAMING_BLOOM_DEDUP,
+        "simhash_near_dup": _sql_simhash_near_dup(),
     }

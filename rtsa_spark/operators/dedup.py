@@ -827,3 +827,80 @@ def line_dedup(
         F.col(text_col).alias("text_out"),
     )
     return out_clean.unionByName(out_touched)
+
+
+def simhash_hamming_pairs(
+    simhashes: DataFrame,
+    max_dist: int = 2,
+    bits: int = 16,
+    id_col: str = "doc_id",
+    hash_col: str = "simhash",
+) -> DataFrame:
+    """All pairs within Hamming distance ``max_dist`` of each other's
+    SimHash, WITHOUT the all-pairs join: the pigeonhole block index of
+    Manku, Jain & Das Sarma 2007 ("Detecting near-duplicates for web
+    crawling").  Split the ``bits`` fingerprint into ``max_dist + 1``
+    contiguous blocks; two codes within distance ``max_dist`` differ in
+    at most ``max_dist`` blocks, so AT LEAST ONE block matches exactly
+    (pigeonhole — completeness is guaranteed, pytest pins it against
+    brute force).  Candidates are the per-block equi-join buckets; the
+    exact verify is one ``bit_count(xor) <= max_dist`` per candidate.
+
+    Scale shape: ``max_dist + 1`` projections of the fingerprint table
+    (each one narrow int pair), one equi-join per block key — bucket
+    sizes are the block-value collision classes (2^blockbits spread), a
+    vanilla skew surface that AQE splits; never a cartesian.  The
+    verify is codegen integer ops.  This is the near-dup counterpart of
+    the exact-match ``simhash16`` grouping: distance 0 reduces to it.
+
+    Output: ``(id_a, id_b, dist)`` with ``id_a < id_b``, deduped across
+    blocks.
+    """
+    if not 0 <= max_dist < bits:
+        raise ValueError(f"max_dist must be in [0, {bits}), got {max_dist}")
+    n_blocks = max_dist + 1
+    base, extra = divmod(bits, n_blocks)
+    sizes = [base + (1 if i < extra else 0) for i in range(n_blocks)]
+    rows = simhashes.select(
+        F.col(id_col).alias("_id"), F.col(hash_col).cast("bigint").alias("_h")
+    )
+    parts = []
+    off = 0
+    for i, sz in enumerate(sizes):
+        parts.append(
+            rows.select(
+                "_id",
+                "_h",
+                F.lit(i).alias("_blk"),
+                F.shiftright(F.col("_h"), off)
+                .bitwiseAND(F.lit((1 << sz) - 1))
+                .alias("_key"),
+            )
+        )
+        off += sz
+    blocks = parts[0]
+    for p in parts[1:]:
+        blocks = blocks.unionByName(p)
+    a, b = blocks.alias("a"), blocks.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a._blk") == F.col("b._blk"))
+            & (F.col("a._key") == F.col("b._key"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            F.col("a._h").alias("_ha"),
+            F.col("b._h").alias("_hb"),
+        )
+        .distinct()
+    )
+    return cand.select(
+        "id_a",
+        "id_b",
+        F.bit_count(
+            F.col("_ha").bitwiseXOR(F.col("_hb"))
+        ).cast("bigint").alias("dist"),
+    ).where(F.col("dist") <= max_dist)

@@ -1156,3 +1156,49 @@ def test_curation_funnel_stage_accounting(spark):
     assert len(zero) == 5 and all(
         r["docs"] == 0 and r["docs_pct_e4"] == 0 for r in zero
     )
+
+
+def test_simhash_hamming_pairs_complete_vs_bruteforce(spark):
+    """Pigeonhole block index finds EVERY pair within max_dist (the
+    completeness guarantee), and nothing beyond it — pinned against the
+    all-pairs brute force on a deterministic 16-bit code set."""
+    from rtsa_spark.operators.dedup import simhash_hamming_pairs
+
+    # deterministic codes with planted near-pairs at distances 0..4
+    codes = [
+        0b1010101010101010, 0b1010101010101010,  # dist 0
+        0b1010101010101011,                      # dist 1 to above
+        0b1010101010111011,                      # dist 1/2 chain
+        0b0101010101010101,                      # far
+        0b0101010101010111,                      # dist 1 to far
+        0b1111000011110000, 0b1111000011110011,  # dist 2
+        0b0000111100001111, 0b1000111100001110,  # dist 2
+    ]
+    rows = [(i, c) for i, c in enumerate(codes)]
+    df = spark.createDataFrame(rows, "doc_id long, simhash long")
+    for d in (0, 1, 2, 3):
+        got = {
+            (r["id_a"], r["id_b"], r["dist"])
+            for r in simhash_hamming_pairs(df, max_dist=d).collect()
+        }
+        want = {
+            (i, j, bin(a ^ b).count("1"))
+            for i, a in rows
+            for j, b in rows
+            if i < j and bin(a ^ b).count("1") <= d
+        }
+        assert got == want, f"max_dist={d}"
+
+
+def test_simhash_hamming_pairs_validation_and_zero_dist(spark):
+    import pytest as _pytest
+
+    from rtsa_spark.operators.dedup import simhash_hamming_pairs
+
+    df = spark.createDataFrame([(1, 7), (2, 7)], "doc_id long, simhash long")
+    got = simhash_hamming_pairs(df, max_dist=0).collect()
+    assert [(r["id_a"], r["id_b"], r["dist"]) for r in got] == [(1, 2, 0)]
+    with _pytest.raises(ValueError):
+        simhash_hamming_pairs(df, max_dist=16)
+    with _pytest.raises(ValueError):
+        simhash_hamming_pairs(df, max_dist=-1)

@@ -834,6 +834,22 @@ def main() -> int:
         and "EvalPython" not in ct_plan,
     )
 
+    # 33. simhash Hamming pairs: the candidate join is a (block, key)
+    #     EQUI-join (the id inequality rides as a post-filter), never a
+    #     nested-loop over all pairs, and the verify stays JVM-side
+    from rtsa_spark.operators.dedup import simhash_hamming_pairs
+
+    sh_codes = docs.selectExpr("doc_id", "doc_id * 37 % 65536 as simhash")
+    hp_plan = plan_of(simhash_hamming_pairs(sh_codes, max_dist=2))
+    ok &= check(
+        "simhash hamming: block equi-join candidates, no cartesian/Python",
+        ("SortMergeJoin" in hp_plan or "ShuffledHashJoin" in hp_plan
+         or "BroadcastHashJoin" in hp_plan)
+        and "CartesianProduct" not in hp_plan
+        and "BroadcastNestedLoopJoin" not in hp_plan
+        and "EvalPython" not in hp_plan,
+    )
+
     spark.stop()
     print("AUDIT", "PASS" if ok else "FAIL")
     return 0 if ok else 1
