@@ -619,6 +619,45 @@ WHERE bit_count(xor(a.simhash::BIGINT, b.simhash::BIGINT)) <= 3
 """
 
 
+def q_simhash48_near_dup(spark, sf_dir):
+    """Production-selectivity near-dup: 48-bit SimHash
+    (operators/dedup.simhash48 — portable md5-prefix code, the widest
+    that parses exactly in both engines' signed 64-bit ints) through the
+    same pigeonhole block index at Hamming distance <= 5 (6 blocks of 8
+    bits). Against the all-pairs oracle: the survivors are the genuinely
+    similar documents (~400 pairs at sf0.01), not the 39k random
+    collisions the 16-bit code admits."""
+    from rtsa_spark.operators.dedup import simhash48, simhash_hamming_pairs
+
+    sh = simhash48(_documents(spark, sf_dir))
+    return simhash_hamming_pairs(sh, max_dist=5, bits=48).select(
+        F.col("id_a").cast("bigint").alias("id_a"),
+        F.col("id_b").cast("bigint").alias("id_b"),
+        "dist",
+    )
+
+
+def _sql_simhash48_near_dup():
+    bit_terms = " + ".join(
+        f"(CASE WHEN sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) > 0"
+        f" THEN {1 << b}::BIGINT ELSE 0 END)"
+        for b in range(48)
+    )
+    return f"""
+WITH words AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+), hashed AS (
+  SELECT doc_id, ('0x' || substr(md5(word), 1, 12))::BIGINT AS h FROM words
+), sh AS MATERIALIZED (
+  SELECT doc_id, {bit_terms} AS simhash FROM hashed GROUP BY doc_id
+)
+SELECT a.doc_id::BIGINT AS id_a, b.doc_id::BIGINT AS id_b,
+       bit_count(xor(a.simhash, b.simhash))::BIGINT AS dist
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 5
+"""
+
+
 def q_ngram_jaccard(spark, sf_dir):
     """Word-set Jaccard for candidate pairs sharing a 1-perm minhash bucket
     (exact integer intersection/union arithmetic)."""
@@ -8936,6 +8975,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_sketch_parity": q_streaming_sketch_parity,
         "streaming_bloom_dedup": q_streaming_bloom_dedup,
         "simhash_near_dup": q_simhash_near_dup,
+        "simhash48_near_dup": q_simhash48_near_dup,
     }
 
 
@@ -9109,4 +9149,5 @@ def oracle_sql() -> dict[str, str]:
         "streaming_sketch_parity": SQL_STREAMING_SKETCH_PARITY,
         "streaming_bloom_dedup": SQL_STREAMING_BLOOM_DEDUP,
         "simhash_near_dup": _sql_simhash_near_dup(),
+        "simhash48_near_dup": _sql_simhash48_near_dup(),
     }

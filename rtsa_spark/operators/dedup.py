@@ -904,3 +904,46 @@ def simhash_hamming_pairs(
             F.col("_ha").bitwiseXOR(F.col("_hb"))
         ).cast("bigint").alias("dist"),
     ).where(F.col("dist") <= max_dist)
+
+
+def simhash48(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """48-bit SimHash — the production-selectivity fingerprint for
+    :func:`simhash_hamming_pairs` (16 bits saturates: ~1% of random
+    code pairs collide within distance 3, so at corpus scale almost
+    everything pairs; at 48 bits random pairs at small distance are
+    vanishingly rare and the survivors are genuinely similar — the
+    sf0.01 documents show 40 pairs at d<=3 vs 39k for 16-bit).
+
+    Same majority-vote construction as :func:`simhash16` over the
+    portable 48-bit md5-prefix word hash (12 hex chars — parses exactly
+    in both engines' signed 64-bit ints; a 64-bit code would overflow
+    DuckDB's signed parse, so 48 is the portable maximum).
+
+    Scale shape: one split, one hash, one groupBy with 48 map-side-
+    combinable vote sums — same single shuffle as simhash16.
+    """
+    words = df.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("word")
+    )
+    h = F.conv(F.substring(F.md5(F.col("word")), 1, 12), 16, 10).cast(
+        "bigint"
+    )
+    hashed = words.select(id_col, h.alias("h"))
+    votes = [
+        F.sum(
+            F.when(
+                F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1
+            ).otherwise(-1)
+        ).alias(f"v_{b}")
+        for b in range(48)
+    ]
+    agg = hashed.groupBy(id_col).agg(*votes)
+    simhash = None
+    for b in range(48):
+        term = F.when(F.col(f"v_{b}") > 0, F.lit(1 << b)).otherwise(
+            F.lit(0)
+        ).cast("bigint")
+        simhash = term if simhash is None else simhash + term
+    return agg.select(id_col, simhash.cast("bigint").alias("simhash"))

@@ -1202,3 +1202,24 @@ def test_simhash_hamming_pairs_validation_and_zero_dist(spark):
         simhash_hamming_pairs(df, max_dist=16)
     with _pytest.raises(ValueError):
         simhash_hamming_pairs(df, max_dist=-1)
+
+
+def test_simhash48_close_for_similar_far_for_different(spark):
+    """48-bit codes keep similar docs within a small Hamming distance
+    and unrelated docs far apart (the selectivity 16 bits lacks)."""
+    from rtsa_spark.operators.dedup import simhash48
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog " * 5),
+            (2, "the quick brown fox jumps over the lazy cat " * 5),
+            (3, "entirely different subject matter about spark engines "
+                "partitioning shuffles and catalyst optimization " * 3),
+        ],
+        "doc_id long, text string",
+    )
+    sh = {r["doc_id"]: r["simhash"] for r in simhash48(docs).collect()}
+    d12 = bin(sh[1] ^ sh[2]).count("1")
+    d13 = bin(sh[1] ^ sh[3]).count("1")
+    assert all(0 <= v < (1 << 48) for v in sh.values())
+    assert d12 < 10 < d13
