@@ -5091,9 +5091,7 @@ def q_cm_frequency_ladder(spark, sf_dir):
     daily = cm_bucket_sketch(
         tok, ["source"], "d", "word", d_rows=4, w_cols=16
     )
-    merged = cm_merge_buckets(
-        daily, ["source"], F.lit("all"), w_cols=16
-    )
+    merged = cm_merge_buckets(daily, ["source"], F.lit("all"))
     probes = (
         tok.select("word").distinct().where(_h48(F.col("word")) % 3 == 0)
     )
@@ -5498,7 +5496,7 @@ def q_streaming_sketch_parity(spark, sf_dir):
         stream, f"{work}/state", f"{work}/ckpt", ["source"], "b", "item",
         d_rows=3, w_cols=32,
     )
-    q.awaitTermination(300)
+    assert q.awaitTermination(300), "sketch-state stream did not drain"
     state = read_cm_state(spark, f"{work}/state")
     probes = spark.createDataFrame(
         [(str(v),) for v in range(0, 97, 5)], "item string"
@@ -5592,7 +5590,7 @@ def q_streaming_bloom_dedup(spark, sf_dir):
         content_col="text", order_cols=["ts", "doc_id"],
         m_bits=2048, k_hash=2,
     )
-    q.awaitTermination(300)
+    assert q.awaitTermination(300), "bloom-dedup stream did not drain"
     out = spark.read.parquet(f"{work}/out")
     return out.select(
         F.col("doc_id").cast("bigint").alias("doc_id"),

@@ -462,11 +462,11 @@ def cm_bucket_sketch(
             f"transform(sequence(0, {n_cells - 1}),"
             " i -> coalesce(element_at(_m, i), 0L))"
         ).alias("cm"),
+    ).withColumn(
+        "n_items",
         F.expr(
-            f"aggregate(slice(transform(sequence(0, {n_cells - 1}),"
-            " i -> coalesce(element_at(_m, i), 0L)),"
-            f" 1, {w_cols}), 0L, (a, x) -> a + x)"
-        ).cast("bigint").alias("n_items"),
+            f"aggregate(slice(cm, 1, {w_cols}), 0L, (a, x) -> a + x)"
+        ).cast("bigint"),
     )
 
 
@@ -474,12 +474,15 @@ def cm_merge_buckets(
     sketches: DataFrame,
     key_cols: list[str],
     coarse_bucket: F.Column,
-    w_cols: int = 256,
 ) -> DataFrame:
     """Cascade count-min sketches to a coarser tier: cell-wise BIGINT
     sum — the merge is EXACT (a merged sketch equals the sketch built
     directly from the union stream, pytest-pinned), so monthly token
     frequencies cost days x d*w cells, never a raw re-scan.
+
+    ``n_items`` sums the input sketches' own ``n_items`` (each fine row
+    contributes exactly once, tagged to cell 0) — the same cascade
+    identity, with no dependence on knowing the build's row/width split.
 
     Scale shape: posexplode to (keys, coarse, pos, val) — bounded by
     fan-in x d*w, map-side combinable — then the same bounded map
@@ -488,16 +491,21 @@ def cm_merge_buckets(
     ex = sketches.select(
         *key_cols,
         coarse_bucket.alias("bucket"),
+        F.col("n_items"),
         F.posexplode("cm").alias("_pos", "_v"),
     )
     agg = ex.groupBy(*key_cols, "bucket", "_pos").agg(
-        F.sum("_v").alias("_v")
+        F.sum("_v").alias("_v"),
+        F.sum(
+            F.when(F.col("_pos") == 0, F.col("n_items")).otherwise(0)
+        ).alias("_n0"),
     )
     maps = agg.groupBy(*key_cols, "bucket").agg(
         F.map_from_arrays(F.collect_list("_pos"), F.collect_list("_v")).alias(
             "_m"
         ),
         (F.max("_pos") + 1).cast("int").alias("_n"),
+        F.sum("_n0").cast("bigint").alias("n_items"),
     )
     return maps.select(
         *key_cols,
@@ -506,11 +514,7 @@ def cm_merge_buckets(
             "transform(sequence(0, _n - 1),"
             " i -> coalesce(element_at(_m, i), 0L))"
         ).alias("cm"),
-    ).withColumn(
         "n_items",
-        F.expr(
-            f"aggregate(slice(cm, 1, {w_cols}), 0L, (a, x) -> a + x)"
-        ).cast("bigint"),
     )
 
 
@@ -774,7 +778,9 @@ def mg_bucket_sketch(
     ).groupBy(*key_cols, "bucket", "item").agg(
         F.count(F.lit(1)).cast("bigint").alias("_c")
     )
-    return _mg_prune(cnt, key_cols, k, slack_in=F.lit(0).cast("bigint"))
+    return _mg_prune(
+        cnt, key_cols, k, slack_in=F.lit(0).cast("bigint")
+    ).drop("_vsub")
 
 
 def mg_merge_buckets(

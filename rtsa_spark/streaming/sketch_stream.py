@@ -15,17 +15,17 @@ Scale shape per microbatch:
 - the batch collapses to (keys, bucket, item) counts and then to
   bounded ``d*w``-cell sketches (``cm_bucket_sketch`` — map-side
   combined, vocabulary-bounded);
-- only the TOUCHED bucket partitions of the state table are read back
-  and rewritten (dynamic partition overwrite on ``p_bucket`` — the
-  pipeline's month-refresh move); untouched history is never scanned;
-- a batch-id ledger (jsonl, the pipeline's lineage pattern) makes the
-  merge idempotent under foreachBatch's at-least-once replay: a replayed
-  batch id is skipped, so the non-idempotent cell-sum is applied exactly
-  once.
+- the delta lands in its own ``deltas/batch=<id>`` directory and becomes
+  visible only through a single-file ATOMIC manifest commit that also
+  records the batch id — the LSM move: replay overwrites the same
+  directory, orphans from crashes are invisible to readers, and there
+  is no window in which the non-idempotent cell-sum applies twice;
+- past ``compact_after`` live directories they fold into one base (the
+  exact cell-sum cascade) under a manifest swap, bounding merge-on-read.
 
-State table schema: ``(keys..., bucket, cm array<bigint>, n_items,
-p_bucket)`` — ``p_bucket`` is the partition directory key (stringified
-bucket), the rest is ``cm_bucket_sketch`` output.
+State schema per directory: ``(keys..., bucket, cm array<bigint>,
+n_items)`` — ``cm_bucket_sketch`` output; ``read_cm_state`` returns the
+exact merge of the live directories.
 """
 
 from __future__ import annotations
@@ -59,6 +59,27 @@ def _applied_batches(state_path: str) -> set[int]:
         return {json.loads(line)["batch_id"] for line in f if line.strip()}
 
 
+def _manifest_path(state_path: str) -> str:
+    return os.path.join(state_path, "MANIFEST.json")
+
+
+def _read_manifest(state_path: str) -> dict:
+    p = _manifest_path(state_path)
+    if not os.path.exists(p):
+        return {"dirs": [], "applied": []}
+    with open(p) as f:
+        return json.load(f)
+
+
+def _commit_manifest(state_path: str, manifest: dict) -> None:
+    """Single-file atomic commit (os.replace): readers see either the
+    old or the new manifest, never a torn one."""
+    tmp = _manifest_path(state_path) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(manifest, f)
+    os.replace(tmp, _manifest_path(state_path))
+
+
 def cm_state_update(
     spark: SparkSession,
     batch_df: DataFrame,
@@ -69,49 +90,61 @@ def cm_state_update(
     item_col: str,
     d_rows: int = 4,
     w_cols: int = 256,
+    compact_after: int = 16,
 ) -> bool:
-    """Apply one microbatch to the count-min state table; returns True
-    if applied, False if ``batch_id`` was already in the ledger (replay
-    after a failure — skipped, keeping the cell-sum exactly-once).
+    """Apply one microbatch to the count-min state; returns True if
+    applied, False if ``batch_id`` was already committed (replay).
+
+    Exactly-once is STRUCTURAL (the LSM/manifest move, not a ledger
+    race): each batch's delta sketch lands in its own
+    ``deltas/batch=<id>`` directory (a replay overwrites the same
+    directory — idempotent), and the directory only becomes visible via
+    a single-file atomic manifest commit that also records the batch
+    id.  A crash after the delta write but before the commit leaves an
+    orphan directory that readers ignore and the replay rewrites; a
+    crash during the write leaves a partial orphan, same story.  There
+    is no window in which the cell-sum can be applied twice.
+
+    Once more than ``compact_after`` directories are live, they merge
+    into one ``base=<id>`` directory (the exact cell-sum cascade) and
+    the manifest atomically swaps to it — read cost stays bounded, and
+    a compaction crash at any point leaves the old manifest intact
+    (orphan base directory ignored, cleaned next compaction).
 
     Callable directly for backfills/tests; :func:`streaming_cm_state`
     wires it as the stream's foreachBatch.
     """
-    if batch_id in _applied_batches(state_path):
+    os.makedirs(state_path, exist_ok=True)
+    manifest = _read_manifest(state_path)
+    if int(batch_id) in manifest["applied"]:
         return False
     delta = cm_bucket_sketch(
         batch_df, key_cols, bucket_col, item_col, d_rows=d_rows, w_cols=w_cols
-    ).withColumn("p_bucket", F.col("bucket").cast("string"))
-    data_path = os.path.join(state_path, "data")
-    have_state = os.path.exists(data_path)
-    if have_state:
-        touched = [
-            r[0] for r in delta.select("p_bucket").distinct().collect()
-        ]
-        old = (
-            spark.read.parquet(data_path)
-            .where(F.col("p_bucket").isin(touched))
-            .drop("p_bucket")
-        )
-        merged = cm_merge_buckets(
-            old.unionByName(delta.drop("p_bucket")),
-            key_cols,
-            F.col("bucket"),
-            w_cols=w_cols,
-        ).withColumn("p_bucket", F.col("bucket").cast("string"))
-        (
-            merged.write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("p_bucket")
-            .parquet(data_path)
-        )
-    else:
-        delta.write.mode("overwrite").partitionBy("p_bucket").parquet(
-            data_path
-        )
-    os.makedirs(state_path, exist_ok=True)
+    )
+    delta_dir = os.path.join("deltas", f"batch={int(batch_id)}")
+    delta.write.mode("overwrite").parquet(
+        os.path.join(state_path, delta_dir)
+    )
+    manifest = {
+        "dirs": manifest["dirs"] + [delta_dir],
+        "applied": manifest["applied"] + [int(batch_id)],
+    }
+    _commit_manifest(state_path, manifest)
     with open(_ledger_path(state_path), "a") as f:
         f.write(json.dumps({"batch_id": int(batch_id)}) + "\n")
+    if len(manifest["dirs"]) > compact_after:
+        base_dir = os.path.join("bases", f"base={int(batch_id)}")
+        read_cm_state(spark, state_path).write.mode("overwrite").parquet(
+            os.path.join(state_path, base_dir)
+        )
+        _commit_manifest(
+            state_path,
+            {"dirs": [base_dir], "applied": manifest["applied"]},
+        )
+        import shutil
+
+        for d in manifest["dirs"]:  # now-orphaned inputs, best effort
+            shutil.rmtree(os.path.join(state_path, d), ignore_errors=True)
     return True
 
 
@@ -146,10 +179,22 @@ def streaming_cm_state(
 
 
 def read_cm_state(spark: SparkSession, state_path: str) -> DataFrame:
-    """Current state table (without the partition key column)."""
-    return spark.read.parquet(os.path.join(state_path, "data")).drop(
-        "p_bucket"
+    """Current state: the exact cell-sum merge of every manifest-live
+    directory (bounded by ``compact_after``, so merge-on-read stays
+    cheap).  Orphan directories from crashed writes are invisible —
+    only the manifest decides what exists."""
+    manifest = _read_manifest(state_path)
+    if not manifest["dirs"]:
+        raise FileNotFoundError(
+            f"no committed sketch state under {state_path}"
+        )
+    parts = spark.read.parquet(
+        *[os.path.join(state_path, d) for d in manifest["dirs"]]
     )
+    key_cols = [
+        c for c in parts.columns if c not in ("bucket", "cm", "n_items")
+    ]
+    return cm_merge_buckets(parts, key_cols, F.col("bucket"))
 
 
 def bloom_dedup_update(
@@ -193,9 +238,13 @@ def bloom_dedup_update(
     join reads every fingerprint directory EXCEPT the current batch's
     (so a partially-written replay cannot judge its own rows as dups and
     emit nothing), and the filter merge is bit_or (re-applying the same
-    bits is a no-op).  The jsonl ledger is the fast-path skip and the
-    metrics record; correctness survives a crash at any point.
-    Downstream readers of ``out_path`` see a ``batch`` partition column.
+    bits is a no-op).  The filter itself is a CACHE of the fingerprint
+    store: if its directory is missing or torn (a crash during the
+    filter rewrite), it is rebuilt from the store before probing — so
+    dedup never silently degrades to pass-through.  The jsonl ledger is
+    the fast-path skip and the metrics record; correctness survives a
+    crash at any point.  Downstream readers of ``out_path`` see a
+    ``batch`` partition column.
     """
     if batch_id in _applied_batches(state_path):
         return -1
@@ -227,18 +276,38 @@ def bloom_dedup_update(
         if os.path.exists(fps_path)
         else []
     )
-    if os.path.exists(bloom_path) and prior_fp_dirs:
-        state = spark.read.parquet(bloom_path)
+    prev_filter = None
+    if prior_fp_dirs:
+        store = spark.read.parquet(*prior_fp_dirs)
+        try:
+            if not os.path.exists(bloom_path):
+                raise FileNotFoundError(bloom_path)
+            prev_filter = spark.read.parquet(bloom_path)
+            prev_filter.head(1)  # force a read: a torn dir fails HERE
+        except Exception:
+            # filter missing/torn (crash during its rewrite): rebuild
+            # the cache from the store of record before probing
+            prev_filter = bloom_bucket_sketch(
+                store.select(F.col("fp").alias("item")).withColumn(
+                    "b", F.lit("all")
+                ),
+                [],
+                "b",
+                "item",
+                m_bits=m_bits,
+                k_hash=k_hash,
+            )
         probed = bloom_maybe_contains(
-            state,
+            prev_filter,
             batch.select(F.col("_fp").alias("item")).distinct(),
             m_bits=m_bits,
             k_hash=k_hash,
         ).select(F.col("item").alias("_fp"), "maybe")
         cand = probed.where("maybe").select("_fp")
         dup = (
-            spark.read.parquet(*prior_fp_dirs)
-            .join(F.broadcast(cand), F.col("fp") == F.col("_fp"), "left_semi")
+            store.join(
+                F.broadcast(cand), F.col("fp") == F.col("_fp"), "left_semi"
+            )
             .select(F.col("fp").alias("_fp"))
             .distinct()
         )
@@ -264,11 +333,9 @@ def bloom_dedup_update(
             m_bits=m_bits,
             k_hash=k_hash,
         )
-        if os.path.exists(bloom_path):
+        if prev_filter is not None:
             merged = bloom_merge_buckets(
-                spark.read.parquet(bloom_path).unionByName(
-                    delta, allowMissingColumns=True
-                ),
+                prev_filter.unionByName(delta, allowMissingColumns=True),
                 [],
                 F.lit("all"),
             )

@@ -371,7 +371,7 @@ def test_cm_merge_equals_direct_sketch(spark):
         rows += [("s1", d, w) for w in ws.split()]
     df = spark.createDataFrame(rows, "g string, d long, item string")
     daily = cm_bucket_sketch(df, ["g"], "d", "item", d_rows=4, w_cols=8)
-    merged = cm_merge_buckets(daily, ["g"], F.lit(0), w_cols=8).collect()[0]
+    merged = cm_merge_buckets(daily, ["g"], F.lit(0)).collect()[0]
     direct = cm_bucket_sketch(
         df.withColumn("z", F.lit(0)), ["g"], "z", "item", d_rows=4, w_cols=8
     ).collect()[0]
@@ -557,7 +557,7 @@ def test_mg_empty_fine_sketch_keeps_slack(spark):
     rows += [("s1", 2, w) for w in ("z z z z z a").split()]
     df = spark.createDataFrame(rows, "g string, d long, item string")
     daily = mg_bucket_sketch(df, ["g"], "d", "item", k=1)
-    d1 = [r for r in daily.collect() if r["d" if False else "bucket"] == 1]
+    d1 = [r for r in daily.collect() if r["bucket"] == 1]
     assert all(r["item"] is None for r in d1) and d1[0]["slack"] == 3
     merged = mg_merge_buckets(daily, ["g"], F.lit(0), k=1).collect()
     slack = [r["slack"] for r in merged if r["item"] is None][0]

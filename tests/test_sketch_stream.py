@@ -41,7 +41,7 @@ def test_cm_state_multibatch_equals_direct(spark, tmp_path):
         stream, state, str(tmp_path / "ckpt"), ["source"], "b", "item",
         d_rows=3, w_cols=16,
     )
-    q.awaitTermination(300)
+    assert q.awaitTermination(300)
     got = {
         (r["source"], r["bucket"]): (r["cm"], r["n_items"])
         for r in read_cm_state(spark, state).collect()
@@ -58,51 +58,86 @@ def test_cm_state_multibatch_equals_direct(spark, tmp_path):
         assert sum(1 for _ in f) == 3
 
 
-def test_cm_state_replay_skipped_and_partition_scoped(spark, tmp_path):
+def test_cm_state_replay_and_crash_window_are_exactly_once(spark, tmp_path):
+    """The manifest makes the cell-sum structurally exactly-once: a
+    committed batch id is a no-op on replay, and a crash AFTER the delta
+    write but BEFORE the manifest commit (the double-apply window of a
+    merge-in-place design) heals — the replay rewrites the orphan
+    directory and commits once."""
+    import json as _json
+    import os as _os
+
     from rtsa_spark.streaming.sketch_stream import (
         cm_state_update,
         read_cm_state,
     )
 
     state = str(tmp_path / "state")
-    b1 = spark.createDataFrame(
+    b0 = spark.createDataFrame(
         [("s1", 1, "a")] * 3 + [("s1", 2, "b")] * 2,
         "source string, b long, item string",
     )
     assert cm_state_update(
-        spark, b1, 0, state, ["source"], "b", "item", d_rows=2, w_cols=8
+        spark, b0, 0, state, ["source"], "b", "item", d_rows=2, w_cols=8
     )
-    before = sorted(
-        map(tuple, read_cm_state(spark, state).collect())
-    )
-    # replaying the same batch id is a no-op (at-least-once -> exactly-once)
+    before = sorted(map(tuple, read_cm_state(spark, state).collect()))
+    # committed replay: fast no-op
     assert not cm_state_update(
-        spark, b1, 0, state, ["source"], "b", "item", d_rows=2, w_cols=8
+        spark, b0, 0, state, ["source"], "b", "item", d_rows=2, w_cols=8
     )
     assert sorted(map(tuple, read_cm_state(spark, state).collect())) == before
-    # a second batch touching only bucket 2 leaves bucket 1's partition
-    # directory bit-identical (scoped rewrite, not a full-table rewrite)
-    p1 = os.path.join(state, "data", "p_bucket=1")
-    files_before = sorted(os.listdir(p1))
-    mtimes = {f: os.path.getmtime(os.path.join(p1, f)) for f in files_before}
-    b2 = spark.createDataFrame(
+    # crash window: batch 1's delta directory exists but the manifest
+    # commit never happened -> readers ignore it, replay applies ONCE
+    b1 = spark.createDataFrame(
         [("s1", 2, "b")] * 5, "source string, b long, item string"
     )
     assert cm_state_update(
-        spark, b2, 1, state, ["source"], "b", "item", d_rows=2, w_cols=8
+        spark, b1, 1, state, ["source"], "b", "item", d_rows=2, w_cols=8
     )
-    assert sorted(os.listdir(p1)) == files_before
-    assert all(
-        os.path.getmtime(os.path.join(p1, f)) == mtimes[f]
-        for f in files_before
+    mp = _os.path.join(state, "MANIFEST.json")
+    man = _json.load(open(mp))
+    man["dirs"] = [d for d in man["dirs"] if d != "deltas/batch=1"]
+    man["applied"] = [a for a in man["applied"] if a != 1]
+    with open(mp, "w") as f:
+        _json.dump(man, f)  # simulate the pre-commit crash
+    assert sorted(map(tuple, read_cm_state(spark, state).collect())) == before
+    assert cm_state_update(  # replay heals: rewrites dir, commits once
+        spark, b1, 1, state, ["source"], "b", "item", d_rows=2, w_cols=8
     )
-    # and bucket 2 accumulated: n_items = 2 + 5
-    r = [
-        x
+    r = {
+        x["bucket"]: x["n_items"]
         for x in read_cm_state(spark, state).collect()
-        if x["bucket"] == 2
-    ][0]
-    assert r["n_items"] == 7
+    }
+    assert r == {1: 3, 2: 7}  # bucket 2 = 2 + 5, applied exactly once
+
+
+def test_cm_state_compaction_preserves_state(spark, tmp_path):
+    """Past compact_after live directories the state folds into one base
+    under a manifest swap — same cells, bounded read fan-in, orphan
+    deltas removed."""
+    import json as _json
+    import os as _os
+
+    from rtsa_spark.streaming.sketch_stream import (
+        cm_state_update,
+        read_cm_state,
+    )
+
+    state = str(tmp_path / "state")
+    for i in range(4):
+        b = spark.createDataFrame(
+            [("s1", 1, f"it{i}")] * (i + 1),
+            "source string, b long, item string",
+        )
+        cm_state_update(
+            spark, b, i, state, ["source"], "b", "item",
+            d_rows=2, w_cols=8, compact_after=2,
+        )
+    man = _json.load(open(_os.path.join(state, "MANIFEST.json")))
+    assert len(man["dirs"]) <= 3 and any("base=" in d for d in man["dirs"])
+    assert man["applied"] == [0, 1, 2, 3]
+    r = read_cm_state(spark, state).collect()[0]
+    assert r["n_items"] == 1 + 2 + 3 + 4
 
 
 def test_bloom_dedup_stream_equals_global_first_occurrence(spark, tmp_path):
@@ -136,7 +171,7 @@ def test_bloom_dedup_stream_equals_global_first_occurrence(spark, tmp_path):
         str(tmp_path / "ckpt"), content_col="text",
         order_cols=["ts", "doc_id"], m_bits=4096, k_hash=3,
     )
-    q.awaitTermination(300)
+    assert q.awaitTermination(300)
     got = sorted(
         r["doc_id"]
         for r in spark.read.parquet(str(tmp_path / "out")).collect()
@@ -181,3 +216,28 @@ def test_bloom_dedup_replay_is_structurally_idempotent(spark, tmp_path):
     assert after == before
     # and a ledgered replay is the fast-path no-op
     assert bloom_dedup_update(spark, b1, 1, state, out, m_bits=512) == -1
+
+
+def test_bloom_dedup_recovers_from_missing_filter(spark, tmp_path):
+    """The filter is a cache of the fingerprint store: if its directory
+    is destroyed (crash during the rewrite), the next batch rebuilds it
+    from the store and dedup does NOT degrade to pass-through."""
+    import os as _os
+    import shutil as _shutil
+
+    from rtsa_spark.streaming.sketch_stream import bloom_dedup_update
+
+    state, out = str(tmp_path / "state"), str(tmp_path / "out")
+    b0 = spark.createDataFrame(
+        [("a", 1, "x"), ("b", 2, "y")], "doc_id string, ts long, text string"
+    )
+    assert bloom_dedup_update(spark, b0, 0, state, out, m_bits=512) == 2
+    _shutil.rmtree(_os.path.join(state, "bloom"))  # torn filter
+    b1 = spark.createDataFrame(
+        [("c", 3, "x"), ("d", 4, "z")], "doc_id string, ts long, text string"
+    )
+    assert bloom_dedup_update(spark, b1, 1, state, out, m_bits=512) == 1
+    got = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
+    assert got == ["a", "b", "d"]  # "c" was the re-arrival of "x"
+    # and the filter cache is restored for subsequent batches
+    assert _os.path.exists(_os.path.join(state, "bloom"))
