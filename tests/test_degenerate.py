@@ -320,3 +320,72 @@ def test_degenerate_snapshot_surfaces(spark, tmp_path):
     tok_store = st2.read().agg(F.sum("n_tok_sum")).first()[0]
     tok_src = seq.agg(F.sum("n_tok")).first()[0]
     assert tok_store == tok_src
+
+
+def test_empty_input_sketch_quartet(spark):
+    """Empty streams through every sketch build, merge, and probe: zero
+    rows out, no ANSI throw, no empty-array aggregate trap."""
+    import pyspark.sql.functions as F
+
+    from rtsa_spark.operators.dedup import simhash48, simhash_hamming_pairs
+    from rtsa_spark.operators.sketch import (
+        bloom_bucket_sketch,
+        bloom_maybe_contains,
+        bloom_merge_buckets,
+        cm_bucket_sketch,
+        cm_estimate,
+        cm_merge_buckets,
+        mg_bucket_sketch,
+        mg_certified_topk,
+        mg_merge_buckets,
+    )
+
+    ev = spark.createDataFrame([], "g string, b long, item string")
+    cm = cm_bucket_sketch(ev, ["g"], "b", "item", d_rows=2, w_cols=8)
+    assert cm.count() == 0
+    assert cm_merge_buckets(cm, ["g"], F.lit(0)).count() == 0
+    probes = spark.createDataFrame([("a",)], "item string")
+    assert cm_estimate(cm, probes, d_rows=2, w_cols=8).count() == 0
+    bl = bloom_bucket_sketch(ev, ["g"], "b", "item", m_bits=64, k_hash=2)
+    assert bl.count() == 0
+    assert bloom_merge_buckets(bl, ["g"], F.lit(0)).count() == 0
+    assert bloom_maybe_contains(bl, probes, m_bits=64, k_hash=2).count() == 0
+    mg = mg_bucket_sketch(ev, ["g"], "b", "item", k=4)
+    assert mg.count() == 0
+    assert mg_merge_buckets(mg, ["g"], F.lit(0), k=4).count() == 0
+    fc = spark.createDataFrame([], "g string, bucket long, item string, c long")
+    assert mg_certified_topk(fc, ["g"], F.lit(0), topk=2, mg_k=4).count() == 0
+    docs = spark.createDataFrame([], "doc_id long, text string")
+    sh = simhash48(docs)
+    assert sh.count() == 0
+    assert simhash_hamming_pairs(sh, max_dist=2, bits=48).count() == 0
+
+
+def test_single_row_sketch_quartet(spark):
+    """One item, one bucket: exact everywhere — counts 1, distinct 1,
+    MG weight 1/slack 0, bloom probes itself true."""
+    import pyspark.sql.functions as F
+
+    from rtsa_spark.operators.sketch import (
+        bloom_bucket_sketch,
+        bloom_maybe_contains,
+        cm_bucket_sketch,
+        cm_estimate,
+        mg_bucket_sketch,
+    )
+
+    ev = spark.createDataFrame([("g1", 0, "solo")], "g string, b long, item string")
+    cm = cm_bucket_sketch(ev, ["g"], "b", "item", d_rows=2, w_cols=8)
+    probes = spark.createDataFrame([("solo",), ("other",)], "item string")
+    est = {r["item"]: r["est_count"]
+           for r in cm_estimate(cm, probes, d_rows=2, w_cols=8).collect()}
+    assert est["solo"] == 1
+    bl = bloom_bucket_sketch(ev, ["g"], "b", "item", m_bits=64, k_hash=2)
+    assert bl.collect()[0]["n_distinct"] == 1
+    got = {r["item"]: r["maybe"]
+           for r in bloom_maybe_contains(bl, probes, m_bits=64, k_hash=2).collect()}
+    assert got["solo"] is True
+    mg = mg_bucket_sketch(ev, ["g"], "b", "item", k=2).collect()
+    assert {r["item"]: (r["w"], r["slack"]) for r in mg if r["item"]} == {
+        "solo": (1, 0)
+    }
