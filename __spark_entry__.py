@@ -5622,6 +5622,91 @@ FROM firsts WHERE rn = 1
 """
 
 
+def q_trailing_heavy_hitters(spark, sf_dir):
+    """Trailing-3-day heavy hitters per source
+    (operators/sketch.mg_trailing_topk): daily k=8 Misra-Gries word
+    summaries fan out to the trailing windows they participate in and
+    merge per window — sketch-rows-only fan-out, never a raw re-scan.
+    The oracle replays the daily prune, the window fan-out (each fine
+    day's slack counted once per window), and the per-window re-prune
+    verbatim. Day = floor(epoch/86400) in both engines (datediff-style
+    boundary counting is not portable for mid-day timestamps)."""
+    from rtsa_spark.operators.sketch import mg_bucket_sketch, mg_trailing_topk
+
+    seq = _derived_sequences(spark, sf_dir).drop("n_tok")
+    txt = _documents(spark, sf_dir).select("doc_id", "text")
+    tok = (
+        seq.join(txt, "doc_id")
+        .select(
+            "source",
+            F.expr("unix_timestamp(ts) div 86400").alias("d"),
+            F.explode(F.split("text", " ")).alias("word"),
+        )
+    )
+    daily = mg_bucket_sketch(tok, ["source"], "d", "word", k=8)
+    trail = mg_trailing_topk(daily, ["source"], window_buckets=3, k=8)
+    return (
+        trail.where(F.col("item").isNotNull())
+        .select(
+            "source",
+            F.col("bucket").cast("bigint").alias("day"),
+            F.col("item").alias("token"),
+            F.col("w").cast("bigint").alias("w_lo"),
+            F.col("slack").cast("bigint").alias("slack"),
+        )
+    )
+
+
+SQL_TRAILING_HEAVY_HITTERS = f"""
+WITH {SQL_SEQ_TEXT_CTE.strip()},
+tok AS MATERIALIZED (
+  SELECT source, epoch(ts)::BIGINT // 86400 AS d,
+         unnest(string_split(text, ' ')) AS word
+  FROM seq
+), wc AS MATERIALIZED (
+  SELECT source, d, word, count(*)::BIGINT AS c FROM tok GROUP BY 1, 2, 3
+), ranked AS MATERIALIZED (
+  SELECT source, d, word, c,
+         row_number() OVER (PARTITION BY source, d
+                            ORDER BY c DESC, word) AS rn
+  FROM wc
+), vd AS MATERIALIZED (
+  SELECT source, d, max(CASE WHEN rn = 9 THEN c ELSE 0 END)::BIGINT AS v
+  FROM ranked GROUP BY 1, 2
+), daily AS MATERIALIZED (
+  SELECT r.source, r.d, r.word, (r.c - v.v)::BIGINT AS w
+  FROM ranked r JOIN vd v ON v.source = r.source AND v.d = r.d
+  WHERE r.c > v.v
+), m1 AS MATERIALIZED (
+  SELECT source, d + o.o AS wb, word, sum(w)::BIGINT AS c
+  FROM daily, range(3) AS o(o)
+  GROUP BY 1, 2, 3
+), slack1 AS MATERIALIZED (
+  SELECT source, d + o.o AS wb, sum(v)::BIGINT AS s
+  FROM vd, range(3) AS o(o)
+  GROUP BY 1, 2
+), mr AS MATERIALIZED (
+  SELECT source, wb, word, c,
+         row_number() OVER (PARTITION BY source, wb
+                            ORDER BY c DESC, word) AS rn
+  FROM m1
+), mv AS MATERIALIZED (
+  SELECT source, wb, max(CASE WHEN rn = 9 THEN c ELSE 0 END)::BIGINT AS v
+  FROM mr GROUP BY 1, 2
+), realdays AS MATERIALIZED (
+  SELECT DISTINCT source, d FROM wc
+)
+SELECT mr.source, mr.wb::BIGINT AS day, mr.word AS token,
+       (mr.c - mv.v)::BIGINT AS w_lo,
+       (mv.v + s.s)::BIGINT AS slack
+FROM mr
+JOIN mv ON mv.source = mr.source AND mv.wb = mr.wb
+JOIN slack1 s ON s.source = mr.source AND s.wb = mr.wb
+JOIN realdays rd ON rd.source = mr.source AND rd.d = mr.wb
+WHERE mr.c > mv.v
+"""
+
+
 def q_vocab_growth(spark, sf_dir):
     """Per (source, day) new-vocabulary accounting (rollup.vocab_growth):
     tokens first seen in each bucket + the running vocabulary size — the
@@ -8974,6 +9059,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_bloom_dedup": q_streaming_bloom_dedup,
         "simhash_near_dup": q_simhash_near_dup,
         "simhash48_near_dup": q_simhash48_near_dup,
+        "trailing_heavy_hitters": q_trailing_heavy_hitters,
     }
 
 
@@ -9148,4 +9234,5 @@ def oracle_sql() -> dict[str, str]:
         "streaming_bloom_dedup": SQL_STREAMING_BLOOM_DEDUP,
         "simhash_near_dup": _sql_simhash_near_dup(),
         "simhash48_near_dup": _sql_simhash48_near_dup(),
+        "trailing_heavy_hitters": SQL_TRAILING_HEAVY_HITTERS,
     }

@@ -50,6 +50,7 @@ __all__ = [
     "mg_bucket_sketch",
     "mg_merge_buckets",
     "mg_certified_topk",
+    "mg_trailing_topk",
     "KMV_HASH_RANGE",
     "BLOOM_WORD_BITS",
 ]
@@ -973,3 +974,54 @@ def mg_certified_topk(
         )
     )
     return certify
+
+
+def mg_trailing_topk(
+    daily_sketches: DataFrame,
+    key_cols: list[str],
+    window_buckets: int,
+    k: int = 8,
+) -> DataFrame:
+    """Trailing heavy hitters: for every bucket B, the Misra-Gries
+    merge of the summaries for buckets ``(B - window_buckets + 1) .. B``
+    — "which tokens dominate the last N days", per day, without ever
+    re-scanning raw data (the monitoring composition of
+    :func:`mg_bucket_sketch` + :func:`mg_merge_buckets`).
+
+    ``daily_sketches`` is :func:`mg_bucket_sketch` output whose
+    ``bucket`` is INTEGER-valued (epoch days, hours — cast timestamps
+    with ``datediff``/``unix_timestamp div width`` first); each fine
+    summary fans out to the ``window_buckets`` trailing windows it
+    participates in, then the standard merge+re-prune runs per window.
+    Leading windows with fewer than ``window_buckets`` fine buckets
+    merge what exists (standard trailing semantics); every output
+    window keeps the ``w <= true <= w + slack`` bound against the
+    window's union stream (pytest-pinned).
+
+    Scale shape: the fan-out multiplies SKETCH rows (<= (k+1) per fine
+    bucket) by ``window_buckets`` — never raw rows — and the merge is
+    the audited broadcast-only path.
+    """
+    if window_buckets < 1:
+        raise ValueError(
+            f"window_buckets must be >= 1, got {window_buckets}"
+        )
+    fanned = daily_sketches.withColumn(
+        "_wb",
+        F.explode(
+            F.sequence(
+                F.col("bucket").cast("bigint"),
+                F.col("bucket").cast("bigint") + (window_buckets - 1),
+            )
+        ),
+    )
+    # the fine ``bucket`` column stays intact — mg_merge_buckets uses it
+    # to count each fine summary's slack exactly once per window (two
+    # same-slack days in one window must both contribute)
+    out = mg_merge_buckets(fanned, key_cols, F.col("_wb"), k=k)
+    # windows past the data's end are artifacts of the fan-out: a bucket
+    # B only exists as a window if some fine bucket EQUALS it
+    real = daily_sketches.select(
+        *key_cols, F.col("bucket").cast("bigint").alias("bucket")
+    ).distinct()
+    return out.join(F.broadcast(real), [*key_cols, "bucket"], "left_semi")

@@ -663,3 +663,46 @@ def test_mg_certified_topk_validation(spark):
         mg_certified_topk(df, ["g"], F.lit(0), topk=0)
     with _pytest.raises(ValueError):
         mg_certified_topk(df, ["g"], F.lit(0), topk=5, mg_k=3)
+
+
+def test_mg_trailing_topk_bound_per_window(spark):
+    """Every trailing window keeps w <= true <= w + slack against the
+    window's union stream; a token hot only in recent days dominates
+    only the windows that contain them; no phantom windows past the
+    data's end; same-slack days both count."""
+    import pyspark.sql.functions as F
+
+    from rtsa_spark.operators.sketch import mg_bucket_sketch, mg_trailing_topk
+
+    days = {
+        1: "a a a a b c d e".split(),
+        2: "a a a a b c d f".split(),   # same slack shape as day 1
+        3: ("hot " * 10 + "a b").split(),
+        4: ("hot " * 12 + "x y z").split(),
+    }
+    rows = [("s1", d, w) for d, ws in days.items() for w in ws]
+    df = spark.createDataFrame(rows, "g string, d long, item string")
+    daily = mg_bucket_sketch(df, ["g"], "d", "item", k=2)
+    got = mg_trailing_topk(daily, ["g"], window_buckets=3, k=2).collect()
+    wins = sorted({r["bucket"] for r in got})
+    assert wins == [1, 2, 3, 4]  # no 5/6 phantom windows
+    for wb in wins:
+        lo = wb - 2
+        exact = {}
+        for d in range(lo, wb + 1):
+            for w in days.get(d, []):
+                exact[w] = exact.get(w, 0) + 1
+        rows_w = [r for r in got if r["bucket"] == wb]
+        slack = [r["slack"] for r in rows_w if r["item"] is None][0]
+        surv = {r["item"]: r["w"] for r in rows_w if r["item"]}
+        for it, c in exact.items():
+            w_ = surv.get(it, 0)
+            assert w_ <= c <= w_ + slack, (wb, it, w_, c, slack)
+    # the hot token rules exactly the windows containing days 3/4
+    hot_wins = {
+        r["bucket"] for r in got if r["item"] == "hot" and r["w"] > 0
+    }
+    assert hot_wins == {3, 4}
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        mg_trailing_topk(daily, ["g"], window_buckets=0)
