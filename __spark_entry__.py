@@ -5707,6 +5707,62 @@ WHERE mr.c > mv.v
 """
 
 
+def q_sample_ladder(spark, sf_dir):
+    """Mergeable representative samples through the cascade
+    (operators/sketch.sample_bucket_sketch + sample_merge_buckets):
+    daily bottom-8-by-hash samples of each source's vocabulary merge to
+    a source-level bottom-5 (coarse k <= fine k, the identity's
+    precondition) — and because bottomk(A ∪ B) =
+    bottomk(bottomk'(A) ∪ bottomk'(B)) for k' >= k, the oracle takes
+    the DIRECT bottom-5 over the whole vocabulary, independently
+    certifying the merge identity on real data."""
+    from rtsa_spark.operators.sketch import (
+        sample_bucket_sketch,
+        sample_merge_buckets,
+    )
+
+    seq = _derived_sequences(spark, sf_dir).drop("n_tok")
+    txt = _documents(spark, sf_dir).select("doc_id", "text")
+    tok = (
+        seq.join(txt, "doc_id")
+        .select(
+            "source",
+            F.date_trunc("day", "ts").alias("d"),
+            F.explode(F.split("text", " ")).alias("word"),
+        )
+    )
+    daily = sample_bucket_sketch(tok, ["source"], "d", "word", k=8)
+    merged = sample_merge_buckets(daily, ["source"], F.lit("all"), k=5)
+    return merged.select(
+        "source",
+        F.col("item").alias("token"),
+        "h",
+        F.col("rank").cast("bigint").alias("rank"),
+    )
+
+
+SQL_SAMPLE_LADDER = f"""
+WITH {SQL_SEQ_TEXT_CTE.strip()},
+tok AS MATERIALIZED (
+  SELECT source, date_trunc('day', ts) AS d,
+         unnest(string_split(text, ' ')) AS word
+  FROM seq
+), dist AS MATERIALIZED (
+  -- DIRECT global bottom-5 (no daily stage): independently certifies
+  -- the engine's daily-k8 -> coarse-k5 cascade
+  SELECT DISTINCT source, word,
+         ('0x' || substr(md5(word), 1, 12))::BIGINT AS h
+  FROM tok
+), merged AS MATERIALIZED (
+  SELECT source, word, h,
+         row_number() OVER (PARTITION BY source ORDER BY h, word) AS rank
+  FROM dist
+)
+SELECT source, word AS token, h, rank::BIGINT AS rank
+FROM merged WHERE rank <= 5
+"""
+
+
 def q_vocab_growth(spark, sf_dir):
     """Per (source, day) new-vocabulary accounting (rollup.vocab_growth):
     tokens first seen in each bucket + the running vocabulary size — the
@@ -9060,6 +9116,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_near_dup": q_simhash_near_dup,
         "simhash48_near_dup": q_simhash48_near_dup,
         "trailing_heavy_hitters": q_trailing_heavy_hitters,
+        "sample_ladder": q_sample_ladder,
     }
 
 
@@ -9235,4 +9292,5 @@ def oracle_sql() -> dict[str, str]:
         "simhash_near_dup": _sql_simhash_near_dup(),
         "simhash48_near_dup": _sql_simhash48_near_dup(),
         "trailing_heavy_hitters": SQL_TRAILING_HEAVY_HITTERS,
+        "sample_ladder": SQL_SAMPLE_LADDER,
     }

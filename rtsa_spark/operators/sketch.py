@@ -51,6 +51,8 @@ __all__ = [
     "mg_merge_buckets",
     "mg_certified_topk",
     "mg_trailing_topk",
+    "sample_bucket_sketch",
+    "sample_merge_buckets",
     "KMV_HASH_RANGE",
     "BLOOM_WORD_BITS",
 ]
@@ -1025,3 +1027,64 @@ def mg_trailing_topk(
         *key_cols, F.col("bucket").cast("bigint").alias("bucket")
     ).distinct()
     return out.join(F.broadcast(real), [*key_cols, "bucket"], "left_semi")
+
+
+def sample_bucket_sketch(
+    df: DataFrame,
+    key_cols: list[str],
+    bucket_col: str,
+    item_col: str,
+    k: int = 16,
+) -> DataFrame:
+    """Per-(key, bucket) uniform sample of k distinct ITEMS — the
+    bottom-k-by-hash sketch (the KMV construction keeping the item
+    values, not just the hashes): the k smallest 48-bit md5 hashes of a
+    set are a uniform without-replacement sample of its distinct
+    elements, and the sample is EXACTLY mergeable —
+    bottomk(A ∪ B) = bottomk(bottomk(A) ∪ bottomk(B)) — so "show me
+    representative examples per month" reads days x k rows, never raw.
+    Deterministic: same inputs, same sample, both engines.
+
+    Output rows (<= k per bucket): ``(keys..., bucket, item, h, rank)``
+    with ``rank`` 1-based by hash order.
+
+    Scale shape: one map-side-combined distinct, one per-bucket window
+    bounded to k rows — identical to :func:`kmv_bucket_sketch`.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    dist = df.select(
+        *key_cols,
+        F.col(bucket_col).alias("bucket"),
+        F.col(item_col).alias("item"),
+    ).distinct().withColumn("h", _h48(F.col("item")))
+    w = Window.partitionBy(*key_cols, "bucket").orderBy("h", "item")
+    return dist.withColumn("rank", F.row_number().over(w)).where(
+        F.col("rank") <= k
+    )
+
+
+def sample_merge_buckets(
+    samples: DataFrame,
+    key_cols: list[str],
+    coarse_bucket: F.Column,
+    k: int = 16,
+) -> DataFrame:
+    """Cascade bottom-k item samples to a coarser tier: union the fine
+    samples, dedup (an item sampled on two days carries the same hash),
+    keep the k smallest — exactly the sample a direct build over the
+    union stream produces (pytest + oracle pinned), PROVIDED ``k`` here
+    is <= the fine sketches' k: the identity
+    bottomk(A ∪ B) = bottomk(bottomk'(A) ∪ bottomk'(B)) needs k' >= k
+    (an item ranked k+1 in every fine bucket would otherwise be missing
+    from the union of fine samples but belong in a larger coarse one).
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    ex = samples.select(
+        *key_cols, coarse_bucket.alias("bucket"), "item", "h"
+    ).distinct()
+    w = Window.partitionBy(*key_cols, "bucket").orderBy("h", "item")
+    return ex.withColumn("rank", F.row_number().over(w)).where(
+        F.col("rank") <= k
+    )

@@ -706,3 +706,76 @@ def test_mg_trailing_topk_bound_per_window(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         mg_trailing_topk(daily, ["g"], window_buckets=0)
+
+
+def test_sample_sketch_merge_equals_direct(spark):
+    """Bottom-k item samples cascade exactly: merged == direct build
+    over the union stream, dedup across days, rank by hash."""
+    import pyspark.sql.functions as F
+
+    from rtsa_spark.operators.sketch import (
+        sample_bucket_sketch,
+        sample_merge_buckets,
+    )
+
+    rows = []
+    for d, ws in [(1, "a b c d e"), (2, "c d e f g"), (3, "a g h i")]:
+        rows += [("s1", d, w) for w in ws.split()]
+    df = spark.createDataFrame(rows, "g string, d long, item string")
+    daily = sample_bucket_sketch(df, ["g"], "d", "item", k=3)
+    assert daily.groupBy("bucket").count().agg(
+        F.max("count")
+    ).collect()[0][0] <= 3
+    merged = sorted(
+        (r["rank"], r["item"])
+        for r in sample_merge_buckets(daily, ["g"], F.lit(0), k=3).collect()
+    )
+    direct = sorted(
+        (r["rank"], r["item"])
+        for r in sample_bucket_sketch(
+            df.withColumn("z", F.lit(0)), ["g"], "z", "item", k=3
+        ).collect()
+    )
+    assert merged == direct and len(merged) == 3
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        sample_bucket_sketch(df, ["g"], "d", "item", k=0)
+
+
+def test_sample_merge_identity_needs_coarse_k_at_most_fine_k(spark):
+    """Coarse k <= fine k: merged sample == direct global sample.
+    The converse (coarse k > fine k) can MISS globally-low items that
+    never make a daily cut — documented precondition, demonstrated."""
+    import pyspark.sql.functions as F
+
+    from rtsa_spark.operators.sketch import (
+        _h48,
+        sample_bucket_sketch,
+        sample_merge_buckets,
+    )
+
+    # 40 items spread over 4 days, 10 each (disjoint), plus one item
+    # present EVERY day but never in a daily bottom-2
+    items = [f"w{i:02d}" for i in range(40)]
+    rows = []
+    for d in range(4):
+        rows += [("s1", d, it) for it in items[d * 10:(d + 1) * 10]]
+    df = spark.createDataFrame(rows, "g string, d long, item string")
+    daily = sample_bucket_sketch(df, ["g"], "d", "item", k=4)
+    direct2 = sample_bucket_sketch(
+        df.withColumn("z", F.lit(0)), ["g"], "z", "item", k=2
+    )
+    merged2 = sample_merge_buckets(daily, ["g"], F.lit(0), k=2)
+    assert sorted(r["item"] for r in merged2.collect()) == sorted(
+        r["item"] for r in direct2.collect()
+    )
+    # coarse k(16) > fine k(4): the merge CANNOT reconstruct the direct
+    # global bottom-16 (only 4 survivors per day exist to merge)
+    assert sample_merge_buckets(daily, ["g"], F.lit(0), k=16).count() == 16
+    direct16 = sample_bucket_sketch(
+        df.withColumn("z", F.lit(0)), ["g"], "z", "item", k=16
+    )
+    m16 = {r["item"] for r in
+           sample_merge_buckets(daily, ["g"], F.lit(0), k=16).collect()}
+    d16 = {r["item"] for r in direct16.collect()}
+    assert m16 != d16  # the documented failure mode, pinned
