@@ -8898,6 +8898,87 @@ FROM j GROUP BY 1, 2, 3, 4, 5
 """
 
 
+def q_time_weighted_avg(spark, sf_dir):
+    """Time-weighted mean per event type
+    (operators/timeweight.time_weighted_avg): LOCF + trapezoid integrals
+    over the irregular event stream — the duty-cycle-corrected mean a
+    plain avg() gets wrong on burst-reporting sources.  Values in exact
+    cents; ties in the same second pinned by (ts, value) sort order."""
+    from rtsa_spark.operators.timeweight import time_weighted_avg
+
+    ev = _events(spark, sf_dir).select(
+        "event_type", "ts", _cents(F.col("value")).alias("v_cents")
+    )
+    return time_weighted_avg(ev, ["event_type"], "ts", "v_cents")
+
+
+SQL_TIME_WEIGHTED = """
+WITH e AS MATERIALIZED (
+  SELECT event_type, epoch_us(ts) // 1000000 AS t,
+         CAST(round(value * 100) AS BIGINT) AS v
+  FROM events
+), s AS (
+  SELECT event_type, v,
+         lead(t) OVER w - t AS dt,
+         lead(v) OVER w AS vn
+  FROM e WINDOW w AS (PARTITION BY event_type ORDER BY t, v)
+), a AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n_samples,
+         CAST(coalesce(sum(dt), 0) AS BIGINT) AS span_s,
+         sum(v * dt) AS nl,
+         sum((v + vn) * dt) AS nt
+  FROM s GROUP BY 1
+)
+SELECT event_type, n_samples, span_s,
+  CASE WHEN span_s > 0
+       THEN CAST((1000000 * nl) // span_s AS BIGINT) END AS twa_locf_e6,
+  CASE WHEN span_s > 0
+       THEN CAST((1000000 * nt) // (2 * span_s) AS BIGINT) END AS twa_trap_e6
+FROM a
+"""
+
+
+def q_state_durations(spark, sf_dir):
+    """LOCF dwell time per (user, event_type)
+    (operators/timeweight.duration_in_state): how long each user HELD
+    each state (state persists until the next observation) plus entry
+    counts and share of the observed span — the 'time in degraded'
+    query over a status stream."""
+    from rtsa_spark.operators.timeweight import duration_in_state
+
+    return duration_in_state(
+        _events(spark, sf_dir), ["user_id"], "ts", "event_type"
+    )
+
+
+SQL_STATE_DURATIONS = """
+WITH e AS MATERIALIZED (
+  SELECT user_id, epoch_us(ts) // 1000000 AS t, event_type AS st
+  FROM events
+), s AS (
+  SELECT user_id, st,
+         lead(t) OVER w - t AS dur,
+         CASE WHEN lag(st) OVER w IS DISTINCT FROM st THEN 1 ELSE 0 END
+           AS enter,
+         max(t) OVER (PARTITION BY user_id)
+           - min(t) OVER (PARTITION BY user_id) AS span
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t, st)
+), a AS (
+  SELECT user_id, st AS state,
+         CAST(count(*) AS BIGINT) AS n_obs,
+         CAST(sum(enter) AS BIGINT) AS n_enters,
+         CAST(coalesce(sum(dur), 0) AS BIGINT) AS held_s,
+         max(span) AS span
+  FROM s GROUP BY 1, 2
+)
+SELECT user_id, state, n_obs, n_enters, held_s,
+  CASE WHEN span > 0
+       THEN CAST((1000000 * held_s) // span AS BIGINT) END AS pct_e6
+FROM a
+"""
+
+
 # ------------------------------------------------------------ entry points
 
 
@@ -9117,6 +9198,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash48_near_dup": q_simhash48_near_dup,
         "trailing_heavy_hitters": q_trailing_heavy_hitters,
         "sample_ladder": q_sample_ladder,
+        "time_weighted_avg": q_time_weighted_avg,
+        "state_durations": q_state_durations,
     }
 
 
@@ -9293,4 +9376,6 @@ def oracle_sql() -> dict[str, str]:
         "simhash48_near_dup": _sql_simhash48_near_dup(),
         "trailing_heavy_hitters": SQL_TRAILING_HEAVY_HITTERS,
         "sample_ladder": SQL_SAMPLE_LADDER,
+        "time_weighted_avg": SQL_TIME_WEIGHTED,
+        "state_durations": SQL_STATE_DURATIONS,
     }
