@@ -8979,6 +8979,113 @@ FROM a
 """
 
 
+def q_kn_lm_stats(spark, sf_dir):
+    """Distributed n-gram LM count-table summaries, orders 1-3
+    (operators/lm.ngram_counts + kn_order_stats): type/token totals,
+    count-of-counts n1..n4, and the Ney-Essen-Kneser absolute discount
+    D = n1/(n1+2*n2) at e6 — the numbers a Kneser-Ney smoother is fit
+    from, computed as pure map-side-combined aggs (Brants et al. 2007
+    MapReduce LM shape)."""
+    from rtsa_spark.operators.lm import kn_order_stats, ngram_counts
+
+    docs = _documents(spark, sf_dir)
+    out = None
+    for n in (1, 2, 3):
+        part = kn_order_stats(ngram_counts(docs, n), n)
+        out = part if out is None else out.unionByName(part)
+    return out
+
+
+SQL_KN_LM_STATS = """
+WITH toks AS MATERIALIZED (
+  SELECT string_split(text, ' ') AS w FROM documents
+),
+c1 AS MATERIALIZED (
+  SELECT gram, count(*) AS c
+  FROM (SELECT unnest(w) AS gram FROM toks) GROUP BY 1
+),
+c2 AS MATERIALIZED (
+  SELECT gram, count(*) AS c FROM (
+    SELECT array_to_string(list_slice(w, i, i + 1), ' ') AS gram
+    FROM (SELECT w, unnest(generate_series(1, len(w) - 1)) AS i FROM toks)
+  ) GROUP BY 1
+),
+c3 AS MATERIALIZED (
+  SELECT gram, count(*) AS c FROM (
+    SELECT array_to_string(list_slice(w, i, i + 2), ' ') AS gram
+    FROM (SELECT w, unnest(generate_series(1, len(w) - 2)) AS i FROM toks)
+  ) GROUP BY 1
+),
+s AS (
+  SELECT 1 AS o, count(*) AS n_types, coalesce(sum(c), 0) AS total_count,
+         coalesce(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END), 0) AS n1,
+         coalesce(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END), 0) AS n2,
+         coalesce(sum(CASE WHEN c = 3 THEN 1 ELSE 0 END), 0) AS n3,
+         coalesce(sum(CASE WHEN c = 4 THEN 1 ELSE 0 END), 0) AS n4
+  FROM c1
+  UNION ALL
+  SELECT 2, count(*), coalesce(sum(c), 0),
+         coalesce(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END), 0),
+         coalesce(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END), 0),
+         coalesce(sum(CASE WHEN c = 3 THEN 1 ELSE 0 END), 0),
+         coalesce(sum(CASE WHEN c = 4 THEN 1 ELSE 0 END), 0)
+  FROM c2
+  UNION ALL
+  SELECT 3, count(*), coalesce(sum(c), 0),
+         coalesce(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END), 0),
+         coalesce(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END), 0),
+         coalesce(sum(CASE WHEN c = 3 THEN 1 ELSE 0 END), 0),
+         coalesce(sum(CASE WHEN c = 4 THEN 1 ELSE 0 END), 0)
+  FROM c3
+)
+SELECT CAST(o AS BIGINT) AS ord,
+       CAST(n_types AS BIGINT) AS n_types,
+       CAST(total_count AS BIGINT) AS total_count,
+       CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+       CAST(n3 AS BIGINT) AS n3, CAST(n4 AS BIGINT) AS n4,
+       CASE WHEN n1 + 2 * n2 > 0
+            THEN CAST((1000000 * n1) // (n1 + 2 * n2) AS BIGINT)
+       END AS discount_e6
+FROM s
+"""
+
+
+def q_kn_continuations(spark, sf_dir):
+    """Kneser-Ney continuation-count top-20
+    (operators/lm.continuation_topk): for each word, how many DISTINCT
+    predecessors it follows (N1+(. w)) and the KN unigram backoff
+    probability at e6 — the statistic that demotes 'Francisco' despite
+    its raw count.  Distinct bigram-type table -> one combinable agg ->
+    distributed top-k."""
+    from rtsa_spark.operators.lm import continuation_topk, ngram_counts
+
+    return continuation_topk(ngram_counts(_documents(spark, sf_dir), 2), k=20)
+
+
+SQL_KN_CONTINUATIONS = """
+WITH toks AS MATERIALIZED (
+  SELECT string_split(text, ' ') AS w FROM documents
+),
+big AS MATERIALIZED (
+  SELECT DISTINCT array_to_string(list_slice(w, i, i + 1), ' ') AS gram
+  FROM (SELECT w, unnest(generate_series(1, len(w) - 1)) AS i FROM toks)
+),
+cw AS (
+  SELECT string_split(gram, ' ')[2] AS word, CAST(count(*) AS BIGINT) AS cont
+  FROM big GROUP BY 1
+),
+d AS (SELECT CAST(count(*) AS BIGINT) AS n_bigram_types FROM big),
+r AS (
+  SELECT word, cont,
+         CAST(row_number() OVER (ORDER BY cont DESC, word) AS BIGINT) AS rank
+  FROM cw
+)
+SELECT rank, word, cont, n_bigram_types,
+  CAST((1000000 * cont) // n_bigram_types AS BIGINT) AS pcont_e6
+FROM r, d WHERE rank <= 20
+"""
+
+
 # ------------------------------------------------------------ entry points
 
 
@@ -9200,6 +9307,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_ladder": q_sample_ladder,
         "time_weighted_avg": q_time_weighted_avg,
         "state_durations": q_state_durations,
+        "kn_lm_stats": q_kn_lm_stats,
+        "kn_continuations": q_kn_continuations,
     }
 
 
@@ -9378,4 +9487,6 @@ def oracle_sql() -> dict[str, str]:
         "sample_ladder": SQL_SAMPLE_LADDER,
         "time_weighted_avg": SQL_TIME_WEIGHTED,
         "state_durations": SQL_STATE_DURATIONS,
+        "kn_lm_stats": SQL_KN_LM_STATS,
+        "kn_continuations": SQL_KN_CONTINUATIONS,
     }

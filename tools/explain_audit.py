@@ -850,6 +850,58 @@ def main() -> int:
         and "EvalPython" not in hp_plan,
     )
 
+    # 34. n-gram LM counts: grams are built in-row from ONE split (no
+    #     per-gram re-split), counts partial-aggregate map-side, the
+    #     continuation top-k plans TakeOrderedAndProject with a 1-row
+    #     broadcast denominator — no cartesian blowup, no Python
+    from rtsa_spark.operators.lm import continuation_topk, ngram_counts
+
+    lm_counts = ngram_counts(docs, 3)
+    lm_plan = plan_of(lm_counts)
+    ok &= check(
+        "ngram counts: split once, map-side partial count, no Python",
+        lm_plan.count("split(text") <= 2
+        and "partial_count" in lm_plan
+        and "EvalPython" not in lm_plan,
+        f"split occurrences: {lm_plan.count('split(text')}",
+    )
+    ct2_plan = plan_of(continuation_topk(ngram_counts(docs, 2), k=5))
+    ok &= check(
+        "continuation top-k: TakeOrdered distributed top-k, broadcast "
+        "1-row denominator, no cartesian",
+        "TakeOrderedAndProject" in ct2_plan
+        and "CartesianProduct" not in ct2_plan
+        and "EvalPython" not in ct2_plan,
+    )
+
+    # 35. timeweight: one window exchange feeds both integrals, final agg
+    #     partial-aggregates map-side, never a join or Python node
+    from rtsa_spark.operators.timeweight import (
+        duration_in_state,
+        time_weighted_avg,
+    )
+
+    ev = docs.selectExpr(
+        "cast(doc_id % 2 as string) as k",
+        "timestamp_seconds(doc_id * 60) as ts",
+        "doc_id * 7 as v",
+    )
+    twa_plan = plan_of(time_weighted_avg(ev, ["k"], "ts", "v"))
+    dis_plan = plan_of(
+        duration_in_state(
+            ev.selectExpr("k", "ts", "cast(v % 3 as string) as st"),
+            ["k"], "ts", "st",
+        )
+    )
+    ok &= check(
+        "timeweight: window algebra + partial agg, no join/Python",
+        all(
+            "Window" in p and "Join" not in p and "EvalPython" not in p
+            and "partial_count" in p
+            for p in (twa_plan, dis_plan)
+        ),
+    )
+
     spark.stop()
     print("AUDIT", "PASS" if ok else "FAIL")
     return 0 if ok else 1
