@@ -9086,6 +9086,46 @@ FROM r, d WHERE rank <= 20
 """
 
 
+def q_log2_histogram(spark, sf_dir):
+    """OTel-style base-2 exponential value histogram per event type
+    (operators/sketch.log2_histogram): sign/mag buckets from the exact
+    whole-bit identity len(bin(|v|))-1, signed inclusive bucket bounds,
+    additive counts — the long-tail sketch whose bucket count is O(53)
+    regardless of value range.  Values in exact cents."""
+    from rtsa_spark.operators.sketch import log2_histogram
+
+    ev = _events(spark, sf_dir).select(
+        "event_type", _cents(F.col("value")).alias("v_cents")
+    )
+    return log2_histogram(ev, ["event_type"], "v_cents")
+
+
+SQL_LOG2_HISTOGRAM = """
+WITH e AS MATERIALIZED (
+  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS v FROM events
+), b AS (
+  SELECT event_type,
+         CAST(CASE WHEN v = 0 THEN 0 WHEN v > 0 THEN 1 ELSE -1 END
+              AS BIGINT) AS sign,
+         CAST(CASE WHEN v = 0 THEN 0
+              ELSE length(format('{:b}', abs(v))) - 1 END AS BIGINT) AS mag
+  FROM e
+), c AS (
+  SELECT event_type, sign, mag, CAST(count(*) AS BIGINT) AS cnt
+  FROM b GROUP BY 1, 2, 3
+)
+SELECT event_type, sign, mag,
+  CAST(CASE WHEN sign = 0 THEN 0
+            WHEN sign > 0 THEN (1::BIGINT << mag)
+            ELSE -((1::BIGINT << (mag + 1)) - 1) END AS BIGINT) AS lo,
+  CAST(CASE WHEN sign = 0 THEN 0
+            WHEN sign > 0 THEN (1::BIGINT << (mag + 1)) - 1
+            ELSE -(1::BIGINT << mag) END AS BIGINT) AS hi,
+  cnt
+FROM c
+"""
+
+
 # ------------------------------------------------------------ entry points
 
 
@@ -9309,6 +9349,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "state_durations": q_state_durations,
         "kn_lm_stats": q_kn_lm_stats,
         "kn_continuations": q_kn_continuations,
+        "log2_histogram": q_log2_histogram,
     }
 
 
@@ -9489,4 +9530,5 @@ def oracle_sql() -> dict[str, str]:
         "state_durations": SQL_STATE_DURATIONS,
         "kn_lm_stats": SQL_KN_LM_STATS,
         "kn_continuations": SQL_KN_CONTINUATIONS,
+        "log2_histogram": SQL_LOG2_HISTOGRAM,
     }

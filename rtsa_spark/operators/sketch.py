@@ -38,6 +38,7 @@ __all__ = [
     "kmv_distinct",
     "gini_concentration",
     "value_histogram",
+    "log2_histogram",
     "histogram_quantiles",
     "kmv_bucket_sketch",
     "kmv_merge_buckets",
@@ -140,6 +141,62 @@ def value_histogram(
         ).alias("bin"),
     )
     return binned.groupBy("key", "bin").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def log2_histogram(
+    df: DataFrame, key_cols: list[str], value_col: str
+) -> DataFrame:
+    """Base-2 exponential value histogram per key — the OTel-style
+    log-width sketch (public shape: OpenTelemetry exponential histograms,
+    scale 0): ``(key..., sign, mag, lo, hi, cnt)`` where ``sign`` is -1/0/1,
+    ``mag = floor(log2(|v|))`` for nonzero values via the exact whole-bit
+    identity ``len(bin(|v|)) - 1`` (see ``rollup.unigram_surprisal`` —
+    never a float log), and ``[lo, hi]`` the signed inclusive value range
+    of the bucket (``[2^mag, 2^(mag+1)-1]`` mirrored for sign=-1; zero
+    gets its own ``[0, 0]`` bucket).
+
+    Where :func:`value_histogram` needs range/bin_width bins, this one
+    covers ANY value range in at most ~2*53 buckets per key — the sketch
+    for long-tailed distributions (latencies, token counts, balances)
+    whose range isn't known up front.  Counts are additive, so the
+    cascade merge is a plain map-sum groupBy — exactly mergeable, like
+    every sketch in this module.  Bound: ``|v| < 2^53`` (the repo-wide
+    exact-int domain; ``abs`` of a wider value would risk ANSI overflow
+    at the long minimum).
+    """
+    pre = df.select(
+        *key_cols, F.col(value_col).cast("bigint").alias("_v")
+    )
+    a = F.abs(F.col("_v"))
+    mag = F.when(
+        F.col("_v") == 0, F.lit(0).cast("bigint")
+    ).otherwise((F.length(F.bin(a)) - 1).cast("bigint"))
+    binned = pre.select(
+        *key_cols,
+        F.signum("_v").cast("bigint").alias("sign"),
+        mag.alias("mag"),
+    )
+    counted = binned.groupBy(*key_cols, "sign", "mag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    lo_mag = F.expr("shiftleft(1, cast(mag as int))").cast("bigint")
+    hi_mag = (F.expr("shiftleft(1, cast(mag as int) + 1)") - 1).cast("bigint")
+    return counted.select(
+        *key_cols,
+        "sign",
+        "mag",
+        F.when(F.col("sign") == 0, F.lit(0))
+        .when(F.col("sign") > 0, lo_mag)
+        .otherwise(-hi_mag)
+        .cast("bigint")
+        .alias("lo"),
+        F.when(F.col("sign") == 0, F.lit(0))
+        .when(F.col("sign") > 0, hi_mag)
+        .otherwise(-lo_mag)
+        .cast("bigint")
+        .alias("hi"),
+        "cnt",
+    )
 
 
 def histogram_quantiles(
