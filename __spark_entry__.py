@@ -9126,6 +9126,90 @@ FROM c
 """
 
 
+def q_funnel_conversion(spark, sf_dir):
+    """view -> click -> purchase funnel within 7 days of first view
+    (operators/funnel.funnel_conversion): per-user earliest chained step
+    times from stacked window aggregates over ONE shuffle, then exact
+    per-step conversion rates."""
+    from rtsa_spark.operators.funnel import funnel_conversion
+
+    return funnel_conversion(
+        _events(spark, sf_dir),
+        "user_id",
+        "ts",
+        "event_type",
+        ["view", "click", "purchase"],
+        within_s=7 * 86400,
+    )
+
+
+SQL_FUNNEL = """
+WITH e AS MATERIALIZED (
+  SELECT user_id AS u, epoch_us(ts) // 1000000 AS t, event_type AS ty
+  FROM events
+), p1 AS MATERIALIZED (
+  SELECT u, min(CASE WHEN ty = 'view' THEN t END) AS s0 FROM e GROUP BY 1
+), p2 AS MATERIALIZED (
+  SELECT e.u, p1.s0,
+         min(CASE WHEN ty = 'click' AND s0 IS NOT NULL AND t >= s0
+                       AND t <= s0 + 604800 THEN t END) AS s1
+  FROM e JOIN p1 ON p1.u = e.u GROUP BY 1, 2
+), p3 AS MATERIALIZED (
+  SELECT e.u, p2.s0, p2.s1,
+         min(CASE WHEN ty = 'purchase' AND s1 IS NOT NULL AND t >= s1
+                       AND t <= p2.s0 + 604800 THEN t END) AS s2
+  FROM e JOIN p2 ON p2.u = e.u GROUP BY 1, 2, 3
+), c AS MATERIALIZED (
+  SELECT count(s0) AS n0, count(s1) AS n1, count(s2) AS n2 FROM p3
+)
+SELECT CAST(1 AS BIGINT) AS step, 'view' AS step_type,
+       CAST(n0 AS BIGINT) AS n_converted,
+       CASE WHEN n0 > 0 THEN CAST(1000000 AS BIGINT) END AS conv_from_first_e6,
+       CASE WHEN n0 > 0 THEN CAST(1000000 AS BIGINT) END AS conv_from_prev_e6
+FROM c
+UNION ALL
+SELECT 2, 'click', CAST(n1 AS BIGINT),
+       CASE WHEN n0 > 0 THEN CAST((1000000 * n1) // n0 AS BIGINT) END,
+       CASE WHEN n0 > 0 THEN CAST((1000000 * n1) // n0 AS BIGINT) END
+FROM c
+UNION ALL
+SELECT 3, 'purchase', CAST(n2 AS BIGINT),
+       CASE WHEN n0 > 0 THEN CAST((1000000 * n2) // n0 AS BIGINT) END,
+       CASE WHEN n1 > 0 THEN CAST((1000000 * n2) // n1 AS BIGINT) END
+FROM c
+"""
+
+
+def q_markov_transitions(spark, sf_dir):
+    """First-order event-type transition table per user stream
+    (operators/funnel.markov_transitions): consecutive-observation
+    from->to counts within each user, exact e6 probabilities per origin
+    state; states-squared output regardless of event volume."""
+    from rtsa_spark.operators.funnel import markov_transitions
+
+    return markov_transitions(_events(spark, sf_dir), ["user_id"], "ts", "event_type")
+
+
+SQL_MARKOV = """
+WITH e AS MATERIALIZED (
+  SELECT user_id AS u, epoch_us(ts) // 1000000 AS t, event_type AS st
+  FROM events
+), p AS (
+  SELECT lag(st) OVER (PARTITION BY u ORDER BY t, st) AS from_state,
+         st AS to_state
+  FROM e
+), c AS (
+  SELECT from_state, to_state, CAST(count(*) AS BIGINT) AS cnt
+  FROM p WHERE from_state IS NOT NULL GROUP BY 1, 2
+)
+SELECT from_state, to_state, cnt,
+  CAST(sum(cnt) OVER (PARTITION BY from_state) AS BIGINT) AS from_total,
+  CAST((1000000 * cnt) // sum(cnt) OVER (PARTITION BY from_state)
+       AS BIGINT) AS p_e6
+FROM c
+"""
+
+
 # ------------------------------------------------------------ entry points
 
 
@@ -9350,6 +9434,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kn_lm_stats": q_kn_lm_stats,
         "kn_continuations": q_kn_continuations,
         "log2_histogram": q_log2_histogram,
+        "funnel_conversion": q_funnel_conversion,
+        "markov_transitions": q_markov_transitions,
     }
 
 
@@ -9531,4 +9617,6 @@ def oracle_sql() -> dict[str, str]:
         "kn_lm_stats": SQL_KN_LM_STATS,
         "kn_continuations": SQL_KN_CONTINUATIONS,
         "log2_histogram": SQL_LOG2_HISTOGRAM,
+        "funnel_conversion": SQL_FUNNEL,
+        "markov_transitions": SQL_MARKOV,
     }
