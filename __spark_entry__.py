@@ -9210,6 +9210,72 @@ FROM c
 """
 
 
+def q_hll_ladder(spark, sf_dir):
+    """Distinct-user HLL sketches in the retention ladder
+    (operators/sketch.hll_bucket_sketch + hll_merge_buckets, Flajolet
+    2007): daily 2^10-register sketches per event type, cascade-merged
+    to monthly by elementwise register max.  The oracle computes the
+    monthly registers DIRECTLY from raw hashes, independently
+    certifying the merge identity; the estimate is exact-int z_scaled
+    plus one correctly-rounded double divide + floor."""
+    from rtsa_spark.operators.sketch import (
+        hll_bucket_sketch,
+        hll_merge_buckets,
+    )
+
+    ev = _events(spark, sf_dir).select(
+        "event_type", F.date_trunc("day", "ts").alias("d"), "user_id"
+    )
+    daily = hll_bucket_sketch(ev, ["event_type"], "d", "user_id", p=10)
+    monthly = hll_merge_buckets(
+        daily, ["event_type"], F.date_trunc("month", F.col("bucket")), p=10
+    )
+    cols = ["event_type", "bucket", "n_zero", "z_scaled", "est_distinct"]
+    d = daily.select(F.lit("daily").alias("tier"), *cols)
+    m = monthly.select(F.lit("monthly").alias("tier"), *cols)
+    return d.unionByName(m).withColumnRenamed("event_type", "key")
+
+
+# alpha_m * m^2 * 2^Rmax for p=10 (m=1024, Rmax=39), one double constant
+# (mirrors sketch._hll_alpha_const; %.17e round-trips the exact binary
+# value and the exponent keeps DuckDB's parser in DOUBLE, not DECIMAL)
+_HLL_C_P10 = "%.17e" % (0.7213 / (1.0 + 1.079 / 1024) * 1024.0 * 1024.0 * float(1 << 39))
+
+SQL_HLL_LADDER = f"""
+WITH dh AS MATERIALIZED (
+  SELECT DISTINCT event_type AS key, date_trunc('day', ts) AS bucket,
+         ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 12))::BIGINT AS h
+  FROM events
+), dr AS MATERIALIZED (
+  -- top 10 bits -> register index; leftmost 1-bit rank of the low 38
+  SELECT key, bucket, h // 274877906944 AS idx,
+         CASE WHEN (h & 274877906943) > 0
+              THEN 38 - (length(bin(h & 274877906943)) - 1)
+              ELSE 39 END AS rho
+  FROM dh
+), dg AS (
+  SELECT 'daily' AS tier, key, bucket, idx, max(rho) AS rho
+  FROM dr GROUP BY 2, 3, 4
+), mg AS (
+  -- direct monthly registers: certifies the Spark-side cascade
+  SELECT 'monthly' AS tier, key, date_trunc('month', bucket) AS bucket,
+         idx, max(rho) AS rho
+  FROM dr GROUP BY 2, 3, 4
+), u AS (
+  SELECT * FROM dg UNION ALL SELECT * FROM mg
+), z AS (
+  SELECT tier, key, bucket,
+         CAST(1024 - count(*) AS BIGINT) AS n_zero,
+         CAST(sum(1::BIGINT << (39 - rho))
+              + (1024 - count(*)) * (1::BIGINT << 39) AS BIGINT) AS z_scaled
+  FROM u GROUP BY 1, 2, 3
+)
+SELECT tier, key, bucket, n_zero, z_scaled,
+       CAST(floor({_HLL_C_P10} / z_scaled::DOUBLE) AS BIGINT) AS est_distinct
+FROM z
+"""
+
+
 # ------------------------------------------------------------ entry points
 
 
@@ -9436,6 +9502,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "log2_histogram": q_log2_histogram,
         "funnel_conversion": q_funnel_conversion,
         "markov_transitions": q_markov_transitions,
+        "hll_ladder": q_hll_ladder,
     }
 
 
@@ -9619,4 +9686,5 @@ def oracle_sql() -> dict[str, str]:
         "log2_histogram": SQL_LOG2_HISTOGRAM,
         "funnel_conversion": SQL_FUNNEL,
         "markov_transitions": SQL_MARKOV,
+        "hll_ladder": SQL_HLL_LADDER,
     }

@@ -54,6 +54,9 @@ __all__ = [
     "mg_trailing_topk",
     "sample_bucket_sketch",
     "sample_merge_buckets",
+    "hll_bucket_sketch",
+    "hll_merge_buckets",
+    "hll_corrected",
     "KMV_HASH_RANGE",
     "BLOOM_WORD_BITS",
 ]
@@ -1144,4 +1147,186 @@ def sample_merge_buckets(
     w = Window.partitionBy(*key_cols, "bucket").orderBy("h", "item")
     return ex.withColumn("rank", F.row_number().over(w)).where(
         F.col("rank") <= k
+    )
+
+
+# --------------------------------------------------------------- HyperLogLog
+
+#: Bit width of the register-selector hash stream (the portable 48-bit
+#: md5 prefix shared by every sketch in this module).
+HLL_HASH_BITS = 48
+
+
+def _hll_alpha_const(p: int) -> float:
+    """The finished HLL estimator constant ``alpha_m * m^2 * 2^(Rmax)``
+    as ONE double, so the estimate is a single correctly-rounded divide
+    by the exact-integer ``z_scaled`` (see :func:`hll_bucket_sketch`).
+
+    ``alpha_m = 0.7213 / (1 + 1.079 / m)`` is the large-m bias constant
+    from Flajolet, Fusy, Gandouet & Meunier 2007 ("HyperLogLog: the
+    analysis of a near-optimal cardinality estimation algorithm", §4);
+    ``m^2 * 2^Rmax`` is a power of two, so the product rounds once.
+    """
+    m = 1 << p
+    rmax = HLL_HASH_BITS - p + 1
+    return 0.7213 / (1.0 + 1.079 / m) * float(m) * float(m) * float(1 << rmax)
+
+
+def _hll_rho_cols(h: F.Column, p: int) -> tuple[F.Column, F.Column]:
+    """Split a 48-bit hash into (register index, rank): the top ``p``
+    bits select one of ``m = 2^p`` registers; the rank is the 1-based
+    position of the leftmost 1-bit in the remaining ``48 - p`` bits
+    (``48 - p + 1`` when they are all zero).  ``conv(w, 10, 2)`` gives
+    the minimal binary string in Spark exactly as ``bin(w)`` does in
+    DuckDB, so ``floor(log2 w) = length - 1`` is portable text algebra,
+    no float logs.
+    """
+    wbits = HLL_HASH_BITS - p
+    idx = F.shiftright(h, wbits).cast("int")
+    w = h.bitwiseAND(F.lit((1 << wbits) - 1))
+    rho = (
+        F.when(w > 0, F.lit(wbits) - (F.length(F.conv(w, 10, 2)) - 1))
+        .otherwise(F.lit(wbits + 1))
+        .cast("int")
+    )
+    return idx, rho
+
+
+def _hll_finish(agg: DataFrame, p: int) -> DataFrame:
+    """Attach ``(n_zero, z_scaled, est_distinct)`` to a dense ``regs``
+    register-array column.
+
+    ``z_scaled = sum_j 2^(Rmax - reg_j)`` is the harmonic-mean
+    denominator scaled into EXACT integers: every term is a whole power
+    of two and the total is <= m * 2^Rmax = 2^49 < 2^53, so both
+    engines hold it exactly in BIGINT and convert to double losslessly.
+    The estimate is then ONE divide + ONE floor of the precomputed
+    double constant (:func:`_hll_alpha_const`) — bit-identical
+    cross-engine per the repo's IEEE-deterministic contract.  The raw
+    estimator only: the small-range linear-counting branch needs ``ln``
+    (not correctly rounded cross-engine) and lives in
+    :func:`hll_corrected`, off the oracle path.
+    """
+    m = 1 << p
+    rmax = HLL_HASH_BITS - p + 1
+    c = _hll_alpha_const(p)
+    return agg.select(
+        "*",
+        F.expr("size(filter(regs, r -> r = 0))").cast("bigint").alias(
+            "n_zero"
+        ),
+        F.expr(
+            "aggregate(regs, cast(0 as bigint),"
+            f" (acc, r) -> acc + shiftleft(cast(1 as bigint), {rmax} - r))"
+        ).alias("z_scaled"),
+    ).withColumn(
+        "est_distinct",
+        F.floor(F.lit(c) / F.col("z_scaled").cast("double")).cast("bigint"),
+    )
+
+
+def _hll_dense(grouped: DataFrame, key_cols: list[str], p: int) -> DataFrame:
+    """groupBy (keys, bucket) over (idx, rho) rows -> dense ``regs``
+    array of m register maxima (0 = untouched)."""
+    m = 1 << p
+    agg = grouped.groupBy(*key_cols, "bucket").agg(
+        F.map_from_entries(F.collect_list(F.struct("idx", "rho"))).alias("_m")
+    )
+    regs = F.transform(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        lambda i: F.coalesce(F.element_at(F.col("_m"), i), F.lit(0)),
+    )
+    return agg.select(*key_cols, "bucket", regs.alias("regs"))
+
+
+def hll_bucket_sketch(
+    df: DataFrame,
+    key_cols: list[str],
+    bucket_col: str,
+    item_col: str,
+    p: int = 10,
+) -> DataFrame:
+    """Per-(key, bucket) HyperLogLog sketch (Flajolet et al. 2007) as a
+    mergeable dense register array — the fixed-size counterpart of
+    :func:`kmv_bucket_sketch`: m = 2^p integers per bucket REGARDLESS of
+    cardinality, with registers combining by elementwise max, so tier
+    cascades merge sketches without revisiting raw data.
+
+    Emits ``(keys..., bucket, regs array<int> length m, n_zero,
+    z_scaled, est_distinct)``; ``est_distinct`` is the raw HLL estimate
+    ``floor(alpha_m * m^2 * 2^Rmax / z_scaled)`` — deterministic
+    integer/single-divide arithmetic end to end (see :func:`_hll_finish`;
+    the reference's per-cell exactness stance re-expressed for sketches:
+    same inputs, same bits, any engine).  Raw HLL over-corrects small
+    cardinalities; use :func:`hll_corrected` (library-side linear
+    counting) when buckets may hold < ~2.5m distinct items, or KMV when
+    exact-below-k behavior is wanted.
+
+    Scale shape: one map-side-combined distinct on (keys, bucket, h48),
+    whole-bit idx/rho split, then a combinable per-register max — shuffle
+    rows collapse to <= m per bucket; no window, no unbounded state.
+    """
+    if not (4 <= p <= 16):
+        raise ValueError(f"p must be in [4, 16], got {p}")
+    dist = df.select(
+        *key_cols,
+        F.col(bucket_col).alias("bucket"),
+        _h48(F.col(item_col)).alias("_h"),
+    ).distinct()
+    idx, rho = _hll_rho_cols(F.col("_h"), p)
+    pre = dist.select(
+        *key_cols, "bucket", idx.alias("idx"), rho.alias("rho")
+    ).groupBy(*key_cols, "bucket", "idx").agg(F.max("rho").alias("rho"))
+    return _hll_finish(_hll_dense(pre, key_cols, p), p)
+
+
+def hll_merge_buckets(
+    sketches: DataFrame,
+    key_cols: list[str],
+    coarse_bucket: F.Column,
+    p: int = 10,
+) -> DataFrame:
+    """Cascade bucketed HLL sketches to a coarser tier: elementwise max
+    of the fine register arrays.  Exact-merge identity (pytest + oracle
+    pinned): max is associative/commutative/idempotent, so the merged
+    registers EQUAL a direct sketch over the combined span — monthly
+    distinct estimates cost days x m integers, never a raw re-scan, and
+    a replayed day is a no-op.
+
+    Input is :func:`hll_bucket_sketch` output; only touched registers
+    travel through the shuffle (zeros are dropped before the explode).
+    """
+    if not (4 <= p <= 16):
+        raise ValueError(f"p must be in [4, 16], got {p}")
+    ex = (
+        sketches.select(
+            *key_cols,
+            coarse_bucket.alias("bucket"),
+            F.posexplode("regs").alias("idx", "rho"),
+        )
+        .where(F.col("rho") > 0)
+        .groupBy(*key_cols, "bucket", "idx")
+        .agg(F.max("rho").alias("rho"))
+    )
+    return _hll_finish(_hll_dense(ex, key_cols, p), p)
+
+
+def hll_corrected(sketches: DataFrame, p: int = 10) -> DataFrame:
+    """Add the small-range linear-counting correction (Flajolet et al.
+    2007 §4 practical considerations) to finished HLL sketch rows:
+    when the raw estimate is <= 5m/2 and empty registers remain, the
+    better estimator is ``m * ln(m / n_zero)``.
+
+    Library-side only: ``ln`` is not correctly rounded identically
+    across engines, so this column stays OFF the DuckDB oracle path
+    (pytest bounds it against exact distinct counts instead — same
+    stance as the STL outer-robustness split).
+    """
+    m = 1 << p
+    lc = F.floor(
+        F.lit(float(m)) * F.log(F.lit(float(m)) / F.col("n_zero"))
+    ).cast("bigint")
+    use_lc = (F.col("est_distinct") * 2 <= 5 * m) & (F.col("n_zero") > 0)
+    return sketches.withColumn(
+        "est_corrected", F.when(use_lc, lc).otherwise(F.col("est_distinct"))
     )
