@@ -9276,6 +9276,137 @@ FROM z
 """
 
 
+def q_classifier_auc(spark, sf_dir):
+    """ROC AUC of the hashed quality classifier's score against the
+    lang='en' label, per source (operators/evaluation.binary_auc):
+    tie-aware Mann-Whitney midrank form carried DOUBLED so everything
+    stays exact-int; window rows are distinct scores, not documents."""
+    from rtsa_spark.functions.text import quality_classifier
+    from rtsa_spark.operators.evaluation import binary_auc
+
+    docs = _documents(spark, sf_dir)
+    scored = quality_classifier(docs).select("doc_id", "score_milli")
+    j = docs.select(
+        "doc_id", "source", (F.col("lang") == "en").alias("is_en")
+    ).join(scored, "doc_id")
+    return binary_auc(j, ["source"], "score_milli", "is_en")
+
+
+def _sql_classifier_auc() -> str:
+    return f"""
+WITH words AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+), w AS (
+  SELECT doc_id,
+    (('0x' || substr(md5(word), 1, 8))::BIGINT % 2001) - 1000 AS wt
+  FROM words
+), s AS MATERIALIZED (
+  SELECT doc_id, {_sql_floordiv("1000 * sum(wt)::BIGINT", "count(*)::BIGINT")} AS sc
+  FROM w GROUP BY doc_id
+), j AS (
+  SELECT d.source, s.sc, (d.lang = 'en') AS y
+  FROM documents d JOIN s ON s.doc_id = d.doc_id
+), g AS (
+  SELECT source, sc, count(*)::BIGINT AS n_g,
+         sum(CASE WHEN y THEN 1 ELSE 0 END)::BIGINT AS pos_g
+  FROM j GROUP BY 1, 2
+), r AS (
+  SELECT source, n_g, pos_g,
+         sum(n_g) OVER (PARTITION BY source ORDER BY sc
+                        ROWS UNBOUNDED PRECEDING) AS cum
+  FROM g
+), a AS (
+  SELECT source, CAST(sum(n_g) AS BIGINT) AS n,
+         CAST(sum(pos_g) AS BIGINT) AS n_pos,
+         CAST(sum(pos_g * (2 * cum - n_g + 1)) AS BIGINT) AS sum2
+  FROM r GROUP BY 1
+)
+SELECT source, n, n_pos, n - n_pos AS n_neg,
+  sum2 - n_pos * (n_pos + 1) AS u2,
+  CASE WHEN n_pos > 0 AND n - n_pos > 0
+       THEN CAST((1000000 * (sum2 - n_pos * (n_pos + 1)))
+                 // (2 * n_pos * (n - n_pos)) AS BIGINT) END AS auc_e6
+FROM a
+"""
+
+
+def q_threshold_sweep(spark, sf_dir):
+    """Precision/recall/F1 sweep of a doc-length keep rule against the
+    lang='en' label, per source (operators/evaluation.threshold_metrics):
+    literal threshold fan-out into ONE conditional aggregation — exact
+    rational F1 = 2tp div (2tp+fp+fn), no per-threshold rescans."""
+    from rtsa_spark.operators.evaluation import threshold_metrics
+
+    docs = _documents(spark, sf_dir).select(
+        "source", "n_chars", (F.col("lang") == "en").alias("is_en")
+    )
+    return threshold_metrics(
+        docs, ["source"], "n_chars", "is_en", [100, 400, 1600]
+    )
+
+
+SQL_THRESHOLD_SWEEP = """
+WITH t(threshold) AS (VALUES (100::BIGINT), (400::BIGINT), (1600::BIGINT)),
+c AS (
+  SELECT d.source, t.threshold,
+    sum(CASE WHEN d.n_chars >= t.threshold AND d.lang = 'en'
+             THEN 1 ELSE 0 END)::BIGINT AS tp,
+    sum(CASE WHEN d.n_chars >= t.threshold AND d.lang <> 'en'
+             THEN 1 ELSE 0 END)::BIGINT AS fp,
+    sum(CASE WHEN d.n_chars < t.threshold AND d.lang = 'en'
+             THEN 1 ELSE 0 END)::BIGINT AS fn,
+    sum(CASE WHEN d.n_chars < t.threshold AND d.lang <> 'en'
+             THEN 1 ELSE 0 END)::BIGINT AS tn
+  FROM documents d CROSS JOIN t GROUP BY 1, 2
+)
+SELECT source, threshold, tp, fp, fn, tn,
+  CASE WHEN tp + fp > 0
+       THEN CAST((1000000 * tp) // (tp + fp) AS BIGINT) END AS precision_e6,
+  CASE WHEN tp + fn > 0
+       THEN CAST((1000000 * tp) // (tp + fn) AS BIGINT) END AS recall_e6,
+  CASE WHEN 2 * tp + fp + fn > 0
+       THEN CAST((2000000 * tp) // (2 * tp + fp + fn) AS BIGINT) END AS f1_e6
+FROM c
+"""
+
+
+def q_calibration_table(spark, sf_dir):
+    """Reliability table of a clamped-length pseudo-probability against
+    the lang='en' label, per source (operators/evaluation.
+    calibration_bins): equal-width e6-score bins, exact-int mean score
+    vs observed positive rate per bin."""
+    from rtsa_spark.operators.evaluation import calibration_bins
+
+    docs = _documents(spark, sf_dir).select(
+        "source",
+        (F.least(F.col("n_chars"), F.lit(2000)) * 500).alias("sc_e6"),
+        (F.col("lang") == "en").alias("is_en"),
+    )
+    return calibration_bins(
+        docs, ["source"], "sc_e6", "is_en", n_bins=10, score_scale=1_000_000
+    )
+
+
+SQL_CALIBRATION = """
+WITH b AS (
+  SELECT source,
+    least(n_chars, 2000) * 500 AS sc,
+    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+  FROM documents
+), g AS (
+  SELECT source, least((sc * 10) // 1000000, 9) AS bin,
+         count(*)::BIGINT AS n, sum(y)::BIGINT AS n_pos,
+         sum(sc)::BIGINT AS sum_s
+  FROM b GROUP BY 1, 2
+)
+SELECT source, bin, CAST((1000000 * bin) // 10 AS BIGINT) AS bin_lo_e6,
+  n, n_pos,
+  CAST((1000000 * sum_s) // (n * 1000000) AS BIGINT) AS mean_score_e6,
+  CAST((1000000 * n_pos) // n AS BIGINT) AS frac_pos_e6
+FROM g
+"""
+
+
 # ------------------------------------------------------------ entry points
 
 
@@ -9503,6 +9634,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel_conversion": q_funnel_conversion,
         "markov_transitions": q_markov_transitions,
         "hll_ladder": q_hll_ladder,
+        "classifier_auc": q_classifier_auc,
+        "threshold_sweep": q_threshold_sweep,
+        "calibration_table": q_calibration_table,
     }
 
 
@@ -9687,4 +9821,7 @@ def oracle_sql() -> dict[str, str]:
         "funnel_conversion": SQL_FUNNEL,
         "markov_transitions": SQL_MARKOV,
         "hll_ladder": SQL_HLL_LADDER,
+        "classifier_auc": _sql_classifier_auc(),
+        "threshold_sweep": SQL_THRESHOLD_SWEEP,
+        "calibration_table": SQL_CALIBRATION,
     }

@@ -1,0 +1,251 @@
+"""Classifier evaluation over scored corpora: exact-int AUC, threshold
+metrics, and calibration tables.
+
+The missing third leg of the curation stack: `text.quality_classifier` /
+`gopher_filter` / `dsir_select` PRODUCE keep/drop scores; before gating
+100 TB on one, a pipeline measures the score against labels on an eval
+sample.  All three operators here are pure Catalyst rank/group algebra
+in the repo's IEEE-deterministic contract — counts and one trailing
+``div`` per derived column, no floats anywhere:
+
+- :func:`binary_auc` — ROC AUC per key via the Mann-Whitney U identity
+  ``AUC = (R_pos - n_pos(n_pos+1)/2) / (n_pos * n_neg)`` (Mann & Whitney
+  1947; tie handling by midranks, Hanley & McNeil 1982).  Midranks are
+  half-integers, so everything is carried DOUBLED (``sum2_ranks_pos =
+  n_pos_g * (min_rank + max_rank)`` per tie group) and the e6 quotient
+  divides by ``2 * n_pos * n_neg`` — exact integers end to end.
+- :func:`threshold_metrics` — confusion counts + precision/recall/F1 at
+  caller-fixed score thresholds (F1's harmonic mean is the exact
+  rational ``2tp / (2tp + fp + fn)``, one div).
+- :func:`calibration_bins` — the reliability table (DeGroot & Fienberg
+  1983): equal-width score bins vs observed positive rate, the
+  "is 0.9 really 90%?" read.
+
+Overflow stance (ANSI throws loudly, same as the 2^53 guards): the AUC
+numerator ``1e6 * 2 * n_pos * n_neg`` passes 2^63 once a single key
+holds ~4e6 labeled rows — far beyond any human-labeled eval set; scores
+and thresholds are integers (milli/e6-scaled upstream, e.g.
+``quality_classifier.score_milli``).
+
+Scale shape: one shuffle on (key, score) groups + one window over the
+per-score GROUP table (rows = distinct scores, not documents) for AUC;
+single conditional aggregations for the other two.  Eval sets are
+samples, but nothing here collects to the driver, so a 10^9-row sweep
+still distributes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["binary_auc", "threshold_metrics", "calibration_bins"]
+
+
+def binary_auc(
+    df: DataFrame,
+    key_cols: list[str],
+    score_col: str,
+    label_col: str,
+) -> DataFrame:
+    """Tie-aware ROC AUC per key from integer scores and boolean labels.
+
+    Emits ``(keys..., n, n_pos, n_neg, u2, auc_e6)`` where ``u2`` is
+    twice the Mann-Whitney U statistic (doubled to keep midranks
+    integral) and ``auc_e6 = (1e6 * u2) div (2 * n_pos * n_neg)`` —
+    NULL when a key lacks both classes (AUC undefined).  0.5e6 = random,
+    1e6 = perfect separation with higher scores positive.
+
+    The rank sum runs over per-(key, score) tie GROUPS: each group at
+    ascending-score position spans ranks ``[cum - n_g + 1, cum]``, and
+    its positives contribute midrank ``(min + max) / 2`` each — doubled:
+    ``n_pos_g * (min + max)``.  Window rows = distinct scores per key.
+    """
+    lab = F.col(label_col).cast("boolean")
+    g = (
+        df.select(
+            *key_cols,
+            F.col(score_col).cast("bigint").alias("_s"),
+            lab.cast("int").alias("_y"),
+        )
+        .groupBy(*key_cols, "_s")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("_n_g"),
+            F.sum("_y").cast("bigint").alias("_pos_g"),
+        )
+    )
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy("_s")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ranked = g.select(
+        *key_cols,
+        "_n_g",
+        "_pos_g",
+        F.sum("_n_g").over(w).alias("_cum"),
+    )
+    agg = ranked.groupBy(*key_cols).agg(
+        F.sum("_n_g").cast("bigint").alias("n"),
+        F.sum("_pos_g").cast("bigint").alias("n_pos"),
+        F.sum(
+            F.col("_pos_g") * (F.col("_cum") - F.col("_n_g") + 1 + F.col("_cum"))
+        )
+        .cast("bigint")
+        .alias("_sum2_rpos"),
+    )
+    n_neg = (F.col("n") - F.col("n_pos")).alias("n_neg")
+    u2 = (
+        F.col("_sum2_rpos") - F.col("n_pos") * (F.col("n_pos") + 1)
+    ).alias("u2")
+    out = agg.select(*key_cols, "n", "n_pos", n_neg, u2)
+    return out.select(
+        *key_cols,
+        "n",
+        "n_pos",
+        "n_neg",
+        "u2",
+        F.when(
+            (F.col("n_pos") > 0) & (F.col("n_neg") > 0),
+            F.expr("(1000000 * u2) div (2 * n_pos * n_neg)"),
+        )
+        .cast("bigint")
+        .alias("auc_e6"),
+    )
+
+
+def threshold_metrics(
+    df: DataFrame,
+    key_cols: list[str],
+    score_col: str,
+    label_col: str,
+    thresholds: list[int],
+) -> DataFrame:
+    """Confusion counts and precision/recall/F1 per key at each fixed
+    ``score >= threshold`` cut (the keep/drop sweep run before picking a
+    corpus filter's operating point).
+
+    Emits one row per (key, threshold): ``(keys..., threshold, tp, fp,
+    fn, tn, precision_e6, recall_e6, f1_e6)`` — precision NULL when
+    nothing is predicted positive, recall NULL when no positives exist;
+    ``f1_e6 = (1e6 * 2 * tp) div (2*tp + fp + fn)`` (NULL when that
+    denominator is 0, i.e. no positives and none predicted).
+
+    Scale shape: the threshold list fans out via a literal array explode
+    (|T| driver-side constants), then ONE combinable conditional
+    aggregation — no self-joins, no second scan per threshold.
+    """
+    if not thresholds:
+        raise ValueError("need at least one threshold")
+    if len(set(thresholds)) != len(thresholds):
+        raise ValueError(f"thresholds must be distinct, got {thresholds!r}")
+    lab = F.col(label_col).cast("boolean")
+    base = df.select(
+        *key_cols,
+        F.col(score_col).cast("bigint").alias("_s"),
+        lab.alias("_y"),
+    ).select(
+        "*",
+        F.explode(
+            F.array(*[F.lit(int(t)).cast("bigint") for t in thresholds])
+        ).alias("threshold"),
+    )
+    pred = F.col("_s") >= F.col("threshold")
+    cnt = lambda c: F.sum(F.when(c, 1).otherwise(0)).cast("bigint")  # noqa: E731
+    agg = base.groupBy(*key_cols, "threshold").agg(
+        cnt(pred & F.col("_y")).alias("tp"),
+        cnt(pred & ~F.col("_y")).alias("fp"),
+        cnt(~pred & F.col("_y")).alias("fn"),
+        cnt(~pred & ~F.col("_y")).alias("tn"),
+    )
+    return agg.select(
+        *key_cols,
+        "threshold",
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        F.when(
+            F.col("tp") + F.col("fp") > 0,
+            F.expr("(1000000 * tp) div (tp + fp)"),
+        )
+        .cast("bigint")
+        .alias("precision_e6"),
+        F.when(
+            F.col("tp") + F.col("fn") > 0,
+            F.expr("(1000000 * tp) div (tp + fn)"),
+        )
+        .cast("bigint")
+        .alias("recall_e6"),
+        F.when(
+            2 * F.col("tp") + F.col("fp") + F.col("fn") > 0,
+            F.expr("(2000000 * tp) div (2 * tp + fp + fn)"),
+        )
+        .cast("bigint")
+        .alias("f1_e6"),
+    )
+
+
+def calibration_bins(
+    df: DataFrame,
+    key_cols: list[str],
+    score_col: str,
+    label_col: str,
+    n_bins: int = 10,
+    score_scale: int = 1_000_000,
+) -> DataFrame:
+    """Reliability table per key: equal-width bins over an integer score
+    in ``[0, score_scale]`` vs the observed positive rate — a calibrated
+    scorer's ``frac_pos_e6`` tracks its ``mean_score_e6`` bin by bin.
+
+    Emits ``(keys..., bin, bin_lo_e6, n, n_pos, mean_score_e6,
+    frac_pos_e6)``; ``bin = score * n_bins div score_scale`` clamped to
+    ``n_bins - 1`` (so score == scale lands in the top bin), empty bins
+    absent.  Scores outside [0, scale] raise upstream of any arithmetic
+    (a wrong-scale join would silently pile into the edge bins).
+    """
+    if n_bins < 2:
+        raise ValueError(f"n_bins must be >= 2, got {n_bins}")
+    if score_scale < n_bins:
+        raise ValueError(f"score_scale must be >= n_bins, got {score_scale}")
+    s = F.col(score_col).cast("bigint")
+    base = df.select(
+        *key_cols,
+        F.when(
+            (s >= 0) & (s <= score_scale), s
+        )
+        .otherwise(
+            F.raise_error(
+                F.format_string(
+                    f"calibration_bins: score out of [0, {score_scale}]: %s",
+                    s.cast("string"),
+                )
+            )
+        )
+        .alias("_s"),
+        F.col(label_col).cast("boolean").cast("int").alias("_y"),
+    )
+    b = F.least(
+        F.expr(f"(_s * {int(n_bins)}) div {int(score_scale)}"),
+        F.lit(n_bins - 1).cast("bigint"),
+    )
+    agg = base.select(*key_cols, b.alias("bin"), "_s", "_y").groupBy(
+        *key_cols, "bin"
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("_y").cast("bigint").alias("n_pos"),
+        F.sum("_s").cast("bigint").alias("_sum_s"),
+    )
+    return agg.select(
+        *key_cols,
+        "bin",
+        F.expr(f"(1000000 * bin) div {int(n_bins)}").cast("bigint").alias(
+            "bin_lo_e6"
+        ),
+        "n",
+        "n_pos",
+        F.expr(f"(1000000 * _sum_s) div (n * {int(score_scale)})")
+        .cast("bigint")
+        .alias("mean_score_e6"),
+        F.expr("(1000000 * n_pos) div n").cast("bigint").alias("frac_pos_e6"),
+    )
