@@ -902,6 +902,82 @@ def main() -> int:
         ),
     )
 
+    # 36. funnel: k stacked step windows share ONE hash partitioning on
+    #     the key (one Exchange), no self-join per step, no Python
+    from rtsa_spark.operators.funnel import funnel_conversion, markov_transitions
+
+    fev = docs.selectExpr(
+        "cast(doc_id % 5 as string) as u",
+        "timestamp_seconds(doc_id * 60) as ts",
+        "case when doc_id % 3 = 0 then 'a' when doc_id % 3 = 1 then 'b' "
+        "else 'c' end as ty",
+    )
+    fun_plan = plan_of(funnel_conversion(fev, "u", "ts", "ty", ["a", "b", "c"]))
+    ok &= check(
+        "funnel: one key Exchange for all step windows, no join/Python",
+        fun_plan.count("hashpartitioning(_k") == 1  # details section, once
+        and "Join" not in fun_plan
+        and "EvalPython" not in fun_plan,
+        f"key exchanges: {fun_plan.count('hashpartitioning(_k')}",
+    )
+    mk_plan = plan_of(markov_transitions(fev, ["u"], "ts", "ty"))
+    ok &= check(
+        "markov transitions: lag window + partial agg, no join/Python",
+        "Window" in mk_plan and "partial_count" in mk_plan
+        and "Join" not in mk_plan and "EvalPython" not in mk_plan,
+    )
+
+    # 37. HLL: register maxima combine map-side (partial_max), merge path
+    #     stays window-free, no Python anywhere
+    from rtsa_spark.operators.sketch import hll_bucket_sketch, hll_merge_buckets
+
+    hev = docs.selectExpr(
+        "cast(doc_id % 3 as string) as k",
+        "timestamp_seconds((doc_id % 7) * 86400) as ts",
+        "doc_id as u",
+    )
+    hll_daily = hll_bucket_sketch(hev, ["k"], "ts", "u", p=6)
+    hll_plan = plan_of(hll_daily)
+    from pyspark.sql import functions as F2
+
+    hll_merge_plan = plan_of(
+        hll_merge_buckets(hll_daily, ["k"], F2.date_trunc("month", F2.col("bucket")), p=6)
+    )
+    ok &= check(
+        "hll: register max combines map-side, no window/join/Python",
+        all(
+            "partial_max" in p and "Window" not in p
+            and "Join" not in p and "EvalPython" not in p
+            for p in (hll_plan, hll_merge_plan)
+        ),
+    )
+
+    # 38. evaluation: AUC rank window runs over the per-score GROUP table
+    #     (agg below the window), never a cartesian or Python node
+    from rtsa_spark.operators.evaluation import binary_auc, threshold_metrics
+
+    sev = docs.selectExpr(
+        "cast(doc_id % 4 as string) as source",
+        "length(text) as sc",
+        "doc_id % 2 = 0 as y",
+    )
+    auc_plan = plan_of(binary_auc(sev, ["source"], "sc", "y"))
+    ok &= check(
+        "binary_auc: group-then-rank (agg feeds window), no cartesian/Python",
+        auc_plan.index("HashAggregate") < auc_plan.index("Window")
+        and "partial_count" in auc_plan
+        and "CartesianProduct" not in auc_plan
+        and "EvalPython" not in auc_plan,
+    )
+    thr_plan = plan_of(
+        threshold_metrics(sev, ["source"], "sc", "y", [100, 400])
+    )
+    ok &= check(
+        "threshold sweep: literal explode + one combinable agg, no join",
+        "partial_sum" in thr_plan and "Join" not in thr_plan
+        and "EvalPython" not in thr_plan,
+    )
+
     spark.stop()
     print("AUDIT", "PASS" if ok else "FAIL")
     return 0 if ok else 1
