@@ -9407,6 +9407,51 @@ FROM g
 """
 
 
+def q_vocab_growth(spark, sf_dir):
+    """Heaps-law vocabulary accretion per source (operators/lm.
+    vocab_growth): ingestion batches of 25 docs; new-type counts from
+    ONE vocabulary-sized min-bucket groupBy, cumulative type/token
+    curve and exact type-token ratio from a window over the tiny
+    per-batch table."""
+    from rtsa_spark.operators.lm import vocab_growth
+
+    words = _documents(spark, sf_dir).select(
+        "source",
+        F.expr("doc_id div 25").alias("batch"),
+        F.explode(F.split("text", " ")).alias("word"),
+    )
+    return vocab_growth(words, ["source"], "batch", "word")
+
+
+SQL_VOCAB_GROWTH = """
+WITH w AS MATERIALIZED (
+  SELECT source, doc_id // 25 AS bucket,
+         unnest(string_split(text, ' ')) AS it
+  FROM documents
+), f AS (
+  SELECT source, it, min(bucket) AS bucket FROM w GROUP BY 1, 2
+), nt AS (
+  SELECT source, bucket, count(*)::BIGINT AS new_types FROM f GROUP BY 1, 2
+), v AS (
+  SELECT source, bucket, count(*)::BIGINT AS n_items FROM w GROUP BY 1, 2
+), c AS (
+  SELECT v.source, v.bucket, v.n_items,
+         coalesce(nt.new_types, 0)::BIGINT AS new_types
+  FROM v LEFT JOIN nt ON nt.source = v.source AND nt.bucket = v.bucket
+), r AS (
+  SELECT source, bucket, n_items, new_types,
+    CAST(sum(n_items) OVER (PARTITION BY source ORDER BY bucket
+                            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_items,
+    CAST(sum(new_types) OVER (PARTITION BY source ORDER BY bucket
+                              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_types
+  FROM c
+)
+SELECT source, bucket, n_items, new_types, cum_items, cum_types,
+  CAST((1000000 * cum_types) // cum_items AS BIGINT) AS ttr_e6
+FROM r
+"""
+
+
 # ------------------------------------------------------------ entry points
 
 
@@ -9637,6 +9682,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "classifier_auc": q_classifier_auc,
         "threshold_sweep": q_threshold_sweep,
         "calibration_table": q_calibration_table,
+        "vocab_growth": q_vocab_growth,
     }
 
 
@@ -9824,4 +9870,5 @@ def oracle_sql() -> dict[str, str]:
         "classifier_auc": _sql_classifier_auc(),
         "threshold_sweep": SQL_THRESHOLD_SWEEP,
         "calibration_table": SQL_CALIBRATION,
+        "vocab_growth": SQL_VOCAB_GROWTH,
     }

@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["ngram_counts", "kn_order_stats", "continuation_topk"]
+__all__ = ["ngram_counts", "kn_order_stats", "continuation_topk", "vocab_growth"]
 
 
 def ngram_counts(
@@ -128,4 +128,70 @@ def continuation_topk(bigram_types: DataFrame, k: int = 20) -> DataFrame:
         "cont",
         "n_bigram_types",
         F.expr("(1000000 * cont) div n_bigram_types").alias("pcont_e6"),
+    )
+
+
+def vocab_growth(
+    df: DataFrame,
+    key_cols: list[str],
+    bucket_col: str,
+    item_col: str,
+) -> DataFrame:
+    """Heaps-law vocabulary accretion curve per key: as the corpus grows
+    bucket by bucket (ingestion batches, days — any ordered bucket),
+    how many NEW types appear and how the cumulative type count tracks
+    cumulative token volume (Heaps 1978, "Information Retrieval:
+    Computational and Theoretical Aspects" — V(n) ~ K * n^beta; the
+    curve itself is emitted exactly, the exponent fit is the caller's
+    regression since ``log`` is not portable arithmetic).  A flattening
+    curve is the canonical "this source stopped adding diversity"
+    signal a data-mixing pipeline reads before re-weighting.
+
+    Emits one row per (key, bucket) OBSERVED in the input: ``(keys...,
+    bucket, n_items, new_types, cum_items, cum_types, ttr_e6)`` where
+    ``new_types`` counts items whose FIRST occurrence falls in the
+    bucket, ``cum_*`` are running totals in bucket order, and
+    ``ttr_e6 = (1e6 * cum_types) div cum_items`` is the cumulative
+    type-token ratio.  Exact integers end to end; rows replay
+    bit-identically on any engine.
+
+    Scale shape: the heavy lift is ONE map-side-combinable min-bucket
+    groupBy on (keys, item) — vocabulary-sized output, token-volume
+    input; then two bucket-granular aggs and a window over the (tiny)
+    per-bucket curve table.  No joins wider than (keys, bucket).
+    """
+    base = df.select(
+        *key_cols,
+        F.col(bucket_col).alias("bucket"),
+        F.col(item_col).alias("_it"),
+    )
+    first = base.groupBy(*key_cols, "_it").agg(
+        F.min("bucket").alias("bucket")
+    )
+    newt = first.groupBy(*key_cols, "bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("new_types")
+    )
+    vol = base.groupBy(*key_cols, "bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_items")
+    )
+    # outer join on the curve tables (bucket-granular, tiny): a bucket
+    # always has n_items >= 1 if observed, but new_types may be absent
+    curve = vol.join(newt, [*key_cols, "bucket"], "left").fillna(
+        0, subset=["new_types"]
+    )
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return curve.select(
+        *key_cols,
+        "bucket",
+        "n_items",
+        "new_types",
+        F.sum("n_items").over(w).cast("bigint").alias("cum_items"),
+        F.sum("new_types").over(w).cast("bigint").alias("cum_types"),
+    ).withColumn(
+        "ttr_e6",
+        F.expr("(1000000 * cum_types) div cum_items").cast("bigint"),
     )
