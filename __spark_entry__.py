@@ -9452,6 +9452,64 @@ FROM r
 """
 
 
+def q_hll_trailing(spark, sf_dir):
+    """Trailing 7-day distinct-user estimate per event type, daily
+    (operators/sketch.hll_trailing_distinct): each day folds <= 7 daily
+    register arrays with zip-with-greatest — the WAU read without a raw
+    re-scan.  The oracle builds every trailing window's registers
+    DIRECTLY from raw hashes, independently certifying the
+    sliding-union identity."""
+    from rtsa_spark.operators.sketch import (
+        hll_bucket_sketch,
+        hll_trailing_distinct,
+    )
+
+    ev = _events(spark, sf_dir).select(
+        "event_type", F.date_trunc("day", "ts").alias("d"), "user_id"
+    )
+    daily = hll_bucket_sketch(ev, ["event_type"], "d", "user_id", p=10)
+    trail = hll_trailing_distinct(daily, ["event_type"], 7, 86400, p=10)
+    return trail.select(
+        F.col("event_type").alias("key"),
+        "bucket",
+        "n_zero",
+        "z_scaled",
+        "est_distinct",
+    )
+
+
+SQL_HLL_TRAILING = f"""
+WITH dh AS MATERIALIZED (
+  SELECT DISTINCT event_type AS key, date_trunc('day', ts) AS bucket,
+         ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 12))::BIGINT AS h
+  FROM events
+), dr AS MATERIALIZED (
+  SELECT key, bucket, h // 274877906944 AS idx,
+         CASE WHEN (h & 274877906943) > 0
+              THEN 38 - (length(bin(h & 274877906943)) - 1)
+              ELSE 39 END AS rho
+  FROM dh
+), days AS (SELECT DISTINCT key, bucket FROM dr),
+tg AS (
+  -- direct trailing-window registers: certifies the Spark-side fold
+  SELECT d.key, d.bucket, r.idx, max(r.rho) AS rho
+  FROM days d JOIN dr r
+    ON r.key = d.key
+   AND r.bucket <= d.bucket AND r.bucket >= d.bucket - INTERVAL 6 DAY
+  GROUP BY 1, 2, 3
+), z AS (
+  SELECT key, bucket,
+         CAST(1024 - count(*) AS BIGINT) AS n_zero,
+         CAST(sum(1::BIGINT << (39 - rho))
+              + (1024 - count(*)) * (1::BIGINT << 39) AS BIGINT) AS z_scaled
+  FROM tg GROUP BY 1, 2
+)
+SELECT key, bucket, n_zero, z_scaled,
+       CAST(floor({_HLL_C_P10} / z_scaled::DOUBLE) AS BIGINT) AS est_distinct
+FROM z
+"""
+
+
 # ------------------------------------------------------------ entry points
 
 
@@ -9683,6 +9741,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "threshold_sweep": q_threshold_sweep,
         "calibration_table": q_calibration_table,
         "vocab_growth": q_vocab_growth,
+        "hll_trailing": q_hll_trailing,
     }
 
 
@@ -9871,4 +9930,5 @@ def oracle_sql() -> dict[str, str]:
         "threshold_sweep": SQL_THRESHOLD_SWEEP,
         "calibration_table": SQL_CALIBRATION,
         "vocab_growth": SQL_VOCAB_GROWTH,
+        "hll_trailing": SQL_HLL_TRAILING,
     }

@@ -57,6 +57,7 @@ __all__ = [
     "hll_bucket_sketch",
     "hll_merge_buckets",
     "hll_corrected",
+    "hll_trailing_distinct",
     "KMV_HASH_RANGE",
     "BLOOM_WORD_BITS",
 ]
@@ -1329,4 +1330,65 @@ def hll_corrected(sketches: DataFrame, p: int = 10) -> DataFrame:
     use_lc = (F.col("est_distinct") * 2 <= 5 * m) & (F.col("n_zero") > 0)
     return sketches.withColumn(
         "est_corrected", F.when(use_lc, lc).otherwise(F.col("est_distinct"))
+    )
+
+
+def hll_trailing_distinct(
+    sketches: DataFrame,
+    key_cols: list[str],
+    window_buckets: int,
+    bucket_seconds: int,
+    p: int = 10,
+) -> DataFrame:
+    """Sliding-window cardinality from bucketed HLL sketches: for each
+    observed bucket, the distinct estimate over the trailing
+    ``window_buckets`` buckets — the WAU/MAU-style read ("distinct
+    users in the last 7 days, every day") that raw COUNT DISTINCT
+    cannot pre-aggregate but register-max CAN: the trailing union's
+    registers are the elementwise max of the trailing days' registers,
+    so each output row folds ``window_buckets`` fixed-size arrays
+    instead of re-scanning raw events.
+
+    Input is :func:`hll_bucket_sketch` output on a regular
+    ``bucket_seconds`` spine; emits the same finished columns
+    (``n_zero, z_scaled, est_distinct``) per observed bucket, where
+    the window is a RANGE frame over epoch seconds — missing buckets
+    shorten the fold (observed-spine convention, same as the trailing
+    Misra-Gries cascade).
+
+    Scale shape: one range window per key carrying <= window_buckets
+    register arrays (w * 2^p ints, driver-side constants), one
+    zip-with-greatest fold per row — never a raw re-scan, never a
+    self-join on the bucket spine.
+    """
+    if not (4 <= p <= 16):
+        raise ValueError(f"p must be in [4, 16], got {p}")
+    if window_buckets < 1:
+        raise ValueError(f"window_buckets must be >= 1, got {window_buckets}")
+    if bucket_seconds < 1:
+        raise ValueError(f"bucket_seconds must be >= 1, got {bucket_seconds}")
+    m = 1 << p
+    span = (window_buckets - 1) * bucket_seconds
+    base = sketches.select(
+        *key_cols,
+        "bucket",
+        F.unix_timestamp("bucket").alias("_t"),
+        "regs",
+    )
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy("_t")
+        .rangeBetween(-span, 0)
+    )
+    folded = base.select(
+        *key_cols,
+        "bucket",
+        F.collect_list("regs").over(w).alias("_rs"),
+    )
+    merged = F.expr(
+        f"aggregate(_rs, array_repeat(0, {m}),"
+        " (acc, x) -> zip_with(acc, x, (a, b) -> greatest(a, b)))"
+    )
+    return _hll_finish(
+        folded.select(*key_cols, "bucket", merged.alias("regs")), p
     )
