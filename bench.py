@@ -275,7 +275,14 @@ def run_bench(sf_dir: str, cores: int) -> dict:
         "bloom_incremental_dedup",
         "mg_heavy_hitters",
     ]
-    headline = headline + new_r4 + new_r4b + new_r4c
+    # fourth late-round-4 batch (funnel/HLL/evaluation/Heaps), same rule
+    new_r4d = [
+        "funnel_conversion",
+        "hll_ladder",
+        "classifier_auc",
+        "vocab_growth",
+    ]
+    headline = headline + new_r4 + new_r4b + new_r4c + new_r4d
     if E is not None:
         qs = E.queries()
         from rtsa_spark.operators.dedup import minhash_lsh_buckets
@@ -316,6 +323,7 @@ def run_bench(sf_dir: str, cores: int) -> dict:
         "new_stages_r4": new_r4,
         "new_stages_r4b": new_r4b,
         "new_stages_r4c": new_r4c,
+        "new_stages_r4d": new_r4d,
     }
     # CPU of the whole tree BEFORE stop: JVM utime+stime+children (python
     # workers) from /proc (py4j does not reap the JVM into rusage)
