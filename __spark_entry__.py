@@ -9510,6 +9510,110 @@ FROM z
 """
 
 
+def q_langid_kappa(spark, sf_dir):
+    """Inter-rater agreement between the stored lang label and the
+    stopword-signal language ID, per source (operators/evaluation.
+    cohens_kappa): exact-rational kappa from the contingency table and
+    cross-multiplied chance numerator, sign-magnitude e6 div."""
+    from rtsa_spark.functions.text import en_signal_count
+    from rtsa_spark.operators.evaluation import cohens_kappa
+
+    docs = _documents(spark, sf_dir).select(
+        "source",
+        F.when(F.col("lang") == "en", "en").otherwise("other").alias("r_label"),
+        F.when(en_signal_count() >= 2, "en").otherwise("other").alias("r_pred"),
+    )
+    return cohens_kappa(docs, ["source"], "r_label", "r_pred")
+
+
+SQL_LANGID_KAPPA = """
+WITH j AS MATERIALIZED (
+  SELECT source,
+    CASE WHEN lang = 'en' THEN 'en' ELSE 'other' END AS a,
+    CASE WHEN
+      (CASE WHEN instr(' ' || text || ' ', ' the ') > 0 THEN 1 ELSE 0 END
+     + CASE WHEN instr(' ' || text || ' ', ' a ') > 0 THEN 1 ELSE 0 END
+     + CASE WHEN instr(' ' || text || ' ', ' and ') > 0 THEN 1 ELSE 0 END
+     + CASE WHEN instr(' ' || text || ' ', ' of ') > 0 THEN 1 ELSE 0 END) >= 2
+    THEN 'en' ELSE 'other' END AS b
+  FROM documents
+), cont AS MATERIALIZED (
+  SELECT source, a, b, count(*)::BIGINT AS c FROM j GROUP BY 1, 2, 3
+), tot AS (
+  SELECT source, CAST(sum(c) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN a = b THEN c ELSE 0 END) AS BIGINT) AS n_agree
+  FROM cont GROUP BY 1
+), rm AS (
+  SELECT source, a AS cat, CAST(sum(c) AS BIGINT) AS rc FROM cont GROUP BY 1, 2
+), cm AS (
+  SELECT source, b AS cat, CAST(sum(c) AS BIGINT) AS cc FROM cont GROUP BY 1, 2
+), pe AS (
+  SELECT rm.source, CAST(sum(rm.rc * cm.cc) AS BIGINT) AS pe_num
+  FROM rm JOIN cm ON cm.source = rm.source AND cm.cat = rm.cat
+  GROUP BY 1
+)
+SELECT t.source, t.n, t.n_agree, p.pe_num,
+  CASE WHEN t.n * t.n - p.pe_num > 0 THEN
+    CAST((CASE WHEN t.n * t.n_agree >= p.pe_num THEN 1 ELSE -1 END)
+         * ((1000000 * abs(t.n * t.n_agree - p.pe_num))
+            // greatest(t.n * t.n - p.pe_num, 1)) AS BIGINT)
+  END AS kappa_e6
+FROM tot t JOIN pe p ON p.source = t.source
+"""
+
+
+def q_event_pair_rules(spark, sf_dir):
+    """Monthly event-type association rules over (user, day) baskets
+    (operators/association.pair_rules): A-Priori frequent-item prune
+    BEFORE the within-basket pair join; exact-int support/confidence/
+    lift, both rule directions."""
+    from rtsa_spark.operators.association import pair_rules
+
+    ev = _events(spark, sf_dir).select(
+        F.date_trunc("month", "ts").alias("mo"),
+        "user_id",
+        F.expr("unix_timestamp(ts) div 86400").alias("day"),
+        "event_type",
+    )
+    return pair_rules(
+        ev, ["mo"], ["user_id", "day"], "event_type", min_count=5
+    )
+
+
+SQL_EVENT_PAIR_RULES = """
+WITH b AS MATERIALIZED (
+  SELECT DISTINCT date_trunc('month', ts) AS mo, user_id,
+         epoch_us(ts) // 1000000 // 86400 AS day, event_type AS it
+  FROM events
+), nb AS (
+  SELECT mo, count(*)::BIGINT AS n_baskets
+  FROM (SELECT DISTINCT mo, user_id, day FROM b) GROUP BY 1
+), ic AS (
+  SELECT mo, it, count(*)::BIGINT AS ic FROM b GROUP BY 1, 2
+), fr AS (SELECT * FROM ic WHERE ic >= 5),
+pr AS (
+  SELECT x.mo, x.it AS antecedent, y.it AS consequent,
+         count(*)::BIGINT AS n_both
+  FROM b x
+  JOIN b y ON y.mo = x.mo AND y.user_id = x.user_id AND y.day = x.day
+          AND y.it <> x.it
+  JOIN fr fa ON fa.mo = x.mo AND fa.it = x.it
+  JOIN fr fc ON fc.mo = y.mo AND fc.it = y.it
+  GROUP BY 1, 2, 3
+)
+SELECT p.mo, p.antecedent, p.consequent, nb.n_baskets,
+  fa.ic AS n_ante, fc.ic AS n_cons, p.n_both,
+  CAST((1000000 * p.n_both) // nb.n_baskets AS BIGINT) AS support_e6,
+  CAST((1000000 * p.n_both) // fa.ic AS BIGINT) AS confidence_e6,
+  CAST((1000000 * p.n_both * nb.n_baskets) // (fa.ic * fc.ic) AS BIGINT)
+    AS lift_e6
+FROM pr p
+JOIN nb ON nb.mo = p.mo
+JOIN fr fa ON fa.mo = p.mo AND fa.it = p.antecedent
+JOIN fr fc ON fc.mo = p.mo AND fc.it = p.consequent
+"""
+
+
 # ------------------------------------------------------------ entry points
 
 
@@ -9742,6 +9846,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "calibration_table": q_calibration_table,
         "vocab_growth": q_vocab_growth,
         "hll_trailing": q_hll_trailing,
+        "langid_kappa": q_langid_kappa,
+        "event_pair_rules": q_event_pair_rules,
     }
 
 
@@ -9931,4 +10037,6 @@ def oracle_sql() -> dict[str, str]:
         "calibration_table": SQL_CALIBRATION,
         "vocab_growth": SQL_VOCAB_GROWTH,
         "hll_trailing": SQL_HLL_TRAILING,
+        "langid_kappa": SQL_LANGID_KAPPA,
+        "event_pair_rules": SQL_EVENT_PAIR_RULES,
     }

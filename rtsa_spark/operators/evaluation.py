@@ -39,7 +39,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["binary_auc", "threshold_metrics", "calibration_bins"]
+__all__ = ["binary_auc", "threshold_metrics", "calibration_bins", "cohens_kappa"]
 
 
 def binary_auc(
@@ -248,4 +248,79 @@ def calibration_bins(
         .cast("bigint")
         .alias("mean_score_e6"),
         F.expr("(1000000 * n_pos) div n").cast("bigint").alias("frac_pos_e6"),
+    )
+
+
+def cohens_kappa(
+    df: DataFrame,
+    key_cols: list[str],
+    a_col: str,
+    b_col: str,
+) -> DataFrame:
+    """Inter-annotator agreement per key: Cohen's kappa (Cohen 1960)
+    over two categorical label columns — the QA read run before
+    trusting a labeled eval set or a model-vs-model relabeling.
+
+    Exact-rational form, cross-multiplied so no intermediate divide:
+    with ``n`` pairs, observed-agreement numerator ``d = sum of diagonal
+    counts`` and chance numerator ``pe_num = sum_c row_c * col_c``,
+    ``kappa = (n*d - pe_num) / (n^2 - pe_num)`` — emitted as one e6
+    ``div``; NULL when ``n^2 == pe_num`` (both raters constant — kappa
+    undefined).  Negative kappa (worse than chance) rounds toward zero
+    (sign-magnitude div — divide the absolute numerator, re-apply the
+    sign), matching the oracle's CASE/abs replay.
+
+    Emits ``(keys..., n, n_agree, pe_num, kappa_e6)``.
+
+    Scale shape: one groupBy on (keys, a, b) — the contingency table,
+    categories^2 rows — then category-sized row/column margins joined
+    per key; nothing row-volume-sized past the first agg.  Overflow:
+    ``1e6 * n * d`` passes 2^63 near n ~ 3e6 rows per key (ANSI throws
+    loudly) — far beyond any annotated sample.
+    """
+    if not key_cols:
+        raise ValueError("cohens_kappa needs at least one key column")
+    cont = (
+        df.select(
+            *key_cols,
+            F.col(a_col).cast("string").alias("_a"),
+            F.col(b_col).cast("string").alias("_b"),
+        )
+        .groupBy(*key_cols, "_a", "_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("_c"))
+    )
+    totals = cont.groupBy(*key_cols).agg(
+        F.sum("_c").cast("bigint").alias("n"),
+        F.sum(F.when(F.col("_a") == F.col("_b"), F.col("_c")).otherwise(0))
+        .cast("bigint")
+        .alias("n_agree"),
+    )
+    rows = cont.groupBy(*key_cols, "_a").agg(
+        F.sum("_c").cast("bigint").alias("_rc")
+    )
+    colx = cont.groupBy(*key_cols, "_b").agg(
+        F.sum("_c").cast("bigint").alias("_cc")
+    )
+    pe = (
+        rows.join(colx, [*key_cols])
+        .where(F.col("_a") == F.col("_b"))
+        .groupBy(*key_cols)
+        .agg(F.sum(F.col("_rc") * F.col("_cc")).cast("bigint").alias("pe_num"))
+    )
+    out = totals.join(pe, [*key_cols])
+    # sign-magnitude toward-zero e6 quotient (den > 0 by Cauchy-Schwarz
+    # unless both raters are constant; greatest() keeps the dead branch
+    # ANSI-safe)
+    kappa = F.expr(
+        "case when n * n - pe_num > 0 then"
+        " cast(signum(n * n_agree - pe_num) as bigint)"
+        " * ((1000000 * abs(n * n_agree - pe_num))"
+        "    div greatest(n * n - pe_num, 1)) end"
+    )
+    return out.select(
+        *key_cols,
+        "n",
+        "n_agree",
+        "pe_num",
+        kappa.cast("bigint").alias("kappa_e6"),
     )

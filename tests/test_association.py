@@ -1,0 +1,81 @@
+"""Pair association rules + Cohen's kappa: hand tables, prune, guards."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F  # noqa: F401
+
+from rtsa_spark.operators.association import pair_rules
+from rtsa_spark.operators.evaluation import cohens_kappa
+
+
+def _rules(spark, rows, min_count=2):
+    df = spark.createDataFrame(rows, "k string, u long, it string")
+    out = pair_rules(df, ["k"], ["u"], "it", min_count=min_count)
+    return {(r["antecedent"], r["consequent"]): r.asDict() for r in out.collect()}
+
+
+def test_pair_rules_hand(spark):
+    rows = [
+        ("k", 1, "x"), ("k", 1, "y"),
+        ("k", 2, "x"), ("k", 2, "y"),
+        ("k", 3, "x"),
+        ("k", 4, "z"), ("k", 4, "x"),
+        ("k", 4, "x"),  # duplicate within basket collapses
+    ]
+    got = _rules(spark, rows, min_count=1)
+    r = got[("x", "y")]
+    assert r["n_baskets"] == 4 and r["n_ante"] == 4 and r["n_cons"] == 2
+    assert r["n_both"] == 2
+    assert r["support_e6"] == 500_000
+    assert r["confidence_e6"] == 500_000
+    # lift = (2/4) / (2/4) = 1.0
+    assert r["lift_e6"] == 1_000_000
+    # asymmetric confidence: y -> x is 100%
+    assert got[("y", "x")]["confidence_e6"] == 1_000_000
+    # lift(y->x) = (2*4)/(2*4) = 1.0 (x is in every basket)
+    assert got[("y", "x")]["lift_e6"] == 1_000_000
+    # z -> x : confidence 1.0, lift 1.0; x -> z : 1/4 conf, lift 1.0
+    assert got[("z", "x")]["confidence_e6"] == 1_000_000
+    assert got[("x", "z")]["support_e6"] == 250_000
+    # no self pairs
+    assert ("x", "x") not in got
+
+
+def test_pair_rules_apriori_prune(spark):
+    rows = [("k", 1, "x"), ("k", 1, "rare"), ("k", 2, "x"), ("k", 2, "y"),
+            ("k", 3, "y"), ("k", 3, "x")]
+    got = _rules(spark, rows, min_count=2)
+    # 'rare' appears in one basket: pruned from all pairs
+    assert all("rare" not in p for p in got)
+    assert got[("x", "y")]["n_both"] == 2
+    with pytest.raises(ValueError):
+        _rules(spark, rows, min_count=0)
+    df = spark.createDataFrame(rows, "k string, u long, it string")
+    with pytest.raises(ValueError):
+        pair_rules(df, ["k"], [], "it")
+
+
+def test_kappa_hand_and_degenerate(spark):
+    rows = (
+        [("k", "a", "a")] * 20 + [("k", "b", "b")] * 5
+        + [("k", "a", "b")] * 10 + [("k", "b", "a")] * 15
+    )
+    df = spark.createDataFrame(rows, "k string, r1 string, r2 string")
+    r = cohens_kappa(df, ["k"], "r1", "r2").collect()[0]
+    # n=50 d=25 rows a=30 b=20 cols a=35 b=15 -> pe=1350
+    # kappa = (1250-1350)/(2500-1350) = -100/1150 -> toward zero
+    assert r["n"] == 50 and r["n_agree"] == 25 and r["pe_num"] == 1350
+    assert r["kappa_e6"] == -86956
+    # perfect agreement -> 1e6; both constant -> NULL
+    perf = spark.createDataFrame(
+        [("k", "a", "a")] * 3 + [("k", "b", "b")] * 2,
+        "k string, r1 string, r2 string",
+    )
+    assert cohens_kappa(perf, ["k"], "r1", "r2").collect()[0]["kappa_e6"] == 1_000_000
+    const = spark.createDataFrame(
+        [("k", "a", "a")] * 4, "k string, r1 string, r2 string"
+    )
+    assert cohens_kappa(const, ["k"], "r1", "r2").collect()[0]["kappa_e6"] is None
+    with pytest.raises(ValueError):
+        cohens_kappa(df, [], "r1", "r2")
