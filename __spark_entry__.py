@@ -9614,6 +9614,44 @@ JOIN fr fc ON fc.mo = p.mo AND fc.it = p.consequent
 """
 
 
+def q_busy_streaks(spark, sf_dir):
+    """Maximal runs of consecutive busy hours per event type
+    (operators/monitor.value_streaks): gaps-and-islands on a value
+    predicate (>= 3 events/hour) — an unobserved hour breaks the
+    streak; one window + one combinable groupBy over true buckets."""
+    from rtsa_spark.operators.monitor import value_streaks
+
+    hourly = (
+        _events(spark, sf_dir)
+        .groupBy(
+            F.col("event_type").alias("key"),
+            F.date_trunc("hour", "ts").alias("h"),
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+        .withColumn("busy", F.col("c") >= 3)
+    )
+    return value_streaks(hourly, ["key"], "h", 3600, "busy")
+
+
+SQL_BUSY_STREAKS = """
+WITH h AS MATERIALIZED (
+  SELECT event_type AS key, date_trunc('hour', ts) AS b,
+         count(*)::BIGINT AS c
+  FROM events GROUP BY 1, 2
+), t AS (
+  SELECT key, b, epoch_us(b) // 1000000 // 3600 AS idx
+  FROM h WHERE c >= 3
+), r AS (
+  SELECT key, b,
+         idx - row_number() OVER (PARTITION BY key ORDER BY idx) AS run
+  FROM t
+)
+SELECT key, min(b) AS streak_start, max(b) AS streak_end,
+       count(*)::BIGINT AS n_buckets
+FROM r GROUP BY key, run
+"""
+
+
 # ------------------------------------------------------------ entry points
 
 
@@ -9848,6 +9886,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_trailing": q_hll_trailing,
         "langid_kappa": q_langid_kappa,
         "event_pair_rules": q_event_pair_rules,
+        "busy_streaks": q_busy_streaks,
     }
 
 
@@ -10039,4 +10078,5 @@ def oracle_sql() -> dict[str, str]:
         "hll_trailing": SQL_HLL_TRAILING,
         "langid_kappa": SQL_LANGID_KAPPA,
         "event_pair_rules": SQL_EVENT_PAIR_RULES,
+        "busy_streaks": SQL_BUSY_STREAKS,
     }

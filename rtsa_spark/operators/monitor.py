@@ -30,7 +30,7 @@ from pyspark.sql import functions as F
 
 from rtsa_spark.operators.gapfill import bucket_spine
 
-__all__ = ["missing_ranges", "stale_sources", "top_movers", "phase_band_breach"]
+__all__ = ["missing_ranges", "stale_sources", "top_movers", "phase_band_breach", "value_streaks", "streak_summary"]
 
 
 def missing_ranges(
@@ -197,4 +197,83 @@ def phase_band_breach(
         hi.alias(f"p{hi_p}_e2"),
         (100 * F.col("x") < lo).alias("below"),
         (100 * F.col("x") > hi).alias("above"),
+    )
+
+
+def value_streaks(
+    df: DataFrame,
+    key_cols: list[str],
+    bucket_col: str,
+    bucket_seconds: int,
+    cond_col: str,
+) -> DataFrame:
+    """Maximal runs of CONSECUTIVE observed buckets where a condition
+    holds, per key — the gaps-and-islands twin of :func:`missing_ranges`
+    conditioned on a VALUE predicate instead of absence ("longest
+    healthy streak", "how long has this source been over its band").
+
+    Emits one row per streak: ``(keys..., streak_start, streak_end,
+    n_buckets)``.  Consecutive means bucket epochs exactly
+    ``bucket_seconds`` apart (fixed-width tiers; calendar-width monthly
+    spines belong to the position-arithmetic device in
+    :func:`missing_ranges`) — an unobserved bucket BREAKS a streak,
+    and a bucket where the condition is false breaks it too.
+
+    Island identity: among condition-true rows, ``bucket_epoch div
+    bucket_seconds - row_number()`` is constant exactly on maximal
+    consecutive runs.  One window + one combinable groupBy; rows in
+    flight = condition-true buckets only.
+    """
+    if bucket_seconds < 1:
+        raise ValueError(f"bucket_seconds must be >= 1, got {bucket_seconds}")
+    pre = df.select(
+        *key_cols,
+        F.col(bucket_col).alias("_b"),
+        F.expr(
+            f"unix_timestamp({bucket_col}) div {int(bucket_seconds)}"
+        ).alias("_idx"),
+    ).where(F.col(cond_col))
+    w = Window.partitionBy(*key_cols).orderBy("_idx")
+    runs = pre.withColumn(
+        "_run", F.col("_idx") - F.row_number().over(w)
+    )
+    return (
+        runs.groupBy(*key_cols, "_run")
+        .agg(
+            F.min("_b").alias("streak_start"),
+            F.max("_b").alias("streak_end"),
+            F.count(F.lit(1)).cast("bigint").alias("n_buckets"),
+        )
+        .drop("_run")
+    )
+
+
+def streak_summary(
+    df: DataFrame,
+    key_cols: list[str],
+    bucket_col: str,
+    bucket_seconds: int,
+    cond_col: str,
+) -> DataFrame:
+    """Per-key streak scoreboard over :func:`value_streaks` output:
+    ``(keys..., n_streaks, longest, longest_start, total_true)`` where
+    ``longest_start`` pins the FIRST streak attaining the maximum
+    (earliest start — deterministic under ties on any engine).
+    """
+    st = value_streaks(df, key_cols, bucket_col, bucket_seconds, cond_col)
+    w = Window.partitionBy(*key_cols).orderBy(
+        F.desc("n_buckets"), F.asc("streak_start")
+    )
+    ranked = st.withColumn("_rk", F.row_number().over(w))
+    best = ranked.where(F.col("_rk") == 1).select(
+        *key_cols,
+        F.col("n_buckets").alias("longest"),
+        F.col("streak_start").alias("longest_start"),
+    )
+    agg = st.groupBy(*key_cols).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_streaks"),
+        F.sum("n_buckets").cast("bigint").alias("total_true"),
+    )
+    return agg.join(best, [*key_cols]).select(
+        *key_cols, "n_streaks", "longest", "longest_start", "total_true"
     )

@@ -1,0 +1,48 @@
+"""Value streaks (gaps-and-islands on a predicate): hand runs, breaks."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from rtsa_spark.operators.monitor import streak_summary, value_streaks
+
+
+def _df(spark, rows):
+    # rows: (key, hour_index, flag)
+    return spark.createDataFrame(rows, "k string, h long, ok boolean").select(
+        "k", F.timestamp_seconds(F.col("h") * 3600).alias("b"), "ok"
+    )
+
+
+def test_streaks_hand(spark):
+    rows = [
+        ("a", 0, True), ("a", 1, True), ("a", 2, False), ("a", 3, True),
+        # hour 4 unobserved -> breaks the streak even though 5 is true
+        ("a", 5, True), ("a", 6, True),
+        ("b", 0, False),
+    ]
+    out = value_streaks(_df(spark, rows), ["k"], "b", 3600, "ok")
+    got = sorted(
+        (r["k"], int(r["streak_start"].timestamp()) // 3600, r["n_buckets"])
+        for r in out.collect()
+    )
+    assert got == [("a", 0, 2), ("a", 3, 1), ("a", 5, 2)]
+
+
+def test_streak_summary_ties_earliest(spark):
+    rows = [
+        ("a", 0, True), ("a", 1, True),
+        ("a", 5, True), ("a", 6, True),  # second streak same length
+        ("a", 9, True),
+    ]
+    s = streak_summary(_df(spark, rows), ["k"], "b", 3600, "ok").collect()[0]
+    assert s["n_streaks"] == 3 and s["longest"] == 2 and s["total_true"] == 5
+    assert int(s["longest_start"].timestamp()) == 0  # earliest of the tied pair
+
+
+def test_streaks_empty_and_guard(spark):
+    df = _df(spark, [("a", 0, False)])
+    assert value_streaks(df, ["k"], "b", 3600, "ok").count() == 0
+    with pytest.raises(ValueError):
+        value_streaks(df, ["k"], "b", 0, "ok")
