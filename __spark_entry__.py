@@ -9688,6 +9688,49 @@ FROM sp LEFT JOIN c ON c.source = sp.source AND c.digit = sp.digit
 """
 
 
+def q_edit_near_dup(spark, sf_dir):
+    """Typo-level near-dup pairs by exact Levenshtein over 48-bit
+    pigeonhole candidates (operators/dedup.edit_near_dup): lossless
+    length prefilter, then the engine's exact unit-cost edit distance —
+    precision absolute, recall bounded by the fingerprint index (the
+    LSH-family stance)."""
+    from rtsa_spark.operators.dedup import edit_near_dup
+
+    return edit_near_dup(
+        _documents(spark, sf_dir), max_edit=40, max_hamming=5, bits=48
+    )
+
+
+def _sql_edit_near_dup():
+    bit_terms = " + ".join(
+        f"(CASE WHEN sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) > 0"
+        f" THEN {1 << b}::BIGINT ELSE 0 END)"
+        for b in range(48)
+    )
+    return f"""
+WITH words AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+), hashed AS (
+  SELECT doc_id, ('0x' || substr(md5(word), 1, 12))::BIGINT AS h FROM words
+), sh AS MATERIALIZED (
+  SELECT doc_id, {bit_terms} AS simhash FROM hashed GROUP BY doc_id
+), t AS MATERIALIZED (
+  SELECT doc_id, text, length(text)::BIGINT AS ln FROM documents
+), cand AS MATERIALIZED (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.simhash, b.simhash)) <= 5
+)
+SELECT c.id_a::BIGINT AS id_a, c.id_b::BIGINT AS id_b,
+       ta.ln AS len_a, tb.ln AS len_b,
+       levenshtein(ta.text, tb.text)::BIGINT AS edit_dist
+FROM cand c
+JOIN t ta ON ta.doc_id = c.id_a
+JOIN t tb ON tb.doc_id = c.id_b
+WHERE abs(ta.ln - tb.ln) <= 40 AND levenshtein(ta.text, tb.text) <= 40
+"""
+
+
 # ------------------------------------------------------------ entry points
 
 
@@ -9924,6 +9967,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_pair_rules": q_event_pair_rules,
         "busy_streaks": q_busy_streaks,
         "benford_chars": q_benford_chars,
+        "edit_near_dup": q_edit_near_dup,
     }
 
 
@@ -10117,4 +10161,5 @@ def oracle_sql() -> dict[str, str]:
         "event_pair_rules": SQL_EVENT_PAIR_RULES,
         "busy_streaks": SQL_BUSY_STREAKS,
         "benford_chars": SQL_BENFORD,
+        "edit_near_dup": _sql_edit_near_dup(),
     }
