@@ -978,6 +978,69 @@ def main() -> int:
         and "EvalPython" not in thr_plan,
     )
 
+    # 39. streaks: islands = one window + one combinable agg, no join
+    from rtsa_spark.operators.monitor import value_streaks
+
+    stev = docs.selectExpr(
+        "cast(doc_id % 3 as string) as k",
+        "timestamp_seconds((doc_id % 50) * 3600) as b",
+        "doc_id % 2 = 0 as okc",
+    )
+    st_plan = plan_of(value_streaks(stev, ["k"], "b", 3600, "okc"))
+    ok &= check(
+        "value_streaks: window islands + partial agg, no join/Python",
+        "Window" in st_plan and "partial_count" in st_plan
+        and "Join" not in st_plan and "EvalPython" not in st_plan,
+    )
+
+    # 40. benford: digit agg combines map-side, spine join never cartesian
+    from rtsa_spark.operators.monitor import benford_deviation
+
+    bf_plan = plan_of(
+        benford_deviation(
+            docs.selectExpr("cast(doc_id % 3 as string) as k", "doc_id + 1 as v"),
+            ["k"],
+            "v",
+        )
+    )
+    ok &= check(
+        "benford: map-side digit counts, no cartesian/Python",
+        "partial_count" in bf_plan and "CartesianProduct" not in bf_plan
+        and "EvalPython" not in bf_plan,
+    )
+
+    # 41. pair rules: A-Priori prune = equi-joins only, never cartesian
+    from rtsa_spark.operators.association import pair_rules
+
+    pr_plan = plan_of(
+        pair_rules(
+            docs.selectExpr(
+                "cast(doc_id % 2 as string) as k",
+                "doc_id % 7 as bkt",
+                "cast(doc_id % 5 as string) as it",
+            ),
+            ["k"],
+            ["bkt"],
+            "it",
+            min_count=2,
+        )
+    )
+    ok &= check(
+        "pair_rules: equi-joins only (no cartesian), map-side counts",
+        "CartesianProduct" not in pr_plan and "partial_count" in pr_plan
+        and "EvalPython" not in pr_plan,
+    )
+
+    # 42. edit near-dup: levenshtein verify JVM-side, block equi-joins only
+    from rtsa_spark.operators.dedup import edit_near_dup
+
+    ed_plan = plan_of(edit_near_dup(docs, max_edit=5, bits=16))
+    ok &= check(
+        "edit_near_dup: JVM levenshtein verify, no cartesian/Python",
+        "levenshtein" in ed_plan and "CartesianProduct" not in ed_plan
+        and "EvalPython" not in ed_plan,
+    )
+
     spark.stop()
     print("AUDIT", "PASS" if ok else "FAIL")
     return 0 if ok else 1
