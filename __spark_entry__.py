@@ -9731,6 +9731,47 @@ WHERE abs(ta.ln - tb.ln) <= 40 AND levenshtein(ta.text, tb.text) <= 40
 """
 
 
+def q_epoch_plan(spark, sf_dir):
+    """Deterministic 2-epoch training order with length-derived repeats
+    (operators/sampling.epoch_plan): salted-hash shuffle keys per
+    (epoch, doc, copy), dense per-epoch positions — the resumable
+    dataloader order, bit-identical on any engine."""
+    from rtsa_spark.operators.sampling import epoch_plan
+
+    docs = _documents(spark, sf_dir).select(
+        "doc_id", (1 + F.expr("n_chars div 200")).alias("rep")
+    )
+    return epoch_plan(
+        docs, "doc_id", n_epochs=2, repeat_col="rep", salt="mix-v1",
+        with_position=True,
+    )
+
+
+SQL_EPOCH_PLAN = """
+WITH d AS MATERIALIZED (
+  SELECT doc_id AS id, 1 + n_chars // 200 AS rep
+  FROM documents WHERE 1 + n_chars // 200 > 0
+), e(epoch) AS (VALUES (0::INT), (1)),
+f AS (
+  SELECT e.epoch, d.id,
+         unnest(generate_series(1::BIGINT, d.rep)) AS copy
+  FROM d CROSS JOIN e
+), k AS (
+  SELECT epoch, id, copy,
+    ('0x' || substr(md5('mix-v1' || ':' || CAST(epoch AS VARCHAR) || ':'
+                        || CAST(id AS VARCHAR) || ':'
+                        || CAST(copy AS VARCHAR)), 1, 12))::BIGINT
+      AS order_key
+  FROM f
+)
+SELECT epoch, id, copy, order_key,
+  CAST(row_number() OVER (PARTITION BY epoch
+                          ORDER BY order_key, id, copy) AS BIGINT)
+    AS position
+FROM k
+"""
+
+
 # ------------------------------------------------------------ entry points
 
 
@@ -9968,6 +10009,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "busy_streaks": q_busy_streaks,
         "benford_chars": q_benford_chars,
         "edit_near_dup": q_edit_near_dup,
+        "epoch_plan": q_epoch_plan,
     }
 
 
@@ -10162,4 +10204,5 @@ def oracle_sql() -> dict[str, str]:
         "busy_streaks": SQL_BUSY_STREAKS,
         "benford_chars": SQL_BENFORD,
         "edit_near_dup": _sql_edit_near_dup(),
+        "epoch_plan": SQL_EPOCH_PLAN,
     }

@@ -741,3 +741,78 @@ def apportion_budget(
             "alloc",
         )
     )
+
+
+def epoch_plan(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    n_epochs: int = 1,
+    repeat_col: str | None = None,
+    salt: str = "epoch",
+    with_position: bool = False,
+) -> DataFrame:
+    """Materialize a DETERMINISTIC multi-epoch training order: each
+    document appears ``repeats`` times per epoch (``repeat_col``, the
+    integer column a temperature/mixing policy produced — default 1)
+    at a shuffle position derived from the salted hash of (salt, epoch,
+    id, copy).  Same inputs, same order, any engine, any rerun — the
+    property a resumable 10^12-sequence dataloader needs so "epoch 3,
+    position 1.7e9" names the same document everywhere.
+
+    Emits ``(epoch, id, copy, order_key)`` — consumers write shards
+    sorted by ``(epoch, order_key)`` (the cluster-on-write machinery in
+    ``storage``); with ``with_position=True`` a per-epoch dense
+    ``position`` is assigned (row_number — a full per-epoch sort
+    window, the honest cost of a materialized position; leave it off
+    and sort on write at scale).  Ties (a 48-bit hash collision) are
+    pinned by (order_key, id, copy).
+
+    Scale shape: one literal epoch fan-out x one bounded copy fan-out
+    (both in-row ``explode(sequence(...))``), one projection for the
+    hash — shuffle-free unless ``with_position`` asks for the sort.
+    """
+    if n_epochs < 1:
+        raise ValueError(f"n_epochs must be >= 1, got {n_epochs}")
+    rep = (
+        F.col(repeat_col).cast("bigint")
+        if repeat_col is not None
+        else F.lit(1).cast("bigint")
+    )
+    base = df.select(
+        F.col(id_col).alias("id"), rep.alias("_rep")
+    ).where(F.col("_rep") > 0)
+    fan = base.select(
+        "id",
+        "_rep",
+        F.explode(
+            F.sequence(F.lit(0), F.lit(int(n_epochs) - 1))
+        ).alias("epoch"),
+    ).select(
+        "epoch",
+        "id",
+        F.explode(F.expr("sequence(cast(1 as bigint), _rep)")).alias("copy"),
+    )
+    key = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    ":",
+                    F.lit(salt),
+                    F.col("epoch").cast("string"),
+                    F.col("id").cast("string"),
+                    F.col("copy").cast("string"),
+                )
+            ),
+            1,
+            12,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    out = fan.select("epoch", "id", "copy", key.alias("order_key"))
+    if not with_position:
+        return out
+    w = Window.partitionBy("epoch").orderBy("order_key", "id", "copy")
+    return out.withColumn(
+        "position", F.row_number().over(w).cast("bigint")
+    )
