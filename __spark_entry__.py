@@ -9652,42 +9652,6 @@ FROM r GROUP BY key, run
 """
 
 
-def q_benford_chars(spark, sf_dir):
-    """First-digit Benford deviation of document lengths per source
-    (operators/monitor.benford_deviation): portable string-arithmetic
-    first digit, full 9-digit spine with exact-int frequencies against
-    the pinned e6 Benford table."""
-    from rtsa_spark.operators.monitor import benford_deviation
-
-    return benford_deviation(_documents(spark, sf_dir), ["source"], "n_chars")
-
-
-SQL_BENFORD = """
-WITH p AS MATERIALIZED (
-  SELECT source, n_chars AS v FROM documents WHERE n_chars > 0
-), d AS (
-  SELECT source, CAST(substr(CAST(v AS VARCHAR), 1, 1) AS INT) AS digit
-  FROM p
-), c AS (
-  SELECT source, digit, count(*)::BIGINT AS cnt FROM d GROUP BY 1, 2
-), t AS (
-  SELECT source, CAST(sum(cnt) AS BIGINT) AS n FROM c GROUP BY 1
-), ben(digit, benford_e6) AS (
-  VALUES (1, 301030::BIGINT), (2, 176091), (3, 124939), (4, 96910),
-         (5, 79181), (6, 66947), (7, 57992), (8, 51153), (9, 45757)
-), sp AS (
-  SELECT t.source, t.n, ben.digit::INT AS digit, ben.benford_e6
-  FROM t CROSS JOIN ben
-)
-SELECT sp.source, sp.digit, coalesce(c.cnt, 0)::BIGINT AS cnt, sp.n,
-  CAST((1000000 * coalesce(c.cnt, 0)) // sp.n AS BIGINT) AS freq_e6,
-  sp.benford_e6,
-  CAST(abs((1000000 * coalesce(c.cnt, 0)) // sp.n - sp.benford_e6)
-       AS BIGINT) AS dev_e6
-FROM sp LEFT JOIN c ON c.source = sp.source AND c.digit = sp.digit
-"""
-
-
 def q_edit_near_dup(spark, sf_dir):
     """Typo-level near-dup pairs by exact Levenshtein over 48-bit
     pigeonhole candidates (operators/dedup.edit_near_dup): lossless
@@ -10007,7 +9971,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "langid_kappa": q_langid_kappa,
         "event_pair_rules": q_event_pair_rules,
         "busy_streaks": q_busy_streaks,
-        "benford_chars": q_benford_chars,
         "edit_near_dup": q_edit_near_dup,
         "epoch_plan": q_epoch_plan,
     }
@@ -10202,7 +10165,6 @@ def oracle_sql() -> dict[str, str]:
         "langid_kappa": SQL_LANGID_KAPPA,
         "event_pair_rules": SQL_EVENT_PAIR_RULES,
         "busy_streaks": SQL_BUSY_STREAKS,
-        "benford_chars": SQL_BENFORD,
         "edit_near_dup": _sql_edit_near_dup(),
         "epoch_plan": SQL_EPOCH_PLAN,
     }

@@ -30,7 +30,7 @@ from pyspark.sql import functions as F
 
 from rtsa_spark.operators.gapfill import bucket_spine
 
-__all__ = ["missing_ranges", "stale_sources", "top_movers", "phase_band_breach", "value_streaks", "streak_summary", "benford_deviation", "BENFORD_E6"]
+__all__ = ["missing_ranges", "stale_sources", "top_movers", "phase_band_breach", "value_streaks", "streak_summary"]
 
 
 def missing_ranges(
@@ -276,75 +276,4 @@ def streak_summary(
     )
     return agg.join(best, [*key_cols]).select(
         *key_cols, "n_streaks", "longest", "longest_start", "total_true"
-    )
-
-
-#: Benford first-digit probabilities log10(1 + 1/d) at e6 scale — the
-#: standard roundings, which sum to exactly 1e6 (pytest-pinned).
-BENFORD_E6 = (301030, 176091, 124939, 96910, 79181, 66947, 57992, 51153, 45757)
-
-
-def benford_deviation(
-    df: DataFrame,
-    key_cols: list[str],
-    value_col: str,
-) -> DataFrame:
-    """First-significant-digit distribution vs Benford's law per key
-    (Benford 1938; Nigrini 1996 popularized the audit use): the
-    fabricated-data / broken-instrument smell test for any scale-
-    spanning positive measure (token counts, durations, byte sizes).
-
-    Emits EXACTLY 9 rows per key that has at least one positive value:
-    ``(keys..., digit, cnt, n, freq_e6, benford_e6, dev_e6)`` with
-    ``freq_e6 = (1e6 * cnt) div n`` and ``dev_e6 = |freq_e6 -
-    benford_e6|``; zero-count digits appear with cnt = 0.  The per-key
-    total variation distance is ``sum(dev_e6) div 2`` — left to the
-    caller so the digit table stays the primitive.  Non-positive values
-    are EXCLUDED from ``n`` (Benford is defined on positive magnitudes);
-    a key with none emits nothing.
-
-    First digit is string arithmetic on the BIGINT cast — portable and
-    exact, never float log10.  Scale shape: one groupBy on (keys,
-    digit) — at most 9 groups per key — then a 9-literal spine join
-    per key (broadcast-sized).
-    """
-    pre = df.select(
-        *key_cols, F.col(value_col).cast("bigint").alias("_v")
-    ).where(F.col("_v") > 0)
-    dig = pre.select(
-        *key_cols,
-        F.substring(F.col("_v").cast("string"), 1, 1).cast("int").alias(
-            "digit"
-        ),
-    )
-    counts = dig.groupBy(*key_cols, "digit").agg(
-        F.count(F.lit(1)).cast("bigint").alias("cnt")
-    )
-    totals = counts.groupBy(*key_cols).agg(
-        F.sum("cnt").cast("bigint").alias("n")
-    )
-    spine = totals.select(
-        *key_cols,
-        "n",
-        F.explode(
-            F.array(*[F.lit(d) for d in range(1, 10)])
-        ).alias("digit"),
-    )
-    ben = F.element_at(
-        F.array(*[F.lit(b).cast("bigint") for b in BENFORD_E6]),
-        F.col("digit"),
-    )
-    joined = spine.join(counts, [*key_cols, "digit"], "left").fillna(
-        0, subset=["cnt"]
-    )
-    return joined.select(
-        *key_cols,
-        "digit",
-        F.col("cnt").cast("bigint").alias("cnt"),
-        "n",
-        F.expr("(1000000 * cnt) div n").cast("bigint").alias("freq_e6"),
-        ben.alias("benford_e6"),
-        F.abs(F.expr("(1000000 * cnt) div n") - ben)
-        .cast("bigint")
-        .alias("dev_e6"),
     )

@@ -993,22 +993,6 @@ def main() -> int:
         and "Join" not in st_plan and "EvalPython" not in st_plan,
     )
 
-    # 40. benford: digit agg combines map-side, spine join never cartesian
-    from rtsa_spark.operators.monitor import benford_deviation
-
-    bf_plan = plan_of(
-        benford_deviation(
-            docs.selectExpr("cast(doc_id % 3 as string) as k", "doc_id + 1 as v"),
-            ["k"],
-            "v",
-        )
-    )
-    ok &= check(
-        "benford: map-side digit counts, no cartesian/Python",
-        "partial_count" in bf_plan and "CartesianProduct" not in bf_plan
-        and "EvalPython" not in bf_plan,
-    )
-
     # 41. pair rules: A-Priori prune = equi-joins only, never cartesian
     from rtsa_spark.operators.association import pair_rules
 
