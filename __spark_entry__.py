@@ -9736,6 +9736,33 @@ FROM k
 """
 
 
+def q_column_profile(spark, sf_dir):
+    """ANALYZE-style batch profile of the documents table
+    (operators/profile.column_profile): per column — exact null rate,
+    exact distinct count, native-type min/max rendered portably; one
+    aggregation pass + in-row stack unpivot."""
+    from rtsa_spark.operators.profile import column_profile
+
+    return column_profile(
+        _documents(spark, sf_dir),
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+
+
+def _sql_column_profile() -> str:
+    parts = []
+    for c in ("doc_id", "text", "lang", "source", "n_chars"):
+        parts.append(f"""
+SELECT '{c}' AS "column", count(*)::BIGINT AS n,
+  (count(*) - count({c}))::BIGINT AS n_null,
+  count(DISTINCT {c})::BIGINT AS n_distinct,
+  CAST((1000000 * (count(*) - count({c}))) // count(*) AS BIGINT) AS null_e6,
+  CAST(min({c}) AS VARCHAR) AS min_str,
+  CAST(max({c}) AS VARCHAR) AS max_str
+FROM documents""")
+    return "\nUNION ALL\n".join(parts)
+
+
 # ------------------------------------------------------------ entry points
 
 
@@ -9973,6 +10000,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "busy_streaks": q_busy_streaks,
         "edit_near_dup": q_edit_near_dup,
         "epoch_plan": q_epoch_plan,
+        "column_profile": q_column_profile,
     }
 
 
@@ -10167,4 +10195,5 @@ def oracle_sql() -> dict[str, str]:
         "busy_streaks": SQL_BUSY_STREAKS,
         "edit_near_dup": _sql_edit_near_dup(),
         "epoch_plan": SQL_EPOCH_PLAN,
+        "column_profile": _sql_column_profile(),
     }
