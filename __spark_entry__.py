@@ -9763,6 +9763,89 @@ FROM documents""")
     return "\nUNION ALL\n".join(parts)
 
 
+def q_hll_stickiness(spark, sf_dir):
+    """WAU/MAU stickiness per event type, daily — a pure composition of
+    the trailing-HLL surface (sketch.hll_bucket_sketch +
+    hll_trailing_distinct at windows 7 and 28): stickiness_e6 =
+    (1e6 * wau) div mau from the two sliding estimates, the DAU-free
+    engagement read every ops dashboard plots."""
+    from rtsa_spark.operators.sketch import (
+        hll_bucket_sketch,
+        hll_trailing_distinct,
+    )
+
+    ev = _events(spark, sf_dir).select(
+        "event_type", F.date_trunc("day", "ts").alias("d"), "user_id"
+    )
+    daily = hll_bucket_sketch(ev, ["event_type"], "d", "user_id", p=10)
+    w7 = hll_trailing_distinct(daily, ["event_type"], 7, 86400, p=10).select(
+        F.col("event_type").alias("key"),
+        "bucket",
+        F.col("est_distinct").alias("wau"),
+    )
+    w28 = hll_trailing_distinct(daily, ["event_type"], 28, 86400, p=10).select(
+        F.col("event_type").alias("key"),
+        "bucket",
+        F.col("est_distinct").alias("mau"),
+    )
+    j = w7.join(w28, ["key", "bucket"])
+    return j.select(
+        "key",
+        "bucket",
+        "wau",
+        "mau",
+        F.expr("(1000000 * wau) div greatest(mau, 1)")
+        .cast("bigint")
+        .alias("stickiness_e6"),
+    )
+
+
+SQL_HLL_STICKINESS = f"""
+WITH dh AS MATERIALIZED (
+  SELECT DISTINCT event_type AS key, date_trunc('day', ts) AS bucket,
+         ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 12))::BIGINT AS h
+  FROM events
+), dr AS MATERIALIZED (
+  SELECT key, bucket, h // 274877906944 AS idx,
+         CASE WHEN (h & 274877906943) > 0
+              THEN 38 - (length(bin(h & 274877906943)) - 1)
+              ELSE 39 END AS rho
+  FROM dh
+), days AS (SELECT DISTINCT key, bucket FROM dr),
+t7 AS (
+  SELECT d.key, d.bucket, r.idx, max(r.rho) AS rho
+  FROM days d JOIN dr r
+    ON r.key = d.key
+   AND r.bucket <= d.bucket AND r.bucket >= d.bucket - INTERVAL 6 DAY
+  GROUP BY 1, 2, 3
+), t28 AS (
+  SELECT d.key, d.bucket, r.idx, max(r.rho) AS rho
+  FROM days d JOIN dr r
+    ON r.key = d.key
+   AND r.bucket <= d.bucket AND r.bucket >= d.bucket - INTERVAL 27 DAY
+  GROUP BY 1, 2, 3
+), z7 AS (
+  SELECT key, bucket,
+         CAST(floor({_HLL_C_P10} /
+           (CAST(sum(1::BIGINT << (39 - rho))
+                 + (1024 - count(*)) * (1::BIGINT << 39) AS BIGINT))::DOUBLE)
+           AS BIGINT) AS wau
+  FROM t7 GROUP BY 1, 2
+), z28 AS (
+  SELECT key, bucket,
+         CAST(floor({_HLL_C_P10} /
+           (CAST(sum(1::BIGINT << (39 - rho))
+                 + (1024 - count(*)) * (1::BIGINT << 39) AS BIGINT))::DOUBLE)
+           AS BIGINT) AS mau
+  FROM t28 GROUP BY 1, 2
+)
+SELECT z7.key, z7.bucket, z7.wau, z28.mau,
+  CAST((1000000 * z7.wau) // greatest(z28.mau, 1) AS BIGINT)
+    AS stickiness_e6
+FROM z7 JOIN z28 ON z28.key = z7.key AND z28.bucket = z7.bucket
+"""
+
+
 # ------------------------------------------------------------ entry points
 
 
@@ -10001,6 +10084,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "edit_near_dup": q_edit_near_dup,
         "epoch_plan": q_epoch_plan,
         "column_profile": q_column_profile,
+        "hll_stickiness": q_hll_stickiness,
     }
 
 
@@ -10196,4 +10280,5 @@ def oracle_sql() -> dict[str, str]:
         "edit_near_dup": _sql_edit_near_dup(),
         "epoch_plan": SQL_EPOCH_PLAN,
         "column_profile": _sql_column_profile(),
+        "hll_stickiness": SQL_HLL_STICKINESS,
     }
