@@ -9552,13 +9552,15 @@ WITH j AS MATERIALIZED (
   FROM rm JOIN cm ON cm.source = rm.source AND cm.cat = rm.cat
   GROUP BY 1
 )
-SELECT t.source, t.n, t.n_agree, p.pe_num,
-  CASE WHEN t.n * t.n - p.pe_num > 0 THEN
-    CAST((CASE WHEN t.n * t.n_agree >= p.pe_num THEN 1 ELSE -1 END)
-         * ((1000000 * abs(t.n * t.n_agree - p.pe_num))
-            // greatest(t.n * t.n - p.pe_num, 1)) AS BIGINT)
+SELECT t.source, t.n, t.n_agree,
+  coalesce(p.pe_num, 0)::BIGINT AS pe_num,
+  CASE WHEN t.n * t.n - coalesce(p.pe_num, 0) > 0 THEN
+    CAST((CASE WHEN t.n * t.n_agree >= coalesce(p.pe_num, 0)
+               THEN 1 ELSE -1 END)
+         * ((1000000 * abs(t.n * t.n_agree - coalesce(p.pe_num, 0)))
+            // greatest(t.n * t.n - coalesce(p.pe_num, 0), 1)) AS BIGINT)
   END AS kappa_e6
-FROM tot t JOIN pe p ON p.source = t.source
+FROM tot t LEFT JOIN pe p ON p.source = t.source
 """
 
 

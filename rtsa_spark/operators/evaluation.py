@@ -54,7 +54,9 @@ def binary_auc(
     twice the Mann-Whitney U statistic (doubled to keep midranks
     integral) and ``auc_e6 = (1e6 * u2) div (2 * n_pos * n_neg)`` —
     NULL when a key lacks both classes (AUC undefined).  0.5e6 = random,
-    1e6 = perfect separation with higher scores positive.
+    1e6 = perfect separation with higher scores positive.  NULL-labeled
+    rows are EXCLUDED before any counting (unlabeled rows are not
+    evidence for either class).
 
     The rank sum runs over per-(key, score) tie GROUPS: each group at
     ascending-score position spans ranks ``[cum - n_g + 1, cum]``, and
@@ -68,6 +70,10 @@ def binary_auc(
             F.col(score_col).cast("bigint").alias("_s"),
             lab.cast("int").alias("_y"),
         )
+        # NULL labels are EXCLUDED (they would otherwise land in n and
+        # the midrank cumulative but not n_pos — silently skewing every
+        # tie group toward "negative"); unlabeled rows are not evidence
+        .where(F.col("_y").isNotNull())
         .groupBy(*key_cols, "_s")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("_n_g"),
@@ -307,7 +313,11 @@ def cohens_kappa(
         .groupBy(*key_cols)
         .agg(F.sum(F.col("_rc") * F.col("_cc")).cast("bigint").alias("pe_num"))
     )
-    out = totals.join(pe, [*key_cols])
+    # LEFT join + coalesce: raters with DISJOINT category sets produce
+    # no matching (row, col) margin pair — pe_num is then exactly 0 and
+    # kappa = n*0-0 / n^2-0 = 0, the honest "agreement never happens"
+    # answer, not a dropped key
+    out = totals.join(pe, [*key_cols], "left").fillna(0, subset=["pe_num"])
     # sign-magnitude toward-zero e6 quotient (den > 0 by Cauchy-Schwarz
     # unless both raters are constant; greatest() keeps the dead branch
     # ANSI-safe)

@@ -226,13 +226,19 @@ def value_streaks(
     """
     if bucket_seconds < 1:
         raise ValueError(f"bucket_seconds must be >= 1, got {bucket_seconds}")
-    pre = df.select(
-        *key_cols,
-        F.col(bucket_col).alias("_b"),
-        F.expr(
-            f"unix_timestamp({bucket_col}) div {int(bucket_seconds)}"
-        ).alias("_idx"),
-    ).where(F.col(cond_col))
+    pre = (
+        df.select(
+            *key_cols,
+            F.col(bucket_col).alias("_b"),
+            F.expr(
+                f"unix_timestamp({bucket_col}) div {int(bucket_seconds)}"
+            ).alias("_idx"),
+        )
+        .where(F.col(cond_col))
+        # one row per (key, bucket): a duplicate input row would bump
+        # row_number without bumping _idx and split/double-count runs
+        .distinct()
+    )
     w = Window.partitionBy(*key_cols).orderBy("_idx")
     runs = pre.withColumn(
         "_run", F.col("_idx") - F.row_number().over(w)
@@ -261,19 +267,18 @@ def streak_summary(
     (earliest start — deterministic under ties on any engine).
     """
     st = value_streaks(df, key_cols, bucket_col, bucket_seconds, cond_col)
-    w = Window.partitionBy(*key_cols).orderBy(
-        F.desc("n_buckets"), F.asc("streak_start")
-    )
-    ranked = st.withColumn("_rk", F.row_number().over(w))
-    best = ranked.where(F.col("_rk") == 1).select(
-        *key_cols,
-        F.col("n_buckets").alias("longest"),
-        F.col("streak_start").alias("longest_start"),
-    )
-    agg = st.groupBy(*key_cols).agg(
+    # single pass over the (tiny) streak table: a window max marks the
+    # longest length, then ONE groupBy pins the earliest start attaining
+    # it — no second evaluation of the upstream island lineage
+    mx = F.max("n_buckets").over(Window.partitionBy(*key_cols))
+    marked = st.withColumn("_mx", mx)
+    return marked.groupBy(*key_cols).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_streaks"),
+        F.max("n_buckets").cast("bigint").alias("longest"),
+        F.min(
+            F.when(F.col("n_buckets") == F.col("_mx"), F.col("streak_start"))
+        ).alias("longest_start"),
         F.sum("n_buckets").cast("bigint").alias("total_true"),
-    )
-    return agg.join(best, [*key_cols]).select(
+    ).select(
         *key_cols, "n_streaks", "longest", "longest_start", "total_true"
     )

@@ -1269,13 +1269,16 @@ def hll_bucket_sketch(
     """
     if not (4 <= p <= 16):
         raise ValueError(f"p must be in [4, 16], got {p}")
-    dist = df.select(
+    # no distinct pre-pass: duplicate items hash to the same (idx, rho)
+    # and the map-side-combined max(rho) absorbs them — a distinct here
+    # would add an item-cardinality-sized shuffle for nothing
+    hashed = df.select(
         *key_cols,
         F.col(bucket_col).alias("bucket"),
         _h48(F.col(item_col)).alias("_h"),
-    ).distinct()
+    )
     idx, rho = _hll_rho_cols(F.col("_h"), p)
-    pre = dist.select(
+    pre = hashed.select(
         *key_cols, "bucket", idx.alias("idx"), rho.alias("rho")
     ).groupBy(*key_cols, "bucket", "idx").agg(F.max("rho").alias("rho"))
     return _hll_finish(_hll_dense(pre, key_cols, p), p)
@@ -1299,8 +1302,23 @@ def hll_merge_buckets(
     """
     if not (4 <= p <= 16):
         raise ValueError(f"p must be in [4, 16], got {p}")
+    m = 1 << p
+    # a p that mismatches the input sketches' register width would
+    # silently truncate registers — fail loudly instead
+    guarded = sketches.withColumn(
+        "regs",
+        F.when(F.size("regs") == m, F.col("regs")).otherwise(
+            F.raise_error(
+                F.format_string(
+                    f"hll_merge_buckets: p={p} expects {m} registers,"
+                    " got %s",
+                    F.size("regs").cast("string"),
+                )
+            )
+        ),
+    )
     ex = (
-        sketches.select(
+        guarded.select(
             *key_cols,
             coarse_bucket.alias("bucket"),
             F.posexplode("regs").alias("idx", "rho"),
@@ -1323,6 +1341,8 @@ def hll_corrected(sketches: DataFrame, p: int = 10) -> DataFrame:
     (pytest bounds it against exact distinct counts instead — same
     stance as the STL outer-robustness split).
     """
+    if not (4 <= p <= 16):
+        raise ValueError(f"p must be in [4, 16], got {p}")
     m = 1 << p
     lc = F.floor(
         F.lit(float(m)) * F.log(F.lit(float(m)) / F.col("n_zero"))
@@ -1373,7 +1393,18 @@ def hll_trailing_distinct(
         *key_cols,
         "bucket",
         F.unix_timestamp("bucket").alias("_t"),
-        "regs",
+        # p/width mismatch would silently misfold — fail loudly
+        F.when(F.size("regs") == m, F.col("regs"))
+        .otherwise(
+            F.raise_error(
+                F.format_string(
+                    f"hll_trailing_distinct: p={p} expects {m} registers,"
+                    " got %s",
+                    F.size("regs").cast("string"),
+                )
+            )
+        )
+        .alias("regs"),
     )
     w = (
         Window.partitionBy(*key_cols)

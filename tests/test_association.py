@@ -79,3 +79,13 @@ def test_kappa_hand_and_degenerate(spark):
     assert cohens_kappa(const, ["k"], "r1", "r2").collect()[0]["kappa_e6"] is None
     with pytest.raises(ValueError):
         cohens_kappa(df, [], "r1", "r2")
+
+
+def test_kappa_disjoint_categories_zero(spark):
+    # raters that never use a common label: kappa is 0, not a dropped key
+    df = spark.createDataFrame(
+        [("k", "x", "y")] * 4, "k string, r1 string, r2 string"
+    )
+    r = cohens_kappa(df, ["k"], "r1", "r2").collect()
+    assert len(r) == 1
+    assert r[0]["pe_num"] == 0 and r[0]["kappa_e6"] == 0

@@ -111,3 +111,11 @@ def test_calibration_out_of_range_raises(spark):
     bad = _df(spark, [(150, True)])
     with pytest.raises((PySparkRuntimeError, Py4JJavaError, Exception)):
         calibration_bins(bad, ["k"], "s", "y", n_bins=4, score_scale=100).collect()
+
+
+def test_auc_null_labels_excluded(spark):
+    labeled = [(10, True), (20, True), (1, False), (2, False)]
+    with_nulls = labeled + [(15, None), (3, None)]
+    a = binary_auc(_df(spark, labeled), ["k"], "s", "y").collect()[0]
+    b = binary_auc(_df(spark, with_nulls), ["k"], "s", "y").collect()[0]
+    assert b["n"] == 4 and b["auc_e6"] == a["auc_e6"] == 1_000_000

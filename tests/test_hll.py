@@ -88,3 +88,16 @@ def test_hll_guards_and_degenerate(spark):
     one = _days(spark, [("a", 1, 1)])
     r = hll_bucket_sketch(one, ["k"], "ts", "u", p=4).collect()[0]
     assert r["n_zero"] == 15 and sum(1 for x in r["regs"] if x > 0) == 1
+
+
+def test_hll_p_mismatch_raises(spark):
+    from py4j.protocol import Py4JJavaError
+
+    df = _days(spark, [("a", 1, 50)])
+    daily = hll_bucket_sketch(df, ["k"], "ts", "u", p=8)
+    with pytest.raises(Exception):  # raise_error surfaces as Spark exception
+        hll_merge_buckets(
+            daily, ["k"], F.date_trunc("month", F.col("bucket")), p=6
+        ).collect()
+    with pytest.raises(ValueError):
+        hll_corrected(daily, p=3)

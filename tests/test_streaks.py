@@ -46,3 +46,12 @@ def test_streaks_empty_and_guard(spark):
     assert value_streaks(df, ["k"], "b", 3600, "ok").count() == 0
     with pytest.raises(ValueError):
         value_streaks(df, ["k"], "b", 0, "ok")
+
+
+def test_streaks_duplicate_rows_collapse(spark):
+    # a duplicated (key, bucket) row must not split or double-count runs
+    rows = [("a", 0, True), ("a", 0, True), ("a", 1, True)]
+    out = value_streaks(_df(spark, rows), ["k"], "b", 3600, "ok").collect()
+    assert len(out) == 1 and out[0]["n_buckets"] == 2
+    s = streak_summary(_df(spark, rows), ["k"], "b", 3600, "ok").collect()[0]
+    assert s["n_streaks"] == 1 and s["total_true"] == 2
