@@ -9848,6 +9848,64 @@ FROM z7 JOIN z28 ON z28.key = z7.key AND z28.bucket = z7.bucket
 """
 
 
+def q_token_audit(spark, sf_dir):
+    """North-rule survivorship audit (operators/audit.token_audit):
+    byte-for-byte token-array equality of surviving rows vs the source
+    table, with DETERMINISTIC injected corruption (every 97th doc gets
+    an appended token, every 101st a phantom id) so the mismatch and
+    missing counters are exercised with exact expected counts."""
+    from rtsa_spark.operators.audit import token_audit
+
+    docs = _documents(spark, sf_dir)
+    toks = F.transform(
+        F.split("text", " "),
+        lambda w: F.conv(F.substring(F.md5(w), 1, 12), 16, 10).cast("bigint"),
+    )
+    src = docs.select("doc_id", toks.alias("tokens"))
+    surv = docs.select("source", "doc_id", toks.alias("tokens")).withColumn(
+        "tokens",
+        F.when(
+            F.expr("doc_id % 97 = 0"),
+            F.concat("tokens", F.array(F.lit(-1).cast("bigint"))),
+        ).otherwise(F.col("tokens")),
+    )
+    phantom = docs.where("doc_id % 101 = 0").select(
+        "source",
+        (F.col("doc_id") + 10_000_000).alias("doc_id"),
+        toks.alias("tokens"),
+    )
+    return token_audit(surv.unionByName(phantom), src, ["source"])
+
+
+SQL_TOKEN_AUDIT = """
+WITH tk AS MATERIALIZED (
+  SELECT doc_id, source,
+         list_transform(string_split(text, ' '),
+                        w -> ('0x' || substr(md5(w), 1, 12))::BIGINT)
+           AS tokens
+  FROM documents
+), surv AS (
+  SELECT source, doc_id,
+         CASE WHEN doc_id % 97 = 0 THEN list_append(tokens, -1)
+              ELSE tokens END AS tokens
+  FROM tk
+  UNION ALL
+  SELECT source, doc_id + 10000000, tokens FROM tk WHERE doc_id % 101 = 0
+), j AS (
+  SELECT s.source, s.tokens AS ts, t.tokens AS tr,
+         t.doc_id IS NOT NULL AS present
+  FROM surv s LEFT JOIN tk t ON t.doc_id = s.doc_id
+)
+SELECT source, count(*)::BIGINT AS n_rows,
+  sum(CASE WHEN present AND ts IS NOT DISTINCT FROM tr
+           THEN 1 ELSE 0 END)::BIGINT AS n_matched,
+  sum(CASE WHEN present AND ts IS DISTINCT FROM tr
+           THEN 1 ELSE 0 END)::BIGINT AS n_mismatched,
+  sum(CASE WHEN NOT present THEN 1 ELSE 0 END)::BIGINT AS n_missing
+FROM j GROUP BY 1
+"""
+
+
 # ------------------------------------------------------------ entry points
 
 
@@ -10087,6 +10145,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "epoch_plan": q_epoch_plan,
         "column_profile": q_column_profile,
         "hll_stickiness": q_hll_stickiness,
+        "token_audit": q_token_audit,
     }
 
 
@@ -10283,4 +10342,5 @@ def oracle_sql() -> dict[str, str]:
         "epoch_plan": SQL_EPOCH_PLAN,
         "column_profile": _sql_column_profile(),
         "hll_stickiness": SQL_HLL_STICKINESS,
+        "token_audit": SQL_TOKEN_AUDIT,
     }
