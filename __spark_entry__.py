@@ -9906,6 +9906,80 @@ FROM j GROUP BY 1
 """
 
 
+def q_trend_break(spark, sf_dir):
+    """Segmented trend at the Pettitt change point — a composition of
+    operators/changepoint.pettitt and operators/trend.ols_trend: the
+    per-key break bucket splits the hourly series into pre/post
+    segments (broadcast join), then exact-sum OLS runs per segment —
+    "what was the slope before and after the shift"."""
+    from rtsa_spark.operators.changepoint import pettitt
+    from rtsa_spark.operators.trend import ols_trend
+
+    tier = _hourly_x(spark, sf_dir).select(
+        "event_type", F.unix_timestamp("bucket_start").alias("t"), "x"
+    )
+    cp = pettitt(tier, "event_type", "t", "x").select("event_type", "cp_t")
+    seg = tier.join(F.broadcast(cp), "event_type").select(
+        F.concat_ws(
+            "|",
+            "event_type",
+            F.when(F.col("t") <= F.col("cp_t"), "pre").otherwise("post"),
+        ).alias("k2"),
+        "t",
+        "x",
+    )
+    return ols_trend(seg, "k2", "t", "x").withColumnRenamed("k2", "key")
+
+
+SQL_TREND_BREAK = f"""
+WITH {_SQL_HOURLY_X},
+t AS (SELECT k, CAST(epoch(b) AS BIGINT) AS t, x FROM h),
+rk AS (
+  SELECT k, t,
+    count(*) OVER (PARTITION BY k) AS n,
+    rank() OVER (PARTITION BY k ORDER BY x) - 1 AS less,
+    count(*) OVER (PARTITION BY k, x) AS cnt
+  FROM t),
+u AS (
+  SELECT k, t, n,
+    row_number() OVER (PARTITION BY k ORDER BY t) AS rn,
+    sum(2 * less + cnt - n) OVER (PARTITION BY k ORDER BY t
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS uu
+  FROM rk),
+cuts AS (SELECT * FROM u WHERE rn < n),
+mx AS (SELECT k, max(abs(uu)) AS k_stat FROM cuts GROUP BY 1),
+cp AS (
+  SELECT cuts.k, CAST(min(cuts.t) AS BIGINT) AS cp_t
+  FROM cuts JOIN mx ON cuts.k = mx.k AND abs(cuts.uu) = mx.k_stat
+  GROUP BY cuts.k
+),
+seg AS (
+  SELECT t.k || '|' ||
+         CASE WHEN t.t <= cp.cp_t THEN 'pre' ELSE 'post' END AS k2,
+         t.t, t.x
+  FROM t JOIN cp ON cp.k = t.k
+),
+ix AS (SELECT k2, row_number() OVER (PARTITION BY k2 ORDER BY t) - 1 AS i,
+              x AS y FROM seg),
+s AS (SELECT k2, count(*) AS n, sum(i) AS sx, sum(y) AS sy,
+             sum(i * i) AS sxx, sum(i * y) AS sxy, sum(y * y) AS syy
+      FROM ix GROUP BY 1)
+SELECT k2 AS key, n, CAST(sy AS BIGINT) AS sy,
+  CASE WHEN n >= 2 AND (n * sxx - sx * sx) > 0 THEN
+    CAST(floor(((n * sxy - sx * sy) / (n * sxx - sx * sx)) * 1e9) AS BIGINT)
+  END AS slope_e9,
+  CASE WHEN n >= 2 AND (n * sxx - sx * sx) > 0 THEN
+    CAST(floor(((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n)
+               * 1e6) AS BIGINT)
+  END AS intercept_e6,
+  CASE WHEN n >= 2 AND (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0 THEN
+    CAST(floor((((n * sxy - sx * sy) / (n * sxx - sx * sx))
+                * ((n * sxy - sx * sy) / (n * syy - sy * sy))) * 1e6) AS BIGINT)
+  END AS r2_e6
+FROM s
+"""
+
+
 # ------------------------------------------------------------ entry points
 
 
@@ -10146,6 +10220,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "column_profile": q_column_profile,
         "hll_stickiness": q_hll_stickiness,
         "token_audit": q_token_audit,
+        "trend_break": q_trend_break,
     }
 
 
@@ -10343,4 +10418,5 @@ def oracle_sql() -> dict[str, str]:
         "column_profile": _sql_column_profile(),
         "hll_stickiness": SQL_HLL_STICKINESS,
         "token_audit": SQL_TOKEN_AUDIT,
+        "trend_break": SQL_TREND_BREAK,
     }
