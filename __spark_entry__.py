@@ -9980,6 +9980,42 @@ FROM s
 """
 
 
+def q_weighted_median_len(spark, sf_dir):
+    """Token-weighted median document length per source
+    (operators/sessionize.weighted_median): exact lower weighted median
+    by cumulative-weight window over DISTINCT values — the robust
+    center where tiny docs cannot outvote the token mass."""
+    from rtsa_spark.operators.sessionize import weighted_median
+
+    docs = _documents(spark, sf_dir).select(
+        "source", "n_chars", F.size(F.split("text", " ")).alias("w")
+    )
+    return weighted_median(docs, ["source"], "n_chars", "w")
+
+
+SQL_WEIGHTED_MEDIAN = """
+WITH p AS MATERIALIZED (
+  SELECT source, n_chars AS v,
+         len(string_split(text, ' '))::BIGINT AS w
+  FROM documents
+), g AS (
+  SELECT source, v, CAST(sum(w) AS BIGINT) AS wg, count(*)::BIGINT AS ng
+  FROM p GROUP BY 1, 2
+), c AS (
+  SELECT source, v, ng, wg,
+    sum(wg) OVER (PARTITION BY source ORDER BY v
+                  ROWS UNBOUNDED PRECEDING) AS cum,
+    sum(wg) OVER (PARTITION BY source) AS tot,
+    sum(ng) OVER (PARTITION BY source) AS n
+  FROM g
+)
+SELECT source, CAST(max(n) AS BIGINT) AS n_rows,
+       CAST(max(tot) AS BIGINT) AS total_w,
+       CAST(min(v) AS BIGINT) AS wmedian
+FROM c WHERE 2 * cum >= tot GROUP BY 1
+"""
+
+
 # ------------------------------------------------------------ entry points
 
 
@@ -10221,6 +10257,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_stickiness": q_hll_stickiness,
         "token_audit": q_token_audit,
         "trend_break": q_trend_break,
+        "weighted_median_len": q_weighted_median_len,
     }
 
 
@@ -10419,4 +10456,5 @@ def oracle_sql() -> dict[str, str]:
         "hll_stickiness": SQL_HLL_STICKINESS,
         "token_audit": SQL_TOKEN_AUDIT,
         "trend_break": SQL_TREND_BREAK,
+        "weighted_median_len": SQL_WEIGHTED_MEDIAN,
     }

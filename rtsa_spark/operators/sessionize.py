@@ -176,3 +176,72 @@ def interarrival_stats(
             F.expr("(100 * gap_sum_s) div n_gaps"),
         ).cast("bigint"),
     )
+
+
+def weighted_median(
+    df: DataFrame,
+    key_cols: list[str],
+    value_col: str,
+    weight_col: str,
+) -> DataFrame:
+    """Exact lower weighted median per key: the smallest value whose
+    cumulative weight reaches half the total — the robust center for
+    size-weighted reads ("token-weighted median document length") where
+    the unweighted median of :func:`tier_percentiles` would let a
+    million tiny rows outvote the mass.
+
+    Emits ``(keys..., n_rows, total_w, wmedian)``; the pick is the
+    standard lower weighted median (``2 * cumw >= total_w``, value
+    order ascending) — deterministic on any engine, no interpolation.
+    Weights must be POSITIVE integers: a zero/negative weight raises
+    before any arithmetic (a silently dropped row would shift the
+    median with no signal).
+
+    Scale shape: one groupBy on (keys, value) collapses ties — the
+    window then runs over DISTINCT values per key, not rows — plus one
+    cumulative-sum window and one final min-pick agg.
+    """
+    v = F.col(value_col).cast("bigint")
+    w = F.col(weight_col).cast("bigint")
+    pre = df.select(
+        *key_cols,
+        v.alias("_v"),
+        F.when(w > 0, w)
+        .otherwise(
+            F.raise_error(
+                F.format_string(
+                    "weighted_median: weight must be > 0, got %s",
+                    w.cast("string"),
+                )
+            )
+        )
+        .alias("_w"),
+    )
+    g = pre.groupBy(*key_cols, "_v").agg(
+        F.sum("_w").cast("bigint").alias("_wg"),
+        F.count(F.lit(1)).cast("bigint").alias("_ng"),
+    )
+    win = (
+        Window.partitionBy(*key_cols)
+        .orderBy("_v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tot = Window.partitionBy(*key_cols)
+    cum = g.select(
+        *key_cols,
+        "_v",
+        "_ng",
+        "_wg",
+        F.sum("_wg").over(win).alias("_cum"),
+        F.sum("_wg").over(tot).alias("_tot"),
+        F.sum("_ng").over(tot).alias("_n"),
+    )
+    return (
+        cum.where(2 * F.col("_cum") >= F.col("_tot"))
+        .groupBy(*key_cols)
+        .agg(
+            F.max("_n").cast("bigint").alias("n_rows"),
+            F.max("_tot").cast("bigint").alias("total_w"),
+            F.min("_v").cast("bigint").alias("wmedian"),
+        )
+    )
