@@ -1228,14 +1228,28 @@ def _hll_finish(agg: DataFrame, p: int) -> DataFrame:
 
 def _hll_dense(grouped: DataFrame, key_cols: list[str], p: int) -> DataFrame:
     """groupBy (keys, bucket) over (idx, rho) rows -> dense ``regs``
-    array of m register maxima (0 = untouched)."""
+    array of m register maxima (0 = untouched).
+
+    Gap-run construction, O(m) per bucket: sort the (idx, rho) entries,
+    emit ``idx_j - idx_{j-1} - 1`` zeros before each rho, flatten, pad
+    the tail — all codegen array ops.  (The obvious ``transform(
+    sequence(0, m-1), i -> element_at(map, i))`` is O(m^2): Spark's map
+    ``element_at`` is a linear scan, measured ~6x slower at m = 1024.)
+    Groups always hold >= 1 entry (they come from an aggregation), so
+    the last-entry tail pad never sees an empty array.
+    """
     m = 1 << p
     agg = grouped.groupBy(*key_cols, "bucket").agg(
-        F.map_from_entries(F.collect_list(F.struct("idx", "rho"))).alias("_m")
+        F.array_sort(F.collect_list(F.struct("idx", "rho"))).alias("_es")
     )
-    regs = F.transform(
-        F.sequence(F.lit(0), F.lit(m - 1)),
-        lambda i: F.coalesce(F.element_at(F.col("_m"), i), F.lit(0)),
+    regs = F.expr(
+        "concat("
+        " flatten(zip_with(_es,"
+        "  concat(array(named_struct('idx', -1, 'rho', 0)),"
+        "         slice(_es, 1, size(_es) - 1)),"
+        "  (cur, prev) -> concat(array_repeat(0, cur.idx - prev.idx - 1),"
+        "                        array(cur.rho)))),"
+        f" array_repeat(0, {m} - 1 - element_at(_es, -1).idx))"
     )
     return agg.select(*key_cols, "bucket", regs.alias("regs"))
 
