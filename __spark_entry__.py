@@ -10016,6 +10016,68 @@ FROM c WHERE 2 * cum >= tot GROUP BY 1
 """
 
 
+def q_ab_purchase(spark, sf_dir):
+    """Monthly A/B read: did-purchase conversion of even- vs odd-id
+    users (operators/evaluation.ab_test): exact-int rates and relative
+    lift, pooled two-proportion z via the cross-multiplied fixed
+    float chain — bit-identical doubles on both engines."""
+    from rtsa_spark.operators.evaluation import ab_test
+
+    users = (
+        _events(spark, sf_dir)
+        .groupBy(F.date_trunc("month", "ts").alias("mo"), "user_id")
+        .agg(
+            F.max((F.col("event_type") == "purchase").cast("int")).alias(
+                "conv"
+            )
+        )
+    )
+    arms = users.select(
+        "mo",
+        F.when(F.col("user_id") % 2 == 0, "ctl").otherwise("trt").alias(
+            "variant"
+        ),
+        (F.col("conv") == 1).alias("y"),
+    )
+    return ab_test(arms, ["mo"], "variant", "y", control="ctl", treatment="trt")
+
+
+SQL_AB_PURCHASE = """
+WITH u AS MATERIALIZED (
+  SELECT date_trunc('month', ts) AS mo, user_id,
+         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+  FROM events GROUP BY 1, 2
+), a AS (
+  SELECT mo, CASE WHEN user_id % 2 = 0 THEN 'ctl' ELSE 'trt' END AS v, conv
+  FROM u
+), s AS (
+  SELECT mo,
+    sum(CASE WHEN v = 'ctl' THEN 1 ELSE 0 END)::BIGINT AS n_c,
+    sum(CASE WHEN v = 'ctl' AND conv = 1 THEN 1 ELSE 0 END)::BIGINT AS x_c,
+    sum(CASE WHEN v = 'trt' THEN 1 ELSE 0 END)::BIGINT AS n_t,
+    sum(CASE WHEN v = 'trt' AND conv = 1 THEN 1 ELSE 0 END)::BIGINT AS x_t
+  FROM a GROUP BY 1
+)
+SELECT mo, n_c, x_c, n_t, x_t,
+  CASE WHEN n_c > 0 THEN CAST((1000000 * x_c) // n_c AS BIGINT) END
+    AS rate_c_e6,
+  CASE WHEN n_t > 0 THEN CAST((1000000 * x_t) // n_t AS BIGINT) END
+    AS rate_t_e6,
+  CASE WHEN x_c * n_t > 0 THEN
+    CAST((CASE WHEN x_t * n_c >= x_c * n_t THEN 1 ELSE -1 END)
+         * ((1000000 * abs(x_t * n_c - x_c * n_t))
+            // greatest(x_c * n_t, 1)) AS BIGINT)
+  END AS lift_e6,
+  CASE WHEN n_c > 0 AND n_t > 0 AND (x_c + x_t) > 0
+        AND (x_c + x_t) < (n_c + n_t) THEN
+    CAST(x_t * n_c - x_c * n_t AS DOUBLE)
+    / sqrt((CAST((x_c + x_t) * ((n_c + n_t) - (x_c + x_t)) AS DOUBLE)
+            / CAST(n_c + n_t AS DOUBLE)) * CAST(n_c * n_t AS DOUBLE))
+  END AS z
+FROM s
+"""
+
+
 # ------------------------------------------------------------ entry points
 
 
@@ -10258,6 +10320,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_audit": q_token_audit,
         "trend_break": q_trend_break,
         "weighted_median_len": q_weighted_median_len,
+        "ab_purchase": q_ab_purchase,
     }
 
 
@@ -10457,4 +10520,5 @@ def oracle_sql() -> dict[str, str]:
         "token_audit": SQL_TOKEN_AUDIT,
         "trend_break": SQL_TREND_BREAK,
         "weighted_median_len": SQL_WEIGHTED_MEDIAN,
+        "ab_purchase": SQL_AB_PURCHASE,
     }

@@ -39,7 +39,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["binary_auc", "threshold_metrics", "calibration_bins", "cohens_kappa"]
+__all__ = ["binary_auc", "threshold_metrics", "calibration_bins", "cohens_kappa", "ab_test"]
 
 
 def binary_auc(
@@ -333,4 +333,80 @@ def cohens_kappa(
         "n_agree",
         "pe_num",
         kappa.cast("bigint").alias("kappa_e6"),
+    )
+
+
+def ab_test(
+    df: DataFrame,
+    key_cols: list[str],
+    variant_col: str,
+    label_col: str,
+    control: str,
+    treatment: str,
+) -> DataFrame:
+    """Two-proportion experiment read per key: control vs treatment
+    conversion, exact-int rates and relative lift, and the pooled
+    two-proportion z statistic (the standard A/B significance read)
+    in the repo's IEEE-deterministic contract.
+
+    Emits ``(keys..., n_c, x_c, n_t, x_t, rate_c_e6, rate_t_e6,
+    lift_e6, z)`` where ``lift_e6`` is the sign-magnitude toward-zero
+    e6 quotient of ``(x_t*n_c - x_c*n_t) / (x_c*n_t)`` (relative lift
+    vs control; NULL when control converts zero) and
+
+        z = (x_t*n_c - x_c*n_t) / sqrt(x*(n-x)/n * n_c*n_t)
+
+    with ``x = x_c + x_t``, ``n = n_c + n_t`` — the cross-multiplied
+    pooled form: one exact-int numerator, then a fixed final chain
+    (int->double conversions, one divide, one multiply, one sqrt, one
+    divide — every step correctly rounded, so both engines produce the
+    identical double).  NULL when either arm is empty or the pooled
+    variance is zero (all or none converted).  Rows whose variant is
+    neither arm are ignored; NULL labels are excluded (not evidence).
+
+    Scale shape: ONE combinable conditional aggregation — no joins, no
+    second pass.  Exact-int terms stay under 2^63 for arms up to ~3e9
+    rows (ANSI throws loudly past it).
+    """
+    v = F.col(variant_col).cast("string")
+    y = F.col(label_col).cast("boolean")
+    base = df.select(*key_cols, v.alias("_v"), y.alias("_y")).where(
+        F.col("_y").isNotNull() & F.col("_v").isin(control, treatment)
+    )
+    cnt = lambda c: F.sum(F.when(c, 1).otherwise(0)).cast("bigint")  # noqa: E731
+    agg = base.groupBy(*key_cols).agg(
+        cnt(F.col("_v") == control).alias("n_c"),
+        cnt((F.col("_v") == control) & F.col("_y")).alias("x_c"),
+        cnt(F.col("_v") == treatment).alias("n_t"),
+        cnt((F.col("_v") == treatment) & F.col("_y")).alias("x_t"),
+    )
+    num = "(x_t * n_c - x_c * n_t)"
+    ok = "(n_c > 0 AND n_t > 0)"
+    pooled = (
+        "(cast((x_c + x_t) * ((n_c + n_t) - (x_c + x_t)) as double)"
+        " / cast(n_c + n_t as double))"
+        " * cast(n_c * n_t as double)"
+    )
+    return agg.select(
+        *key_cols,
+        "n_c",
+        "x_c",
+        "n_t",
+        "x_t",
+        F.expr(
+            "CASE WHEN n_c > 0 THEN (1000000 * x_c) div n_c END"
+        ).cast("bigint").alias("rate_c_e6"),
+        F.expr(
+            "CASE WHEN n_t > 0 THEN (1000000 * x_t) div n_t END"
+        ).cast("bigint").alias("rate_t_e6"),
+        F.expr(
+            f"CASE WHEN x_c * n_t > 0 THEN"
+            f" cast(signum({num}) as bigint)"
+            f" * ((1000000 * abs({num})) div greatest(x_c * n_t, 1)) END"
+        ).cast("bigint").alias("lift_e6"),
+        F.expr(
+            f"CASE WHEN {ok} AND (x_c + x_t) > 0"
+            f" AND (x_c + x_t) < (n_c + n_t) THEN"
+            f" cast({num} as double) / sqrt({pooled}) END"
+        ).alias("z"),
     )

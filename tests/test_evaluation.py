@@ -7,6 +7,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from rtsa_spark.operators.evaluation import (
+    ab_test,
     binary_auc,
     calibration_bins,
     threshold_metrics,
@@ -119,3 +120,36 @@ def test_auc_null_labels_excluded(spark):
     a = binary_auc(_df(spark, labeled), ["k"], "s", "y").collect()[0]
     b = binary_auc(_df(spark, with_nulls), ["k"], "s", "y").collect()[0]
     assert b["n"] == 4 and b["auc_e6"] == a["auc_e6"] == 1_000_000
+
+
+def test_ab_test_hand(spark):
+    import math
+
+    rows = (
+        [("k", "A", True)] * 30 + [("k", "A", False)] * 70
+        + [("k", "B", True)] * 45 + [("k", "B", False)] * 55
+        + [("k", "C", True)] * 5      # unknown arm ignored
+        + [("k", "B", None)] * 3       # NULL labels excluded
+    )
+    df = spark.createDataFrame(rows, "k string, v string, y boolean")
+    r = ab_test(df, ["k"], "v", "y", control="A", treatment="B").collect()[0]
+    assert (r["n_c"], r["x_c"], r["n_t"], r["x_t"]) == (100, 30, 100, 45)
+    assert r["rate_c_e6"] == 300_000 and r["rate_t_e6"] == 450_000
+    assert r["lift_e6"] == (1_000_000 * (45 * 100 - 30 * 100)) // (30 * 100)
+    # z vs the textbook pooled formula
+    x, n = 75, 200
+    want = (45 * 100 - 30 * 100) / math.sqrt(x * (n - x) / n * (100 * 100))
+    assert abs(r["z"] - want) < 1e-12
+
+
+def test_ab_test_degenerate_nulls(spark):
+    df = spark.createDataFrame(
+        [("k", "A", True), ("k", "A", True)], "k string, v string, y boolean"
+    )
+    r = ab_test(df, ["k"], "v", "y", "A", "B").collect()[0]
+    assert r["n_t"] == 0 and r["z"] is None and r["lift_e6"] is None
+    allconv = spark.createDataFrame(
+        [("k", "A", True), ("k", "B", True)], "k string, v string, y boolean"
+    )
+    r2 = ab_test(allconv, ["k"], "v", "y", "A", "B").collect()[0]
+    assert r2["z"] is None  # pooled variance zero
