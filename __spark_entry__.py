@@ -10078,6 +10078,62 @@ FROM s
 """
 
 
+def q_funnel_latency(spark, sf_dir):
+    """Step-to-step funnel timing (operators/funnel.funnel_latency):
+    exact lower order-statistic min/p50/p90/max of view->click and
+    click->purchase seconds over converted users, off the same
+    one-shuffle chained step times as funnel_conversion."""
+    from rtsa_spark.operators.funnel import funnel_latency
+
+    return funnel_latency(
+        _events(spark, sf_dir),
+        "user_id",
+        "ts",
+        "event_type",
+        ["view", "click", "purchase"],
+        within_s=7 * 86400,
+    )
+
+
+SQL_FUNNEL_LATENCY = """
+WITH e AS MATERIALIZED (
+  SELECT user_id AS u, epoch_us(ts) // 1000000 AS t, event_type AS ty
+  FROM events
+), p1 AS MATERIALIZED (
+  SELECT u, min(CASE WHEN ty = 'view' THEN t END) AS s0 FROM e GROUP BY 1
+), p2 AS MATERIALIZED (
+  SELECT e.u, p1.s0,
+         min(CASE WHEN ty = 'click' AND s0 IS NOT NULL AND t >= s0
+                       AND t <= s0 + 604800 THEN t END) AS s1
+  FROM e JOIN p1 ON p1.u = e.u GROUP BY 1, 2
+), p3 AS MATERIALIZED (
+  SELECT e.u, p2.s0, p2.s1,
+         min(CASE WHEN ty = 'purchase' AND s1 IS NOT NULL AND t >= s1
+                       AND t <= p2.s0 + 604800 THEN t END) AS s2
+  FROM e JOIN p2 ON p2.u = e.u GROUP BY 1, 2, 3
+), d AS (
+  SELECT 2 AS step, 'click' AS step_type, s1 - s0 AS delta
+  FROM p3 WHERE s1 IS NOT NULL
+  UNION ALL
+  SELECT 3, 'purchase', s2 - s1 FROM p3 WHERE s2 IS NOT NULL
+), r AS (
+  SELECT step, step_type, delta,
+         row_number() OVER (PARTITION BY step ORDER BY delta) AS rn,
+         count(*) OVER (PARTITION BY step) AS n
+  FROM d
+)
+SELECT CAST(step AS BIGINT) AS step, step_type,
+  CAST(max(n) AS BIGINT) AS n,
+  CAST(min(delta) AS BIGINT) AS min_s,
+  CAST(max(CASE WHEN rn = (50 * (n - 1)) // 100 + 1 THEN delta END)
+       AS BIGINT) AS p50_s,
+  CAST(max(CASE WHEN rn = (90 * (n - 1)) // 100 + 1 THEN delta END)
+       AS BIGINT) AS p90_s,
+  CAST(max(delta) AS BIGINT) AS max_s
+FROM r GROUP BY 1, 2
+"""
+
+
 # ------------------------------------------------------------ entry points
 
 
@@ -10321,6 +10377,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trend_break": q_trend_break,
         "weighted_median_len": q_weighted_median_len,
         "ab_purchase": q_ab_purchase,
+        "funnel_latency": q_funnel_latency,
     }
 
 
@@ -10521,4 +10578,5 @@ def oracle_sql() -> dict[str, str]:
         "trend_break": SQL_TREND_BREAK,
         "weighted_median_len": SQL_WEIGHTED_MEDIAN,
         "ab_purchase": SQL_AB_PURCHASE,
+        "funnel_latency": SQL_FUNNEL_LATENCY,
     }

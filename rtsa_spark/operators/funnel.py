@@ -29,36 +29,21 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["funnel_conversion", "markov_transitions"]
+__all__ = ["funnel_conversion", "funnel_latency", "markov_transitions"]
 
 
-def funnel_conversion(
+def _step_times(
     df: DataFrame,
     key_col: str,
     ts_col: str,
     type_col: str,
     steps: list[str],
-    within_s: int | None = None,
+    within_s: int | None,
 ) -> DataFrame:
-    """Funnel step completion over an event stream: for each key, step i
-    completes at the earliest event of type ``steps[i]`` at-or-after the
-    key's step i-1 completion (``>=`` — a same-second follow-up counts);
-    with ``within_s``, every step must also land within ``within_s``
-    seconds of the key's step-1 time (the whole-funnel window, the
-    Amplitude convention).
-
-    Emits one row per step: ``(step, step_type, n_converted,
-    conv_from_first_e6, conv_from_prev_e6)`` with
-    ``conv_from_first_e6 = (1e6 * n_i) div n_1`` and
-    ``conv_from_prev_e6 = (1e6 * n_i) div n_{i-1}`` (NULL denominators
-    guarded; step 1 reports 1e6 for both).  Keys that never reach step 1
-    don't appear in any denominator.
-
-    Scale shape: k stacked whole-partition window aggregates over ONE
-    hash shuffle on the key (k = number of steps, driver-side constant),
-    one k-column groupBy-less agg at the end — no joins, no Python, no
-    per-step pass over the raw events.
-    """
+    """Per-key chained step-completion epochs: one row per key with
+    columns ``_k, _s0.._s{k-1}`` (NULL where the chain broke).  Shared
+    by :func:`funnel_conversion` (counts) and :func:`funnel_latency`
+    (step-to-step timing percentiles)."""
     if len(steps) < 2:
         raise ValueError(f"need >= 2 funnel steps, got {steps!r}")
     if len(set(steps)) != len(steps):
@@ -91,9 +76,39 @@ def funnel_conversion(
             "*",
             F.min(F.when(cond, F.col("_t"))).over(w).alias(f"_s{i}"),
         )
-    per_key = cur.groupBy("_k").agg(
+    return cur.groupBy("_k").agg(
         *[F.max(f"_s{i}").alias(f"_s{i}") for i in range(len(steps))]
     )
+
+
+def funnel_conversion(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    type_col: str,
+    steps: list[str],
+    within_s: int | None = None,
+) -> DataFrame:
+    """Funnel step completion over an event stream: for each key, step i
+    completes at the earliest event of type ``steps[i]`` at-or-after the
+    key's step i-1 completion (``>=`` — a same-second follow-up counts);
+    with ``within_s``, every step must also land within ``within_s``
+    seconds of the key's step-1 time (the whole-funnel window, the
+    Amplitude convention).
+
+    Emits one row per step: ``(step, step_type, n_converted,
+    conv_from_first_e6, conv_from_prev_e6)`` with
+    ``conv_from_first_e6 = (1e6 * n_i) div n_1`` and
+    ``conv_from_prev_e6 = (1e6 * n_i) div n_{i-1}`` (NULL denominators
+    guarded; step 1 reports 1e6 for both).  Keys that never reach step 1
+    don't appear in any denominator.
+
+    Scale shape: k stacked whole-partition window aggregates over ONE
+    hash shuffle on the key (k = number of steps, driver-side constant),
+    one k-column groupBy-less agg at the end — no joins, no Python, no
+    per-step pass over the raw events.
+    """
+    per_key = _step_times(df, key_col, ts_col, type_col, steps, within_s)
     counts = per_key.agg(
         *[
             F.count(f"_s{i}").cast("bigint").alias(f"_n{i}")
@@ -170,4 +185,67 @@ def markov_transitions(
         "cnt",
         "from_total",
         F.expr("(1000000 * cnt) div from_total").alias("p_e6"),
+    )
+
+
+def funnel_latency(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    type_col: str,
+    steps: list[str],
+    within_s: int | None = None,
+) -> DataFrame:
+    """Step-to-step conversion TIMING: for every consecutive step pair
+    of the funnel, the exact min / lower-median / lower-p90 / max of
+    ``s_i - s_{i-1}`` seconds over the keys that completed step i —
+    "how long from view to click, click to purchase", the product read
+    that pairs with :func:`funnel_conversion`'s survivor counts.
+
+    Percentiles are the exact LOWER order statistics (rank
+    ``(q * (n-1)) div 100 + 1`` of the ascending deltas — the
+    engine-portable pick, no interpolation).  Emits one row per step
+    transition: ``(step, step_type, n, min_s, p50_s, p90_s, max_s)``
+    where ``step`` is the DESTINATION step index (2-based first
+    transition).
+
+    Scale shape: the shared :func:`_step_times` chain (one shuffle, k
+    windows), then one groupBy over (transition, delta) ranks — rows
+    in flight are converted keys, never raw events.
+    """
+    per_key = _step_times(df, key_col, ts_col, type_col, steps, within_s)
+    pairs = []
+    for i in range(1, len(steps)):
+        pairs.append(
+            F.struct(
+                F.lit(i + 1).cast("bigint").alias("step"),
+                F.lit(steps[i]).alias("step_type"),
+                (F.col(f"_s{i}") - F.col(f"_s{i - 1}")).alias("delta"),
+            )
+        )
+    deltas = (
+        per_key.select(F.explode(F.array(*pairs)).alias("r"))
+        .select("r.*")
+        .where(F.col("delta").isNotNull())
+    )
+    w = Window.partitionBy("step").orderBy("delta")
+    ranked = deltas.select(
+        "step",
+        "step_type",
+        "delta",
+        F.row_number().over(w).alias("_rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("step")).alias("_n"),
+    )
+    pick = lambda q: F.max(  # noqa: E731
+        F.when(
+            F.col("_rn") == F.expr(f"({q} * (_n - 1)) div 100 + 1"),
+            F.col("delta"),
+        )
+    )
+    return ranked.groupBy("step", "step_type").agg(
+        F.max("_n").cast("bigint").alias("n"),
+        F.min("delta").cast("bigint").alias("min_s"),
+        pick(50).cast("bigint").alias("p50_s"),
+        pick(90).cast("bigint").alias("p90_s"),
+        F.max("delta").cast("bigint").alias("max_s"),
     )

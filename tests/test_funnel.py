@@ -113,3 +113,26 @@ def test_markov_rows_sum_to_from_total(spark):
     for f, rs in by_from.items():
         assert sum(r["cnt"] for r in rs) == rs[0]["from_total"]
         assert all(r["from_total"] == rs[0]["from_total"] for r in rs)
+
+
+def test_funnel_latency_hand(spark):
+    from rtsa_spark.operators.funnel import funnel_latency
+
+    rows = [
+        (1, 0, "A"), (1, 10, "B"),
+        (2, 0, "A"), (2, 30, "B"),
+        (3, 0, "A"), (3, 20, "B"),
+        (4, 0, "A"),             # never converts: no delta
+    ]
+    df = spark.createDataFrame(rows, "u long, t long, ty string").select(
+        "u", F.timestamp_seconds("t").alias("ts"), "ty"
+    )
+    out = funnel_latency(df, "u", "ts", "ty", ["A", "B"]).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["step"] == 2 and r["step_type"] == "B" and r["n"] == 3
+    assert r["min_s"] == 10 and r["max_s"] == 30
+    # lower order stats over [10, 20, 30]: p50 rank (50*2)//100+1 = 2 -> 20
+    assert r["p50_s"] == 20
+    # p90 rank (90*2)//100+1 = 2 -> 20 (lower pick, no interpolation)
+    assert r["p90_s"] == 20
