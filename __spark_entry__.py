@@ -9592,7 +9592,7 @@ WITH b AS MATERIALIZED (
   FROM (SELECT DISTINCT mo, user_id, day FROM b) GROUP BY 1
 ), ic AS (
   SELECT mo, it, count(*)::BIGINT AS ic FROM b GROUP BY 1, 2
-), fr AS (SELECT * FROM ic WHERE ic >= 5),
+), fr AS MATERIALIZED (SELECT * FROM ic WHERE ic >= 5),
 pr AS (
   SELECT x.mo, x.it AS antecedent, y.it AS consequent,
          count(*)::BIGINT AS n_both
@@ -9813,7 +9813,7 @@ WITH dh AS MATERIALIZED (
               THEN 38 - (length(bin(h & 274877906943)) - 1)
               ELSE 39 END AS rho
   FROM dh
-), days AS (SELECT DISTINCT key, bucket FROM dr),
+), days AS MATERIALIZED (SELECT DISTINCT key, bucket FROM dr),
 t7 AS (
   SELECT d.key, d.bucket, r.idx, max(r.rho) AS rho
   FROM days d JOIN dr r
@@ -9918,7 +9918,13 @@ def q_trend_break(spark, sf_dir):
     tier = _hourly_x(spark, sf_dir).select(
         "event_type", F.unix_timestamp("bucket_start").alias("t"), "x"
     )
-    cp = pettitt(tier, "event_type", "t", "x").select("event_type", "cp_t")
+    # keys with no valid cut (n < 2) have NULL cp_t: drop them, matching
+    # the oracle's inner join on the cuts-derived cp CTE
+    cp = (
+        pettitt(tier, "event_type", "t", "x")
+        .select("event_type", "cp_t")
+        .where(F.col("cp_t").isNotNull())
+    )
     seg = tier.join(F.broadcast(cp), "event_type").select(
         F.concat_ws(
             "|",

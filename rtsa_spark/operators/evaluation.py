@@ -70,10 +70,10 @@ def binary_auc(
             F.col(score_col).cast("bigint").alias("_s"),
             lab.cast("int").alias("_y"),
         )
-        # NULL labels are EXCLUDED (they would otherwise land in n and
-        # the midrank cumulative but not n_pos — silently skewing every
-        # tie group toward "negative"); unlabeled rows are not evidence
-        .where(F.col("_y").isNotNull())
+        # NULL labels AND NULL scores are EXCLUDED: an unlabeled row is
+        # not evidence, and a NULL score would rank NULLS-FIRST here but
+        # NULLS-LAST in the SQL twin — silently divergent midranks
+        .where(F.col("_y").isNotNull() & F.col("_s").isNotNull())
         .groupBy(*key_cols, "_s")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("_n_g"),
@@ -208,7 +208,9 @@ def calibration_bins(
     frac_pos_e6)``; ``bin = score * n_bins div score_scale`` clamped to
     ``n_bins - 1`` (so score == scale lands in the top bin), empty bins
     absent.  Scores outside [0, scale] raise upstream of any arithmetic
-    (a wrong-scale join would silently pile into the edge bins).
+    (a wrong-scale join would silently pile into the edge bins);
+    NULL-labeled rows are EXCLUDED (not evidence — same stance as
+    :func:`binary_auc`), so ``frac_pos_e6`` is over labeled rows only.
     """
     if n_bins < 2:
         raise ValueError(f"n_bins must be >= 2, got {n_bins}")
@@ -230,7 +232,7 @@ def calibration_bins(
         )
         .alias("_s"),
         F.col(label_col).cast("boolean").cast("int").alias("_y"),
-    )
+    ).where(F.col("_y").isNotNull())
     b = F.least(
         F.expr(f"(_s * {int(n_bins)}) div {int(score_scale)}"),
         F.lit(n_bins - 1).cast("bigint"),
@@ -292,6 +294,9 @@ def cohens_kappa(
             F.col(a_col).cast("string").alias("_a"),
             F.col(b_col).cast("string").alias("_b"),
         )
+        # a row either rater left unlabeled is not evidence: it would
+        # inflate n while vanishing from n_agree and the pe margins
+        .where(F.col("_a").isNotNull() & F.col("_b").isNotNull())
         .groupBy(*key_cols, "_a", "_b")
         .agg(F.count(F.lit(1)).cast("bigint").alias("_c"))
     )

@@ -36,19 +36,19 @@ from pyspark.sql import DataFrame, Window
 BUCKETS = 10_000
 
 
+def _h48(col):
+    """Portable 48-bit md5-prefix hash of a string column — the ONE copy
+    of this module's documented cross-engine recipe."""
+    return F.conv(F.substring(F.md5(col), 1, 12), 16, 10).cast("bigint")
+
+
 def hash_bucket(key_col, salt: str):
     """Deterministic bucket in [0, BUCKETS) from the salted md5 of the key.
     Pure Catalyst; identical in DuckDB via the md5-prefix recipe above."""
-    h = F.conv(
-        F.substring(
-            F.md5(F.concat_ws("|", F.lit(salt), F.col(key_col).cast("string"))),
-            1,
-            12,
-        ),
-        16,
-        10,
-    ).cast("bigint")
-    return h % BUCKETS
+    return (
+        _h48(F.concat_ws("|", F.lit(salt), F.col(key_col).cast("string")))
+        % BUCKETS
+    )
 
 
 def hash_split(
@@ -792,23 +792,15 @@ def epoch_plan(
         "id",
         F.explode(F.expr("sequence(cast(1 as bigint), _rep)")).alias("copy"),
     )
-    key = F.conv(
-        F.substring(
-            F.md5(
-                F.concat_ws(
-                    ":",
-                    F.lit(salt),
-                    F.col("epoch").cast("string"),
-                    F.col("id").cast("string"),
-                    F.col("copy").cast("string"),
-                )
-            ),
-            1,
-            12,
-        ),
-        16,
-        10,
-    ).cast("bigint")
+    key = _h48(
+        F.concat_ws(
+            ":",
+            F.lit(salt),
+            F.col("epoch").cast("string"),
+            F.col("id").cast("string"),
+            F.col("copy").cast("string"),
+        )
+    )
     out = fan.select("epoch", "id", "copy", key.alias("order_key"))
     if not with_position:
         return out

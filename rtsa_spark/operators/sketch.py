@@ -1290,7 +1290,7 @@ def hll_bucket_sketch(
         *key_cols,
         F.col(bucket_col).alias("bucket"),
         _h48(F.col(item_col)).alias("_h"),
-    )
+    ).where(F.col("_h").isNotNull())  # NULL items are not elements
     idx, rho = _hll_rho_cols(F.col("_h"), p)
     pre = hashed.select(
         *key_cols, "bucket", idx.alias("idx"), rho.alias("rho")
@@ -1362,9 +1362,19 @@ def hll_corrected(sketches: DataFrame, p: int = 10) -> DataFrame:
         F.lit(float(m)) * F.log(F.lit(float(m)) / F.col("n_zero"))
     ).cast("bigint")
     use_lc = (F.col("est_distinct") * 2 <= 5 * m) & (F.col("n_zero") > 0)
-    return sketches.withColumn(
-        "est_corrected", F.when(use_lc, lc).otherwise(F.col("est_distinct"))
+    corrected = F.when(use_lc, lc).otherwise(F.col("est_distinct"))
+    # same fail-loud width guard as the merge/trailing paths: a p that
+    # mismatches the sketches' register count would silently run linear
+    # counting with the wrong m
+    guarded = F.when(F.size("regs") == m, corrected).otherwise(
+        F.raise_error(
+            F.format_string(
+                f"hll_corrected: p={p} expects {m} registers, got %s",
+                F.size("regs").cast("string"),
+            )
+        )
     )
+    return sketches.withColumn("est_corrected", guarded)
 
 
 def hll_trailing_distinct(

@@ -89,3 +89,12 @@ def test_kappa_disjoint_categories_zero(spark):
     r = cohens_kappa(df, ["k"], "r1", "r2").collect()
     assert len(r) == 1
     assert r[0]["pe_num"] == 0 and r[0]["kappa_e6"] == 0
+
+
+def test_kappa_null_rater_rows_excluded(spark):
+    rows = [("k", "a", "a")] * 10 + [("k", None, None)] * 10
+    df = spark.createDataFrame(rows, "k string, r1 string, r2 string")
+    r = cohens_kappa(df, ["k"], "r1", "r2").collect()[0]
+    # unlabeled pairs are not evidence: n = labeled rows only, and the
+    # 10 genuinely agreeing pairs give the constant-rater NULL kappa
+    assert r["n"] == 10 and r["n_agree"] == 10 and r["kappa_e6"] is None

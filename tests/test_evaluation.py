@@ -153,3 +153,16 @@ def test_ab_test_degenerate_nulls(spark):
     )
     r2 = ab_test(allconv, ["k"], "v", "y", "A", "B").collect()[0]
     assert r2["z"] is None  # pooled variance zero
+
+
+def test_null_scores_and_labels_excluded_everywhere(spark):
+    # binary_auc: NULL scores are excluded (not ranked first)
+    pairs = [(10, True), (1, False), (None, True)]
+    r = binary_auc(_df(spark, pairs), ["k"], "s", "y").collect()[0]
+    assert r["n"] == 2 and r["auc_e6"] == 1_000_000
+    # calibration_bins: NULL labels excluded from n and frac_pos
+    rows = [(50, True), (50, True), (50, None)]
+    c = calibration_bins(
+        _df(spark, rows), ["k"], "s", "y", n_bins=4, score_scale=100
+    ).collect()[0]
+    assert c["n"] == 2 and c["frac_pos_e6"] == 1_000_000

@@ -101,3 +101,15 @@ def test_hll_p_mismatch_raises(spark):
         ).collect()
     with pytest.raises(ValueError):
         hll_corrected(daily, p=3)
+
+
+def test_hll_null_items_dropped(spark):
+    rows = [("a", 1, 1), ("a", 1, 2), ("a", 1, None)]
+    df = spark.createDataFrame(rows, "k string, d int, u string").select(
+        "k", F.to_timestamp(F.format_string("2024-01-%02d", "d")).alias("ts"),
+        "u",
+    )
+    r = hll_bucket_sketch(df, ["k"], "ts", "u", p=6).collect()[0]
+    # COUNT DISTINCT semantics: the NULL item is not an element, and the
+    # regs array stays intact (no NULL poisoning)
+    assert r["regs"] is not None and sum(1 for x in r["regs"] if x > 0) == 2
