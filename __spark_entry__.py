@@ -10140,6 +10140,84 @@ FROM r GROUP BY 1, 2
 """
 
 
+def q_ab_peeking(spark, sf_dir):
+    """Daily experiment peeking curve per month (operators/evaluation.
+    ab_sequential): cumulative even- vs odd-id daily-purchase counts
+    and the pooled z after every day — same exact-int/fixed-float
+    contract as ab_test, windows over the tiny per-day table."""
+    from rtsa_spark.operators.evaluation import ab_sequential
+
+    daily_users = (
+        _events(spark, sf_dir)
+        .groupBy(
+            F.date_trunc("month", "ts").alias("mo"),
+            F.date_trunc("day", "ts").alias("d"),
+            "user_id",
+        )
+        .agg(
+            F.max((F.col("event_type") == "purchase").cast("int")).alias(
+                "conv"
+            )
+        )
+    )
+    arms = daily_users.select(
+        "mo",
+        "d",
+        F.when(F.col("user_id") % 2 == 0, "ctl").otherwise("trt").alias(
+            "variant"
+        ),
+        (F.col("conv") == 1).alias("y"),
+    )
+    return ab_sequential(
+        arms, ["mo"], "d", "variant", "y", control="ctl", treatment="trt"
+    )
+
+
+SQL_AB_PEEKING = """
+WITH u AS MATERIALIZED (
+  SELECT date_trunc('month', ts) AS mo, date_trunc('day', ts) AS d, user_id,
+         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+  FROM events GROUP BY 1, 2, 3
+), a AS (
+  SELECT mo, d, CASE WHEN user_id % 2 = 0 THEN 'ctl' ELSE 'trt' END AS v,
+         conv
+  FROM u
+), per AS (
+  SELECT mo, d,
+    sum(CASE WHEN v = 'ctl' THEN 1 ELSE 0 END)::BIGINT AS dn_c,
+    sum(CASE WHEN v = 'ctl' AND conv = 1 THEN 1 ELSE 0 END)::BIGINT AS dx_c,
+    sum(CASE WHEN v = 'trt' THEN 1 ELSE 0 END)::BIGINT AS dn_t,
+    sum(CASE WHEN v = 'trt' AND conv = 1 THEN 1 ELSE 0 END)::BIGINT AS dx_t
+  FROM a GROUP BY 1, 2
+), s AS (
+  SELECT mo, d AS bucket,
+    CAST(sum(dn_c) OVER w AS BIGINT) AS n_c,
+    CAST(sum(dx_c) OVER w AS BIGINT) AS x_c,
+    CAST(sum(dn_t) OVER w AS BIGINT) AS n_t,
+    CAST(sum(dx_t) OVER w AS BIGINT) AS x_t
+  FROM per
+  WINDOW w AS (PARTITION BY mo ORDER BY d ROWS UNBOUNDED PRECEDING)
+)
+SELECT mo, bucket, n_c, x_c, n_t, x_t,
+  CASE WHEN n_c > 0 THEN CAST((1000000 * x_c) // n_c AS BIGINT) END
+    AS rate_c_e6,
+  CASE WHEN n_t > 0 THEN CAST((1000000 * x_t) // n_t AS BIGINT) END
+    AS rate_t_e6,
+  CASE WHEN x_c * n_t > 0 THEN
+    CAST((CASE WHEN x_t * n_c >= x_c * n_t THEN 1 ELSE -1 END)
+         * ((1000000 * abs(x_t * n_c - x_c * n_t))
+            // greatest(x_c * n_t, 1)) AS BIGINT)
+  END AS lift_e6,
+  CASE WHEN n_c > 0 AND n_t > 0 AND (x_c + x_t) > 0
+        AND (x_c + x_t) < (n_c + n_t) THEN
+    CAST(x_t * n_c - x_c * n_t AS DOUBLE)
+    / sqrt((CAST((x_c + x_t) * ((n_c + n_t) - (x_c + x_t)) AS DOUBLE)
+            / CAST(n_c + n_t AS DOUBLE)) * CAST(n_c * n_t AS DOUBLE))
+  END AS z
+FROM s
+"""
+
+
 # ------------------------------------------------------------ entry points
 
 
@@ -10384,6 +10462,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_median_len": q_weighted_median_len,
         "ab_purchase": q_ab_purchase,
         "funnel_latency": q_funnel_latency,
+        "ab_peeking": q_ab_peeking,
     }
 
 
@@ -10585,4 +10664,5 @@ def oracle_sql() -> dict[str, str]:
         "weighted_median_len": SQL_WEIGHTED_MEDIAN,
         "ab_purchase": SQL_AB_PURCHASE,
         "funnel_latency": SQL_FUNNEL_LATENCY,
+        "ab_peeking": SQL_AB_PEEKING,
     }

@@ -39,7 +39,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["binary_auc", "threshold_metrics", "calibration_bins", "cohens_kappa", "ab_test"]
+__all__ = ["binary_auc", "threshold_metrics", "calibration_bins", "cohens_kappa", "ab_test", "ab_sequential"]
 
 
 def binary_auc(
@@ -385,6 +385,13 @@ def ab_test(
         cnt(F.col("_v") == treatment).alias("n_t"),
         cnt((F.col("_v") == treatment) & F.col("_y")).alias("x_t"),
     )
+    return _ab_finish(agg, [*key_cols])
+
+
+def _ab_finish(agg: DataFrame, lead_cols: list[str]) -> DataFrame:
+    """Append rates/lift/z to a frame carrying (n_c, x_c, n_t, x_t) —
+    shared by :func:`ab_test` (one row per key) and
+    :func:`ab_sequential` (one row per bucket, cumulative counts)."""
     num = "(x_t * n_c - x_c * n_t)"
     ok = "(n_c > 0 AND n_t > 0)"
     pooled = (
@@ -393,7 +400,7 @@ def ab_test(
         " * cast(n_c * n_t as double)"
     )
     return agg.select(
-        *key_cols,
+        *lead_cols,
         "n_c",
         "x_c",
         "n_t",
@@ -415,3 +422,59 @@ def ab_test(
             f" cast({num} as double) / sqrt({pooled}) END"
         ).alias("z"),
     )
+
+
+def ab_sequential(
+    df: DataFrame,
+    key_cols: list[str],
+    bucket_col: str,
+    variant_col: str,
+    label_col: str,
+    control: str,
+    treatment: str,
+) -> DataFrame:
+    """The experiment PEEKING CURVE: cumulative arm counts and the
+    pooled two-proportion z after every observed bucket — what a
+    sequential monitoring dashboard plots ("how has z evolved day by
+    day"), with the same exact-int/fixed-float contract as
+    :func:`ab_test`.  The curve is descriptive: repeated looks inflate
+    the naive false-positive rate, so gate decisions on a corrected
+    boundary (the z column is the input to one, not a decision).
+
+    Emits one row per (key, bucket) observed for EITHER arm, with
+    counts cumulative through that bucket: ``(keys..., bucket, n_c,
+    x_c, n_t, x_t, rate_c_e6, rate_t_e6, lift_e6, z)``.  Exclusions
+    (unknown arms, NULL labels) as in :func:`ab_test`.
+
+    Scale shape: one per-bucket conditional agg, then four running-sum
+    windows over the (tiny) bucket table per key.
+    """
+    v = F.col(variant_col).cast("string")
+    y = F.col(label_col).cast("boolean")
+    base = df.select(
+        *key_cols,
+        F.col(bucket_col).alias("bucket"),
+        v.alias("_v"),
+        y.alias("_y"),
+    ).where(F.col("_y").isNotNull() & F.col("_v").isin(control, treatment))
+    cnt = lambda c: F.sum(F.when(c, 1).otherwise(0)).cast("bigint")  # noqa: E731
+    per = base.groupBy(*key_cols, "bucket").agg(
+        cnt(F.col("_v") == control).alias("_dn_c"),
+        cnt((F.col("_v") == control) & F.col("_y")).alias("_dx_c"),
+        cnt(F.col("_v") == treatment).alias("_dn_t"),
+        cnt((F.col("_v") == treatment) & F.col("_y")).alias("_dx_t"),
+    )
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = per.select(
+        *key_cols,
+        "bucket",
+        F.sum("_dn_c").over(w).cast("bigint").alias("n_c"),
+        F.sum("_dx_c").over(w).cast("bigint").alias("x_c"),
+        F.sum("_dn_t").over(w).cast("bigint").alias("n_t"),
+        F.sum("_dx_t").over(w).cast("bigint").alias("x_t"),
+    )
+    return _ab_finish(cum, [*key_cols, "bucket"])

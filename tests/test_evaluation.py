@@ -166,3 +166,23 @@ def test_null_scores_and_labels_excluded_everywhere(spark):
         _df(spark, rows), ["k"], "s", "y", n_bins=4, score_scale=100
     ).collect()[0]
     assert c["n"] == 2 and c["frac_pos_e6"] == 1_000_000
+
+
+def test_ab_sequential_final_matches_ab_test(spark):
+    from rtsa_spark.operators.evaluation import ab_sequential
+
+    rows = []
+    for d in (1, 2, 3):
+        rows += [("k", d, "A", u % 3 == 0) for u in range(20 * d)]
+        rows += [("k", d, "B", u % 2 == 0) for u in range(20 * d)]
+    df = spark.createDataFrame(rows, "k string, d long, v string, y boolean")
+    seq = ab_sequential(df, ["k"], "d", "v", "y", "A", "B").collect()
+    assert [r["bucket"] for r in sorted(seq, key=lambda r: r["bucket"])] == [1, 2, 3]
+    last = max(seq, key=lambda r: r["bucket"])
+    tot = ab_test(df, ["k"], "v", "y", "A", "B").collect()[0]
+    for c in ("n_c", "x_c", "n_t", "x_t", "rate_c_e6", "lift_e6", "z"):
+        assert last[c] == tot[c], c
+    # cumulative counts are monotone
+    ordered = sorted(seq, key=lambda r: r["bucket"])
+    assert all(a["n_c"] <= b["n_c"] and a["x_t"] <= b["x_t"]
+               for a, b in zip(ordered, ordered[1:]))
