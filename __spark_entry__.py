@@ -10218,6 +10218,44 @@ FROM s
 """
 
 
+def q_english_rate_ci(spark, sf_dir):
+    """Wilson 95% interval on the English-doc rate per source
+    (operators/evaluation.proportion_ci): exact-int n/x, fixed
+    correctly-rounded double chain with scientific-notation z
+    constants, floored e6 bounds — bit-identical CIs anywhere."""
+    from rtsa_spark.operators.evaluation import proportion_ci
+
+    docs = _documents(spark, sf_dir).select(
+        "source", (F.col("lang") == "en").alias("is_en")
+    )
+    return proportion_ci(docs, ["source"], "is_en")
+
+
+_WZ = "%.17e" % 1.96
+_WZ2 = "%.17e" % (1.96 * 1.96)
+
+SQL_ENGLISH_RATE_CI = f"""
+WITH s AS MATERIALIZED (
+  SELECT source, count(*)::BIGINT AS n,
+         sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::BIGINT AS x
+  FROM documents GROUP BY 1
+)
+SELECT source, n, x,
+  CASE WHEN n > 0 THEN CAST((1000000 * x) // n AS BIGINT) END AS rate_e6,
+  CASE WHEN n > 0 THEN CAST(floor(1e6 * (
+    ((CAST(x AS DOUBLE) + {_WZ2} / 2) / (CAST(n AS DOUBLE) + {_WZ2}))
+    - ({_WZ} / (CAST(n AS DOUBLE) + {_WZ2})
+       * sqrt(CAST(x * (n - x) AS DOUBLE) / CAST(n AS DOUBLE)
+              + {_WZ2} / 4)))) AS BIGINT) END AS lo_e6,
+  CASE WHEN n > 0 THEN CAST(floor(1e6 * (
+    ((CAST(x AS DOUBLE) + {_WZ2} / 2) / (CAST(n AS DOUBLE) + {_WZ2}))
+    + ({_WZ} / (CAST(n AS DOUBLE) + {_WZ2})
+       * sqrt(CAST(x * (n - x) AS DOUBLE) / CAST(n AS DOUBLE)
+              + {_WZ2} / 4)))) AS BIGINT) END AS hi_e6
+FROM s
+"""
+
+
 # ------------------------------------------------------------ entry points
 
 
@@ -10463,6 +10501,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ab_purchase": q_ab_purchase,
         "funnel_latency": q_funnel_latency,
         "ab_peeking": q_ab_peeking,
+        "english_rate_ci": q_english_rate_ci,
     }
 
 
@@ -10665,4 +10704,5 @@ def oracle_sql() -> dict[str, str]:
         "ab_purchase": SQL_AB_PURCHASE,
         "funnel_latency": SQL_FUNNEL_LATENCY,
         "ab_peeking": SQL_AB_PEEKING,
+        "english_rate_ci": SQL_ENGLISH_RATE_CI,
     }

@@ -39,7 +39,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["binary_auc", "threshold_metrics", "calibration_bins", "cohens_kappa", "ab_test", "ab_sequential"]
+__all__ = ["binary_auc", "threshold_metrics", "calibration_bins", "cohens_kappa", "ab_test", "ab_sequential", "proportion_ci"]
 
 
 def binary_auc(
@@ -478,3 +478,66 @@ def ab_sequential(
         F.sum("_dx_t").over(w).cast("bigint").alias("x_t"),
     )
     return _ab_finish(cum, [*key_cols, "bucket"])
+
+
+#: z for the 95% Wilson interval, and its square — fixed double
+#: constants so both engines replay the identical rounding sequence.
+WILSON_Z = 1.96
+WILSON_Z2 = WILSON_Z * WILSON_Z
+
+
+def proportion_ci(
+    df: DataFrame,
+    key_cols: list[str],
+    label_col: str,
+) -> DataFrame:
+    """Wilson 95% score interval for a proportion per key (Wilson 1927)
+    — the CI every rate dashboard should draw instead of the normal
+    approximation that breaks near 0/1 and small n.
+
+    Emits ``(keys..., n, x, rate_e6, lo_e6, hi_e6)`` with
+
+        center = (x + z^2/2) / (n + z^2)
+        half   = z / (n + z^2) * sqrt(x*(n-x)/n + z^2/4)
+
+    evaluated as a FIXED sequence of correctly-rounded double ops over
+    the exact-int ``n``/``x`` (each divide/multiply/add/sqrt rounds
+    once, in the same order in both engines), then floored to e6 —
+    bit-identical bounds anywhere.  NULL labels are excluded (not
+    evidence); ``x*(n-x)`` stays exact below n ~ 1.9e8 rows per key
+    (past that the int->double conversion would round — raise the
+    sample out of one key first).
+
+    Scale shape: one conditional aggregation, no joins.
+    """
+    y = F.col(label_col).cast("boolean")
+    base = df.select(*key_cols, y.alias("_y")).where(F.col("_y").isNotNull())
+    agg = base.groupBy(*key_cols).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("_y").cast("int")).cast("bigint").alias("x"),
+    )
+    # scientific-notation literals: a bare decimal routes through
+    # DECIMAL in both engines' parsers (double-rounding trap, CLAUDE.md)
+    z, z2 = "%.17e" % WILSON_Z, "%.17e" % WILSON_Z2
+    center = f"(cast(x as double) + {z2} / 2) / (cast(n as double) + {z2})"
+    half = (
+        f"{z} / (cast(n as double) + {z2})"
+        f" * sqrt(cast(x * (n - x) as double) / cast(n as double)"
+        f"        + {z2} / 4)"
+    )
+    return agg.select(
+        *key_cols,
+        "n",
+        "x",
+        F.expr("CASE WHEN n > 0 THEN (1000000 * x) div n END")
+        .cast("bigint")
+        .alias("rate_e6"),
+        F.expr(
+            f"CASE WHEN n > 0 THEN"
+            f" cast(floor(1e6 * (({center}) - ({half}))) as bigint) END"
+        ).alias("lo_e6"),
+        F.expr(
+            f"CASE WHEN n > 0 THEN"
+            f" cast(floor(1e6 * (({center}) + ({half}))) as bigint) END"
+        ).alias("hi_e6"),
+    )

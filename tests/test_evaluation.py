@@ -186,3 +186,24 @@ def test_ab_sequential_final_matches_ab_test(spark):
     ordered = sorted(seq, key=lambda r: r["bucket"])
     assert all(a["n_c"] <= b["n_c"] and a["x_t"] <= b["x_t"]
                for a, b in zip(ordered, ordered[1:]))
+
+
+def test_proportion_ci_wilson(spark):
+    import math
+
+    from rtsa_spark.operators.evaluation import proportion_ci
+
+    rows = [("k", True)] * 30 + [("k", False)] * 70 + [("k", None)] * 5
+    df = spark.createDataFrame(rows, "k string, y boolean")
+    r = proportion_ci(df, ["k"], "y").collect()[0]
+    assert r["n"] == 100 and r["x"] == 30 and r["rate_e6"] == 300_000
+    z, z2, n, x = 1.96, 1.96 * 1.96, 100, 30
+    center = (x + z2 / 2) / (n + z2)
+    half = z / (n + z2) * math.sqrt(x * (n - x) / n + z2 / 4)
+    assert r["lo_e6"] == math.floor(1e6 * (center - half))
+    assert r["hi_e6"] == math.floor(1e6 * (center + half))
+    assert r["lo_e6"] < 300_000 < r["hi_e6"]
+    # extremes stay inside [0, 1e6]
+    allpos = spark.createDataFrame([("k", True)] * 5, "k string, y boolean")
+    r2 = proportion_ci(allpos, ["k"], "y").collect()[0]
+    assert 0 <= r2["lo_e6"] and r2["hi_e6"] <= 1_000_000 and r2["lo_e6"] < 1_000_000
