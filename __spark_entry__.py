@@ -9407,7 +9407,7 @@ FROM g
 """
 
 
-def q_vocab_growth(spark, sf_dir):
+def q_heaps_curve(spark, sf_dir):
     """Heaps-law vocabulary accretion per source (operators/lm.
     vocab_growth): ingestion batches of 25 docs; new-type counts from
     ONE vocabulary-sized min-bucket groupBy, cumulative type/token
@@ -9423,7 +9423,7 @@ def q_vocab_growth(spark, sf_dir):
     return vocab_growth(words, ["source"], "batch", "word")
 
 
-SQL_VOCAB_GROWTH = """
+SQL_HEAPS_CURVE = """
 WITH w AS MATERIALIZED (
   SELECT source, doc_id // 25 AS bucket,
          unnest(string_split(text, ' ')) AS it
@@ -10486,7 +10486,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "classifier_auc": q_classifier_auc,
         "threshold_sweep": q_threshold_sweep,
         "calibration_table": q_calibration_table,
-        "vocab_growth": q_vocab_growth,
+        "heaps_curve": q_heaps_curve,
         "hll_trailing": q_hll_trailing,
         "langid_kappa": q_langid_kappa,
         "event_pair_rules": q_event_pair_rules,
@@ -10689,7 +10689,7 @@ def oracle_sql() -> dict[str, str]:
         "classifier_auc": _sql_classifier_auc(),
         "threshold_sweep": SQL_THRESHOLD_SWEEP,
         "calibration_table": SQL_CALIBRATION,
-        "vocab_growth": SQL_VOCAB_GROWTH,
+        "heaps_curve": SQL_HEAPS_CURVE,
         "hll_trailing": SQL_HLL_TRAILING,
         "langid_kappa": SQL_LANGID_KAPPA,
         "event_pair_rules": SQL_EVENT_PAIR_RULES,

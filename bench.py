@@ -280,7 +280,7 @@ def run_bench(sf_dir: str, cores: int) -> dict:
         "funnel_conversion",
         "hll_ladder",
         "classifier_auc",
-        "vocab_growth",
+        "heaps_curve",
     ]
     headline = headline + new_r4 + new_r4b + new_r4c + new_r4d
     if E is not None:

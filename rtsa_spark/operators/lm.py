@@ -146,6 +146,9 @@ def vocab_growth(
     regression since ``log`` is not portable arithmetic).  A flattening
     curve is the canonical "this source stopped adding diversity"
     signal a data-mixing pipeline reads before re-weighting.
+    Generalizes ``rollup.vocab_growth`` (pinned to the token-sequence
+    daily table) to arbitrary key/bucket/item inputs and adds the
+    token-volume and TTR columns.
 
     Emits one row per (key, bucket) OBSERVED in the input: ``(keys...,
     bucket, n_items, new_types, cum_items, cum_types, ttr_e6)`` where
