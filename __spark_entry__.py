@@ -10256,6 +10256,58 @@ FROM s
 """
 
 
+def q_lang_source_assoc(spark, sf_dir):
+    """Chi-square independence of lang vs source per id-parity half
+    (operators/association.cramers_v): exact-int contingency + margins,
+    per-cell double contributions summed in ascending (a, b) order —
+    the ordered-float-reduction device — then one sqrt for Cramér's V;
+    chi2 and v hash-matched bit-exactly as DOUBLEs."""
+    from rtsa_spark.operators.association import cramers_v
+
+    docs = _documents(spark, sf_dir).select(
+        (F.col("doc_id") % 2).cast("string").alias("half"), "lang", "source"
+    )
+    return cramers_v(docs, ["half"], "lang", "source")
+
+
+SQL_LANG_SOURCE_ASSOC = """
+WITH base AS MATERIALIZED (
+  SELECT CAST(doc_id % 2 AS VARCHAR) AS half, lang AS a, source AS b
+  FROM documents WHERE lang IS NOT NULL AND source IS NOT NULL
+), cont AS MATERIALIZED (
+  SELECT half, a, b, count(*)::BIGINT AS c FROM base GROUP BY 1, 2, 3
+), rm AS (
+  SELECT half, a, CAST(sum(c) AS BIGINT) AS rc FROM cont GROUP BY 1, 2
+), cm AS (
+  SELECT half, b, CAST(sum(c) AS BIGINT) AS cc FROM cont GROUP BY 1, 2
+), tot AS MATERIALIZED (
+  SELECT half, CAST(sum(c) AS BIGINT) AS n,
+         count(DISTINCT a)::BIGINT AS r_cats,
+         count(DISTINCT b)::BIGINT AS c_cats
+  FROM cont GROUP BY 1
+), cells AS (
+  SELECT cont.half, cont.a, cont.b,
+    ((CAST(c AS DOUBLE) - CAST(rc * cc AS DOUBLE) / CAST(n AS DOUBLE))
+     * (CAST(c AS DOUBLE) - CAST(rc * cc AS DOUBLE) / CAST(n AS DOUBLE)))
+    / (CAST(rc * cc AS DOUBLE) / CAST(n AS DOUBLE)) AS cell
+  FROM cont
+  JOIN rm ON rm.half = cont.half AND rm.a = cont.a
+  JOIN cm ON cm.half = cont.half AND cm.b = cont.b
+  JOIN tot ON tot.half = cont.half
+), s AS (
+  SELECT half, list_sum(list(cell ORDER BY a, b)) AS chi2
+  FROM cells GROUP BY 1
+)
+SELECT t.half, t.n, t.r_cats, t.c_cats,
+  CAST((t.r_cats - 1) * (t.c_cats - 1) AS BIGINT) AS dof,
+  s.chi2,
+  CASE WHEN t.r_cats > 1 AND t.c_cats > 1 THEN
+    sqrt(s.chi2 / CAST(t.n * least(t.r_cats - 1, t.c_cats - 1) AS DOUBLE))
+  END AS v
+FROM tot t JOIN s ON s.half = t.half
+"""
+
+
 # ------------------------------------------------------------ entry points
 
 
@@ -10502,6 +10554,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel_latency": q_funnel_latency,
         "ab_peeking": q_ab_peeking,
         "english_rate_ci": q_english_rate_ci,
+        "lang_source_assoc": q_lang_source_assoc,
     }
 
 
@@ -10705,4 +10758,5 @@ def oracle_sql() -> dict[str, str]:
         "funnel_latency": SQL_FUNNEL_LATENCY,
         "ab_peeking": SQL_AB_PEEKING,
         "english_rate_ci": SQL_ENGLISH_RATE_CI,
+        "lang_source_assoc": SQL_LANG_SOURCE_ASSOC,
     }

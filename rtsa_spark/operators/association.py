@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["pair_rules"]
+__all__ = ["pair_rules", "cramers_v"]
 
 
 def pair_rules(
@@ -123,4 +123,98 @@ def pair_rules(
         F.expr("(1000000 * n_both * n_baskets) div (n_ante * n_cons)")
         .cast("bigint")
         .alias("lift_e6"),
+    )
+
+
+def cramers_v(
+    df: DataFrame,
+    key_cols: list[str],
+    a_col: str,
+    b_col: str,
+) -> DataFrame:
+    """Chi-square independence test + Cramér's V effect size between two
+    categorical columns per key (Pearson 1900; Cramér 1946) — the
+    "is lang associated with source" screen run before stratifying a
+    mixture on a column that might be confounded with another.
+
+    Emits ``(keys..., n, r_cats, c_cats, dof, chi2, v)``.  Exact-int
+    contingency counts and margins; each cell's contribution
+    ``(c_ij - e_ij)^2 / e_ij`` (``e_ij = r_i * k_j / n``) is a fixed
+    chain of correctly-rounded double ops, and the cells are summed in
+    ascending ``(a, b)`` order via an explicit sorted fold — the
+    ordered-float-reduction device (CLAUDE.md), so both engines produce
+    the identical ``chi2`` double.  ``v = sqrt(chi2 / (n * min(r-1,
+    c-1)))``, NULL when either column is constant (dof 0).  Rows with a
+    NULL category are excluded (not evidence, same stance as
+    :func:`~rtsa_spark.operators.evaluation.cohens_kappa`).
+
+    Scale shape: one groupBy builds the categories^2 contingency table;
+    everything after runs on category-sized frames (margins join, one
+    in-row sorted fold).
+    """
+    if not key_cols:
+        raise ValueError("cramers_v needs at least one key column")
+    cont = (
+        df.select(
+            *key_cols,
+            F.col(a_col).cast("string").alias("_a"),
+            F.col(b_col).cast("string").alias("_b"),
+        )
+        .where(F.col("_a").isNotNull() & F.col("_b").isNotNull())
+        .groupBy(*key_cols, "_a", "_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("_c"))
+    )
+    rows = cont.groupBy(*key_cols, "_a").agg(
+        F.sum("_c").cast("bigint").alias("_rc")
+    )
+    cols = cont.groupBy(*key_cols, "_b").agg(
+        F.sum("_c").cast("bigint").alias("_cc")
+    )
+    tot = cont.groupBy(*key_cols).agg(
+        F.sum("_c").cast("bigint").alias("n"),
+        F.count_distinct("_a").cast("bigint").alias("r_cats"),
+        F.count_distinct("_b").cast("bigint").alias("c_cats"),
+    )
+    j = (
+        cont.join(rows, [*key_cols, "_a"])
+        .join(cols, [*key_cols, "_b"])
+        .join(tot.select(*key_cols, "n"), [*key_cols])
+    )
+    # per-cell contribution: exact ints -> e = r*k/n (1 divide),
+    # d = c - e (c converts exactly below 2^53), cell = d*d/e — an
+    # explicit multiply, never pow() (pow is not correctly rounded)
+    cell = F.expr(
+        "((cast(_c as double)"
+        "  - cast(_rc * _cc as double) / cast(n as double))"
+        " * (cast(_c as double)"
+        "    - cast(_rc * _cc as double) / cast(n as double)))"
+        " / (cast(_rc * _cc as double) / cast(n as double))"
+    )
+    per_key = j.select(
+        *key_cols, F.struct("_a", "_b", cell.alias("cell")).alias("_s")
+    ).groupBy(*key_cols).agg(
+        F.expr(
+            "aggregate(array_sort(collect_list(_s)),"
+            " cast(0 as double), (acc, x) -> acc + x.cell)"
+        ).alias("chi2")
+    )
+    out = tot.join(per_key, [*key_cols])
+    dof = (F.col("r_cats") - 1) * (F.col("c_cats") - 1)
+    return out.select(
+        *key_cols,
+        "n",
+        "r_cats",
+        "c_cats",
+        dof.cast("bigint").alias("dof"),
+        "chi2",
+        F.when(
+            (F.col("r_cats") > 1) & (F.col("c_cats") > 1),
+            F.sqrt(
+                F.col("chi2")
+                / (
+                    F.col("n")
+                    * F.least(F.col("r_cats") - 1, F.col("c_cats") - 1)
+                ).cast("double")
+            ),
+        ).alias("v"),
     )

@@ -98,3 +98,47 @@ def test_kappa_null_rater_rows_excluded(spark):
     # unlabeled pairs are not evidence: n = labeled rows only, and the
     # 10 genuinely agreeing pairs give the constant-rater NULL kappa
     assert r["n"] == 10 and r["n_agree"] == 10 and r["kappa_e6"] is None
+
+
+def test_cramers_v_hand(spark):
+    import math
+
+    from rtsa_spark.operators.association import cramers_v
+
+    # 2x2 with known chi2: a=[x,y], b=[u,v]
+    rows = (
+        [("k", "x", "u")] * 30 + [("k", "x", "v")] * 10
+        + [("k", "y", "u")] * 10 + [("k", "y", "v")] * 30
+        + [("k", None, "u")] * 5  # excluded
+    )
+    df = spark.createDataFrame(rows, "k string, a string, b string")
+    r = cramers_v(df, ["k"], "a", "b").collect()[0]
+    assert r["n"] == 80 and r["r_cats"] == 2 and r["c_cats"] == 2
+    assert r["dof"] == 1
+    # reference chi2 via the same per-cell float chain, ordered fold
+    cells = {("x", "u"): 30, ("x", "v"): 10, ("y", "u"): 10, ("y", "v"): 30}
+    rm = {"x": 40, "y": 40}
+    cm = {"u": 40, "v": 40}
+    chi2 = 0.0
+    for (a, b) in sorted(cells):
+        e = rm[a] * cm[b] / 80
+        d = cells[(a, b)] - e
+        chi2 += d * d / e
+    assert r["chi2"] == chi2
+    assert r["v"] == math.sqrt(chi2 / (80 * 1))
+    # independence -> chi2 == 0
+    ind = spark.createDataFrame(
+        [("k", a, b) for a in "xy" for b in "uv" for _ in range(10)],
+        "k string, a string, b string",
+    )
+    r2 = cramers_v(ind, ["k"], "a", "b").collect()[0]
+    assert r2["chi2"] == 0.0 and r2["v"] == 0.0
+    # constant column -> NULL v
+    const = spark.createDataFrame(
+        [("k", "x", b) for b in "uvuv"], "k string, a string, b string"
+    )
+    assert cramers_v(const, ["k"], "a", "b").collect()[0]["v"] is None
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        cramers_v(df, [], "a", "b")
