@@ -10308,6 +10308,69 @@ FROM tot t JOIN s ON s.half = t.half
 """
 
 
+def q_word_topk_churn(spark, sf_dir):
+    """Top-10 word leaderboard churn across 100-doc ingestion batches
+    per source (operators/monitor.topk_churn): rank ties pinned by
+    (count desc, word asc), in-row set algebra vs the previous observed
+    batch — kept/entered/exited counts and exact Jaccard."""
+    from rtsa_spark.operators.monitor import topk_churn
+
+    words = _documents(spark, sf_dir).select(
+        "source",
+        F.expr("doc_id div 100").alias("batch"),
+        F.explode(F.split("text", " ")).alias("word"),
+    )
+    out = topk_churn(words, ["source"], "batch", "word", k=10)
+    # the gate canonicalizer hashes scalars: join the rank-ordered list
+    return out.select(
+        "source",
+        "period",
+        F.array_join("topk", " ").alias("topk_str"),
+        "n_kept",
+        "n_entered",
+        "n_exited",
+        "jaccard_e6",
+    )
+
+
+SQL_WORD_TOPK_CHURN = """
+WITH w AS MATERIALIZED (
+  SELECT source, doc_id // 100 AS period,
+         unnest(string_split(text, ' ')) AS it
+  FROM documents
+), c AS (
+  SELECT source, period, it, count(*)::BIGINT AS cnt FROM w GROUP BY 1, 2, 3
+), r AS (
+  SELECT source, period, it,
+         row_number() OVER (PARTITION BY source, period
+                            ORDER BY cnt DESC, it ASC) AS rn
+  FROM c
+), s AS MATERIALIZED (
+  SELECT source, period, list(it ORDER BY rn) AS topk
+  FROM r WHERE rn <= 10 GROUP BY 1, 2
+), p AS (
+  SELECT source, period, topk,
+         lag(topk) OVER (PARTITION BY source ORDER BY period) AS prev
+  FROM s
+)
+SELECT source, period, array_to_string(topk, ' ') AS topk_str,
+  CASE WHEN prev IS NOT NULL
+       THEN CAST(len(list_intersect(topk, prev)) AS BIGINT) END AS n_kept,
+  CASE WHEN prev IS NOT NULL
+       THEN CAST(len(list_filter(topk, t -> NOT list_contains(prev, t)))
+                 AS BIGINT) END AS n_entered,
+  CASE WHEN prev IS NOT NULL
+       THEN CAST(len(list_filter(prev, t -> NOT list_contains(topk, t)))
+                 AS BIGINT) END AS n_exited,
+  CASE WHEN prev IS NOT NULL
+        AND len(list_distinct(list_concat(topk, prev))) > 0
+       THEN CAST((1000000 * len(list_intersect(topk, prev)))
+                 // len(list_distinct(list_concat(topk, prev)))
+            AS BIGINT) END AS jaccard_e6
+FROM p
+"""
+
+
 # ------------------------------------------------------------ entry points
 
 
@@ -10555,6 +10618,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ab_peeking": q_ab_peeking,
         "english_rate_ci": q_english_rate_ci,
         "lang_source_assoc": q_lang_source_assoc,
+        "word_topk_churn": q_word_topk_churn,
     }
 
 
@@ -10759,4 +10823,5 @@ def oracle_sql() -> dict[str, str]:
         "ab_peeking": SQL_AB_PEEKING,
         "english_rate_ci": SQL_ENGLISH_RATE_CI,
         "lang_source_assoc": SQL_LANG_SOURCE_ASSOC,
+        "word_topk_churn": SQL_WORD_TOPK_CHURN,
     }

@@ -30,7 +30,7 @@ from pyspark.sql import functions as F
 
 from rtsa_spark.operators.gapfill import bucket_spine
 
-__all__ = ["missing_ranges", "stale_sources", "top_movers", "phase_band_breach", "value_streaks", "streak_summary"]
+__all__ = ["missing_ranges", "stale_sources", "top_movers", "phase_band_breach", "value_streaks", "streak_summary", "topk_churn"]
 
 
 def missing_ranges(
@@ -281,4 +281,75 @@ def streak_summary(
         F.sum("n_buckets").cast("bigint").alias("total_true"),
     ).select(
         *key_cols, "n_streaks", "longest", "longest_start", "total_true"
+    )
+
+
+def topk_churn(
+    df: DataFrame,
+    key_cols: list[str],
+    period_col: str,
+    item_col: str,
+    k: int = 10,
+) -> DataFrame:
+    """Leaderboard churn: how much each period's top-k item set (by
+    occurrence count) differs from the PREVIOUS period's — the "did the
+    dominant domains/tokens/users change" monitor that a plain top-k
+    table makes the reader eyeball.
+
+    Emits one row per (key, period) observed: ``(keys..., period,
+    topk array<string> in rank order, n_kept, n_entered, n_exited,
+    jaccard_e6)`` where the set algebra compares against the key's
+    previous OBSERVED period (first period: NULL churn columns).  Rank
+    ties are pinned by (count desc, item asc) so any engine produces
+    the identical top-k.
+
+    Scale shape: one map-side-combined count groupBy, one per-period
+    rank window bounded to k rows, one collect into a k-string array,
+    one lag window over the (tiny) period table — churn is in-row
+    array algebra, never an item-level self-join.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    counts = (
+        df.select(
+            *key_cols,
+            F.col(period_col).alias("period"),
+            F.col(item_col).cast("string").alias("_it"),
+        )
+        .groupBy(*key_cols, "period", "_it")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("_c"))
+    )
+    w = Window.partitionBy(*key_cols, "period").orderBy(
+        F.desc("_c"), F.asc("_it")
+    )
+    top = counts.withColumn("_rn", F.row_number().over(w)).where(
+        F.col("_rn") <= k
+    )
+    sets = top.groupBy(*key_cols, "period").agg(
+        F.expr("transform(array_sort(collect_list(struct(_rn, _it))),"
+               " x -> x._it)").alias("topk")
+    )
+    lagw = Window.partitionBy(*key_cols).orderBy("period")
+    with_prev = sets.withColumn("_prev", F.lag("topk").over(lagw))
+    kept = F.size(F.array_intersect("topk", "_prev"))
+    entered = F.size(F.array_except("topk", "_prev"))
+    exited = F.size(F.array_except("_prev", "topk"))
+    uni = F.size(F.array_union("topk", "_prev"))
+    has_prev = F.col("_prev").isNotNull()
+    return with_prev.select(
+        *key_cols,
+        "period",
+        "topk",
+        F.when(has_prev, kept).cast("bigint").alias("n_kept"),
+        F.when(has_prev, entered).cast("bigint").alias("n_entered"),
+        F.when(has_prev, exited).cast("bigint").alias("n_exited"),
+        F.when(
+            has_prev & (uni > 0),
+            F.expr(
+                "(1000000 * size(array_intersect(topk, _prev)))"
+                " div size(array_union(topk, _prev))"
+            ),
+        )
+        .cast("bigint")
+        .alias("jaccard_e6"),
     )

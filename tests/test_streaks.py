@@ -55,3 +55,30 @@ def test_streaks_duplicate_rows_collapse(spark):
     assert len(out) == 1 and out[0]["n_buckets"] == 2
     s = streak_summary(_df(spark, rows), ["k"], "b", 3600, "ok").collect()[0]
     assert s["n_streaks"] == 1 and s["total_true"] == 2
+
+
+def test_topk_churn_hand(spark):
+    from rtsa_spark.operators.monitor import topk_churn
+
+    rows = (
+        [("k", 1, it) for it in ["a"] * 5 + ["b"] * 3 + ["c"] * 2 + ["d"]]
+        + [("k", 2, it) for it in ["a"] * 4 + ["d"] * 3 + ["e"] * 2 + ["b"]]
+    )
+    df = spark.createDataFrame(rows, "k string, p long, it string")
+    out = {r["period"]: r.asDict() for r in topk_churn(df, ["k"], "p", "it", k=3).collect()}
+    assert out[1]["topk"] == ["a", "b", "c"]
+    assert out[1]["n_kept"] is None  # first period
+    # period 2 counts: a=4, d=3, e=2, b=1 -> top3 = [a, d, e]
+    assert out[2]["topk"] == ["a", "d", "e"]
+    assert out[2]["n_kept"] == 1 and out[2]["n_entered"] == 2
+    assert out[2]["n_exited"] == 2
+    assert out[2]["jaccard_e6"] == (1_000_000 * 1) // 5
+    # tie pinning: equal counts order by item asc
+    tie = spark.createDataFrame(
+        [("k", 1, it) for it in ["z", "y", "x"]], "k string, p long, it string"
+    )
+    t = topk_churn(tie, ["k"], "p", "it", k=2).collect()[0]
+    assert t["topk"] == ["x", "y"]
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        topk_churn(df, ["k"], "p", "it", k=0)
