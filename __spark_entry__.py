@@ -10371,6 +10371,47 @@ FROM p
 """
 
 
+def q_mad_stats(spark, sf_dir):
+    """Robust center/scale of the hourly tier per event type
+    (operators/anomaly.mad_stats): exact lower median and MAD by the
+    engine-portable rank pick — the global twin of the rolling Hampel
+    window, all BIGINT."""
+    from rtsa_spark.operators.anomaly import mad_stats
+
+    tier = _hourly_x(spark, sf_dir).select(
+        F.col("event_type").alias("key"), "x"
+    )
+    return mad_stats(tier, ["key"], "x")
+
+
+SQL_MAD_STATS = f"""
+WITH {_SQL_HOURLY_X},
+v AS (SELECT k, x FROM h),
+r1 AS (
+  SELECT k, x, row_number() OVER (PARTITION BY k ORDER BY x) AS rn,
+         count(*) OVER (PARTITION BY k) AS n
+  FROM v
+), m1 AS MATERIALIZED (
+  SELECT k, CAST(max(n) AS BIGINT) AS n,
+         CAST(max(CASE WHEN rn = (50 * (n - 1)) // 100 + 1 THEN x END)
+              AS BIGINT) AS median
+  FROM r1 GROUP BY 1
+), d AS (
+  SELECT v.k, abs(v.x - m1.median) AS dd FROM v JOIN m1 ON m1.k = v.k
+), r2 AS (
+  SELECT k, dd, row_number() OVER (PARTITION BY k ORDER BY dd) AS rn,
+         count(*) OVER (PARTITION BY k) AS n
+  FROM d
+), m2 AS (
+  SELECT k, CAST(max(CASE WHEN rn = (50 * (n - 1)) // 100 + 1 THEN dd END)
+                AS BIGINT) AS mad
+  FROM r2 GROUP BY 1
+)
+SELECT m1.k AS key, m1.n, m1.median, m2.mad
+FROM m1 JOIN m2 ON m2.k = m1.k
+"""
+
+
 # ------------------------------------------------------------ entry points
 
 
@@ -10619,6 +10660,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "english_rate_ci": q_english_rate_ci,
         "lang_source_assoc": q_lang_source_assoc,
         "word_topk_churn": q_word_topk_churn,
+        "mad_stats": q_mad_stats,
     }
 
 
@@ -10824,4 +10866,5 @@ def oracle_sql() -> dict[str, str]:
         "english_rate_ci": SQL_ENGLISH_RATE_CI,
         "lang_source_assoc": SQL_LANG_SOURCE_ASSOC,
         "word_topk_churn": SQL_WORD_TOPK_CHURN,
+        "mad_stats": SQL_MAD_STATS,
     }

@@ -33,6 +33,7 @@ __all__ = [
     "iqr_outliers",
     "zscore_outliers",
     "BENFORD_E6",
+    "mad_stats",
 ]
 
 
@@ -260,4 +261,58 @@ def zscore_outliers(
         "n",
         z.alias("z_num"),
         F.when(F.col("n") >= 2, flag).otherwise(F.lit(False)).alias("is_outlier"),
+    )
+
+
+def mad_stats(
+    df: DataFrame,
+    key_cols: list[str],
+    value_col: str,
+) -> DataFrame:
+    """Per-key robust center and scale: the exact lower median and the
+    median absolute deviation (Hampel 1974 popularized MAD as the
+    robust sigma) — the global twin of :func:`hampel`'s rolling window,
+    for "flag anything further than k MADs from the key's center"
+    rules whose thresholds must replay identically anywhere.
+
+    Emits ``(keys..., n, median, mad)`` over integer values; both picks
+    are the exact LOWER order statistic (rank ``(50 * (n-1)) div 100 +
+    1`` ascending — the engine-portable convention shared with
+    ``funnel_latency``), so everything stays exact BIGINT with no
+    interpolation.  NULL values are excluded.
+
+    Scale shape: two rank windows over (keys)-partitioned rows plus one
+    broadcast-size median join — rows in flight are the key's values,
+    never wider.
+    """
+    pre = df.select(
+        *key_cols, F.col(value_col).cast("bigint").alias("_v")
+    ).where(F.col("_v").isNotNull())
+
+    def _lower_median(frame: DataFrame, col: str, out: str) -> DataFrame:
+        w = Window.partitionBy(*key_cols).orderBy(col)
+        ranked = frame.select(
+            *key_cols,
+            col,
+            F.row_number().over(w).alias("_rn"),
+            F.count(F.lit(1)).over(Window.partitionBy(*key_cols)).alias("_n"),
+        )
+        return ranked.groupBy(*key_cols).agg(
+            F.max("_n").cast("bigint").alias("_n_out"),
+            F.max(
+                F.when(
+                    F.col("_rn") == F.expr("(50 * (_n - 1)) div 100 + 1"),
+                    F.col(col),
+                )
+            ).cast("bigint").alias(out),
+        )
+
+    med = _lower_median(pre, "_v", "median")
+    dev = pre.join(F.broadcast(med.select(*key_cols, "median")), [*key_cols]).select(
+        *key_cols, F.abs(F.col("_v") - F.col("median")).alias("_d")
+    )
+    mad = _lower_median(dev, "_d", "mad")
+    return (
+        med.select(*key_cols, F.col("_n_out").alias("n"), "median")
+        .join(mad.select(*key_cols, "mad"), [*key_cols])
     )

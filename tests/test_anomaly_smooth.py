@@ -308,3 +308,19 @@ def test_smooth_state_cap_fails_loudly(spark):
     assert holt_smooth(df, "key", "ts", "v", max_points=50).count() == 1
     with pytest.raises(ValueError, match="max_points"):
         holt_smooth(df, "key", "ts", "v", max_points=0)
+
+
+def test_mad_stats_hand(spark):
+    from rtsa_spark.operators.anomaly import mad_stats
+
+    rows = [("k", v) for v in (1, 3, 3, 7, 100)] + [("k", None)]
+    df = spark.createDataFrame(rows, "k string, v long")
+    r = mad_stats(df, ["k"], "v").collect()[0]
+    # lower median of [1,3,3,7,100]: rank (50*4)//100+1 = 3 -> 3
+    assert r["n"] == 5 and r["median"] == 3
+    # deviations [2,0,0,4,97] sorted [0,0,2,4,97]: rank 3 -> 2
+    assert r["mad"] == 2
+    # even n: lower pick
+    ev = spark.createDataFrame([("k", v) for v in (1, 2, 3, 4)], "k string, v long")
+    r2 = mad_stats(ev, ["k"], "v").collect()[0]
+    assert r2["median"] == 2  # rank (50*3)//100+1 = 2
