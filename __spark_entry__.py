@@ -10412,6 +10412,73 @@ FROM m1 JOIN m2 ON m2.k = m1.k
 """
 
 
+def q_hll_accuracy_audit(spark, sf_dir):
+    """Sketch honesty check: monthly HLL distinct-user estimate vs the
+    EXACT distinct count per event type, with the signed relative error
+    at e6 — the audit a pipeline runs before trusting a sketch tier
+    (both sides deterministic, so the error itself is oracle-checked)."""
+    from rtsa_spark.operators.sketch import hll_bucket_sketch
+
+    ev = _events(spark, sf_dir).select(
+        "event_type", F.date_trunc("month", "ts").alias("mo"), "user_id"
+    )
+    est = hll_bucket_sketch(ev, ["event_type"], "mo", "user_id", p=10).select(
+        F.col("event_type").alias("key"),
+        F.col("bucket").alias("mo"),
+        "est_distinct",
+    )
+    exact = ev.groupBy(
+        F.col("event_type").alias("key"), F.col("mo")
+    ).agg(F.count_distinct("user_id").cast("bigint").alias("n_exact"))
+    j = exact.join(est, ["key", "mo"])
+    return j.select(
+        "key",
+        "mo",
+        "n_exact",
+        "est_distinct",
+        F.expr(
+            "cast(signum(est_distinct - n_exact) as bigint)"
+            " * ((1000000 * abs(est_distinct - n_exact))"
+            "    div greatest(n_exact, 1))"
+        )
+        .cast("bigint")
+        .alias("err_e6"),
+    )
+
+
+SQL_HLL_ACCURACY = f"""
+WITH dh AS MATERIALIZED (
+  SELECT DISTINCT event_type AS key, date_trunc('month', ts) AS mo,
+         ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 12))::BIGINT AS h
+  FROM events
+), dr AS (
+  SELECT key, mo, h // 274877906944 AS idx,
+         CASE WHEN (h & 274877906943) > 0
+              THEN 38 - (length(bin(h & 274877906943)) - 1)
+              ELSE 39 END AS rho
+  FROM dh
+), g AS (
+  SELECT key, mo, idx, max(rho) AS rho FROM dr GROUP BY 1, 2, 3
+), z AS (
+  SELECT key, mo,
+         CAST(floor({_HLL_C_P10} /
+           (CAST(sum(1::BIGINT << (39 - rho))
+                 + (1024 - count(*)) * (1::BIGINT << 39) AS BIGINT))::DOUBLE)
+           AS BIGINT) AS est_distinct
+  FROM g GROUP BY 1, 2
+), ex AS (
+  SELECT event_type AS key, date_trunc('month', ts) AS mo,
+         count(DISTINCT user_id)::BIGINT AS n_exact
+  FROM events GROUP BY 1, 2
+)
+SELECT ex.key, ex.mo, ex.n_exact, z.est_distinct,
+  CAST((CASE WHEN z.est_distinct >= ex.n_exact THEN 1 ELSE -1 END)
+       * ((1000000 * abs(z.est_distinct - ex.n_exact))
+          // greatest(ex.n_exact, 1)) AS BIGINT) AS err_e6
+FROM ex JOIN z ON z.key = ex.key AND z.mo = ex.mo
+"""
+
+
 # ------------------------------------------------------------ entry points
 
 
@@ -10661,6 +10728,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_source_assoc": q_lang_source_assoc,
         "word_topk_churn": q_word_topk_churn,
         "mad_stats": q_mad_stats,
+        "hll_accuracy_audit": q_hll_accuracy_audit,
     }
 
 
@@ -10867,4 +10935,5 @@ def oracle_sql() -> dict[str, str]:
         "lang_source_assoc": SQL_LANG_SOURCE_ASSOC,
         "word_topk_churn": SQL_WORD_TOPK_CHURN,
         "mad_stats": SQL_MAD_STATS,
+        "hll_accuracy_audit": SQL_HLL_ACCURACY,
     }
