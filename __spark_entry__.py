@@ -10479,6 +10479,70 @@ FROM ex JOIN z ON z.key = ex.key AND z.mo = ex.mo
 """
 
 
+def q_hourly_emd_drift(spark, sf_dir):
+    """Day-over-day Wasserstein-1 drift of the hourly value
+    distribution per event type (operators/distribution.histogram_emd):
+    exact cross-multiplied CDF-gap sum over width-50 bins — the
+    how-far-did-mass-move read TVD cannot give."""
+    from rtsa_spark.operators.distribution import histogram_emd
+
+    tier = _hourly_x(spark, sf_dir).select(
+        "event_type",
+        F.date_trunc("day", "bucket_start").alias("d"),
+        "x",
+    )
+    return histogram_emd(tier, "event_type", "d", "x", bin_width=50)
+
+
+SQL_HOURLY_EMD = f"""
+WITH {_SQL_HOURLY_X},
+t AS (
+  SELECT k, date_trunc('day', b) AS p,
+         (x - ((x % 50) + 50) % 50) // 50 AS bin
+  FROM h
+), c AS MATERIALIZED (
+  SELECT k, p, bin, count(*)::BIGINT AS c FROM t GROUP BY 1, 2, 3
+), tot AS MATERIALIZED (
+  SELECT k, p, CAST(sum(c) AS BIGINT) AS tot FROM c GROUP BY 1, 2
+), spine AS MATERIALIZED (
+  SELECT k, p AS prev_p, tot AS n_prv,
+         lead(p) OVER (PARTITION BY k ORDER BY p) AS pair
+  FROM tot
+  QUALIFY pair IS NOT NULL
+), u AS (
+  SELECT k, pair, bin, CAST(sum(cc) AS BIGINT) AS cc,
+         CAST(sum(pc) AS BIGINT) AS pc
+  FROM (
+    SELECT c.k, c.p AS pair, c.bin, c.c AS cc, 0::BIGINT AS pc FROM c
+    UNION ALL
+    SELECT s.k, s.pair, c.bin, 0::BIGINT, c.c
+    FROM c JOIN spine s ON s.k = c.k AND s.prev_p = c.p
+  ) GROUP BY 1, 2, 3
+), st AS (
+  SELECT k, pair, bin,
+    sum(cc) OVER (PARTITION BY k, pair ORDER BY bin
+                  ROWS UNBOUNDED PRECEDING) AS cumc,
+    sum(pc) OVER (PARTITION BY k, pair ORDER BY bin
+                  ROWS UNBOUNDED PRECEDING) AS cump,
+    lead(bin) OVER (PARTITION BY k, pair ORDER BY bin) - bin AS gap
+  FROM u
+), s AS (
+  SELECT st.k, st.pair, sp.prev_p, tc.tot AS n_cur, sp.n_prv,
+    CAST(sum(CASE WHEN gap IS NOT NULL
+                  THEN abs(cumc * sp.n_prv - cump * tc.tot) * gap
+                  ELSE 0 END) AS BIGINT) AS sterm
+  FROM st
+  JOIN tot tc ON tc.k = st.k AND tc.p = st.pair
+  JOIN spine sp ON sp.k = st.k AND sp.pair = st.pair
+  GROUP BY 1, 2, 3, 4, 5
+)
+SELECT k AS key, pair AS period, prev_p AS prev_period, n_cur, n_prv,
+  CAST((1000000 * 50 * sterm) // greatest(n_cur * n_prv, 1) AS BIGINT)
+    AS emd_e6
+FROM s
+"""
+
+
 # ------------------------------------------------------------ entry points
 
 
@@ -10729,6 +10793,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "word_topk_churn": q_word_topk_churn,
         "mad_stats": q_mad_stats,
         "hll_accuracy_audit": q_hll_accuracy_audit,
+        "hourly_emd_drift": q_hourly_emd_drift,
     }
 
 
@@ -10936,4 +11001,5 @@ def oracle_sql() -> dict[str, str]:
         "word_topk_churn": SQL_WORD_TOPK_CHURN,
         "mad_stats": SQL_MAD_STATS,
         "hll_accuracy_audit": SQL_HLL_ACCURACY,
+        "hourly_emd_drift": SQL_HOURLY_EMD,
     }

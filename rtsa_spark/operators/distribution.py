@@ -39,7 +39,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["spearman_corr", "ks_two_sample", "distribution_drift"]
+__all__ = ["spearman_corr", "ks_two_sample", "distribution_drift", "histogram_emd"]
 
 
 def spearman_corr(
@@ -291,4 +291,139 @@ def distribution_drift(
         F.expr("(1000000 * _linf_num) div (tot_cur * tot_prv)")
         .cast("bigint")
         .alias("linf_e6"),
+    )
+
+
+def histogram_emd(
+    df: DataFrame,
+    key_col: str,
+    period_col: str,
+    value_col: str,
+    bin_width: int,
+) -> DataFrame:
+    """Wasserstein-1 (earth-mover) drift between ADJACENT observed
+    periods of each key over a NUMERIC column, computed exactly from
+    fixed-width bins: unlike :func:`distribution_drift`'s TVD (which
+    only sees probability mass moved), W1 weighs HOW FAR the mass
+    moved — the "latencies doubled" vs "latencies reshuffled"
+    distinction a drift monitor needs for ordered values.
+
+    Identity: ``W1 = integral |F_A - F_B| dx`` over the value line; on
+    binned data the CDF difference is piecewise constant between
+    observed bins, so with per-pair union bins b_1 < ... < b_m,
+
+        W1 = bin_width * sum_i |cumA_i*nB - cumB_i*nA| * (b_{i+1}-b_i)
+                       / (nA*nB)
+
+    where the cums and totals are exact BIGINTs — one cross-multiplied
+    integer sum, one trailing div: ``emd_e6 = (1e6 * bin_width * S)
+    div (nA * nB)`` is 1e6 x W1 in VALUE units, bit-identical on any
+    engine.  The final observed bin contributes 0 (both CDFs reached
+    1), so the open tail never enters.  ANSI overflow throws loudly
+    once ``1e6 * bin_width * S`` nears 2^63 (S is bounded by
+    bin-range x nA x nB — run wide-range drift on coarser bins).
+
+    Emits ``(key, period, prev_period, n_cur, n_prv, emd_e6)`` per
+    adjacent observed pair.  Scale shape: the distribution_drift
+    role-tagged-union device over BIN rows — two shuffles of the
+    distinct (key, period, bin) set, one cum window per pair, never a
+    second pass over fact rows.
+    """
+    if bin_width < 1:
+        raise ValueError(f"bin_width must be >= 1, got {bin_width}")
+    binned = df.select(
+        F.col(key_col).alias("key"),
+        F.col(period_col).alias("p"),
+        F.expr(
+            f"(cast({value_col} as bigint)"
+            f" - pmod(cast({value_col} as bigint), {int(bin_width)}))"
+            f" div {int(bin_width)}"
+        ).alias("bin"),
+    )
+    c = binned.groupBy("key", "p", "bin").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    tot = c.groupBy("key", "p").agg(F.sum("c").cast("bigint").alias("tot"))
+    w = Window.partitionBy("key").orderBy("p")
+    spine = tot.select(
+        "key",
+        F.col("p").alias("prev_p"),
+        F.col("tot").alias("n_prv"),
+        F.lead("p").over(w).alias("pair"),
+    ).where(F.col("pair").isNotNull())
+    cur = c.select(
+        "key",
+        F.col("p").alias("pair"),
+        "bin",
+        F.col("c").alias("cur_c"),
+        F.lit(0).cast("bigint").alias("prv_c"),
+    )
+    prv = (
+        c.join(spine.select("key", "prev_p", "pair"), ["key"])
+        .where(F.col("p") == F.col("prev_p"))
+        .select(
+            "key",
+            "pair",
+            "bin",
+            F.lit(0).cast("bigint").alias("cur_c"),
+            F.col("c").alias("prv_c"),
+        )
+    )
+    u = (
+        cur.unionByName(prv)
+        .groupBy("key", "pair", "bin")
+        .agg(
+            F.sum("cur_c").cast("bigint").alias("cc"),
+            F.sum("prv_c").cast("bigint").alias("pc"),
+        )
+    )
+    cw = (
+        Window.partitionBy("key", "pair")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    stepped = u.select(
+        "key",
+        "pair",
+        "bin",
+        F.sum("cc").over(cw).alias("cumc"),
+        F.sum("pc").over(cw).alias("cump"),
+        (
+            F.lead("bin").over(Window.partitionBy("key", "pair").orderBy("bin"))
+            - F.col("bin")
+        ).alias("gap"),
+    )
+    totals = tot.select(
+        "key", F.col("p").alias("pair"), F.col("tot").alias("n_cur")
+    )
+    joined = (
+        stepped.join(totals, ["key", "pair"])
+        .join(spine.select("key", "pair", "prev_p", "n_prv"), ["key", "pair"])
+    )
+    s = joined.groupBy("key", "pair", "prev_p", "n_cur", "n_prv").agg(
+        F.sum(
+            F.when(
+                F.col("gap").isNotNull(),
+                F.abs(
+                    F.col("cumc") * F.col("n_prv")
+                    - F.col("cump") * F.col("n_cur")
+                )
+                * F.col("gap"),
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("_s")
+    )
+    return s.select(
+        "key",
+        F.col("pair").alias("period"),
+        F.col("prev_p").alias("prev_period"),
+        "n_cur",
+        "n_prv",
+        F.expr(
+            f"(1000000 * {int(bin_width)} * _s)"
+            " div greatest(n_cur * n_prv, 1)"
+        )
+        .cast("bigint")
+        .alias("emd_e6"),
     )

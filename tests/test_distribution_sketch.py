@@ -779,3 +779,35 @@ def test_sample_merge_identity_needs_coarse_k_at_most_fine_k(spark):
            sample_merge_buckets(daily, ["g"], F.lit(0), k=16).collect()}
     d16 = {r["item"] for r in direct16.collect()}
     assert m16 != d16  # the documented failure mode, pinned
+
+
+def test_histogram_emd_hand(spark):
+    from rtsa_spark.operators.distribution import histogram_emd
+
+    # period 1: values at bin 0 (x4); period 2: values at bin 3 (x4)
+    # -> every unit of mass moves 3 bins: W1 = 3 * bin_width = 30
+    rows = [("k", 1, v) for v in (0, 1, 2, 3)] + [
+        ("k", 2, v) for v in (30, 31, 32, 33)
+    ]
+    df = spark.createDataFrame(rows, "k string, p long, v long")
+    r = histogram_emd(df, "k", "p", "v", bin_width=10).collect()[0]
+    assert (r["period"], r["prev_period"]) == (2, 1)
+    assert r["n_cur"] == 4 and r["n_prv"] == 4
+    assert r["emd_e6"] == 30 * 1_000_000
+
+    # identical distributions -> 0
+    same = [("k", p, v) for p in (1, 2) for v in (5, 15, 25)]
+    df2 = spark.createDataFrame(same, "k string, p long, v long")
+    assert histogram_emd(df2, "k", "p", "v", 10).collect()[0]["emd_e6"] == 0
+
+    # partial shift, python reference on the CDF-gap identity
+    rows3 = [("k", 1, v) for v in (0, 0, 10)] + [("k", 2, v) for v in (0, 10, 10)]
+    df3 = spark.createDataFrame(rows3, "k string, p long, v long")
+    got = histogram_emd(df3, "k", "p", "v", 10).collect()[0]
+    # bins: {0: cA=2 cB=1, 1: cA=1 cB=2}; cum at bin0: A2 B1 -> |2*3-1*3|*1=3
+    # emd = 1e6*10*3 // (3*3) = 3_333_333
+    assert got["emd_e6"] == (1_000_000 * 10 * 3) // 9
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        histogram_emd(df3, "k", "p", "v", 0)
