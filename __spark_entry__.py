@@ -10543,6 +10543,40 @@ FROM s
 """
 
 
+def q_local_day_counts(spark, sf_dir):
+    """Event counts in each type's LOCAL day (operators/rollup.
+    local_time_bucket): per-row utc-offset clock with the exact pmod
+    floor — the global-fleet rollup the UTC-pinned tiers cannot
+    express; offsets derived deterministically from the type name."""
+    from rtsa_spark.operators.rollup import local_time_bucket
+
+    ev = _events(spark, sf_dir).select(
+        F.col("event_type").alias("key"),
+        "ts",
+        ((F.length("event_type") % 24 - 12) * 3600).alias("off"),
+    )
+    b = local_time_bucket(ev, "ts", "off", 86400)
+    return b.groupBy("key", "local_bucket_start").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+
+
+SQL_LOCAL_DAY_COUNTS = """
+WITH e AS MATERIALIZED (
+  SELECT event_type AS key, epoch_us(ts) // 1000000 AS es,
+         ((length(event_type) % 24) - 12) * 3600 AS off
+  FROM events
+), b AS (
+  SELECT key,
+         (es + off) - (((es + off) % 86400) + 86400) % 86400 AS lb
+  FROM e
+)
+SELECT key, CAST(lb AS BIGINT) AS local_bucket_start,
+       count(*)::BIGINT AS n
+FROM b GROUP BY 1, 2
+"""
+
+
 # ------------------------------------------------------------ entry points
 
 
@@ -10794,6 +10828,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mad_stats": q_mad_stats,
         "hll_accuracy_audit": q_hll_accuracy_audit,
         "hourly_emd_drift": q_hourly_emd_drift,
+        "local_day_counts": q_local_day_counts,
     }
 
 
@@ -11002,4 +11037,5 @@ def oracle_sql() -> dict[str, str]:
         "mad_stats": SQL_MAD_STATS,
         "hll_accuracy_audit": SQL_HLL_ACCURACY,
         "hourly_emd_drift": SQL_HOURLY_EMD,
+        "local_day_counts": SQL_LOCAL_DAY_COUNTS,
     }

@@ -721,3 +721,37 @@ def rollup_ohlc(
         F.min("v").alias("low"),
         F.max(F.when(F.col("_rd") == 1, F.col("v"))).alias("close"),
     )
+
+
+def local_time_bucket(
+    df: DataFrame,
+    ts_col: str,
+    offset_s_col: str,
+    bucket_s: int,
+    out_col: str = "local_bucket_start",
+) -> DataFrame:
+    """Fixed-width bucketing in each row's OWN utc-offset clock: bucket
+    start (as epoch seconds of the LOCAL wall time) = floor((epoch +
+    offset) / w) * w — the "daily rollup means the source's local day"
+    requirement a global fleet has that the UTC-pinned
+    :func:`time_bucket` cannot express.
+
+    Same exact floor device as time_bucket (``e - pmod(e, w)`` — a true
+    floor on either side of the epoch, portable to any engine);
+    ``offset_s_col`` is a per-row integer seconds column (join your
+    timezone table upstream — DST-aware offsets are just a
+    time-varying column).  Emits the input plus ``out_col`` as BIGINT
+    local epoch seconds (re-attach the offset to render wall time).
+    Scale shape: pure projection — no shuffle, codegen arithmetic.
+    """
+    if bucket_s < 1:
+        raise ValueError(f"bucket_s must be >= 1, got {bucket_s}")
+    e = (
+        F.unix_timestamp(F.col(ts_col)).cast("bigint")
+        + F.col(offset_s_col).cast("bigint")
+    )
+    w = int(bucket_s)
+    return df.withColumn(
+        out_col,
+        (e - F.pmod(e, F.lit(w))).cast("bigint"),
+    )

@@ -82,3 +82,26 @@ def test_topk_churn_hand(spark):
     import pytest as _pt
     with _pt.raises(ValueError):
         topk_churn(df, ["k"], "p", "it", k=0)
+
+
+def test_local_time_bucket_hand(spark):
+    from rtsa_spark.operators.rollup import local_time_bucket
+
+    # 23:30 UTC with +1h offset lands in the NEXT local day; -2h offset
+    # keeps it; negative local epochs floor correctly
+    rows = [
+        (1, 84600, 3600),    # 23:30 UTC day0, +1h -> local day1
+        (2, 84600, -7200),   # 23:30 UTC day0, -2h -> local day0
+        (3, 1800, -7200),    # 00:30 UTC day0, -2h -> local day -1
+    ]
+    df = spark.createDataFrame(rows, "id long, t long, off long").select(
+        "id", F.timestamp_seconds("t").alias("ts"), "off"
+    )
+    out = {r["id"]: r["local_bucket_start"]
+           for r in local_time_bucket(df, "ts", "off", 86400).collect()}
+    assert out[1] == 86400
+    assert out[2] == 0
+    assert out[3] == -86400
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        local_time_bucket(df, "ts", "off", 0)
