@@ -10577,6 +10577,59 @@ FROM b GROUP BY 1, 2
 """
 
 
+def q_cohort_half_life(spark, sf_dir):
+    """Retention half-life per cohort — a composition over
+    operators/counters.cohort_retention: the FIRST day offset where the
+    cohort's retention drops below 50% (NULL while it never has), plus
+    the deepest observed offset — the scalar product teams track from
+    the triangle."""
+    from rtsa_spark.operators.counters import cohort_retention
+
+    tri = cohort_retention(_events(spark, sf_dir), "user_id", "ts")
+    return tri.groupBy("cohort_day").agg(
+        F.max("n_cohort").cast("bigint").alias("n_cohort"),
+        F.min(
+            F.when(
+                (F.col("day_offset") > 0)
+                & (F.col("retention_e6") < 500_000),
+                F.col("day_offset"),
+            )
+        )
+        .cast("bigint")
+        .alias("half_life_days"),
+        F.max("day_offset").cast("bigint").alias("max_offset"),
+    )
+
+
+SQL_COHORT_HALF_LIFE = """
+WITH days AS MATERIALIZED (
+  SELECT DISTINCT user_id AS u,
+         epoch_us(ts) // 86400000000 AS d
+  FROM events
+), f AS MATERIALIZED (
+  SELECT u, min(d) AS d0 FROM days GROUP BY 1
+), j AS (
+  SELECT days.u, f.d0 AS cohort_day, days.d - f.d0 AS day_offset
+  FROM days JOIN f ON days.u = f.u
+), sz AS (
+  SELECT d0 AS cohort_day, CAST(count(*) AS BIGINT) AS n_cohort
+  FROM f GROUP BY 1
+), a AS (
+  SELECT cohort_day, day_offset, CAST(count(*) AS BIGINT) AS n_active
+  FROM j GROUP BY 1, 2
+), r AS (
+  SELECT a.cohort_day, a.day_offset, sz.n_cohort,
+         (1000000 * a.n_active) // sz.n_cohort AS retention_e6
+  FROM a JOIN sz ON a.cohort_day = sz.cohort_day
+)
+SELECT cohort_day, CAST(max(n_cohort) AS BIGINT) AS n_cohort,
+  CAST(min(CASE WHEN day_offset > 0 AND retention_e6 < 500000
+                THEN day_offset END) AS BIGINT) AS half_life_days,
+  CAST(max(day_offset) AS BIGINT) AS max_offset
+FROM r GROUP BY 1
+"""
+
+
 # ------------------------------------------------------------ entry points
 
 
@@ -10829,6 +10882,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_accuracy_audit": q_hll_accuracy_audit,
         "hourly_emd_drift": q_hourly_emd_drift,
         "local_day_counts": q_local_day_counts,
+        "cohort_half_life": q_cohort_half_life,
     }
 
 
@@ -11038,4 +11092,5 @@ def oracle_sql() -> dict[str, str]:
         "hll_accuracy_audit": SQL_HLL_ACCURACY,
         "hourly_emd_drift": SQL_HOURLY_EMD,
         "local_day_counts": SQL_LOCAL_DAY_COUNTS,
+        "cohort_half_life": SQL_COHORT_HALF_LIFE,
     }
