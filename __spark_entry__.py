@@ -4502,9 +4502,16 @@ def q_zorder_skip_audit(spark, sf_dir):
 
 
 def _duck_spread(col: str) -> str:
-    """DuckDB twin of storage._spread_expr (16-bit Morton bit spread)."""
+    """DuckDB twin of storage._spread_expr (64-bit Morton bit spread;
+    the (16, ...) step is an identity at this query's bits=16)."""
     e = f"CAST({col} AS BIGINT)"
-    for sh, m in ((8, 0x00FF00FF), (4, 0x0F0F0F0F), (2, 0x33333333), (1, 0x55555555)):
+    for sh, m in (
+        (16, 0x0000FFFF0000FFFF),
+        (8, 0x00FF00FF00FF00FF),
+        (4, 0x0F0F0F0F0F0F0F0F),
+        (2, 0x3333333333333333),
+        (1, 0x5555555555555555),
+    ):
         e = f"((({e}) | (({e}) << {sh})) & {m})"
     return e
 
@@ -8956,6 +8963,7 @@ SQL_STATE_DURATIONS = """
 WITH e AS MATERIALIZED (
   SELECT user_id, epoch_us(ts) // 1000000 AS t, event_type AS st
   FROM events
+  WHERE event_type IS NOT NULL
 ), s AS (
   SELECT user_id, st,
          lead(t) OVER w - t AS dur,

@@ -353,7 +353,18 @@ def main():
     out = run_bench(sf_dir, cores)
     out["host_effective_cores_before"] = cap_before
     out["host_effective_cores_after"] = probe_effective_cores()
-    print(json.dumps(out))
+    line = json.dumps(out)
+    # Durable copy FIRST: the driver reads a bounded stdout tail, and r4's
+    # headline number was lost when console noise truncated the line. The
+    # file is the authoritative record; stdout remains the contract.
+    bench_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH")
+    try:
+        os.makedirs(bench_dir, exist_ok=True)
+        with open(os.path.join(bench_dir, "last_run.json"), "w") as f:
+            f.write(line + "\n")
+    except OSError:
+        pass
+    print(line)
 
 
 if __name__ == "__main__":

@@ -42,6 +42,7 @@ __all__ = [
     "histogram_quantiles",
     "kmv_bucket_sketch",
     "kmv_merge_buckets",
+    "kmv_intersect",
     "cm_bucket_sketch",
     "cm_merge_buckets",
     "cm_estimate",

@@ -119,11 +119,18 @@ def duration_in_state(
     (NULL when the span is zero).  ``sum(held_s)`` over a key's states
     equals its span exactly — conservation the tests and oracle pin.
 
+    NULL states are dropped before the window (repo-wide stance: NULL
+    rows are not evidence — same rule as evaluation.py and
+    hll_bucket_sketch), so a NULL observation neither forms its own
+    state group nor forces spurious enter flags on its neighbors; the
+    key's span and LOCF durations are computed over non-NULL
+    observations only.
+
     Scale shape: one window shuffle on the key + one combinable groupBy;
     the per-key span re-enters through the same window (no join).
     """
     ts_s = F.unix_timestamp(F.col(ts_col)).cast("bigint")
-    pre = df.select(
+    pre = df.where(F.col(state_col).isNotNull()).select(
         *key_cols, ts_s.alias("_t"), F.col(state_col).alias("_st")
     )
     w = Window.partitionBy(*key_cols).orderBy("_t", "_st")

@@ -106,6 +106,11 @@ def get_spark(
         "spark.sql.execution.arrow.maxRecordsPerBatch": "65536",
         "spark.sql.parquet.compression.codec": "zstd",
         "spark.ui.enabled": "false",
+        # No \r progress frames on stdout: the driver captures bench.py's
+        # stdout tail, and progress-bar frames flooded/truncated the one
+        # JSON line it needs (BENCH_r04.json parsed:null). Harmless for
+        # interactive runs — stage progress is in the event log/UI anyway.
+        "spark.ui.showConsoleProgress": "false",
         "spark.driver.memory": os.environ.get("RTSA_DRIVER_MEMORY", "8g"),
     }
     if extra_conf:

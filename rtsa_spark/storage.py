@@ -149,13 +149,18 @@ def bucket_spec(spark: SparkSession, table: str) -> tuple[int, list[str]]:
 
 # --------------------------------------------------------------- z-order
 
-#: magic-number bit-spread masks: 16-bit value -> even bit positions of a
-#: 32-bit word (Morton/Z-curve interleave, the standard constants)
+#: magic-number bit-spread masks: up-to-32-bit value -> even bit positions
+#: of a 64-bit word (Morton/Z-curve interleave, the standard 64-bit
+#: constants).  The leading (16, ...) step is an identity for 16-bit
+#: inputs — the extension to 64-bit masks changed nothing for bits<=16 —
+#: but is what makes bits in (16, 31] interleave correctly: the old
+#: 32-bit chain silently aliased them (spread(2^16) == spread(2^8)).
 _SPREAD = (
-    (8, 0x00FF00FF),
-    (4, 0x0F0F0F0F),
-    (2, 0x33333333),
-    (1, 0x55555555),
+    (16, 0x0000FFFF0000FFFF),
+    (8, 0x00FF00FF00FF00FF),
+    (4, 0x0F0F0F0F0F0F0F0F),
+    (2, 0x3333333333333333),
+    (1, 0x5555555555555555),
 )
 
 

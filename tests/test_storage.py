@@ -122,7 +122,7 @@ def test_write_bucketed_validates(spark, bucketed_tiers):
 
 def _py_spread(v):
     r = 0
-    for i in range(16):
+    for i in range(32):
         r |= ((v >> i) & 1) << (2 * i)
     return r
 
@@ -138,6 +138,25 @@ def test_zorder_key_hand_replay(spark):
     rows = [(x, y) for x in vals for y in vals]
     df = spark.createDataFrame(rows, "x long, y long")
     got = df.select("x", "y", zorder_key("x", "y").alias("zk")).collect()
+    for r in got:
+        assert r["zk"] == (_py_spread(r["x"]) | (_py_spread(r["y"]) << 1)), (
+            r["x"], r["y"])
+
+
+def test_zorder_key_wide_bits(spark):
+    """bits in (16, 31] interleave correctly (ADVICE r4: the 32-bit mask
+    chain aliased spread(2^16) to spread(2^8) — a non-Morton layout for
+    wide dims). Pins the exact collision pair plus corner/mid values up
+    to 2^31 - 1 against the bit-by-bit Python interleave."""
+    import pyspark.sql.functions as F  # noqa: F401
+
+    from rtsa_spark.storage import zorder_key
+
+    assert _py_spread(1 << 16) != _py_spread(1 << 8)
+    vals = [0, 1, 255, 256, 65535, 65536, 1 << 20, (1 << 24) + 3, (1 << 31) - 1]
+    rows = [(x, y) for x in vals for y in vals]
+    df = spark.createDataFrame(rows, "x long, y long")
+    got = df.select("x", "y", zorder_key("x", "y", bits=31).alias("zk")).collect()
     for r in got:
         assert r["zk"] == (_py_spread(r["x"]) | (_py_spread(r["y"]) << 1)), (
             r["x"], r["y"])

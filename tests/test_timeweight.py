@@ -108,6 +108,23 @@ def test_state_durations_singleton_span_zero(spark):
     assert up["held_s"] == 0 and up["pct_e6"] is None and up["n_enters"] == 1
 
 
+def test_state_durations_null_states_not_evidence(spark):
+    """NULL state rows are dropped before the window (ADVICE r4): no NULL
+    state group, no spurious enters on neighbors, and durations/span are
+    computed as if the NULL observations never happened."""
+    rows = [("a", 0, "up"), ("a", 10, None), ("a", 20, "up"), ("a", 30, "down")]
+    out = _dis(spark, rows)
+    assert set(out) == {("a", "up"), ("a", "down")}
+    up = out[("a", "up")]
+    # one contiguous 'up' run 0..30 (the NULL at t=10 is not a boundary)
+    assert up["n_enters"] == 1 and up["n_obs"] == 2 and up["held_s"] == 30
+    down = out[("a", "down")]
+    assert down["n_enters"] == 1 and down["held_s"] == 0
+    # all-NULL key vanishes entirely
+    out2 = _dis(spark, [("b", 0, None), ("b", 5, None)])
+    assert not any(k == "b" for k, _ in out2)
+
+
 def test_state_durations_conservation_random(spark):
     rng = random.Random(11)
     rows = []
