@@ -4253,9 +4253,12 @@ def q_bpe_encode_tokens(spark, sf_dir):
 
 
 def _sql_bpe_chain(n_merges: int) -> str:
-    """DuckDB replay of bpe_learn: word-freq table, double-space symbol
-    states, then one (pair-count -> argmax -> replace) CTE triple per
-    round — the same unroll pattern as _sql_ivf_chain. Every CTE is
+    """DuckDB replay of bpe_learn: word-freq table, boundary-anchored
+    (space-wrapped) symbol states, then one (pair-count -> argmax ->
+    replace) CTE triple per round — the same unroll pattern as
+    _sql_ivf_chain. The anchored pattern ' l  r ' makes string replace
+    exactly tokenwise greedy BPE (r5: the unanchored round-4 pattern
+    could fire on a symbol merely ending in l). Every CTE is
     MATERIALIZED (each is referenced at least twice; DuckDB would inline
     and re-evaluate the whole chain per reference otherwise)."""
     parts = [
@@ -4264,7 +4267,7 @@ def _sql_bpe_chain(n_merges: int) -> str:
     SELECT unnest(string_split(text, ' ')) AS word FROM documents
   ) WHERE word <> '' GROUP BY word
 ), st_0 AS MATERIALIZED (
-  SELECT rtrim(regexp_replace(word, '(.)', '\\1  ', 'g')) AS state, cnt FROM wf
+  SELECT regexp_replace(word, '(.)', ' \\1 ', 'g') AS state, cnt FROM wf
 )"""
     ]
     for k in range(1, n_merges + 1):
@@ -4272,15 +4275,15 @@ def _sql_bpe_chain(n_merges: int) -> str:
         parts.append(
             f"""pc_{k} AS MATERIALIZED (
   SELECT arr[g.i] AS l, arr[g.i + 1] AS r, CAST(sum(cnt) AS BIGINT) AS pair_count
-  FROM (SELECT string_split(state, '  ') AS arr, cnt FROM {prev}) s,
+  FROM (SELECT string_split(trim(state), '  ') AS arr, cnt FROM {prev}) s,
        unnest(generate_series(1, len(s.arr) - 1)) AS g(i)
   GROUP BY 1, 2
 ), best_{k} AS MATERIALIZED (
   SELECT {k} AS rank, l, r, l || r AS merged, pair_count
   FROM pc_{k} ORDER BY pair_count DESC, l, r LIMIT 1
 ), st_{k} AS MATERIALIZED (
-  SELECT replace(state, (SELECT l || '  ' || r FROM best_{k}),
-                        (SELECT merged FROM best_{k})) AS state, cnt
+  SELECT replace(state, (SELECT ' ' || l || '  ' || r || ' ' FROM best_{k}),
+                        (SELECT ' ' || merged || ' ' FROM best_{k})) AS state, cnt
   FROM {prev}
 )"""
         )
@@ -4300,13 +4303,14 @@ FROM ({union})
 
 
 def _sql_bpe_encode_tokens() -> str:
-    # fold the learned replaces over the double-space-expanded raw text;
-    # word boundaries are triple spaces so merges never cross words
-    expr = "rtrim(regexp_replace(text, '(\\S)', '\\1  ', 'g'))"
+    # fold the learned replaces over the space-wrapped raw text; in-word
+    # symbol gaps are double spaces, word gaps triple, so an anchored
+    # ' l  r ' pattern can match neither across words nor mid-symbol
+    expr = "regexp_replace(text, '(\\S)', ' \\1 ', 'g')"
     for k in range(1, BPE_N_MERGES + 1):
         expr = (
-            f"replace({expr}, (SELECT l || '  ' || r FROM best_{k}),"
-            f" (SELECT merged FROM best_{k}))"
+            f"replace({expr}, (SELECT ' ' || l || '  ' || r || ' ' FROM best_{k}),"
+            f" (SELECT ' ' || merged || ' ' FROM best_{k}))"
         )
     return f"""
 WITH {_sql_bpe_chain(BPE_N_MERGES)},

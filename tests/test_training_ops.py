@@ -777,6 +777,98 @@ def test_quality_classifier_exact_score(spark):
     assert got[4][2] == -222667  # true floor, not truncate-toward-zero
 
 
+def _bpe_rich_corpus(spark, n_docs=120):
+    """Deterministic corpus with enough pair structure for 64+ merges."""
+    import random
+
+    rng = random.Random(7)
+    alphabet = "abcdef"
+    vocab = [
+        "".join(rng.choice(alphabet) for _ in range(rng.randint(3, 9)))
+        for _ in range(150)
+    ]
+    rows = [
+        (i, " ".join(rng.choice(vocab) for _ in range(12)))
+        for i in range(n_docs)
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_bpe_driver_distributed_bit_exact(spark):
+    """The size-guarded driver-side learner (r5) and the distributed
+    per-round loop produce the IDENTICAL merge table — rank, pair,
+    merged symbol, and pair_count — at n_merges=64 on a corpus rich
+    enough that every round actually merges something."""
+    from rtsa_spark.operators.bpe import bpe_learn
+
+    df = _bpe_rich_corpus(spark)
+    drv = [tuple(r) for r in bpe_learn(df, n_merges=64).orderBy("rank").collect()]
+    dist = [
+        tuple(r)
+        for r in bpe_learn(df, n_merges=64, driver_vocab_limit=0)
+        .orderBy("rank")
+        .collect()
+    ]
+    assert len(drv) == 64
+    assert drv == dist
+
+
+def test_bpe_driver_path_job_count(spark):
+    """The driver path runs O(1) Spark jobs regardless of n_merges (the
+    scale property: a 32k-merge tokenizer run costs zero per-merge
+    cluster round-trips). 64 merges must stay within the fixed budget:
+    one count + one collect of the word-frequency table, plus the
+    result materialization."""
+    from rtsa_spark.operators.bpe import bpe_learn
+
+    df = _bpe_rich_corpus(spark, n_docs=40)
+    sc = spark.sparkContext
+    sc.setJobGroup("bpe-driver-jobs", "job-count probe")
+    try:
+        out = bpe_learn(df, n_merges=64).collect()
+    finally:
+        sc.setJobGroup(None, None)
+    assert len(out) == 64
+    jobs = sc.statusTracker().getJobIdsForGroup("bpe-driver-jobs")
+    # measured 6 (AQE stages the count/collect aggs as separate jobs);
+    # the property under test is that the budget is a CONSTANT — the
+    # distributed loop would run 3+ jobs PER MERGE (192+ here)
+    assert len(jobs) <= 8, f"driver path ran {len(jobs)} jobs"
+
+
+def test_bpe_anchored_application_no_suffix_aliasing(spark):
+    """Boundary-anchored merge patterns (r5): merging (a, b) must not
+    fire inside a word whose current symbols are [xa, b] — 'a' is only a
+    suffix of 'xa', not an adjacent symbol. Corpus drives (x, a) to
+    merge first, then (a, b); the 'xab' word must encode as 2 tokens
+    (xa, b), not collapse to 1."""
+    from rtsa_spark.operators.bpe import bpe_encode_counts, bpe_learn
+
+    rows = (
+        [(i, "xa") for i in range(5)]
+        + [(100 + i, "ab") for i in range(3)]
+        + [(200, "xab")]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for limit in (None, 0):  # driver path and distributed path agree
+        kw = {} if limit is None else {"driver_vocab_limit": 0}
+        merges = [
+            tuple(r)
+            for r in bpe_learn(df, n_merges=2, **kw).orderBy("rank").collect()
+        ]
+        assert merges == [
+            (1, "x", "a", "xa", 6),
+            (2, "a", "b", "ab", 3),  # tokenwise count: 'xab' is [xa, b]
+        ]
+    got = {
+        r["key"]: (r["n_tokens"], r["n_distinct_tokens"])
+        for r in bpe_encode_counts(
+            df, [("x", "a"), ("a", "b")], key_col="doc_id"
+        ).collect()
+    }
+    assert got[200] == (2, 2)  # xa + b, NOT a single aliased 'xab'
+
+
 def test_bpe_learn_hand_case(spark):
     """Classic word-level BPE on a corpus small enough to merge by hand:
     (a,a) wins round 1 on count, (a,b) follows, then the vocabulary runs
