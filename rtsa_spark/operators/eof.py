@@ -258,6 +258,141 @@ def gramian(
     return g, n_t
 
 
+#: sources above which ``eof(solver="auto")`` switches from the dense
+#: n_s^2 Gramian (driver eigh — MLlib RowMatrix.computeSVD's ceiling) to
+#: the iterative matvec solver, whose driver/worker state is
+#: O(n_s * block) instead of O(n_s^2). 8192^2 doubles = 512 MB is the
+#: sensible edge of the dense path on an 8 GB driver.
+EOF_DENSE_SOURCE_LIMIT = 8192
+
+
+def gramian_matvec(
+    vec_df: DataFrame,
+    n_s: int,
+    center: np.ndarray,
+    scale: np.ndarray,
+    q: np.ndarray,
+) -> tuple[np.ndarray, int, float]:
+    """One distributed pass computing ``Y = G @ Q = Z^T (Z @ Q)`` without
+    ever forming the n_s x n_s Gramian — the operator that takes EOF past
+    the driver-RAM ceiling (VERDICT r4 #3). Also returns the bucket count
+    and ``trace(G) = ||Z||_F^2`` (free in the same pass; total variance
+    needs it).
+
+    Shape: Q is broadcast (n_s x k doubles, k = block size); each
+    partition accumulates its ``z^T (z q)`` partial (two skinny BLAS
+    products per Arrow batch — the n_s x n_s outer product never
+    exists); partials merge by the same chunked zip-sum as
+    :func:`gramian`. Shuffle volume per pass is
+    ``GRAMIAN_PARTIALS * n_s * k`` doubles regardless of bucket count.
+    """
+    c = np.ascontiguousarray(center, dtype="float64")
+    s = np.where(np.asarray(scale, dtype="float64") == 0, 1.0, scale)
+    q = np.ascontiguousarray(q, dtype="float64")
+    k = q.shape[1]
+    n_chunks = (n_s + GRAMIAN_CHUNK - 1) // GRAMIAN_CHUNK
+    bq = vec_df.sparkSession.sparkContext.broadcast(q)
+
+    def partials(batches):
+        qv = bq.value
+        y = np.zeros((n_s, k))
+        n, ss = 0, 0.0
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            z = (stack_vectors(pdf, n_s, scratch=True) - c) / s
+            y += z.T @ (z @ qv)
+            ss += float(np.einsum("ij,ij->", z, z))
+            n += len(pdf)
+        chunks = list(range(n_chunks))
+        yield pd.DataFrame(
+            {
+                "chunk_idx": chunks + [-1],
+                "part": [
+                    y[i * GRAMIAN_CHUNK : (i + 1) * GRAMIAN_CHUNK].ravel()
+                    for i in chunks
+                ]
+                + [np.array([float(n), ss])],
+            }
+        )
+
+    parts = vec_df.select("idxs", "vals").coalesce(GRAMIAN_PARTIALS).mapInPandas(
+        partials, "chunk_idx int, part array<double>"
+    )
+
+    def merge(pdf: pd.DataFrame) -> pd.DataFrame:
+        summed = np.stack(pdf["part"].to_numpy()).sum(axis=0)
+        return pd.DataFrame(
+            {"chunk_idx": [int(pdf["chunk_idx"].iloc[0])], "row": [summed]}
+        )
+
+    merged = parts.groupBy("chunk_idx").applyInPandas(
+        merge, "chunk_idx int, row array<double>"
+    ).toPandas()
+    bq.unpersist()
+    y = np.zeros((n_s, k))
+    n_t, sumsq = 0, 0.0
+    for ci, row in zip(merged["chunk_idx"], merged["row"]):
+        if ci == -1:
+            n_t, sumsq = int(row[0]), float(row[1])
+        else:
+            lo = int(ci) * GRAMIAN_CHUNK
+            chunk = np.asarray(row)
+            y[lo : lo + len(chunk) // k] = chunk.reshape(-1, k)
+    return y, n_t, sumsq
+
+
+def _leading_modes_iterative(
+    vec_df: DataFrame,
+    n_s: int,
+    center: np.ndarray,
+    scale: np.ndarray,
+    n_modes: int,
+    oversample: int = 8,
+    max_iter: int = 100,
+    tol: float = 1e-10,
+    seed: int = 0xE0F,
+) -> tuple[np.ndarray, np.ndarray, float, int]:
+    """Block subspace iteration with Rayleigh-Ritz extraction over the
+    implicit Gramian: deterministic seeded start, one
+    :func:`gramian_matvec` pass per iteration, k = n_modes + oversample
+    block. Converges linearly at rate (lambda_{k+1}/lambda_m)^2 — the
+    oversampled block is what keeps that ratio small. Returns
+    ``(V[:, :n_modes], lam[:n_modes], tot_var, n_t)`` on the SAME scale
+    as the dense path (eigenvalues of G/(n_t - 1); tot_var =
+    trace(G)/(n_t - 1)). Driver state: n_s x k — never n_s^2."""
+    k = max(1, min(n_s, n_modes + oversample))
+    rng = np.random.default_rng(seed)
+    q, _ = np.linalg.qr(rng.standard_normal((n_s, k)))
+    prev = None
+    n_t = None
+    sumsq = 0.0
+    theta = np.zeros(k)
+    sv = np.eye(k)
+    for _ in range(max_iter):
+        y, n_b, ss = gramian_matvec(vec_df, n_s, center, scale, q)
+        if n_t is None:
+            n_t, sumsq = n_b, ss
+            n_modes = max(1, min(n_modes, min(n_t, n_s)))
+        b = q.T @ y
+        b = (b + b.T) / 2.0
+        w, sv = np.linalg.eigh(b)
+        order = np.argsort(w)[::-1]
+        theta, sv = w[order], sv[:, order]
+        top = np.maximum(theta[:n_modes], 0.0)
+        if prev is not None and np.all(
+            np.abs(top - prev) <= tol * np.maximum(np.abs(top), 1e-300)
+        ):
+            break
+        prev = top
+        q, _ = np.linalg.qr(y)
+    v = q @ sv  # Ritz vectors of the CURRENT subspace (no extra pass)
+    denom = max((n_t or 1) - 1, 1)
+    lam = np.maximum(theta[:n_modes], 0.0) / denom
+    tot_var = sumsq / denom
+    return v[:, :n_modes], lam, tot_var, n_t or 0
+
+
 def _deflated_rows(pdf: pd.DataFrame, n_s: int, c: np.ndarray, s: np.ndarray,
                    us: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     """Shared kernel step for the recursive path: stack a batch into the
@@ -368,6 +503,7 @@ def eof(
     key_col: str = "source",
     bucket_col: str = "bucket_start",
     recursive: bool = False,
+    solver: str = "auto",
 ) -> dict:
     """EOF decomposition; returns {"modes": DataFrame, "ecs": DataFrame,
     "lambda": list, "explained_pct": list, "tot_var": float}.
@@ -375,6 +511,15 @@ def eof(
     Fully distributed: per-source stats by groupBy, Gramian by
     per-partition outer products, expansion coefficients streamed back as
     ``Z @ V`` per bucket. Driver holds only n_s-sized arrays.
+
+    ``solver``: ``"dense"`` forms the n_s x n_s Gramian and eigh's it on
+    the driver (exact; the MLlib RowMatrix ceiling); ``"iterative"``
+    never forms the Gramian — block subspace iteration over distributed
+    matvec passes (:func:`gramian_matvec`), O(n_s * block) state, the
+    path for 10^5-10^6 sources; ``"auto"`` picks dense up to
+    ``EOF_DENSE_SOURCE_LIMIT`` sources, iterative past it. Both produce
+    the same modes/eigenvalues (pytest pins agreement at small n_s);
+    the iterative eigenvalues carry solver tolerance ~1e-10 relative.
 
     ``recursive=True`` is the sinkr ``eof(..., recursive=TRUE)`` mode the
     reference exposes (``/root/reference/R/rtsa.eof.R:246``): RSEOF —
@@ -424,19 +569,28 @@ def eof(
     vecs = require_complete(
         bucket_vectors(tier_df, sources, value_col, key_col, bucket_col)
     ).persist()
-    g, n_t = gramian(vecs, n_s, center, scale)
-    n_modes = max(1, min(n_modes, min(n_t, n_s)))
-
-    w, v = np.linalg.eigh(g / max(n_t - 1, 1))
-    order = np.argsort(w)[::-1]
-    lam = np.maximum(w[order], 0.0)
-    v = v[:, order]
+    if solver == "auto":
+        solver = "dense" if n_s <= EOF_DENSE_SOURCE_LIMIT else "iterative"
+    if solver == "iterative":
+        v, lam, tot_var, n_t = _leading_modes_iterative(
+            vecs, n_s, center, scale, n_modes
+        )
+        n_modes = v.shape[1]
+    elif solver == "dense":
+        g, n_t = gramian(vecs, n_s, center, scale)
+        n_modes = max(1, min(n_modes, min(n_t, n_s)))
+        w, v = np.linalg.eigh(g / max(n_t - 1, 1))
+        order = np.argsort(w)[::-1]
+        lam = np.maximum(w[order], 0.0)
+        v = v[:, order]
+        tot_var = float(lam.sum())
+    else:
+        raise ValueError(f"solver must be auto/dense/iterative, got {solver!r}")
     # deterministic sign: largest-|loading| element of each mode positive
     for m in range(n_modes):
         j = int(np.argmax(np.abs(v[:, m])))
         if v[j, m] < 0:
             v[:, m] = -v[:, m]
-    tot_var = float(lam.sum())
     explained = [float(100 * l / tot_var) if tot_var else 0.0 for l in lam[:n_modes]]
 
     modes = spark.createDataFrame(

@@ -49,6 +49,52 @@ def test_eof_recovers_dominant_mode(spark):
     )
 
 
+def test_eof_iterative_solver_matches_dense(spark):
+    """The matvec subspace-iteration solver (r5: the past-driver-ceiling
+    path, O(n_s * block) state) agrees with the dense Gramian+eigh path:
+    same eigenvalues, same total variance, same mode loadings and EC
+    series under the shared sign convention."""
+    from rtsa_spark.operators.eof import eof
+
+    rng = np.random.default_rng(9)
+    n_t, n_s = 80, 12
+    # three planted modes with well-separated strengths + noise floor
+    t = np.linspace(0, 6 * np.pi, n_t)
+    mat = (
+        3.0 * np.outer(np.sin(t), rng.normal(size=n_s))
+        + 1.5 * np.outer(np.cos(2 * t), rng.normal(size=n_s))
+        + 0.7 * np.outer(np.sin(3 * t + 1), rng.normal(size=n_s))
+        + rng.normal(0, 0.05, (n_t, n_s))
+    )
+    sources = [f"s{j:02d}" for j in range(n_s)]
+    df = _tier_from_matrix(spark, mat, sources)
+    dense = eof(spark, df, n_modes=3, solver="dense")
+    it = eof(spark, df, n_modes=3, solver="iterative")
+    assert it["tot_var"] == pytest.approx(dense["tot_var"], rel=1e-9)
+    assert np.allclose(it["lambda"], dense["lambda"], rtol=1e-7)
+    assert np.allclose(it["explained_pct"], dense["explained_pct"], rtol=1e-7)
+
+    def grab(out, frame, key, val):
+        return {
+            (r[key], r["mode"]): r[val] for r in out[frame].collect()
+        }
+
+    md, mi = grab(dense, "modes", "source", "loading"), grab(
+        it, "modes", "source", "loading"
+    )
+    assert set(md) == set(mi)
+    for k in md:
+        assert mi[k] == pytest.approx(md[k], abs=1e-6), k
+    ed, ei = grab(dense, "ecs", "bucket_start", "ec"), grab(
+        it, "ecs", "bucket_start", "ec"
+    )
+    for k in ed:
+        assert ei[k] == pytest.approx(ed[k], abs=1e-5), k
+
+    with pytest.raises(ValueError, match="solver"):
+        eof(spark, df, n_modes=2, solver="bogus")
+
+
 def test_eof_rejects_gappy_input(spark):
     from rtsa_spark.operators.eof import eof
 
