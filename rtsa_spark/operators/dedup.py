@@ -194,9 +194,30 @@ def minhash_lsh_pairs(
     union of per-bucket cliques (bucket sizes bounded by signature
     collisions), never a popularity-keyed near-cartesian join. Dominant
     buckets (boilerplate) are plain equi-join skew -> AQE skew-join splits
-    them."""
+    them (mechanical evidence:
+    tests/test_dedup.py::test_lsh_candidate_join_aqe_skew_split drives
+    this exact join on a synthesized hot bucket and asserts
+    ``SortMergeJoin(skew=true)`` in the final adaptive plan)."""
     sigs = minhash_signatures(df, n_hashes, shingle_n, text_col, id_col, hash_fn)
     exploded = _banded(sigs, n_hashes, band_size, id_col, hash_fn)
+    return candidate_pair_join(exploded, id_col)
+
+
+def candidate_pair_join(exploded: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """The LSH bucket self-join: docs sharing a (band, band_hash) bucket
+    become candidate pairs (doc_a < doc_b), deduped across bands. Split
+    out of :func:`minhash_lsh_pairs` so the AQE skew audit drives the
+    production join verbatim on a controlled bucket distribution.
+
+    Skew note for 100 TB operators: AQE's skew-join split fires when a
+    hot bucket's partition exceeds BOTH the skewed-partition byte
+    threshold AND ``skewedPartitionFactor`` x the MEDIAN partition size.
+    A corpus where boilerplate dominates EVERY partition (e.g. one
+    identical doc replicated everywhere — all of its band buckets hot at
+    once) drags the median up and defeats detection; such corpora need
+    an explicit bucket-size cap (drop or sample buckets with
+    ``n_docs > cap`` from minhash_lsh_buckets) before the pair join,
+    because their pair output is quadratic anyway."""
     a, b = exploded.alias("a"), exploded.alias("b")
     return (
         a.join(

@@ -117,3 +117,66 @@ def test_token_ngram_contamination_hand_case(spark):
     assert out[3] == (3, 3, 1_000_000)
     assert out[4] == (0, 0, None)
     assert set(out) == {1, 2, 3, 4}  # every corpus doc reports
+
+
+def test_lsh_candidate_join_aqe_skew_split(spark):
+    """Mechanical AQE skew evidence (VERDICT r4 #4): drive the production
+    LSH candidate-pair join (dedup.candidate_pair_join — the exact
+    operator minhash_lsh_pairs executes) on a synthesized boilerplate
+    bucket and assert Spark's adaptive skew-join split actually fired
+    (SortMergeJoin(skew=true) in the FINAL adaptive plan), replacing the
+    former narrative-only claim in dedup.py.
+
+    Construction notes (why this shape): skew detection compares each
+    partition against max(byte threshold, factor x MEDIAN partition
+    size), so the corpus needs ONE hot bucket plus uniform ballast —
+    identical-doc corpora make every band bucket hot at once, drag the
+    median up, and defeat detection (documented on candidate_pair_join).
+    Thresholds are lowered session-locally so test-sized data crosses
+    them; broadcast is disabled to force the sort-merge join the rule
+    rewrites."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from rtsa_spark.operators.dedup import candidate_pair_join
+
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "16KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2.0",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+
+        def hid(i):
+            return hashlib.md5(f"doc{i}".encode()).hexdigest()
+
+        hot = [(hid(i), 0, "HOTBUCKET") for i in range(3000)]
+        ballast = [
+            (
+                hid(100_000 + i),
+                i % 4,
+                hashlib.md5(f"bh{i}".encode()).hexdigest()[:16],
+            )
+            for i in range(8000)
+        ]
+        exploded = spark.createDataFrame(
+            hot + ballast, "doc_id string, band int, band_hash string"
+        )
+        pairs = candidate_pair_join(exploded)
+        agg = pairs.agg(F.count(F.lit(1)).alias("n"))
+        n = agg.collect()[0]["n"]
+        assert n == 3000 * 2999 // 2  # the hot clique; ballast buckets solo
+        plan = agg._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan, "AQE skew-join split did not fire"
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

@@ -43,6 +43,42 @@ def test_query_dict_keys_unique_and_aligned():
     assert set(qk) == set(ok), f"query/oracle mismatch: {set(qk) ^ set(ok)}"
 
 
+# The driver's correctness gate checks the FIRST 50 queries() entries.
+# This window was curated in round 4 to span every operator family; the
+# round-3 incident class was SILENT REORDERING (a new query inserted
+# before position 50 pushed a curated row out of the gate without any
+# test noticing). Frozen by literal list — edit deliberately or append
+# new queries after position 50.
+GATE_WINDOW = [
+    "rollup_hourly", "rollup_daily_cascade", "sequences_ladder",
+    "retention_ladder", "tier_match_check", "token_histogram_cascade",
+    "kmv_ladder", "encode_roundtrip_audit", "gapfill_hourly_linear",
+    "zorder_skip_audit", "mask_min_obs", "mask_complete_profile",
+    "mask_consecutive_gap", "metrics_series", "seasonal_mk_stats",
+    "stl_stats", "stl_robust", "x11_stats", "x11_adaptive",
+    "x11_yearly_amplitude", "decompose_components",
+    "eof_reconstruction_audit", "scale_eof_modes", "eot_deterministic",
+    "dineof_audit", "streaming_batch_parity", "stateful_tracker",
+    "pipeline_publish_audit", "snapshot_time_travel",
+    "asof_tier_checkpoint", "bloom_incremental_dedup", "minhash_lsh",
+    "snapshot_wap", "dedup_clusters", "snapshot_merge", "ann_cosine_lsh",
+    "ann_cosine_ivf", "semantic_dedup", "text_quality", "bpe_vocab_learn",
+    "corpus_build", "curation_funnel", "token_budget_pack",
+    "contamination_check", "media_features", "media_decode",
+    "sessionize_events", "m4_downsample", "holt_winters",
+    "distribution_drift",
+]
+
+
+def test_gate_window_frozen():
+    got = _dict_literal_keys("queries")[:50]
+    assert got == GATE_WINDOW, (
+        "the first 50 queries() keys are the driver's correctness-gate "
+        "window — a silent reorder just changed it. Diff: "
+        f"{[(i, a, b) for i, (a, b) in enumerate(zip(got, GATE_WINDOW)) if a != b]}"
+    )
+
+
 def test_query_functions_unique():
     src = open(ENTRY).read()
     names = re.findall(r"^def (q_\w+)\(", src, re.M)
