@@ -219,11 +219,22 @@ def run_bench(sf_dir: str, cores: int) -> dict:
             F.sum(
                 F.octet_length("ts_dod") + F.octet_length("val_gorilla")
             ).alias("enc_bytes"),
+            F.sum(F.octet_length("val_gorilla")).alias("val_bytes"),
             F.sum("n_points").alias("enc_points"),
         )
         .collect()[0],
     )
     blocks = int(comp["n_blocks"])
+    # paper-exact containment-reuse variant (r5): one accounting pass so
+    # every round JSON carries both bytes/point numbers side by side
+    comp_c = (
+        encode_tier(hourly, partitions=min(cores, 16), value_reuse="containment")
+        .agg(
+            F.sum(F.octet_length("val_gorilla")).alias("vb"),
+            F.sum("n_points").alias("np"),
+        )
+        .collect()[0]
+    )
     metrics_rows = timed_reps(
         "metrics_daily",
         lambda: compute_metrics(gapfill_linear(daily, "daily"), "daily").count(),
@@ -319,6 +330,13 @@ def run_bench(sf_dir: str, cores: int) -> dict:
         "encoded_points": int(comp["enc_points"]),
         "encode_bytes_per_point": round(comp["enc_bytes"] / comp["enc_points"], 3),
         "encode_ratio_vs_raw16": round(comp["enc_bytes"] / (16 * comp["enc_points"]), 4),
+        # value-stream-only comparison of the two Gorilla reuse rules
+        "gorilla_value_bytes_per_point_equal": round(
+            comp["val_bytes"] / comp["enc_points"], 3
+        ),
+        "gorilla_value_bytes_per_point_containment": round(
+            comp_c["vb"] / comp_c["np"], 3
+        ),
         "metrics_rows": metrics_rows,
         "new_stages_r4": new_r4,
         "new_stages_r4b": new_r4b,

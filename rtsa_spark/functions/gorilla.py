@@ -25,12 +25,21 @@ raw 64 bits; later values XOR with predecessor::
                                  previous non-zero xor's window
     '11' + 5b lead + 6b (len-1)  new window, then the meaningful bits
 
-Divergence from the paper, by design: the paper reuses the previous window
-whenever it *contains* the current xor, which makes the encoder a sequential
-state machine. We reuse only on *exact* window equality — a stateless rule
-that both sides can compute element-wise, keeping encode 100% vectorized
-(the decoder tracks the last window just like the paper's). Compression is
-within a few percent of the stateful rule on slowly-varying series.
+Reuse rule (``gorilla_encode(..., reuse=...)``): the paper reuses the
+previous window whenever it *contains* the current xor, which makes the
+encoder a sequential state machine. The default ``"equal"`` rule reuses
+only on *exact* window equality — a stateless rule both sides compute
+element-wise, keeping encode 100% vectorized. ``"containment"`` is the
+paper-exact rule (Pelkonen §4.1.2), implemented as a segment-wise scan:
+the committed window only changes at emit-new positions, so each numpy
+step finds the next containment violation (one boolean argmax over the
+remaining tail) and fills the whole reused run at once — O(windows)
+python iterations, O(n) numpy work, NOT O(n) python. Both rules produce
+streams the ONE decoder parses (it tracks the last transmitted window,
+which is exactly the paper's receiver); they differ only in bits/point
+(containment saves the 11-bit window header on contained xors at the
+price of the wider committed window's payload — a few percent either
+way; bench.py reports both).
 
 Encode is O(n) numpy (bit matrix + packbits); decode is a sequential parse
 (inherent to prefix codes) used on the read/verification path.
@@ -243,8 +252,44 @@ def _field(bits: list, pos: int, width: int) -> int:
 # ------------------------------------------------------------- Gorilla f64
 
 
-def gorilla_encode(vals: np.ndarray) -> bytes:
-    """XOR-encode a float64 array (NaNs round-trip bit-exactly)."""
+def _containment_windows(
+    lead: np.ndarray, trail: np.ndarray, nz: np.ndarray
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Paper-exact (Pelkonen §4.1.2) reuse decisions: walk the committed
+    window through the xor stream. Returns ``(reuse, wlead, wtrail)`` per
+    position (only meaningful where ``nz``). Segment-wise scan: from each
+    emit-new position, one vectorized comparison finds the next xor NOT
+    contained in the committed window; the whole contained run fills at
+    once. Python iterations = number of emitted windows."""
+    n = len(lead)
+    reuse = np.zeros(n, dtype=bool)
+    wlead = np.zeros(n, dtype=np.int64)
+    wtrail = np.zeros(n, dtype=np.int64)
+    nzidx = np.flatnonzero(nz)
+    i = 0
+    while i < len(nzidx):
+        p = nzidx[i]
+        wl, wt = int(lead[p]), int(trail[p])  # emit new window at p
+        wlead[p], wtrail[p] = wl, wt
+        rest = nzidx[i + 1 :]
+        viol = (lead[rest] < wl) | (trail[rest] < wt)
+        j = int(np.argmax(viol)) if viol.any() else len(rest)
+        seg = rest[:j]
+        reuse[seg] = True
+        wlead[seg], wtrail[seg] = wl, wt
+        i += 1 + j
+    return reuse, wlead, wtrail
+
+
+def gorilla_encode(vals: np.ndarray, reuse: str = "equal") -> bytes:
+    """XOR-encode a float64 array (NaNs round-trip bit-exactly).
+
+    ``reuse``: ``"equal"`` (default — stateless exact-window reuse, fully
+    vectorized) or ``"containment"`` (paper-exact stateful rule; see
+    module docstring). Either stream decodes with :func:`gorilla_decode`.
+    """
+    if reuse not in ("equal", "containment"):
+        raise ValueError(f"reuse must be 'equal' or 'containment', got {reuse!r}")
     v = np.ascontiguousarray(np.asarray(vals, dtype=np.float64)).view(_U64)
     n = len(v)
     if n == 0:
@@ -256,23 +301,28 @@ def gorilla_encode(vals: np.ndarray) -> bytes:
     x = v[1:] ^ v[:-1]
     lead = np.minimum(_clz64(x), 31)
     trail = _ctz64(x)
-    mlen = np.where(x == 0, 0, 64 - lead - trail)  # meaningful bits
-    # window of the last non-zero xor before each position (stateless reuse)
-    idx = np.arange(len(x))
     nz = x != 0
-    last_nz = np.where(nz, idx, -1)
-    np.maximum.accumulate(last_nz, out=last_nz)
-    prev_nz = np.empty_like(last_nz)
-    prev_nz[0] = -1
-    prev_nz[1:] = last_nz[:-1]
-    has_prev = prev_nz >= 0
-    same_window = (
-        has_prev
-        & nz
-        & (lead == np.where(has_prev, lead[np.maximum(prev_nz, 0)], -1))
-        & (trail == np.where(has_prev, trail[np.maximum(prev_nz, 0)], -1))
-    )
-    meaningful = np.where(x == 0, _U64(0), x >> trail.astype(_U64))
+    if reuse == "containment":
+        same_window, wl, wt = _containment_windows(lead, trail, nz)
+    else:
+        # window of the last non-zero xor before each position (stateless
+        # exact-equality reuse)
+        idx = np.arange(len(x))
+        last_nz = np.where(nz, idx, -1)
+        np.maximum.accumulate(last_nz, out=last_nz)
+        prev_nz = np.empty_like(last_nz)
+        prev_nz[0] = -1
+        prev_nz[1:] = last_nz[:-1]
+        has_prev = prev_nz >= 0
+        same_window = (
+            has_prev
+            & nz
+            & (lead == np.where(has_prev, lead[np.maximum(prev_nz, 0)], -1))
+            & (trail == np.where(has_prev, trail[np.maximum(prev_nz, 0)], -1))
+        )
+        wl, wt = lead, trail
+    mlen = np.where(nz, 64 - wl - wt, 0)  # payload width under the window
+    meaningful = np.where(nz, x >> wt.astype(_U64), _U64(0))
 
     hdr_bits = np.where(x == 0, 1, np.where(same_window, 2, 2 + 5 + 6)).astype(np.int64)
     new_win = nz & ~same_window
@@ -281,7 +331,7 @@ def gorilla_encode(vals: np.ndarray) -> bytes:
     if new_win.any():
         hdr_val[new_win] = (
             (_U64(0b11) << _U64(11))
-            | (lead[new_win].astype(_U64) << _U64(6))
+            | (wl[new_win].astype(_U64) << _U64(6))
             | (mlen[new_win].astype(_U64) - _ONE)
         )
     pay_bits = np.where(nz, mlen, 0).astype(np.int64)

@@ -49,6 +49,7 @@ def encode_tier(
     bucket_col: str = "bucket_start",
     block: str = "month",
     partitions: int | None = None,
+    value_reuse: str = "equal",
 ) -> DataFrame:
     """Compress one rollup column into per-(source, block) encoded rows.
 
@@ -56,6 +57,10 @@ def encode_tier(
     thousands of points and the vectorized kernels amortize their per-call
     overhead; drop to "day" when a single (source, day) already holds
     enough points (minute-tier input) or tighter read pruning matters.
+
+    ``value_reuse``: Gorilla window-reuse rule — ``"equal"`` (default,
+    stateless vectorized) or ``"containment"`` (paper-exact); both decode
+    with the same reader (see functions/gorilla.py module docstring).
     """
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -73,7 +78,7 @@ def encode_tier(
                 "bucket_hi": [pd.Timestamp(ts[-1])],
                 "n_points": [len(ts)],
                 "ts_dod": [dod_encode(ts)],
-                "val_gorilla": [gorilla_encode(vals)],
+                "val_gorilla": [gorilla_encode(vals, reuse=value_reuse)],
                 "crc": [block_crc(ts, vals)],
             }
         )
