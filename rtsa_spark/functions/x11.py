@@ -163,9 +163,29 @@ def _seasonal_ma(si: np.ndarray, period: int, kind: str) -> np.ndarray:
     return out
 
 
-def _normalize_seasonal(s: np.ndarray, period: int) -> np.ndarray:
+def _normalize_seasonal(
+    s: np.ndarray, period: int, ends: str = "reflect"
+) -> np.ndarray:
     """X-11 seasonal normalization: subtract the centered 2x(period) MA of
-    the raw seasonal so any full-period window sums to ~0."""
+    the raw seasonal so any full-period window sums to ~0.
+
+    ``ends``: end-padding of the normalization MA. ``"reflect"`` (default,
+    the oracle-replayed rule) odd-reflects — which near the boundaries
+    subtracts most of the seasonal itself, collapsing the outermost
+    ~period/2 factors toward zero (quantified in FIXTURES.md §F6 and
+    pinned by tests/test_x11.py::test_x11_golden_seasonal_recovery).
+    ``"periodic"`` wrap-pads — semantically right for a seasonal series —
+    which removes the collapse entirely (measured: whole-series max error
+    drops from ~50% of seasonal amplitude at the last point to ~5%).
+    Opt-in via ``x11_decompose(norm_ends="periodic")``; the default stays
+    bit-compatible with the deterministic twin and its SQL oracle."""
+    if ends == "periodic":
+        w = np.array(x11_weight_lists(period)["ma_p"], dtype="float64")
+        half = len(w) // 2
+        if len(s) <= half:
+            return s - _ma2xp(s, period)
+        xp = np.pad(s, (half, half), mode="wrap")
+        return s - np.convolve(xp, w, mode="valid")
     return s - _ma2xp(s, period)
 
 
@@ -202,7 +222,10 @@ def ic_ratio(irregular: np.ndarray, trend: np.ndarray) -> float:
 
 
 def x11_decompose(
-    x: np.ndarray, period: int = 12, adaptive: bool = False
+    x: np.ndarray,
+    period: int = 12,
+    adaptive: bool = False,
+    norm_ends: str = "reflect",
 ) -> dict[str, np.ndarray]:
     """Additive X-11-core decomposition. Returns seasonal/trend/remainder
     plus the seasonally adjusted series (the slot rtsa.seas reports —
@@ -213,7 +236,11 @@ def x11_decompose(
     the default 13-term pass measures the noise-to-slope ratio, which
     selects Henderson 9/13/23 (+ its conventional Musgrave R) for the
     final trend passes — clamped back to 13 when the series is shorter
-    than the 23-term filter. The returned dict gains ``hsel``/``ic``."""
+    than the 23-term filter. The returned dict gains ``hsel``/``ic``.
+
+    ``norm_ends``: see :func:`_normalize_seasonal` — ``"periodic"`` opts
+    into wrap-padded seasonal normalization, fixing the boundary factor
+    collapse at the cost of bit-compatibility with the SQL oracle."""
     x = np.asarray(x, dtype="float64")
     n = len(x)
     if n < 2 * period or period < 2:
@@ -231,7 +258,9 @@ def x11_decompose(
     hw = henderson_weights(max(5, 13 if n >= 13 else (n if n % 2 == 1 else n - 1)))
     # B1-B2: initial estimate
     t1 = _ma2xp(x, period)
-    s1 = _normalize_seasonal(_seasonal_ma(x - t1, period, "3x3"), period)
+    s1 = _normalize_seasonal(
+        _seasonal_ma(x - t1, period, "3x3"), period, ends=norm_ends
+    )
     # B3-B4: first adjusted pass + Henderson trend (Musgrave ends)
     hend = musgrave_table(hw)
     adj1 = x - s1
@@ -247,7 +276,9 @@ def x11_decompose(
             hend = musgrave_table(hw, r_sel)
             t2 = _henderson_filter(adj1, hw, hend)
     # B5: final seasonal from the Henderson-detrended SI
-    s2 = _normalize_seasonal(_seasonal_ma(x - t2, period, "3x5"), period)
+    s2 = _normalize_seasonal(
+        _seasonal_ma(x - t2, period, "3x5"), period, ends=norm_ends
+    )
     # B6: final trend on the final adjusted series
     adjusted = x - s2
     t3 = _henderson_filter(adjusted, hw, hend)

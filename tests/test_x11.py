@@ -225,3 +225,55 @@ def test_x11_adaptive_regimes_match_twin():
     det = x11_adaptive_deterministic_stats(short_noisy, 7)
     prod = x11_decompose(short_noisy.astype("float64"), 7, adaptive=True)
     assert det["hsel"] == prod["hsel"] == 13
+
+
+def test_x11_golden_seasonal_recovery_envelope():
+    """Quantified X-11-vs-truth error envelope on the golden monthly
+    recipe (348 months, the pacificSST length — FIXTURES.md §F6), the
+    honest stand-in for X-13 parity this sandbox can measure (no X-13
+    binary; X-13's own recovery error on a stable-seasonality series is
+    small, so distance-to-injected-truth bounds the migration divergence
+    to first order; R/rtsa.seas.R:275-285 is the delegating reference).
+
+    Pins three facts a migrating user needs:
+    1. interior factors (>= 2 years from each end) recover the injected
+       seasonal within a few percent of its amplitude;
+    2. the DEFAULT (oracle-replayed) normalization collapses the
+       outermost ~half-period factors toward zero — a large, documented
+       end divergence;
+    3. the opt-in norm_ends='periodic' variant removes that collapse
+       (whole-series error at interior levels; the cascade feeds ends
+       back through the Henderson and phase MAs, so interiors differ
+       slightly between rules — both stay inside the envelope).
+    """
+    import numpy as np
+
+    from rtsa_spark.functions.x11 import x11_decompose
+
+    n = 348
+    rng = np.random.default_rng(1982)
+    m = np.arange(n)
+    tru = np.array(
+        [3.2, 2.1, 0.8, -0.5, -1.9, -3.0, -3.4, -2.6, -1.0, 0.7, 2.2, 3.4]
+    )
+    tru = tru - tru.mean()
+    seas = tru[m % 12]
+    amp = tru.max() - tru.min()
+    x = (
+        20 + 0.01 * m + 2 * np.sin(2 * np.pi * m / 240.0)
+        + seas + rng.normal(0, 0.3, n)
+    )
+
+    err = x11_decompose(x, period=12)["seasonal"] - seas
+    core = slice(24, n - 24)
+    # measured r5: core max 5.6% / mean 1.5% of amplitude
+    assert np.abs(err[core]).max() <= 0.08 * amp
+    assert np.abs(err[core]).mean() <= 0.03 * amp
+    # the documented default end divergence: last factor collapses to ~0
+    assert np.abs(err[-1]) >= 0.4 * amp
+
+    s2p = x11_decompose(x, period=12, norm_ends="periodic")["seasonal"]
+    errp = s2p - seas
+    # measured r5: whole-series max 5.0% of amplitude under periodic ends
+    assert np.abs(errp).max() <= 0.08 * amp
+    assert np.abs(errp).mean() <= 0.03 * amp
