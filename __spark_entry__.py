@@ -144,6 +144,9 @@ FROM events GROUP BY 1, 2
 
 
 def q_rollup_hourly(spark, sf_dir):
+    """Hourly rollup tier over events (operators/rollup.rollup_series):
+    per (event_type, hour) count/sum/min/max plus the exact-int scaled
+    mean — the ladder's first re-aggregation level."""
     return _exact_rollup_projection(_hourly_series(spark, sf_dir))
 
 
@@ -158,6 +161,9 @@ def q_rollup_daily_cascade(spark, sf_dir):
 
 
 def q_rollup_monthly_cascade(spark, sf_dir):
+    """Monthly tier via the full hourly -> daily -> monthly cascade of
+    algebraic partials; the oracle aggregates straight from raw events —
+    exact tier-match across two re-aggregation hops."""
     from rtsa_spark.operators.rollup import rollup_series_next
 
     hourly = _hourly_series(spark, sf_dir)

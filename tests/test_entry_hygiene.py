@@ -79,6 +79,26 @@ def test_gate_window_frozen():
     )
 
 
+def test_parity_appendix_covers_every_query():
+    """PARITY.md's generated appendix lists every queries() key exactly
+    once, in the same order (VERDICT r4 #6: every key in exactly one
+    PARITY row). Regenerate with tools/gen_parity_appendix.py."""
+    import re as _re
+
+    text = open("/root/repo/PARITY.md").read()
+    m = _re.search(
+        r"BEGIN QUERY APPENDIX.*?END QUERY APPENDIX", text, _re.S
+    )
+    assert m, "PARITY.md lost its generated query appendix"
+    listed = _re.findall(r"^\| `([a-z0-9_]+)` \|", m.group(0), _re.M)
+    keys = _dict_literal_keys("queries")
+    assert listed == keys, (
+        "PARITY appendix out of sync with queries() — run "
+        "tools/gen_parity_appendix.py. Diff: "
+        f"{sorted(set(listed) ^ set(keys))[:10]}"
+    )
+
+
 def test_query_functions_unique():
     src = open(ENTRY).read()
     names = re.findall(r"^def (q_\w+)\(", src, re.M)
