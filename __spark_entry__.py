@@ -4568,6 +4568,46 @@ GROUP BY layout
 """
 
 
+def q_zorder_wide_bits(spark, sf_dir):
+    """64-bit Morton interleave at bits=21 (r5 ADVICE fix: the former
+    32-bit spread chain aliased dims >= 2^16 — spread(2^16) ==
+    spread(2^8) — silently producing a non-Morton layout for wide
+    dimensions). Scales the events hour index and user id past 2^16 and
+    value-hashes every (x, y, zk) triple, so a wrong mask constant,
+    missing 16-shift step, or any residual aliasing mismatches."""
+    import pyspark.sql.functions as F
+
+    from rtsa_spark.storage import zorder_key
+
+    base = (
+        _events(spark, sf_dir)
+        .where(F.col("user_id") < 60)
+        .select(
+            (
+                (F.expr("unix_timestamp(ts) div 3600") - 473352) * 1200
+            ).alias("x"),
+            (F.col("user_id").cast("bigint") * 1031 + 70000).alias("y"),
+        )
+        .distinct()
+    )
+    return base.select(
+        "x", "y", zorder_key("x", "y", bits=21).cast("bigint").alias("zk")
+    )
+
+
+SQL_ZORDER_WIDE_BITS = f"""
+WITH base AS MATERIALIZED (
+  SELECT DISTINCT
+         (CAST(floor(epoch(ts)) AS BIGINT) // 3600 - 473352) * 1200 AS x,
+         user_id::BIGINT * 1031 + 70000 AS y
+  FROM events WHERE user_id < 60
+)
+SELECT x, y,
+       CAST(({_duck_spread('x')} | ({_duck_spread('y')} << 1)) AS BIGINT) AS zk
+FROM base
+"""
+
+
 def q_sax_words(spark, sf_dir):
     """SAX symbolic words (Lin et al. 2007, motif.sax_words) over the
     dense daily tier: PAA frames of 2 days as exact scaled-int means,
@@ -10901,6 +10941,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hourly_emd_drift": q_hourly_emd_drift,
         "local_day_counts": q_local_day_counts,
         "cohort_half_life": q_cohort_half_life,
+        "zorder_wide_bits": q_zorder_wide_bits,
     }
 
 
@@ -11111,4 +11152,5 @@ def oracle_sql() -> dict[str, str]:
         "hourly_emd_drift": SQL_HOURLY_EMD,
         "local_day_counts": SQL_LOCAL_DAY_COUNTS,
         "cohort_half_life": SQL_COHORT_HALF_LIFE,
+        "zorder_wide_bits": SQL_ZORDER_WIDE_BITS,
     }

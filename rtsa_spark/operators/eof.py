@@ -18,6 +18,11 @@ re-expression over the rollup tiers:
   computeSVD collects for n <= 65535 columns. ``eigh`` of G yields the
   spatial modes; expansion coefficients stream back out distributedly as
   ``Z @ V`` per bucket.
+- past ``EOF_DENSE_SOURCE_LIMIT`` sources (r5), the Gramian is never
+  formed at all: ``eof(solver="iterative")`` runs block subspace
+  iteration over distributed ``G @ Q`` matvec passes
+  (:func:`gramian_matvec`), raising the source-cardinality ceiling from
+  driver-RAM n_s^2 to O(modes x n_s) — the 10^5-10^6-source path.
 
 Outputs mirror the EOFstack contract (``R/rtsa_classes.R:29-38``):
 ``modes`` (one row per source per mode: the spatial pattern), ``ecs``
