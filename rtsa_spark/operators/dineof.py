@@ -153,11 +153,22 @@ def _dineof_distributed(
     tol: float,
     val_frac: float,
     seed: int,
+    solver: str = "auto",
 ) -> DataFrame:
     """Distributed DINEOF fixed point: per-bucket dense state rows in a
     cached DataFrame; each inner iteration = one ``Z^T Z`` partial-sum pass
     + one rank-k rewrite pass with only (n_s x k) eigenvectors on the
-    driver. See module docstring."""
+    driver. See module docstring.
+
+    ``solver``: rank-k subspace per inner iteration. ``"dense"`` collects
+    the n_s x n_s Gramian and eigh's it (exact; driver-RAM ceiling at
+    ~10^4.5 sources). ``"iterative"`` (r5) never forms the Gramian —
+    warm-started block subspace iteration over distributed ``G @ Q``
+    matvec passes, O(n_s x k) driver state; because the rewrite only uses
+    the PROJECTOR ``V_k V_k^T``, subspace convergence (not eigenvector
+    identity) is all that matters, and the warm start from the previous
+    inner iteration typically converges in a handful of passes.
+    ``"auto"`` switches to iterative past eof.EOF_DENSE_SOURCE_LIMIT."""
     from rtsa_spark.operators.eof import stack_vectors
 
     n_s = len(sources)
@@ -264,6 +275,70 @@ def _dineof_distributed(
             acc += np.asarray(r["g"])
         return acc.reshape(n_s, n_s)
 
+    def gram_matvec_dense(df, q: np.ndarray) -> np.ndarray:
+        """One distributed pass: ``Y = Z^T (Z @ Q)`` over the state rows —
+        the Gramian-free matvec (same shape as eof.gramian_matvec, but on
+        the dense ``cur`` state column)."""
+        bq = spark.sparkContext.broadcast(np.ascontiguousarray(q))
+        kq = q.shape[1]
+
+        def part(batches):
+            qv = bq.value
+            y = np.zeros((n_s, kq))
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                z = np.stack(pdf["cur"].to_numpy())
+                y += z.T @ (z @ qv)
+            yield pd.DataFrame({"y": [y.ravel()]})
+
+        acc = np.zeros(n_s * kq)
+        for r in df.select("cur").mapInPandas(part, "y array<double>").collect():
+            acc += np.asarray(r["y"])
+        bq.unpersist()
+        return acc.reshape(n_s, kq)
+
+    def topk_subspace(
+        df, k: int, q_warm: np.ndarray | None,
+        oversample: int = 4, max_it: int = 60, sub_tol: float = 1e-9,
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Top-k invariant subspace by block iteration over
+        :func:`gram_matvec_dense`, warm-started from the previous inner
+        iteration's block. Returns ``(V_k, Q)`` — the Ritz block for the
+        rewrite projector and the converged block for the next warm
+        start."""
+        kb = min(n_s, k + oversample)
+        rng = np.random.default_rng(seed ^ 0x5B5)
+        if q_warm is not None and q_warm.shape[1] > 0:
+            base = q_warm[:, :kb]
+            if base.shape[1] < kb:
+                base = np.hstack(
+                    [base, rng.standard_normal((n_s, kb - base.shape[1]))]
+                )
+        else:
+            base = rng.standard_normal((n_s, kb))
+        q, _ = np.linalg.qr(base)
+        prev = None
+        theta = np.zeros(kb)
+        sv = np.eye(q.shape[1])
+        for _ in range(max_it):
+            y = gram_matvec_dense(df, q)
+            b = q.T @ y
+            b = (b + b.T) / 2.0
+            w, sv = np.linalg.eigh(b)
+            order = np.argsort(w)[::-1]
+            theta, sv = w[order], sv[:, order]
+            top = theta[:k]
+            if prev is not None and np.all(
+                np.abs(top - prev)
+                <= sub_tol * np.maximum(np.abs(top), 1e-300)
+            ):
+                break
+            prev = top
+            q, _ = np.linalg.qr(y)
+        vk = np.ascontiguousarray((q @ sv)[:, :k])
+        return vk, q
+
     def rewrite(df, vk: np.ndarray):
         def upd(batches):
             for pdf in batches:
@@ -291,15 +366,24 @@ def _dineof_distributed(
 
         return df.mapInPandas(upd, state_schema)
 
+    from rtsa_spark.operators.eof import EOF_DENSE_SOURCE_LIMIT
+
+    use_iterative = solver == "iterative" or (
+        solver == "auto" and n_s > EOF_DENSE_SOURCE_LIMIT
+    )
+    q_warm: np.ndarray | None = None
     best_state = None
     best_rmse = np.inf
     best_k = 0
     k_cap = min(n_max, min(n_t, n_s))
     for k in range(1, max(1, k_cap) + 1):
         for _ in range(max_iter):
-            g = dense_gramian(state)
-            w, v = np.linalg.eigh(g)
-            vk = np.ascontiguousarray(v[:, -k:])
+            if use_iterative:
+                vk, q_warm = topk_subspace(state, k, q_warm)
+            else:
+                g = dense_gramian(state)
+                w, v = np.linalg.eigh(g)
+                vk = np.ascontiguousarray(v[:, -k:])
             # localCheckpoint TRUNCATES the lineage every iteration — a
             # persist() chain keeps the full mapInPandas nesting in the
             # logical plan and Catalyst re-analysis goes quadratic with
@@ -403,6 +487,7 @@ def dineof_gapfill(
     tol: float = 1e-6,
     val_frac: float = 0.05,
     force_distributed: bool = False,
+    solver: str = "auto",
 ) -> DataFrame:
     """Fill missing (key, bucket) cells of a tier by iterative truncated-SVD
     reconstruction. Input: a tier rollup (sparse); output: dense rows
@@ -410,7 +495,11 @@ def dineof_gapfill(
 
     Adaptive plan (see module docstring): dense driver iteration for small
     matrices, distributed per-bucket state above
-    ``DINEOF_Z_DRIVER_LIMIT`` or when ``force_distributed=True``."""
+    ``DINEOF_Z_DRIVER_LIMIT`` or when ``force_distributed=True``.
+    ``solver`` picks the distributed path's rank-k step (see
+    :func:`_dineof_distributed`): ``"iterative"`` removes the per-inner-
+    iteration n_s^2 Gramian collect — the past-driver-ceiling source
+    cardinality path (r5)."""
     sources = source_index(tier_df, key_col)
     vecs = bucket_vectors(tier_df, sources, value_col, key_col, bucket_col)
     n_s = len(sources)
@@ -420,7 +509,7 @@ def dineof_gapfill(
         try:
             return _dineof_distributed(
                 spark, vecs, sources, value_col, key_col, bucket_col,
-                n_max, max_iter, tol, val_frac, seed,
+                n_max, max_iter, tol, val_frac, seed, solver,
             )
         finally:
             vecs.unpersist()

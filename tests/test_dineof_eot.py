@@ -263,6 +263,48 @@ def test_dineof_distributed_matches_dense_shape(spark):
     assert float(np.median(err_dist)) < 3.0 * max(float(np.median(err_dense)), 1e-3)
 
 
+def test_dineof_iterative_solver_matches_gramian(spark):
+    """The Gramian-free rank-k step (r5: warm-started block subspace
+    iteration over distributed matvec passes — the past-driver-ceiling
+    source path) agrees with the dense-Gramian distributed path: same
+    grid, same gapfilled mask, bit-exact observed passthrough, and the
+    same filled values to subspace-projection precision (the rewrite
+    uses only the projector V_k V_k^T, which both solvers converge to)."""
+    from rtsa_spark.operators.dineof import dineof_gapfill
+
+    rng = np.random.default_rng(31)
+    n_t, n_s = 50, 7
+    truth = (
+        np.outer(np.sin(np.linspace(0, 3 * np.pi, n_t)), rng.normal(size=n_s))
+        + np.outer(np.cos(np.linspace(0, 5 * np.pi, n_t)), rng.normal(size=n_s))
+        + 25.0
+    )
+    noisy = truth + rng.normal(0, 0.05, truth.shape)
+    holes = rng.random(truth.shape) < 0.2
+    observed = noisy.copy()
+    observed[holes] = np.nan
+    sources = [f"s{j}" for j in range(n_s)]
+    tier = _tier(spark, observed, sources)
+
+    kw = dict(n_max=3, max_iter=12, force_distributed=True)
+    a = dineof_gapfill(spark, tier, solver="dense", **kw).toPandas()
+    b = dineof_gapfill(spark, tier, solver="iterative", **kw).toPandas()
+    key = ["source", "bucket_start"]
+    a = a.sort_values(key).reset_index(drop=True)
+    b = b.sort_values(key).reset_index(drop=True)
+    assert (a["gapfilled"] == b["gapfilled"]).all()
+    obs = ~a["gapfilled"].to_numpy()
+    assert np.array_equal(
+        a["n_tok_mean"].to_numpy()[obs], b["n_tok_mean"].to_numpy()[obs]
+    )
+    filled = a["gapfilled"].to_numpy()
+    diff = np.abs(
+        a["n_tok_mean"].to_numpy()[filled] - b["n_tok_mean"].to_numpy()[filled]
+    )
+    scale = float(np.abs(truth - truth.mean()).max())
+    assert float(diff.max()) < 1e-4 * scale
+
+
 def test_eot_predictor_selection_and_reduce_both(spark):
     """remote::eot surface (R/rtsa.eot.R:89): `predictor` selects which
     per-cell component columns to export (incl. the rsq_sums score map);
