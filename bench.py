@@ -376,9 +376,15 @@ def main():
     # headline number was lost when console noise truncated the line. The
     # file is the authoritative record; stdout remains the contract.
     bench_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH")
+    # SPARK_GRAFT_BENCH_OUT redirects the durable copy (the scaling
+    # harness's N/4N legs use it so they never clobber the headline
+    # solo-run artifact); default stays the driver-read location.
+    out_path = os.environ.get("SPARK_GRAFT_BENCH_OUT") or os.path.join(
+        bench_dir, "last_run.json"
+    )
     try:
-        os.makedirs(bench_dir, exist_ok=True)
-        with open(os.path.join(bench_dir, "last_run.json"), "w") as f:
+        os.makedirs(os.path.dirname(out_path), exist_ok=True)
+        with open(out_path, "w") as f:
             f.write(line + "\n")
     except OSError:
         pass

@@ -558,10 +558,13 @@ def dsir_select(
     cumulative-histogram scan as :func:`perplexity_partition`: no global
     sort, ties at the threshold all kept, so reruns and engines agree).
 
-    Scale shape: one feature explode feeds both models; each model is at
-    most ``m`` rows (broadcast join back); doc scores are one groupBy;
-    the keep threshold is a histogram over distinct scores. No windows
-    over the corpus, no sorts, no Python. BIGINT headroom: the products
+    Scale shape: BOTH bucket models come from a single grouped
+    aggregation over one feature-explode pass (the target slice is a
+    conditional count, so the corpus is never exploded twice for
+    modeling); the fused model is at most ``m`` rows (broadcast join
+    back); doc scores are one groupBy over a second explode pass — two
+    corpus passes total; the keep threshold is a histogram over distinct
+    scores. No windows over the corpus, no sorts, no Python. BIGINT headroom: the products
     need ``(max_count + 1) * (N + m) < 2^63``, i.e. fine through ~3e9
     feature occurrences per slice; shard the corpus (or widen to
     DECIMAL(38,0)) past that.
@@ -604,32 +607,31 @@ def dsir_select(
         ).alias("b"),
     )
 
-    def bucket_model(feat_df, tag):
-        cnt = feat_df.groupBy("b").agg(
-            F.count(F.lit(1)).cast("bigint").alias(f"c_{tag}")
+    # Both bucket models come out of ONE grouped aggregation over one
+    # explode pass: the raw count is the plain count, the target count is
+    # the conditional count of the ``id % ref_mod == 0`` slice. (An empty
+    # target slice yields c_t = 0 rows and the Laplace total stays m —
+    # matches the oracle's coalesce.)
+    cnt = feats.groupBy("b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c_r"),
+        F.sum(
+            F.when(F.col("_id") % ref_mod == 0, F.lit(1)).otherwise(F.lit(0))
         )
-        # empty slice (no doc hits the target rule): sum is NULL, and the
-        # Laplace total must still be m — matches the oracle's coalesce
-        tot = cnt.agg(
-            (F.coalesce(F.sum(f"c_{tag}"), F.lit(0)) + m).alias(f"n_{tag}")
+        .cast("bigint")
+        .alias("c_t"),
+    )
+    tots = cnt.agg(
+        (F.coalesce(F.sum("c_r"), F.lit(0)) + m).alias("n_r"),
+        (F.coalesce(F.sum("c_t"), F.lit(0)) + m).alias("n_t"),
+    )
+    weights = cnt.crossJoin(F.broadcast(tots)).select(
+        "b",
+        (
+            F.length(F.bin((F.col("c_t") + 1) * F.col("n_r")))
+            - F.length(F.bin((F.col("c_r") + 1) * F.col("n_t")))
         )
-        return cnt, tot
-
-    cnt_t, tot_t = bucket_model(feats.where(F.col("_id") % ref_mod == 0), "t")
-    cnt_r, tot_r = bucket_model(feats, "r")
-    weights = (
-        cnt_r.join(cnt_t, "b", "left")
-        .crossJoin(F.broadcast(tot_t))
-        .crossJoin(F.broadcast(tot_r))
-        .select(
-            "b",
-            (
-                F.length(F.bin((F.coalesce("c_t", F.lit(0)) + 1) * F.col("n_r")))
-                - F.length(F.bin((F.col("c_r") + 1) * F.col("n_t")))
-            )
-            .cast("bigint")
-            .alias("w_bits"),
-        )
+        .cast("bigint")
+        .alias("w_bits"),
     )
     scored = (
         feats.join(F.broadcast(weights), "b")

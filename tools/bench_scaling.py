@@ -152,7 +152,9 @@ def capacity(threads: int = 8) -> float:
 def run_once(sf_dir: str, cores: int) -> dict:
     env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir, SPARK_GRAFT_CPUS=str(cores),
                SPARK_GRAFT_BENCH_ROWS=str(SCALING_ROWS),
-               SPARK_GRAFT_SKIP_HEADLINE="1", SPARK_GRAFT_LADDER_REPS="2")
+               SPARK_GRAFT_SKIP_HEADLINE="1", SPARK_GRAFT_LADDER_REPS="2",
+               # scaling legs must not clobber the headline solo-run artifact
+               SPARK_GRAFT_BENCH_OUT="/tmp/rtsa_bench/scaling_leg.json")
     before = resource.getrusage(resource.RUSAGE_CHILDREN)
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py")],
