@@ -1110,6 +1110,43 @@ def test_dsir_select_hand_replay(spark):
         assert got_half[d] or not got[d]["keep"]
 
 
+def test_dsir_select_empty_target_slice(spark):
+    """No document hits the target rule (ids 1..4, ref_mod=97): the fused
+    conditional count must yield c_t = 0 for every bucket and the Laplace
+    target total must still be m — replayed exactly in pure Python. Locks
+    the single-aggregation model build's edge behavior (the pre-fusion
+    code got this from a NULL-producing left join + coalesce)."""
+    import hashlib
+
+    from rtsa_spark.operators.sampling import dsir_select
+
+    rows = [(1, "a b a"), (2, "c d"), (3, "a c"), (4, "e e e")]
+    m, ref_mod = 32, 97
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r
+        for r in dsir_select(df, ref_mod=ref_mod, m=m).collect()
+    }
+    assert len(got) == len(rows)
+
+    def bucket(f):
+        return int(hashlib.md5(f.encode()).hexdigest()[:12], 16) % m
+
+    c_r = {}
+    for _, text in rows:
+        t = [w for w in text.split(" ") if w]
+        for f in t + [f"{t[i]} {t[i + 1]}" for i in range(len(t) - 1)]:
+            c_r[bucket(f)] = c_r.get(bucket(f), 0) + 1
+    n_r, n_t = sum(c_r.values()) + m, m
+    for d, text in rows:
+        t = [w for w in text.split(" ") if w]
+        w_bits = sum(
+            ((1 * n_r).bit_length() - ((c_r[bucket(f)] + 1) * n_t).bit_length())
+            for f in t + [f"{t[i]} {t[i + 1]}" for i in range(len(t) - 1)]
+        )
+        assert got[d]["logw_bits"] == w_bits, d
+
+
 def test_dsir_select_validation(spark):
     import pytest as _pytest
 
