@@ -4512,8 +4512,11 @@ def q_zorder_skip_audit(spark, sf_dir):
 
 
 def _duck_spread(col: str) -> str:
-    """DuckDB twin of storage._spread_expr (64-bit Morton bit spread;
-    the (16, ...) step is an identity at this query's bits=16)."""
+    """DuckDB twin of storage._spread_expr (64-bit Morton bit spread).
+    The (16, ...) step is an identity for dims < 2^16 (zorder_skip_audit's
+    bits=16) but LOAD-BEARING for wider dims — SQL_ZORDER_WIDE_BITS runs
+    this same helper at bits=21 precisely to pin that step; do not
+    'simplify' it away."""
     e = f"CAST({col} AS BIGINT)"
     for sh, m in (
         (16, 0x0000FFFF0000FFFF),

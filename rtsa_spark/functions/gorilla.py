@@ -32,9 +32,10 @@ only on *exact* window equality — a stateless rule both sides compute
 element-wise, keeping encode 100% vectorized. ``"containment"`` is the
 paper-exact rule (Pelkonen §4.1.2), implemented as a segment-wise scan:
 the committed window only changes at emit-new positions, so each numpy
-step finds the next containment violation (one boolean argmax over the
-remaining tail) and fills the whole reused run at once — O(windows)
-python iterations, O(n) numpy work, NOT O(n) python. Both rules produce
+step probes forward in geometrically growing chunks for the next
+containment violation and fills the whole reused run at once — O(n)
+total work with a small constant even under full window churn, and
+python iterations proportional to emitted windows, NOT points. Both rules produce
 streams the ONE decoder parses (it tracks the last transmitted window,
 which is exactly the paper's receiver); they differ only in bits/point
 (containment saves the 11-bit window header on contained xors at the
@@ -258,26 +259,48 @@ def _containment_windows(
     """Paper-exact (Pelkonen §4.1.2) reuse decisions: walk the committed
     window through the xor stream. Returns ``(reuse, wlead, wtrail)`` per
     position (only meaningful where ``nz``). Segment-wise scan: from each
-    emit-new position, one vectorized comparison finds the next xor NOT
-    contained in the committed window; the whole contained run fills at
-    once. Python iterations = number of emitted windows."""
+    emit-new position, geometrically growing vectorized probes find the
+    next xor NOT contained in the committed window; the whole contained
+    run fills at once. Total work O(n); python iterations proportional
+    to emitted windows plus probe chunks."""
     n = len(lead)
     reuse = np.zeros(n, dtype=bool)
     wlead = np.zeros(n, dtype=np.int64)
     wtrail = np.zeros(n, dtype=np.int64)
     nzidx = np.flatnonzero(nz)
+    m = len(nzidx)
     i = 0
-    while i < len(nzidx):
+    # Probe the contained run in geometrically growing chunks (4, 8, 16,
+    # ...) rather than scanning the whole remaining tail per emitted
+    # window: incompressible data (a new window at nearly every xor)
+    # would otherwise cost O(windows x n). Geometric growth keeps the
+    # probe cost proportional to the run length actually found (small
+    # first chunk bounds the churn case; doubling bounds long contained
+    # runs to <= 2x overshoot), so total work is O(n) with a small
+    # constant regardless of window churn.
+    while i < m:
         p = nzidx[i]
         wl, wt = int(lead[p]), int(trail[p])  # emit new window at p
         wlead[p], wtrail[p] = wl, wt
-        rest = nzidx[i + 1 :]
-        viol = (lead[rest] < wl) | (trail[rest] < wt)
-        j = int(np.argmax(viol)) if viol.any() else len(rest)
-        seg = rest[:j]
+        j = i + 1
+        step = 4
+        stop = None
+        while j < m:
+            hi = min(j + step, m)
+            ck = nzidx[j:hi]
+            viol = (lead[ck] < wl) | (trail[ck] < wt)
+            hitpos = int(np.argmax(viol)) if viol.any() else -1
+            if hitpos >= 0:
+                stop = j + hitpos
+                break
+            j = hi
+            step = min(step * 2, 65536)
+        if stop is None:
+            stop = m
+        seg = nzidx[i + 1 : stop]
         reuse[seg] = True
         wlead[seg], wtrail[seg] = wl, wt
-        i += 1 + j
+        i = max(stop, i + 1)
     return reuse, wlead, wtrail
 
 

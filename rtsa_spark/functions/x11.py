@@ -182,9 +182,19 @@ def _normalize_seasonal(
     if ends == "periodic":
         w = np.array(x11_weight_lists(period)["ma_p"], dtype="float64")
         half = len(w) // 2
-        if len(s) <= half:
+        n = len(s)
+        if n < period or half >= period:
             return s - _ma2xp(s, period)
-        xp = np.pad(s, (half, half), mode="wrap")
+        # Phase-correct one-period pad: position -i takes s[period - i]
+        # and position n-1+i takes s[n - period - 1 + i] — same phase one
+        # period inward. A raw np.pad(mode="wrap") (whole-array wrap) is
+        # only phase-aligned when n % period == 0; otherwise the left pad
+        # lands on the wrong phases and the normalization MA subtracts a
+        # seasonal-contaminated baseline, re-biasing the end factors this
+        # option exists to fix.
+        xp = np.concatenate(
+            [s[period - half : period], s, s[n - period : n - period + half]]
+        )
         return s - np.convolve(xp, w, mode="valid")
     return s - _ma2xp(s, period)
 

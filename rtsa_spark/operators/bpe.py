@@ -192,11 +192,19 @@ def bpe_learn(
         raise ValueError(f"n_merges must be >= 1, got {n_merges}")
     spark = df.sparkSession
     wf = word_frequencies(df, text_col)
-    if driver_vocab_limit and wf.count() <= driver_vocab_limit:
-        word_counts = [(r["word"], int(r["cnt"])) for r in wf.collect()]
-        return spark.createDataFrame(
-            _learn_merges_driver(word_counts, n_merges), _MERGE_SCHEMA
-        )
+    if driver_vocab_limit:
+        # ONE job decides path and fetches the table: collect at most
+        # limit+1 rows — if we got <= limit, that IS the complete vocab
+        # (a separate count() would recompute the corpus scan + shuffle,
+        # doubling the dominant cost of exactly this path). Row order is
+        # irrelevant to the learner (pair stats are order-independent;
+        # the argmax tie-break is on (count, left, right), not position).
+        probe = wf.limit(driver_vocab_limit + 1).collect()
+        if len(probe) <= driver_vocab_limit:
+            word_counts = [(r["word"], int(r["cnt"])) for r in probe]
+            return spark.createDataFrame(
+                _learn_merges_driver(word_counts, n_merges), _MERGE_SCHEMA
+            )
     state = _initial_state(wf).localCheckpoint()
     merges: list[tuple[int, str, str, str, int]] = []
     for rank in range(1, n_merges + 1):

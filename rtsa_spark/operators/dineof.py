@@ -319,8 +319,7 @@ def _dineof_distributed(
             base = rng.standard_normal((n_s, kb))
         q, _ = np.linalg.qr(base)
         prev = None
-        theta = np.zeros(kb)
-        sv = np.eye(q.shape[1])
+        ritz = q
         for _ in range(max_it):
             y = gram_matvec_dense(df, q)
             b = q.T @ y
@@ -328,6 +327,11 @@ def _dineof_distributed(
             w, sv = np.linalg.eigh(b)
             order = np.argsort(w)[::-1]
             theta, sv = w[order], sv[:, order]
+            # Ritz block in the SAME basis sv came from — taken before
+            # the qr update so the max_it-exhaustion exit cannot pair the
+            # rotated q with a stale sv (which would hand the rewrite an
+            # arbitrary kb-frame slice instead of the top-k subspace).
+            ritz = q @ sv
             top = theta[:k]
             if prev is not None and np.all(
                 np.abs(top - prev)
@@ -336,7 +340,7 @@ def _dineof_distributed(
                 break
             prev = top
             q, _ = np.linalg.qr(y)
-        vk = np.ascontiguousarray((q @ sv)[:, :k])
+        vk = np.ascontiguousarray(ritz[:, :k])
         return vk, q
 
     def rewrite(df, vk: np.ndarray):

@@ -373,7 +373,7 @@ def _leading_modes_iterative(
     n_t = None
     sumsq = 0.0
     theta = np.zeros(k)
-    sv = np.eye(k)
+    v = q
     for _ in range(max_iter):
         y, n_b, ss = gramian_matvec(vec_df, n_s, center, scale, q)
         if n_t is None:
@@ -384,6 +384,11 @@ def _leading_modes_iterative(
         w, sv = np.linalg.eigh(b)
         order = np.argsort(w)[::-1]
         theta, sv = w[order], sv[:, order]
+        # Ritz vectors in the SAME basis sv was computed in — taken
+        # before the qr update below, so the max_iter-exhaustion exit
+        # cannot pair a rotated q with a stale sv (that mix is an
+        # arbitrary orthonormal frame, not an eigenvector estimate).
+        v = q @ sv
         top = np.maximum(theta[:n_modes], 0.0)
         if prev is not None and np.all(
             np.abs(top - prev) <= tol * np.maximum(np.abs(top), 1e-300)
@@ -391,7 +396,6 @@ def _leading_modes_iterative(
             break
         prev = top
         q, _ = np.linalg.qr(y)
-    v = q @ sv  # Ritz vectors of the CURRENT subspace (no extra pass)
     denom = max((n_t or 1) - 1, 1)
     lam = np.maximum(theta[:n_modes], 0.0) / denom
     tot_var = sumsq / denom

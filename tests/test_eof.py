@@ -95,6 +95,58 @@ def test_eof_iterative_solver_matches_dense(spark):
         eof(spark, df, n_modes=2, solver="bogus")
 
 
+def test_eof_iterative_max_iter_exhaustion_returns_ritz_basis(spark):
+    """Regression (r5 review): with ``tol=0`` the loop NEVER breaks and
+    exits via max_iter exhaustion right after the trailing qr update.
+    The returned loadings must still be Ritz vectors (sv applied in the
+    basis it was computed in) — the pre-fix code paired the rotated q
+    with the previous basis's sv there, returning an arbitrary
+    orthonormal frame whose 'modes' matched nothing."""
+    from rtsa_spark.operators.eof import (
+        _leading_modes_iterative,
+        bucket_vectors,
+        eof,
+        require_complete,
+        source_index,
+    )
+
+    rng = np.random.default_rng(5)
+    n_t, n_s = 60, 10
+    t = np.linspace(0, 4 * np.pi, n_t)
+    mat = (
+        2.5 * np.outer(np.sin(t), rng.normal(size=n_s))
+        + 1.0 * np.outer(np.cos(2 * t), rng.normal(size=n_s))
+        + rng.normal(0, 0.05, (n_t, n_s))
+    )
+    sources = [f"s{j:02d}" for j in range(n_s)]
+    df = _tier_from_matrix(spark, mat, sources)
+    dense = eof(spark, df, n_modes=2, solver="dense")
+
+    srcs = source_index(df)
+    center = mat.mean(axis=0)
+    vecs = require_complete(bucket_vectors(df, srcs)).persist()
+    v, lam, tot_var, n_t_got = _leading_modes_iterative(
+        vecs, n_s, center, np.ones(n_s), 2, max_iter=40, tol=0.0
+    )
+    assert n_t_got == n_t
+    # orthonormal Ritz block, eigenvalues matching the dense spectrum
+    assert np.allclose(v.T @ v, np.eye(2), atol=1e-8)
+    assert np.allclose(lam, dense["lambda"], rtol=1e-6)
+    # loadings span the dense top-2 subspace (sign/rotation-free check:
+    # projector equality) — the pre-fix arbitrary frame fails this
+    vd = np.array(
+        [
+            [
+                {(r["source"], r["mode"]): r["loading"] for r in
+                 dense["modes"].collect()}[(s, m)]
+                for m in (1, 2)
+            ]
+            for s in sources
+        ]
+    )
+    assert np.allclose(v @ v.T, vd @ vd.T, atol=1e-5)
+
+
 def test_eof_rejects_gappy_input(spark):
     from rtsa_spark.operators.eof import eof
 

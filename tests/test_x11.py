@@ -277,3 +277,21 @@ def test_x11_golden_seasonal_recovery_envelope():
     # measured r5: whole-series max 5.0% of amplitude under periodic ends
     assert np.abs(errp).max() <= 0.08 * amp
     assert np.abs(errp).mean() <= 0.03 * amp
+
+
+def test_periodic_normalization_phase_aligned_at_partial_period():
+    """Regression (r5 review): periodic end-padding must be phase-correct
+    when the series length is NOT a whole number of periods. A zero-mean
+    purely periodic seasonal must pass through normalization (nearly)
+    unchanged at every position INCLUDING the ends — a raw whole-array
+    wrap pad (the pre-fix np.pad(mode='wrap')) lands end pads on wrong
+    phases at n % period != 0 and visibly biases the outer factors."""
+    from rtsa_spark.functions.x11 import _normalize_seasonal
+
+    period = 12
+    pat = np.sin(2 * np.pi * np.arange(period) / period) * 3.0
+    pat -= pat.mean()
+    for n in (350, 355, 341):  # 2, 7, 5 extra points past a whole period
+        s = pat[np.arange(n) % period]
+        out = _normalize_seasonal(s, period, ends="periodic")
+        assert np.abs(out - s).max() < 1e-9, n
