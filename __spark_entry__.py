@@ -26,6 +26,13 @@ from pyspark.sql import DataFrame, SparkSession
 EVENTS_SPARSE_FILTER = "value > 190"  # ~6% of (type, hour) buckets observed
 
 
+# The driver's base tables arrive as ONE single-row-group parquet file per
+# table: one scan task, however many byte-range splits the planner cuts.
+# The per-row-HEAVY operators (shingle/feature explodes, IVF kernels) fan
+# the scan out internally (plans/spread.fan_out_scan, guide §2.5); the
+# base readers deliberately do NOT — a blanket repartition taxes every
+# light single-aggregation query ~0.3-0.8 s for parallelism its partial
+# aggs never need (measured r6: dedup_exact 0.37 -> 1.16 s when spread).
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/events.parquet")
 
@@ -49,11 +56,23 @@ SEQ_EPOCH_S = 1704067200  # 2024-01-01 00:00:00 UTC
 SEQ_HORIZON_S = 120 * 24 * 3600  # 120 days -> ~4 monthly buckets
 
 
-def _derived_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _derived_sequences(
+    spark: SparkSession, sf_dir: str, spread: bool = False
+) -> DataFrame:
     """sequences(doc_id, source, n_tok, ts) from documents: n_tok = word
     count, ts = epoch + (first 48 bits of md5(doc_id) mod horizon) seconds.
-    Every step is reproducible in ANSI SQL (see SQL_SEQ_CTE)."""
+    Every step is reproducible in ANSI SQL (see SQL_SEQ_CTE).
+
+    ``spread=True`` fans the docs scan out first (plans/spread) — for the
+    token-sketch queries whose seq side streams into a doc-text join +
+    word explode, which must not run on the single scan task. Light
+    rollup consumers keep the default (the repartition costs more than
+    their one partial agg saves)."""
     d = _documents(spark, sf_dir)
+    if spread:
+        from rtsa_spark.plans.spread import fan_out_scan
+
+        d = fan_out_scan(d)
     h = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 12), 16, 10).cast(
         "bigint"
     )
@@ -5138,7 +5157,7 @@ def q_cm_frequency_ladder(spark, sf_dir):
         _h48,
     )
 
-    seq = _derived_sequences(spark, sf_dir).drop("n_tok")
+    seq = _derived_sequences(spark, sf_dir, spread=True).drop("n_tok")
     txt = _documents(spark, sf_dir).select("doc_id", "text")
     tok = (
         seq.join(txt, "doc_id")
@@ -5148,18 +5167,23 @@ def q_cm_frequency_ladder(spark, sf_dir):
             F.explode(F.split("text", " ")).alias("word"),
         )
     )
+    # ONE counted token table feeds the sketch build, the probe set and
+    # the exact twin (r6): the join+explode ran once per consumer before
+    wc = tok.groupBy("source", "d", "word").agg(
+        F.count(F.lit(1)).cast("bigint").alias("wcnt")
+    )
     daily = cm_bucket_sketch(
-        tok, ["source"], "d", "word", d_rows=4, w_cols=16
+        wc, ["source"], "d", "word", d_rows=4, w_cols=16, weight_col="wcnt"
     )
     merged = cm_merge_buckets(daily, ["source"], F.lit("all"))
     probes = (
-        tok.select("word").distinct().where(_h48(F.col("word")) % 3 == 0)
+        wc.select("word").distinct().where(_h48(F.col("word")) % 3 == 0)
     )
     est = cm_estimate(
         merged.drop("bucket"), probes, d_rows=4, w_cols=16, probe_col="word"
     )
-    exact = tok.groupBy("source", "word").agg(
-        F.count(F.lit(1)).cast("bigint").alias("exact_count")
+    exact = wc.groupBy("source", "word").agg(
+        F.sum("wcnt").cast("bigint").alias("exact_count")
     )
     return (
         est.join(exact, ["source", "word"], "left")
@@ -5335,7 +5359,7 @@ def q_mg_heavy_hitters(spark, sf_dir):
     w_lo <= exact_count <= w_lo + slack on every surviving token."""
     from rtsa_spark.operators.sketch import mg_bucket_sketch, mg_merge_buckets
 
-    seq = _derived_sequences(spark, sf_dir).drop("n_tok")
+    seq = _derived_sequences(spark, sf_dir, spread=True).drop("n_tok")
     txt = _documents(spark, sf_dir).select("doc_id", "text")
     tok = (
         seq.join(txt, "doc_id")
@@ -5345,10 +5369,17 @@ def q_mg_heavy_hitters(spark, sf_dir):
             F.explode(F.split("text", " ")).alias("word"),
         )
     )
-    daily = mg_bucket_sketch(tok, ["source"], "d", "word", k=8)
+    # ONE counted token table feeds both the sketch and its exact twin
+    # (r6): the join+explode ran once per consumer before
+    wc = tok.groupBy("source", "d", "word").agg(
+        F.count(F.lit(1)).cast("bigint").alias("wcnt")
+    )
+    daily = mg_bucket_sketch(
+        wc, ["source"], "d", "word", k=8, weight_col="wcnt"
+    )
     merged = mg_merge_buckets(daily, ["source"], F.lit("all"), k=8)
-    exact = tok.groupBy("source", "word").agg(
-        F.count(F.lit(1)).cast("bigint").alias("exact_count")
+    exact = wc.groupBy("source", "word").agg(
+        F.sum("wcnt").cast("bigint").alias("exact_count")
     )
     return (
         merged.where(F.col("item").isNotNull())
@@ -5425,7 +5456,7 @@ def q_certified_topk(spark, sf_dir):
     top-5. The oracle replays prune, merge, recount, and certificate."""
     from rtsa_spark.operators.sketch import mg_certified_topk
 
-    seq = _derived_sequences(spark, sf_dir).drop("n_tok")
+    seq = _derived_sequences(spark, sf_dir, spread=True).drop("n_tok")
     txt = _documents(spark, sf_dir).select("doc_id", "text")
     tok = (
         seq.join(txt, "doc_id")
@@ -5693,7 +5724,7 @@ def q_trailing_heavy_hitters(spark, sf_dir):
     boundary counting is not portable for mid-day timestamps)."""
     from rtsa_spark.operators.sketch import mg_bucket_sketch, mg_trailing_topk
 
-    seq = _derived_sequences(spark, sf_dir).drop("n_tok")
+    seq = _derived_sequences(spark, sf_dir, spread=True).drop("n_tok")
     txt = _documents(spark, sf_dir).select("doc_id", "text")
     tok = (
         seq.join(txt, "doc_id")
@@ -5781,7 +5812,7 @@ def q_sample_ladder(spark, sf_dir):
         sample_merge_buckets,
     )
 
-    seq = _derived_sequences(spark, sf_dir).drop("n_tok")
+    seq = _derived_sequences(spark, sf_dir, spread=True).drop("n_tok")
     txt = _documents(spark, sf_dir).select("doc_id", "text")
     tok = (
         seq.join(txt, "doc_id")

@@ -393,6 +393,11 @@ def quality_classifier(
 
     Returns ``(id_col, n_words, score_sum, score_milli, keep)``.
     """
+    from rtsa_spark.plans.spread import fan_out_scan
+
+    # one md5 per word inside a narrow projection: per-row-heavy, so a
+    # small single-row-group corpus file must be fanned out first
+    df = fan_out_scan(df)
     half = (weight_mod - 1) // 2
     words = F.split(F.col(text_col), " ")
     weights = F.transform(

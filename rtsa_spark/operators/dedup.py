@@ -64,7 +64,15 @@ def _shingled(
 
     Documents shorter than ``n`` words contribute their whole text as one
     degenerate shingle (rather than being silently dropped from the
-    near-dup pipeline — identical short docs must still collide)."""
+    near-dup pipeline — identical short docs must still collide).
+
+    The input is fanned out first (:func:`~rtsa_spark.plans.spread.
+    fan_out_scan`): a small single-row-group corpus file is one scan task,
+    and the shingle explode is exactly the per-row-heavy stage that must
+    not run on one core (no-op past a split per core)."""
+    from rtsa_spark.plans.spread import fan_out_scan
+
+    df = fan_out_scan(df)
     words = df.select(
         F.col(id_col), F.split(F.col(text_col), " ").alias("_w"), F.col(text_col)
     )

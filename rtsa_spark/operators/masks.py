@@ -77,16 +77,43 @@ def mask_max_consecutive_gap(
     STL's consecutive-gap cap (P4, ``R/rtsa.stl.R:289-344``): a sliding
     row-frame of half-width floor(n_p/2) counts gaps around each bucket;
     a key is dropped when any window holds >= n_p gaps.
+
+    Shape (r6): the dense spine is reconstructed per observed row from a
+    single ``lag`` window — each row emits ``(prev, cur]`` as a segment
+    of its missing buckets plus itself — instead of the former
+    spine-aggregate + explode + spine⋈observed join. One exchange on the
+    keys total (the segment explode and the sliding window both keep the
+    lag window's partitioning), versus three for the join form; identical
+    dense rows, identical result. Input rows must be unique per
+    (key, bucket) — true for every tier/rollup output (groupBy keys).
     """
     keys = _keys(key_col)
     observed = _observed(tier_df)
-    spine = bucket_spine(observed, tier, keys, bucket_col)
-    dense = spine.join(
-        observed.select(*keys, bucket_col, F.lit(1).alias("_one")),
-        [*keys, bucket_col],
-        "left",
-    ).withColumn("_miss", F.when(F.col("_one").isNull(), 1).otherwise(0))
+    step = F.expr(STEP_OF[tier])
     lag = n_p // 2
+    wlag = Window.partitionBy(*keys).orderBy(bucket_col)
+    seg = observed.select(*keys, bucket_col).select(
+        *keys,
+        F.when(
+            F.lag(bucket_col).over(wlag).isNull(),
+            F.array(F.col(bucket_col)),
+        )
+        .otherwise(
+            F.sequence(
+                F.lag(bucket_col).over(wlag) + step, F.col(bucket_col), step
+            )
+        )
+        .alias("_seg"),
+    )
+    dense = seg.select(
+        *keys,
+        F.size("_seg").alias("_n"),
+        F.posexplode("_seg").alias("_pos", bucket_col),
+    ).select(
+        *keys,
+        bucket_col,
+        F.when(F.col("_pos") < F.col("_n") - 1, 1).otherwise(0).alias("_miss"),
+    )
     w = (
         Window.partitionBy(*keys)
         .orderBy(bucket_col)

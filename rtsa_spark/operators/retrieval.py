@@ -73,75 +73,106 @@ def bm25_topk(
     terms = [t for t in dict.fromkeys(query_terms) if t]
     if not terms:
         raise ValueError("query_terms must contain at least one term")
-    toks = df.select(
+    from rtsa_spark.plans.spread import fan_out_scan
+
+    # r6 shape: NO token explode at all. The query terms are a handful,
+    # so per-doc term frequencies are narrow in-row array counts
+    # (size(filter(words, = term))); dl is size(words). Everything the
+    # old explode + dl/tf/dfreq joins computed now comes from one narrow
+    # projection plus ONE single-row aggregate (n_docs, len_total and
+    # every term's df together) that broadcasts back. Counts are
+    # identical to the explode form, so scores match bit-for-bit.
+    base = fan_out_scan(df).select(
         F.col(id_col).alias("_id"),
-        F.explode(F.split(F.col(text_col), " ")).alias("token"),
-    ).where(F.col("token") != "")
-    dl = toks.groupBy("_id").agg(F.count(F.lit(1)).cast("bigint").alias("dl"))
-    corpus = dl.agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
-        F.sum("dl").cast("bigint").alias("len_total"),
-    ).select(
-        "n_docs",
-        F.expr("len_total div n_docs").alias("avg_dl"),
+        F.expr(f"filter(split({text_col}, ' '), x -> x != '')").alias("_w"),
     )
-    qterms = toks.sparkSession.createDataFrame(
-        [(t,) for t in terms], "token string"
-    )
-    tf = (
-        toks.join(F.broadcast(qterms), "token")
-        .groupBy("_id", "token")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
-    )
-    dfreq = tf.groupBy("token").agg(
-        F.count(F.lit(1)).cast("bigint").alias("df")
-    )
-    # quarter-bit idf: shared shift keeps fourth powers inside BIGINT
-    idf = (
-        dfreq.crossJoin(F.broadcast(corpus))
-        .select(
-            "token",
-            F.expr(
-                "greatest(0, length(bin(2 * n_docs + 2)) - 15)"
-            ).alias("_s"),
-            (2 * F.col("n_docs") + 2).alias("_num"),
-            (2 * F.col("df") + 1).alias("_den"),
+    def _tf(term: str):
+        # closure, NOT a default arg: a two-parameter lambda would be
+        # read by Spark as the (element, index) filter form
+        return F.size(F.filter(F.col("_w"), lambda w: w == F.lit(term)))
+
+    narrow = base.select(
+        "_id",
+        F.size("_w").cast("bigint").alias("dl"),
+        *[
+            _tf(t).cast("bigint").alias(f"_tf{i}")
+            for i, t in enumerate(terms)
+        ],
+    ).where(F.col("dl") >= 1)
+    # ONE single-row aggregate carries n_docs, len_total and every
+    # term's df; the quarter-bit idf per term (shared shift, module
+    # docstring) is then scalar arithmetic on that row.
+    stats = (
+        narrow.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("dl").cast("bigint").alias("len_total"),
+            *[
+                F.sum((F.col(f"_tf{i}") > 0).cast("bigint"))
+                .cast("bigint")
+                .alias(f"_df{i}")
+                for i in range(len(terms))
+            ],
         )
         .select(
-            "token",
-            F.expr("shiftright(_num, cast(_s as int))").alias("_ns"),
-            F.expr("greatest(1, shiftright(_den, cast(_s as int)))").alias(
-                "_ds"
+            "n_docs",
+            F.expr("len_total div n_docs").alias("avg_dl"),
+            F.expr("greatest(0, length(bin(2 * n_docs + 2)) - 15)").alias(
+                "_s"
             ),
+            *[F.col(f"_df{i}") for i in range(len(terms))],
         )
         .select(
-            "token",
-            (
-                F.length(
-                    F.bin(
-                        F.expr("(_ns * _ns * _ns * _ns) div (_ds * _ds * _ds * _ds)")
+            "avg_dl",
+            F.expr("shiftright(2 * n_docs + 2, cast(_s as int))").alias("_ns"),
+            *[
+                F.expr(
+                    f"greatest(1, shiftright(2 * _df{i} + 1, cast(_s as int)))"
+                ).alias(f"_ds{i}")
+                for i in range(len(terms))
+            ],
+        )
+        .select(
+            "avg_dl",
+            *[
+                (
+                    F.length(
+                        F.bin(
+                            F.expr(
+                                "(_ns * _ns * _ns * _ns)"
+                                f" div (_ds{i} * _ds{i} * _ds{i} * _ds{i})"
+                            )
+                        )
                     )
-                )
-                - 1
-            ).cast("bigint").alias("idf_q"),
+                    - 1
+                ).cast("bigint").alias(f"_idf{i}")
+                for i in range(len(terms))
+            ],
         )
     )
+    hit = [F.col(f"_tf{i}") > 0 for i in range(len(terms))]
     scored = (
-        tf.join(F.broadcast(idf), "token")
-        .join(dl, "_id")
-        .crossJoin(F.broadcast(corpus))
+        narrow.crossJoin(F.broadcast(stats))
         .select(
             "_id",
-            F.expr(
-                "(1000000 * idf_q * 22 * avg_dl * tf)"
-                " div (4 * (10 * avg_dl * tf + 3 * avg_dl + 9 * dl))"
-            ).alias("_term_score"),
+            sum(
+                (h.cast("bigint") for h in hit), F.lit(0).cast("bigint")
+            ).cast("bigint").alias("n_hit"),
+            sum(
+                (
+                    F.when(
+                        hit[i],
+                        F.expr(
+                            f"(1000000 * _idf{i} * 22 * avg_dl * _tf{i})"
+                            f" div (4 * (10 * avg_dl * _tf{i}"
+                            f" + 3 * avg_dl + 9 * dl))"
+                        ),
+                    ).otherwise(F.lit(0).cast("bigint"))
+                    for i in range(len(terms))
+                ),
+                F.lit(0).cast("bigint"),
+            ).cast("bigint").alias("score_e6"),
         )
-        .groupBy("_id")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_hit"),
-            F.sum("_term_score").cast("bigint").alias("score_e6"),
-        )
+        .where(F.col("n_hit") >= 1)
     )
     # distributed top-k (TakeOrderedAndProject — per-partition heads,
     # one driver merge of k rows), then rank the k survivors

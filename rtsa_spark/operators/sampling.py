@@ -367,6 +367,9 @@ def perplexity_partition(
     """
     if ref_mod < 1:
         raise ValueError(f"ref_mod must be >= 1, got {ref_mod}")
+    from rtsa_spark.plans.spread import fan_out_scan
+
+    df = fan_out_scan(df)  # token explode must not run on one scan task
     toks = df.select(
         F.col(id_col).alias("_id"),
         F.col(by_col).alias("_by"),
@@ -471,6 +474,9 @@ def contrastive_selection(
     """
     if ref_mod < 1:
         raise ValueError(f"ref_mod must be >= 1, got {ref_mod}")
+    from rtsa_spark.plans.spread import fan_out_scan
+
+    df = fan_out_scan(df)  # token explode must not run on one scan task
     toks = df.select(
         F.col(id_col).alias("_id"),
         F.explode(F.split(F.col(text_col), " ")).alias("token"),
@@ -558,13 +564,21 @@ def dsir_select(
     cumulative-histogram scan as :func:`perplexity_partition`: no global
     sort, ties at the threshold all kept, so reruns and engines agree).
 
-    Scale shape: BOTH bucket models come from a single grouped
-    aggregation over one feature-explode pass (the target slice is a
-    conditional count, so the corpus is never exploded twice for
-    modeling); the fused model is at most ``m`` rows (broadcast join
-    back); doc scores are one groupBy over a second explode pass — two
-    corpus passes total; the keep threshold is a histogram over distinct
-    scores. No windows over the corpus, no sorts, no Python. BIGINT headroom: the products
+    Scale shape (r6): exactly TWO corpus passes, both minimal. Pass 1
+    (model): explode the per-doc bucket array, grouped-aggregate to at
+    most ``m`` rows with map-side partials (the target slice is a
+    conditional count — never a second explode). Pass 2 (scores): the
+    fused model becomes ONE dense m-slot broadcast array row and each
+    doc's score is a narrow in-task array fold over its bucket array —
+    no per-feature rows shuffle, no join probe per feature (the r5 form
+    re-ran the explode+hash map stage up to 4x: broadcast-join-injected
+    ``isnotnull`` filters and per-branch column pruning defeat AQE
+    exchange reuse). The scored rows (one per doc) are shared between
+    the threshold histogram and the final projection through a
+    repartition exchange keyed on every output column, which pruning
+    cannot perturb. The keep threshold is a histogram over distinct
+    scores. No windows over the corpus, no sorts, no Python. BIGINT
+    headroom: the products
     need ``(max_count + 1) * (N + m) < 2^63``, i.e. fine through ~3e9
     feature occurrences per slice; shard the corpus (or widen to
     DECIMAL(38,0)) past that.
@@ -581,13 +595,19 @@ def dsir_select(
         raise ValueError(
             f"keep fraction must be in (0, 1], got {keep_num}/{keep_den}"
         )
+    from rtsa_spark.plans.spread import fan_out_scan
+
+    df = fan_out_scan(df)  # feature hashing must not run on one scan task
     toks = df.select(
         F.col(id_col).alias("_id"),
         F.expr(f"filter(split({text_col}, ' '), x -> x != '')").alias("_t"),
     ).where(F.size("_t") >= 1)
-    feats = toks.select(
+    # per-doc FEATURE-BUCKET ARRAY (unigrams ++ bigrams, hashed): the
+    # model pass explodes it; the scoring pass folds over it in place —
+    # no per-feature rows ever leave a task on the scoring side.
+    buckets = toks.select(
         "_id",
-        F.explode(
+        F.transform(
             F.concat(
                 F.col("_t"),
                 F.when(
@@ -597,15 +617,13 @@ def dsir_select(
                         " i -> concat(_t[i], ' ', _t[i + 1]))"
                     ),
                 ).otherwise(F.expr("array()")),
-            )
-        ).alias("feature"),
-    ).select(
-        "_id",
-        (
-            F.conv(F.substring(F.md5("feature"), 1, 12), 16, 10).cast("bigint")
-            % m
-        ).alias("b"),
+            ),
+            lambda f: (
+                F.conv(F.substring(F.md5(f), 1, 12), 16, 10).cast("bigint") % m
+            ),
+        ).alias("_bs"),
     )
+    feats = buckets.select("_id", F.explode("_bs").alias("b"))
 
     # Both bucket models come out of ONE grouped aggregation over one
     # explode pass: the raw count is the plain count, the target count is
@@ -633,13 +651,41 @@ def dsir_select(
         .cast("bigint")
         .alias("w_bits"),
     )
+    # The whole model as ONE dense m-slot array row (m-bounded by the
+    # DSIR premise "the model fits in one broadcast"): scoring is then a
+    # NARROW per-doc array fold — O(1) element_at per feature — instead
+    # of an explode + hash-join probe + per-feature shuffle rows. Buckets
+    # absent from cnt are unreachable (every feature's own count makes
+    # its bucket present), so their 0-fill is never read.
+    warr = weights.agg(
+        F.map_from_arrays(
+            F.collect_list("b"), F.collect_list("w_bits")
+        ).alias("_wm")
+    ).select(
+        F.expr(
+            f"transform(sequence(0, {m - 1}),"
+            " i -> coalesce(element_at(_wm, cast(i as bigint)), 0L))"
+        ).alias("_wa")
+    )
     scored = (
-        feats.join(F.broadcast(weights), "b")
-        .groupBy("_id")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_feat"),
-            F.sum("w_bits").cast("bigint").alias("logw_bits"),
+        buckets.crossJoin(F.broadcast(warr))
+        .select(
+            "_id",
+            F.size("_bs").cast("bigint").alias("n_feat"),
+            F.expr(
+                "aggregate(_bs, 0L,"
+                " (acc, x) -> acc + element_at(_wa, cast(x + 1 as int)))"
+            ).alias("logw_bits"),
         )
+        # materialization point shared by the histogram and the final
+        # projection: distinct = a grouped aggregation on EVERY output
+        # column (ids are unique, so it is a no-op on the data). Grouping
+        # keys cannot be pruned per-branch, so both consumers share one
+        # canonical exchange and the (hash + fold) map stage executes
+        # exactly once. (NOT a repartition: CollapseRepartition would
+        # fuse it with an upstream fan-out repartition and sink the fold
+        # below the exchange into the unsplittable scan task.)
+        .distinct()
     )
     hist = scored.groupBy("logw_bits").agg(
         F.count(F.lit(1)).cast("bigint").alias("h")

@@ -46,10 +46,14 @@ def cosine_topk(
 ) -> DataFrame:
     """Exact cosine top-k of every query against the corpus (self excluded).
     Output: (query_id, neighbor_id, rank, cos_e6)."""
+    from rtsa_spark.plans.spread import fan_out_scan
+
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qe")
     )
-    c = corpus.select(
+    # the corpus side pays |queries| dot products per row — fan a small
+    # single-row-group embeddings file out across the cluster first
+    c = fan_out_scan(corpus).select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("ce")
     )
     scored = (
@@ -304,7 +308,11 @@ def ivf_index(
     import numpy as np
     import pandas as pd
 
-    q = _ivf_quant(corpus, id_col, vec_col)
+    from rtsa_spark.plans.spread import fan_out_scan
+
+    # every Lloyd pass maps the whole corpus through the assign kernel;
+    # a single-row-group embeddings file would serialize all of them
+    q = _ivf_quant(fan_out_scan(corpus), id_col, vec_col)
     seeds = (
         q.withColumn(
             "h", F.md5(F.concat(F.col("vid").cast("string"), F.lit(seed_tag)))

@@ -468,6 +468,7 @@ def cm_bucket_sketch(
     item_col: str,
     d_rows: int = 4,
     w_cols: int = 256,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Per-(key, bucket) count-min sketch (Cormode & Muthukrishnan 2005)
     as one mergeable ``array<bigint>`` of ``d_rows * w_cols`` cells —
@@ -495,12 +496,21 @@ def cm_bucket_sketch(
         raise ValueError(f"d_rows must be >= 1, got {d_rows}")
     if w_cols < 2:
         raise ValueError(f"w_cols must be >= 2, got {w_cols}")
-    cnt = df.select(
+    # weight_col: the input is ALREADY (key, bucket, item) counts (each
+    # row counts weight occurrences) — lets a caller share one counted
+    # token table between the sketch and its exact-count twin instead of
+    # re-running the item explode per consumer. Identical cells either way.
+    sel = [
         *key_cols,
         F.col(bucket_col).alias("bucket"),
         F.col(item_col).alias("_item"),
-    ).groupBy(*key_cols, "bucket", "_item").agg(
-        F.count(F.lit(1)).cast("bigint").alias("_c")
+    ]
+    if weight_col is not None:
+        sel.append(F.col(weight_col).alias("_wt"))
+    cnt = df.select(*sel).groupBy(*key_cols, "bucket", "_item").agg(
+        (
+            F.count(F.lit(1)) if weight_col is None else F.sum("_wt")
+        ).cast("bigint").alias("_c")
     )
     cells = None
     for r in range(d_rows):
@@ -805,6 +815,7 @@ def mg_bucket_sketch(
     bucket_col: str,
     item_col: str,
     k: int = 8,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Per-(key, bucket) Misra-Gries heavy-hitters summary (Misra &
     Gries 1982; mergeable batch form per Agarwal et al. 2012,
@@ -836,12 +847,19 @@ def mg_bucket_sketch(
     """
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
-    cnt = df.select(
+    # weight_col: pre-counted (key, bucket, item) input — see
+    # cm_bucket_sketch; identical counters either way
+    sel = [
         *key_cols,
         F.col(bucket_col).alias("bucket"),
         F.col(item_col).alias("item"),
-    ).groupBy(*key_cols, "bucket", "item").agg(
-        F.count(F.lit(1)).cast("bigint").alias("_c")
+    ]
+    if weight_col is not None:
+        sel.append(F.col(weight_col).alias("_wt"))
+    cnt = df.select(*sel).groupBy(*key_cols, "bucket", "item").agg(
+        (
+            F.count(F.lit(1)) if weight_col is None else F.sum("_wt")
+        ).cast("bigint").alias("_c")
     )
     return _mg_prune(
         cnt, key_cols, k, slack_in=F.lit(0).cast("bigint")

@@ -94,6 +94,32 @@ def get_spark(
         shuffle_partitions = int(env_cores)
     conf = {
         "spark.sql.shuffle.partitions": str(shuffle_partitions),
+        # Split size for file scans. The mid-size inputs this engine's
+        # tiers produce (tens of ~3-10 MB files per tier, hundreds of MB
+        # total) pack into a handful of 128-MB splits under the default,
+        # so a 20M-row tier scan runs on 2-7 of N cores; 16m yields
+        # roughly a split per file. Sub-16MB single-file scans are
+        # unaffected (no empty-split scheduling tax on small queries —
+        # the reason this is NOT files.minPartitionNum). Env-overridable:
+        # on a cluster doing large sequential scans set 128m-1g (guide
+        # §6) — split size trades scan task count against per-task
+        # overhead, and the right value follows the deployment's file
+        # sizes, not the engine.
+        "spark.sql.files.maxPartitionBytes": os.environ.get(
+            "RTSA_MAX_PARTITION_BYTES", "16m"
+        ),
+        # InferFiltersFromGenerate turns explode(<computed array>) into a
+        # scan-side Filter that re-evaluates the WHOLE generator expression
+        # (size(...)>0 AND isnotnull(...)) once per input row — for this
+        # engine's explodes of hashed shingle/feature arrays that is the
+        # full split+hash work, duplicated per row, below the fan-out
+        # exchange on the unsplittable scan task (measured: the dsir
+        # feature explode 41 s -> 4 s at sf1 without the rule). The rule
+        # only pre-drops rows whose generator input is empty/null, which
+        # the engine's explodes never rely on for performance; excluding
+        # it changes no results.
+        "spark.sql.optimizer.excludedRules":
+            "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
         "spark.sql.adaptive.enabled": "true",
         "spark.sql.adaptive.coalescePartitions.enabled": "true",
         # AQE skew-join split: free skew handling for the join surface;
