@@ -9315,10 +9315,22 @@ def q_hll_ladder(spark, sf_dir):
         hll_merge_buckets,
     )
 
-    ev = _events(spark, sf_dir).select(
-        "event_type", F.date_trunc("day", "ts").alias("d"), "user_id"
+    from rtsa_spark.plans.spread import fan_out_scan
+
+    # narrow projection FIRST, then fan out (guide §2.3/§2.5): the
+    # single-row-group events file is one scan task, and spreading only
+    # the three needed columns keeps the repartition's retry sort cheap
+    ev = fan_out_scan(
+        _events(spark, sf_dir).select(
+            "event_type", F.date_trunc("day", "ts").alias("d"), "user_id"
+        )
     )
-    daily = hll_bucket_sketch(ev, ["event_type"], "d", "user_id", p=10)
+    daily = hll_bucket_sketch(
+        ev, ["event_type"], "d", "user_id", p=10
+    ).distinct()  # shared by the daily branch AND the monthly merge:
+    # one row per (key, bucket) so distinct is a data no-op, and the
+    # all-column grouping keys block the per-branch pruning that made
+    # each branch re-run the whole events pass
     monthly = hll_merge_buckets(
         daily, ["event_type"], F.date_trunc("month", F.col("bucket")), p=10
     )

@@ -370,8 +370,11 @@ def gorilla_encode(vals: np.ndarray, reuse: str = "equal") -> bytes:
 
 
 def gorilla_decode(blob: bytes, n_points: int) -> np.ndarray:
-    """Sequential parse mirroring the stateless-reuse rule (python-int
-    cursor; see dod_decode on why that is the fast form here)."""
+    """Sequential parse — the SINGLE decoder for both encoder reuse
+    rules (equal-window and containment streams share one wire format:
+    the control bits say reuse/new-window, never WHICH rule chose them).
+    Python-int cursor; see dod_decode on why that is the fast form
+    here."""
     out = np.empty(n_points, dtype=_U64)
     if n_points == 0:
         return out.view(np.float64)

@@ -199,6 +199,12 @@ def bpe_learn(
         # doubling the dominant cost of exactly this path). Row order is
         # irrelevant to the learner (pair stats are order-independent;
         # the argmax tie-break is on (count, left, right), not position).
+        # materialize wf ONCE before the probe: without this, the probe
+        # runs the full corpus scan+shuffle behind word_frequencies and
+        # the large-vocab fallback's _initial_state(wf) re-runs the same
+        # scan — an extra corpus pass on exactly the path the limit is
+        # meant to protect (r5 advice)
+        wf = wf.localCheckpoint()
         probe = wf.limit(driver_vocab_limit + 1).collect()
         if len(probe) <= driver_vocab_limit:
             word_counts = [(r["word"], int(r["cnt"])) for r in probe]

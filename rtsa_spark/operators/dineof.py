@@ -500,10 +500,17 @@ def dineof_gapfill(
     Adaptive plan (see module docstring): dense driver iteration for small
     matrices, distributed per-bucket state above
     ``DINEOF_Z_DRIVER_LIMIT`` or when ``force_distributed=True``.
-    ``solver`` picks the distributed path's rank-k step (see
+    ``solver`` must be ``"auto"``, ``"dense"`` or ``"iterative"`` (a typo
+    would otherwise silently select the dense Gramian path and defeat the
+    driver-RAM ceiling — validated up front like eof/gorilla_encode).
+    It picks the distributed path's rank-k step (see
     :func:`_dineof_distributed`): ``"iterative"`` removes the per-inner-
     iteration n_s^2 Gramian collect — the past-driver-ceiling source
     cardinality path (r5)."""
+    if solver not in ("auto", "dense", "iterative"):
+        raise ValueError(
+            f"solver must be auto/dense/iterative, got {solver!r}"
+        )
     sources = source_index(tier_df, key_col)
     vecs = bucket_vectors(tier_df, sources, value_col, key_col, bucket_col)
     n_s = len(sources)

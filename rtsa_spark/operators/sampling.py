@@ -404,6 +404,12 @@ def perplexity_partition(
             "n_tok",
             F.expr("(1000000 * sum_bits) div n_tok").alias("mean_bits_e6"),
         )
+        # materialization point shared by the tercile histogram and the
+        # final projection (one row per doc, so distinct is a data no-op;
+        # grouping keys cannot be pruned per-branch, so both consumers
+        # reuse one exchange instead of re-running the token explode +
+        # model join — the dsir_select r6 pattern)
+        .distinct()
     )
     hist = scored.groupBy("_by", "mean_bits_e6").agg(
         F.count(F.lit(1)).cast("bigint").alias("h")

@@ -188,9 +188,11 @@ def zorder_key(x_col: str, y_col: str, bits: int = 16):
     either (or both) dimensions, where a linear ``sort by x, y`` layout
     only ever prunes on the leading x.
 
-    Pure exact-int bit arithmetic (4-step magic-number spread per dim,
-    no UDF, no float), identical in any engine with shift/and/or; out of
-    range dims raise rather than silently aliasing.  ``bits`` caps each
+    Pure exact-int bit arithmetic (5-step 64-bit magic-number spread per
+    dim — see ``_SPREAD``; the 64-bit chain is what makes bits in
+    (16, 31] interleave correctly), no UDF, no float, identical in any
+    engine with shift/and/or; out of range dims raise rather than
+    silently aliasing.  ``bits`` caps each
     dimension at ``2^bits - 1``; callers bucket/scale real columns down
     first (e.g. hour index, source index — rank-bucketing a raw BIGINT
     is ``F.ntile`` at publish time).

@@ -375,3 +375,20 @@ def test_eot_ioa_distributed_matches_dense(spark):
     for c in ("r", "r2", "slope", "p"):
         assert np.allclose(a[c].to_numpy(), b[c].to_numpy(), atol=1e-9)
     assert np.allclose(dist["explained_pct"], dense["explained_pct"], atol=1e-9)
+
+
+def test_dineof_rejects_unknown_solver(spark):
+    """r6 advice: a typo'd solver must raise, not silently select the
+    dense Gramian path (consistent with eof/gorilla_encode)."""
+    import pytest as _pt
+
+    from rtsa_spark.operators.dineof import dineof_gapfill
+
+    df = spark.createDataFrame(
+        [("s", "2024-01-01T00:00:00", 1.0)],
+        "source string, bucket_start string, n_tok_mean double",
+    ).selectExpr(
+        "source", "cast(bucket_start as timestamp) bucket_start", "n_tok_mean"
+    )
+    with _pt.raises(ValueError, match="solver"):
+        dineof_gapfill(spark, df, solver="iterativ")

@@ -811,3 +811,66 @@ def test_histogram_emd_hand(spark):
 
     with _pt.raises(ValueError):
         histogram_emd(df3, "k", "p", "v", 0)
+
+
+def test_cm_mg_weight_col_seam_matches_raw_counts(spark):
+    """r6 internals change: cm/mg bucket sketches accept pre-counted
+    (key, bucket, item) input via ``weight_col`` (so one counted token
+    table can feed the sketch AND its exact twin). Sketches must be
+    bit-identical to the raw-stream build."""
+    import pyspark.sql.functions as F
+
+    from rtsa_spark.operators.sketch import cm_bucket_sketch, mg_bucket_sketch
+
+    rows = [
+        ("g", b, f"it{(i * 7 + b) % 5}")
+        for b in (1, 2)
+        for i in range(40)
+    ]
+    ev = spark.createDataFrame(rows, "g string, b long, item string")
+    wc = ev.groupBy("g", "b", "item").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+
+    key = lambda r: (r["g"], r["bucket"])  # noqa: E731
+    cm_a = sorted(
+        cm_bucket_sketch(ev, ["g"], "b", "item", d_rows=3, w_cols=8).collect(),
+        key=key,
+    )
+    cm_b = sorted(
+        cm_bucket_sketch(
+            wc, ["g"], "b", "item", d_rows=3, w_cols=8, weight_col="c"
+        ).collect(),
+        key=key,
+    )
+    assert [tuple(r) for r in cm_a] == [tuple(r) for r in cm_b]
+
+    mkey = lambda r: (r["g"], r["bucket"], r["item"] or "", r["w"])  # noqa: E731
+    mg_a = sorted(
+        mg_bucket_sketch(ev, ["g"], "b", "item", k=3).collect(), key=mkey
+    )
+    mg_b = sorted(
+        mg_bucket_sketch(wc, ["g"], "b", "item", k=3, weight_col="c").collect(),
+        key=mkey,
+    )
+    assert [tuple(r) for r in mg_a] == [tuple(r) for r in mg_b]
+
+
+def test_fan_out_scan_spreads_small_scan_and_keeps_rows(spark, tmp_path):
+    """r6: fan_out_scan must raise the partition count of a small
+    single-file scan (the single-row-group input pathology) without
+    changing the rows, and pass wide inputs through untouched."""
+    import pyspark.sql.functions as F
+
+    from rtsa_spark.plans.spread import fan_out_scan
+
+    p = str(tmp_path / "one_file")
+    spark.range(1000).select(
+        F.col("id"), (F.col("id") % 7).alias("v")
+    ).coalesce(1).write.mode("overwrite").parquet(p)
+    df = spark.read.parquet(p)
+    out = fan_out_scan(df)
+    assert out.rdd.getNumPartitions() >= spark.sparkContext.defaultParallelism
+    assert sorted(r["id"] for r in out.collect()) == list(range(1000))
+    # a non-scan plan with no stats estimate must be returned unchanged
+    assert fan_out_scan(df, parallelism=1) is df

@@ -106,6 +106,48 @@ def test_mask_max_consecutive_gap(spark):
     assert ok == {"d"}
 
 
+def test_mask_max_consecutive_gap_matches_spine_join(spark, tiny_sequences):
+    """r6 internals change: the dense spine is rebuilt from lag-window
+    gap segments instead of a spine-aggregate + explode + join. Pin the
+    new form against the explicit spine-join reference for several n_p
+    (window widths 1, 3 and 5) on realistically gappy tiers."""
+    from pyspark.sql import Window
+
+    hourly = _hourly(spark, tiny_sequences)
+
+    def spine_join_reference(tier_df, tier, n_p):
+        spine = bucket_spine(tier_df, tier, ["source"], "bucket_start")
+        dense = spine.join(
+            tier_df.select("source", "bucket_start", F.lit(1).alias("_one")),
+            ["source", "bucket_start"],
+            "left",
+        ).withColumn("_miss", F.when(F.col("_one").isNull(), 1).otherwise(0))
+        lag = n_p // 2
+        w = (
+            Window.partitionBy("source")
+            .orderBy("bucket_start")
+            .rowsBetween(-lag, lag)
+        )
+        return (
+            dense.withColumn("_wmiss", F.sum("_miss").over(w))
+            .groupBy("source")
+            .agg(F.max("_wmiss").alias("_m"))
+            .where(F.col("_m") < n_p)
+            .select("source")
+        )
+
+    for n_p in (2, 3, 4, 5):
+        want = sorted(
+            r["source"]
+            for r in spine_join_reference(hourly, "hourly", n_p).collect()
+        )
+        got = sorted(
+            r["source"]
+            for r in mask_max_consecutive_gap(hourly, "hourly", n_p).collect()
+        )
+        assert got == want, f"n_p={n_p}: {got} != {want}"
+
+
 def test_apply_mask_is_semi_join(spark, tiny_sequences):
     mask = spark.createDataFrame([("s001",)], "source string")
     out = apply_mask(tiny_sequences, mask)

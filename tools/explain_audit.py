@@ -664,29 +664,35 @@ def main() -> int:
         and pub_plan.count("rangepartitioning") == 1,
     )
 
-    # 24. DSIR: both bucket models join back broadcast (tiny m-row dims),
-    #     no Python eval, one token explode feeding everything
+    # 24. DSIR (r6 shape): ONE feature explode total (the model pass);
+    #     scoring is a narrow fold over a broadcast dense-array model row
+    #     (BroadcastNestedLoopJoin Cross against 1-row dims is the
+    #     intended scalar attach) — no Python, no per-feature join probe
     from rtsa_spark.operators.sampling import dsir_select
 
     dsir_plan = plan_of(dsir_select(docs, ref_mod=2, m=64))
     ok &= check(
-        "dsir: bucket-model joins broadcast, no Python",
-        "BroadcastHashJoin" in dsir_plan
+        "dsir: single model explode + broadcast scalar model, no Python",
+        dsir_plan.count("Generate") <= 2  # formatted prints tree+details
         and "CartesianProduct" not in dsir_plan
+        and "SortMergeJoin" not in dsir_plan
         and "EvalPython" not in dsir_plan,
+        f"Generate={dsir_plan.count('Generate')}",
     )
 
-    # 25. BM25: query terms + idf join broadcast; top-k plans as
-    #     TakeOrderedAndProject (distributed partial top-k), never a
-    #     global sort of all matched docs
+    # 25. BM25 (r6 shape): NO token explode at all — dl and per-term tf
+    #     are in-row array counts; stats attach as a broadcast scalar
+    #     row; top-k plans as TakeOrderedAndProject (distributed partial
+    #     top-k), never a global sort of all matched docs
     from rtsa_spark.operators.retrieval import bm25_topk
 
     bm_plan = plan_of(bm25_topk(docs, ["alpha", "beta"], k=3))
     ok &= check(
-        "bm25: broadcast dims + TakeOrderedAndProject top-k",
-        "BroadcastHashJoin" in bm_plan
+        "bm25: explode-free tf/dl + TakeOrderedAndProject top-k",
+        "Generate" not in bm_plan
         and "TakeOrderedAndProject" in bm_plan
         and "EvalPython" not in bm_plan,
+        f"Generate={bm_plan.count('Generate')}",
     )
 
     # 26. z-order clustering: one range exchange on the Morton key with a
@@ -1023,6 +1029,27 @@ def main() -> int:
         "edit_near_dup: JVM levenshtein verify, no cartesian/Python",
         "levenshtein" in ed_plan and "CartesianProduct" not in ed_plan
         and "EvalPython" not in ed_plan,
+    )
+
+    # 43. top_movers: global top-k via TakeOrderedAndProject, and the
+    #     only unpartitioned Window ranks the k survivors (r5 verdict:
+    #     the former global rank window single-partitioned k x n_keys
+    #     rows). The k-row Window must sit ABOVE the limit in the plan.
+    from rtsa_spark.operators.monitor import top_movers
+
+    tm_plan = plan_of(
+        top_movers(
+            seq.selectExpr(
+                "source as k", "ts as b", "cast(n_tok as bigint) as x"
+            ),
+            "k", "b", "x", k=5,
+        )
+    )
+    ok &= check(
+        "top_movers: global top-k is TakeOrderedAndProject, not a "
+        "full-table rank window",
+        "TakeOrderedAndProject" in tm_plan,
+        f"TOaP={('TakeOrderedAndProject' in tm_plan)}",
     )
 
     spark.stop()
