@@ -5169,8 +5169,18 @@ def q_cm_frequency_ladder(spark, sf_dir):
     )
     # ONE counted token table feeds the sketch build, the probe set and
     # the exact twin (r6): the join+explode ran once per consumer before
-    wc = tok.groupBy("source", "d", "word").agg(
-        F.count(F.lit(1)).cast("bigint").alias("wcnt")
+    wc = (
+        tok.groupBy("source", "d", "word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("wcnt"))
+        # materialization barrier: repartition on EVERY column forces a
+        # shared exchange no branch's pruning can perturb (a distinct
+        # would be partition-local over the groupBy's partitioning — no
+        # exchange, nothing to reuse), so the join+explode runs once for
+        # the sketch, probe and exact consumers (~15 CPU-s per avoided
+        # pass at sf1)
+        .repartition(
+            F.col("source"), F.col("d"), F.col("word"), F.col("wcnt")
+        )
     )
     daily = cm_bucket_sketch(
         wc, ["source"], "d", "word", d_rows=4, w_cols=16, weight_col="wcnt"
@@ -5371,8 +5381,18 @@ def q_mg_heavy_hitters(spark, sf_dir):
     )
     # ONE counted token table feeds both the sketch and its exact twin
     # (r6): the join+explode ran once per consumer before
-    wc = tok.groupBy("source", "d", "word").agg(
-        F.count(F.lit(1)).cast("bigint").alias("wcnt")
+    wc = (
+        tok.groupBy("source", "d", "word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("wcnt"))
+        # materialization barrier: repartition on EVERY column forces a
+        # shared exchange no branch's pruning can perturb (a distinct
+        # would be partition-local over the groupBy's partitioning — no
+        # exchange, nothing to reuse), so the join+explode runs once for
+        # the sketch, probe and exact consumers (~15 CPU-s per avoided
+        # pass at sf1)
+        .repartition(
+            F.col("source"), F.col("d"), F.col("word"), F.col("wcnt")
+        )
     )
     daily = mg_bucket_sketch(
         wc, ["source"], "d", "word", k=8, weight_col="wcnt"
@@ -9325,12 +9345,15 @@ def q_hll_ladder(spark, sf_dir):
             "event_type", F.date_trunc("day", "ts").alias("d"), "user_id"
         )
     )
-    daily = hll_bucket_sketch(
-        ev, ["event_type"], "d", "user_id", p=10
-    ).distinct()  # shared by the daily branch AND the monthly merge:
-    # one row per (key, bucket) so distinct is a data no-op, and the
-    # all-column grouping keys block the per-branch pruning that made
-    # each branch re-run the whole events pass
+    daily = hll_bucket_sketch(ev, ["event_type"], "d", "user_id", p=10)
+    # materialization barrier shared by the daily branch AND the monthly
+    # merge: a repartition keyed on EVERY output column forces an
+    # exchange (a distinct here would be satisfied by the sketch's
+    # existing (key, bucket) partitioning — partition-local, no exchange,
+    # nothing to reuse) that neither branch's column pruning can alter,
+    # so the whole events pass runs once. Partitioning choice itself is
+    # irrelevant downstream (both branches re-aggregate).
+    daily = daily.repartition(*[F.col(c) for c in daily.columns])
     monthly = hll_merge_buckets(
         daily, ["event_type"], F.date_trunc("month", F.col("bucket")), p=10
     )

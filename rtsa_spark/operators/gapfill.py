@@ -77,46 +77,83 @@ def gapfill_linear(
     Returns the dense series: observed rows unchanged (``gapfilled=false``),
     interpolated rows flagged ``gapfilled=true``. Integer-typed rollup columns
     are rounded back to their types after the double-space interpolation.
+
+    Shape (r6): the dense spine is reconstructed per observed row from a
+    single ``lag`` window — each row emits its ``(prev, cur]`` gap
+    segment with the interpolated values computed directly from the two
+    anchors (the same ``prev_v + w * (next_v - prev_v)`` doubles as the
+    former two ignore-nulls frames, so outputs are bit-identical) —
+    instead of the former spine-aggregate + explode + spine⋈tier join +
+    window. One exchange on the keys total, versus three join/window
+    exchanges of tier-sized data. Input rows must be unique per
+    (key, bucket) with non-NULL ``value_cols[0]`` — true for every
+    tier/rollup output (groupBy keys over counted rows).
     """
     if value_cols is None:
         value_cols = ["n_seq", "n_tok_sum", "n_tok_min", "n_tok_max", "n_tok_mean"]
     keys = _keys(key_col)
-    spine = bucket_spine(df, tier, keys, bucket_col)
-    joined = spine.join(df, [*keys, bucket_col], "left").withColumn(
-        "_obs", F.col(value_cols[0]).isNotNull()
-    )
-
+    step = F.expr(STEP_OF[tier])
     order = Window.partitionBy(*keys).orderBy(bucket_col)
-    before = order.rowsBetween(Window.unboundedPreceding, -1)
-    after = order.rowsBetween(1, Window.unboundedFollowing)
-    t = F.col(bucket_col).cast("double")
-    obs_t = F.when(F.col("_obs"), t)
-    prev_t = F.last(obs_t, ignorenulls=True).over(before)
-    next_t = F.first(obs_t, ignorenulls=True).over(after)
-    # interior by construction -> both neighbors exist for every missing row
-    w = (t - prev_t) / (next_t - prev_t)
-
-    out = joined.withColumn("_w", w)
-    for c in value_cols:
-        prev_v = F.last(F.when(F.col("_obs"), F.col(c)), ignorenulls=True).over(before)
-        next_v = F.first(F.when(F.col("_obs"), F.col(c)), ignorenulls=True).over(after)
-        filled = prev_v + F.col("_w") * (next_v - prev_v)
-        if c in _INT_CASTS:
-            filled = F.round(filled).cast(_INT_CASTS[c])
-        out = out.withColumn(c, F.when(F.col("_obs"), F.col(c)).otherwise(filled))
+    extras = [
+        c for c in ROLLUP_COLS
+        if c in df.columns
+        and c not in (*keys, bucket_col, *value_cols, "gapfilled")
+    ]
     prior_flag = (
         F.coalesce(F.col("gapfilled"), F.lit(False))
         if "gapfilled" in df.columns
         else F.lit(False)
     )
-    out = out.withColumn(
-        "gapfilled", F.when(F.col("_obs"), prior_flag).otherwise(F.lit(True))
+    prevs = df.select(
+        *keys,
+        F.col(bucket_col).alias("_cb"),
+        *value_cols,
+        *extras,
+        prior_flag.alias("_pflag"),
+        F.lag(bucket_col).over(order).alias("_pb"),
+        *[F.lag(c).over(order).alias(f"_pv_{c}") for c in value_cols],
     )
-    extras = [
-        c for c in ROLLUP_COLS
-        if c in out.columns and c not in (*keys, bucket_col, *value_cols, "gapfilled")
-    ]
-    return out.select(*keys, bucket_col, *value_cols, *extras, "gapfilled")
+    # (prev, cur] gap segment: interior misses + the observed row itself;
+    # first row per key (or a duplicate bucket) emits only itself
+    seg = F.when(
+        F.col("_pb").isNull() | (F.col("_pb") >= F.col("_cb")),
+        F.array(F.col("_cb")),
+    ).otherwise(F.sequence(F.col("_pb") + step, F.col("_cb"), step))
+    dense = prevs.withColumn("_seg", seg).select(
+        *keys,
+        "_cb",
+        *value_cols,
+        *extras,
+        "_pflag",
+        "_pb",
+        *[f"_pv_{c}" for c in value_cols],
+        F.size("_seg").alias("_n"),
+        F.posexplode("_seg").alias("_pos", "_b"),
+    )
+    is_obs = F.col("_pos") == F.col("_n") - 1
+    t = F.col("_b").cast("double")
+    prev_t = F.col("_pb").cast("double")
+    next_t = F.col("_cb").cast("double")
+    # both anchors exist for every interior miss by construction
+    w = (t - prev_t) / (next_t - prev_t)
+    filled_cols = []
+    for c in value_cols:
+        filled = F.col(f"_pv_{c}") + w * (F.col(c) - F.col(f"_pv_{c}"))
+        if c in _INT_CASTS:
+            filled = F.round(filled).cast(_INT_CASTS[c])
+        filled_cols.append(F.when(is_obs, F.col(c)).otherwise(filled).alias(c))
+    return dense.select(
+        *keys,
+        F.col("_b").alias(bucket_col),
+        *filled_cols,
+        *[
+            F.when(is_obs, F.col(c)).alias(c)  # missing rows: NULL extras
+            for c in extras
+        ],
+        F.when(is_obs, F.col("_pflag")).otherwise(F.lit(True)).alias(
+            "gapfilled"
+        ),
+    )
 
 
 def gapfill_locf(

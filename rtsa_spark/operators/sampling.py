@@ -405,11 +405,15 @@ def perplexity_partition(
             F.expr("(1000000 * sum_bits) div n_tok").alias("mean_bits_e6"),
         )
         # materialization point shared by the tercile histogram and the
-        # final projection (one row per doc, so distinct is a data no-op;
-        # grouping keys cannot be pruned per-branch, so both consumers
-        # reuse one exchange instead of re-running the token explode +
-        # model join — the dsir_select r6 pattern)
-        .distinct()
+        # final projection: repartition on EVERY output column forces an
+        # exchange (a distinct would be satisfied by the groupBy's
+        # (_id, _by) partitioning — partition-local, no exchange to
+        # reuse) that per-branch pruning cannot alter, so the token
+        # explode + model join run once for both consumers
+        .repartition(
+            F.col("_id"), F.col("_by"), F.col("n_tok"),
+            F.col("mean_bits_e6"),
+        )
     )
     hist = scored.groupBy("_by", "mean_bits_e6").agg(
         F.count(F.lit(1)).cast("bigint").alias("h")

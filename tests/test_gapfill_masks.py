@@ -153,3 +153,57 @@ def test_apply_mask_is_semi_join(spark, tiny_sequences):
     out = apply_mask(tiny_sequences, mask)
     assert out.select("source").distinct().collect()[0]["source"] == "s001"
     assert set(out.columns) == set(tiny_sequences.columns)
+
+
+def test_gapfill_linear_matches_spine_join_reference(spark, tiny_sequences):
+    """r6 internals change: gapfill_linear rebuilds the dense spine from
+    lag-window gap segments. Pin bit-identical output (every value col,
+    doubles included) against the explicit spine-join + ignore-nulls
+    window reference it replaced."""
+    from pyspark.sql import Window
+
+    hourly = _hourly(spark, tiny_sequences)
+
+    def reference(df, tier):
+        from rtsa_spark.operators.gapfill import _INT_CASTS, STEP_OF
+
+        spine = bucket_spine(df, tier, ["source"], "bucket_start")
+        joined = spine.join(df, ["source", "bucket_start"], "left").withColumn(
+            "_obs", F.col(VALUE_COLS[0]).isNotNull()
+        )
+        order = Window.partitionBy("source").orderBy("bucket_start")
+        before = order.rowsBetween(Window.unboundedPreceding, -1)
+        after = order.rowsBetween(1, Window.unboundedFollowing)
+        t = F.col("bucket_start").cast("double")
+        obs_t = F.when(F.col("_obs"), t)
+        prev_t = F.last(obs_t, ignorenulls=True).over(before)
+        next_t = F.first(obs_t, ignorenulls=True).over(after)
+        w = (t - prev_t) / (next_t - prev_t)
+        out = joined.withColumn("_w", w)
+        for c in VALUE_COLS:
+            pv = F.last(
+                F.when(F.col("_obs"), F.col(c)), ignorenulls=True
+            ).over(before)
+            nv = F.first(
+                F.when(F.col("_obs"), F.col(c)), ignorenulls=True
+            ).over(after)
+            filled = pv + F.col("_w") * (nv - pv)
+            if c in _INT_CASTS:
+                filled = F.round(filled).cast(_INT_CASTS[c])
+            out = out.withColumn(
+                c, F.when(F.col("_obs"), F.col(c)).otherwise(filled)
+            )
+        out = out.withColumn(
+            "gapfilled",
+            F.when(
+                F.col("_obs"), F.coalesce(F.col("gapfilled"), F.lit(False))
+            ).otherwise(F.lit(True)),
+        )
+        return out.select("source", "bucket_start", *VALUE_COLS, "gapfilled")
+
+    key = ["source", "bucket_start"]
+    got = gapfill_linear(hourly, "hourly").orderBy(*key).collect()
+    want = reference(hourly, "hourly").orderBy(*key).collect()
+    assert len(got) == len(want) and len(got) > 0
+    for g, w_ in zip(got, want):
+        assert tuple(g) == tuple(w_), f"{g} != {w_}"
