@@ -67,19 +67,36 @@ __all__ = [
 KMV_HASH_RANGE = 1 << 48
 
 
-def _h48(col: F.Column) -> F.Column:
-    """Portable 48-bit hash: first 12 hex chars of md5, as BIGINT.
+def _h48(col: F.Column, hash_fn: str = "md5") -> F.Column:
+    """48-bit item hash in [0, 2^48) — the sketch-family hash seam.
 
-    md5 emits lowercase hex in both Spark and DuckDB; 48 bits keeps the
-    parse exact in either engine's signed 64-bit integers.
+    - ``"md5"`` (default, the cross-engine ORACLE mode): first 12 hex
+      chars of md5, as BIGINT. md5 emits lowercase hex in both Spark and
+      DuckDB; 48 bits keeps the parse exact in either engine's signed
+      64-bit integers. This is what every DuckDB correctness twin
+      replays byte-for-byte.
+    - ``"xxhash64"`` (the 100-TB SCALE mode): low 48 bits of the JVM
+      xxhash64 — one codegen'd integer hash, no hex-string
+      materialization, ~8x cheaper per item (r5/r6 verdict ask; same
+      seam dedup.minhash_signatures already exposes). Identical range
+      and uniformity, so every estimator bound/identity holds unchanged
+      — only the concrete cell/bucket values differ, which is why the
+      oracle-pinned entry queries stay on md5.
     """
-    return F.conv(F.substring(F.md5(col.cast("string")), 1, 12), 16, 10).cast(
-        "bigint"
-    )
+    if hash_fn == "md5":
+        return F.conv(
+            F.substring(F.md5(col.cast("string")), 1, 12), 16, 10
+        ).cast("bigint")
+    if hash_fn == "xxhash64":
+        return F.xxhash64(col.cast("string")).bitwiseAND(
+            F.lit((1 << 48) - 1)
+        ).cast("bigint")
+    raise ValueError(f"hash_fn must be 'md5' or 'xxhash64', got {hash_fn!r}")
 
 
 def kmv_distinct(
-    df: DataFrame, key_col: str, item_col: str, k: int = 64
+    df: DataFrame, key_col: str, item_col: str, k: int = 64,
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """K-minimum-values distinct-count sketch per key.
 
@@ -92,7 +109,8 @@ def kmv_distinct(
     if k < 2:
         raise ValueError(f"k must be >= 2, got {k}")
     dist = df.select(
-        F.col(key_col).alias("key"), _h48(F.col(item_col)).alias("_h")
+        F.col(key_col).alias("key"),
+        _h48(F.col(item_col), hash_fn).alias("_h"),
     ).distinct()
     w = Window.partitionBy("key").orderBy("_h")
     sk = dist.select("key", "_h", F.row_number().over(w).alias("_rn")).where(
@@ -282,6 +300,7 @@ def kmv_bucket_sketch(
     bucket_col: str,
     item_col: str,
     k: int = 64,
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """Per-(key, bucket) KMV sketch as a mergeable column — the
     distinct-count answer the rollup ladder cannot get from plain sums
@@ -302,7 +321,7 @@ def kmv_bucket_sketch(
     dist = df.select(
         *key_cols,
         F.col(bucket_col).alias("bucket"),
-        _h48(F.col(item_col)).alias("_h"),
+        _h48(F.col(item_col), hash_fn).alias("_h"),
     ).distinct()
     w = Window.partitionBy(*key_cols, "bucket").orderBy("_h")
     sk = dist.withColumn("_rn", F.row_number().over(w)).where(
@@ -451,12 +470,17 @@ def kmv_intersect(
     )
 
 
-def _cm_cell(row: int, item: F.Column, w_cols: int) -> F.Column:
+def _cm_cell(
+    row: int, item: F.Column, w_cols: int, hash_fn: str = "md5"
+) -> F.Column:
     """Count-min column index for hash row ``row``: the portable 48-bit
     md5 prefix of ``"<row>:<item>"`` mod the sketch width. Both engines
     concatenate and hash the same string, so cells agree exactly."""
     return F.pmod(
-        _h48(F.concat_ws(":", F.lit(row).cast("string"), item.cast("string"))),
+        _h48(
+            F.concat_ws(":", F.lit(row).cast("string"), item.cast("string")),
+            hash_fn,
+        ),
         F.lit(w_cols),
     ).cast("int")
 
@@ -469,6 +493,7 @@ def cm_bucket_sketch(
     d_rows: int = 4,
     w_cols: int = 256,
     weight_col: str | None = None,
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """Per-(key, bucket) count-min sketch (Cormode & Muthukrishnan 2005)
     as one mergeable ``array<bigint>`` of ``d_rows * w_cols`` cells —
@@ -517,7 +542,9 @@ def cm_bucket_sketch(
         part = cnt.select(
             *key_cols,
             "bucket",
-            (_cm_cell(r, F.col("_item"), w_cols) + r * w_cols).alias("_pos"),
+            (
+                _cm_cell(r, F.col("_item"), w_cols, hash_fn) + r * w_cols
+            ).alias("_pos"),
             "_c",
         )
         cells = part if cells is None else cells.unionByName(part)
@@ -599,6 +626,7 @@ def cm_estimate(
     d_rows: int = 4,
     w_cols: int = 256,
     probe_col: str = "item",
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """Point-query a count-min sketch for each probe item: the estimate
     is the MIN over the ``d_rows`` hashed cells — never below the true
@@ -612,7 +640,8 @@ def cm_estimate(
     """
     cols = [
         F.element_at(
-            "cm", _cm_cell(r, F.col(probe_col), w_cols) + r * w_cols + 1
+            "cm",
+            _cm_cell(r, F.col(probe_col), w_cols, hash_fn) + r * w_cols + 1,
         )
         for r in range(d_rows)
     ]
@@ -632,12 +661,17 @@ def cm_estimate(
 BLOOM_WORD_BITS = 32
 
 
-def _bloom_pos(r: int, item: F.Column, m_bits: int) -> F.Column:
+def _bloom_pos(
+    r: int, item: F.Column, m_bits: int, hash_fn: str = "md5"
+) -> F.Column:
     """Bloom bit position for hash row ``r``: the portable 48-bit md5
     prefix of ``"<r>:<item>"`` mod the filter width — same derivation
     seam as :func:`_cm_cell`, so both engines light the same bits."""
     return F.pmod(
-        _h48(F.concat_ws(":", F.lit(r).cast("string"), item.cast("string"))),
+        _h48(
+            F.concat_ws(":", F.lit(r).cast("string"), item.cast("string")),
+            hash_fn,
+        ),
         F.lit(m_bits),
     ).cast("int")
 
@@ -649,6 +683,7 @@ def bloom_bucket_sketch(
     item_col: str,
     m_bits: int = 4096,
     k_hash: int = 3,
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """Per-(key, bucket) Bloom filter (Bloom 1970) as one mergeable
     ``array<bigint>`` of ``m_bits / 32`` words — the MEMBERSHIP
@@ -694,7 +729,7 @@ def bloom_bucket_sketch(
     ).distinct()
     bits = None
     for r in range(k_hash):
-        pos = _bloom_pos(r, F.col("_item"), m_bits)
+        pos = _bloom_pos(r, F.col("_item"), m_bits, hash_fn)
         part = dist.select(
             *key_cols,
             "bucket",
@@ -776,6 +811,7 @@ def bloom_maybe_contains(
     m_bits: int = 4096,
     k_hash: int = 3,
     probe_col: str = "item",
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """Membership-probe a Bloom filter: ``maybe`` is true iff ALL
     ``k_hash`` hashed bits are set — never false for a present item
@@ -789,7 +825,7 @@ def bloom_maybe_contains(
     """
     checks = []
     for r in range(k_hash):
-        pos = _bloom_pos(r, F.col(probe_col), m_bits)
+        pos = _bloom_pos(r, F.col(probe_col), m_bits, hash_fn)
         word = F.element_at(
             "bloom", (pos / BLOOM_WORD_BITS).cast("int") + 1
         )
@@ -1279,6 +1315,7 @@ def hll_bucket_sketch(
     bucket_col: str,
     item_col: str,
     p: int = 10,
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """Per-(key, bucket) HyperLogLog sketch (Flajolet et al. 2007) as a
     mergeable dense register array — the fixed-size counterpart of
@@ -1308,7 +1345,7 @@ def hll_bucket_sketch(
     hashed = df.select(
         *key_cols,
         F.col(bucket_col).alias("bucket"),
-        _h48(F.col(item_col)).alias("_h"),
+        _h48(F.col(item_col), hash_fn).alias("_h"),
     ).where(F.col("_h").isNotNull())  # NULL items are not elements
     idx, rho = _hll_rho_cols(F.col("_h"), p)
     pre = hashed.select(

@@ -874,3 +874,72 @@ def test_fan_out_scan_spreads_small_scan_and_keeps_rows(spark, tmp_path):
     assert sorted(r["id"] for r in out.collect()) == list(range(1000))
     # a non-scan plan with no stats estimate must be returned unchanged
     assert fan_out_scan(df, parallelism=1) is df
+
+
+def test_sketch_hash_seam_xxhash64_family(spark):
+    """r6 (verdict ask): the sketch-family hash seam. md5 stays the
+    oracle-portable default; hash_fn='xxhash64' is the scale mode (one
+    codegen integer hash, no hex strings). Every estimator bound and
+    merge identity must hold under BOTH families — only the concrete
+    cell values may differ."""
+    import pyspark.sql.functions as F
+    import pytest as _pt
+
+    from rtsa_spark.operators.sketch import (
+        _h48,
+        bloom_bucket_sketch,
+        bloom_maybe_contains,
+        cm_bucket_sketch,
+        cm_estimate,
+        hll_bucket_sketch,
+        kmv_bucket_sketch,
+    )
+
+    rows = [("g", b, f"item{i % 97}") for b in (1, 2) for i in range(400)]
+    ev = spark.createDataFrame(rows, "g string, b long, item string")
+    exact = ev.groupBy("g", "item").agg(
+        F.count(F.lit(1)).cast("bigint").alias("x")
+    )
+    probes = ev.select("item").distinct()
+
+    for fn in ("md5", "xxhash64"):
+        # KMV: exact below k, hash range respected
+        kmv = kmv_bucket_sketch(ev, ["g"], "b", "item", k=128, hash_fn=fn)
+        for r in kmv.collect():
+            assert r["est_distinct"] == 97, (fn, r)
+            assert all(0 <= h < (1 << 48) for h in r["kmv"])
+        # CM: one-sided bound est >= exact under both hash families
+        cm = cm_bucket_sketch(ev, ["g"], "b", "item", d_rows=3, w_cols=16,
+                              hash_fn=fn)
+        est = cm_estimate(
+            cm.where(F.col("bucket") == 1), probes, d_rows=3, w_cols=16,
+            hash_fn=fn,
+        )
+        viol = est.join(
+            ev.where("b = 1").groupBy("g", "item").agg(
+                F.count(F.lit(1)).cast("bigint").alias("x")
+            ),
+            ["g", "item"],
+        ).where("est_count < x").count()
+        assert viol == 0, fn
+        # Bloom: zero false negatives
+        bl = bloom_bucket_sketch(ev, ["g"], "b", "item", m_bits=256,
+                                 k_hash=3, hash_fn=fn)
+        miss = bloom_maybe_contains(
+            bl.where("bucket = 1"), probes, m_bits=256, k_hash=3, hash_fn=fn
+        ).where("NOT maybe").count()
+        assert miss == 0, fn
+        # HLL: raw estimate in a loose band of the exact 97 (p=4 keeps
+        # 97 distinct inside the raw estimator's valid >= 2.5m regime)
+        hll = hll_bucket_sketch(ev, ["g"], "b", "item", p=4, hash_fn=fn)
+        for r in hll.select("est_distinct").collect():
+            assert 40 <= r["est_distinct"] <= 250, (fn, r)
+
+    # the two families must actually differ (the seam is real)
+    a = kmv_bucket_sketch(ev, ["g"], "b", "item", k=8, hash_fn="md5")
+    b = kmv_bucket_sketch(ev, ["g"], "b", "item", k=8, hash_fn="xxhash64")
+    ra = a.orderBy("g", "bucket").collect()
+    rb = b.orderBy("g", "bucket").collect()
+    assert [r["kmv"] for r in ra] != [r["kmv"] for r in rb]
+    with _pt.raises(ValueError):
+        _h48(F.lit("x"), "sha1")
