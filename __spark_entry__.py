@@ -5168,26 +5168,30 @@ def q_cm_frequency_ladder(spark, sf_dir):
         )
     )
     # ONE counted token table feeds the sketch build, the probe set and
-    # the exact twin (r6): the join+explode ran once per consumer before
-    wc = (
-        tok.groupBy("source", "d", "word")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("wcnt"))
-        # materialization barrier: repartition on EVERY column forces a
-        # shared exchange no branch's pruning can perturb (a distinct
-        # would be partition-local over the groupBy's partitioning — no
-        # exchange, nothing to reuse), so the join+explode runs once for
-        # the sketch, probe and exact consumers (~15 CPU-s per avoided
-        # pass at sf1)
-        .repartition(
-            F.col("source"), F.col("d"), F.col("word"), F.col("wcnt")
-        )
+    # the exact twin (r6): the join+explode ran once per consumer before.
+    # NO repartition barrier here, unlike the mg twin: cm has a THIRD
+    # consumer (probes) that prunes to one column and then broadcasts —
+    # funneling it through a full-width shared exchange measured slower
+    # (3.57 s) than letting it recompute from the narrow join (2.8-3.0 s
+    # at sf1); the spread seq side already parallelizes the recompute.
+    wc = tok.groupBy("source", "d", "word").agg(
+        F.count(F.lit(1)).cast("bigint").alias("wcnt")
     )
     daily = cm_bucket_sketch(
         wc, ["source"], "d", "word", d_rows=4, w_cols=16, weight_col="wcnt"
     )
     merged = cm_merge_buckets(daily, ["source"], F.lit("all"))
+    # probe vocabulary straight off the documents: seq derives 1:1 from
+    # documents (doc_id is its key), so the joined token stream's word
+    # set IS the corpus word set — no need to drag the probe branch
+    # through the seq join (r6: one fewer join+explode consumer)
+    from rtsa_spark.plans.spread import fan_out_scan
+
     probes = (
-        wc.select("word").distinct().where(_h48(F.col("word")) % 3 == 0)
+        fan_out_scan(txt)
+        .select(F.explode(F.split("text", " ")).alias("word"))
+        .distinct()
+        .where(_h48(F.col("word")) % 3 == 0)
     )
     est = cm_estimate(
         merged.drop("bucket"), probes, d_rows=4, w_cols=16, probe_col="word"
