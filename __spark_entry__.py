@@ -2783,6 +2783,9 @@ def _seq_daily_dense(spark, sf_dir):
             F.lit(SEQ_EPOCH_S) + F.col("id") * 86400
         ).alias("bucket_start")
     )
+    # NB (r6, verified plan-identical): RemoveRedundantAggregates already
+    # collapses this to distinct over a source-only documents scan — the
+    # rollup/md5 subtree does NOT run on this branch; no rewrite needed.
     srcs = sparse.select("source").distinct()
     return (
         srcs.crossJoin(F.broadcast(days))

@@ -180,10 +180,12 @@ def sax_words(
     calendar frames matter); trailing partial frames are dropped, as are
     trailing windows shorter than ``word``.
 
-    Scale shape: one shuffle on the key (frame agg on (key, frame)),
-    a per-key threshold histogram (broadcast back), one per-key window
-    for the word concat. No global windows, no Python; per-key state is
-    bounded by buckets-per-key, the tier cap. ``10^6 * frame_sum`` must
+    Scale shape: one shuffle on the key, then a single linear pass —
+    frame agg, one per-key rank window for the symbol (see the in-line
+    derivation: symbol index = (alphabet * (rank-1)) div n replays the
+    threshold rule exactly), one per-key window for the word concat. No
+    global windows, no Python, no self-join; per-key state is bounded
+    by buckets-per-key, the tier cap. ``10^6 * frame_sum`` must
     stay under 2^63 (loud ANSI overflow otherwise).
 
     Output: ``(key, frame, paa_e6, sym, word)`` — one row per word
@@ -213,39 +215,33 @@ def sax_words(
         .where(F.col("_n") == paa)
         .drop("_n")
     )
-    hist = frames.groupBy("k", "paa_e6").agg(
-        F.count(F.lit(1)).cast("bigint").alias("h")
-    )
-    wcum = (
-        Window.partitionBy("k")
-        .orderBy("paa_e6")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    cum = hist.select(
+    # Equal-depth symbol in ONE window pass, no threshold table. With
+    # t_j = min value whose cumulative frame count reaches j*n/alphabet,
+    # a frame value v satisfies v > t_j iff some value below v already
+    # reached that cut, i.e. iff alphabet * below(v) >= j * n where
+    # below(v) = #frames with a strictly smaller value = rank() - 1
+    # (ties share the minimal rank). The symbol index — how many of the
+    # alphabet-1 thresholds sit strictly below v — is therefore
+    # (alphabet * (rank-1)) div n, exact-int, and never exceeds
+    # alphabet-1 because rank-1 <= n-1. This replaces the histogram ->
+    # cumulative -> threshold aggregations and the join back onto
+    # frames, whose two consumers forced the whole frames subtree (and
+    # everything upstream of it) to evaluate twice under per-branch
+    # column pruning.
+    wrank = Window.partitionBy("k").orderBy("paa_e6")
+    symed = frames.select(
         "k",
+        "frame",
         "paa_e6",
-        F.sum("h").over(wcum).alias("cum"),
-        F.sum("h").over(Window.partitionBy("k")).alias("n"),
-    )
-    thr = cum.groupBy("k").agg(
-        *[
-            F.min(
-                F.when(
-                    alphabet * F.col("cum") >= j * F.col("n"), F.col("paa_e6")
-                )
-            ).alias(f"_t{j}")
-            for j in range(1, alphabet)
-        ]
-    )
-    sym = F.when(
-        F.col("paa_e6") > F.col(f"_t{alphabet - 1}"),
-        F.lit(chr(96 + alphabet)),
-    )
-    for j in range(alphabet - 2, 0, -1):
-        sym = sym.when(F.col("paa_e6") > F.col(f"_t{j}"), F.lit(chr(97 + j)))
-    sym = sym.otherwise(F.lit("a"))
-    symed = frames.join(thr, "k").select(
-        "k", "frame", "paa_e6", sym.alias("sym")
+        (
+            F.lit(alphabet) * (F.rank().over(wrank) - F.lit(1)).cast("bigint")
+        ).alias("_below_a"),
+        F.count(F.lit(1)).over(Window.partitionBy("k")).alias("_n"),
+    ).select(
+        "k",
+        "frame",
+        "paa_e6",
+        F.expr("char(97 + _below_a div _n)").alias("sym"),
     )
     wf = Window.partitionBy("k").orderBy("frame")
     parts = [F.col("sym")] + [

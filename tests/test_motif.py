@@ -139,6 +139,33 @@ def test_sax_words_hand_replay(spark):
     assert any(words.count(w) >= 2 for w in set(words))
 
 
+def test_sax_words_rank_form_matches_threshold_replay(spark):
+    """r6 internals change: the single rank-window symbol
+    (``(alphabet * (rank-1)) div n``) must replay the original
+    histogram -> equal-depth-threshold -> join rule EXACTLY, including
+    on tie-heavy series where many frames share one PAA value and a
+    threshold lands on a run of duplicates."""
+    from rtsa_spark.operators.motif import sax_words
+
+    rng = np.random.default_rng(11)
+    for alphabet, paa, word, vals in [
+        (4, 2, 3, rng.integers(0, 6, size=61)),  # heavy ties, odd tail
+        (2, 1, 2, rng.integers(-3, 4, size=17)),
+        (5, 3, 4, rng.integers(0, 100, size=90)),
+        (3, 2, 2, np.full(20, 7)),  # all-equal: single symbol everywhere
+    ]:
+        rows = [("s", i, int(v)) for i, v in enumerate(vals)]
+        df = spark.createDataFrame(rows, "source string, t long, x long")
+        got = sorted(
+            (r["frame"], r["paa_e6"], r["sym"], r["word"])
+            for r in sax_words(
+                df, "source", "t", "x", paa=paa, word=word, alphabet=alphabet
+            ).collect()
+        )
+        exp = sorted(_sax_replay([int(v) for v in vals], paa, word, alphabet))
+        assert got == exp, (alphabet, paa, word)
+
+
 def test_sax_words_multi_key_and_params(spark):
     """Keys get independent breakpoints (a flat key is all-'a'); paa=1
     degenerates to raw symbolization; alphabet size changes the symbol
