@@ -5199,8 +5199,16 @@ def q_cm_frequency_ladder(spark, sf_dir):
     est = cm_estimate(
         merged.drop("bucket"), probes, d_rows=4, w_cols=16, probe_col="word"
     )
-    exact = wc.groupBy("source", "word").agg(
-        F.sum("wcnt").cast("bigint").alias("exact_count")
+    # §3.2 pre-filter: the left join below keeps only est's keys, and
+    # every est word satisfies the probe predicate — so the exact twin
+    # can drop non-probe words BEFORE its (source, word) aggregation
+    # (the predicate is on a grouping key, so Catalyst pushes it below
+    # the count too: ~3x fewer rows aggregated and shuffled, identical
+    # joined output).
+    exact = (
+        wc.where(_h48(F.col("word")) % 3 == 0)
+        .groupBy("source", "word")
+        .agg(F.sum("wcnt").cast("bigint").alias("exact_count"))
     )
     return (
         est.join(exact, ["source", "word"], "left")

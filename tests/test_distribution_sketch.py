@@ -339,6 +339,45 @@ def test_cm_sketch_exact_when_wide(spark):
     assert got == {"a": 4, "b": 2, "c": 1, "zz": 0}
 
 
+def test_cm_bloom_cell_layout_python_replay(spark):
+    """r6 internals change (union -> single explode pass in the cm and
+    bloom builders): the exact cell/word BIT LAYOUT must still match an
+    independent pure-Python replay of the md5 derivation — a wrong
+    position, a dropped hash row, or a double-counted cell all fail."""
+    import hashlib
+
+    from rtsa_spark.operators.sketch import bloom_bucket_sketch, cm_bucket_sketch
+
+    def h48(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:12], 16)
+
+    words = "pear plum pear fig plum pear kiwi".split()
+    df = spark.createDataFrame(
+        [("s1", 0, w) for w in words], "g string, d long, item string"
+    )
+
+    d_rows, w_cols = 3, 5  # narrow: collisions occur and must sum
+    exp_cm = [0] * (d_rows * w_cols)
+    for w in set(words):
+        for r in range(d_rows):
+            exp_cm[r * w_cols + h48(f"{r}:{w}") % w_cols] += words.count(w)
+    got = cm_bucket_sketch(
+        df, ["g"], "d", "item", d_rows=d_rows, w_cols=w_cols
+    ).collect()[0]
+    assert list(got["cm"]) == exp_cm and got["n_items"] == len(words)
+
+    m_bits, k_hash = 64, 3  # 2 words of 32 bits
+    exp_bloom = [0, 0]
+    for w in set(words):
+        for r in range(k_hash):
+            pos = h48(f"{r}:{w}") % m_bits
+            exp_bloom[pos // 32] |= 1 << (pos % 32)
+    gb = bloom_bucket_sketch(
+        df, ["g"], "d", "item", m_bits=m_bits, k_hash=k_hash
+    ).collect()[0]
+    assert list(gb["bloom"]) == exp_bloom and gb["n_distinct"] == len(set(words))
+
+
 def test_cm_sketch_one_sided_under_collisions(spark):
     """Width 2 forces collisions: estimates may overshoot but NEVER
     undershoot the true count, for present and absent probes alike."""
